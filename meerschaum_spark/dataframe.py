@@ -1,0 +1,150 @@
+"""Input normalization: anything → a typed Spark DataFrame.
+
+Covers the reference's ingest funnel — ``parse_simple_lines`` text parsing
+(meerschaum/utils/dataframe.py:2178-2227), special-dtype sniffing
+(get_json_cols / get_numeric_cols / get_uuid_cols / get_bytes_cols,
+utils/dataframe.py:671-1234), and dtype enforcement (enforce_dtypes,
+utils/dataframe.py:1236+) — re-expressed as a pre-flight pandas pass plus
+Spark-side casts. The pandas pass only ever sees the *incoming batch*
+(driver-side by definition in the reference too); stored data never leaves
+the JVM.
+"""
+
+from __future__ import annotations
+
+import datetime
+import uuid as uuid_mod
+from decimal import Decimal
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from meerschaum_spark.dtypes import (
+    canonical_json,
+    coerce_timezone,
+    from_spark_type,
+    to_spark_type,
+)
+
+
+def parse_simple_lines(text: str) -> pd.DataFrame:
+    """Parse newline-delimited, tab- or comma-separated text with a header
+    row (reference utils/dataframe.py:2178-2227)."""
+    import io
+    lines = [ln for ln in text.strip().splitlines() if ln.strip()]
+    if not lines:
+        return pd.DataFrame()
+    sep = "\t" if "\t" in lines[0] else ","
+    return pd.read_csv(io.StringIO("\n".join(lines)), sep=sep)
+
+
+def sniff_special_dtypes(pdf: pd.DataFrame) -> dict[str, str]:
+    """Detect json / numeric / uuid / bytes object columns from the first
+    non-null value per column (reference utils/dataframe.py:671-1234)."""
+    special: dict[str, str] = {}
+    for col in pdf.columns:
+        if pdf[col].dtype != object:
+            continue
+        sample = None
+        for v in pdf[col]:
+            if v is not None and not (isinstance(v, float) and pd.isna(v)):
+                sample = v
+                break
+        if sample is None:
+            continue
+        if isinstance(sample, (dict, list)):
+            special[col] = "json"
+        elif isinstance(sample, Decimal):
+            special[col] = "numeric"
+        elif isinstance(sample, uuid_mod.UUID):
+            special[col] = "uuid"
+        elif isinstance(sample, (bytes, bytearray)):
+            special[col] = "bytes"
+        elif isinstance(sample, datetime.datetime):
+            special[col] = "datetime"
+        elif isinstance(sample, datetime.date):
+            special[col] = "date"
+    return special
+
+
+def _serialize_for_spark(pdf: pd.DataFrame, special: dict[str, str]) -> pd.DataFrame:
+    pdf = pdf.copy()
+    for col, dtype in special.items():
+        if dtype == "json":
+            pdf[col] = pdf[col].map(
+                lambda v: canonical_json(v) if v is not None else None
+            )
+        elif dtype == "uuid":
+            pdf[col] = pdf[col].map(lambda v: str(v).lower() if v is not None else None)
+        elif dtype == "numeric":
+            pdf[col] = pdf[col].map(lambda v: str(v) if v is not None else None)
+        elif dtype == "datetime":
+            pdf[col] = pdf[col].map(
+                lambda v: coerce_timezone(v) if isinstance(v, datetime.datetime) else v
+            )
+    return pdf
+
+
+def to_spark_df(
+    spark: SparkSession,
+    data: Any,
+    dtypes: dict[str, str] | None = None,
+) -> tuple[DataFrame, dict[str, str]]:
+    """Normalize input (Spark DF / pandas DF / list[dict] / simple-lines str)
+    to a Spark DataFrame; returns (df, inferred_mrsm_dtypes)."""
+    if isinstance(data, DataFrame):
+        return data, {c: from_spark_type(f.dataType) for c, f in
+                      zip(data.columns, data.schema.fields)}
+    if isinstance(data, str):
+        data = parse_simple_lines(data)
+    if isinstance(data, (list, tuple)):
+        data = pd.DataFrame(list(data))
+    if not isinstance(data, pd.DataFrame):
+        raise TypeError(f"Cannot ingest {type(data)!r}")
+
+    pdf = data
+    special = sniff_special_dtypes(pdf)
+    pdf = _serialize_for_spark(pdf, special)
+
+    # Parse string datetime columns the registry says are datetimes
+    # (reference parse_df_datetimes, utils/dataframe.py:447-640).
+    for col, dt in (dtypes or {}).items():
+        if col in pdf.columns and dt == "datetime" and pdf[col].dtype == object:
+            pdf[col] = pd.to_datetime(pdf[col], utc=True, format="ISO8601")
+
+    sdf = spark.createDataFrame(pdf)
+    inferred = {c: from_spark_type(f.dataType) for c, f in
+                zip(sdf.columns, sdf.schema.fields)}
+    for col, dtype in special.items():
+        if dtype in ("json", "uuid"):
+            inferred[col] = dtype
+        elif dtype == "numeric":
+            inferred[col] = "numeric"
+            sdf = sdf.withColumn(col, F.col(col).cast(to_spark_type("numeric")))
+    return sdf, inferred
+
+
+def enforce_dtypes(df: DataFrame, dtypes: dict[str, str]) -> DataFrame:
+    """Cast columns to their registered dtypes (reference
+    core/Pipe/_dtypes.py:19-114). Unknown columns pass through untouched."""
+    projections = []
+    for c, field in zip(df.columns, df.schema.fields):
+        if c in dtypes:
+            want = to_spark_type(dtypes[c])
+            if field.dataType != want:
+                projections.append(F.col(c).cast(want).alias(c))
+                continue
+        projections.append(F.col(c))
+    return df.select(*projections)
+
+
+def add_missing_columns(df: DataFrame, dtypes: dict[str, str]) -> DataFrame:
+    """Add NULL columns for registered columns absent from the batch, so
+    unions/merges line up (reference _data.py:258-308 post-trim)."""
+    for c, dt in dtypes.items():
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast(to_spark_type(dt)))
+    return df

@@ -1,0 +1,732 @@
+"""The Pipe: incremental-sync unit of work, Spark-first.
+
+Re-expresses the reference's core object (meerschaum/core/Pipe/__init__.py:65-88
+identity; _sync.py sync funnel; _data.py read path) on the DataFrame API with a
+partitioned-Parquet instance store. The reference's pandas/SQL dual
+implementations collapse into single Catalyst-planned jobs:
+
+  sync:   source → dtype-enforce → (anti/semi joins vs time+key-pruned
+          target scan) → append unseen + MERGE updates
+  read:   scan → partition-pruned filter(begin/end/params) → select →
+          orderBy(indices) → limit
+
+Scale stance: the diff never scans the whole table — the backtrack scan is
+bounded by the patch's [min(dt), max(dt)] ∓ 1 minute (reference
+core/Pipe/_sync.py:794-858) plus an IN-pushdown of distinct key values when
+the patch holds ≤ 250 of them (reference _sync.py:860-878,
+config/_default.py:247). Both prune parquet partitions/row-groups via
+Catalyst; patch-side joins broadcast when small (AQE).
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from meerschaum_spark import dataframe as mdf
+from meerschaum_spark.chunks import DEFAULT_CHUNK_MINUTES, get_chunk_bounds
+from meerschaum_spark.dtypes import (
+    UNIT_US,
+    canonical_dtype,
+    datetime_to_int,
+    normalize_unit,
+    parse_date_bound,
+    widen_dtypes,
+)
+from meerschaum_spark.params import (
+    combine_filters,
+    datetime_filter,
+    params_to_filter,
+)
+from meerschaum_spark.registry import PipeRegistry, target_name
+from meerschaum_spark.store import ParquetPipeStore
+
+DEFAULT_BACKTRACK_MINUTES = 1440   # reference config/_default.py:236
+FILTER_PARAMS_INDEX_LIMIT = 250    # reference config/_default.py:247
+BOUNDS_SLOP_MINUTES = 1            # reference core/Pipe/_sync.py:794-858
+
+
+class SyncResult:
+    def __init__(self, success: bool, message: str = "",
+                 inserted: int = 0, updated: int = 0):
+        self.success = success
+        self.message = message
+        self.inserted = inserted
+        self.updated = updated
+
+    def __bool__(self) -> bool:
+        return self.success
+
+    def __repr__(self) -> str:
+        return (f"SyncResult(success={self.success}, inserted={self.inserted}, "
+                f"updated={self.updated}, message={self.message!r})")
+
+
+class Pipe:
+    """``Pipe(connector, metric, location, instance=path)`` — same 4-part
+    identity as the reference (core/Pipe/__init__.py:65-88)."""
+
+    def __init__(
+        self,
+        connector: str,
+        metric: str,
+        location: str | None = None,
+        instance: str = "/tmp/mrsm_spark_instance",
+        spark: SparkSession | None = None,
+        columns: dict[str, str] | None = None,
+        dtypes: dict[str, str] | None = None,
+        parameters: dict[str, Any] | None = None,
+        target: str | None = None,
+        upsert: bool | None = None,
+        static: bool | None = None,
+        enforce: bool | None = None,
+        null_indices: bool | None = None,
+        autoincrement: bool | None = None,
+        fetch_fn: Callable[..., Any] | None = None,
+    ):
+        if spark is None:
+            from meerschaum_spark.session import get_spark
+            spark = get_spark()
+        self.spark = spark
+        self.connector = str(connector)
+        self.metric = str(metric)
+        self.location = location if location else None
+        self.instance = instance
+        self.registry = PipeRegistry(instance)
+        self.target = target or target_name(self.connector, self.metric, self.location)
+        self.fetch_fn = fetch_fn
+
+        existing = self.registry.load(self.target) or {}
+        params: dict[str, Any] = dict(existing.get("parameters", {}))
+        for k, v in (parameters or {}).items():
+            params[k] = v
+        if columns is not None:
+            params["columns"] = dict(columns)
+        if dtypes is not None:
+            params.setdefault("dtypes", {}).update(
+                {c: canonical_dtype(d) for c, d in dtypes.items()}
+            )
+        for flag, val in (("upsert", upsert), ("static", static),
+                          ("enforce", enforce), ("null_indices", null_indices),
+                          ("autoincrement", autoincrement)):
+            if val is not None:
+                params[flag] = bool(val)
+        self.parameters = params
+        self._store: ParquetPipeStore | None = None
+
+    # ------------------------------------------------------------------ meta
+
+    @property
+    def keys(self) -> dict[str, str | None]:
+        return {"connector": self.connector, "metric": self.metric,
+                "location": self.location}
+
+    @property
+    def columns(self) -> dict[str, str]:
+        return dict(self.parameters.get("columns", {}))
+
+    @property
+    def dt_col(self) -> str | None:
+        return self.columns.get("datetime") or self.columns.get("primary")
+
+    @property
+    def index_cols(self) -> list[str]:
+        """Join keys: all roles except the explicitly-excluded 'value'
+        (reference core/Pipe/_sync.py:910-919)."""
+        out, seen = [], set()
+        for role, col in self.columns.items():
+            if role == "value" or not col or col in seen:
+                continue
+            seen.add(col)
+            out.append(col)
+        return out
+
+    @property
+    def dtypes(self) -> dict[str, str]:
+        return dict(self.parameters.get("dtypes", {}))
+
+    @property
+    def upsert(self) -> bool:
+        return bool(self.parameters.get("upsert", False))
+
+    @property
+    def static(self) -> bool:
+        return bool(self.parameters.get("static", False))
+
+    @property
+    def enforce(self) -> bool:
+        return bool(self.parameters.get("enforce", True))
+
+    @property
+    def autoincrement(self) -> bool:
+        return bool(self.parameters.get("autoincrement", False))
+
+    @property
+    def precision_unit(self) -> str:
+        prec = self.parameters.get("precision") or {}
+        return normalize_unit(prec.get("unit", "microsecond"))
+
+    @property
+    def backtrack_minutes(self) -> int:
+        fetch = self.parameters.get("fetch") or {}
+        return int(fetch.get("backtrack_minutes", DEFAULT_BACKTRACK_MINUTES))
+
+    @property
+    def chunk_minutes(self) -> int:
+        verify = self.parameters.get("verify") or {}
+        return int(verify.get("chunk_minutes", DEFAULT_CHUNK_MINUTES))
+
+    @property
+    def dt_is_int(self) -> bool:
+        dt = self.dt_col
+        if not dt:
+            return False
+        return canonical_dtype(self.dtypes.get(dt, "datetime")).startswith("int")
+
+    @property
+    def store(self) -> ParquetPipeStore:
+        if self._store is None:
+            self._store = ParquetPipeStore(
+                self.spark, self.instance, self.target,
+                dt_col=self.dt_col, dt_is_int=self.dt_is_int,
+                dt_unit=self.precision_unit, chunk_minutes=self.chunk_minutes,
+            )
+        return self._store
+
+    def _invalidate_store(self) -> None:
+        self._store = None
+
+    # -------------------------------------------------------------- registry
+
+    def register(self) -> None:
+        self.registry.save(self.target, {"keys": self.keys,
+                                         "parameters": self.parameters})
+
+    def edit(self, **parameters: Any) -> None:
+        self.parameters.update(parameters)
+        self.register()
+
+    def exists(self) -> bool:
+        return self.store.exists()
+
+    def delete(self) -> None:
+        """Drop data and deregister (reference core/Pipe/_drop.py + _delete)."""
+        self.store.drop()
+        self.registry.delete(self.target)
+        self._invalidate_store()
+
+    def drop(self) -> None:
+        self.store.drop()
+        self._invalidate_store()
+
+    # ------------------------------------------------------------- utilities
+
+    def _bound_us(self, bound: Any) -> int | None:
+        """Engine bound → epoch µs for partition pruning."""
+        if bound is None:
+            return None
+        if isinstance(bound, datetime.datetime):
+            return datetime_to_int(bound, "microsecond")
+        return int(bound) * UNIT_US[self.precision_unit]
+
+    def _parse_bound(self, bound: Any) -> Any:
+        dt = self.dt_col
+        dt_dtype = self.dtypes.get(dt, "datetime") if dt else "datetime"
+        return parse_date_bound(bound, dt_dtype, self.precision_unit)
+
+    # ------------------------------------------------------------------ read
+
+    def get_data(
+        self,
+        select_columns: list[str] | None = None,
+        omit_columns: list[str] | None = None,
+        begin: Any = None,
+        end: Any = None,
+        params: dict[str, Any] | None = None,
+        order: str | None = "asc",
+        limit: int | None = None,
+        as_iterator: bool = False,
+        chunk_minutes: int | None = None,
+    ) -> DataFrame | Iterator[DataFrame] | None:
+        """Parameterized read (reference core/Pipe/_data.py:22-318 →
+        connectors/sql/_pipes.py:1079-1559). Begin inclusive, end exclusive."""
+        begin, end = self._parse_bound(begin), self._parse_bound(end)
+        if as_iterator:
+            return self._iterate_data(select_columns, omit_columns, begin, end,
+                                      params, order, limit,
+                                      chunk_minutes or self.chunk_minutes)
+        df = self.store.read(
+            dtypes=self.dtypes or None,
+            begin_us=self._bound_us(begin),
+            end_us=self._bound_us(end),
+        )
+        cond = combine_filters(
+            datetime_filter(self.dt_col if self.dt_col in df.columns else None,
+                            begin, end),
+            params_to_filter(params),
+        )
+        if cond is not None:
+            df = df.filter(cond)
+        if select_columns:
+            df = df.select(*[c for c in select_columns if c in df.columns])
+        if omit_columns:
+            df = df.drop(*[c for c in omit_columns if c in df.columns])
+        if order and self.dt_col and self.dt_col in df.columns:
+            sort_cols = [c for c in [self.dt_col, *self.index_cols]
+                         if c in df.columns]
+            # de-dupe preserving order (dt first — reference _pipes.py:1519-1537)
+            seen: set[str] = set()
+            sort_cols = [c for c in sort_cols if not (c in seen or seen.add(c))]
+            df = df.orderBy(*[
+                F.col(c).asc() if order == "asc" else F.col(c).desc()
+                for c in sort_cols
+            ])
+        if limit is not None:
+            df = df.limit(int(limit))
+        return df
+
+    def _iterate_data(self, select_columns, omit_columns, begin, end, params,
+                      order, limit, chunk_minutes) -> Iterator[DataFrame]:
+        """Chunked read (reference _data.py:321-410): one DataFrame per
+        epoch-aligned window — each prunes to its own partitions."""
+        if begin is None:
+            begin = self.get_sync_time(newest=False, params=params)
+        if end is None:
+            last = self.get_sync_time(newest=True, params=params)
+            if last is not None:
+                one = (datetime.timedelta(microseconds=1)
+                       if isinstance(last, datetime.datetime) else 1)
+                end = last + one
+        if begin is None or end is None:
+            return
+        for b, e in get_chunk_bounds(begin, end, chunk_minutes,
+                                     unit=self.precision_unit):
+            yield self.get_data(select_columns, omit_columns, b, e, params,
+                                order, limit)
+
+    def get_docs(self, **kw: Any) -> list[dict[str, Any]]:
+        """Row dicts (reference get_pipe_docs, core/Pipe/_data.py:1003-1026)."""
+        df = self.get_data(**kw)
+        return [row.asDict(recursive=True) for row in df.collect()]
+
+    def get_backtrack_data(self, backtrack_minutes: int | None = None,
+                           begin: Any = None, **kw: Any) -> DataFrame | None:
+        """Most-recent trailing window (reference core/Pipe/_data.py:413-514)."""
+        bt = backtrack_minutes if backtrack_minutes is not None else self.backtrack_minutes
+        if begin is None:
+            begin = self.get_sync_time()
+        if begin is not None:
+            if isinstance(begin, datetime.datetime):
+                begin = begin - datetime.timedelta(minutes=bt)
+            else:
+                begin = begin - (bt * 60_000_000) // UNIT_US[self.precision_unit]
+        return self.get_data(begin=begin, **kw)
+
+    # ------------------------------------------------------------ aggregates
+
+    def get_sync_time(self, newest: bool = True,
+                      params: dict[str, Any] | None = None) -> Any:
+        """Newest (or oldest) dt value (reference
+        connectors/sql/_pipes.py:2812-2942). Without params, scans partitions
+        newest-first and stops at the first hit — touching one partition in
+        the common case instead of the table."""
+        dt = self.dt_col
+        if dt is None or not self.exists():
+            return None
+        agg = F.max if newest else F.min
+        cond = params_to_filter(params)
+        parts = self.store.partition_values()
+        ordered = sorted([p for p in parts if p is not None], reverse=newest)
+        if None in parts:
+            ordered.append(None)
+        for part in ordered:
+            df = self.store.read(dtypes=self.dtypes or None, part_values=[part])
+            if cond is not None:
+                df = df.filter(cond)
+            val = df.agg(agg(F.col(dt)).alias("t")).first()["t"]
+            if val is not None:
+                return self._parse_bound(val)
+        return None
+
+    def get_rowcount(self, begin: Any = None, end: Any = None,
+                     params: dict[str, Any] | None = None) -> int:
+        df = self.get_data(begin=begin, end=end, params=params, order=None)
+        return df.count() if df is not None else 0
+
+    def get_size(self) -> int:
+        return self.store.size_bytes() if self.exists() else 0
+
+    def get_distinct_count(self, col: str) -> int:
+        df = self.get_data(select_columns=[col], order=None)
+        return df.distinct().count()
+
+    # ------------------------------------------------------------------ sync
+
+    def sync(
+        self,
+        data: Any = None,
+        begin: Any = None,
+        end: Any = None,
+        params: dict[str, Any] | None = None,
+        check_existing: bool = True,
+        force_full_scan: bool = False,
+    ) -> SyncResult:
+        """The main write path (reference core/Pipe/_sync.py:40-467 →
+        connectors/sql/_pipes.py:1802-2215)."""
+        if data is None:
+            data = self.fetch(begin=begin, end=end, params=params)
+            if data is None:
+                return SyncResult(False, "No data to sync and no fetch source.")
+
+        import pandas as _pd
+        if isinstance(data, _pd.DataFrame) and (data.empty or not len(data.columns)):
+            return SyncResult(True, "Empty batch.", 0, 0)
+        if isinstance(data, (list, tuple)) and not data:
+            return SyncResult(True, "Empty batch.", 0, 0)
+        df, inferred = mdf.to_spark_df(self.spark, data, self.dtypes or None)
+        if df is None or not df.columns:
+            return SyncResult(True, "Empty batch.", 0, 0)
+
+        self._evolve_dtypes(inferred)
+        df = self._apply_autotime(df)
+        df = self._apply_autoincrement(df)
+        # columns injected by autotime/autoincrement need registering too
+        from meerschaum_spark.dtypes import from_spark_type
+        self._evolve_dtypes({
+            c: from_spark_type(f.dataType)
+            for c, f in zip(df.columns, df.schema.fields) if c not in inferred
+        })
+        if self.enforce:
+            df = mdf.enforce_dtypes(df, self.dtypes)
+
+        if not self.registry.load(self.target):
+            self.register()
+
+        first_sync = not self.exists()
+        if first_sync:
+            patch = self._dedupe_patch(df) if self.upsert else df
+            n = patch.count()
+            self.store.append(patch)
+            self.register()
+            return SyncResult(True, f"Inserted {n} rows (new table).", n, 0)
+
+        if self.upsert:
+            patch = self._dedupe_patch(df)
+            n = patch.count()
+            self.store.merge(patch, self.index_cols or patch.columns,
+                             dtypes=self.dtypes or None)
+            self.register()
+            return SyncResult(True, f"Upserted {n} rows.", 0, n)
+
+        if not check_existing:
+            n = df.count()
+            self.store.append(df)
+            self.register()
+            return SyncResult(True, f"Inserted {n} rows (no diff).", n, 0)
+
+        unseen, update = self.filter_existing(df, force_full_scan=force_full_scan)
+        unseen = unseen.persist()
+        update = update.persist()
+        try:
+            n_unseen = unseen.count()
+            n_update = update.count()
+            if n_unseen:
+                self.store.append(unseen)
+            if n_update:
+                # merge AFTER append: store.merge re-lists files, so rows the
+                # append just wrote are retained through the partition rewrite
+                self.store.merge(update, self.index_cols or update.columns,
+                                 dtypes=self.dtypes or None)
+            self.register()
+            return SyncResult(
+                True, f"Inserted {n_unseen}, updated {n_update} rows.",
+                n_unseen, n_update,
+            )
+        finally:
+            unseen.unpersist()
+            update.unpersist()
+
+    def filter_existing(
+        self, df: DataFrame, force_full_scan: bool = False,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Split an incoming batch into (unseen, update) against the stored
+        table (reference core/Pipe/_sync.py:665-1008).
+
+        Plan shape: one bounded scan of the target (dt-range partition
+        pruning + distinct-key IN pushdown), then
+          delta  = batch  ⟕̸ backtrack  on ALL columns   (full-row anti)
+          unseen = delta  ⟕̸ backtrack  on index cols    (left_anti)
+          update = delta  ⋉  backtrack  on index cols    (left_semi)
+        All key comparisons are null-safe (eqNullSafe) — the reference's
+        COALESCE-sentinel trick (connectors/sql/_pipes.py:2566-2607) is
+        unnecessary on Spark.
+        """
+        dt = self.dt_col
+        keys = [c for c in self.index_cols if c in df.columns]
+        df = df.persist()
+        begin = end = None
+        if dt and dt in df.columns and not force_full_scan:
+            row = df.agg(F.min(dt).alias("lo"), F.max(dt).alias("hi")).first()
+            lo, hi = row["lo"], row["hi"]
+            if lo is not None:
+                if isinstance(lo, datetime.datetime):
+                    slop = datetime.timedelta(minutes=BOUNDS_SLOP_MINUTES)
+                    begin, end = lo - slop, hi + slop + datetime.timedelta(microseconds=1)
+                else:
+                    slop = (BOUNDS_SLOP_MINUTES * 60_000_000) // UNIT_US[self.precision_unit]
+                    begin, end = int(lo) - slop, int(hi) + slop + 1
+
+        # distinct-key IN pushdown (≤ 250 values per key col)
+        pushdown: dict[str, Any] = {}
+        for col in keys:
+            if col == dt:
+                continue
+            vals = [r[0] for r in
+                    df.select(col).distinct().limit(FILTER_PARAMS_INDEX_LIMIT + 1).collect()]
+            if 0 < len(vals) <= FILTER_PARAMS_INDEX_LIMIT and None not in vals:
+                pushdown[col] = vals
+
+        backtrack = self.get_data(begin=begin, end=end,
+                                  params=pushdown or None, order=None)
+        backtrack = backtrack.persist()
+
+        common = [c for c in df.columns if c in backtrack.columns]
+        b = backtrack.alias("b")
+        d = df.alias("d")
+        full_cond = None
+        for c in common:
+            eq = F.col(f"d.{c}").eqNullSafe(F.col(f"b.{c}"))
+            full_cond = eq if full_cond is None else (full_cond & eq)
+        delta = (d.join(b, on=full_cond, how="left_anti")
+                 if full_cond is not None else df)
+        if not keys:
+            return delta, delta.limit(0)
+        delta = delta.alias("x")
+        key_cond = None
+        for c in keys:
+            eq = F.col(f"x.{c}").eqNullSafe(F.col(f"b.{c}"))
+            key_cond = eq if key_cond is None else (key_cond & eq)
+        unseen = delta.join(b, on=key_cond, how="left_anti")
+        update = delta.join(b, on=key_cond, how="left_semi")
+        return unseen, update
+
+    def _dedupe_patch(self, df: DataFrame) -> DataFrame:
+        """Dedupe an upsert patch on its keys — MERGE sources must be
+        key-unique (reference dedupes via drop_duplicates keep='last')."""
+        keys = [c for c in self.index_cols if c in df.columns]
+        if not keys:
+            return df.dropDuplicates()
+        others = [c for c in df.columns if c not in keys]
+        order = ([F.col(c).desc_nulls_last() for c in others]
+                 or [F.lit(1).asc()])
+        w = Window.partitionBy(*keys).orderBy(*order)
+        return (df.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+
+    def _evolve_dtypes(self, inferred: dict[str, str]) -> None:
+        """Schema evolution: union new columns, widen conflicts (reference
+        connectors/sql/_pipes.py:3496-3832). Disabled by static/enforce flags."""
+        if self.static:
+            return
+        current = self.dtypes
+        changed = False
+        for col, new_dt in inferred.items():
+            new_dt = canonical_dtype(new_dt)
+            if col not in current:
+                current[col] = new_dt
+                changed = True
+            elif self.enforce and canonical_dtype(current[col]) != new_dt:
+                widened = widen_dtypes(current[col], new_dt)
+                if widened != canonical_dtype(current[col]):
+                    current[col] = widened
+                    changed = True
+        if changed:
+            self.parameters["dtypes"] = current
+
+    def _apply_autotime(self, df: DataFrame) -> DataFrame:
+        """Stamp the datetime column when absent and autotime is enabled
+        (reference core/Pipe/_sync.py:412-434)."""
+        dt = self.columns.get("datetime")
+        if not dt or dt in df.columns:
+            return df
+        if not (self.parameters.get("autotime")
+                or self.parameters.get("static_autotime")):
+            return df
+        prec = self.parameters.get("precision") or {}
+        unit = normalize_unit(prec.get("unit", "microsecond"))
+        interval = int(prec.get("interval", 1))
+        step_us = UNIT_US[unit] * interval
+        stamped = (F.floor(F.unix_micros(F.current_timestamp()) / step_us)
+                   * step_us)
+        if self.dt_is_int:
+            return df.withColumn(dt, (stamped / UNIT_US[unit]).cast("long"))
+        return df.withColumn(dt, F.timestamp_micros(stamped.cast("long")))
+
+    def _apply_autoincrement(self, df: DataFrame) -> DataFrame:
+        """Generate the primary key when configured and absent (reference
+        connectors/sql/_pipes.py:1962-2073). Offsets from the stored max;
+        within-batch ids via a global row_number (fine for patch-sized
+        batches; identity ranges would replace this on a metastore)."""
+        pk = self.columns.get("primary")
+        if not pk or pk in df.columns or not self.autoincrement:
+            return df
+        offset = 0
+        if self.exists():
+            stored = self.store.read(dtypes=self.dtypes or None)
+            if pk in stored.columns:
+                row = stored.agg(F.max(pk).alias("m")).first()
+                offset = int(row["m"] or 0)
+        w = Window.orderBy(F.monotonically_increasing_id())
+        return df.withColumn(pk, (F.row_number().over(w) + offset).cast("long"))
+
+    # ----------------------------------------------------------------- fetch
+
+    def fetch(self, begin: Any = None, end: Any = None,
+              params: dict[str, Any] | None = None) -> Any:
+        """Pull new rows from the pipe's source (reference
+        core/Pipe/_fetch.py:20-181): a plugin-style callable or a SQL
+        ``definition`` over session views, bounded by
+        begin = last sync time − backtrack."""
+        if begin is None:
+            st = self.get_sync_time()
+            if st is not None:
+                if isinstance(st, datetime.datetime):
+                    begin = st - datetime.timedelta(minutes=self.backtrack_minutes)
+                else:
+                    begin = st - (self.backtrack_minutes * 60_000_000
+                                  ) // UNIT_US[self.precision_unit]
+        if self.fetch_fn is not None:
+            return self.fetch_fn(self, begin=begin, end=end, params=params)
+        definition = self._resolve_definition()
+        if definition is None:
+            return None
+        df = self.spark.sql(
+            f"WITH definition AS ({definition}) SELECT * FROM definition"
+        )
+        cond = combine_filters(
+            datetime_filter(self.dt_col if self.dt_col in df.columns else None,
+                            self._parse_bound(begin), self._parse_bound(end)),
+            params_to_filter(params),
+        )
+        return df.filter(cond) if cond is not None else df
+
+    def _resolve_definition(self) -> str | None:
+        """Definition resolution order (reference
+        connectors/sql/_fetch.py:372-432)."""
+        fetch = self.parameters.get("fetch") or {}
+        for container, key in ((fetch, "definition"), (self.parameters, "definition"),
+                               (self.parameters, "query"), (self.parameters, "sql")):
+            val = container.get(key)
+            if val:
+                return str(val)
+        return None
+
+    # ----------------------------------------- maintenance: dedup/clear/verify
+
+    def deduplicate(self, begin: Any = None, end: Any = None,
+                    params: dict[str, Any] | None = None) -> SyncResult:
+        """Remove duplicate index-key rows keeping one deterministic winner
+        (reference core/Pipe/_deduplicate.py:14-287; SQL ROW_NUMBER form
+        connectors/sql/_pipes.py:3888-4105). ``dropDuplicates`` is
+        nondeterministic — the window-rank form is required for keep-last."""
+        keys = self.index_cols
+        if not keys or not self.exists():
+            return SyncResult(True, "Nothing to deduplicate.")
+        begin, end = self._parse_bound(begin), self._parse_bound(end)
+        df = self.store.read(dtypes=self.dtypes or None, keep_part_col=True,
+                             begin_us=self._bound_us(begin),
+                             end_us=self._bound_us(end))
+        cond = combine_filters(
+            datetime_filter(self.dt_col, begin, end), params_to_filter(params))
+        if cond is not None:
+            df = df.filter(cond)
+        others = [c for c in df.columns
+                  if c not in keys and c != "_mrsm_part"]
+        order = ([F.col(c).desc_nulls_last() for c in others] or [F.lit(1).asc()])
+        w = Window.partitionBy(*keys).orderBy(*order)
+        ranked = df.withColumn("_rn", F.row_number().over(w))
+        dup_parts = [r[0] for r in ranked.filter(F.col("_rn") > 1)
+                     .select("_mrsm_part").distinct().collect()]
+        if not dup_parts:
+            return SyncResult(True, "No duplicates found.", 0, 0)
+        n_before = self.get_rowcount(begin=begin, end=end, params=params)
+        scoped = self.store.read(dtypes=self.dtypes or None, keep_part_col=True,
+                                 part_values=dup_parts)
+        deduped = (scoped.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn"))
+        self.store._swap_partitions(deduped, dup_parts)
+        n_after = self.get_rowcount(begin=begin, end=end, params=params)
+        return SyncResult(True, f"Removed {n_before - n_after} duplicates.",
+                          0, n_before - n_after)
+
+    def clear(self, begin: Any = None, end: Any = None,
+              params: dict[str, Any] | None = None) -> int:
+        """Bounded delete (reference core/Pipe/_clear.py; SQL
+        connectors/sql/_pipes.py:3158-3246). Returns rows removed."""
+        if not self.exists():
+            return 0
+        begin, end = self._parse_bound(begin), self._parse_bound(end)
+        cond = combine_filters(
+            datetime_filter(self.dt_col, begin, end),
+            params_to_filter(params),
+        )
+        if cond is None:
+            cond = F.lit(True)
+        return self.store.delete_where(cond, dtypes=self.dtypes or None,
+                                       begin_us=self._bound_us(begin),
+                                       end_us=self._bound_us(end))
+
+    def verify(
+        self,
+        source: Callable[[Any, Any], Any] | None = None,
+        begin: Any = None,
+        end: Any = None,
+        chunk_minutes: int | None = None,
+        max_retries: int = 3,
+    ) -> SyncResult:
+        """Chunked re-sync over the epoch-aligned grid (reference
+        core/Pipe/_verify.py:18-440): each ``[b, e)`` window re-fetches and
+        re-syncs; upsert/diff semantics make it idempotent. Chunks touch
+        disjoint store partitions, so they could run concurrently."""
+        chunk_minutes = chunk_minutes or self.chunk_minutes
+        begin = self._parse_bound(begin) if begin is not None else \
+            self.get_sync_time(newest=False)
+        end = self._parse_bound(end) if end is not None else None
+        if end is None:
+            last = self.get_sync_time(newest=True)
+            if last is not None:
+                end = last + (datetime.timedelta(microseconds=1)
+                              if isinstance(last, datetime.datetime) else 1)
+        if begin is None or end is None:
+            return SyncResult(False, "No bounds to verify.")
+        total_ins = total_upd = 0
+        for b, e in get_chunk_bounds(begin, end, chunk_minutes,
+                                     unit=self.precision_unit):
+            data = source(b, e) if source is not None else self.fetch(begin=b, end=e)
+            if data is None:
+                continue
+            ok = False
+            for _attempt in range(max_retries):
+                res = self.sync(data, begin=b, end=e)
+                if res.success:
+                    total_ins += res.inserted
+                    total_upd += res.updated
+                    ok = True
+                    break
+            if not ok:
+                return SyncResult(False, f"Chunk [{b}, {e}) failed.",
+                                  total_ins, total_upd)
+        return SyncResult(True, f"Verified: +{total_ins} inserted, "
+                          f"{total_upd} updated.", total_ins, total_upd)
+
+    def copy_to(self, other: "Pipe", begin: Any = None, end: Any = None,
+                params: dict[str, Any] | None = None) -> SyncResult:
+        """Pipe→pipe copy (reference core/Pipe/_copy.py:14+)."""
+        df = self.get_data(begin=begin, end=end, params=params, order=None)
+        if other.columns == {} and self.columns:
+            other.parameters["columns"] = self.columns
+        return other.sync(df)

@@ -1,0 +1,74 @@
+"""SparkSession factory tuned for the engine.
+
+Scale stance: these configs are correct on a 1000-executor cluster, not
+just local[32] — AQE for runtime re-planning (skew joins, partition
+coalescing), UTC session timezone (canonical µs-UTC storage, mirroring
+the reference's timestamp discipline, reference
+meerschaum/utils/dtypes/__init__.py:39-56), Arrow for any pandas-UDF
+boundary, and dynamic partition overwrite so MERGE rewrites only the
+partitions a patch touches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Partition-overwrite must be dynamic for the store's MERGE implementation:
+# overwriting a partitioned parquet table only replaces partitions present
+# in the written DataFrame.
+ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.parquet.compression.codec": "snappy",
+    # local parquet files are small; pack more of them per task
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "meerschaum_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    On a real cluster, pass ``master=None`` with a pre-set master URL and
+    a ``shuffle_partitions`` sized to ~2-3× total cores; locally defaults
+    to ``local[$SPARK_GRAFT_CPUS]`` with shuffle partitions = cores.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_engine_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable confs to an externally-created
+    session (the driver passes its own SparkSession to ``entry``)."""
+    for k, v in ENGINE_CONFS.items():
+        if k.startswith(("spark.sql.", "spark.ui.")):
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # static confs can't change post-start; safe to skip
+    return spark

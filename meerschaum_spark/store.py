@@ -1,0 +1,289 @@
+"""Partitioned-Parquet instance store with MERGE semantics.
+
+Implements the instance-connector contract surface the reference defines in
+meerschaum/connectors/instance/_pipes.py:17-665 (sync/read/clear/dedup/drop)
+on a directory of hive-partitioned parquet. The physical layout IS the
+reference's epoch-aligned range-partition grid
+(connectors/sql/_partition.py:26-942): one directory per
+``chunk_minutes``-wide epoch cell, keyed by ``_mrsm_part = floor(epoch_us /
+width_us)``.
+
+Scale notes (designed for 100 TB / 1000 executors, tested on local[32]):
+  * Reads pass an explicit schema (no footer inference) and prune on the
+    partition column, so a time-bounded read lists/opens only the matching
+    partition directories.
+  * MERGE rewrites only the partitions the patch touches: affected cells are
+    computed from the patch, the existing rows of those cells are anti-joined
+    against patch keys (null-safe), and keep ∪ patch is written to a staging
+    dir then swapped in per-partition. Work is proportional to the patch's
+    time-range, never the table size.
+  * Appends of unseen rows are plain file adds (no rewrite) — the common
+    incremental-sync case costs one write of the new rows.
+  * On a real cluster the staging swap would be a transactional commit
+    (Delta/Iceberg); the layout and pruning strategy carry over unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from meerschaum_spark.chunks import DEFAULT_CHUNK_MINUTES
+from meerschaum_spark.dtypes import UNIT_US, normalize_unit, to_spark_type
+
+PART_COL = "_mrsm_part"
+NULL_PART_DIR = f"{PART_COL}=__HIVE_DEFAULT_PARTITION__"
+
+
+class ParquetPipeStore:
+    """One pipe's physical table: ``<root>/<target>/data/_mrsm_part=N/*.parquet``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        target: str,
+        dt_col: str | None = None,
+        dt_is_int: bool = False,
+        dt_unit: str = "microsecond",
+        chunk_minutes: int = DEFAULT_CHUNK_MINUTES,
+    ):
+        self.spark = spark
+        self.root = root
+        self.target = target
+        self.dt_col = dt_col
+        self.dt_is_int = dt_is_int
+        self.dt_unit = normalize_unit(dt_unit)
+        self.chunk_minutes = int(chunk_minutes)
+        self.width_us = self.chunk_minutes * 60_000_000
+
+    # -- paths -------------------------------------------------------------
+
+    @property
+    def path(self) -> str:
+        return os.path.join(self.root, self.target)
+
+    @property
+    def data_path(self) -> str:
+        return os.path.join(self.path, "data")
+
+    def exists(self) -> bool:
+        if not os.path.isdir(self.data_path):
+            return False
+        for entry in os.scandir(self.data_path):
+            if entry.is_dir() and entry.name.startswith(f"{PART_COL}="):
+                return True
+        return False
+
+    # -- partition key -----------------------------------------------------
+
+    def _epoch_us_col(self) -> F.Column:
+        c = F.col(self.dt_col)
+        if self.dt_is_int:
+            return (c.cast("long") * F.lit(UNIT_US[self.dt_unit])).cast("long")
+        return F.unix_micros(c)
+
+    def with_part(self, df: DataFrame) -> DataFrame:
+        if self.dt_col is None or self.dt_col not in df.columns:
+            return df.withColumn(PART_COL, F.lit(0).cast("long"))
+        return df.withColumn(
+            PART_COL, F.floor(self._epoch_us_col() / F.lit(self.width_us)).cast("long")
+        )
+
+    def part_index_of(self, epoch_us: int) -> int:
+        return epoch_us // self.width_us
+
+    # -- schema ------------------------------------------------------------
+
+    def read_schema(self, dtypes: dict[str, str] | None) -> T.StructType | None:
+        """Explicit read schema from registered dtypes (+ partition col).
+
+        Passing a schema skips footer inference — at 100 TB, inference would
+        list and open every file before the first byte of real work.
+        """
+        if not dtypes:
+            return None
+        fields = [T.StructField(c, to_spark_type(dt), True) for c, dt in dtypes.items()]
+        fields.append(T.StructField(PART_COL, T.LongType(), True))
+        return T.StructType(fields)
+
+    # -- read --------------------------------------------------------------
+
+    def read(
+        self,
+        dtypes: dict[str, str] | None = None,
+        begin_us: int | None = None,
+        end_us: int | None = None,
+        keep_part_col: bool = False,
+        part_values: Iterable[Any] | None = None,
+    ) -> DataFrame:
+        """Scan the table with partition pruning from epoch-µs bounds.
+
+        ``end_us`` is exclusive (matching the engine-wide bound contract).
+        """
+        if not self.exists():
+            schema = self.read_schema(dtypes) or T.StructType([])
+            empty = self.spark.createDataFrame([], schema)
+            return empty if keep_part_col else empty.drop(PART_COL)
+        reader = self.spark.read
+        schema = self.read_schema(dtypes)
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(self.data_path)
+        if begin_us is not None:
+            df = df.filter(F.col(PART_COL) >= self.part_index_of(begin_us))
+        if end_us is not None:
+            df = df.filter(F.col(PART_COL) <= self.part_index_of(end_us - 1))
+        if part_values is not None:
+            vals = list(part_values)
+            non_null = [v for v in vals if v is not None]
+            cond = F.col(PART_COL).isin(non_null) if non_null else F.lit(False)
+            if any(v is None for v in vals):
+                cond = cond | F.col(PART_COL).isNull()
+            df = df.filter(cond)
+        return df if keep_part_col else df.drop(PART_COL)
+
+    # -- write paths -------------------------------------------------------
+
+    def append(self, df: DataFrame) -> None:
+        """File-add append of rows known to be unseen (no rewrite)."""
+        out = self.with_part(df)
+        out.write.mode("append").partitionBy(PART_COL).parquet(self.data_path)
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Full-table replace."""
+        if os.path.isdir(self.data_path):
+            staging = self._staging_dir()
+            self.with_part(df).write.mode("overwrite").partitionBy(PART_COL).parquet(staging)
+            shutil.rmtree(self.data_path)
+            os.replace(staging, self.data_path)
+        else:
+            self.with_part(df).write.mode("overwrite").partitionBy(PART_COL).parquet(
+                self.data_path
+            )
+
+    def merge(
+        self,
+        patch: DataFrame,
+        keys: list[str],
+        dtypes: dict[str, str] | None = None,
+    ) -> None:
+        """Upsert ``patch`` on ``keys``: delete-matching + insert, rewriting
+        only affected partitions.
+
+        Equivalent of the reference's per-flavor MERGE templates
+        (meerschaum/utils/sql.py:74-236, get_update_queries :1667-1991) and of
+        Delta ``MERGE INTO`` with a partition-pruning merge condition. Key
+        equality is null-safe (``eqNullSafe``), replacing the reference's
+        COALESCE-sentinel machinery (utils/sql.py:1994-2045).
+        """
+        if not self.exists():
+            self.append(patch)
+            return
+        patch = self.with_part(patch)
+        # Affected partitions: small driver-side list (bounded by the patch's
+        # time range / chunk width — the analogue of MERGE date-bound pruning).
+        parts = [r[0] for r in patch.select(PART_COL).distinct().collect()]
+        if not parts:
+            return
+        existing = self.read(dtypes=dtypes, keep_part_col=True, part_values=parts)
+        p = patch.alias("p")
+        e = existing.alias("e")
+        cond = None
+        for k in keys:
+            c = F.col(f"e.{k}").eqNullSafe(F.col(f"p.{k}"))
+            cond = c if cond is None else (cond & c)
+        keep = e.join(p, on=cond, how="left_anti")
+        out_cols = [c for c in patch.columns]
+        merged = keep.unionByName(patch, allowMissingColumns=True).select(*out_cols)
+        self._swap_partitions(merged, parts)
+
+    def delete_where(self, cond: F.Column, dtypes: dict[str, str] | None = None,
+                     begin_us: int | None = None, end_us: int | None = None) -> int:
+        """Bounded DELETE (reference clear_pipe, connectors/sql/_pipes.py:3158-3246):
+        rewrite affected partitions without the matching rows. Returns rows deleted."""
+        if not self.exists():
+            return 0
+        df = self.read(dtypes=dtypes, keep_part_col=True,
+                       begin_us=begin_us, end_us=end_us)
+        affected = [
+            r[0] for r in df.filter(cond).select(PART_COL).distinct().collect()
+        ]
+        if not affected:
+            return 0
+        scoped = self.read(dtypes=dtypes, keep_part_col=True, part_values=affected)
+        n_before = scoped.count()
+        remaining = scoped.filter(~F.coalesce(cond, F.lit(False)))
+        n_after = remaining.count()
+        self._swap_partitions(remaining, affected)
+        return n_before - n_after
+
+    def drop(self) -> None:
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+
+    # -- staging swap ------------------------------------------------------
+
+    def _staging_dir(self) -> str:
+        return os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:12]}")
+
+    @staticmethod
+    def _part_dir_name(value: Any) -> str:
+        if value is None:
+            return NULL_PART_DIR
+        return f"{PART_COL}={value}"
+
+    def _swap_partitions(self, df: DataFrame, parts: list[Any]) -> None:
+        """Write ``df`` (covering exactly ``parts``) to staging, then swap
+        each partition directory into place.
+
+        Spark refuses to overwrite a path it is also reading
+        (self-referential plan), so the rewrite lands in a staging dir first;
+        the swap is then a handful of driver-side renames — the local-FS
+        stand-in for a transactional commit.
+        """
+        staging = self._staging_dir()
+        try:
+            df.write.mode("overwrite").partitionBy(PART_COL).parquet(staging)
+            for value in parts:
+                name = self._part_dir_name(value)
+                src = os.path.join(staging, name)
+                dst = os.path.join(self.data_path, name)
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                if os.path.isdir(src):
+                    shutil.move(src, dst)
+                # else: partition fully emptied — leave it deleted
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    # -- stats -------------------------------------------------------------
+
+    def size_bytes(self) -> int:
+        total = 0
+        for dirpath, _dirnames, filenames in os.walk(self.data_path):
+            for f in filenames:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        return total
+
+    def partition_values(self) -> list[int | None]:
+        if not self.exists():
+            return []
+        out: list[int | None] = []
+        for entry in os.scandir(self.data_path):
+            if not entry.is_dir() or not entry.name.startswith(f"{PART_COL}="):
+                continue
+            raw = entry.name.split("=", 1)[1]
+            out.append(None if raw == "__HIVE_DEFAULT_PARTITION__" else int(raw))
+        return sorted(out, key=lambda v: (v is None, v))

@@ -1,0 +1,246 @@
+"""Behavioral round-trips for the sync engine — models the reference's
+tests/test_sync.py (drop-and-sync trio :45-102, upsert :780+, null indices
+:729, dedup, clear)."""
+
+import datetime
+
+import pandas as pd
+import pytest
+
+from meerschaum_spark.pipe import Pipe
+
+UTC = datetime.timezone.utc
+
+
+def dtm(*args):
+    return datetime.datetime(*args, tzinfo=UTC)
+
+
+@pytest.fixture()
+def pipe(spark, instance_dir):
+    return Pipe("test", "metric", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"})
+
+
+def batch(rows):
+    return pd.DataFrame(rows)
+
+
+def test_sync_insert_then_noop(pipe):
+    rows = [{"dt": dtm(2024, 1, 1, 12), "id": 1, "val": 10},
+            {"dt": dtm(2024, 1, 1, 13), "id": 2, "val": 20}]
+    res = pipe.sync(batch(rows))
+    assert res.success and res.inserted == 2
+    assert pipe.get_rowcount() == 2
+    # identical re-sync: nothing inserted, nothing updated
+    res2 = pipe.sync(batch(rows))
+    assert res2.success and res2.inserted == 0 and res2.updated == 0
+    assert pipe.get_rowcount() == 2
+
+
+def test_sync_update_not_insert(pipe):
+    rows = [{"dt": dtm(2024, 1, 1, 12), "id": 1, "val": 10}]
+    pipe.sync(batch(rows))
+    rows2 = [{"dt": dtm(2024, 1, 1, 12), "id": 1, "val": 99}]
+    res = pipe.sync(batch(rows2))
+    assert res.success and res.inserted == 0 and res.updated == 1
+    assert pipe.get_rowcount() == 1
+    vals = pipe.get_docs()
+    assert vals[0]["val"] == 99
+
+
+def test_sync_mixed_unseen_and_update(pipe):
+    pipe.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "val": 1},
+                     {"dt": dtm(2024, 1, 2), "id": 1, "val": 2}]))
+    res = pipe.sync(batch([
+        {"dt": dtm(2024, 1, 2), "id": 1, "val": 20},   # update
+        {"dt": dtm(2024, 1, 3), "id": 1, "val": 3},    # unseen
+    ]))
+    assert res.inserted == 1 and res.updated == 1
+    assert pipe.get_rowcount() == 3
+    docs = pipe.get_docs(params={"dt": dtm(2024, 1, 2)})
+    assert docs[0]["val"] == 20
+
+
+def test_sync_across_partitions(pipe):
+    # rows 90 days apart land in different _mrsm_part cells
+    pipe.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "val": 1},
+                     {"dt": dtm(2024, 4, 1), "id": 1, "val": 2}]))
+    assert len(pipe.store.partition_values()) >= 2
+    res = pipe.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "val": 11},
+                           {"dt": dtm(2024, 7, 1), "id": 1, "val": 3}]))
+    assert res.inserted == 1 and res.updated == 1
+    assert pipe.get_rowcount() == 3
+
+
+def test_upsert_pipe(spark, instance_dir):
+    pipe = Pipe("test", "ups", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"}, upsert=True)
+    pipe.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "val": 1}]))
+    pipe.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "val": 2},
+                     {"dt": dtm(2024, 1, 2), "id": 1, "val": 3}]))
+    assert pipe.get_rowcount() == 2
+    docs = pipe.get_docs(params={"dt": dtm(2024, 1, 1)})
+    assert docs[0]["val"] == 2
+
+
+def test_null_indices(spark, instance_dir):
+    pipe = Pipe("test", "nulls", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"})
+    rows = [{"dt": dtm(2024, 1, 1), "id": None, "val": 1.0},
+            {"dt": dtm(2024, 1, 1), "id": 2, "val": 2.0}]
+    pdf = pd.DataFrame(rows).astype({"id": "Int64"})
+    pipe.sync(pdf)
+    assert pipe.get_rowcount() == 2
+    # same null-keyed row with a changed value → update, not insert
+    pdf2 = pd.DataFrame([{"dt": dtm(2024, 1, 1), "id": None, "val": 9.0}]
+                        ).astype({"id": "Int64"})
+    res = pipe.sync(pdf2)
+    assert res.inserted == 0 and res.updated == 1
+    assert pipe.get_rowcount() == 2
+
+
+def test_get_data_bounds_and_params(pipe):
+    pipe.sync(batch([{"dt": dtm(2024, 1, d), "id": i, "val": d * 10 + i}
+                     for d in range(1, 6) for i in (1, 2)]))
+    df = pipe.get_data(begin=dtm(2024, 1, 2), end=dtm(2024, 1, 4),
+                       params={"id": 1})
+    rows = df.collect()
+    assert [r["dt"].day for r in rows] == [2, 3]  # end exclusive, ordered
+    limited = pipe.get_data(limit=3)
+    assert limited.count() == 3
+
+
+def test_get_sync_time_and_rowcount(pipe):
+    pipe.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "val": 1},
+                     {"dt": dtm(2024, 3, 15), "id": 2, "val": 2}]))
+    assert pipe.get_sync_time() == dtm(2024, 3, 15)
+    assert pipe.get_sync_time(newest=False) == dtm(2024, 1, 1)
+    assert pipe.get_sync_time(params={"id": 1}) == dtm(2024, 1, 1)
+    assert pipe.get_rowcount(begin=dtm(2024, 2, 1)) == 1
+
+
+def test_deduplicate(spark, instance_dir):
+    pipe = Pipe("test", "dup", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"})
+    # bypass diffing to force duplicates in storage
+    pipe.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "val": 1}]))
+    pipe.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "val": 2}]),
+              check_existing=False)
+    assert pipe.get_rowcount() == 2
+    res = pipe.deduplicate()
+    assert res.success
+    assert pipe.get_rowcount() == 1
+    # deterministic winner: highest non-key values kept
+    assert pipe.get_docs()[0]["val"] == 2
+
+
+def test_clear_bounded(pipe):
+    pipe.sync(batch([{"dt": dtm(2024, 1, d), "id": 1, "val": d}
+                     for d in range(1, 6)]))
+    removed = pipe.clear(begin=dtm(2024, 1, 2), end=dtm(2024, 1, 4))
+    assert removed == 2
+    assert pipe.get_rowcount() == 3
+    removed_all = pipe.clear()
+    assert removed_all == 3
+    assert pipe.get_rowcount() == 0
+
+
+def test_drop_and_exists(pipe):
+    assert not pipe.exists()
+    pipe.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "val": 1}]))
+    assert pipe.exists()
+    pipe.drop()
+    assert not pipe.exists()
+
+
+def test_schema_evolution_add_column(pipe):
+    pipe.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "val": 1}]))
+    res = pipe.sync(batch([{"dt": dtm(2024, 1, 2), "id": 1, "val": 2,
+                            "extra": "x"}]))
+    assert res.success
+    assert "extra" in pipe.dtypes
+    docs = pipe.get_docs()
+    assert any(d.get("extra") == "x" for d in docs)
+    # old rows read as NULL for the new column
+    assert any(d.get("extra") is None for d in docs)
+
+
+def test_static_schema_rejects_evolution(spark, instance_dir):
+    pipe = Pipe("test", "static", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"}, static=True)
+    pipe.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "val": 1}]))
+    before = dict(pipe.dtypes)
+    pipe.sync(batch([{"dt": dtm(2024, 1, 2), "id": 1, "val": 2, "extra": "x"}]))
+    assert pipe.dtypes.keys() == before.keys()
+
+
+def test_int_epoch_axis(spark, instance_dir):
+    pipe = Pipe("test", "epoch", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "id"},
+                dtypes={"ts": "int64"},
+                parameters={"precision": {"unit": "second"}})
+    base = 1704067200
+    pipe.sync(batch([{"ts": base + i * 3600, "id": 1, "val": i}
+                     for i in range(5)]))
+    assert pipe.get_rowcount() == 5
+    # datetime bounds coerced to epoch ints
+    df = pipe.get_data(begin=dtm(2024, 1, 1, 1), end=dtm(2024, 1, 1, 3))
+    assert df.count() == 2
+    assert pipe.get_sync_time() == base + 4 * 3600
+
+
+def test_fetch_definition_incremental(spark, instance_dir):
+    src = spark.createDataFrame(
+        [(dtm(2024, 1, 1, h), 1, float(h)) for h in range(10)],
+        "dt timestamp, id long, val double")
+    src.createOrReplaceTempView("src_table")
+    pipe = Pipe("test", "fetchdef", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"},
+                parameters={"fetch": {"definition": "SELECT * FROM src_table",
+                                      "backtrack_minutes": 60}})
+    res = pipe.sync()
+    assert res.success and res.inserted == 10
+    # second sync refetches only the backtrack window; diff makes it a no-op
+    res2 = pipe.sync()
+    assert res2.success and res2.inserted == 0 and res2.updated == 0
+    assert pipe.get_rowcount() == 10
+
+
+def test_verify_backfills(spark, instance_dir):
+    full = [{"dt": dtm(2024, 1, 1) + datetime.timedelta(hours=6 * i),
+             "id": 1, "val": float(i)} for i in range(20)]
+    pipe = Pipe("test", "verify", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"})
+    # initial sync missing some middle rows
+    pipe.sync(batch(full[:5] + full[10:]))
+    assert pipe.get_rowcount() == 15
+
+    def source(b, e):
+        return batch([r for r in full
+                      if (b is None or r["dt"] >= b) and (e is None or r["dt"] < e)])
+
+    res = pipe.verify(source=source, chunk_minutes=1440)
+    assert res.success
+    assert pipe.get_rowcount() == 20
+
+
+def test_autoincrement_primary(spark, instance_dir):
+    pipe = Pipe("test", "pk", instance=instance_dir, spark=spark,
+                columns={"primary": "pk", "datetime": "dt"},
+                autoincrement=True)
+    pipe.sync(batch([{"dt": dtm(2024, 1, 1), "val": 1},
+                     {"dt": dtm(2024, 1, 2), "val": 2}]))
+    docs = sorted(pipe.get_docs(), key=lambda d: d["pk"])
+    assert [d["pk"] for d in docs] == [1, 2]
+    pipe.sync(batch([{"dt": dtm(2024, 1, 3), "val": 3}]))
+    docs = sorted(pipe.get_docs(), key=lambda d: d["pk"])
+    assert [d["pk"] for d in docs] == [1, 2, 3]
+
+
+def test_copy_to(spark, instance_dir, pipe):
+    pipe.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "val": 1}]))
+    other = Pipe("test", "copy_dest", instance=instance_dir, spark=spark)
+    res = pipe.copy_to(other)
+    assert res.success
+    assert other.get_rowcount() == 1

@@ -1,38 +1,63 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` exercises the actual engine end-to-end (pipe sync → store →
+read path); ``queries``/``oracle_sql`` expose the operator catalog in
+``meerschaum_spark.queries`` for the DuckDB correctness gate.
 """
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sync the sf0.001 events table through a Pipe (incremental
+    diff → partitioned parquet store), then run the parameterized read path
+    and an hourly rollup on the stored data."""
+    from pyspark.sql import functions as F
+
+    from meerschaum_spark.pipe import Pipe
+    from meerschaum_spark.session import apply_engine_confs
+    from meerschaum_spark.sources import load_table
+
+    apply_engine_confs(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    events = load_table(spark, sf_dir, "events")
+    instance = tempfile.mkdtemp(prefix="mrsm_entry_")
+    try:
+        pipe = Pipe("entry", "events", instance=instance, spark=spark,
+                    columns={"datetime": "ts", "id": "event_id"})
+        pipe.sync(events)
+        # second (idempotent) sync proves the diff path
+        pipe.sync(events)
+        stored = pipe.get_data(order=None)
+        result = (
+            stored.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"),
+                           F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                 .alias("sum_value"))
+            .orderBy("bucket", "event_type")
+        )
+        # materialize before dropping the temp store
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(instance, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    from meerschaum_spark.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (keys without an entry get the
+    weaker rows-only check)."""
+    from meerschaum_spark.queries import ORACLE
+    return dict(ORACLE)

@@ -1,0 +1,544 @@
+"""Query catalog: every operator exposed through ``__spark_entry__``.
+
+Each entry pairs a Spark DataFrame implementation with an ANSI-SQL oracle
+string DuckDB runs on the same parquet tables. Naming/aliasing is identical
+on both sides (the driver sorts columns by name and hashes values).
+
+Numeric determinism: double aggregates are computed in DECIMAL (exact,
+order-insensitive) and cast to DOUBLE at the end on BOTH sides — a
+double-typed sum would drift between engines with summation order.
+
+The catalog is the coverage map for SURVEY.md §2: scans (S*), projections/
+filters (P*), joins (J*), aggregations (A*), windows (W*), sorts/limits
+(O*), plus the pipe-semantics operators (sync-time, backtrack,
+incremental split, dedup-keep-last) re-expressed as pure DataFrame plans.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from meerschaum_spark.params import (
+    combine_filters,
+    datetime_filter,
+    params_to_filter,
+)
+from meerschaum_spark.sources import load_table
+
+DEC = "decimal(18,6)"
+UTC = datetime.timezone.utc
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle_sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle_sql is not None:
+            ORACLE[name] = oracle_sql
+        return fn
+    return deco
+
+
+def _dec(col: str):
+    return F.col(col).cast(DEC)
+
+
+def _sum_dbl(col_expr, alias: str):
+    """Exact decimal sum surfaced as double."""
+    return F.sum(col_expr).cast("double").alias(alias)
+
+
+# ===========================================================================
+# TPC-H-style analytics (read path: scan → filter → join → agg → sort/limit)
+# ===========================================================================
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                    * (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6)))) AS DOUBLE)
+               AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast(DEC) + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(datetime.datetime(1998, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _sum_dbl(_dec("l_quantity"), "sum_qty"),
+            _sum_dbl(_dec("l_extendedprice"), "sum_base_price"),
+            _sum_dbl(disc_price, "sum_disc_price"),
+            _sum_dbl(charge, "sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+               AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = datetime.datetime(1998, 3, 15)
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff))
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_sum_dbl(revenue, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+               AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime.datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime.datetime(1997, 1, 1))))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp),
+              (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_sum_dbl(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "q6_revenue_forecast",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(datetime.datetime(1996, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(datetime.datetime(1997, 1, 1)))
+            & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_sum_dbl(_dec("l_extendedprice") * _dec("l_discount"), "revenue"))
+    )
+
+
+@query(
+    "top_brands_by_revenue",
+    """
+    SELECT p.p_brand,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+               AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY revenue DESC, p.p_brand
+    LIMIT 5
+    """,
+)
+def top_brands_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(_sum_dbl(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue").desc(), "p_brand")
+        .limit(5)
+    )
+
+
+@query(
+    "customer_top_orders",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    ORDER BY o_custkey, rnk
+    """,
+)
+def customer_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice",
+                      F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+@query(
+    "urgent_orders_with_late_items",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def urgent_orders_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o, l = orders.alias("o"), li.alias("l")
+    cond = (F.col("l.l_orderkey") == F.col("o.o_orderkey")) & (
+        F.col("l.l_shipdate") > F.col("o.o_orderdate") + F.expr("INTERVAL 60 DAY"))
+    return (
+        o.join(l, on=cond, how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ===========================================================================
+# Pipe-semantics operators on `events` (the engine's own query surface)
+# ===========================================================================
+
+_B1 = datetime.datetime(2024, 1, 10)
+_E1 = datetime.datetime(2024, 1, 20)
+
+
+@query(
+    "events_bounded_params",
+    f"""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+      AND event_type IN ('click', 'view')
+      AND user_id != 3
+      AND value IS NOT NULL
+    ORDER BY ts, event_id
+    """,
+)
+def events_bounded_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P3+P4: the unified params/bounds filter engine, verbatim engine code."""
+    ev = load_table(spark, sf_dir, "events")
+    cond = combine_filters(
+        datetime_filter("ts", _B1, _E1),
+        params_to_filter({"event_type": ["click", "view"], "value": "_None"}),
+        F.col("user_id") != 3,
+    )
+    return (ev.filter(cond)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .orderBy("ts", "event_id"))
+
+
+@query(
+    "events_sync_time",
+    "SELECT max(ts) AS sync_time FROM events",
+)
+def events_sync_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: newest datetime value."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.max("ts").alias("sync_time"))
+
+
+@query(
+    "events_per_user_sync_times",
+    "SELECT user_id, max(ts) AS sync_time FROM events GROUP BY user_id ORDER BY user_id",
+)
+def events_per_user_sync_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/J6: per-id sync times (the join-fetch CTE source)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id").agg(F.max("ts").alias("sync_time"))
+            .orderBy("user_id"))
+
+
+@query(
+    "events_rowcount_bounded",
+    """
+    SELECT count(*) AS rowcount FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+      AND event_type = 'purchase'
+    """,
+)
+def events_rowcount_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: bounded rowcount with params."""
+    ev = load_table(spark, sf_dir, "events")
+    cond = combine_filters(datetime_filter("ts", _B1, _E1),
+                           params_to_filter({"event_type": "purchase"}))
+    return ev.filter(cond).agg(F.count(F.lit(1)).alias("rowcount"))
+
+
+@query(
+    "events_distinct_users",
+    "SELECT count(DISTINCT user_id) AS n_users FROM events",
+)
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: distinct count."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@query(
+    "events_dedup_keep_last",
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM (
+      SELECT e.*, row_number() OVER (
+          PARTITION BY ts, user_id ORDER BY event_id DESC) AS rn
+      FROM events e
+    ) WHERE rn = 1
+    ORDER BY ts, event_id
+    """,
+)
+def events_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W3: window-rank dedup on the pipe's index cols (keep-last)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("ts", "user_id").orderBy(F.col("event_id").desc())
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .orderBy("ts", "event_id"))
+
+
+@query(
+    "events_backtrack_slice",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts >= (SELECT max(ts) - INTERVAL 1 DAY FROM events)
+    ORDER BY ts DESC, event_id
+    """,
+)
+def events_backtrack_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: the backtrack window — begin = sync_time − backtrack_minutes."""
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.agg((F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("b"))
+    return (ev.join(F.broadcast(st), F.col("ts") >= F.col("b"))
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .orderBy(F.col("ts").desc(), "event_id"))
+
+
+@query(
+    "events_incremental_unseen",
+    """
+    WITH existing AS (
+      SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'
+    ), incoming AS (
+      SELECT event_id, ts, user_id, event_type, value + 1 AS value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    )
+    SELECT i.* FROM incoming i
+    WHERE NOT EXISTS (
+      SELECT 1 FROM existing e
+      WHERE e.ts IS NOT DISTINCT FROM i.ts
+        AND e.user_id IS NOT DISTINCT FROM i.user_id
+    )
+    ORDER BY ts, event_id
+    """,
+)
+def events_incremental_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3: the sync diff's unseen split (null-safe anti-join on index cols)."""
+    ev = load_table(spark, sf_dir, "events")
+    existing = ev.filter(F.col("ts") < F.lit(datetime.datetime(2024, 1, 15)))
+    incoming = (ev.filter(datetime_filter("ts", _B1, _E1))
+                .withColumn("value", F.col("value") + 1))
+    i, e = incoming.alias("i"), existing.alias("e")
+    cond = (F.col("i.ts").eqNullSafe(F.col("e.ts"))
+            & F.col("i.user_id").eqNullSafe(F.col("e.user_id")))
+    return (i.join(e, on=cond, how="left_anti")
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .orderBy("ts", "event_id"))
+
+
+@query(
+    "events_incremental_update",
+    """
+    WITH existing AS (
+      SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'
+    ), incoming AS (
+      SELECT event_id, ts, user_id, event_type, value + 1 AS value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    )
+    SELECT i.* FROM incoming i
+    WHERE EXISTS (
+      SELECT 1 FROM existing e
+      WHERE e.ts IS NOT DISTINCT FROM i.ts
+        AND e.user_id IS NOT DISTINCT FROM i.user_id
+    )
+    ORDER BY ts, event_id
+    """,
+)
+def events_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: the sync diff's update split (left-semi on index cols)."""
+    ev = load_table(spark, sf_dir, "events")
+    existing = ev.filter(F.col("ts") < F.lit(datetime.datetime(2024, 1, 15)))
+    incoming = (ev.filter(datetime_filter("ts", _B1, _E1))
+                .withColumn("value", F.col("value") + 1))
+    i, e = incoming.alias("i"), existing.alias("e")
+    cond = (F.col("i.ts").eqNullSafe(F.col("e.ts"))
+            & F.col("i.user_id").eqNullSafe(F.col("e.user_id")))
+    return (i.join(e, on=cond, how="left_semi")
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .orderBy("ts", "event_id"))
+
+
+@query(
+    "events_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time_bucket rollup (continuous aggregate analogue)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _sum_dbl(_dec("value"), "sum_value"),
+            (F.sum(_dec("value")).cast("double") / F.count("value")).alias("avg_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+@query(
+    "events_sessionization",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + running sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0)
+    return (
+        ev.withColumn("new_session", new_sess)
+        .withColumn("session_id", F.sum("new_session").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"))
+        .orderBy("user_id", "session_id")
+    )

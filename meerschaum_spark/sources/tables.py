@@ -34,8 +34,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
         df = spark.read.parquet(path)
         for c in ns_cols:
-            df = df.withColumn(c, F.timestamp_micros(
-                F.floor(F.col(c) / F.lit(1000)).cast("long")))
+            # integer DIV: ns epochs exceed double precision (2^53), so a
+            # float division here would be off by ±1 µs
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
         return df
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)

@@ -51,13 +51,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    from meerschaum_spark.queries import QUERIES
+    """One entry per implemented operator from SURVEY.md §2, plus the
+    training-data pipeline operators (dedup / similarity / text /
+    multimodal)."""
+    import meerschaum_spark.queries      # noqa: F401  (registers core ops)
+    import meerschaum_spark.queries_llm  # noqa: F401  (registers LLM ops)
+    from meerschaum_spark.catalog import QUERIES
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (keys without an entry get the
     weaker rows-only check)."""
-    from meerschaum_spark.queries import ORACLE
+    import meerschaum_spark.queries      # noqa: F401
+    import meerschaum_spark.queries_llm  # noqa: F401
+    from meerschaum_spark.catalog import ORACLE
     return dict(ORACLE)

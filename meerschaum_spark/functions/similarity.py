@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+  * ``cosine_topk`` — brute-force exact top-k: broadcast the query set,
+    one pass over the corpus, per-query window rank. O(Q × N) but fully
+    JVM-side; the right baseline and the fallback when recall must be 1.
+  * ``ann_lsh_topk`` — random-hyperplane LSH: 8 deterministic ±1
+    hyperplanes bucket vectors by sign pattern; candidates come from an
+    equi-join on the bucket id, then exact re-rank. This is the 100 TB
+    path: the corpus-side work is one projection + one equi-join.
+
+Determinism note (oracle parity): dot products accumulate in DECIMAL —
+exact and order-insensitive — then surface as DOUBLE; float sums would
+drift with Spark's partitioning vs DuckDB's scan order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from meerschaum_spark.catalog import hash60
+
+VDEC = "decimal(12,9)"   # element type: float32 ≈ 7 sig digits; 9 exact decimals
+ACC = "decimal(30,18)"   # product = (25,18) exact; 12 integer digits of headroom
+
+N_PLANES = 8
+
+
+def _dot_dec(a, b):
+    prods = F.zip_with(a, b, lambda x, y: x.cast(VDEC) * y.cast(VDEC))
+    # the explicit cast pins the accumulator type: Spark's decimal `+`
+    # widens to (31,18) which would not match the aggregate state type
+    return F.aggregate(prods, F.lit(0).cast(ACC),
+                       lambda acc, x: (acc + x).cast(ACC))
+
+
+def _norm_dbl(v):
+    return F.sqrt(_dot_dec(v, v).cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force cosine top-k of each query against the corpus."""
+    # norms are per-vector, not per-pair: compute them once on each side
+    # of the join (Q + N norm computations instead of Q × N)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"),
+                      _norm_dbl(F.col(vec_col)).alias("cnorm"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       _norm_dbl(F.col(vec_col)).alias("qnorm"))
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    cosine = (_dot_dec(F.col("qv"), F.col("cv")).cast("double")
+              / (F.col("qnorm") * F.col("cnorm")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        joined.select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _plane_component(p: int, d) -> F.Column:
+    """Deterministic ±1 hyperplane component for (plane p, dimension d)."""
+    bit = hash60(F.concat(F.lit(f"plane{p}_"), d.cast("string"))).bitwiseAND(F.lit(1))
+    return F.when(bit == 1, F.lit(1).cast(VDEC)).otherwise(F.lit(-1).cast(VDEC))
+
+
+def lsh_bucket(vec_col) -> F.Column:
+    """Sign-pattern bucket id from N_PLANES deterministic ±1 hyperplanes.
+    Signs are computed on exact decimal sums so bucketing is reproducible
+    across engines."""
+    bucket = F.lit(0).cast("long")
+    for p in range(N_PLANES):
+        terms = F.transform(
+            F.sequence(F.lit(0), F.size(vec_col) - 1),
+            lambda d: _plane_component(p, d)
+            * F.element_at(vec_col, d + 1).cast(VDEC),
+        )
+        dot = F.aggregate(terms, F.lit(0).cast(ACC),
+                          lambda acc, x: (acc + x).cast(ACC))
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: equi-join query and corpus vectors on their LSH
+    bucket, exact cosine re-rank inside the bucket."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"),
+                      _norm_dbl(F.col(vec_col)).alias("cnorm"),
+                      lsh_bucket(F.col(vec_col)).alias("bucket"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       _norm_dbl(F.col(vec_col)).alias("qnorm"),
+                       lsh_bucket(F.col(vec_col)).alias("bucket"))
+    joined = c.join(F.broadcast(q), on="bucket").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    cosine = (_dot_dec(F.col("qv"), F.col("cv")).cast("double")
+              / (F.col("qnorm") * F.col("cnorm")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        joined.select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

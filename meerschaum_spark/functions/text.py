@@ -1,0 +1,114 @@
+"""Text-analysis operators: tokenization, stats, quality scoring,
+language-ID heuristic, fingerprinting.
+
+Everything stays in built-in ``pyspark.sql.functions`` (whole-stage
+codegen; no Python in the hot path). Tokenization = lowercase, trim,
+split on whitespace runs — chosen because it is expressible identically
+in ANSI SQL for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from meerschaum_spark.catalog import hash60
+
+#: small stopword sets for the language-ID heuristic (deterministic,
+#: priority-ordered argmax: en > de > es > fr)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "de", "que", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+}
+
+QUALITY_STOPWORDS = STOPWORDS["en"]
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def tokens(col: Column) -> Column:
+    """lower → trim → split on whitespace runs."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def norm_text(col: Column) -> Column:
+    """Whitespace-collapsed lowercase text (fingerprint normalization)."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    toks = tokens(F.col(text_col))
+    tok_lens = F.transform(toks, lambda t: F.length(t))
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (F.aggregate(tok_lens, F.lit(0).cast("long"), lambda acc, x: acc + x)
+         .cast("double") / F.size(toks)).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality gates (the standard
+    pre-training corpus filters, à la C4/Gopher rules)."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    sw = F.array([F.lit(w) for w in QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_toks = F.size(toks)
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_toks
+    return df.select(
+        F.col(id_col),
+        n_toks.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        ((n_toks >= 10) & (n_toks <= 10000) & (stop_ratio >= 0.01))
+        .alias("quality_pass"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language heuristic with a non-ASCII check for CJK.
+    Deterministic priority argmax (en > de > es > fr); 'zh' when the
+    non-ASCII character ratio exceeds 0.3."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    hits = {}
+    for lang, words in STOPWORDS.items():
+        arr = F.array([F.lit(w) for w in words])
+        hits[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    n_chars = F.length(text)
+    non_ascii = n_chars - F.length(F.regexp_replace(text, r"[^\x00-\x7F]", ""))
+    non_ascii_ratio = non_ascii.cast("double") / n_chars
+    pred = (
+        F.when(non_ascii_ratio > 0.3, F.lit("zh"))
+        .when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["es"])
+              & (hits["en"] >= hits["fr"]), F.lit("en"))
+        .when((hits["de"] >= hits["es"]) & (hits["de"] >= hits["fr"]), F.lit("de"))
+        .when(hits["es"] >= hits["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.select(
+        F.col(id_col),
+        hits["en"].alias("hits_en"), hits["de"].alias("hits_de"),
+        hits["es"].alias("hits_es"), hits["fr"].alias("hits_fr"),
+        non_ascii_ratio.alias("non_ascii_ratio"),
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """60-bit content fingerprint of whitespace-normalized text."""
+    return df.select(
+        F.col(id_col),
+        hash60(norm_text(F.col(text_col))).alias("fingerprint"),
+    )

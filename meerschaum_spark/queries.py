@@ -17,8 +17,6 @@ incremental split, dedup-keep-last) re-expressed as pure DataFrame plans.
 from __future__ import annotations
 
 import datetime
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -29,31 +27,9 @@ from meerschaum_spark.params import (
 )
 from meerschaum_spark.sources import load_table
 
-DEC = "decimal(18,6)"
+from meerschaum_spark.catalog import DEC, ORACLE, QUERIES, QueryFn, dec as _dec, query, sum_dbl as _sum_dbl
+
 UTC = datetime.timezone.utc
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-QUERIES: dict[str, QueryFn] = {}
-ORACLE: dict[str, str] = {}
-
-
-def query(name: str, oracle_sql: str | None = None):
-    def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
-        if oracle_sql is not None:
-            ORACLE[name] = oracle_sql
-        return fn
-    return deco
-
-
-def _dec(col: str):
-    return F.col(col).cast(DEC)
-
-
-def _sum_dbl(col_expr, alias: str):
-    """Exact decimal sum surfaced as double."""
-    return F.sum(col_expr).cast("double").alias(alias)
 
 
 # ===========================================================================

@@ -1,0 +1,420 @@
+"""Training-data pipeline query catalog: dedup families, text analysis,
+similarity search, multimodal plumbing, JSON extraction.
+
+Oracle strategy: every deterministic operator gets DuckDB SQL computing the
+*same algorithm* (same md5-based hashes, same decimal accumulation), so the
+driver's value-hash comparison is exact. The long oracles are generated
+programmatically right next to the Spark builder they mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meerschaum_spark.catalog import parallelize, query
+from meerschaum_spark.functions import dedup as D
+from meerschaum_spark.functions import multimodal as M
+from meerschaum_spark.functions import similarity as S
+from meerschaum_spark.functions import text as T
+from meerschaum_spark.sources import load_table
+
+# SQL fragments mirroring functions/text.py + catalog.hash60
+_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+@query(
+    "doc_token_stats",
+    f"""
+    WITH t AS (SELECT doc_id, length(text) AS n_chars, {_TOKS} AS toks
+               FROM documents)
+    SELECT doc_id, n_chars,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / len(toks) AS avg_token_len
+    FROM t ORDER BY doc_id
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    return T.token_stats(docs).orderBy("doc_id")
+
+
+_SW = ", ".join(f"'{w}'" for w in T.QUALITY_STOPWORDS)
+
+
+@query(
+    "doc_quality_score",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    r AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                  AS DOUBLE) / length(text) AS punct_ratio,
+             CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS DOUBLE)
+                 / len(toks) AS stopword_ratio
+      FROM t)
+    SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+           (n_tokens >= 10 AND n_tokens <= 10000 AND stopword_ratio >= 0.01)
+               AS quality_pass
+    FROM r ORDER BY doc_id
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    return T.quality_score(docs).orderBy("doc_id")
+
+
+def _hits_sql(words: list[str]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, x -> x IN ({in_list})))"
+
+
+@query(
+    "doc_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    r AS (
+      SELECT doc_id,
+             {_hits_sql(T.STOPWORDS['en'])} AS hits_en,
+             {_hits_sql(T.STOPWORDS['de'])} AS hits_de,
+             {_hits_sql(T.STOPWORDS['es'])} AS hits_es,
+             {_hits_sql(T.STOPWORDS['fr'])} AS hits_fr,
+             CAST(length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+                  AS DOUBLE) / length(text) AS non_ascii_ratio
+      FROM t)
+    SELECT doc_id, hits_en, hits_de, hits_es, hits_fr, non_ascii_ratio,
+           CASE WHEN non_ascii_ratio > 0.3 THEN 'zh'
+                WHEN hits_en >= hits_de AND hits_en >= hits_es
+                     AND hits_en >= hits_fr THEN 'en'
+                WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+                WHEN hits_es >= hits_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM r ORDER BY doc_id
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    return T.lang_id(docs).orderBy("doc_id")
+
+
+_NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+_FP_SQL = _H60.format(x=_NORM_SQL)
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, {_FP_SQL} AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    return T.fingerprint(docs).orderBy("doc_id")
+
+
+# ===========================================================================
+# Dedup family
+# ===========================================================================
+
+@query(
+    "doc_exact_dedup",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY md5(text) ORDER BY text_hash
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    return D.exact_duplicates(docs).orderBy("text_hash")
+
+
+_SHINGLES_SQL = (
+    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform("
+    "generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')))"
+    " ELSE [] END"
+)
+
+
+@query(
+    "doc_ngram_jaccard_topk",
+    f"""
+    WITH base AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, source, {_SHINGLES_SQL} AS shingles FROM base),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM ex a JOIN ex b
+        ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def doc_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    pairs = D.jaccard_pairs(docs, scope_col="source", n=3)
+    return pairs.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(20)
+
+
+_K = D.DEFAULT_MINHASH_K
+_BANDS = D.DEFAULT_BANDS
+_SIG_EXPRS = ",\n           ".join(
+    "list_min(list_transform(toks, t -> "
+    + _H60.format(x=f"'{i}|' || t") + f")) AS sig_{i}"
+    for i in range(_K)
+)
+_MINHASH_CTE = f"""
+    WITH t AS (SELECT doc_id, source, list_distinct({_TOKS}) AS toks
+               FROM documents),
+    sig AS (
+      SELECT doc_id, source,
+           {_SIG_EXPRS}
+      FROM t)
+"""
+
+
+@query(
+    "doc_minhash_signatures",
+    _MINHASH_CTE + f"""
+    SELECT doc_id, {', '.join(f'sig_{i}' for i in range(_K))}
+    FROM sig ORDER BY doc_id
+    """,
+)
+def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    return D.minhash_signatures(docs).orderBy("doc_id")
+
+
+def _band_rows_sql() -> str:
+    rows_per_band = _K // _BANDS
+    selects = []
+    for b in range(_BANDS):
+        members = " || ',' || ".join(
+            f"CAST(sig_{b * rows_per_band + j} AS VARCHAR)"
+            for j in range(rows_per_band))
+        selects.append(
+            f"SELECT doc_id, source, {b} AS band, md5({members}) AS bh FROM sig")
+    return " UNION ALL ".join(selects)
+
+
+@query(
+    "doc_lsh_candidates",
+    _MINHASH_CTE + f""",
+    bands AS ({_band_rows_sql()})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.source = b.source
+         AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b LIMIT 100
+    """,
+)
+def doc_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    pairs = D.lsh_candidate_pairs(docs, scope_col="source")
+    return pairs.orderBy("doc_a", "doc_b").limit(100)
+
+
+@query(
+    "doc_simhash",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      list_transform(list_distinct({_TOKS}),
+                                     t -> {_H60.format(x='t')}) AS hs
+               FROM documents)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(generate_series(0, 59), b ->
+             CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                  THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+    FROM t ORDER BY doc_id
+    """,
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    return D.simhash(docs).orderBy("doc_id")
+
+
+@query(
+    "doc_simhash_near_pairs",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      list_transform(list_distinct({_TOKS}),
+                                     t -> {_H60.format(x='t')}) AS hs
+               FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(0, 59), b ->
+               CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+      FROM t)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    ORDER BY doc_a, doc_b LIMIT 100
+    """,
+)
+def doc_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle is brute-force O(n²); the Spark side joins on pigeonhole
+    blocks (distance ≤ 8 ⇒ one of 9 disjoint 6-bit blocks matches
+    exactly), which has 100% recall — so both must agree exactly."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    pairs = D.hamming_near_pairs(D.simhash(docs), max_distance=8)
+    return pairs.orderBy("doc_a", "doc_b").limit(100)
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+_VDEC = S.VDEC.upper()
+# cast float → DOUBLE first: DuckDB's float→decimal cast rounds from the
+# shortest decimal repr, but its double→decimal (like Spark's) rounds from
+# the exact binary expansion — only the latter matches across engines
+_EL = f"CAST(CAST({{v}}[i] AS DOUBLE) AS {_VDEC})"
+_DOT = ("list_sum(list_transform(generate_series(1, len({a})), i -> "
+        + _EL.replace("{v}", "{a}") + " * " + _EL.replace("{v}", "{b}") + "))")
+
+
+def _cosine_sql(k: int, query_filter: str) -> str:
+    # decimal→double via VARCHAR: DuckDB's direct decimal→double divides
+    # scaled ints (two roundings); the string path is correctly rounded,
+    # matching Spark's BigDecimal.doubleValue
+    dot_qc = "CAST(CAST(" + _DOT.format(a="qv", b="cv") + " AS VARCHAR) AS DOUBLE)"
+    dot_qq = "CAST(CAST(" + _DOT.format(a="qv", b="qv") + " AS VARCHAR) AS DOUBLE)"
+    dot_cc = "CAST(CAST(" + _DOT.format(a="cv", b="cv") + " AS VARCHAR) AS DOUBLE)"
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE {query_filter}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    pairs AS (
+      SELECT query_id, neighbor_id,
+             {dot_qc}
+               / (sqrt({dot_qq}) * sqrt({dot_cc}))
+               AS cosine
+      FROM q, c WHERE neighbor_id != query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM pairs)
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked
+    WHERE rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
+@query("emb_cosine_topk", _cosine_sql(10, "vec_id % 100 = 0"))
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.cosine_topk(emb, queries, k=10)
+
+
+def _ann_sql(k: int, query_filter: str) -> str:
+    comp = (f"CASE WHEN ({_H60.format(x=chr(39) + 'plane{p}_' + chr(39) + ' || CAST(i - 1 AS VARCHAR)')} & 1) = 1 "
+            f"THEN {_EL} ELSE -{_EL} END")
+    bucket_terms = " + ".join(
+        "CASE WHEN list_sum(list_transform(generate_series(1, len({v})), i -> "
+        + comp.replace("{p}", str(p))
+        + f")) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
+        for p in range(S.N_PLANES)
+    )
+    dot_qc = "CAST(CAST(" + _DOT.format(a="qv", b="cv") + " AS VARCHAR) AS DOUBLE)"
+    dot_qq = "CAST(CAST(" + _DOT.format(a="qv", b="qv") + " AS VARCHAR) AS DOUBLE)"
+    dot_cc = "CAST(CAST(" + _DOT.format(a="cv", b="cv") + " AS VARCHAR) AS DOUBLE)"
+    qb = bucket_terms.replace("{v}", "embedding")
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, ({qb}) AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+          FROM b WHERE {query_filter}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+    pairs AS (
+      SELECT query_id, neighbor_id,
+             {dot_qc}
+               / (sqrt({dot_qq}) * sqrt({dot_cc}))
+               AS cosine
+      FROM q JOIN c USING (bucket) WHERE neighbor_id != query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM pairs)
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked
+    WHERE rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
+@query("emb_ann_lsh_topk", _ann_sql(5, "vec_id % 100 = 0"))
+def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.ann_lsh_topk(emb, queries, k=5)
+
+
+# ===========================================================================
+# Multimodal plumbing + JSON
+# ===========================================================================
+
+@query(
+    "doc_binary_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing through an Arrow-batched pandas UDF,
+    oracle-checked against DuckDB's byte functions."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    payload = M.with_binary_payload(docs)
+    return M.extract_binary_features(payload).orderBy("doc_id")
+
+
+@query("multimodal_fake_decode")
+def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-decode pipeline shape with the deterministic fake decoder
+    (real decode stubbed — no image libs in the container); rows-only."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    payload = M.with_binary_payload(docs)
+    return M.fake_decode_images(payload).orderBy("doc_id")
+
+
+@query(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+               / count(*) AS avg_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k).filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,113 @@
+"""Continuous pipes on Structured Streaming.
+
+The reference's "streaming" is schedule-driven micro-batch re-execution
+(meerschaum/actions/sync.py:264-416 ``--loop``, utils/schedule.py cron
+scheduling) with a backtrack window for late data
+(core/Pipe/_fetch.py:100-181). Spark-first, that maps to:
+
+  * ``stream_sync_pipe`` — a ``readStream`` source driven into the SAME
+    batch sync core via ``foreachBatch``; the diff/upsert semantics make
+    redelivered micro-batches idempotent (the exactly-once recipe for
+    non-transactional sinks).
+  * watermarks replace the backtrack interval for windowed aggregates:
+    ``withWatermark(dt, backtrack)`` bounds state exactly like
+    begin = sync_time − backtrack bounds refetch.
+  * ``sync_loop`` — the driver-loop equivalent for non-streaming sources.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from meerschaum_spark.pipe import Pipe, SyncResult
+
+
+def stream_sync_pipe(
+    pipe: Pipe,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    trigger: dict[str, Any] | None = None,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Drive a streaming DataFrame into ``pipe.sync`` micro-batch by
+    micro-batch.
+
+    ``foreachBatch`` + the pipe's diff/upsert gives effective
+    exactly-once: a replayed epoch re-syncs rows the pipe already holds,
+    and the anti-join drops them. The checkpoint dir carries source
+    offsets across restarts (the analogue of the pipe's sync time).
+    """
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        result = pipe.sync(batch_df)
+        if not result.success:
+            raise RuntimeError(
+                f"pipe sync failed at epoch {epoch_id}: {result.message}")
+
+    writer = (
+        stream_df.writeStream
+        .foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+def windowed_rollup(
+    stream_df: DataFrame,
+    dt_col: str,
+    window_duration: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "1 day",
+    agg_cols: dict[str, str] | None = None,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling/sliding-window aggregate — the streaming
+    equivalent of the engine's hourly rollup; the watermark plays the
+    reference's backtrack-minutes role for late rows."""
+    aggs = []
+    for col, how in (agg_cols or {"*": "count"}).items():
+        if how == "count":
+            aggs.append(F.count(F.lit(1)).alias("n_rows"))
+        else:
+            aggs.append(getattr(F, how)(F.col(col)).alias(f"{how}_{col}"))
+    win = (F.window(F.col(dt_col), window_duration, slide)
+           if slide else F.window(F.col(dt_col), window_duration))
+    return (
+        stream_df.withWatermark(dt_col, watermark)
+        .groupBy(win.alias("window"), *(group_cols or []))
+        .agg(*aggs)
+    )
+
+
+def sync_loop(
+    pipe: Pipe,
+    fetch: Callable[[], Any] | None = None,
+    min_seconds: float = 1.0,
+    iterations: int | None = None,
+) -> list[SyncResult]:
+    """The reference's ``--loop`` (actions/sync.py:264-416): repeated
+    batch syncs with a minimum interval. For schedules, drive this from
+    any external scheduler; inside the engine it stays a plain loop."""
+    results: list[SyncResult] = []
+    i = 0
+    while iterations is None or i < iterations:
+        started = time.monotonic()
+        data = fetch() if fetch is not None else None
+        results.append(pipe.sync(data))
+        i += 1
+        if iterations is not None and i >= iterations:
+            break
+        elapsed = time.monotonic() - started
+        if elapsed < min_seconds:
+            time.sleep(min_seconds - elapsed)
+    return results

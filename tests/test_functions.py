@@ -1,0 +1,125 @@
+"""Unit tests for the training-data operator library."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from meerschaum_spark.functions import dedup as D
+from meerschaum_spark.functions import multimodal as M
+from meerschaum_spark.functions import similarity as S
+from meerschaum_spark.functions import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "s1"),
+        (2, "the quick brown fox jumps over the lazy cat", "s1"),
+        (3, "completely different text with other words here", "s1"),
+        (4, "the quick brown fox jumps over the lazy dog", "s2"),  # exact dup of 1
+        (5, "hi", "s2"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_token_stats(docs):
+    rows = {r["doc_id"]: r for r in T.token_stats(docs).collect()}
+    assert rows[1]["n_tokens"] == 9
+    assert rows[1]["n_distinct_tokens"] == 8  # 'the' twice
+    assert rows[5]["n_tokens"] == 1
+    assert rows[1]["avg_token_len"] == pytest.approx(35 / 9)
+
+
+def test_quality_and_langid(docs):
+    q = {r["doc_id"]: r for r in T.quality_score(docs).collect()}
+    assert q[5]["quality_pass"] is False  # too short
+    l = {r["doc_id"]: r for r in T.lang_id(docs).collect()}
+    assert l[1]["pred_lang"] == "en"
+    assert l[1]["hits_en"] == 2
+
+
+def test_fingerprint_stable_under_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b\tc"), (2, "a b c"), (3, "a b d")],
+        "doc_id long, text string")
+    fps = {r["doc_id"]: r["fingerprint"] for r in T.fingerprint(df).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_exact_duplicates(docs):
+    rows = D.exact_duplicates(docs).collect()
+    dup_groups = [r for r in rows if r["n_dups"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["keep_id"] == 1 and dup_groups[0]["n_dups"] == 2
+
+
+def test_shingles_guard_short_text(docs):
+    out = docs.select("doc_id", D.shingles(F.col("text")).alias("sh")).collect()
+    by_id = {r["doc_id"]: r["sh"] for r in out}
+    assert by_id[5] == []          # < 3 tokens → empty, not [1,0]-descending junk
+    assert "the quick brown" in by_id[1]
+
+
+def test_jaccard_pairs(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in D.jaccard_pairs(docs, scope_col="source").collect()}
+    assert pairs[(1, 2)] > 0.5          # near-dups
+    assert (1, 3) not in pairs or pairs[(1, 3)] < 0.2
+    assert (1, 4) not in pairs          # different source scope
+
+
+def test_minhash_identical_docs_same_signature(docs):
+    sigs = {r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(D.DEFAULT_MINHASH_K))
+            for r in D.minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[4]          # identical text
+    assert sigs[1] != sigs[3]
+
+
+def test_lsh_candidates_contain_exact_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in D.lsh_candidate_pairs(docs).collect()}
+    assert (1, 4) in pairs             # identical docs always collide
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_and_hamming(docs):
+    sh = D.simhash(docs)
+    vals = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    assert vals[1] == vals[4]
+    near = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in D.hamming_near_pairs(sh, max_distance=60).collect()}
+    assert near[(1, 4)] == 0
+    # near-dup texts have closer simhashes than unrelated ones
+    assert near[(1, 2)] < near.get((1, 3), 61)
+
+
+def test_cosine_topk_exact(spark):
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]), (4, [-1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.cosine_topk(emb, emb.filter("vec_id = 1"), k=3).collect()
+    assert [r["neighbor_id"] for r in out] == [2, 3, 4]
+    assert out[0]["cosine"] == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5)
+    assert out[2]["cosine"] == pytest.approx(-1.0)
+
+
+def test_ann_lsh_buckets_identical_vectors_together(spark):
+    rows = [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.0]), (3, [-5.0, 1.0, -2.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.ann_lsh_topk(emb, emb.filter("vec_id = 1"), k=3).collect()
+    ids = [r["neighbor_id"] for r in out]
+    assert 2 in ids                    # identical vector shares every plane sign
+    assert out[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_multimodal_features_and_stub(docs):
+    payload = M.with_binary_payload(docs)
+    feats = {r["doc_id"]: r for r in M.extract_binary_features(payload).collect()}
+    assert feats[5]["n_bytes"] == 2
+    assert feats[5]["head_byte"] == ord("h")
+    import hashlib
+    assert feats[5]["checksum"] == hashlib.md5(b"hi").hexdigest()
+    fake = {r["doc_id"]: r for r in M.fake_decode_images(payload).collect()}
+    assert 64 <= fake[1]["width"] <= 255 and fake[1]["n_channels"] in (1, 2, 3)
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG")

@@ -730,3 +730,45 @@ class Pipe:
         if other.columns == {} and self.columns:
             other.parameters["columns"] = self.columns
         return other.sync(df)
+
+    def optimize(self, max_files_per_partition: int = 1) -> int:
+        """Compact partitions that accumulated small append files — the
+        OPTIMIZE analogue (reference maps compress/vacuum to this,
+        SURVEY §2.9 M9/M10; TimescaleDB compression policy
+        connectors/sql/_compress.py:31-636 collapses to a rewrite since
+        parquet is already columnar). Returns partitions rewritten."""
+        import os
+        if not self.exists():
+            return 0
+        fragmented: list[int | None] = []
+        for part in self.store.partition_values():
+            d = os.path.join(self.store.data_path,
+                             self.store._part_dir_name(part))
+            n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            if n_files > max_files_per_partition:
+                fragmented.append(part)
+        if not fragmented:
+            return 0
+        scoped = self.store.read(dtypes=self.dtypes or None,
+                                 keep_part_col=True, part_values=fragmented)
+        compacted = scoped.repartition("_mrsm_part")
+        self.store._swap_partitions(compacted, fragmented)
+        return len(fragmented)
+
+    def vacuum(self, stale_minutes: int = 1440) -> int:
+        """Remove orphaned staging dirs from interrupted merges (the
+        reference GCs stale temp tables after 1440 min,
+        connectors/sql/_pipes.py:4128-4153). Returns dirs removed."""
+        import os
+        import shutil
+        import time
+        removed = 0
+        if not os.path.isdir(self.store.path):
+            return 0
+        cutoff = time.time() - stale_minutes * 60
+        for entry in os.scandir(self.store.path):
+            if entry.is_dir() and entry.name.startswith("_staging_"):
+                if entry.stat().st_mtime < cutoff:
+                    shutil.rmtree(entry.path, ignore_errors=True)
+                    removed += 1
+        return removed

@@ -1,0 +1,88 @@
+"""Export surface + maintenance ops (optimize/vacuum) round-trips."""
+
+import datetime
+import json
+import os
+import tempfile
+import time
+from decimal import Decimal
+
+import pandas as pd
+
+from meerschaum_spark import export as E
+from meerschaum_spark.pipe import Pipe
+
+UTC = datetime.timezone.utc
+
+
+def dtm(*args):
+    return datetime.datetime(*args, tzinfo=UTC)
+
+
+def test_json_rows_canonical(spark):
+    df = spark.createDataFrame(
+        [(1, dtm(2024, 1, 1, 12, 30), Decimal("1.50"), b"\x00\x01")],
+        "id long, dt timestamp, num decimal(10,2), blob binary")
+    [row] = E.df_to_json_rows(df)
+    doc = json.loads(row)
+    assert doc["dt"].startswith("2024-01-01T12:30:00")
+    assert doc["num"] == "1.50"
+    assert doc["blob"] == "AAE="
+    # keys sorted (canonical)
+    assert list(doc.keys()) == sorted(doc.keys())
+
+
+def test_iter_json_docs(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(5)],
+                               "id long, v double")
+    docs = list(E.iter_json_docs(df))
+    assert len(docs) == 5 and docs[0].keys() == {"id", "v"}
+
+
+def test_write_csv_and_json(spark):
+    df = spark.createDataFrame(
+        [(1, dtm(2024, 1, 1), [1, 2], b"ab")],
+        "id long, dt timestamp, arr array<int>, blob binary")
+    with tempfile.TemporaryDirectory() as d:
+        E.write_csv(df, os.path.join(d, "csv"))
+        back = spark.read.option("header", "true").csv(os.path.join(d, "csv"))
+        row = back.first()
+        assert row["arr"] == "[1,2]"
+        assert row["blob"] == "YWI="
+        E.write_json(df, os.path.join(d, "json"))
+        jback = spark.read.json(os.path.join(d, "json"))
+        assert jback.count() == 1
+
+
+def test_optimize_compacts_small_files(spark, instance_dir):
+    pipe = Pipe("maint", "opt", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"})
+    # several appends → several files in one partition
+    for i in range(4):
+        pipe.sync(pd.DataFrame([{"dt": dtm(2024, 1, 1 + i), "id": 1,
+                                 "val": i}]), check_existing=False)
+    part_dir = next(
+        os.path.join(pipe.store.data_path, d)
+        for d in os.listdir(pipe.store.data_path) if d.startswith("_mrsm_part="))
+    files_before = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    assert len(files_before) > 1
+    n = pipe.optimize()
+    assert n >= 1
+    files_after = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    assert len(files_after) < len(files_before)
+    assert pipe.get_rowcount() == 4  # content unchanged
+
+
+def test_vacuum_removes_stale_staging(spark, instance_dir):
+    pipe = Pipe("maint", "vac", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"})
+    pipe.sync(pd.DataFrame([{"dt": dtm(2024, 1, 1), "id": 1, "val": 1}]))
+    stale = os.path.join(pipe.store.path, "_staging_deadbeef")
+    os.makedirs(stale)
+    old = time.time() - 100_000
+    os.utime(stale, (old, old))
+    fresh = os.path.join(pipe.store.path, "_staging_fresh001")
+    os.makedirs(fresh)
+    assert pipe.vacuum() == 1
+    assert not os.path.isdir(stale)
+    assert os.path.isdir(fresh)  # young staging dirs are left alone

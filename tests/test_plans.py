@@ -1,0 +1,46 @@
+"""Plan-health regression tests: pushdown, pruning, partition filters.
+
+These lock in the physical properties the engine's 100 TB story depends
+on — a change that silently drops a PushedFilter or partition filter
+fails here, not in production."""
+
+import datetime
+
+import pytest
+
+from meerschaum_spark.pipe import Pipe
+from meerschaum_spark.plans import plan_report
+from meerschaum_spark.queries import q1_pricing_summary, q3_shipping_priority
+from meerschaum_spark.sources import load_table
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    r = plan_report(q1_pricing_summary(spark, sf_dir))
+    assert any("l_shipdate" in f for f in r["pushed_filters"])
+    # projection pruned: never reads more than the 7 needed columns
+    assert all(len(cols) <= 7 for cols in r["read_schemas"])
+    # map-side combine before the shuffle (partial_sum in the plan)
+    from meerschaum_spark.plans import explain_str
+    assert "partial_sum" in explain_str(
+        q1_pricing_summary(spark, sf_dir), "simple")
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    r = plan_report(q3_shipping_priority(spark, sf_dir))
+    assert r["broadcast_joins"] >= 1
+    assert any("c_mktsegment" in f for f in r["pushed_filters"])
+
+
+def test_store_read_prunes_partitions(spark, instance_dir, sf_dir):
+    pipe = Pipe("plans", "ev", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "event_id"})
+    pipe.sync(load_table(spark, sf_dir, "events"))
+    df = pipe.get_data(begin=datetime.datetime(2024, 1, 10),
+                       end=datetime.datetime(2024, 1, 12),
+                       params={"event_type": "click"}, order=None)
+    r = plan_report(df)
+    # dt bounds must reach BOTH layers: directory pruning + row-group stats
+    assert r["partition_filters"] and "_mrsm_part" in r["partition_filters"][0]
+    assert any("ts" in f for f in r["pushed_filters"])
+    assert any("event_type" in f for f in r["pushed_filters"])
+    assert r["shuffles"] == 0

@@ -251,9 +251,12 @@ class Pipe:
         limit: int | None = None,
         as_iterator: bool = False,
         chunk_minutes: int | None = None,
+        replace_nulls: Any = None,
     ) -> DataFrame | Iterator[DataFrame] | None:
         """Parameterized read (reference core/Pipe/_data.py:22-318 →
-        connectors/sql/_pipes.py:1079-1559). Begin inclusive, end exclusive."""
+        connectors/sql/_pipes.py:1079-1559). Begin inclusive, end exclusive.
+        ``replace_nulls`` COALESCEs every non-key column to the given value
+        (reference _pipes.py:1412-1424)."""
         begin, end = self._parse_bound(begin), self._parse_bound(end)
         if as_iterator:
             return self._iterate_data(select_columns, omit_columns, begin, end,
@@ -275,6 +278,13 @@ class Pipe:
             df = df.select(*[c for c in select_columns if c in df.columns])
         if omit_columns:
             df = df.drop(*[c for c in omit_columns if c in df.columns])
+        if replace_nulls is not None:
+            keys = set(self.index_cols)
+            for c in df.columns:
+                if c not in keys:
+                    df = df.withColumn(
+                        c, F.coalesce(F.col(c),
+                                      F.lit(replace_nulls).cast(df.schema[c].dataType)))
         if order and self.dt_col and self.dt_col in df.columns:
             sort_cols = [c for c in [self.dt_col, *self.index_cols]
                          if c in df.columns]
@@ -613,6 +623,29 @@ class Pipe:
             params_to_filter(params),
         )
         return df.filter(cond) if cond is not None else df
+
+    def filter_new_per_id(self, source: DataFrame,
+                          id_col: str | None = None) -> DataFrame:
+        """J6 — per-id incremental fetch: keep source rows newer than THAT
+        id's last-seen dt (reference's experimental join-fetch,
+        connectors/sql/_fetch.py:449-521: definition LEFT JOIN sync-times
+        CTE ON id WHERE dt > st OR st IS NULL). The sync-times side is a
+        small aggregate of the target — broadcast."""
+        dt = self.dt_col
+        id_col = id_col or self.columns.get("id")
+        if dt is None or id_col is None:
+            raise ValueError("filter_new_per_id needs datetime and id columns")
+        if not self.exists():
+            return source
+        target = self.store.read(dtypes=self.dtypes or None)
+        sync_times = target.groupBy(F.col(id_col).alias("_st_id")) \
+                           .agg(F.max(dt).alias("_st_dt"))
+        joined = source.join(
+            F.broadcast(sync_times),
+            source[id_col].eqNullSafe(F.col("_st_id")), "left")
+        return (joined.filter((F.col(dt) > F.col("_st_dt"))
+                              | F.col("_st_dt").isNull())
+                .drop("_st_id", "_st_dt"))
 
     def _resolve_definition(self) -> str | None:
         """Definition resolution order (reference

@@ -479,6 +479,47 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_sync_roundtrip",
+    """
+    SELECT (SELECT count(*) FROM events) AS n_rows,
+           1 AS second_sync_noop,
+           1 AS update_detected
+    """,
+)
+def pipe_sync_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine itself under the correctness gate: replay events through
+    a Pipe in two overlapping batches (late-data style), re-sync for
+    idempotence, mutate one row for update detection. The oracle pins the
+    invariants: stored rows == source rows, overlap re-sync is a no-op,
+    and a changed value registers as exactly one update."""
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+
+    events = load_table(spark, sf_dir, "events")
+    instance = tempfile.mkdtemp(prefix="mrsm_q_sync_")
+    try:
+        pipe = Pipe("catalog", "events", instance=instance, spark=spark,
+                    columns={"datetime": "ts", "id": "event_id"})
+        cut_lo = datetime.datetime(2024, 1, 10)
+        pipe.sync(events.filter(F.col("ts") < F.lit(datetime.datetime(2024, 1, 20))))
+        pipe.sync(events.filter(F.col("ts") >= F.lit(cut_lo)))
+        second = pipe.sync(events)  # full overlap → must change nothing
+        mutated = (events.orderBy("ts").limit(1)
+                   .withColumn("value", F.lit(-1.0)))
+        third = pipe.sync(mutated)
+        n_rows = pipe.get_rowcount()
+        noop = int(second.inserted == 0 and second.updated == 0)
+        upd = int(third.inserted == 0 and third.updated == 1)
+        return spark.createDataFrame(
+            [(n_rows, noop, upd)],
+            "n_rows long, second_sync_noop int, update_detected int")
+    finally:
+        shutil.rmtree(instance, ignore_errors=True)
+
+
+@query(
     "events_sessionization",
     """
     WITH gaps AS (

@@ -155,8 +155,12 @@ def widen_dtypes(old: str, new: str) -> str:
     old, new = canonical_dtype(old), canonical_dtype(new)
     if old == new:
         return old
-    ob, _ = _split_dtype_args(old)
-    nb, _ = _split_dtype_args(new)
+    ob, oargs = _split_dtype_args(old)
+    nb, nargs = _split_dtype_args(new)
+    if ob == nb:
+        # same base, different args (e.g. numeric(10,5) vs bare numeric):
+        # an explicit precision/scale is user intent — keep it
+        return old if oargs else new
     ints = set(_WIDEN_ORDER) | {"int"}
     floats = {"float", "float32", "float64"}
     if ob in ints and nb in ints:

@@ -341,12 +341,19 @@ class Pipe:
     def get_sync_time(self, newest: bool = True,
                       params: dict[str, Any] | None = None) -> Any:
         """Newest (or oldest) dt value (reference
-        connectors/sql/_pipes.py:2812-2942). Without params, scans partitions
-        newest-first and stops at the first hit — touching one partition in
-        the common case instead of the table."""
+        connectors/sql/_pipes.py:2812-2942).
+
+        Fast path (no params): read the min/max statistics straight from
+        the newest partition's parquet footers — metadata-only, no Spark
+        job, O(files in one partition). Falls back to a partition-ordered
+        Spark scan when params filter rows or stats are unavailable."""
         dt = self.dt_col
         if dt is None or not self.exists():
             return None
+        if params is None:
+            val = self._sync_time_from_footers(newest)
+            if val is not None:
+                return self._parse_bound(val)
         agg = F.max if newest else F.min
         cond = params_to_filter(params)
         parts = self.store.partition_values()
@@ -361,6 +368,44 @@ class Pipe:
             if val is not None:
                 return self._parse_bound(val)
         return None
+
+    def _sync_time_from_footers(self, newest: bool) -> Any:
+        """Parquet-footer statistics of the newest (oldest) partition —
+        the Spark analogue of an index-backed ORDER BY dt LIMIT 1."""
+        import os
+
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:
+            return None
+        dt = self.dt_col
+        parts = [p for p in self.store.partition_values() if p is not None]
+        if not parts:
+            return None
+        target = max(parts) if newest else min(parts)
+        part_dir = os.path.join(self.store.data_path,
+                                self.store._part_dir_name(target))
+        best = None
+        try:
+            for fname in os.listdir(part_dir):
+                if not fname.endswith(".parquet"):
+                    continue
+                meta = pq.ParquetFile(os.path.join(part_dir, fname)).metadata
+                for rg in range(meta.num_row_groups):
+                    group = meta.row_group(rg)
+                    for ci in range(group.num_columns):
+                        col = group.column(ci)
+                        if col.path_in_schema != dt:
+                            continue
+                        stats = col.statistics
+                        if stats is None or not stats.has_min_max:
+                            return None  # stats missing → Spark fallback
+                        val = stats.max if newest else stats.min
+                        if best is None or (val > best if newest else val < best):
+                            best = val
+        except OSError:
+            return None
+        return best
 
     def get_rowcount(self, begin: Any = None, end: Any = None,
                      params: dict[str, Any] | None = None) -> int:

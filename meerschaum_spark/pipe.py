@@ -523,26 +523,39 @@ class Pipe:
         dt = self.dt_col
         keys = [c for c in self.index_cols if c in df.columns]
         df = df.persist()
-        begin = end = None
+        # ONE stats job: dt min/max + per-key distinct counts — the
+        # reference derives the same bounds/pushdown from the in-memory
+        # batch (core/Pipe/_sync.py:794-878); here it costs one pass
+        stats_aggs: list[F.Column] = []
+        key_cols = [c for c in keys if c != dt]
         if dt and dt in df.columns and not force_full_scan:
-            row = df.agg(F.min(dt).alias("lo"), F.max(dt).alias("hi")).first()
-            lo, hi = row["lo"], row["hi"]
-            if lo is not None:
-                if isinstance(lo, datetime.datetime):
-                    slop = datetime.timedelta(minutes=BOUNDS_SLOP_MINUTES)
-                    begin, end = lo - slop, hi + slop + datetime.timedelta(microseconds=1)
-                else:
-                    slop = (BOUNDS_SLOP_MINUTES * 60_000_000) // UNIT_US[self.precision_unit]
-                    begin, end = int(lo) - slop, int(hi) + slop + 1
+            stats_aggs += [F.min(dt).alias("_lo"), F.max(dt).alias("_hi")]
+        for col in key_cols:
+            stats_aggs.append(F.countDistinct(col).alias(f"_nd_{col}"))
+            stats_aggs.append(F.count(F.when(F.col(col).isNull(), 1))
+                              .alias(f"_nn_{col}"))
+        stats = df.agg(*stats_aggs).first() if stats_aggs else None
 
-        # distinct-key IN pushdown (≤ 250 values per key col)
+        begin = end = None
+        if stats is not None and "_lo" in stats.asDict() and stats["_lo"] is not None:
+            lo, hi = stats["_lo"], stats["_hi"]
+            if isinstance(lo, datetime.datetime):
+                slop = datetime.timedelta(minutes=BOUNDS_SLOP_MINUTES)
+                begin, end = lo - slop, hi + slop + datetime.timedelta(microseconds=1)
+            else:
+                slop = (BOUNDS_SLOP_MINUTES * 60_000_000) // UNIT_US[self.precision_unit]
+                begin, end = int(lo) - slop, int(hi) + slop + 1
+
+        # distinct-key IN pushdown (≤ 250 values per key col): collect only
+        # for key columns the stats job proved small and null-free
         pushdown: dict[str, Any] = {}
-        for col in keys:
-            if col == dt:
-                continue
-            vals = [r[0] for r in
-                    df.select(col).distinct().limit(FILTER_PARAMS_INDEX_LIMIT + 1).collect()]
-            if 0 < len(vals) <= FILTER_PARAMS_INDEX_LIMIT and None not in vals:
+        for col in key_cols:
+            if stats is None:
+                break
+            n_distinct = stats[f"_nd_{col}"]
+            has_nulls = stats[f"_nn_{col}"] > 0
+            if 0 < n_distinct <= FILTER_PARAMS_INDEX_LIMIT and not has_nulls:
+                vals = [r[0] for r in df.select(col).distinct().collect()]
                 pushdown[col] = vals
 
         backtrack = self.get_data(begin=begin, end=end,
@@ -640,12 +653,37 @@ class Pipe:
 
     # ----------------------------------------------------------------- fetch
 
+    @property
+    def parents(self) -> list["Pipe"]:
+        """Parent pipes referenced by this pipe's definition (reference
+        core/Pipe/_attributes.py:783-988: ``parameters['parents']`` holds
+        key dicts)."""
+        out = []
+        for keys in self.parameters.get("parents", []):
+            out.append(Pipe(
+                keys.get("connector", ""), keys.get("metric", ""),
+                keys.get("location"), instance=self.instance, spark=self.spark,
+            ))
+        return out
+
+    def _register_parent_views(self) -> None:
+        """Expose each parent's stored table as a temp view named by its
+        target, so SQL definitions can reference it.
+
+        This replaces the reference's textual CTE-pushdown rewriting
+        (connectors/sql/_fetch.py:227-342): Catalyst pushes the child's
+        dt bounds through the view into the parent's partition-pruned
+        scan — no string surgery."""
+        for parent in self.parents:
+            parent.get_data(order=None).createOrReplaceTempView(parent.target)
+
     def fetch(self, begin: Any = None, end: Any = None,
               params: dict[str, Any] | None = None) -> Any:
         """Pull new rows from the pipe's source (reference
         core/Pipe/_fetch.py:20-181): a plugin-style callable or a SQL
         ``definition`` over session views, bounded by
         begin = last sync time − backtrack."""
+        self._register_parent_views()
         if begin is None:
             st = self.get_sync_time()
             if st is not None:

@@ -24,7 +24,16 @@ DEC = "decimal(18,6)"
 
 def query(name: str, oracle_sql: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # pin session confs (UTC timezone above all): the driver may
+            # hand us a session in another timezone, which would shift
+            # every naive timestamp literal vs the DuckDB oracle
+            from meerschaum_spark.session import apply_engine_confs
+            apply_engine_confs(spark)
+            return fn(spark, sf_dir)
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle_sql is not None:
             ORACLE[name] = oracle_sql
         return fn

@@ -50,6 +50,24 @@ FILTER_PARAMS_INDEX_LIMIT = 250    # reference config/_default.py:247
 BOUNDS_SLOP_MINUTES = 1            # reference core/Pipe/_sync.py:794-858
 
 
+_DEFINITION_BAD_WORDS = (
+    "drop ", "drop\n", "delete from", "truncate ", "alter ", "insert into",
+    "update ", "create table", "grant ", "revoke ", "--", ";",
+)
+
+
+def _guard_definition(definition: str) -> None:
+    """Reject definitions containing DDL/DML or statement separators
+    (reference's injection guard, utils/sql.py:1130-1138). Definitions are
+    read-only SELECTs by contract."""
+    low = f" {definition.lower()} "
+    for word in _DEFINITION_BAD_WORDS:
+        if word in low:
+            raise ValueError(
+                f"Unsafe token {word.strip()!r} in pipe definition; "
+                "definitions must be read-only SELECT statements.")
+
+
 class SyncResult:
     def __init__(self, success: bool, message: str = "",
                  inserted: int = 0, updated: int = 0):
@@ -87,6 +105,7 @@ class Pipe:
         null_indices: bool | None = None,
         autoincrement: bool | None = None,
         fetch_fn: Callable[..., Any] | None = None,
+        sync_fn: Callable[..., Any] | None = None,
     ):
         if spark is None:
             from meerschaum_spark.session import get_spark
@@ -99,6 +118,7 @@ class Pipe:
         self.registry = PipeRegistry(instance)
         self.target = target or target_name(self.connector, self.metric, self.location)
         self.fetch_fn = fetch_fn
+        self.sync_fn = sync_fn
 
         existing = self.registry.load(self.target) or {}
         params: dict[str, Any] = dict(existing.get("parameters", {}))
@@ -433,6 +453,16 @@ class Pipe:
         """The main write path (reference core/Pipe/_sync.py:40-467 →
         connectors/sql/_pipes.py:1802-2215)."""
         if data is None:
+            if self.sync_fn is not None:
+                # plugin-connector sync protocol (reference dispatch,
+                # core/Pipe/_sync.py:244-269): the plugin owns the whole
+                # sync; it may call back into pipe.sync(df) itself
+                out = self.sync_fn(self, begin=begin, end=end, params=params)
+                if isinstance(out, SyncResult):
+                    return out
+                if isinstance(out, tuple):
+                    return SyncResult(bool(out[0]), str(out[1]))
+                return SyncResult(bool(out), "plugin sync")
             data = self.fetch(begin=begin, end=end, params=params)
             if data is None:
                 return SyncResult(False, "No data to sync and no fetch source.")
@@ -697,6 +727,7 @@ class Pipe:
         definition = self._resolve_definition()
         if definition is None:
             return None
+        _guard_definition(definition)
         df = self.spark.sql(
             f"WITH definition AS ({definition}) SELECT * FROM definition"
         )
@@ -846,6 +877,27 @@ class Pipe:
         if other.columns == {} and self.columns:
             other.parameters["columns"] = self.columns
         return other.sync(df)
+
+    def repartition_grid(self, chunk_minutes: int) -> SyncResult:
+        """Rebuild the table onto a new epoch-aligned grid width (reference
+        M8: connectors/sql/_partition.py:795-942 table rebuild +
+        core/Pipe/_maintenance.py:109+). One full read + one full
+        partitioned write; the registry records the new width so reads,
+        chunk iterators, and verify all follow it."""
+        if chunk_minutes <= 0:
+            return SyncResult(False, "chunk_minutes must be positive.")
+        old = self.chunk_minutes
+        if chunk_minutes == old:
+            return SyncResult(True, "Grid unchanged.")
+        df = None
+        if self.exists():
+            df = self.store.read(dtypes=self.dtypes or None)
+        self.parameters.setdefault("verify", {})["chunk_minutes"] = int(chunk_minutes)
+        self._invalidate_store()
+        if df is not None:
+            self.store.overwrite(df)
+        self.register()
+        return SyncResult(True, f"Repartitioned {old} → {chunk_minutes} min grid.")
 
     def optimize(self, max_files_per_partition: int = 1) -> int:
         """Compact partitions that accumulated small append files — the

@@ -130,7 +130,11 @@ def from_spark_type(dt: T.DataType) -> str:
         T.LongType: "int64", T.IntegerType: "int32", T.ShortType: "int16",
         T.ByteType: "int8", T.DoubleType: "float64", T.FloatType: "float32",
         T.BooleanType: "bool", T.StringType: "str",
-        T.TimestampType: "datetime", T.DateType: "date", T.BinaryType: "bytes",
+        T.TimestampType: "datetime",
+        # Spark 4 reads naive parquet timestamps as NTZ; canonical storage
+        # is µs-UTC, so both map to the same MRSM dtype (session TZ = UTC)
+        T.TimestampNTZType: "datetime",
+        T.DateType: "date", T.BinaryType: "bytes",
     }
     for klass, name in mapping.items():
         if isinstance(dt, klass):

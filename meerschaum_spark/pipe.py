@@ -834,11 +834,16 @@ class Pipe:
         end: Any = None,
         chunk_minutes: int | None = None,
         max_retries: int = 3,
+        rowcount_only: bool = False,
     ) -> SyncResult:
         """Chunked re-sync over the epoch-aligned grid (reference
         core/Pipe/_verify.py:18-440): each ``[b, e)`` window re-fetches and
         re-syncs; upsert/diff semantics make it idempotent. Chunks touch
-        disjoint store partitions, so they could run concurrently."""
+        disjoint store partitions, so they could run concurrently.
+
+        ``rowcount_only=True`` compares local vs source rowcounts per chunk
+        instead of re-syncing (reference _verify.py:218-245) and reports
+        the mismatched windows."""
         chunk_minutes = chunk_minutes or self.chunk_minutes
         begin = self._parse_bound(begin) if begin is not None else \
             self.get_sync_time(newest=False)
@@ -850,6 +855,26 @@ class Pipe:
                               if isinstance(last, datetime.datetime) else 1)
         if begin is None or end is None:
             return SyncResult(False, "No bounds to verify.")
+        if rowcount_only:
+            mismatched = []
+            for b, e in get_chunk_bounds(begin, end, chunk_minutes,
+                                         unit=self.precision_unit):
+                data = source(b, e) if source is not None \
+                    else self.fetch(begin=b, end=e)
+                if data is None:
+                    continue
+                src_df, _ = mdf.to_spark_df(self.spark, data, self.dtypes or None)
+                n_src = src_df.count()
+                n_local = self.get_rowcount(begin=b, end=e)
+                if n_src != n_local:
+                    mismatched.append((b, e, n_src, n_local))
+            if mismatched:
+                return SyncResult(
+                    False, f"{len(mismatched)} chunk(s) mismatched: "
+                    + "; ".join(f"[{b}, {e}) src={s} local={l}"
+                                for b, e, s, l in mismatched[:5]))
+            return SyncResult(True, "All chunk rowcounts match.")
+
         total_ins = total_upd = 0
         for b, e in get_chunk_bounds(begin, end, chunk_minutes,
                                      unit=self.precision_unit):

@@ -1,0 +1,108 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+The batch engine's sessionization (queries.events_sessionization) and
+dedup (W1) re-expressed as true streaming operators with cross-batch
+state: per-key state lives in the state store, survives micro-batches,
+and expires on processing-time timeout — the Structured-Streaming-native
+replacement for the reference's re-fetch-the-backtrack-window loop.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUTPUT_SCHEMA = ("user_id long, ts timestamp, session_id long, "
+                         "n_in_session long")
+SESSION_STATE_SCHEMA = "session_id long, last_ts_us long, n long"
+
+
+def _sessionize_group(
+    key: Tuple[Any],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_seconds: int,
+    expire_state: bool,
+) -> Iterator[pd.DataFrame]:
+    """Assign gap-based session ids to one user's rows, carrying
+    (session_id, last_ts, count) across micro-batches in the state store."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    if state.exists:
+        session_id, last_ts_us, n = state.get
+    else:
+        session_id, last_ts_us, n = 0, None, 0
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+    out_ts, out_sid, out_n = [], [], []
+    for ts in rows["ts"]:
+        ts_us = int(pd.Timestamp(ts).value // 1000)
+        if last_ts_us is not None and ts_us - last_ts_us > gap_seconds * 1_000_000:
+            session_id += 1
+            n = 0
+        n += 1
+        last_ts_us = ts_us
+        out_ts.append(ts)
+        out_sid.append(session_id)
+        out_n.append(n)
+
+    state.update((session_id, last_ts_us, n))
+    if expire_state:
+        state.setTimeoutDuration(gap_seconds * 1000 * 10)
+    yield pd.DataFrame({
+        "user_id": key[0], "ts": out_ts,
+        "session_id": out_sid, "n_in_session": out_n,
+    })
+
+
+def stateful_sessionize(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    expire_state: bool = False,
+) -> DataFrame:
+    """Streaming gap-sessionizer: the batch window (lag + running sum)
+    becomes per-key state; sessions stay open across micro-batches.
+
+    ``expire_state=True`` adds a processing-time timeout at 10× the gap
+    (for long-running ``processingTime`` triggers). Leave it off for
+    ``availableNow`` backfills — pending timeouts keep scheduling wake-up
+    micro-batches and the one-shot trigger never drains."""
+    from pyspark.sql import functions as F
+
+    src = stream_df.select(F.col(user_col).alias("user_id"),
+                           F.col(ts_col).alias("ts"))
+
+    def fn(key, pdfs, state):
+        return _sessionize_group(key, pdfs, state, gap_seconds, expire_state)
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if expire_state
+               else GroupStateTimeout.NoTimeout)
+    return (src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    ))
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Exactly the pipe's index-key dedup on a stream: Spark's native
+    watermarked dropDuplicates keeps per-key state bounded by the
+    watermark — the streaming analogue of the backtrack window."""
+    if ts_col is not None:
+        return stream_df.withWatermark(ts_col, watermark) \
+                        .dropDuplicates(key_cols)
+    return stream_df.dropDuplicates(key_cols)

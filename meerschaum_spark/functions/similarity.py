@@ -93,6 +93,69 @@ def lsh_bucket(vec_col) -> F.Column:
     return bucket
 
 
+def _sqdist_dec(a, b):
+    """Exact-decimal squared L2 distance (order-insensitive sum)."""
+    diffs = F.zip_with(a, b,
+                       lambda x, y: (x.cast(VDEC) - y.cast(VDEC))
+                       * (x.cast(VDEC) - y.cast(VDEC)))
+    return F.aggregate(diffs, F.lit(0).cast(ACC),
+                       lambda acc, x: (acc + x).cast(ACC))
+
+
+def assign_ivf_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse assignment as a relational argmin: cross join the small
+    centroid set (broadcast), rank by exact-decimal squared distance with
+    centroid-id tie-break, keep rank 1. Adds a ``cell`` column."""
+    c = centroids.select(F.col(id_col).alias("_cid"),
+                         F.col(vec_col).alias("_cv"))
+    dist = _sqdist_dec(F.col(vec_col), F.col("_cv"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_dist").asc(),
+                                           F.col("_cid").asc())
+    return (df.crossJoin(F.broadcast(c))
+            .withColumn("_dist", dist)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .withColumnRenamed("_cid", "cell")
+            .drop("_cv", "_dist", "_rn"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """IVF ANN (nprobe=1): assign corpus and queries to their nearest
+    coarse centroid, equi-join on the cell, exact cosine re-rank inside.
+    At 100 TB the corpus side is one assignment pass + a cell-partitioned
+    join; centroids stay broadcast-sized."""
+    c = assign_ivf_cells(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        _norm_dbl(F.col(vec_col)).alias("cnorm"), "cell")
+    q = assign_ivf_cells(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        _norm_dbl(F.col(vec_col)).alias("qnorm"), "cell")
+    joined = c.join(F.broadcast(q), on="cell").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    cosine = (_dot_dec(F.col("qv"), F.col("cv")).cast("double")
+              / (F.col("qnorm") * F.col("cnorm")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        joined.select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -37,6 +37,18 @@ def norm_text(col: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
+#: BPE-ish pre-tokenizer classes (letter runs / digit runs / single
+#: punctuation) — the GPT-2-style split shape, restricted to a regex
+#: subset identical under Java regex and RE2 for the oracle
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Subword-style token count: letter runs + digit runs + punctuation
+    marks, the usual pre-tokenization for BPE vocabularies."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PATTERN), F.lit(0)))
+
+
 def token_stats(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     toks = tokens(F.col(text_col))
@@ -46,6 +58,7 @@ def token_stats(df: DataFrame, text_col: str = "text",
         F.length(F.col(text_col)).alias("n_chars"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        bpe_token_count(F.col(text_col)).alias("n_bpe_tokens"),
         (F.aggregate(tok_lens, F.lit(0).cast("long"), lambda acc, x: acc + x)
          .cast("double") / F.size(toks)).alias("avg_token_len"),
     )

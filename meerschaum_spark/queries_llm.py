@@ -31,11 +31,13 @@ _H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 @query(
     "doc_token_stats",
     f"""
-    WITH t AS (SELECT doc_id, length(text) AS n_chars, {_TOKS} AS toks
+    WITH t AS (SELECT doc_id, text, length(text) AS n_chars, {_TOKS} AS toks
                FROM documents)
     SELECT doc_id, n_chars,
            len(toks) AS n_tokens,
            len(list_distinct(toks)) AS n_distinct_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_bpe_tokens,
            CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
                / len(toks) AS avg_token_len
     FROM t ORDER BY doc_id
@@ -363,6 +365,51 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = parallelize(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return S.ann_lsh_topk(emb, queries, k=5)
+
+
+def _ivf_sql(k: int, n_centroids: int, query_filter: str) -> str:
+    diff = ("(" + _EL.replace("{v}", "e.embedding") + " - "
+            + _EL.replace("{v}", "c._cv") + ")")
+    sqdist = (f"list_sum(list_transform(generate_series(1, len(e.embedding)), "
+              f"i -> {diff} * {diff}))")
+    dot_qc = "CAST(CAST(" + _DOT.format(a="qv", b="cv") + " AS VARCHAR) AS DOUBLE)"
+    dot_qq = "CAST(CAST(" + _DOT.format(a="qv", b="qv") + " AS VARCHAR) AS DOUBLE)"
+    dot_cc = "CAST(CAST(" + _DOT.format(a="cv", b="cv") + " AS VARCHAR) AS DOUBLE)"
+    return f"""
+    WITH cent AS (SELECT vec_id AS _cid, embedding AS _cv
+                  FROM embeddings WHERE vec_id < {n_centroids}),
+    assigned AS (
+      SELECT vec_id, embedding, _cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c._cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sqdist} ASC, c._cid ASC) AS rn
+        FROM embeddings e, cent c
+      ) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, cell
+          FROM assigned WHERE {query_filter}),
+    cc AS (SELECT vec_id AS neighbor_id, embedding AS cv, cell FROM assigned),
+    pairs AS (
+      SELECT query_id, neighbor_id,
+             {dot_qc} / (sqrt({dot_qq}) * sqrt({dot_cc})) AS cosine
+      FROM q JOIN cc USING (cell) WHERE neighbor_id != query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM pairs)
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked
+    WHERE rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
+@query("emb_ivf_topk", _ivf_sql(5, 8, "vec_id % 100 = 0"))
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with seeded coarse centroids (vec_id < 8), nprobe=1."""
+    emb = parallelize(load_table(spark, sf_dir, "embeddings"))
+    centroids = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.ivf_topk(emb, queries, centroids, k=5)
 
 
 # ===========================================================================

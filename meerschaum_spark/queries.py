@@ -688,6 +688,90 @@ def pipe_sync_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_asof_attribution",
+    """
+    SELECT event_id, ts, user_id, last_click_ts
+    FROM (
+      SELECT event_id, ts, user_id, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts
+      FROM events)
+    WHERE event_type = 'purchase'
+    ORDER BY ts, event_id
+    """,
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one): each purchase attributed to
+    the user's most recent strictly-preceding click, via a last-ignore-
+    nulls window over the interleaved stream — one shuffle on user_id, no
+    range explosion. (The applyInPandas/merge_asof form would be the
+    fallback for cross-TABLE as-ofs.)"""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")),
+        ignorenulls=True).over(w)
+    return (ev.withColumn("last_click_ts", last_click)
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "ts", "user_id", "last_click_ts")
+            .orderBy("ts", "event_id"))
+
+
+@query(
+    "events_daily_cube",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY CUBE(date_trunc('day', ts), event_type)
+    ORDER BY day NULLS FIRST, event_type NULLS FIRST
+    """,
+)
+def events_daily_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup across (day, event_type) — grouping-set totals the
+    reference never had; free on Spark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.cube(F.date_trunc("day", F.col("ts")).alias("day"),
+                F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             _sum_dbl(_dec("value"), "sum_value"))
+        .orderBy(F.col("day").asc_nulls_first(),
+                 F.col("event_type").asc_nulls_first())
+    )
+
+
+@query(
+    "events_type_pivot",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event types to columns (conditional-aggregation form in the
+    oracle; Spark's .pivot with an explicit value list avoids the extra
+    distinct-values job)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0, ["click", "view", "purchase", "signup", "error"])
+        .orderBy("day")
+    )
+
+
+@query(
     "events_sessionization",
     """
     WITH gaps AS (

@@ -40,6 +40,11 @@ def normalize(v):
     return v
 
 
+def sort_key(row):
+    return tuple((v is None, str(type(v)), v if v is not None else "")
+                 for v in row)
+
+
 def run(sf_dir: str, only: list[str]) -> int:
     import __spark_entry__ as entrymod
     from meerschaum_spark.session import get_spark
@@ -64,7 +69,8 @@ def run(sf_dir: str, only: list[str]) -> int:
             srows = sdf.collect()
             scols = sorted(sdf.columns)
             s_set = sorted(
-                tuple(normalize(row[c]) for c in scols) for row in srows)
+                (tuple(normalize(row[c]) for c in scols) for row in srows),
+                key=sort_key)
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             failures += 1
@@ -80,7 +86,8 @@ def run(sf_dir: str, only: list[str]) -> int:
                                  key=lambda i: ocols_raw[i])
             ocols = sorted(ocols_raw)
             o_set = sorted(
-                tuple(normalize(row[i]) for i in ocols_order) for row in orows)
+                (tuple(normalize(row[i]) for i in ocols_order) for row in orows),
+                key=sort_key)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             failures += 1

@@ -28,6 +28,17 @@ from meerschaum_spark.functions.text import tokens
 DEFAULT_MINHASH_K = 8
 DEFAULT_BANDS = 4
 
+#: universal-hash mixing constants: sig_i = (A[i]*(h mod 2^30) + B[i]) mod P.
+#: One md5 per token (hash60) + K cheap affine mixes replaces K md5 passes;
+#: products stay < 2^60 so the arithmetic is overflow-free and identical
+#: in Spark and DuckDB int64.
+MINHASH_MIX = [
+    (976369, 1000003), (813419, 2000029), (735979, 3000073), (655243, 4000037),
+    (577897, 5000011), (492893, 6000047), (413159, 7000003), (336521, 8000009),
+]
+MINHASH_DOMAIN = 1 << 30
+MINHASH_PRIME = (1 << 61) - 1
+
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
@@ -99,16 +110,24 @@ def jaccard_pairs(
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        k: int = DEFAULT_MINHASH_K) -> DataFrame:
-    """K-permutation MinHash over the distinct-token set: sig_i =
-    min over tokens of hash60(i || '|' || token). One projection, no
-    shuffle — O(tokens × K) JVM work per row."""
+    """K-permutation MinHash over the distinct-token set: one md5 per
+    token (hash60), then K affine mixes — sig_i = min over tokens of
+    (A_i·(h mod 2³⁰) + B_i) mod P. One projection, no shuffle, and the
+    expensive hash runs once instead of K times."""
     toks = F.array_distinct(tokens(F.col(text_col)))
+    base = df.withColumn("_hs", F.transform(toks, lambda t: hash60(t)))
+    def mixer(a: int, b: int):
+        # closure factory: a default-arg lambda would change the arity
+        # PySpark infers for the higher-order function
+        return lambda h: (F.lit(a) * (h % F.lit(MINHASH_DOMAIN))
+                          + F.lit(b)) % F.lit(MINHASH_PRIME)
+
     cols = [F.col(id_col)]
     for i in range(k):
-        hashed = F.transform(
-            toks, lambda t: hash60(F.concat(F.lit(f"{i}|"), t)))
-        cols.append(F.array_min(hashed).alias(f"sig_{i}"))
-    return df.select(*cols)
+        a, b = MINHASH_MIX[i % len(MINHASH_MIX)]
+        mixed = F.transform(F.col("_hs"), mixer(a, b))
+        cols.append(F.array_min(mixed).alias(f"sig_{i}"))
+    return base.select(*cols)
 
 
 def lsh_candidate_pairs(

@@ -107,10 +107,15 @@ class Pipe:
         fetch_fn: Callable[..., Any] | None = None,
         sync_fn: Callable[..., Any] | None = None,
     ):
+        import threading
         if spark is None:
             from meerschaum_spark.session import get_spark
             spark = get_spark()
         self.spark = spark
+        #: serializes store mutations when chunk syncs run concurrently
+        #: (chunks are partition-disjoint, but parquet append jobs share
+        #: the output committer's _temporary dir)
+        self._write_lock = threading.Lock()
         self.connector = str(connector)
         self.metric = str(metric)
         self.location = location if location else None
@@ -495,21 +500,24 @@ class Pipe:
         if first_sync:
             patch = self._dedupe_patch(df) if self.upsert else df
             n = patch.count()
-            self.store.append(patch)
+            with self._write_lock:
+                self.store.append(patch)
             self.register()
             return SyncResult(True, f"Inserted {n} rows (new table).", n, 0)
 
         if self.upsert:
             patch = self._dedupe_patch(df)
             n = patch.count()
-            self.store.merge(patch, self.index_cols or patch.columns,
-                             dtypes=self.dtypes or None)
+            with self._write_lock:
+                self.store.merge(patch, self.index_cols or patch.columns,
+                                 dtypes=self.dtypes or None)
             self.register()
             return SyncResult(True, f"Upserted {n} rows.", 0, n)
 
         if not check_existing:
             n = df.count()
-            self.store.append(df)
+            with self._write_lock:
+                self.store.append(df)
             self.register()
             return SyncResult(True, f"Inserted {n} rows (no diff).", n, 0)
 
@@ -519,13 +527,14 @@ class Pipe:
         try:
             n_unseen = unseen.count()
             n_update = update.count()
-            if n_unseen:
-                self.store.append(unseen)
-            if n_update:
-                # merge AFTER append: store.merge re-lists files, so rows the
-                # append just wrote are retained through the partition rewrite
-                self.store.merge(update, self.index_cols or update.columns,
-                                 dtypes=self.dtypes or None)
+            with self._write_lock:
+                if n_unseen:
+                    self.store.append(unseen)
+                if n_update:
+                    # merge AFTER append: store.merge re-lists files, so rows
+                    # the append just wrote are retained through the rewrite
+                    self.store.merge(update, self.index_cols or update.columns,
+                                     dtypes=self.dtypes or None)
             self.register()
             return SyncResult(
                 True, f"Inserted {n_unseen}, updated {n_update} rows.",
@@ -835,6 +844,7 @@ class Pipe:
         chunk_minutes: int | None = None,
         max_retries: int = 3,
         rowcount_only: bool = False,
+        workers: int = 1,
     ) -> SyncResult:
         """Chunked re-sync over the epoch-aligned grid (reference
         core/Pipe/_verify.py:18-440): each ``[b, e)`` window re-fetches and
@@ -875,23 +885,37 @@ class Pipe:
                                 for b, e, s, l in mismatched[:5]))
             return SyncResult(True, "All chunk rowcounts match.")
 
-        total_ins = total_upd = 0
-        for b, e in get_chunk_bounds(begin, end, chunk_minutes,
-                                     unit=self.precision_unit):
+        def sync_chunk(bounds):
+            b, e = bounds
             data = source(b, e) if source is not None else self.fetch(begin=b, end=e)
             if data is None:
-                continue
-            ok = False
+                return SyncResult(True, "empty", 0, 0)
+            last = None
             for _attempt in range(max_retries):
-                res = self.sync(data, begin=b, end=e)
-                if res.success:
-                    total_ins += res.inserted
-                    total_upd += res.updated
-                    ok = True
-                    break
-            if not ok:
-                return SyncResult(False, f"Chunk [{b}, {e}) failed.",
-                                  total_ins, total_upd)
+                last = self.sync(data, begin=b, end=e)
+                if last.success:
+                    return last
+            return last or SyncResult(False, f"Chunk [{b}, {e}) failed.")
+
+        bounds = list(get_chunk_bounds(begin, end, chunk_minutes,
+                                       unit=self.precision_unit))
+        results: list[SyncResult]
+        if workers > 1:
+            # chunks touch disjoint store partitions; Spark schedules the
+            # jobs concurrently and the pipe's write lock serializes only
+            # the committer-sensitive store mutations (reference pools
+            # chunk syncs the same way, core/Pipe/_sync.py:313-401)
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                results = list(pool.map(sync_chunk, bounds))
+        else:
+            results = [sync_chunk(bnd) for bnd in bounds]
+        total_ins = sum(r.inserted for r in results if r)
+        total_upd = sum(r.updated for r in results if r)
+        failed = [r for r in results if not r]
+        if failed:
+            return SyncResult(False, f"{len(failed)} chunk(s) failed: "
+                              f"{failed[0].message}", total_ins, total_upd)
         return SyncResult(True, f"Verified: +{total_ins} inserted, "
                           f"{total_upd} updated.", total_ins, total_upd)
 

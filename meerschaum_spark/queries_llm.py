@@ -176,12 +176,15 @@ def doc_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _K = D.DEFAULT_MINHASH_K
 _BANDS = D.DEFAULT_BANDS
 _SIG_EXPRS = ",\n           ".join(
-    "list_min(list_transform(toks, t -> "
-    + _H60.format(x=f"'{i}|' || t") + f")) AS sig_{i}"
+    f"list_min(list_transform(hs, h -> "
+    f"({D.MINHASH_MIX[i][0]} * (h % {D.MINHASH_DOMAIN}) "
+    f"+ {D.MINHASH_MIX[i][1]}) % {D.MINHASH_PRIME})) AS sig_{i}"
     for i in range(_K)
 )
 _MINHASH_CTE = f"""
-    WITH t AS (SELECT doc_id, source, list_distinct({_TOKS}) AS toks
+    WITH t AS (SELECT doc_id, source,
+                      list_transform(list_distinct({_TOKS}),
+                                     t -> {_H60.format(x='t')}) AS hs
                FROM documents),
     sig AS (
       SELECT doc_id, source,

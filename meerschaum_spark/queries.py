@@ -688,6 +688,33 @@ def pipe_sync_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``; at 100 TB swap for percentile_approx and
+    drop the oracle to rows-only)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("p50"),
+             F.expr("percentile(value, 0.9)").alias("p90"),
+             F.expr("percentile(value, 0.99)").alias("p99"),
+             F.min("value").alias("min_value"),
+             F.max("value").alias("max_value"))
+        .orderBy("event_type")
+    )
+
+
+@query(
     "events_asof_attribution",
     """
     SELECT event_id, ts, user_id, last_click_ts

@@ -30,6 +30,11 @@ from meerschaum_spark.dtypes import (
 )
 
 
+import re
+
+_ISO_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2})?")
+
+
 def parse_simple_lines(text: str) -> pd.DataFrame:
     """Parse newline-delimited, tab- or comma-separated text with a header
     row (reference utils/dataframe.py:2178-2227)."""
@@ -109,11 +114,23 @@ def to_spark_df(
     special = sniff_special_dtypes(pdf)
     pdf = _serialize_for_spark(pdf, special)
 
-    # Parse string datetime columns the registry says are datetimes
-    # (reference parse_df_datetimes, utils/dataframe.py:447-640).
+    # Parse string datetime columns: ones the registry declares, plus
+    # ISO-looking string columns on first contact (reference
+    # parse_df_datetimes, utils/dataframe.py:447-640).
     for col, dt in (dtypes or {}).items():
         if col in pdf.columns and dt == "datetime" and pdf[col].dtype == object:
             pdf[col] = pd.to_datetime(pdf[col], utc=True, format="ISO8601")
+    declared = set(dtypes or {})
+    for col in pdf.columns:
+        if col in declared or col in special or pdf[col].dtype != object:
+            continue
+        sample = next((v for v in pdf[col] if isinstance(v, str)), None)
+        if sample is None or not _ISO_DATE_RE.match(sample):
+            continue
+        try:
+            pdf[col] = pd.to_datetime(pdf[col], utc=True, format="ISO8601")
+        except (ValueError, TypeError):
+            pass  # looked like a date but isn't — leave as text
 
     sdf = spark.createDataFrame(pdf)
     inferred = {c: from_spark_type(f.dataType) for c, f in

@@ -13,7 +13,7 @@ Scans / sources / sinks (§2.1)
   S5  bulk append sink           store.ParquetPipeStore.append
   S6/S7 flavor bulk fast paths   N/A — parquet writes are columnar bulk
   S8  Valkey doc store           N/A — semantics covered by store.merge
-  S9  API/HTTP source            deferred (SURVEY marks optional)
+  S9  API/HTTP source            sources/http.py (fetch_fn protocol, bounded GET)
   S10 simple-lines text parse    dataframe.parse_simple_lines
   S11 canonical JSON export      export.df_to_json_rows / write_json / write_csv
   S12 Dask chunk scan            native Spark partitions (pipe.get_data as_iterator)

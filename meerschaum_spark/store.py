@@ -195,6 +195,25 @@ class ParquetPipeStore:
         if not parts:
             return
         existing = self.read(dtypes=dtypes, keep_part_col=True, part_values=parts)
+
+        # Partial-column patches: re-attach the stored values of columns the
+        # patch does not carry (reference J7, core/Pipe/_sync.py:993-1006 —
+        # an update must not null out unmentioned columns), via a bounded
+        # left join on the merge keys.
+        missing = [c for c in existing.columns
+                   if c not in patch.columns and c != PART_COL]
+        if missing:
+            e_m = existing.select(*keys, *missing).alias("em")
+            p_m = patch.alias("pm")
+            cond_m = None
+            for k in keys:
+                c = F.col(f"pm.{k}").eqNullSafe(F.col(f"em.{k}"))
+                cond_m = c if cond_m is None else (cond_m & c)
+            patch = p_m.join(e_m, on=cond_m, how="left").select(
+                *[F.col(f"pm.{c}") for c in patch.columns],
+                *[F.col(f"em.{c}").alias(c) for c in missing],
+            )
+
         p = patch.alias("p")
         e = existing.alias("e")
         cond = None
@@ -202,8 +221,8 @@ class ParquetPipeStore:
             c = F.col(f"e.{k}").eqNullSafe(F.col(f"p.{k}"))
             cond = c if cond is None else (cond & c)
         keep = e.join(p, on=cond, how="left_anti")
-        out_cols = [c for c in patch.columns]
-        merged = keep.unionByName(patch, allowMissingColumns=True).select(*out_cols)
+        # column union — kept rows MUST NOT lose columns absent from the patch
+        merged = keep.unionByName(patch, allowMissingColumns=True)
         self._swap_partitions(merged, parts)
 
     def delete_where(self, cond: F.Column, dtypes: dict[str, str] | None = None,

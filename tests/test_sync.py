@@ -244,3 +244,30 @@ def test_copy_to(spark, instance_dir, pipe):
     res = pipe.copy_to(other)
     assert res.success
     assert other.get_rowcount() == 1
+
+
+def test_partial_column_update_preserves_others(spark, instance_dir):
+    """A patch missing registered columns must neither null them on the
+    updated row (J7 re-attach) nor drop them from untouched rows in the
+    rewritten partition."""
+    pipe = Pipe("test", "partialcols", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"})
+    pipe.sync(batch([
+        {"dt": dtm(2024, 1, 1), "id": 1, "val": 1.0, "extra": "a"},
+        {"dt": dtm(2024, 1, 2), "id": 1, "val": 2.0, "extra": "b"},
+    ]))
+    res = pipe.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "val": 99.0}]))
+    assert res.updated == 1 and res.inserted == 0
+    docs = {d["dt"].day: d for d in pipe.get_docs()}
+    assert docs[1]["val"] == 99.0 and docs[1]["extra"] == "a"
+    assert docs[2]["val"] == 2.0 and docs[2]["extra"] == "b"
+
+
+def test_upsert_partial_columns(spark, instance_dir):
+    pipe = Pipe("test", "upspartial", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"}, upsert=True)
+    pipe.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "val": 1.0,
+                      "extra": "E"}]))
+    pipe.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "val": 42.0}]))
+    [doc] = pipe.get_docs()
+    assert doc["val"] == 42.0 and doc["extra"] == "E"

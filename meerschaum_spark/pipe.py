@@ -508,8 +508,10 @@ class Pipe:
         if self.upsert:
             patch = self._dedupe_patch(df)
             n = patch.count()
+            merge_keys = [c for c in self.index_cols
+                          if c in patch.columns] or patch.columns
             with self._write_lock:
-                self.store.merge(patch, self.index_cols or patch.columns,
+                self.store.merge(patch, merge_keys,
                                  dtypes=self.dtypes or None)
             self.register()
             return SyncResult(True, f"Upserted {n} rows.", 0, n)
@@ -533,7 +535,9 @@ class Pipe:
                 if n_update:
                     # merge AFTER append: store.merge re-lists files, so rows
                     # the append just wrote are retained through the rewrite
-                    self.store.merge(update, self.index_cols or update.columns,
+                    merge_keys = [c for c in self.index_cols
+                                  if c in update.columns] or update.columns
+                    self.store.merge(update, merge_keys,
                                      dtypes=self.dtypes or None)
             self.register()
             return SyncResult(
@@ -812,8 +816,17 @@ class Pipe:
         n_before = self.get_rowcount(begin=begin, end=end, params=params)
         scoped = self.store.read(dtypes=self.dtypes or None, keep_part_col=True,
                                  part_values=dup_parts)
-        deduped = (scoped.withColumn("_rn", F.row_number().over(w))
+        if cond is not None:
+            # dedupe only rows inside the requested window; rows outside it
+            # in the same partitions pass through untouched
+            in_scope = scoped.filter(cond)
+            out_scope = scoped.filter(~F.coalesce(cond, F.lit(False)))
+        else:
+            in_scope, out_scope = scoped, None
+        deduped = (in_scope.withColumn("_rn", F.row_number().over(w))
                    .filter(F.col("_rn") == 1).drop("_rn"))
+        if out_scope is not None:
+            deduped = deduped.unionByName(out_scope)
         self.store._swap_partitions(deduped, dup_parts)
         n_after = self.get_rowcount(begin=begin, end=end, params=params)
         return SyncResult(True, f"Removed {n_before - n_after} duplicates.",

@@ -26,6 +26,16 @@ def main() -> None:
 
     # warm the JVM/catalyst on a trivial plan so query 1 isn't charged startup
     spark.range(1000).selectExpr("sum(id)").collect()
+    # ...and the Python-worker pool, so the first pandas-UDF query isn't
+    # charged the per-executor worker spinup either
+    import pandas as _pd
+
+    def _noop(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(256).repartition(32).mapInPandas(
+        _noop, schema="id long").count()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

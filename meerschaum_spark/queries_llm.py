@@ -152,7 +152,8 @@ _SHINGLES_SQL = (
     WITH base AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
     sh AS (SELECT doc_id, source, {_SHINGLES_SQL} AS shingles FROM base),
     sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
-    ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+    ex AS (SELECT doc_id, source,
+                  {_H60.format(x='unnest(shingles)')} AS s FROM sh),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
       FROM ex a JOIN ex b

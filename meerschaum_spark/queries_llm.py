@@ -452,7 +452,7 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+           CAST(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS VARCHAR) AS DOUBLE)
                / count(*) AS avg_k
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50

@@ -48,6 +48,7 @@ from meerschaum_spark.store import ParquetPipeStore
 DEFAULT_BACKTRACK_MINUTES = 1440   # reference config/_default.py:236
 FILTER_PARAMS_INDEX_LIMIT = 250    # reference config/_default.py:247
 BOUNDS_SLOP_MINUTES = 1            # reference core/Pipe/_sync.py:794-858
+HIT_COL = "_mrsm_hit"              # marker: batch row's key exists in store
 
 
 _DEFINITION_BAD_WORDS = (
@@ -523,12 +524,22 @@ class Pipe:
             self.register()
             return SyncResult(True, f"Inserted {n} rows (no diff).", n, 0)
 
-        unseen, update = self.filter_existing(df, force_full_scan=force_full_scan)
-        unseen = unseen.persist()
-        update = update.persist()
+        marked = self._split_existing(df, force_full_scan=force_full_scan)
+        marked = marked.persist()
         try:
-            n_unseen = unseen.count()
-            n_update = update.count()
+            # ONE count job for both splits (the reference counts unseen and
+            # update from the same in-memory diff; two .count() actions here
+            # would double the small-sync latency)
+            counts = {
+                r["h"]: r["cnt"]
+                for r in marked.groupBy(
+                    F.col(HIT_COL).isNotNull().alias("h")
+                ).agg(F.count(F.lit(1)).alias("cnt")).collect()
+            }
+            n_unseen = counts.get(False, 0)
+            n_update = counts.get(True, 0)
+            unseen = marked.filter(F.col(HIT_COL).isNull()).drop(HIT_COL)
+            update = marked.filter(F.col(HIT_COL).isNotNull()).drop(HIT_COL)
             with self._write_lock:
                 if n_unseen:
                     self.store.append(unseen)
@@ -537,7 +548,9 @@ class Pipe:
                     # the append just wrote are retained through the rewrite
                     merge_keys = [c for c in self.index_cols
                                   if c in update.columns] or update.columns
-                    self.store.merge(update, merge_keys,
+                    # merge sources must be key-unique: a batch carrying two
+                    # rows for one key would otherwise insert both
+                    self.store.merge(self._dedupe_patch(update), merge_keys,
                                      dtypes=self.dtypes or None)
             self.register()
             return SyncResult(
@@ -545,23 +558,35 @@ class Pipe:
                 n_unseen, n_update,
             )
         finally:
-            unseen.unpersist()
-            update.unpersist()
+            marked.unpersist()
 
     def filter_existing(
         self, df: DataFrame, force_full_scan: bool = False,
     ) -> tuple[DataFrame, DataFrame]:
         """Split an incoming batch into (unseen, update) against the stored
-        table (reference core/Pipe/_sync.py:665-1008).
+        table (reference core/Pipe/_sync.py:665-1008)."""
+        marked = self._split_existing(df, force_full_scan=force_full_scan)
+        return (
+            marked.filter(F.col(HIT_COL).isNull()).drop(HIT_COL),
+            marked.filter(F.col(HIT_COL).isNotNull()).drop(HIT_COL),
+        )
+
+    def _split_existing(
+        self, df: DataFrame, force_full_scan: bool = False,
+    ) -> DataFrame:
+        """The diff against the stored table, as ONE DataFrame: every
+        changed row of the batch, tagged ``_mrsm_hit`` non-null when its
+        index key already exists (→ update) and null when unseen.
 
         Plan shape: one bounded scan of the target (dt-range partition
         pruning + distinct-key IN pushdown), then
-          delta  = batch  ⟕̸ backtrack  on ALL columns   (full-row anti)
-          unseen = delta  ⟕̸ backtrack  on index cols    (left_anti)
-          update = delta  ⋉  backtrack  on index cols    (left_semi)
-        All key comparisons are null-safe (eqNullSafe) — the reference's
-        COALESCE-sentinel trick (connectors/sql/_pipes.py:2566-2607) is
-        unnecessary on Spark.
+          delta  = batch ⟕̸ backtrack  on ALL columns        (full-row anti)
+          marked = delta ⟕  distinct backtrack keys + tag   (one left join)
+        The single marker join replaces the reference's separate
+        unseen/update anti+semi pair — both splits and both counts come from
+        one plan. All key comparisons are null-safe (eqNullSafe) — the
+        reference's COALESCE-sentinel trick
+        (connectors/sql/_pipes.py:2566-2607) is unnecessary on Spark.
         """
         dt = self.dt_col
         keys = [c for c in self.index_cols if c in df.columns]
@@ -591,7 +616,7 @@ class Pipe:
 
         # distinct-key IN pushdown (≤ 250 values per key col): collect only
         # for key columns the stats job proved small and null-free
-        pushdown: dict[str, Any] = {}
+        pushdown: dict[str, list] = {}
         for col in key_cols:
             if stats is None:
                 break
@@ -601,8 +626,13 @@ class Pipe:
                 vals = [r[0] for r in df.select(col).distinct().collect()]
                 pushdown[col] = vals
 
-        backtrack = self.get_data(begin=begin, end=end,
-                                  params=pushdown or None, order=None)
+        # NOTE: the pushdown is applied as a plain Column filter, NOT routed
+        # through the user-facing params DSL — data values are not operator
+        # syntax (a key value like '_foo' must not be parsed as negation).
+        # Catalyst still pushes the In() predicate into the parquet scan.
+        backtrack = self.get_data(begin=begin, end=end, order=None)
+        for col, vals in pushdown.items():
+            backtrack = backtrack.filter(F.col(col).isin(vals))
         backtrack = backtrack.persist()
 
         common = [c for c in df.columns if c in backtrack.columns]
@@ -615,15 +645,18 @@ class Pipe:
         delta = (d.join(b, on=full_cond, how="left_anti")
                  if full_cond is not None else df)
         if not keys:
-            return delta, delta.limit(0)
+            return delta.withColumn(HIT_COL, F.lit(None).cast("int"))
+        bk = (backtrack.select(*keys).dropDuplicates()
+              .withColumn(HIT_COL, F.lit(1)).alias("k"))
         delta = delta.alias("x")
         key_cond = None
         for c in keys:
-            eq = F.col(f"x.{c}").eqNullSafe(F.col(f"b.{c}"))
+            eq = F.col(f"x.{c}").eqNullSafe(F.col(f"k.{c}"))
             key_cond = eq if key_cond is None else (key_cond & eq)
-        unseen = delta.join(b, on=key_cond, how="left_anti")
-        update = delta.join(b, on=key_cond, how="left_semi")
-        return unseen, update
+        return delta.join(bk, on=key_cond, how="left").select(
+            *[F.col(f"x.{c}") for c in df.columns],
+            F.col(f"k.{HIT_COL}").alias(HIT_COL),
+        )
 
     def _dedupe_patch(self, df: DataFrame) -> DataFrame:
         """Dedupe an upsert patch on its keys — MERGE sources must be
@@ -679,9 +712,15 @@ class Pipe:
 
     def _apply_autoincrement(self, df: DataFrame) -> DataFrame:
         """Generate the primary key when configured and absent (reference
-        connectors/sql/_pipes.py:1962-2073). Offsets from the stored max;
-        within-batch ids via a global row_number (fine for patch-sized
-        batches; identity ranges would replace this on a metastore)."""
+        connectors/sql/_pipes.py:1962-2073). Offsets from the stored max.
+
+        Within-batch ids are assigned from per-partition counts plus
+        cumulative offsets (zipWithIndex-style), entirely in parallel:
+        ``monotonically_increasing_id`` already encodes
+        ``partition_id << 33 | row_in_partition`` (documented layout), so
+        one tiny aggregation (rows = #partitions) yields the offset table,
+        which is applied as a literal map — no global Window, no
+        single-task funnel, no shuffle of the batch itself."""
         pk = self.columns.get("primary")
         if not pk or pk in df.columns or not self.autoincrement:
             return df
@@ -691,8 +730,34 @@ class Pipe:
             if pk in stored.columns:
                 row = stored.agg(F.max(pk).alias("m")).first()
                 offset = int(row["m"] or 0)
-        w = Window.orderBy(F.monotonically_increasing_id())
-        return df.withColumn(pk, (F.row_number().over(w) + offset).cast("long"))
+        mask = (1 << 33) - 1
+        # persist so the count job and every later action see identical
+        # partition layouts (and therefore identical generated ids)
+        tagged = df.withColumn("_mrsm_mid", F.monotonically_increasing_id()).persist()
+        parts = sorted(
+            (r["_pid"], r["_n"])
+            for r in tagged.groupBy(
+                F.shiftright(F.col("_mrsm_mid"), 33).alias("_pid")
+            ).agg(F.count(F.lit(1)).alias("_n")).collect()
+        )
+        cum, offsets = 0, {}
+        for pid, n in parts:
+            offsets[pid] = cum
+            cum += n
+        if offsets:
+            pairs: list[F.Column] = []
+            for pid, off in offsets.items():
+                pairs += [F.lit(int(pid)), F.lit(int(off))]
+            off_col = F.element_at(
+                F.create_map(*pairs), F.shiftright(F.col("_mrsm_mid"), 33)
+            )
+        else:
+            off_col = F.lit(0)
+        return tagged.withColumn(
+            pk,
+            (F.col("_mrsm_mid").bitwiseAND(F.lit(mask)) + off_col
+             + F.lit(offset) + 1).cast("long"),
+        ).drop("_mrsm_mid")
 
     # ----------------------------------------------------------------- fetch
 

@@ -802,7 +802,7 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionization",
     """
     WITH gaps AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     OR lag(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
@@ -810,7 +810,7 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM gaps
     )
@@ -827,7 +827,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
     new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
-    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0)
     return (
         ev.withColumn("new_session", new_sess)

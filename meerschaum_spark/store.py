@@ -188,6 +188,21 @@ class ParquetPipeStore:
         if not self.exists():
             self.append(patch)
             return
+        # Partial-column patches that omit the partition-driving datetime
+        # column MUST recover it before _mrsm_part is computed — otherwise
+        # every patch row lands in partition 0, the true partitions keep
+        # their stale rows, and pruned reads go wrong. Re-attach dt_col (and
+        # any other missing columns) first via a column-pruned key join
+        # against the whole table; this is the only merge shape that cannot
+        # be partition-scoped, because the patch carries no time bounds.
+        if (
+            self.dt_col is not None
+            and self.dt_col not in patch.columns
+            and self.dt_col not in keys
+        ):
+            full = self.read(dtypes=dtypes, keep_part_col=False)
+            missing_pre = [c for c in full.columns if c not in patch.columns]
+            patch = self._reattach(patch, full, keys, missing_pre)
         patch = self.with_part(patch)
         # Affected partitions: small driver-side list (bounded by the patch's
         # time range / chunk width — the analogue of MERGE date-bound pruning).
@@ -203,16 +218,7 @@ class ParquetPipeStore:
         missing = [c for c in existing.columns
                    if c not in patch.columns and c != PART_COL]
         if missing:
-            e_m = existing.select(*keys, *missing).alias("em")
-            p_m = patch.alias("pm")
-            cond_m = None
-            for k in keys:
-                c = F.col(f"pm.{k}").eqNullSafe(F.col(f"em.{k}"))
-                cond_m = c if cond_m is None else (cond_m & c)
-            patch = p_m.join(e_m, on=cond_m, how="left").select(
-                *[F.col(f"pm.{c}") for c in patch.columns],
-                *[F.col(f"em.{c}").alias(c) for c in missing],
-            )
+            patch = self._reattach(patch, existing, keys, missing)
 
         p = patch.alias("p")
         e = existing.alias("e")
@@ -224,6 +230,28 @@ class ParquetPipeStore:
         # column union — kept rows MUST NOT lose columns absent from the patch
         merged = keep.unionByName(patch, allowMissingColumns=True)
         self._swap_partitions(merged, parts)
+
+    @staticmethod
+    def _reattach(
+        patch: DataFrame,
+        existing: DataFrame,
+        keys: list[str],
+        missing: list[str],
+    ) -> DataFrame:
+        """Left-join the stored values of ``missing`` columns onto ``patch``
+        by null-safe key equality (reference J7 partial-column update)."""
+        if not missing:
+            return patch
+        e_m = existing.select(*keys, *missing).alias("em")
+        p_m = patch.alias("pm")
+        cond_m = None
+        for k in keys:
+            c = F.col(f"pm.{k}").eqNullSafe(F.col(f"em.{k}"))
+            cond_m = c if cond_m is None else (cond_m & c)
+        return p_m.join(e_m, on=cond_m, how="left").select(
+            *[F.col(f"pm.{c}") for c in patch.columns],
+            *[F.col(f"em.{c}").alias(c) for c in missing],
+        )
 
     def delete_where(self, cond: F.Column, dtypes: dict[str, str] | None = None,
                      begin_us: int | None = None, end_us: int | None = None) -> int:

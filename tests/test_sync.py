@@ -7,6 +7,8 @@ import datetime
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from meerschaum_spark.pipe import Pipe
 
 UTC = datetime.timezone.utc
@@ -271,3 +273,80 @@ def test_upsert_partial_columns(spark, instance_dir):
     pipe.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "val": 42.0}]))
     [doc] = pipe.get_docs()
     assert doc["val"] == 42.0 and doc["extra"] == "E"
+
+
+def test_merge_patch_missing_dt_keeps_partitions(spark, instance_dir):
+    """An upsert patch that omits the datetime column must update rows in
+    their TRUE time partitions — not strand them in partition 0 with a null
+    dt (which would both duplicate keys and break partition pruning)."""
+    import os
+    pipe = Pipe("test", "nodtpatch", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"}, upsert=True)
+    pipe.sync(batch([
+        {"dt": dtm(2024, 1, 1), "id": 1, "val": 1.0},
+        {"dt": dtm(2024, 3, 1), "id": 2, "val": 2.0},
+    ]))
+    res = pipe.sync(batch([{"id": 1, "val": 99.0}]))
+    assert res.success
+    assert pipe.get_rowcount() == 2
+    docs = {d["id"]: d for d in pipe.get_docs()}
+    assert docs[1]["val"] == 99.0
+    assert docs[1]["dt"] is not None and docs[1]["dt"].month == 1
+    # no null/zero partition appeared
+    part_dirs = sorted(os.listdir(pipe.store.data_path))
+    assert all("__HIVE_DEFAULT_PARTITION__" not in d for d in part_dirs)
+    assert "_mrsm_part=0" not in part_dirs
+    # pruned read by dt still sees the updated value
+    rows = pipe.get_data(begin=dtm(2024, 1, 1), end=dtm(2024, 2, 1)).collect()
+    assert len(rows) == 1 and rows[0]["val"] == 99.0
+
+
+def test_sync_underscore_key_values_not_negated(spark, instance_dir):
+    """Key VALUES beginning with '_' are data, not params-DSL negation —
+    the internal existence pushdown must not reinterpret them (a re-sync
+    would otherwise re-insert the rows as unseen)."""
+    pipe = Pipe("test", "underscorekeys", instance=instance_dir, spark=spark,
+                columns={"id": "id"})
+    rows = [{"id": "_foo", "val": 1}, {"id": "_bar", "val": 2}]
+    pipe.sync(batch(rows))
+    res = pipe.sync(batch(rows))
+    assert res.inserted == 0 and res.updated == 0
+    assert pipe.get_rowcount() == 2
+
+
+def test_sync_duplicate_keys_in_batch_keep_one(spark, instance_dir):
+    """A non-upsert batch carrying two differing rows for one key must not
+    persist duplicate index keys (merge sources are deduped keep-one)."""
+    pipe = Pipe("test", "dupkeys", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"})
+    pipe.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "val": 1}]))
+    pipe.sync(batch([
+        {"dt": dtm(2024, 1, 1), "id": 1, "val": 50},
+        {"dt": dtm(2024, 1, 1), "id": 1, "val": 60},
+    ]))
+    assert pipe.get_rowcount() == 1
+
+
+def test_autoincrement_multipartition_no_global_window(spark, instance_dir):
+    """Autoincrement over a multi-partition batch: ids are contiguous
+    1..N and the plan contains no single-partition global Window (the
+    driver-funnel shape Spark warns about)."""
+    pipe = Pipe("test", "pkpar", instance=instance_dir, spark=spark,
+                columns={"primary": "pk", "datetime": "dt"},
+                autoincrement=True)
+    src = spark.range(1000).repartition(8).select(
+        F.lit(dtm(2024, 1, 1)).alias("dt"), F.col("id").alias("val"))
+    out = pipe._apply_autoincrement(src)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    ids = sorted(r["pk"] for r in out.select("pk").collect())
+    assert ids == list(range(1, 1001))
+    # full sync round-trip across two batches stays contiguous
+    res = pipe.sync(src)
+    assert res.success and res.inserted == 1000
+    res2 = pipe.sync(spark.range(500).repartition(4).select(
+        F.lit(dtm(2024, 1, 2)).alias("dt"), F.col("id").alias("val")))
+    assert res2.success and res2.inserted == 500
+    stored = sorted(r["pk"] for r in
+                    pipe.get_data(select_columns=["pk"], order=None).collect())
+    assert stored == list(range(1, 1501))

@@ -69,11 +69,21 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     scope_col: str | None = None,
     n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Pairwise n-gram Jaccard via shingle-join (no cross product):
     explode distinct shingles, self-join on shingle (within ``scope_col``
     when given — the shard-local pattern), count shared, then
-    |A∩B| / (|A| + |B| − |A∩B|)."""
+    |A∩B| / (|A| + |B| − |A∩B|).
+
+    ``max_shingle_df`` caps shingle document frequency: a shingle shared
+    by k documents creates a k² join bucket, so one "stop shingle" (a
+    boilerplate phrase appearing everywhere) turns the equi-join
+    quadratic. Shingles with DF > cap are dropped from BOTH the
+    intersection and the set sizes — Jaccard is then computed over the
+    capped shingle sets, the standard CCNet/Gopher-style treatment. The
+    hot set is tiny by construction, so it is removed with a broadcast
+    anti-join, not a shuffle."""
     scope = [scope_col] if scope_col else []
     # join on the shingle's 60-bit hash, not the string: ~3× smaller
     # shuffle/checkpoint, and identical results cross-engine (hash
@@ -86,6 +96,15 @@ def jaccard_pairs(
     # shingle pipeline on both sides (measured 3× slower); at cluster
     # scale this would be a persisted signatures table
     exploded = exploded.localCheckpoint(eager=True)
+    if max_shingle_df is not None:
+        hot = (exploded.groupBy(*scope, "s")
+               .agg(F.count(F.lit(1)).alias("_df"))
+               .filter(F.col("_df") > max_shingle_df)
+               .select(*scope, "s"))
+        # no second checkpoint: the anti-join is a cheap broadcast probe
+        # over the already-checkpointed exploded table
+        exploded = exploded.join(F.broadcast(hot), on=[*scope, "s"],
+                                 how="left_anti")
     sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")

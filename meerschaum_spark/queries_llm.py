@@ -146,14 +146,24 @@ _SHINGLES_SQL = (
 )
 
 
+#: shingle document-frequency cap for the Jaccard catalog query: a shingle
+#: appearing in more than this many docs (per source) is treated as a stop
+#: shingle and excluded from the Jaccard sets on BOTH engines.
+JACCARD_MAX_SHINGLE_DF = 20
+
+
 @query(
     "doc_ngram_jaccard_topk",
     f"""
     WITH base AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
     sh AS (SELECT doc_id, source, {_SHINGLES_SQL} AS shingles FROM base),
-    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
-    ex AS (SELECT doc_id, source,
-                  {_H60.format(x='unnest(shingles)')} AS s FROM sh),
+    ex0 AS (SELECT doc_id, source,
+                   {_H60.format(x='unnest(shingles)')} AS s FROM sh),
+    dfreq AS (SELECT source, s, count(*) AS sdf FROM ex0 GROUP BY 1, 2),
+    ex AS (SELECT ex0.doc_id, ex0.source, ex0.s
+           FROM ex0 JOIN dfreq ON ex0.source = dfreq.source AND ex0.s = dfreq.s
+           WHERE dfreq.sdf <= {JACCARD_MAX_SHINGLE_DF}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY 1),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
       FROM ex a JOIN ex b
@@ -170,7 +180,8 @@ _SHINGLES_SQL = (
 )
 def doc_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize(load_table(spark, sf_dir, "documents"))
-    pairs = D.jaccard_pairs(docs, scope_col="source", n=3)
+    pairs = D.jaccard_pairs(docs, scope_col="source", n=3,
+                            max_shingle_df=JACCARD_MAX_SHINGLE_DF)
     return pairs.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(20)
 
 

@@ -123,3 +123,27 @@ def test_multimodal_features_and_stub(docs):
     assert 64 <= fake[1]["width"] <= 255 and fake[1]["n_channels"] in (1, 2, 3)
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG")
+
+
+def test_jaccard_shingle_df_cap(spark):
+    """A ubiquitous boilerplate shingle shared by every doc must not
+    create a quadratic join bucket: with a DF cap it is excluded from
+    both the intersection and the set sizes, and docs that only matched
+    through it produce no pair at all."""
+    boiler = "terms of service apply here"
+    rows = [(i, f"{boiler} unique{i} filler{i} extra{i} pad{i}", "s")
+            for i in range(1, 41)]
+    # docs 1 and 2 additionally share a RARE phrase → still paired
+    rows[0] = (1, f"{boiler} shared rare phrase one", "s")
+    rows[1] = (2, f"{boiler} shared rare phrase two", "s")
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pairs = D.jaccard_pairs(df, scope_col="source", n=3,
+                            max_shingle_df=10).collect()
+    keys = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in keys
+    # boilerplate-only overlaps are gone: without the cap every one of the
+    # 40 docs pairs with every other (780 pairs)
+    assert len(keys) < 50
+    j12 = [r["jaccard"] for r in pairs if (r["doc_a"], r["doc_b"]) == (1, 2)][0]
+    # jaccard computed over capped sets: "shared rare phrase" 3-grams
+    assert j12 > 0.2

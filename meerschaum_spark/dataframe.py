@@ -47,30 +47,65 @@ def parse_simple_lines(text: str) -> pd.DataFrame:
 
 
 def sniff_special_dtypes(pdf: pd.DataFrame) -> dict[str, str]:
-    """Detect json / numeric / uuid / bytes object columns from the first
-    non-null value per column (reference utils/dataframe.py:671-1234)."""
+    """Detect json / numeric / uuid / bytes object columns by scanning ALL
+    values (reference utils/dataframe.py:671-1234 scans the whole column —
+    sampling only the first value mis-types a column whose values mix
+    kinds, a silent-corruption class).
+
+    Resolution for mixed columns:
+      * any dict/list value            → json  (scalars serialize alongside)
+      * any Decimal, rest int/float    → numeric (the reference's
+                                         ``mixed_numerics`` handling)
+      * ALL non-null UUID / bytes / datetime / date → that type
+        (a single stray scalar disqualifies the column rather than
+        corrupting it at cast time)
+    """
     special: dict[str, str] = {}
     for col in pdf.columns:
         if pdf[col].dtype != object:
             continue
-        sample = None
+        any_json = any_decimal = False
+        all_numeric = all_uuid = all_bytes = all_dt = all_date = True
+        n_seen = 0
         for v in pdf[col]:
-            if v is not None and not (isinstance(v, float) and pd.isna(v)):
-                sample = v
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                continue
+            n_seen += 1
+            if isinstance(v, (dict, list)):
+                any_json = True
                 break
-        if sample is None:
+            if isinstance(v, Decimal):
+                any_decimal = True
+            elif isinstance(v, str):
+                # numeric-looking strings ride along with Decimals
+                # (reference attempt_cast_to_numeric accepts them)
+                try:
+                    Decimal(v)
+                except Exception:
+                    all_numeric = False
+            elif not isinstance(v, (int, float)):
+                all_numeric = False
+            if not isinstance(v, uuid_mod.UUID):
+                all_uuid = False
+            if not isinstance(v, (bytes, bytearray)):
+                all_bytes = False
+            if not isinstance(v, datetime.datetime):
+                all_dt = False
+            if isinstance(v, datetime.datetime) or not isinstance(v, datetime.date):
+                all_date = False
+        if n_seen == 0:
             continue
-        if isinstance(sample, (dict, list)):
+        if any_json:
             special[col] = "json"
-        elif isinstance(sample, Decimal):
+        elif any_decimal and all_numeric:
             special[col] = "numeric"
-        elif isinstance(sample, uuid_mod.UUID):
+        elif all_uuid:
             special[col] = "uuid"
-        elif isinstance(sample, (bytes, bytearray)):
+        elif all_bytes:
             special[col] = "bytes"
-        elif isinstance(sample, datetime.datetime):
+        elif all_dt:
             special[col] = "datetime"
-        elif isinstance(sample, datetime.date):
+        elif all_date:
             special[col] = "date"
     return special
 

@@ -49,6 +49,7 @@ DEFAULT_BACKTRACK_MINUTES = 1440   # reference config/_default.py:236
 FILTER_PARAMS_INDEX_LIMIT = 250    # reference config/_default.py:247
 BOUNDS_SLOP_MINUTES = 1            # reference core/Pipe/_sync.py:794-858
 HIT_COL = "_mrsm_hit"              # marker: batch row's key exists in store
+VERIFY_BOUND_DAYS = 366            # reference config/_default.py:239
 
 
 _DEFINITION_BAD_WORDS = (
@@ -293,6 +294,15 @@ class Pipe:
             begin_us=self._bound_us(begin),
             end_us=self._bound_us(end),
         )
+        if (begin is not None or end is not None) and (
+            self.dt_col is None or (df.columns and self.dt_col not in df.columns)
+        ):
+            # bounds against a missing/misregistered datetime column must
+            # error, not silently return the unbounded table
+            raise ValueError(
+                f"begin/end given but datetime column "
+                f"{self.dt_col!r} is not in the stored columns."
+            )
         cond = combine_filters(
             datetime_filter(self.dt_col if self.dt_col in df.columns else None,
                             begin, end),
@@ -874,11 +884,16 @@ class Pipe:
         order = ([F.col(c).desc_nulls_last() for c in others] or [F.lit(1).asc()])
         w = Window.partitionBy(*keys).orderBy(*order)
         ranked = df.withColumn("_rn", F.row_number().over(w))
-        dup_parts = [r[0] for r in ranked.filter(F.col("_rn") > 1)
-                     .select("_mrsm_part").distinct().collect()]
+        # ONE job yields both the affected-partition list and the removed-row
+        # count (the per-partition duplicate tally) — replacing the previous
+        # distinct-parts job plus two full bounded rowcount jobs
+        dup_stats = (ranked.filter(F.col("_rn") > 1)
+                     .groupBy("_mrsm_part")
+                     .agg(F.count(F.lit(1)).alias("_n")).collect())
+        dup_parts = [r["_mrsm_part"] for r in dup_stats]
+        n_removed = sum(r["_n"] for r in dup_stats)
         if not dup_parts:
             return SyncResult(True, "No duplicates found.", 0, 0)
-        n_before = self.get_rowcount(begin=begin, end=end, params=params)
         scoped = self.store.read(dtypes=self.dtypes or None, keep_part_col=True,
                                  part_values=dup_parts)
         if cond is not None:
@@ -893,9 +908,8 @@ class Pipe:
         if out_scope is not None:
             deduped = deduped.unionByName(out_scope)
         self.store._swap_partitions(deduped, dup_parts)
-        n_after = self.get_rowcount(begin=begin, end=end, params=params)
-        return SyncResult(True, f"Removed {n_before - n_after} duplicates.",
-                          0, n_before - n_after)
+        return SyncResult(True, f"Removed {n_removed} duplicates.",
+                          0, n_removed)
 
     def clear(self, begin: Any = None, end: Any = None,
               params: dict[str, Any] | None = None) -> int:
@@ -923,16 +937,24 @@ class Pipe:
         max_retries: int = 3,
         rowcount_only: bool = False,
         workers: int = 1,
+        bound_days: int | None = VERIFY_BOUND_DAYS,
     ) -> SyncResult:
         """Chunked re-sync over the epoch-aligned grid (reference
         core/Pipe/_verify.py:18-440): each ``[b, e)`` window re-fetches and
         re-syncs; upsert/diff semantics make it idempotent. Chunks touch
         disjoint store partitions, so they could run concurrently.
 
+        When no explicit ``begin`` is given, the window is capped at
+        ``bound_days`` before the end bound (reference _verify.py:52,599 +
+        config/_default.py:239, default 366) — an unbounded verify on a
+        ten-year pipe must not walk its full history. Pass
+        ``bound_days=None`` (or an explicit ``begin``) for a full walk.
+
         ``rowcount_only=True`` compares local vs source rowcounts per chunk
         instead of re-syncing (reference _verify.py:218-245) and reports
         the mismatched windows."""
         chunk_minutes = chunk_minutes or self.chunk_minutes
+        explicit_begin = begin is not None
         begin = self._parse_bound(begin) if begin is not None else \
             self.get_sync_time(newest=False)
         end = self._parse_bound(end) if end is not None else None
@@ -943,6 +965,14 @@ class Pipe:
                               if isinstance(last, datetime.datetime) else 1)
         if begin is None or end is None:
             return SyncResult(False, "No bounds to verify.")
+        if not explicit_begin and bound_days is not None:
+            if isinstance(end, datetime.datetime):
+                floor = end - datetime.timedelta(days=bound_days)
+            else:
+                floor = end - (bound_days * 86_400_000_000
+                               // UNIT_US[self.precision_unit])
+            if begin < floor:
+                begin = floor
         if rowcount_only:
             mismatched = []
             for b, e in get_chunk_bounds(begin, end, chunk_minutes,
@@ -963,14 +993,18 @@ class Pipe:
                                 for b, e, s, l in mismatched[:5]))
             return SyncResult(True, "All chunk rowcounts match.")
 
+        retry_counts: dict[tuple, int] = {}
+
         def sync_chunk(bounds):
             b, e = bounds
             data = source(b, e) if source is not None else self.fetch(begin=b, end=e)
             if data is None:
                 return SyncResult(True, "empty", 0, 0)
             last = None
-            for _attempt in range(max_retries):
+            for attempt in range(max_retries):
                 last = self.sync(data, begin=b, end=e)
+                if attempt:
+                    retry_counts[(b, e)] = attempt
                 if last.success:
                     return last
             return last or SyncResult(False, f"Chunk [{b}, {e}) failed.")
@@ -991,11 +1025,16 @@ class Pipe:
         total_ins = sum(r.inserted for r in results if r)
         total_upd = sum(r.updated for r in results if r)
         failed = [r for r in results if not r]
+        retry_note = (f" ({len(retry_counts)} chunk(s) retried, "
+                      f"{sum(retry_counts.values())} retries)"
+                      if retry_counts else "")
         if failed:
             return SyncResult(False, f"{len(failed)} chunk(s) failed: "
-                              f"{failed[0].message}", total_ins, total_upd)
+                              f"{failed[0].message}{retry_note}",
+                              total_ins, total_upd)
         return SyncResult(True, f"Verified: +{total_ins} inserted, "
-                          f"{total_upd} updated.", total_ins, total_upd)
+                          f"{total_upd} updated.{retry_note}",
+                          total_ins, total_upd)
 
     def copy_to(self, other: "Pipe", begin: Any = None, end: Any = None,
                 params: dict[str, Any] | None = None) -> SyncResult:

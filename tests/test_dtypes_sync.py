@@ -109,3 +109,51 @@ def test_tz_naive_and_aware_mix(spark, instance_dir):
     ]))
     assert res.inserted == 0 and res.updated == 0
     assert pipe.get_rowcount() == 1
+
+
+def test_quantize_on_ingest_half_up(spark, instance_dir):
+    """numeric(p,s) columns quantize on write with ROUND_HALF_UP
+    (reference utils/dtypes/__init__.py:533-560): 1.005 -> 1.01."""
+    pipe = Pipe("dtypes", "quant", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"},
+                dtypes={"val": "numeric(10,2)"})
+    pipe.sync(pd.DataFrame([
+        {"dt": dtm(2024, 1, 1), "id": 1, "val": Decimal("1.005")},
+        {"dt": dtm(2024, 1, 1), "id": 2, "val": Decimal("2.674")},
+        {"dt": dtm(2024, 1, 1), "id": 3, "val": "3.995"},
+    ]))
+    vals = {d["id"]: d["val"] for d in pipe.get_docs()}
+    assert vals[1] == Decimal("1.01")
+    assert vals[2] == Decimal("2.67")
+    assert vals[3] == Decimal("4.00")
+
+
+def test_mixed_numerics_column(spark, instance_dir):
+    """A column mixing Decimal, int, and float resolves to numeric
+    (reference mixed_numerics), not to the type of the first value."""
+    pipe = Pipe("dtypes", "mixednum", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"})
+    pipe.sync(pd.DataFrame([
+        {"dt": dtm(2024, 1, 1), "id": 1, "val": 2},
+        {"dt": dtm(2024, 1, 1), "id": 2, "val": 0.5},
+        {"dt": dtm(2024, 1, 1), "id": 3, "val": Decimal("1.25")},
+    ]))
+    assert pipe.dtypes["val"].startswith("numeric")
+    vals = {d["id"]: d["val"] for d in pipe.get_docs()}
+    assert vals[3] == Decimal("1.25") and vals[1] == Decimal("2")
+
+
+def test_sniff_scans_all_values(spark, instance_dir):
+    """A column whose FIRST value looks special but later holds plain
+    strings must not be mis-typed for the whole batch."""
+    from meerschaum_spark.dataframe import sniff_special_dtypes
+    pdf = pd.DataFrame([
+        {"u": uuid.UUID("12345678-1234-5678-1234-567812345678"),
+         "d": Decimal("1.5"), "ok_num": Decimal("1.5"), "ok_json": "scalar"},
+        {"u": "not-a-uuid", "d": "text", "ok_num": 2, "ok_json": {"a": 1}},
+    ])
+    sniffed = sniff_special_dtypes(pdf)
+    assert "u" not in sniffed
+    assert "d" not in sniffed
+    assert sniffed["ok_num"] == "numeric"
+    assert sniffed["ok_json"] == "json"

@@ -88,3 +88,16 @@ def test_get_docs_and_distinct(filled):
     assert len(docs) == 4 and all(isinstance(d, dict) for d in docs)
     assert filled.get_distinct_count("id") == 2
     assert filled.get_size() > 0
+
+
+def test_get_data_bounds_without_dt_col_raises(spark, instance_dir):
+    """Bounds against a pipe with no registered datetime column must raise,
+    not silently return the unbounded table."""
+    import pandas as pd
+    import pytest as _pytest
+    from meerschaum_spark.pipe import Pipe
+    pipe = Pipe("test", "nodt", instance=instance_dir, spark=spark,
+                columns={"id": "id"})
+    pipe.sync(pd.DataFrame([{"id": 1, "val": 2}]))
+    with _pytest.raises(ValueError, match="datetime column"):
+        pipe.get_data(begin="2024-01-01")

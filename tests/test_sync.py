@@ -350,3 +350,34 @@ def test_autoincrement_multipartition_no_global_window(spark, instance_dir):
     stored = sorted(r["pk"] for r in
                     pipe.get_data(select_columns=["pk"], order=None).collect())
     assert stored == list(range(1, 1501))
+
+
+def test_verify_bound_days_caps_window(spark, instance_dir):
+    """An unbounded verify on a long-history pipe walks only the last
+    bound_days of data (reference default 366), not the full history."""
+    old = {"dt": dtm(2020, 1, 1), "id": 1, "val": 0.0}
+    recent = [{"dt": dtm(2024, 1, 1) + datetime.timedelta(days=i),
+               "id": 1, "val": float(i)} for i in range(3)]
+    pipe = Pipe("test", "verifybound", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"})
+    pipe.sync(batch([old] + recent))
+
+    seen_bounds = []
+
+    def source(b, e):
+        seen_bounds.append((b, e))
+        return batch([r for r in [old] + recent
+                      if (b is None or r["dt"] >= b)
+                      and (e is None or r["dt"] < e)])
+
+    res = pipe.verify(source=source, chunk_minutes=60 * 24 * 400)
+    assert res.success
+    floor = min(b for b, _ in seen_bounds)
+    # 2020 history is outside the 366-day bound from the newest row
+    assert floor >= dtm(2023, 1, 1)
+    # explicit begin overrides the cap
+    seen_bounds.clear()
+    res = pipe.verify(source=source, begin=dtm(2019, 1, 1),
+                      chunk_minutes=60 * 24 * 4000)
+    assert res.success
+    assert min(b for b, _ in seen_bounds) <= dtm(2020, 1, 1)

@@ -22,7 +22,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from meerschaum_spark import geometry as _geo
 from meerschaum_spark.dtypes import (
+    canonical_dtype,
     canonical_json,
     coerce_timezone,
     from_spark_type,
@@ -66,14 +68,19 @@ def sniff_special_dtypes(pdf: pd.DataFrame) -> dict[str, str]:
             continue
         any_json = any_decimal = False
         all_numeric = all_uuid = all_bytes = all_dt = all_date = True
+        all_geometry = True
         n_seen = 0
         for v in pdf[col]:
             if v is None or (isinstance(v, float) and pd.isna(v)):
                 continue
             n_seen += 1
+            if not (isinstance(v, _geo.Geometry) or _geo.looks_like_wkt(v)
+                    or _geo.looks_like_geojson_geometry(v)):
+                all_geometry = False
             if isinstance(v, (dict, list)):
                 any_json = True
-                break
+                if not all_geometry:
+                    break
             if isinstance(v, Decimal):
                 any_decimal = True
             elif isinstance(v, str):
@@ -95,7 +102,9 @@ def sniff_special_dtypes(pdf: pd.DataFrame) -> dict[str, str]:
                 all_date = False
         if n_seen == 0:
             continue
-        if any_json:
+        if all_geometry:
+            special[col] = "geometry"
+        elif any_json:
             special[col] = "json"
         elif any_decimal and all_numeric:
             special[col] = "numeric"
@@ -113,7 +122,15 @@ def sniff_special_dtypes(pdf: pd.DataFrame) -> dict[str, str]:
 def _serialize_for_spark(pdf: pd.DataFrame, special: dict[str, str]) -> pd.DataFrame:
     pdf = pdf.copy()
     for col, dtype in special.items():
-        if dtype == "json":
+        if dtype == "geometry":
+            # values already WKB bytes (declared columns pre-serialized
+            # with their SRID) pass through untouched
+            pdf[col] = pdf[col].map(
+                lambda v: _geo.serialize_geometry(v, "wkb")
+                if v is not None and not isinstance(v, (bytes, bytearray))
+                else v
+            )
+        elif dtype == "json":
             pdf[col] = pdf[col].map(
                 lambda v: canonical_json(v) if v is not None else None
             )
@@ -145,8 +162,23 @@ def to_spark_df(
     if not isinstance(data, pd.DataFrame):
         raise TypeError(f"Cannot ingest {type(data)!r}")
 
-    pdf = data
+    pdf = data.copy()
+    # registered geometry columns serialize FIRST (with their declared
+    # SRID) — sniffing would otherwise WKB-encode them without it
+    geo_declared = {
+        col: canonical_dtype(dt) for col, dt in (dtypes or {}).items()
+        if col in pdf.columns and pdf[col].dtype == object
+        and canonical_dtype(dt).startswith(("geometry", "geography"))
+    }
+    for col, cdt in geo_declared.items():
+        _, srid = _geo.parse_geometry_dtype(cdt)
+        pdf[col] = pdf[col].map(
+            lambda v: _geo.serialize_geometry(v, "wkb", srid=srid or None)
+            if v is not None else None
+        )
     special = sniff_special_dtypes(pdf)
+    for col in geo_declared:
+        special[col] = "geometry"
     pdf = _serialize_for_spark(pdf, special)
 
     # Parse string datetime columns: ones the registry declares, plus
@@ -171,7 +203,7 @@ def to_spark_df(
     inferred = {c: from_spark_type(f.dataType) for c, f in
                 zip(sdf.columns, sdf.schema.fields)}
     for col, dtype in special.items():
-        if dtype in ("json", "uuid"):
+        if dtype in ("json", "uuid", "geometry"):
             inferred[col] = dtype
         elif dtype == "numeric":
             inferred[col] = "numeric"

@@ -96,12 +96,20 @@ def canonical_dtype(dtype: str) -> str:
     dtype = (dtype or "str").strip()
     base, args = _split_dtype_args(dtype)
     base = MRSM_ALIAS_DTYPES.get(base, base)
-    return f"{base}({args})" if args else base
+    if not args:
+        return base
+    if base in ("geometry", "geography"):
+        return f"{base}[{args}]"  # reference bracket modifier syntax
+    return f"{base}({args})"
 
 
 def _split_dtype_args(dtype: str) -> tuple[str, str | None]:
     if "(" in dtype and dtype.endswith(")"):
         base, _, rest = dtype.partition("(")
+        return base.strip(), rest[:-1].strip()
+    if "[" in dtype and dtype.endswith("]"):
+        # reference modifier syntax: geometry[LineString, 4326]
+        base, _, rest = dtype.partition("[")
         return base.strip(), rest[:-1].strip()
     return dtype, None
 
@@ -119,6 +127,8 @@ def to_spark_type(dtype: str) -> T.DataType:
         return T.DecimalType(NUMERIC_DEFAULT_PRECISION, NUMERIC_DEFAULT_SCALE)
     if base in _BASE_SPARK_TYPES:
         return _BASE_SPARK_TYPES[base]
+    if base in ("geometry", "geography"):
+        return T.BinaryType()  # WKB regardless of type/SRID modifier
     raise ValueError(f"Unknown MRSM dtype: {dtype!r}")
 
 

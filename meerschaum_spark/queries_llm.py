@@ -480,3 +480,54 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"))
         .orderBy("event_type")
     )
+
+
+# ===========================================================================
+# Geometry (F8): WKT -> EWKB -> decode, all Arrow-batched
+# ===========================================================================
+
+@query(
+    "geo_wkb_roundtrip",
+    """
+    SELECT event_id,
+           'Point' AS geom_type,
+           4326 AS srid,
+           CAST(event_id % 360 - 180 AS DOUBLE) AS geo_x,
+           CAST(event_id % 180 - 90 AS DOUBLE) AS geo_y,
+           1 AS geo_n_points
+    FROM events
+    WHERE event_id <= 2000
+    ORDER BY event_id
+    """,
+)
+def geo_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry dtype end-to-end on the engine side: build WKT from integer
+    coordinates (identical text cross-engine), encode to EWKB with the
+    pure-Python codec in a pandas UDF, decode back, and emit the recovered
+    metadata. The oracle computes the expected coordinates directly — an
+    exact value match proves the WKB round-trip is lossless."""
+    from meerschaum_spark.functions import geo as G
+    ev = parallelize(
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") <= 2000)
+        .select("event_id"))
+    wkt = F.concat(
+        F.lit("SRID=4326;POINT ("),
+        (F.col("event_id") % 360 - 180).cast("long").cast("string"),
+        F.lit(" "),
+        (F.col("event_id") % 180 - 90).cast("long").cast("string"),
+        F.lit(")"),
+    )
+    with_wkb = ev.withColumn("wkb", G.wkt_to_wkb(wkt))
+    info = G.geom_info(F.col("wkb"))
+    return (
+        with_wkb.select(
+            "event_id",
+            info["geom_type"].alias("geom_type"),
+            info["srid"].alias("srid"),
+            info["x"].alias("geo_x"),
+            info["y"].alias("geo_y"),
+            info["n_points"].alias("geo_n_points"),
+        )
+        .orderBy("event_id")
+    )

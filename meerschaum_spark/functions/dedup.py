@@ -40,6 +40,38 @@ MINHASH_DOMAIN = 1 << 30
 MINHASH_PRIME = (1 << 61) - 1
 
 
+def minhash_mix(i: int) -> tuple[int, int]:
+    """Mixing constants for permutation ``i``, any ``i`` ≥ 0: the first 8
+    are the fixed table above (oracle-stable); further permutations derive
+    deterministically, keeping ``a`` odd and < 2³⁰ so every product stays
+    < 2⁶⁰ (overflow-free in both Spark and DuckDB int64)."""
+    if i < len(MINHASH_MIX):
+        return MINHASH_MIX[i]
+    a = ((976369 + 104_729 * (i + 1)) % MINHASH_DOMAIN) | 1
+    b = 1_000_003 * (i + 1) + 7
+    return a, b
+
+
+def choose_lsh_params(target_sim: float, max_k: int = 256) -> tuple[int, int]:
+    """Derive (k, bands) from a target Jaccard similarity: banded LSH with
+    ``b`` bands of ``r`` rows has detection threshold ≈ (1/b)^(1/r); pick
+    the geometry under ``max_k`` total hashes whose threshold is closest
+    to ``target_sim`` (standard MMDS ch.3 sizing)."""
+    if not 0.0 < target_sim < 1.0:
+        raise ValueError("target_sim must be in (0, 1)")
+    best, best_err = (DEFAULT_MINHASH_K, DEFAULT_BANDS), float("inf")
+    for r in range(1, 33):
+        for b in range(1, max_k // r + 1):
+            thr = (1.0 / b) ** (1.0 / r)
+            err = abs(thr - target_sim)
+            # prefer smaller signatures on ties (cheaper at equal quality)
+            if err < best_err - 1e-12 or (
+                abs(err - best_err) <= 1e-12 and b * r < best[0]
+            ):
+                best, best_err = (b * r, b), err
+    return best
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Group identical content by md5; keep the smallest id as canonical."""
@@ -133,7 +165,8 @@ def jaccard_pairs(
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
-                       k: int = DEFAULT_MINHASH_K) -> DataFrame:
+                       k: int = DEFAULT_MINHASH_K,
+                       keep_cols: list[str] | None = None) -> DataFrame:
     """K-permutation MinHash over the distinct-token set: one md5 per
     token (hash60), then K affine mixes — sig_i = min over tokens of
     (A_i·(h mod 2³⁰) + B_i) mod P. One projection, no shuffle, and the
@@ -146,9 +179,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         return lambda h: (F.lit(a) * (h % F.lit(MINHASH_DOMAIN))
                           + F.lit(b)) % F.lit(MINHASH_PRIME)
 
-    cols = [F.col(id_col)]
+    cols = [F.col(id_col)] + [F.col(c) for c in (keep_cols or [])]
     for i in range(k):
-        a, b = MINHASH_MIX[i % len(MINHASH_MIX)]
+        a, b = minhash_mix(i)
         mixed = F.transform(F.col("_hs"), mixer(a, b))
         cols.append(F.array_min(mixed).alias(f"sig_{i}"))
     return base.select(*cols)
@@ -161,16 +194,28 @@ def lsh_candidate_pairs(
     scope_col: str | None = None,
     k: int = DEFAULT_MINHASH_K,
     bands: int = DEFAULT_BANDS,
+    target_sim: float | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Banded LSH: split the K-long signature into ``bands`` bands of
     K/bands rows, bucket-join on (band_idx, md5(band values)). Returns
-    distinct candidate pairs (doc_a < doc_b)."""
+    distinct candidate pairs (doc_a < doc_b).
+
+    Pass ``target_sim`` to size the band geometry from the data's needs
+    instead of the defaults: (k, bands) are derived so the detection
+    threshold lands near the requested Jaccard similarity
+    (``choose_lsh_params``)."""
+    if target_sim is not None:
+        k, bands = choose_lsh_params(target_sim)
     rows_per_band = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, k)
-    if scope_col:
-        sigs = sigs.join(df.select(id_col, scope_col), id_col)
-    # materialize: both sides of the bucket self-join reuse the signatures
-    sigs = sigs.localCheckpoint(eager=True)
+    if sigs is None:
+        sigs = minhash_signatures(
+            df, text_col, id_col, k,
+            keep_cols=[scope_col] if scope_col else None)
+        # materialize: both sides of the bucket self-join reuse the
+        # signatures (callers with a precomputed table pass ``sigs``
+        # already checkpointed and amortize it across queries)
+        sigs = sigs.localCheckpoint(eager=True)
     band_rows = []
     for b in range(bands):
         members = [F.col(f"sig_{b * rows_per_band + j}").cast("string")
@@ -217,7 +262,8 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 
 def hamming_near_pairs(sim_df: DataFrame, id_col: str = "doc_id",
-                       max_distance: int = 8) -> DataFrame:
+                       max_distance: int = 8,
+                       checkpoint: bool = True) -> DataFrame:
     """SimHash near-dup pairs by Hamming distance, joined on rotated
     prefix buckets (pigeonhole: distance ≤ d means some 60/(d+1)-bit
     block matches exactly) — equi-join, not cross join."""
@@ -225,7 +271,8 @@ def hamming_near_pairs(sim_df: DataFrame, id_col: str = "doc_id",
     width = 60 // blocks
     # materialize the signatures: the block self-join and the final
     # distance filter would otherwise recompute the simhash per branch
-    sim_df = sim_df.localCheckpoint(eager=True)
+    if checkpoint:
+        sim_df = sim_df.localCheckpoint(eager=True)
     exploded = sim_df.select(
         F.col(id_col), F.col("simhash"),
         F.explode(F.array(*[

@@ -39,25 +39,40 @@ def _norm_dbl(v):
     return F.sqrt(_dot_dec(v, v).cast("double"))
 
 
+def _dot_dbl(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    exact_decimal: bool = True,
 ) -> DataFrame:
-    """Exact brute-force cosine top-k of each query against the corpus."""
+    """Exact brute-force cosine top-k of each query against the corpus.
+
+    ``exact_decimal=False`` switches the dot product to plain double
+    arithmetic — ~10× cheaper and the right production setting; the
+    decimal default exists so results are bit-reproducible regardless of
+    partitioning (the catalog's oracle requirement). Ranks only differ
+    when two cosines collide within float rounding."""
     # norms are per-vector, not per-pair: compute them once on each side
     # of the join (Q + N norm computations instead of Q × N)
+    dot = _dot_dec if exact_decimal else _dot_dbl
+    norm = _norm_dbl if exact_decimal else (
+        lambda v: F.sqrt(_dot_dbl(v, v)))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cv"),
-                      _norm_dbl(F.col(vec_col)).alias("cnorm"))
+                      norm(F.col(vec_col)).alias("cnorm"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"),
-                       _norm_dbl(F.col(vec_col)).alias("qnorm"))
+                       norm(F.col(vec_col)).alias("qnorm"))
     joined = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id"))
-    cosine = (_dot_dec(F.col("qv"), F.col("cv")).cast("double")
+    cosine = (dot(F.col("qv"), F.col("cv")).cast("double")
               / (F.col("qnorm") * F.col("cnorm")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
@@ -75,12 +90,14 @@ def _plane_component(p: int, d) -> F.Column:
     return F.when(bit == 1, F.lit(1).cast(VDEC)).otherwise(F.lit(-1).cast(VDEC))
 
 
-def lsh_bucket(vec_col) -> F.Column:
-    """Sign-pattern bucket id from N_PLANES deterministic ±1 hyperplanes.
-    Signs are computed on exact decimal sums so bucketing is reproducible
-    across engines."""
+def lsh_bucket(vec_col, n_planes: int = N_PLANES) -> F.Column:
+    """Sign-pattern bucket id from ``n_planes`` deterministic ±1
+    hyperplanes. Signs are computed on exact decimal sums so bucketing is
+    reproducible across engines. More planes → smaller buckets (finer
+    recall/cost tradeoff): expected bucket occupancy is N / 2^n_planes,
+    so size n_planes ≈ log2(N / desired_bucket_size) for the corpus."""
     bucket = F.lit(0).cast("long")
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         terms = F.transform(
             F.sequence(F.lit(0), F.size(vec_col) - 1),
             lambda d: _plane_component(p, d)
@@ -162,17 +179,18 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """Approximate top-k: equi-join query and corpus vectors on their LSH
     bucket, exact cosine re-rank inside the bucket."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cv"),
                       _norm_dbl(F.col(vec_col)).alias("cnorm"),
-                      lsh_bucket(F.col(vec_col)).alias("bucket"))
+                      lsh_bucket(F.col(vec_col), n_planes).alias("bucket"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"),
                        _norm_dbl(F.col(vec_col)).alias("qnorm"),
-                       lsh_bucket(F.col(vec_col)).alias("bucket"))
+                       lsh_bucket(F.col(vec_col), n_planes).alias("bucket"))
     joined = c.join(F.broadcast(q), on="bucket").filter(
         F.col("neighbor_id") != F.col("query_id"))
     cosine = (_dot_dec(F.col("qv"), F.col("cv")).cast("double")

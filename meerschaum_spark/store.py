@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 from typing import Any, Iterable
 
@@ -37,6 +38,7 @@ from pyspark.sql import types as T
 from meerschaum_spark.chunks import DEFAULT_CHUNK_MINUTES
 from meerschaum_spark.dtypes import UNIT_US, normalize_unit, to_spark_type
 
+EXISTS_TTL_SECONDS = 60.0  # reference config/_default.py:244-258
 PART_COL = "_mrsm_part"
 NULL_PART_DIR = f"{PART_COL}=__HIVE_DEFAULT_PARTITION__"
 
@@ -62,6 +64,7 @@ class ParquetPipeStore:
         self.dt_unit = normalize_unit(dt_unit)
         self.chunk_minutes = int(chunk_minutes)
         self.width_us = self.chunk_minutes * 60_000_000
+        self._exists_cache: tuple[bool, float] | None = None
 
     # -- paths -------------------------------------------------------------
 
@@ -74,12 +77,30 @@ class ParquetPipeStore:
         return os.path.join(self.path, "data")
 
     def exists(self) -> bool:
+        """Directory probe with a TTL cache (reference caches ``exists``
+        for 60 s, core/Pipe/_cache.py + config/_default.py:244-258): on a
+        busy driver the per-call listing dominates small-sync latency.
+        Local writes update the cache in place; external writers are
+        covered by expiry."""
+        now = time.monotonic()
+        if self._exists_cache is not None:
+            val, ts = self._exists_cache
+            if now - ts < EXISTS_TTL_SECONDS:
+                return val
+        val = self._exists_uncached()
+        self._exists_cache = (val, now)
+        return val
+
+    def _exists_uncached(self) -> bool:
         if not os.path.isdir(self.data_path):
             return False
         for entry in os.scandir(self.data_path):
             if entry.is_dir() and entry.name.startswith(f"{PART_COL}="):
                 return True
         return False
+
+    def _mark_exists(self, val: bool) -> None:
+        self._exists_cache = (val, time.monotonic())
 
     # -- partition key -----------------------------------------------------
 
@@ -157,6 +178,7 @@ class ParquetPipeStore:
         """File-add append of rows known to be unseen (no rewrite)."""
         out = self.with_part(df)
         out.write.mode("append").partitionBy(PART_COL).parquet(self.data_path)
+        self._mark_exists(True)
 
     def overwrite(self, df: DataFrame) -> None:
         """Full-table replace."""
@@ -169,6 +191,7 @@ class ParquetPipeStore:
             self.with_part(df).write.mode("overwrite").partitionBy(PART_COL).parquet(
                 self.data_path
             )
+        self._mark_exists(True)
 
     def merge(
         self,
@@ -276,6 +299,7 @@ class ParquetPipeStore:
     def drop(self) -> None:
         if os.path.isdir(self.path):
             shutil.rmtree(self.path)
+        self._mark_exists(False)
 
     # -- staging swap ------------------------------------------------------
 
@@ -311,6 +335,8 @@ class ParquetPipeStore:
                 # else: partition fully emptied — leave it deleted
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+        # a rewrite can empty the table entirely — refresh, don't assume
+        self._mark_exists(self._exists_uncached())
 
     # -- stats -------------------------------------------------------------
 

@@ -147,3 +147,75 @@ def test_jaccard_shingle_df_cap(spark):
     j12 = [r["jaccard"] for r in pairs if (r["doc_a"], r["doc_b"]) == (1, 2)][0]
     # jaccard computed over capped sets: "shared rare phrase" 3-grams
     assert j12 > 0.2
+
+
+def test_choose_lsh_params_threshold():
+    """Band geometry derived from a target similarity: the detection
+    threshold (1/b)^(1/r) of the chosen (k, bands) is near the target."""
+    for target in (0.5, 0.8, 0.9):
+        k, bands = D.choose_lsh_params(target)
+        r = k // bands
+        thr = (1.0 / bands) ** (1.0 / r)
+        assert abs(thr - target) < 0.05, (target, k, bands, thr)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        D.choose_lsh_params(1.5)
+
+
+def test_minhash_mix_extends_beyond_table():
+    """k > 8 uses derived, distinct, overflow-safe mixing constants."""
+    seen = set()
+    for i in range(32):
+        a, b = D.minhash_mix(i)
+        assert 0 < a < D.MINHASH_DOMAIN and a % 2 == 1 or i < 8
+        assert (a, b) not in seen
+        seen.add((a, b))
+    assert D.minhash_mix(3) == D.MINHASH_MIX[3]  # table prefix unchanged
+
+
+def test_minhash_k16_signatures_distinct(docs):
+    """A 16-permutation signature has 16 DISTINCT components (the old
+    modulo-cycling would silently repeat the first 8)."""
+    row = D.minhash_signatures(docs, k=16).filter("doc_id = 1").first()
+    front = [row[f"sig_{i}"] for i in range(8)]
+    back = [row[f"sig_{i}"] for i in range(8, 16)]
+    assert front != back
+
+
+def test_lsh_candidates_two_settings(docs):
+    """Candidate generation works at both the default and a data-sized
+    geometry; near-dups survive at a loose threshold."""
+    default = {(r["doc_a"], r["doc_b"])
+               for r in D.lsh_candidate_pairs(docs, scope_col="source").collect()}
+    loose = {(r["doc_a"], r["doc_b"])
+             for r in D.lsh_candidate_pairs(docs, scope_col="source",
+                                            target_sim=0.5).collect()}
+    assert (1, 2) in default      # near-dups bucket together (same source)
+    assert (1, 2) in loose
+
+
+def test_ann_lsh_n_planes_param(spark):
+    from meerschaum_spark.functions import similarity as S
+    import random
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.limit(3)
+    fine = S.ann_lsh_topk(df, q, k=3, n_planes=10)
+    coarse = S.ann_lsh_topk(df, q, k=3, n_planes=2)
+    # coarser buckets -> at least as many candidates survive re-rank
+    assert coarse.count() >= fine.count()
+
+
+def test_cosine_fast_path_agrees_on_ranks(spark):
+    from meerschaum_spark.functions import similarity as S
+    import random
+    random.seed(11)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.limit(2)
+    exact = [(r["query_id"], r["neighbor_id"])
+             for r in S.cosine_topk(df, q, k=5).collect()]
+    fast = [(r["query_id"], r["neighbor_id"])
+            for r in S.cosine_topk(df, q, k=5, exact_decimal=False).collect()]
+    assert exact == fast

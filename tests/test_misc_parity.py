@@ -64,3 +64,61 @@ def test_dict_param_json_equality(spark):
     cond = params_to_filter({"props": {"b": 2, "a": 1}})  # key order differs
     got = [r["id"] for r in df.filter(cond).collect()]
     assert got == [1]
+
+
+def test_exists_ttl_cache(spark, instance_dir, monkeypatch):
+    """Repeated exists() calls within the TTL hit no filesystem listing;
+    local writes keep the cache truthful without waiting for expiry."""
+    import os as _os
+    import pandas as pd
+    from meerschaum_spark.pipe import Pipe
+    pipe = Pipe("cache", "exists", instance=instance_dir, spark=spark,
+                columns={"id": "id"})
+    assert pipe.exists() is False
+    pipe.sync(pd.DataFrame([{"id": 1, "val": 1}]))
+    assert pipe.exists() is True
+
+    calls = {"n": 0}
+    real_scandir = _os.scandir
+
+    def counting_scandir(*a, **kw):
+        calls["n"] += 1
+        return real_scandir(*a, **kw)
+
+    monkeypatch.setattr(_os, "scandir", counting_scandir)
+    for _ in range(20):
+        assert pipe.exists() is True
+    assert calls["n"] == 0
+    # drop updates the cache immediately (no stale True)
+    pipe.drop()
+    assert pipe.exists() is False
+
+
+def test_registry_ttl_cache(spark, instance_dir, monkeypatch):
+    """Repeated attribute loads within the TTL hit no JSON re-read; saves
+    refresh the cache in place."""
+    import builtins
+    import pandas as pd
+    from meerschaum_spark.pipe import Pipe
+    pipe = Pipe("cache", "reg", instance=instance_dir, spark=spark,
+                columns={"id": "id"})
+    pipe.sync(pd.DataFrame([{"id": 1, "val": 1}]))
+
+    opens = {"n": 0}
+    real_open = builtins.open
+    reg_dir = pipe.registry.registry_dir
+
+    def counting_open(path, *a, **kw):
+        if isinstance(path, str) and path.startswith(reg_dir) \
+                and "w" not in (a[0] if a else kw.get("mode", "r")):
+            opens["n"] += 1
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", counting_open)
+    for _ in range(10):
+        assert pipe.registry.load(pipe.target) is not None
+    assert opens["n"] == 0
+    pipe.edit(tags=["x"])  # save → cache refreshed, still no re-read
+    doc = pipe.registry.load(pipe.target)
+    assert doc["parameters"]["tags"] == ["x"]
+    assert opens["n"] == 0

@@ -1,0 +1,174 @@
+"""Pipe-over-HTTP server: the server half of S9 (reference FastAPI routes
+in meerschaum/api/routes/_pipes.py:64-1240), stdlib-only.
+
+Serves an instance directory's pipes over the same JSON shapes the client
+half (``sources/http.py``) consumes, so two engines can chain: pipe B on
+machine 2 fetches from pipe A's endpoint with begin/end bounds, and the
+incremental-sync diff machinery absorbs the overlap.
+
+Routes (mirroring the reference's route table):
+  GET  /pipes                                    → registered pipe keys
+  GET  /pipes/{conn}/{metric}[/{loc}]/data       → bounded docs (begin/end/params/limit)
+  GET  /pipes/{conn}/{metric}[/{loc}]/sync_time  → newest/oldest dt
+  GET  /pipes/{conn}/{metric}[/{loc}]/rowcount   → bounded count
+  GET  /pipes/{conn}/{metric}[/{loc}]/attributes → parameters doc
+  GET  /pipes/{conn}/{metric}[/{loc}]/exists     → bool
+  GET  /pipes/{conn}/{metric}[/{loc}]/columns/types → dtypes
+  POST /pipes/{conn}/{metric}[/{loc}]/data       → sync posted docs
+
+Scale note: this is a metadata/modest-data control surface exactly like
+the reference's API connector — bulk table movement belongs on
+parquet/JDBC sources; the server streams bounded reads only (the reference
+likewise chunks its API sync, api/_pipes.py).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from meerschaum_spark.export import iter_json_docs
+from meerschaum_spark.pipe import Pipe
+from meerschaum_spark.registry import PipeRegistry
+
+
+class PipeHTTPServer:
+    """Serve one instance directory's pipes over HTTP (threaded stdlib
+    server; the Spark driver is the process serving — handlers run
+    driver-side jobs, matching the reference's in-process API server)."""
+
+    def __init__(self, spark: SparkSession, instance: str,
+                 host: str = "127.0.0.1", port: int = 0,
+                 max_data_rows: int = 100_000):
+        self.spark = spark
+        self.instance = instance
+        self.max_data_rows = max_data_rows
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet
+                pass
+
+            def do_GET(self):
+                outer._handle(self, "GET")
+
+            def do_POST(self):
+                outer._handle(self, "POST")
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------ lifecycle
+
+    @property
+    def url(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def start(self) -> "PipeHTTPServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------- routing
+
+    def _handle(self, handler: BaseHTTPRequestHandler, method: str) -> None:
+        try:
+            parsed = urllib.parse.urlparse(handler.path)
+            parts = [p for p in parsed.path.split("/") if p]
+            args = {k: v[0] for k, v in
+                    urllib.parse.parse_qs(parsed.query).items()}
+            if not parts or parts[0] != "pipes":
+                return self._send(handler, 404, {"error": "not found"})
+            if len(parts) == 1:
+                return self._send(handler, 200, self._list_pipes(args))
+            # /pipes/{conn}/{metric}[/{loc}]/{action...}
+            tail = parts[1:]
+            known = {"data", "sync_time", "rowcount", "attributes",
+                     "exists", "columns"}
+            action_at = next((i for i, p in enumerate(tail) if p in known),
+                             len(tail))
+            keys, action = tail[:action_at], tail[action_at:]
+            if not 2 <= len(keys) <= 3:
+                return self._send(handler, 404, {"error": "bad pipe keys"})
+            pipe = Pipe(keys[0], keys[1],
+                        keys[2] if len(keys) == 3 else None,
+                        instance=self.instance, spark=self.spark)
+            if method == "POST":
+                if action[:1] != ["data"]:
+                    return self._send(handler, 405, {"error": "POST /data only"})
+                length = int(handler.headers.get("Content-Length", 0))
+                docs = json.loads(handler.rfile.read(length) or b"[]")
+                if isinstance(docs, dict):
+                    docs = docs.get("docs", [])
+                res = pipe.sync(docs)
+                return self._send(handler, 200 if res.success else 409, {
+                    "success": res.success, "message": res.message,
+                    "inserted": res.inserted, "updated": res.updated,
+                })
+            return self._send(handler, *self._get(pipe, action, args))
+        except Exception as e:  # surface, don't kill the server thread
+            self._send(handler, 500, {"error": f"{type(e).__name__}: {e}"})
+
+    def _get(self, pipe: Pipe, action: list[str],
+             args: dict[str, str]) -> tuple[int, Any]:
+        begin = args.get("begin")
+        end = args.get("end")
+        params = json.loads(args["params"]) if "params" in args else None
+        if action == ["data"]:
+            limit = min(int(args.get("limit", self.max_data_rows)),
+                        self.max_data_rows)
+            df = pipe.get_data(begin=begin, end=end, params=params,
+                               limit=limit)
+            return 200, {"docs": list(iter_json_docs(df))}
+        if action == ["sync_time"]:
+            newest = args.get("newest", "true").lower() != "false"
+            st = pipe.get_sync_time(newest=newest, params=params)
+            return 200, {"sync_time": st.isoformat()
+                         if isinstance(st, datetime.datetime) else st}
+        if action == ["rowcount"]:
+            return 200, {"rowcount": pipe.get_rowcount(
+                begin=begin, end=end, params=params)}
+        if action == ["attributes"]:
+            doc = pipe.registry.load(pipe.target) or {}
+            return 200, {"keys": pipe.keys,
+                         "parameters": doc.get("parameters", pipe.parameters)}
+        if action == ["exists"]:
+            return 200, {"exists": pipe.exists()}
+        if action == ["columns", "types"]:
+            return 200, {"dtypes": pipe.dtypes}
+        return 404, {"error": f"unknown action {'/'.join(action)!r}"}
+
+    def _list_pipes(self, args: dict[str, str]) -> list[dict[str, Any]]:
+        reg = PipeRegistry(self.instance)
+        tags = json.loads(args["tags"]) if "tags" in args else None
+        keys = reg.fetch_pipes_keys(connector=args.get("connector"),
+                                    metric=args.get("metric"),
+                                    location=args.get("location"),
+                                    tags=tags)
+        return [{"connector": c, "metric": m, "location": l}
+                for c, m, l in keys]
+
+    # --------------------------------------------------------------- utils
+
+    def _send(self, handler: BaseHTTPRequestHandler, code: int,
+              payload: Any) -> None:
+        body = json.dumps(payload, default=str).encode("utf-8")
+        handler.send_response(code)
+        handler.send_header("Content-Type", "application/json")
+        handler.send_header("Content-Length", str(len(body)))
+        handler.end_headers()
+        handler.wfile.write(body)

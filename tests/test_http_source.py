@@ -64,3 +64,70 @@ def test_http_pipe_incremental_sync(spark, instance_dir, server):
     second_begin = Handler.requests[-1]["begin"]
     assert second_begin == ROWS[-1]["dt"] - datetime.timedelta(minutes=120)
     assert pipe.get_rowcount() == 12
+
+
+def test_pipe_http_server_roundtrip(spark, instance_dir, tmp_path):
+    """S9 both halves live: serve pipe A over HTTP, sync pipe B from the
+    endpoint with bounds, push docs back via POST, and hit the metadata
+    routes."""
+    import datetime
+    import json
+    import urllib.request
+
+    import pandas as pd
+
+    from meerschaum_spark.pipe import Pipe
+    from meerschaum_spark.sources import PipeHTTPServer, http_fetch_fn
+
+    UTC = datetime.timezone.utc
+    rows = [{"dt": datetime.datetime(2024, 1, 1 + i, tzinfo=UTC),
+             "id": i, "val": float(i)} for i in range(5)]
+    served = Pipe("api", "events", instance=instance_dir, spark=spark,
+                  columns={"datetime": "dt", "id": "id"})
+    served.sync(pd.DataFrame(rows))
+
+    server = PipeHTTPServer(spark, instance_dir).start()
+    try:
+        base = f"{server.url}/pipes/api/events"
+        # metadata routes
+        with urllib.request.urlopen(f"{base}/exists") as r:
+            assert json.load(r)["exists"] is True
+        with urllib.request.urlopen(f"{base}/rowcount") as r:
+            assert json.load(r)["rowcount"] == 5
+        with urllib.request.urlopen(f"{base}/sync_time") as r:
+            assert json.load(r)["sync_time"].startswith("2024-01-05")
+        with urllib.request.urlopen(f"{base}/columns/types") as r:
+            assert json.load(r)["dtypes"]["val"].startswith("float")
+        with urllib.request.urlopen(f"{server.url}/pipes?connector=api") as r:
+            listed = json.load(r)
+            assert {"connector": "api", "metric": "events",
+                    "location": None} in listed
+        # bounded data route
+        with urllib.request.urlopen(
+                f"{base}/data?begin=2024-01-02&end=2024-01-04") as r:
+            docs = json.load(r)["docs"]
+            assert sorted(d["id"] for d in docs) == [1, 2]
+
+        # client half: a second pipe fetches FROM the server
+        dest_dir = str(tmp_path / "dest")
+        dest = Pipe("local", "copy", instance=dest_dir, spark=spark,
+                    columns={"datetime": "dt", "id": "id"},
+                    fetch_fn=http_fetch_fn(f"{base}/data"))
+        res = dest.sync()
+        assert res.success and dest.get_rowcount() == 5
+        # incremental refetch is a no-op
+        res2 = dest.sync()
+        assert res2.inserted == 0 and res2.updated == 0
+
+        # POST sync: push a new doc to the server
+        payload = json.dumps({"docs": [
+            {"dt": "2024-01-09T00:00:00+00:00", "id": 9, "val": 9.0}
+        ]}).encode()
+        req = urllib.request.Request(f"{base}/data", data=payload,
+                                     headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            out = json.load(r)
+            assert out["success"] and out["inserted"] == 1
+        assert served.get_rowcount() == 6
+    finally:
+        server.stop()

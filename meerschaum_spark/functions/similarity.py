@@ -84,13 +84,15 @@ def cosine_topk(
     )
 
 
-def _plane_component(p: int, d) -> F.Column:
-    """Deterministic ±1 hyperplane component for (plane p, dimension d)."""
-    bit = hash60(F.concat(F.lit(f"plane{p}_"), d.cast("string"))).bitwiseAND(F.lit(1))
+def _plane_component(p: int, d, seed: str = "") -> F.Column:
+    """Deterministic ±1 hyperplane component for (plane p, dimension d).
+    ``seed`` derives independent plane families (multi-table LSH)."""
+    bit = hash60(F.concat(F.lit(f"{seed}plane{p}_"),
+                          d.cast("string"))).bitwiseAND(F.lit(1))
     return F.when(bit == 1, F.lit(1).cast(VDEC)).otherwise(F.lit(-1).cast(VDEC))
 
 
-def lsh_bucket(vec_col, n_planes: int = N_PLANES) -> F.Column:
+def lsh_bucket(vec_col, n_planes: int = N_PLANES, seed: str = "") -> F.Column:
     """Sign-pattern bucket id from ``n_planes`` deterministic ±1
     hyperplanes. Signs are computed on exact decimal sums so bucketing is
     reproducible across engines. More planes → smaller buckets (finer
@@ -100,7 +102,7 @@ def lsh_bucket(vec_col, n_planes: int = N_PLANES) -> F.Column:
     for p in range(n_planes):
         terms = F.transform(
             F.sequence(F.lit(0), F.size(vec_col) - 1),
-            lambda d: _plane_component(p, d)
+            lambda d: _plane_component(p, d, seed)
             * F.element_at(vec_col, d + 1).cast(VDEC),
         )
         dot = F.aggregate(terms, F.lit(0).cast(ACC),
@@ -203,3 +205,48 @@ def ann_lsh_topk(
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: multi-table random-hyperplane LSH
+    candidates, exact-cosine threshold filter.
+
+    The OR-construction (``n_tables`` independent plane families, a pair
+    is a candidate if it collides in ANY table) is what makes recall work:
+    one table of p planes accepts a cosine-θ pair with probability
+    (1 − θ/π)^p, so several coarse tables beat one fine one. Corpus-side
+    work is one projection emitting n_tables bucket ids per vector and a
+    per-table equi-join — never a cross join; at 100 TB this is the same
+    shape as a production near-dup pass (candidates are rare, the exact
+    re-rank is cheap)."""
+    buckets = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        _norm_dbl(F.col(vec_col)).alias("norm"),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     lsh_bucket(F.col(vec_col), n_planes,
+                                seed=f"tbl{t}_").alias("bkt"))
+            for t in range(n_tables)
+        ])).alias("bb"),
+    ).select("vid", "vec", "norm", "bb.tbl", "bb.bkt")
+    buckets = buckets.localCheckpoint(eager=True)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+               & (F.col("a.bkt") == F.col("b.bkt"))
+               & (F.col("a.vid") < F.col("b.vid")))
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"),
+                F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"),
+                F.col("a.norm").alias("na"), F.col("b.norm").alias("nb"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cosine = _dot_dec(F.col("va"), F.col("vb")).cast("double")         / (F.col("na") * F.col("nb"))
+    return (cand.select("vec_a", "vec_b", cosine.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

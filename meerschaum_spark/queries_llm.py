@@ -561,3 +561,50 @@ def geo_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def _bucket_sql(seed: str, n_planes: int, vec: str = "embedding") -> str:
+    comp_t = (f"CASE WHEN ({_H60.format(x=chr(39) + seed + 'plane{p}_' + chr(39) + ' || CAST(i - 1 AS VARCHAR)')} & 1) = 1 "
+              f"THEN {_EL} ELSE -{_EL} END")
+    terms = " + ".join(
+        "CASE WHEN list_sum(list_transform(generate_series(1, len({v})), i -> "
+        + comp_t.replace("{p}", str(p))
+        + f")) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
+        for p in range(n_planes)
+    )
+    return "(" + terms.replace("{v}", vec) + ")"
+
+
+def _near_dup_sql(threshold: float, n_planes: int, n_tables: int) -> str:
+    bucket_cols = ", ".join(
+        f"{_bucket_sql(f'tbl{t}_', n_planes)} AS b{t}" for t in range(n_tables))
+    any_tbl = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    dot_ab = "CAST(CAST(" + _DOT.format(a="va", b="vb") + " AS VARCHAR) AS DOUBLE)"
+    dot_aa = "CAST(CAST(" + _DOT.format(a="va", b="va") + " AS VARCHAR) AS DOUBLE)"
+    dot_bb = "CAST(CAST(" + _DOT.format(a="vb", b="vb") + " AS VARCHAR) AS DOUBLE)"
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bucket_cols} FROM embeddings),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.embedding AS va, b.embedding AS vb
+      FROM b a JOIN b b ON a.vec_id < b.vec_id AND ({any_tbl})),
+    scored AS (
+      SELECT vec_a, vec_b,
+             {dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})) AS cosine
+      FROM cand)
+    SELECT vec_a, vec_b, cosine FROM scored
+    WHERE cosine >= {threshold}
+    ORDER BY vec_a, vec_b
+    """
+
+
+@query("emb_near_dup_pairs", _near_dup_sql(0.4, 4, 4))
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via multi-table LSH (OR across 4
+    independent 4-plane tables) + exact threshold filter. The oracle
+    mirrors the exact candidate semantics, so recall choices are part of
+    the checked contract."""
+    emb = parallelize(load_table(spark, sf_dir, "embeddings"))
+    pairs = S.cosine_near_dup_pairs(emb, threshold=0.4,
+                                    n_planes=4, n_tables=4)
+    return pairs.orderBy("vec_a", "vec_b")

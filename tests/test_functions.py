@@ -219,3 +219,19 @@ def test_cosine_fast_path_agrees_on_ranks(spark):
     fast = [(r["query_id"], r["neighbor_id"])
             for r in S.cosine_topk(df, q, k=5, exact_decimal=False).collect()]
     assert exact == fast
+
+
+def test_cosine_near_dup_pairs_finds_planted_dup(spark):
+    """A planted near-identical vector pair must survive multi-table LSH
+    bucketing and the exact threshold filter."""
+    from meerschaum_spark.functions import similarity as S
+    import random
+    random.seed(3)
+    base = [random.uniform(-1, 1) for _ in range(16)]
+    near = [x + 0.001 for x in base]
+    rows = [(1, base), (2, near)] + [
+        (i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(3, 40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"]
+             for r in S.cosine_near_dup_pairs(df, threshold=0.95).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99

@@ -64,11 +64,9 @@ def token_stats(df: DataFrame, text_col: str = "text",
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """Length / punctuation / stopword-ratio quality gates (the standard
-    pre-training corpus filters, à la C4/Gopher rules)."""
-    text = F.col(text_col)
+def quality_columns(text) -> dict[str, F.Column]:
+    """The quality-gate expressions as named Columns, composable into a
+    wider single-pass projection (see ``functions/corpus.py``)."""
     toks = tokens(text)
     n_chars = F.length(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
@@ -77,22 +75,28 @@ def quality_score(df: DataFrame, text_col: str = "text",
     n_toks = F.size(toks)
     punct_ratio = n_punct.cast("double") / n_chars
     stop_ratio = n_stop.cast("double") / n_toks
+    return {
+        "n_tokens": n_toks,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_pass": ((n_toks >= 10) & (n_toks <= 10000)
+                         & (stop_ratio >= 0.01)),
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality gates (the standard
+    pre-training corpus filters, à la C4/Gopher rules)."""
+    cols = quality_columns(F.col(text_col))
     return df.select(
         F.col(id_col),
-        n_toks.alias("n_tokens"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        ((n_toks >= 10) & (n_toks <= 10000) & (stop_ratio >= 0.01))
-        .alias("quality_pass"),
+        *[c.alias(name) for name, c in cols.items()],
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
-    """Stopword-hit language heuristic with a non-ASCII check for CJK.
-    Deterministic priority argmax (en > de > es > fr); 'zh' when the
-    non-ASCII character ratio exceeds 0.3."""
-    text = F.col(text_col)
+def lang_columns(text) -> dict[str, F.Column]:
+    """Language-ID expressions as named Columns (composable)."""
     toks = tokens(text)
     hits = {}
     for lang, words in STOPWORDS.items():
@@ -109,12 +113,23 @@ def lang_id(df: DataFrame, text_col: str = "text",
         .when(hits["es"] >= hits["fr"], F.lit("es"))
         .otherwise(F.lit("fr"))
     )
+    return {
+        "hits_en": hits["en"], "hits_de": hits["de"],
+        "hits_es": hits["es"], "hits_fr": hits["fr"],
+        "non_ascii_ratio": non_ascii_ratio,
+        "pred_lang": pred,
+    }
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language heuristic with a non-ASCII check for CJK.
+    Deterministic priority argmax (en > de > es > fr); 'zh' when the
+    non-ASCII character ratio exceeds 0.3."""
+    cols = lang_columns(F.col(text_col))
     return df.select(
         F.col(id_col),
-        hits["en"].alias("hits_en"), hits["de"].alias("hits_de"),
-        hits["es"].alias("hits_es"), hits["fr"].alias("hits_fr"),
-        non_ascii_ratio.alias("non_ascii_ratio"),
-        pred.alias("pred_lang"),
+        *[c.alias(name) for name, c in cols.items()],
     )
 
 

@@ -106,6 +106,7 @@ class Pipe:
         enforce: bool | None = None,
         null_indices: bool | None = None,
         autoincrement: bool | None = None,
+        temporary: bool = False,
         fetch_fn: Callable[..., Any] | None = None,
         sync_fn: Callable[..., Any] | None = None,
     ):
@@ -122,6 +123,10 @@ class Pipe:
         self.metric = str(metric)
         self.location = location if location else None
         self.instance = instance
+        #: temporary pipes never touch the registry (reference
+        #: core/Pipe/__init__.py:218,372: in-memory attributes only);
+        #: their data cleans up with vacuum_temp / the instance GC
+        self.temporary = bool(temporary)
         self.registry = PipeRegistry(instance)
         self.target = target or target_name(self.connector, self.metric, self.location)
         self.fetch_fn = fetch_fn
@@ -230,6 +235,8 @@ class Pipe:
     # -------------------------------------------------------------- registry
 
     def register(self) -> None:
+        if self.temporary:
+            return  # reference: temporary pipes are never registered
         self.registry.save(self.target, {"keys": self.keys,
                                          "parameters": self.parameters})
 

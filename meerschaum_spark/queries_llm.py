@@ -608,3 +608,59 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = S.cosine_near_dup_pairs(emb, threshold=0.4,
                                     n_planes=4, n_tables=4)
     return pairs.orderBy("vec_a", "vec_b")
+
+
+# ===========================================================================
+# Composite corpus preparation (one-pass pipeline)
+# ===========================================================================
+
+_CORPUS_SQL = f"""
+    WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, source,
+             len(toks) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                  AS DOUBLE) / length(text) AS punct_ratio,
+             CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS DOUBLE)
+                 / len(toks) AS stopword_ratio,
+             {_hits_sql(T.STOPWORDS['en'])} AS hits_en,
+             {_hits_sql(T.STOPWORDS['de'])} AS hits_de,
+             {_hits_sql(T.STOPWORDS['es'])} AS hits_es,
+             {_hits_sql(T.STOPWORDS['fr'])} AS hits_fr,
+             CAST(length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+                  AS DOUBLE) / length(text) AS non_ascii_ratio,
+             md5(text) AS th,
+             {_FP_SQL} AS fingerprint
+      FROM t),
+    lp AS (
+      SELECT *,
+             CASE WHEN non_ascii_ratio > 0.3 THEN 'zh'
+                  WHEN hits_en >= hits_de AND hits_en >= hits_es
+                       AND hits_en >= hits_fr THEN 'en'
+                  WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+                  WHEN hits_es >= hits_fr THEN 'es'
+                  ELSE 'fr' END AS pred_lang,
+             (n_tokens >= 10 AND n_tokens <= 10000
+              AND CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS DOUBLE)
+                  / len(toks) >= 0.01) AS quality_pass
+      FROM t JOIN m USING (doc_id, source)),
+    d AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY th) AS n_copies
+      FROM lp)
+    SELECT doc_id, source, n_tokens, punct_ratio, stopword_ratio,
+           pred_lang, fingerprint, n_copies
+    FROM d WHERE rn = 1 AND quality_pass AND pred_lang IN ('en')
+    ORDER BY doc_id
+    """
+
+
+@query("doc_corpus_prep", _CORPUS_SQL)
+def doc_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-corpus pass: quality + language + exact
+    dedup + fingerprint in one plan (one scan, one shuffle)."""
+    from meerschaum_spark.functions.corpus import prepare_corpus
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    return prepare_corpus(docs, keep_langs=("en",),
+                          carry_cols=["source"]).orderBy("doc_id")

@@ -14,6 +14,7 @@ Routes (mirroring the reference's route table):
   GET  /pipes/{conn}/{metric}[/{loc}]/attributes → parameters doc
   GET  /pipes/{conn}/{metric}[/{loc}]/exists     → bool
   GET  /pipes/{conn}/{metric}[/{loc}]/columns/types → dtypes
+  GET  /pipes/{conn}/{metric}[/{loc}]/csv        → bounded CSV text
   POST /pipes/{conn}/{metric}[/{loc}]/data       → sync posted docs
 
 Scale note: this is a metadata/modest-data control surface exactly like
@@ -98,7 +99,7 @@ class PipeHTTPServer:
             # /pipes/{conn}/{metric}[/{loc}]/{action...}
             tail = parts[1:]
             known = {"data", "sync_time", "rowcount", "attributes",
-                     "exists", "columns"}
+                     "exists", "columns", "csv"}
             action_at = next((i for i, p in enumerate(tail) if p in known),
                              len(tail))
             keys, action = tail[:action_at], tail[action_at:]
@@ -150,6 +151,19 @@ class PipeHTTPServer:
             return 200, {"exists": pipe.exists()}
         if action == ["columns", "types"]:
             return 200, {"dtypes": pipe.dtypes}
+        if action == ["csv"]:
+            limit = min(int(args.get("limit", self.max_data_rows)),
+                        self.max_data_rows)
+            df = pipe.get_data(begin=begin, end=end, params=params,
+                               limit=limit)
+            import csv as _csv
+            import io as _io
+            buf = _io.StringIO()
+            writer = _csv.DictWriter(buf, fieldnames=df.columns)
+            writer.writeheader()
+            for doc in iter_json_docs(df):
+                writer.writerow(doc)
+            return 200, _RawText(buf.getvalue(), "text/csv")
         return 404, {"error": f"unknown action {'/'.join(action)!r}"}
 
     def _list_pipes(self, args: dict[str, str]) -> list[dict[str, Any]]:
@@ -166,9 +180,20 @@ class PipeHTTPServer:
 
     def _send(self, handler: BaseHTTPRequestHandler, code: int,
               payload: Any) -> None:
-        body = json.dumps(payload, default=str).encode("utf-8")
+        if isinstance(payload, _RawText):
+            body = payload.text.encode("utf-8")
+            ctype = payload.content_type
+        else:
+            body = json.dumps(payload, default=str).encode("utf-8")
+            ctype = "application/json"
         handler.send_response(code)
-        handler.send_header("Content-Type", "application/json")
+        handler.send_header("Content-Type", ctype)
         handler.send_header("Content-Length", str(len(body)))
         handler.end_headers()
         handler.wfile.write(body)
+
+
+class _RawText:
+    def __init__(self, text: str, content_type: str):
+        self.text = text
+        self.content_type = content_type

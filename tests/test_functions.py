@@ -235,3 +235,30 @@ def test_cosine_near_dup_pairs_finds_planted_dup(spark):
     pairs = {(r["vec_a"], r["vec_b"]): r["cosine"]
              for r in S.cosine_near_dup_pairs(df, threshold=0.95).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+
+
+def test_prepare_corpus_single_shuffle(spark):
+    """The composite pass keeps one canonical, quality-passing, in-language
+    copy per content hash — in ONE plan with exactly one shuffle."""
+    from meerschaum_spark.functions.corpus import prepare_corpus
+    good = ("the quick brown fox jumps over the lazy dog and "
+            "then it sat down by the river for a while")
+    rows_in = [
+        (1, good, "s1"),
+        (2, good, "s1"),                      # exact dup of 1
+        (3, "hi", "s1"),                      # fails min-token gate
+        (4, good + " though not quite the same text here", "s2"),
+    ]
+    df = spark.createDataFrame(rows_in, "doc_id long, text string, source string")
+    out = prepare_corpus(df, carry_cols=["source"])
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 1 in rows and 2 not in rows        # canonical copy only
+    assert rows[1]["n_copies"] == 2
+    assert 3 not in rows                      # quality gate
+    assert 4 in rows and rows[4]["pred_lang"] == "en"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("Initial Plan")[0]  # AQE echoes the pre-plan too
+    import re as _re
+    n_exchanges = len(_re.findall(
+        r"Exchange (?:hashpartitioning|rangepartitioning)", final_plan))
+    assert n_exchanges <= 1, final_plan[:2000]

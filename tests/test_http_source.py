@@ -131,3 +131,31 @@ def test_pipe_http_server_roundtrip(spark, instance_dir, tmp_path):
         assert served.get_rowcount() == 6
     finally:
         server.stop()
+
+
+def test_pipe_http_server_csv(spark, instance_dir):
+    import datetime
+    import urllib.request
+
+    import pandas as pd
+
+    from meerschaum_spark.pipe import Pipe
+    from meerschaum_spark.sources import PipeHTTPServer
+
+    UTC = datetime.timezone.utc
+    pipe = Pipe("api", "csvsrc", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"})
+    pipe.sync(pd.DataFrame([
+        {"dt": datetime.datetime(2024, 1, 1, tzinfo=UTC), "id": 1, "val": 1.5},
+        {"dt": datetime.datetime(2024, 1, 2, tzinfo=UTC), "id": 2, "val": 2.5},
+    ]))
+    server = PipeHTTPServer(spark, instance_dir).start()
+    try:
+        with urllib.request.urlopen(
+                f"{server.url}/pipes/api/csvsrc/csv") as r:
+            assert r.headers["Content-Type"].startswith("text/csv")
+            lines = r.read().decode().strip().splitlines()
+        assert lines[0].split(",")[:2] == ["dt", "id"] or "id" in lines[0]
+        assert len(lines) == 3
+    finally:
+        server.stop()

@@ -381,3 +381,18 @@ def test_verify_bound_days_caps_window(spark, instance_dir):
                       chunk_minutes=60 * 24 * 4000)
     assert res.success
     assert min(b for b, _ in seen_bounds) <= dtm(2020, 1, 1)
+
+
+def test_temporary_pipe_never_registers(spark, instance_dir):
+    """temporary=True: full sync/read functionality, but the registry is
+    never written and the pipe is invisible to instance listings."""
+    import os
+    pipe = Pipe("test", "temp", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"}, temporary=True)
+    res = pipe.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "val": 1}]))
+    assert res.success and pipe.get_rowcount() == 1
+    reg_dir = os.path.join(instance_dir, ".registry")
+    assert not os.path.isfile(os.path.join(reg_dir, f"{pipe.target}.json"))
+    assert pipe.registry.fetch_pipes_keys(connector="test", metric="temp") == []
+    pipe.drop()
+    assert not pipe.exists()

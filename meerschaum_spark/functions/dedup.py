@@ -82,17 +82,28 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     )
 
 
-def shingles(col, n: int = 3):
-    """Word n-gram shingle array (distinct). Guarded: Spark's
-    ``sequence(1, 0)`` DESCENDS instead of returning empty, so short
-    texts need an explicit empty-array branch."""
-    toks = tokens(col)
+def shingles_of_tokens(toks, n: int = 3):
+    """Word n-gram shingle array (distinct) from a token-array column.
+    Guarded: Spark's ``sequence(1, 0)`` DESCENDS instead of returning
+    empty, so short texts need an explicit empty-array branch.
+
+    IMPORTANT: pass a *materialized column attribute*, not the raw
+    ``tokens(text)`` expression — ``toks`` is referenced inside the
+    transform lambda body, where Catalyst does NOT common-subexpression-
+    eliminate, so an inline split expression would re-run the regex split
+    ~3×·n_grams times per row (measured 2× total query cost)."""
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]
     grams = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", *parts(i))))
     return F.when(F.size(toks) >= n, grams) \
             .otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingles from a text column (convenience form; prefer
+    materializing ``tokens(col)`` first — see ``shingles_of_tokens``)."""
+    return shingles_of_tokens(tokens(col), n)
 
 
 def jaccard_pairs(
@@ -119,10 +130,14 @@ def jaccard_pairs(
     scope = [scope_col] if scope_col else []
     # join on the shingle's 60-bit hash, not the string: ~3× smaller
     # shuffle/checkpoint, and identical results cross-engine (hash
-    # collisions, if any, collide identically on both sides)
-    exploded = df.select(
+    # collisions, if any, collide identically on both sides). Tokens are
+    # materialized behind a projection boundary first — see
+    # shingles_of_tokens for why.
+    toked = df.select(F.col(id_col), *scope,
+                      tokens(F.col(text_col)).alias("_toks"))
+    exploded = toked.select(
         F.col(id_col), *scope,
-        F.explode(shingles(F.col(text_col), n)).alias("_sh_str"),
+        F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("_sh_str"),
     ).select(F.col(id_col), *scope, hash60(F.col("_sh_str")).alias("s"))
     # materialize once: the self-join would otherwise re-evaluate the
     # shingle pipeline on both sides (measured 3× slower); at cluster

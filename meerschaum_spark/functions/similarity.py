@@ -212,7 +212,7 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    n_planes: int = 4,
+    n_planes: int = 8,
     n_tables: int = 4,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: multi-table random-hyperplane LSH
@@ -225,7 +225,15 @@ def cosine_near_dup_pairs(
     work is one projection emitting n_tables bucket ids per vector and a
     per-table equi-join — never a cross join; at 100 TB this is the same
     shape as a production near-dup pass (candidates are rare, the exact
-    re-rank is cheap)."""
+    re-rank is cheap).
+
+    Size ``n_planes`` to the corpus: expected bucket occupancy is
+    N / 2^n_planes, and candidate volume per table is quadratic in
+    occupancy — undersized planes (big buckets) turn the candidate join
+    quadratic exactly like an uncapped shingle join. The bucket join
+    carries ids only; vectors re-attach to the deduplicated candidates,
+    so the exact-cosine work is proportional to candidates, not to
+    candidate multiplicity across tables."""
     buckets = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
         _norm_dbl(F.col(vec_col)).alias("norm"),

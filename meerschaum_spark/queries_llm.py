@@ -598,15 +598,15 @@ def _near_dup_sql(threshold: float, n_planes: int, n_tables: int) -> str:
     """
 
 
-@query("emb_near_dup_pairs", _near_dup_sql(0.4, 4, 4))
+@query("emb_near_dup_pairs", _near_dup_sql(0.4, 8, 4))
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table LSH (OR across 4
-    independent 4-plane tables) + exact threshold filter. The oracle
+    independent 8-plane tables) + exact threshold filter. The oracle
     mirrors the exact candidate semantics, so recall choices are part of
     the checked contract."""
     emb = parallelize(load_table(spark, sf_dir, "embeddings"))
     pairs = S.cosine_near_dup_pairs(emb, threshold=0.4,
-                                    n_planes=4, n_tables=4)
+                                    n_planes=8, n_tables=4)
     return pairs.orderBy("vec_a", "vec_b")
 
 

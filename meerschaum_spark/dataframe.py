@@ -187,6 +187,15 @@ def to_spark_df(
     for col, dt in (dtypes or {}).items():
         if col in pdf.columns and dt == "datetime" and pdf[col].dtype == object:
             pdf[col] = pd.to_datetime(pdf[col], utc=True, format="ISO8601")
+        elif (col in pdf.columns and canonical_dtype(dt).startswith("int")
+              and pdf[col].dtype == "float64"):
+            # pandas upcasts int columns to float64 when nulls appear; a
+            # registered int column with integral values stays int64 via
+            # the nullable Int64 array (reference keeps Int64, it does not
+            # widen to numeric on missing values alone)
+            non_null = pdf[col].dropna()
+            if len(non_null) and (non_null % 1 == 0).all():
+                pdf[col] = pdf[col].astype("Int64")
     declared = set(dtypes or {})
     for col in pdf.columns:
         if col in declared or col in special or pdf[col].dtype != object:
@@ -199,9 +208,19 @@ def to_spark_df(
         except (ValueError, TypeError):
             pass  # looked like a date but isn't — leave as text
 
+    # columns with NO non-null values carry no type evidence: cast them to
+    # the declared dtype (string fallback) and keep them OUT of the
+    # inferred map — an all-null batch must never evolve a registered
+    # dtype (it would corrupt the table's read schema)
+    all_null_cols = [c for c in pdf.columns if pdf[c].isna().all()]
     sdf = spark.createDataFrame(pdf)
+    for c in all_null_cols:
+        want = (dtypes or {}).get(c)
+        sdf = sdf.withColumn(
+            c, F.col(c).cast(to_spark_type(want) if want else "string"))
     inferred = {c: from_spark_type(f.dataType) for c, f in
-                zip(sdf.columns, sdf.schema.fields)}
+                zip(sdf.columns, sdf.schema.fields)
+                if c not in all_null_cols}
     for col, dtype in special.items():
         if dtype in ("json", "uuid", "geometry"):
             inferred[col] = dtype

@@ -157,3 +157,33 @@ def test_sniff_scans_all_values(spark, instance_dir):
     assert "d" not in sniffed
     assert sniffed["ok_num"] == "numeric"
     assert sniffed["ok_json"] == "json"
+
+
+def test_all_null_batch_column_does_not_evolve_dtype(spark, instance_dir):
+    """A batch whose column is entirely null must not flip the registered
+    dtype (it used to corrupt the table's read schema)."""
+    pipe = Pipe("dtypes", "allnull", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"})
+    pipe.sync(pd.DataFrame([{"dt": dtm(2024, 1, 1), "id": 1, "val": 5}]))
+    pipe.sync(pd.DataFrame([{"dt": dtm(2024, 1, 2), "id": 2, "val": None}]))
+    assert pipe.dtypes["val"] == "int64"
+    docs = {d["id"]: d["val"] for d in pipe.get_docs()}
+    assert docs[1] == 5 and docs[2] is None
+
+
+def test_int_column_with_nulls_stays_int(spark, instance_dir):
+    """NaN-upcast float64 batches for a registered int column stay int64
+    (reference nullable-Int64 semantics), not widen to numeric."""
+    pipe = Pipe("dtypes", "intnull", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"})
+    pipe.sync(pd.DataFrame([{"dt": dtm(2024, 1, 1), "id": 1, "val": 5}]))
+    pipe.sync(pd.DataFrame([
+        {"dt": dtm(2024, 1, 2), "id": 2, "val": None},
+        {"dt": dtm(2024, 1, 3), "id": 3, "val": 7},
+    ]))
+    assert pipe.dtypes["val"] == "int64"
+    docs = {d["id"]: d["val"] for d in pipe.get_docs()}
+    assert docs[3] == 7 and docs[2] is None
+    # genuinely fractional values DO widen to numeric (reference widening)
+    pipe.sync(pd.DataFrame([{"dt": dtm(2024, 1, 4), "id": 4, "val": 1.5}]))
+    assert pipe.dtypes["val"].startswith("numeric")

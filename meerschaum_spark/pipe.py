@@ -490,7 +490,29 @@ class Pipe:
             if data is None:
                 return SyncResult(False, "No data to sync and no fetch source.")
 
+        import collections.abc
+
         import pandas as _pd
+        if (not isinstance(data, (DataFrame, _pd.DataFrame, list, tuple,
+                                  str, dict))
+                and isinstance(data, collections.abc.Iterator)):
+            # chunk generators sync chunk-by-chunk (reference
+            # core/Pipe/_sync.py:313-401 df_is_chunk_generator path)
+            total_ins = total_upd = n_chunks = 0
+            for chunk in data:
+                res = self.sync(chunk, begin=begin, end=end, params=params,
+                                check_existing=check_existing,
+                                force_full_scan=force_full_scan)
+                n_chunks += 1
+                total_ins += res.inserted
+                total_upd += res.updated
+                if not res.success:
+                    return SyncResult(
+                        False, f"Chunk {n_chunks} failed: {res.message}",
+                        total_ins, total_upd)
+            return SyncResult(
+                True, f"Synced {n_chunks} chunk(s): inserted {total_ins}, "
+                f"updated {total_upd}.", total_ins, total_upd)
         if isinstance(data, _pd.DataFrame) and (data.empty or not len(data.columns)):
             return SyncResult(True, "Empty batch.", 0, 0)
         if isinstance(data, (list, tuple)) and not data:

@@ -102,6 +102,17 @@ class ParquetPipeStore:
     def _mark_exists(self, val: bool) -> None:
         self._exists_cache = (val, time.monotonic())
 
+    def _refresh_listing(self) -> None:
+        """Invalidate Spark's cached file listing/data for this table.
+        Spark shares a FileStatusCache across queries with no TTL: after a
+        partition rewrite a plan can reference deleted files
+        (FAILED_READ_FILE), and after an append it can silently MISS the
+        new files. Every mutation must end with this."""
+        try:
+            self.spark.catalog.refreshByPath(self.data_path)
+        except Exception:
+            pass  # path may not exist yet
+
     # -- partition key -----------------------------------------------------
 
     def _epoch_us_col(self) -> F.Column:
@@ -179,6 +190,7 @@ class ParquetPipeStore:
         out = self.with_part(df)
         out.write.mode("append").partitionBy(PART_COL).parquet(self.data_path)
         self._mark_exists(True)
+        self._refresh_listing()
 
     def overwrite(self, df: DataFrame) -> None:
         """Full-table replace."""
@@ -192,6 +204,7 @@ class ParquetPipeStore:
                 self.data_path
             )
         self._mark_exists(True)
+        self._refresh_listing()
 
     def merge(
         self,
@@ -300,6 +313,7 @@ class ParquetPipeStore:
         if os.path.isdir(self.path):
             shutil.rmtree(self.path)
         self._mark_exists(False)
+        self._refresh_listing()
 
     # -- staging swap ------------------------------------------------------
 
@@ -337,6 +351,7 @@ class ParquetPipeStore:
             shutil.rmtree(staging, ignore_errors=True)
         # a rewrite can empty the table entirely — refresh, don't assume
         self._mark_exists(self._exists_uncached())
+        self._refresh_listing()
 
     # -- stats -------------------------------------------------------------
 

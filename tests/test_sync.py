@@ -396,3 +396,21 @@ def test_temporary_pipe_never_registers(spark, instance_dir):
     assert pipe.registry.fetch_pipes_keys(connector="test", metric="temp") == []
     pipe.drop()
     assert not pipe.exists()
+
+
+def test_sync_chunk_generator(pipe):
+    """A generator of chunk DataFrames syncs chunk-by-chunk (reference
+    df_is_chunk_generator path), with counts accumulated."""
+    def chunks():
+        for day in (1, 2, 3):
+            yield batch([{"dt": dtm(2024, 1, day), "id": 1, "val": day}])
+    res = pipe.sync(chunks())
+    assert res.success and res.inserted == 3
+    assert "3 chunk(s)" in res.message
+    assert pipe.get_rowcount() == 3
+    # generator re-sync with one changed chunk
+    def chunks2():
+        yield batch([{"dt": dtm(2024, 1, 1), "id": 1, "val": 99}])
+        yield batch([{"dt": dtm(2024, 1, 2), "id": 1, "val": 2}])
+    res2 = pipe.sync(chunks2())
+    assert res2.inserted == 0 and res2.updated == 1

@@ -15,6 +15,8 @@ Routes (mirroring the reference's route table):
   GET  /pipes/{conn}/{metric}[/{loc}]/exists     → bool
   GET  /pipes/{conn}/{metric}[/{loc}]/columns/types → dtypes
   GET  /pipes/{conn}/{metric}[/{loc}]/csv        → bounded CSV text
+  GET  /pipes/{conn}/{metric}[/{loc}]/chunk_bounds → epoch-aligned windows
+  GET  /pipes/{conn}/{metric}[/{loc}]/size       → stored bytes + rowcount
   POST /pipes/{conn}/{metric}[/{loc}]/data       → sync posted docs
 
 Scale note: this is a metadata/modest-data control surface exactly like
@@ -99,7 +101,7 @@ class PipeHTTPServer:
             # /pipes/{conn}/{metric}[/{loc}]/{action...}
             tail = parts[1:]
             known = {"data", "sync_time", "rowcount", "attributes",
-                     "exists", "columns", "csv"}
+                     "exists", "columns", "csv", "chunk_bounds", "size"}
             action_at = next((i for i, p in enumerate(tail) if p in known),
                              len(tail))
             keys, action = tail[:action_at], tail[action_at:]
@@ -151,6 +153,24 @@ class PipeHTTPServer:
             return 200, {"exists": pipe.exists()}
         if action == ["columns", "types"]:
             return 200, {"dtypes": pipe.dtypes}
+        if action == ["chunk_bounds"]:
+            from meerschaum_spark.chunks import get_chunk_bounds
+            b = pipe._parse_bound(begin) if begin else \
+                pipe.get_sync_time(newest=False)
+            e = pipe._parse_bound(end) if end else pipe.get_sync_time()
+            if b is None or e is None:
+                return 200, {"chunk_bounds": []}
+            cm = int(args.get("chunk_minutes", pipe.chunk_minutes))
+            bounds = [
+                [x.isoformat() if isinstance(x, datetime.datetime) else x
+                 for x in be]
+                for be in get_chunk_bounds(b, e, cm,
+                                           unit=pipe.precision_unit)
+            ]
+            return 200, {"chunk_bounds": bounds}
+        if action == ["size"]:
+            return 200, {"bytes": pipe.get_size(),
+                         "rowcount": pipe.get_rowcount()}
         if action == ["csv"]:
             limit = min(int(args.get("limit", self.max_data_rows)),
                         self.max_data_rows)

@@ -159,3 +159,35 @@ def test_pipe_http_server_csv(spark, instance_dir):
         assert len(lines) == 3
     finally:
         server.stop()
+
+
+def test_pipe_http_server_chunk_bounds_and_size(spark, instance_dir):
+    import datetime
+    import json
+    import urllib.request
+
+    import pandas as pd
+
+    from meerschaum_spark.pipe import Pipe
+    from meerschaum_spark.sources import PipeHTTPServer
+
+    UTC = datetime.timezone.utc
+    pipe = Pipe("api", "cb", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"})
+    pipe.sync(pd.DataFrame([
+        {"dt": datetime.datetime(2024, 1, 1, tzinfo=UTC), "id": 1, "val": 1.0},
+        {"dt": datetime.datetime(2024, 3, 1, tzinfo=UTC), "id": 2, "val": 2.0},
+    ]))
+    server = PipeHTTPServer(spark, instance_dir).start()
+    try:
+        base = f"{server.url}/pipes/api/cb"
+        with urllib.request.urlopen(f"{base}/chunk_bounds") as r:
+            bounds = json.load(r)["chunk_bounds"]
+        assert len(bounds) >= 2
+        assert bounds[0][0].startswith("2023-12") or \
+            bounds[0][0].startswith("2024-01")
+        with urllib.request.urlopen(f"{base}/size") as r:
+            out = json.load(r)
+        assert out["rowcount"] == 2 and out["bytes"] > 0
+    finally:
+        server.stop()

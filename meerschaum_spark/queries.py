@@ -838,3 +838,73 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("ts").alias("session_end"))
         .orderBy("user_id", "session_id")
     )
+
+
+_STREAM_SESSION_SQL = """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """
+
+_STREAM_RUN_COUNTER = [0]
+
+
+@query("streaming_sessionization", _STREAM_SESSION_SQL)
+def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful STREAMING sessionizer (applyInPandasWithState,
+    cross-batch state) replayed over the events table with an availableNow
+    trigger — and checked against the same batch SQL oracle as
+    events_sessionization. Proving the streaming operator reproduces the
+    batch window bit-for-bit is the strongest §2.10 correctness statement
+    the engine can make."""
+    import os as _os
+
+    from meerschaum_spark.streaming.stateful import stateful_sessionize
+
+    _STREAM_RUN_COUNTER[0] += 1
+    sink = f"_mrsm_stream_sess_{_STREAM_RUN_COUNTER[0]}"
+    path = _os.path.join(sf_dir, "events.parquet")
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw = spark.read.parquet(path)  # schema probe under nanosAsLong
+        # the file streaming source wants a directory: stream the sf dir
+        # with a filename filter so only the events table is picked up
+        stream = (spark.readStream.schema(raw.schema)
+                  .option("pathGlobFilter", "events.parquet")
+                  .parquet(sf_dir))
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        sess = stateful_sessionize(stream, gap_seconds=30 * 60,
+                                   order_cols=["event_id"])
+        q = (sess.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return (
+        spark.table(sink)
+        # streaming sessions are 0-based; the batch running sum is 1-based
+        .groupBy("user_id", (F.col("session_id") + 1).alias("session_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"))
+        .orderBy("user_id", "session_id")
+    )

@@ -27,6 +27,7 @@ def _sessionize_group(
     state: GroupState,
     gap_seconds: int,
     expire_state: bool,
+    order_cols: list | None = None,
 ) -> Iterator[pd.DataFrame]:
     """Assign gap-based session ids to one user's rows, carrying
     (session_id, last_ts, count) across micro-batches in the state store."""
@@ -38,25 +39,39 @@ def _sessionize_group(
     else:
         session_id, last_ts_us, n = 0, None, 0
 
-    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-    out_ts, out_sid, out_n = [], [], []
-    for ts in rows["ts"]:
-        ts_us = int(pd.Timestamp(ts).value // 1000)
-        if last_ts_us is not None and ts_us - last_ts_us > gap_seconds * 1_000_000:
-            session_id += 1
-            n = 0
-        n += 1
-        last_ts_us = ts_us
-        out_ts.append(ts)
-        out_sid.append(session_id)
-        out_n.append(n)
+    # mergesort = stable: with tie-break columns the within-batch order is
+    # fully deterministic, matching the batch window's ORDER BY
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts", *(order_cols or [])], kind="mergesort")
+    import numpy as np
+
+    # vectorized gap detection (a per-row Python loop costs ~5× here —
+    # this function runs once per user per micro-batch over Arrow batches)
+    ts_us = (rows["ts"].astype("datetime64[ns]").astype("int64")
+             // 1000).to_numpy()
+    gap_us = gap_seconds * 1_000_000
+    k = len(ts_us)
+    if k:
+        new = np.zeros(k, dtype=bool)
+        new[0] = last_ts_us is not None and ts_us[0] - last_ts_us > gap_us
+        if k > 1:
+            new[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
+        sids = session_id + np.cumsum(new)
+        idx = np.arange(k)
+        last_new = np.maximum.accumulate(np.where(new, idx, -1))
+        counts = np.where(last_new >= 0, idx - last_new + 1, idx + 1 + n)
+        session_id = int(sids[-1])
+        last_ts_us = int(ts_us[-1])
+        n = int(counts[-1])
+    else:
+        sids = counts = np.array([], dtype="int64")
 
     state.update((session_id, last_ts_us, n))
     if expire_state:
         state.setTimeoutDuration(gap_seconds * 1000 * 10)
     yield pd.DataFrame({
-        "user_id": key[0], "ts": out_ts,
-        "session_id": out_sid, "n_in_session": out_n,
+        "user_id": key[0], "ts": rows["ts"].to_numpy(),
+        "session_id": sids, "n_in_session": counts,
     })
 
 
@@ -66,6 +81,7 @@ def stateful_sessionize(
     ts_col: str = "ts",
     gap_seconds: int = 1800,
     expire_state: bool = False,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Streaming gap-sessionizer: the batch window (lag + running sum)
     becomes per-key state; sessions stay open across micro-batches.
@@ -73,14 +89,21 @@ def stateful_sessionize(
     ``expire_state=True`` adds a processing-time timeout at 10× the gap
     (for long-running ``processingTime`` triggers). Leave it off for
     ``availableNow`` backfills — pending timeouts keep scheduling wake-up
-    micro-batches and the one-shot trigger never drains."""
+    micro-batches and the one-shot trigger never drains.
+
+    ``order_cols`` adds tie-break columns to the within-batch event-time
+    sort (stable mergesort), making session assignment deterministic under
+    duplicate timestamps — required when the output must match the batch
+    window's ``ORDER BY ts, event_id`` exactly."""
     from pyspark.sql import functions as F
 
     src = stream_df.select(F.col(user_col).alias("user_id"),
-                           F.col(ts_col).alias("ts"))
+                           F.col(ts_col).alias("ts"),
+                           *[F.col(c) for c in (order_cols or [])])
 
     def fn(key, pdfs, state):
-        return _sessionize_group(key, pdfs, state, gap_seconds, expire_state)
+        return _sessionize_group(key, pdfs, state, gap_seconds, expire_state,
+                                 order_cols)
 
     timeout = (GroupStateTimeout.ProcessingTimeTimeout if expire_state
                else GroupStateTimeout.NoTimeout)

@@ -44,3 +44,37 @@ def test_store_read_prunes_partitions(spark, instance_dir, sf_dir):
     assert any("ts" in f for f in r["pushed_filters"])
     assert any("event_type" in f for f in r["pushed_filters"])
     assert r["shuffles"] == 0
+
+
+def test_sync_backtrack_scan_is_bounded(spark, instance_dir, sf_dir):
+    """The sync diff's backtrack scan must show the scale contract in its
+    physical plan: partition-directory pruning from the patch's time
+    range, an IN pushdown of the small batch's key values, and column
+    pruning — the difference between diffing a day and scanning 100 TB."""
+    pipe = Pipe("plans", "sync", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "event_id"})
+    events = load_table(spark, sf_dir, "events")
+    pipe.sync(events)
+    small = events.filter("ts >= timestamp'2024-01-10' AND "
+                          "ts < timestamp'2024-01-11'").limit(50)
+    marked = pipe._split_existing(small.localCheckpoint())
+    r = plan_report(marked)
+    # the stored-table scan is partition-pruned by the patch's dt range
+    assert r["partition_filters"] and \
+        any("_mrsm_part" in f for f in r["partition_filters"])
+    # ≤250 distinct event_ids → key IN() reaches the parquet scan
+    assert any("event_id" in f and "In" in f for f in r["pushed_filters"])
+
+
+def test_geo_and_multimodal_udfs_are_arrow_batched(spark, sf_dir):
+    """Python-boundary operators must be Arrow-batched (ArrowEvalPython /
+    MapInPandas nodes), never row-at-a-time BatchEvalPython."""
+    from meerschaum_spark.queries_llm import (
+        geo_wkb_roundtrip,
+        multimodal_fake_decode,
+    )
+    from meerschaum_spark.plans import explain_str
+    for q in (geo_wkb_roundtrip, multimodal_fake_decode):
+        plan = explain_str(q(spark, sf_dir), "simple")
+        assert "BatchEvalPython" not in plan, plan[:800]
+        assert ("ArrowEvalPython" in plan) or ("MapInPandas" in plan), plan[:800]

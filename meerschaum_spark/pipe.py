@@ -1145,3 +1145,39 @@ class Pipe:
                     shutil.rmtree(entry.path, ignore_errors=True)
                     removed += 1
         return removed
+
+    def analyze(self, columns: list[str] | None = None) -> dict[str, dict]:
+        """Per-column table statistics in ONE aggregation job (reference
+        ``analyze`` / UPDATE STATISTICS, connectors/sql/_pipes.py
+        maintenance actions): count, nulls, distinct estimate (HLL),
+        min/max for orderable columns. On parquet the scan-level stats
+        already live in footers; this surfaces the table-level view the
+        reference materializes into the flavor's statistics catalog."""
+        if not self.exists():
+            return {}
+        df = self.get_data(order=None)
+        cols = [c for c in (columns or df.columns) if c in df.columns]
+        orderable = {
+            c: f.dataType.typeName() not in ("binary", "array", "map", "struct")
+            for c, f in zip(df.columns, df.schema.fields)
+        }
+        aggs: list[F.Column] = [F.count(F.lit(1)).alias("_rows")]
+        for c in cols:
+            aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"_nn_{c}"))
+            aggs.append(F.approx_count_distinct(c).alias(f"_nd_{c}"))
+            if orderable.get(c):
+                aggs.append(F.min(c).alias(f"_min_{c}"))
+                aggs.append(F.max(c).alias(f"_max_{c}"))
+        row = df.agg(*aggs).first()
+        out: dict[str, dict] = {}
+        for c in cols:
+            stats = {
+                "rows": row["_rows"],
+                "nulls": row[f"_nn_{c}"],
+                "approx_distinct": row[f"_nd_{c}"],
+            }
+            if orderable.get(c):
+                stats["min"] = row[f"_min_{c}"]
+                stats["max"] = row[f"_max_{c}"]
+            out[c] = stats
+        return out

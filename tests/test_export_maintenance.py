@@ -86,3 +86,30 @@ def test_vacuum_removes_stale_staging(spark, instance_dir):
     assert pipe.vacuum() == 1
     assert not os.path.isdir(stale)
     assert os.path.isdir(fresh)  # young staging dirs are left alone
+
+
+def test_analyze_statistics(spark, instance_dir):
+    """analyze() reports per-column count/null/distinct/min-max stats from
+    one aggregation job (reference maintenance analyze action)."""
+    import datetime
+
+    import pandas as pd
+
+    from meerschaum_spark.pipe import Pipe
+
+    UTC = datetime.timezone.utc
+    pipe = Pipe("maint", "stats", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"})
+    pipe.sync(pd.DataFrame([
+        {"dt": datetime.datetime(2024, 1, 1, tzinfo=UTC), "id": 1, "val": 10.0},
+        {"dt": datetime.datetime(2024, 1, 2, tzinfo=UTC), "id": 2, "val": None},
+        {"dt": datetime.datetime(2024, 1, 3, tzinfo=UTC), "id": 3, "val": 30.0},
+    ]))
+    stats = pipe.analyze()
+    assert stats["val"]["rows"] == 3
+    assert stats["val"]["nulls"] == 1
+    assert stats["val"]["min"] == 10.0 and stats["val"]["max"] == 30.0
+    assert stats["id"]["approx_distinct"] >= 2
+    assert pipe.analyze(columns=["id"]).keys() == {"id"}
+    assert Pipe("maint", "none", instance=instance_dir,
+                spark=spark).analyze() == {}

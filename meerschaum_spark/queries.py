@@ -908,3 +908,58 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("ts").alias("session_end"))
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "streaming_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(value) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly rollup as a STREAMING windowed aggregate: tumbling
+    1-hour event-time windows over the replayed events stream, complete
+    output mode, availableNow trigger — checked against the same oracle
+    as the batch events_hourly_rollup. Decimal accumulation keeps the
+    streaming partial aggregates order-insensitive, so the stream and the
+    batch produce identical doubles."""
+    import os as _os
+
+    _STREAM_RUN_COUNTER[0] += 1
+    sink = f"_mrsm_stream_roll_{_STREAM_RUN_COUNTER[0]}"
+    path = _os.path.join(sf_dir, "events.parquet")
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw = spark.read.parquet(path)
+        stream = (spark.readStream.schema(raw.schema)
+                  .option("pathGlobFilter", "events.parquet")
+                  .parquet(sf_dir))
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 _sum_dbl(_dec("value"), "sum_value"),
+                 (F.sum(_dec("value")).cast("double")
+                  / F.count("value")).alias("avg_value"))
+        )
+        q = (agg.writeStream.format("memory").queryName(sink)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return (
+        spark.table(sink)
+        .select(F.col("window.start").alias("bucket"), "event_type",
+                "n_events", "sum_value", "avg_value")
+        .orderBy("bucket", "event_type")
+    )

@@ -87,3 +87,40 @@ def jdbc_fetch_definition(
     from meerschaum_spark.params import datetime_filter
     cond = datetime_filter(dt_col, begin, end) if dt_col else None
     return df.filter(cond) if cond is not None else df
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 100_000,
+    num_partitions: int | None = None,
+    isolation_level: str = "READ_COMMITTED",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """JDBC sink (the write half of S1 — reference ``to_sql`` bulk insert,
+    connectors/sql/_sql.py:441-640 with the 100k-row chunk inserts).
+
+    Each Spark partition opens one connection and streams ``batchsize``-row
+    executeBatch inserts — the distributed analogue of the reference's
+    chunked ``to_sql``. ``num_partitions`` caps concurrent connections
+    (coalesce before write); ``mode='overwrite'`` truncates-and-loads.
+
+    NOTE: an engine-level *upsert* to JDBC goes through ``Pipe.sync``
+    against the parquet store; pushing MERGE semantics to a remote
+    database is the reference's per-flavor SQL-template territory, which
+    this engine deliberately leaves to the instance store.
+    """
+    out = df.coalesce(num_partitions) if num_partitions else df
+    writer = (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .option("isolationLevel", isolation_level)
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

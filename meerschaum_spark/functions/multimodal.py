@@ -79,3 +79,42 @@ def fake_decode_images(df: DataFrame, id_col: str = "doc_id",
             })
 
     return cols.mapInPandas(op, schema=FAKE_IMAGE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = ("doc_id long, frame_idx long, n_frames long, "
+                       "frame_checksum string")
+
+
+def fake_sample_frames(df: DataFrame, id_col: str = "doc_id",
+                       payload_col: str = "payload",
+                       max_frames: int = 4) -> DataFrame:
+    """Video-style frame sampling: ONE input row fans out to ≤
+    ``max_frames`` evenly-strided frame rows — the row-multiplying
+    mapInPandas shape every real frame sampler has (decode replaced by
+    the deterministic fake: n_frames from the payload digest, per-frame
+    checksum of payload + frame index).
+
+    At scale this shape matters more than the decode: the output is
+    k× the input row count, so it must stream through Arrow batches —
+    never collect, never explode a driver-built list."""
+    cols = df.select(id_col, payload_col)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_n, out_ck = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                n_frames = 1 + hashlib.md5(b).digest()[3] % 16
+                stride = (n_frames + max_frames - 1) // max_frames
+                for idx in range(0, n_frames, stride):
+                    out_id.append(doc_id)
+                    out_idx.append(idx)
+                    out_n.append(n_frames)
+                    out_ck.append(hashlib.md5(
+                        b + b"#" + str(idx).encode()).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": out_id, "frame_idx": out_idx,
+                "n_frames": out_n, "frame_checksum": out_ck,
+            })
+
+    return cols.mapInPandas(op, schema=FRAME_SAMPLE_SCHEMA)

@@ -664,3 +664,34 @@ def doc_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize(load_table(spark, sf_dir, "documents"))
     return prepare_corpus(docs, keep_langs=("en",),
                           carry_cols=["source"]).orderBy("doc_id")
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             1 + (('0x' || substr(md5(text), 7, 2))::INT % 16) AS n_frames
+      FROM documents),
+    f AS (
+      SELECT doc_id, text, n_frames,
+             CAST((n_frames + 3) // 4 AS INT) AS stride
+      FROM t)
+    SELECT doc_id,
+           unnest(generate_series(0, n_frames - 1, stride)) AS frame_idx,
+           n_frames,
+           md5(text || '#' ||
+               CAST(unnest(generate_series(0, n_frames - 1, stride)) AS VARCHAR))
+               AS frame_checksum
+    FROM f
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: the row-multiplying
+    mapInPandas shape, value-checked (frame count and per-frame checksum
+    derive deterministically from the payload, so DuckDB reproduces them
+    from the source text)."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    payload = M.with_binary_payload(docs)
+    return M.fake_sample_frames(payload).orderBy("doc_id", "frame_idx")

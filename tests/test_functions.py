@@ -262,3 +262,20 @@ def test_prepare_corpus_single_shuffle(spark):
     n_exchanges = len(_re.findall(
         r"Exchange (?:hashpartitioning|rangepartitioning)", final_plan))
     assert n_exchanges <= 1, final_plan[:2000]
+
+
+def test_fake_sample_frames_fanout(spark):
+    """Frame sampling fans one row out to ≤ max_frames strided rows with
+    deterministic per-frame checksums."""
+    from meerschaum_spark.functions import multimodal as M
+    df = spark.createDataFrame([(1, "some video-ish content here")],
+                               "doc_id long, text string")
+    frames = M.fake_sample_frames(M.with_binary_payload(df)).collect()
+    assert 1 <= len(frames) <= 4
+    assert frames[0]["frame_idx"] == 0
+    n = frames[0]["n_frames"]
+    assert all(r["n_frames"] == n for r in frames)
+    assert len({r["frame_checksum"] for r in frames}) == len(frames)
+    # deterministic across runs
+    again = M.fake_sample_frames(M.with_binary_payload(df)).collect()
+    assert [r.asDict() for r in again] == [r.asDict() for r in frames]

@@ -66,3 +66,56 @@ def prepare_corpus(
                 & F.col("pred_lang").isin(*keep_langs))
         .drop("_rn", "_text_hash", "quality_pass")
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the prefix of ``df`` (in ``order_col`` order) whose cumulative
+    ``token_col`` stays within ``budget`` — packing a training mix to a
+    token budget.
+
+    Scale design: the naive form is a GLOBAL running-sum window (single
+    task over the whole corpus — the autoincrement anti-pattern). Instead:
+    range-bucket on ``order_col`` (~128 buckets via approx quantiles), sum
+    tokens per bucket (one small aggregate), find the threshold bucket on
+    the driver from ~128 rows, take every earlier bucket whole, and run
+    the exact running sum ONLY inside the threshold bucket. Work is one
+    pass plus a window over corpus/128 rows."""
+    n_buckets = 128
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.approxQuantile(order_col, probs, 0.001)
+    # dedupe boundaries (skewed keys can repeat a quantile)
+    uniq: list = []
+    for c in cuts:
+        if not uniq or c > uniq[-1]:
+            uniq.append(c)
+    bucket = F.lit(0)
+    for i, c in enumerate(uniq):
+        bucket = F.when(F.col(order_col) > F.lit(c), i + 1).otherwise(bucket)
+    tagged = df.withColumn("_bkt", bucket)
+    sums = {r["_bkt"]: r["_tok"] for r in
+            tagged.groupBy("_bkt").agg(F.sum(token_col).alias("_tok"))
+            .collect()}
+    cum, full_buckets, threshold_bkt, offset = 0, [], None, 0
+    for b in sorted(sums):
+        if cum + sums[b] <= budget:
+            cum += sums[b]
+            full_buckets.append(b)
+        else:
+            threshold_bkt, offset = b, cum
+            break
+    keep = tagged.filter(F.col("_bkt").isin(full_buckets)) \
+        if full_buckets else tagged.limit(0)
+    if threshold_bkt is not None:
+        w = Window.partitionBy("_bkt").orderBy(order_col).rowsBetween(
+            Window.unboundedPreceding, 0)
+        edge = (tagged.filter(F.col("_bkt") == threshold_bkt)
+                .withColumn("_cum", F.sum(token_col).over(w))
+                .filter(F.col("_cum") + F.lit(offset) <= budget)
+                .drop("_cum"))
+        keep = keep.unionByName(edge)
+    return keep.drop("_bkt")

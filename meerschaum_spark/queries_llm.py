@@ -695,3 +695,25 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize(load_table(spark, sf_dir, "documents"))
     payload = M.with_binary_payload(docs)
     return M.fake_sample_frames(payload).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "doc_token_budget",
+    f"""
+    WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents)
+    SELECT doc_id, n_tokens FROM t
+    QUALIFY sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            <= 20000
+    ORDER BY doc_id
+    """,
+)
+def doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: the longest doc_id-ordered prefix whose
+    cumulative token count fits 20k tokens. The oracle is the naive
+    global running sum; the engine computes the same answer with the
+    two-phase bucket design (no global single-task window)."""
+    from meerschaum_spark.functions.corpus import select_token_budget
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("_t")) \
+               .select("doc_id", F.size("_t").alias("n_tokens"))
+    return select_token_budget(toks, 20_000).orderBy("doc_id")

@@ -279,3 +279,21 @@ def test_fake_sample_frames_fanout(spark):
     # deterministic across runs
     again = M.fake_sample_frames(M.with_binary_payload(df)).collect()
     assert [r.asDict() for r in again] == [r.asDict() for r in frames]
+
+
+def test_select_token_budget_prefix_semantics(spark):
+    """Budget selection keeps exactly the longest ordered prefix that fits,
+    computed without a global single-partition window."""
+    from meerschaum_spark.functions.corpus import select_token_budget
+    rows = [(i, 10) for i in range(1, 101)]  # 100 docs x 10 tokens
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    kept = sorted(r["doc_id"] for r in select_token_budget(df, 255).collect())
+    assert kept == list(range(1, 26))       # 25 docs x 10 = 250 <= 255
+    assert select_token_budget(df, 5).count() == 0
+    assert select_token_budget(df, 10_000).count() == 100
+    plan = select_token_budget(df, 255)._jdf.queryExecution() \
+        .executedPlan().toString().split("Initial Plan")[0]
+    # the only Window is partitioned by bucket, never a global one
+    import re as _re
+    for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_bkt" in m.group(1)

@@ -1,0 +1,89 @@
+"""Instance-level bulk actions: the engine analogue of the reference's
+action layer (``mrsm sync pipes``, ``verify pipes``, ``deduplicate
+pipes`` — meerschaum/actions/sync.py:17-416, verify.py, delete.py),
+iterating the registry's pipes with key/tag filters.
+
+Driver-side orchestration only — each pipe's work is the usual
+distributed sync/verify; a thread pool overlaps pipes whose work touches
+disjoint stores (the reference pools the same way with --workers).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+
+from meerschaum_spark.pipe import Pipe, SyncResult
+from meerschaum_spark.registry import PipeRegistry
+
+
+def get_pipes(
+    spark: SparkSession,
+    instance: str,
+    connector: str | None = None,
+    metric: str | None = None,
+    location: str | None = None,
+    tags: list[str] | None = None,
+) -> list[Pipe]:
+    """Materialize Pipe objects for every registered pipe matching the
+    key/tag filters (reference ``mrsm.get_pipes``)."""
+    reg = PipeRegistry(instance)
+    return [
+        Pipe(c, m, l, instance=instance, spark=spark)
+        for c, m, l in reg.fetch_pipes_keys(connector=connector,
+                                            metric=metric,
+                                            location=location, tags=tags)
+    ]
+
+
+def _run_over(
+    pipes: list[Pipe],
+    fn: Callable[[Pipe], SyncResult],
+    workers: int = 1,
+) -> dict[str, SyncResult]:
+    def one(pipe: Pipe) -> tuple[str, SyncResult]:
+        try:
+            return pipe.target, fn(pipe)
+        except Exception as e:
+            return pipe.target, SyncResult(False, f"{type(e).__name__}: {e}")
+
+    if workers > 1 and len(pipes) > 1:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return dict(pool.map(one, pipes))
+    return dict(one(p) for p in pipes)
+
+
+def sync_pipes(spark: SparkSession, instance: str, workers: int = 1,
+               **filters: Any) -> dict[str, SyncResult]:
+    """Fetch-and-sync every matching pipe (reference actions/sync.py)."""
+    return _run_over(get_pipes(spark, instance, **filters),
+                     lambda p: p.sync(), workers)
+
+
+def verify_pipes(spark: SparkSession, instance: str, workers: int = 1,
+                 bound_days: int | None = None,
+                 **filters: Any) -> dict[str, SyncResult]:
+    """Verify every matching pipe (reference actions/verify.py)."""
+    kwargs = {} if bound_days is None else {"bound_days": bound_days}
+    return _run_over(get_pipes(spark, instance, **filters),
+                     lambda p: p.verify(**kwargs), workers)
+
+
+def deduplicate_pipes(spark: SparkSession, instance: str, workers: int = 1,
+                      **filters: Any) -> dict[str, SyncResult]:
+    """Deduplicate every matching pipe."""
+    return _run_over(get_pipes(spark, instance, **filters),
+                     lambda p: p.deduplicate(), workers)
+
+
+def drop_pipes(spark: SparkSession, instance: str,
+               **filters: Any) -> dict[str, bool]:
+    """Drop data for every matching pipe (registry entries retained,
+    matching the reference's drop-vs-delete split)."""
+    out = {}
+    for pipe in get_pipes(spark, instance, **filters):
+        pipe.drop()
+        out[pipe.target] = not pipe.exists()
+    return out

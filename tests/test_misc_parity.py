@@ -122,3 +122,46 @@ def test_registry_ttl_cache(spark, instance_dir, monkeypatch):
     doc = pipe.registry.load(pipe.target)
     assert doc["parameters"]["tags"] == ["x"]
     assert opens["n"] == 0
+
+
+def test_instance_bulk_actions(spark, instance_dir):
+    """sync/verify/dedup/drop across all registered pipes with key/tag
+    filters (the reference's action layer)."""
+    import datetime
+
+    import pandas as pd
+
+    from meerschaum_spark import instance as inst
+    from meerschaum_spark.pipe import Pipe
+
+    UTC = datetime.timezone.utc
+    rows = [{"dt": datetime.datetime(2024, 1, 1, tzinfo=UTC),
+             "id": 1, "val": 1.0}]
+    spark.createDataFrame(pd.DataFrame(rows)) \
+        .createOrReplaceTempView("bulk_src")
+
+    for metric in ("a", "b"):
+        p = Pipe("bulk", metric, instance=instance_dir, spark=spark,
+                 columns={"datetime": "dt", "id": "id"},
+                 parameters={"tags": ["bulkt"],
+                             "definition": "SELECT * FROM bulk_src"})
+        p.sync(pd.DataFrame(rows))
+
+    pipes = inst.get_pipes(spark, instance_dir, connector="bulk")
+    assert {p.metric for p in pipes} == {"a", "b"}
+    assert len(inst.get_pipes(spark, instance_dir, tags=["bulkt"])) == 2
+    assert inst.get_pipes(spark, instance_dir, tags=["nope"]) == []
+
+    results = inst.sync_pipes(spark, instance_dir, connector="bulk",
+                              workers=2)
+    assert len(results) == 2 and all(r.success for r in results.values())
+
+    dd = inst.deduplicate_pipes(spark, instance_dir, connector="bulk")
+    assert all(r.success for r in dd.values())
+
+    dropped = inst.drop_pipes(spark, instance_dir, connector="bulk",
+                              metric="a")
+    assert all(dropped.values())
+    remaining = [p for p in inst.get_pipes(spark, instance_dir,
+                                           connector="bulk") if p.exists()]
+    assert {p.metric for p in remaining} == {"b"}

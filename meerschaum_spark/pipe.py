@@ -563,7 +563,9 @@ class Pipe:
             self.register()
             return SyncResult(True, f"Inserted {n} rows (no diff).", n, 0)
 
-        marked = self._split_existing(df, force_full_scan=force_full_scan)
+        _persisted: list[DataFrame] = []
+        marked = self._split_existing(df, force_full_scan=force_full_scan,
+                                      _persisted=_persisted)
         marked = marked.persist()
         try:
             # ONE count job for both splits (the reference counts unseen and
@@ -598,6 +600,9 @@ class Pipe:
             )
         finally:
             marked.unpersist()
+            # a long-running service must not leak one cache entry per sync
+            for cached in _persisted:
+                cached.unpersist()
 
     def filter_existing(
         self, df: DataFrame, force_full_scan: bool = False,
@@ -612,6 +617,7 @@ class Pipe:
 
     def _split_existing(
         self, df: DataFrame, force_full_scan: bool = False,
+        _persisted: list | None = None,
     ) -> DataFrame:
         """The diff against the stored table, as ONE DataFrame: every
         changed row of the batch, tagged ``_mrsm_hit`` non-null when its
@@ -630,6 +636,8 @@ class Pipe:
         dt = self.dt_col
         keys = [c for c in self.index_cols if c in df.columns]
         df = df.persist()
+        if _persisted is not None:
+            _persisted.append(df)
         # ONE stats job: dt min/max + per-key distinct counts — the
         # reference derives the same bounds/pushdown from the in-memory
         # batch (core/Pipe/_sync.py:794-878); here it costs one pass
@@ -683,6 +691,8 @@ class Pipe:
         for col, vals in pushdown.items():
             backtrack = backtrack.filter(F.col(col).isin(vals))
         backtrack = backtrack.persist()
+        if _persisted is not None:
+            _persisted.append(backtrack)
 
         common = [c for c in df.columns if c in backtrack.columns]
         b = backtrack.alias("b")

@@ -124,11 +124,13 @@ def _serialize_for_spark(pdf: pd.DataFrame, special: dict[str, str]) -> pd.DataF
     for col, dtype in special.items():
         if dtype == "geometry":
             # values already WKB bytes (declared columns pre-serialized
-            # with their SRID) pass through untouched
+            # with their SRID) pass through; NaN is pandas' null, not data
             pdf[col] = pdf[col].map(
                 lambda v: _geo.serialize_geometry(v, "wkb")
-                if v is not None and not isinstance(v, (bytes, bytearray))
-                else v
+                if not (v is None
+                        or (isinstance(v, float) and pd.isna(v))
+                        or isinstance(v, (bytes, bytearray)))
+                else (None if isinstance(v, float) else v)
             )
         elif dtype == "json":
             pdf[col] = pdf[col].map(
@@ -174,7 +176,8 @@ def to_spark_df(
         _, srid = _geo.parse_geometry_dtype(cdt)
         pdf[col] = pdf[col].map(
             lambda v: _geo.serialize_geometry(v, "wkb", srid=srid or None)
-            if v is not None else None
+            if not (v is None or (isinstance(v, float) and pd.isna(v)))
+            else None
         )
     special = sniff_special_dtypes(pdf)
     for col in geo_declared:

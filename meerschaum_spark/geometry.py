@@ -34,6 +34,7 @@ _GEOM_TYPES = {
 _GEOM_CODES = {v.lower(): k for k, v in _GEOM_TYPES.items()}
 _EWKB_SRID_FLAG = 0x20000000
 _WKB_Z_FLAG = 0x80000000
+_WKB_M_FLAG = 0x40000000
 _ISO_Z_OFFSET = 1000  # ISO WKB encodes Z as code + 1000
 
 _WKT_RE = re.compile(
@@ -137,12 +138,15 @@ class _Reader:
         return chunk
 
 
-def _read_coords(r: _Reader, depth: int, has_z: bool, bo: str) -> list:
-    dims = 3 if has_z else 2
+def _read_coords(r: _Reader, depth: int, has_z: bool, bo: str,
+                 has_m: bool = False) -> list:
+    dims = 2 + (1 if has_z else 0) + (1 if has_m else 0)
+    keep = 3 if has_z else 2
     if depth == 0:
-        return list(struct.unpack(f"{bo}{dims}d", r.take(8 * dims)))
+        vals = list(struct.unpack(f"{bo}{dims}d", r.take(8 * dims)))
+        return vals[:keep]  # M ordinates are parsed but not modeled
     (n,) = struct.unpack(f"{bo}I", r.take(4))
-    return [_read_coords(r, depth - 1, has_z, bo) for _ in range(n)]
+    return [_read_coords(r, depth - 1, has_z, bo, has_m) for _ in range(n)]
 
 
 def _parse_wkb_body(r: _Reader) -> Geometry:
@@ -153,11 +157,16 @@ def _parse_wkb_body(r: _Reader) -> Geometry:
     if raw & _EWKB_SRID_FLAG:
         (srid,) = struct.unpack(f"{bo}I", r.take(4))
     has_z = bool(raw & _WKB_Z_FLAG)
-    code = raw & 0xFF
-    if code > _ISO_Z_OFFSET:  # ISO Z encoding
-        has_z = True
-        code -= _ISO_Z_OFFSET
-    code &= 0xFF
+    has_m = bool(raw & _WKB_M_FLAG)
+    # strip EWKB flag bits BEFORE the ISO-offset check: ISO WKB encodes
+    # dimensionality as code + 1000 (Z) / 2000 (M) / 3000 (ZM), so the
+    # offset must be inspected on the unmasked low bits (masking with
+    # 0xFF first would make ISO Z/ZM input unparseable)
+    code = raw & 0x0FFFFFFF
+    if 1000 <= code < 4000:  # ISO Z / M / ZM encodings
+        has_z = has_z or code < 2000 or code >= 3000
+        has_m = has_m or code >= 2000
+        code %= 1000
     if code not in _GEOM_TYPES:
         raise ValueError(f"Unknown WKB geometry code: {code}")
     name = _GEOM_TYPES[code]
@@ -173,7 +182,7 @@ def _parse_wkb_body(r: _Reader) -> Geometry:
         coords = [c.coords for c in children]
         hz = any(c.has_z for c in children)
         return Geometry(name, coords, srid, hz)
-    coords = _read_coords(r, _DEPTHS[key], has_z, bo)
+    coords = _read_coords(r, _DEPTHS[key], has_z, bo, has_m)
     return Geometry(name, coords, srid, has_z)
 
 

@@ -15,7 +15,7 @@ from typing import Any, Callable
 
 from pyspark.sql import SparkSession
 
-from meerschaum_spark.pipe import Pipe, SyncResult
+from meerschaum_spark.pipe import VERIFY_BOUND_DAYS, Pipe, SyncResult
 from meerschaum_spark.registry import PipeRegistry
 
 
@@ -63,12 +63,13 @@ def sync_pipes(spark: SparkSession, instance: str, workers: int = 1,
 
 
 def verify_pipes(spark: SparkSession, instance: str, workers: int = 1,
-                 bound_days: int | None = None,
+                 bound_days: int | None = VERIFY_BOUND_DAYS,
                  **filters: Any) -> dict[str, SyncResult]:
-    """Verify every matching pipe (reference actions/verify.py)."""
-    kwargs = {} if bound_days is None else {"bound_days": bound_days}
+    """Verify every matching pipe (reference actions/verify.py).
+    ``bound_days=None`` requests the full-history walk, exactly as on
+    ``Pipe.verify`` — the default is the same 366-day cap."""
     return _run_over(get_pipes(spark, instance, **filters),
-                     lambda p: p.verify(**kwargs), workers)
+                     lambda p: p.verify(bound_days=bound_days), workers)
 
 
 def deduplicate_pipes(spark: SparkSession, instance: str, workers: int = 1,

@@ -523,7 +523,8 @@ class Pipe:
 
         self._evolve_dtypes(inferred)
         df = self._apply_autotime(df)
-        df = self._apply_autoincrement(df)
+        sync_persisted: list[DataFrame] = []
+        df = self._apply_autoincrement(df, _persisted=sync_persisted)
         # columns injected by autotime/autoincrement need registering too
         from meerschaum_spark.dtypes import from_spark_type
         self._evolve_dtypes({
@@ -536,34 +537,47 @@ class Pipe:
         if not self.registry.load(self.target):
             self.register()
 
+        def _release() -> None:
+            for cached in sync_persisted:
+                cached.unpersist()
+
         first_sync = not self.exists()
         if first_sync:
-            patch = self._dedupe_patch(df) if self.upsert else df
-            n = patch.count()
-            with self._write_lock:
-                self.store.append(patch)
+            try:
+                patch = self._dedupe_patch(df) if self.upsert else df
+                n = patch.count()
+                with self._write_lock:
+                    self.store.append(patch)
+            finally:
+                _release()
             self.register()
             return SyncResult(True, f"Inserted {n} rows (new table).", n, 0)
 
         if self.upsert:
-            patch = self._dedupe_patch(df)
-            n = patch.count()
-            merge_keys = [c for c in self.index_cols
-                          if c in patch.columns] or patch.columns
-            with self._write_lock:
-                self.store.merge(patch, merge_keys,
-                                 dtypes=self.dtypes or None)
+            try:
+                patch = self._dedupe_patch(df)
+                n = patch.count()
+                merge_keys = [c for c in self.index_cols
+                              if c in patch.columns] or patch.columns
+                with self._write_lock:
+                    self.store.merge(patch, merge_keys,
+                                     dtypes=self.dtypes or None)
+            finally:
+                _release()
             self.register()
             return SyncResult(True, f"Upserted {n} rows.", 0, n)
 
         if not check_existing:
-            n = df.count()
-            with self._write_lock:
-                self.store.append(df)
+            try:
+                n = df.count()
+                with self._write_lock:
+                    self.store.append(df)
+            finally:
+                _release()
             self.register()
             return SyncResult(True, f"Inserted {n} rows (no diff).", n, 0)
 
-        _persisted: list[DataFrame] = []
+        _persisted: list[DataFrame] = sync_persisted
         marked = self._split_existing(df, force_full_scan=force_full_scan,
                                       _persisted=_persisted)
         marked = marked.persist()
@@ -769,7 +783,8 @@ class Pipe:
             return df.withColumn(dt, (stamped / UNIT_US[unit]).cast("long"))
         return df.withColumn(dt, F.timestamp_micros(stamped.cast("long")))
 
-    def _apply_autoincrement(self, df: DataFrame) -> DataFrame:
+    def _apply_autoincrement(self, df: DataFrame,
+                             _persisted: list | None = None) -> DataFrame:
         """Generate the primary key when configured and absent (reference
         connectors/sql/_pipes.py:1962-2073). Offsets from the stored max.
 
@@ -793,6 +808,8 @@ class Pipe:
         # persist so the count job and every later action see identical
         # partition layouts (and therefore identical generated ids)
         tagged = df.withColumn("_mrsm_mid", F.monotonically_increasing_id()).persist()
+        if _persisted is not None:
+            _persisted.append(tagged)
         parts = sorted(
             (r["_pid"], r["_n"])
             for r in tagged.groupBy(
@@ -943,18 +960,22 @@ class Pipe:
         n_removed = sum(r["_n"] for r in dup_stats)
         if not dup_parts:
             return SyncResult(True, "No duplicates found.", 0, 0)
-        scoped = self.store.read(dtypes=self.dtypes or None, keep_part_col=True,
-                                 part_values=dup_parts)
+        # Keep rows by the GLOBAL ranking, scoped to the partitions being
+        # rewritten. Re-ranking only the rewritten partitions would let a
+        # duplicate whose rank-1 winner lives in a DIFFERENT partition
+        # promote itself back to rank 1 and survive (cross-partition
+        # duplicates arise when the datetime column is not an index key).
+        deduped = (ranked
+                   .filter(F.col("_mrsm_part").isin(dup_parts)
+                           & (F.col("_rn") == 1))
+                   .drop("_rn"))
         if cond is not None:
-            # dedupe only rows inside the requested window; rows outside it
-            # in the same partitions pass through untouched
-            in_scope = scoped.filter(cond)
+            # rows outside the requested window in the same partitions
+            # pass through untouched
+            scoped = self.store.read(dtypes=self.dtypes or None,
+                                     keep_part_col=True,
+                                     part_values=dup_parts)
             out_scope = scoped.filter(~F.coalesce(cond, F.lit(False)))
-        else:
-            in_scope, out_scope = scoped, None
-        deduped = (in_scope.withColumn("_rn", F.row_number().over(w))
-                   .filter(F.col("_rn") == 1).drop("_rn"))
-        if out_scope is not None:
             deduped = deduped.unionByName(out_scope)
         self.store._swap_partitions(deduped, dup_parts)
         return SyncResult(True, f"Removed {n_removed} duplicates.",
@@ -1046,11 +1067,15 @@ class Pipe:
 
         def sync_chunk(bounds):
             b, e = bounds
-            data = source(b, e) if source is not None else self.fetch(begin=b, end=e)
-            if data is None:
-                return SyncResult(True, "empty", 0, 0)
             last = None
             for attempt in range(max_retries):
+                # re-fetch per attempt: a chunk GENERATOR is consumed by a
+                # failed sync, so retrying the same object would sync the
+                # leftovers (or nothing) and report spurious success
+                data = source(b, e) if source is not None \
+                    else self.fetch(begin=b, end=e)
+                if data is None:
+                    return SyncResult(True, "empty", 0, 0)
                 last = self.sync(data, begin=b, end=e)
                 if attempt:
                     retry_counts[(b, e)] = attempt

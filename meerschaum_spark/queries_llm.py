@@ -194,7 +194,9 @@ _SIG_CACHE: dict = {}
 
 
 def _cached_sigs(kind: str, spark: SparkSession, sf_dir: str, builder):
-    key = (kind, id(spark), sf_dir)
+    # applicationId is unique per SparkContext: id(spark) could alias a
+    # recreated session at the same address and serve dead checkpoints
+    key = (kind, spark.sparkContext.applicationId, sf_dir)
     df = _SIG_CACHE.get(key)
     if df is None:
         df = builder().localCheckpoint(eager=True)

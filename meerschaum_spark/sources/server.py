@@ -98,13 +98,18 @@ class PipeHTTPServer:
                 return self._send(handler, 404, {"error": "not found"})
             if len(parts) == 1:
                 return self._send(handler, 200, self._list_pipes(args))
-            # /pipes/{conn}/{metric}[/{loc}]/{action...}
+            # /pipes/{conn}/{metric}[/{loc}]/{action...} — parse from the
+            # END so a pipe whose keys collide with an action word
+            # ('data', 'size', ...) still routes
             tail = parts[1:]
             known = {"data", "sync_time", "rowcount", "attributes",
                      "exists", "columns", "csv", "chunk_bounds", "size"}
-            action_at = next((i for i, p in enumerate(tail) if p in known),
-                             len(tail))
-            keys, action = tail[:action_at], tail[action_at:]
+            if tail[-2:] == ["columns", "types"]:
+                keys, action = tail[:-2], tail[-2:]
+            elif tail and tail[-1] in known:
+                keys, action = tail[:-1], tail[-1:]
+            else:
+                keys, action = tail, []
             if not 2 <= len(keys) <= 3:
                 return self._send(handler, 404, {"error": "bad pipe keys"})
             pipe = Pipe(keys[0], keys[1],

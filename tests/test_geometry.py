@@ -133,3 +133,43 @@ def test_geo_udfs(spark):
     back = df.withColumn("wkb", G.wkt_to_wkb(F.col("wkt"))) \
              .withColumn("rt", G.wkb_to_wkt(F.col("wkb"))).collect()
     assert back[1]["rt"] == "LINESTRING (0 0, 1 1, 2 2)"
+
+
+def test_iso_wkb_z_and_m_parse():
+    """ISO WKB encodes dimensionality as code+1000/2000/3000 (the form
+    shapely/PostGIS ISO mode emit) — all three variants must parse; M
+    ordinates are consumed but not modeled."""
+    import struct
+    # POINT Z (1 2 3), ISO code 1001
+    iso_z = b"\x01" + struct.pack("<I", 1001) + struct.pack("<3d", 1, 2, 3)
+    g = geo.from_wkb(iso_z)
+    assert g.geom_type == "Point" and g.has_z and g.coords == [1.0, 2.0, 3.0]
+    # POINT M (1 2 9), ISO code 2001 — M dropped
+    iso_m = b"\x01" + struct.pack("<I", 2001) + struct.pack("<3d", 1, 2, 9)
+    g = geo.from_wkb(iso_m)
+    assert not g.has_z and g.coords == [1.0, 2.0]
+    # POINT ZM (1 2 3 9), ISO code 3001 — Z kept, M dropped
+    iso_zm = b"\x01" + struct.pack("<I", 3001) + struct.pack("<4d", 1, 2, 3, 9)
+    g = geo.from_wkb(iso_zm)
+    assert g.has_z and g.coords == [1.0, 2.0, 3.0]
+    # ISO LINESTRING Z, code 1002
+    iso_lz = (b"\x01" + struct.pack("<I", 1002) + struct.pack("<I", 2)
+              + struct.pack("<3d", 0, 0, 1) + struct.pack("<3d", 1, 1, 2))
+    g = geo.from_wkb(iso_lz)
+    assert g.geom_type == "LineString" and g.coords[1] == [1.0, 1.0, 2.0]
+
+
+def test_geometry_column_with_nan_nulls(spark, instance_dir):
+    """np.nan (the pandas null placeholder in object columns) is null, not
+    geometry data — the sync must store NULL, not crash."""
+    import numpy as np
+    pipe = Pipe("geo", "nanrows", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"},
+                dtypes={"geom": "geometry"})
+    pipe.sync(pd.DataFrame([
+        {"dt": dtm(2024, 1, 1), "id": 1, "geom": "POINT (1 2)"},
+        {"dt": dtm(2024, 1, 2), "id": 2, "geom": np.nan},
+    ]))
+    docs = {d["id"]: d["geom"] for d in pipe.get_docs()}
+    assert docs[2] is None
+    assert geo.from_wkb(bytes(docs[1])).coords == [1.0, 2.0]

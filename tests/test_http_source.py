@@ -191,3 +191,32 @@ def test_pipe_http_server_chunk_bounds_and_size(spark, instance_dir):
         assert out["rowcount"] == 2 and out["bytes"] > 0
     finally:
         server.stop()
+
+
+def test_pipe_http_server_action_named_metric(spark, instance_dir):
+    """A pipe whose metric equals an action word ('size') must still
+    route: the action is parsed from the END of the path."""
+    import datetime
+    import json
+    import urllib.request
+
+    import pandas as pd
+
+    from meerschaum_spark.pipe import Pipe
+    from meerschaum_spark.sources import PipeHTTPServer
+
+    UTC = datetime.timezone.utc
+    pipe = Pipe("plugin", "size", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"})
+    pipe.sync(pd.DataFrame([{"dt": datetime.datetime(2024, 1, 1, tzinfo=UTC),
+                             "id": 1, "val": 1.0}]))
+    server = PipeHTTPServer(spark, instance_dir).start()
+    try:
+        with urllib.request.urlopen(
+                f"{server.url}/pipes/plugin/size/data") as r:
+            assert len(json.load(r)["docs"]) == 1
+        with urllib.request.urlopen(
+                f"{server.url}/pipes/plugin/size/rowcount") as r:
+            assert json.load(r)["rowcount"] == 1
+    finally:
+        server.stop()

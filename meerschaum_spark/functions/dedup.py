@@ -148,10 +148,12 @@ def jaccard_pairs(
                .agg(F.count(F.lit(1)).alias("_df"))
                .filter(F.col("_df") > max_shingle_df)
                .select(*scope, "s"))
-        # no second checkpoint: the anti-join is a cheap broadcast probe
-        # over the already-checkpointed exploded table
+        # checkpoint the CAPPED table too: it feeds three consumers
+        # (sizes, join side a, join side b) — without materializing it,
+        # each consumer re-scans the pre-cap checkpoint and re-runs the
+        # anti-join probe (measured: 11.4 s vs 4 s at sf0.1)
         exploded = exploded.join(F.broadcast(hot), on=[*scope, "s"],
-                                 how="left_anti")
+                                 how="left_anti").localCheckpoint(eager=True)
     sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")

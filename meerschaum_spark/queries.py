@@ -810,8 +810,10 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -822,11 +824,20 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (lag + running sum)."""
+    """Gap-based sessionization (lag + running sum).
+
+    The gap is compared at microsecond precision (``unix_micros``) so a
+    sub-second difference straddling the 30-minute boundary classifies
+    identically to the oracle's full-precision ``ts - lag(ts) >
+    INTERVAL 30 MINUTE``; ``cast('long')`` would truncate to whole
+    seconds. The oracle CASTs its running sum to BIGINT because DuckDB's
+    integer ``sum()`` returns HUGEINT (Arrow decimal128(38,0)), which
+    the driver's value hash does not normalize against Spark's bigint."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
-    new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    gap = (F.unix_micros(F.col("ts"))
+           - F.unix_micros(F.lag(F.col("ts")).over(w)))
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0)
     return (
@@ -850,8 +861,10 @@ _STREAM_SESSION_SQL = """
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, count(*) AS n_events,

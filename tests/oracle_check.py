@@ -79,14 +79,17 @@ def run(sf_dir: str, only: list[str]) -> int:
             print(f"SKIP {name}: no oracle (rows-only) — spark rows={len(srows)}")
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols_raw = [d[0] for d in cur.description]
-            orows = cur.fetchall()
-            ocols_order = sorted(range(len(ocols_raw)),
-                                 key=lambda i: ocols_raw[i])
+            # Fetch through Arrow, exactly like the driver's gate:
+            # ``fetchall()`` silently coerces DuckDB HUGEINT to Python int,
+            # but over Arrow it surfaces as decimal128(38,0) → Decimal —
+            # a type the value hash does NOT normalize against Spark's
+            # bigint. Fetching the same way keeps this local gate honest.
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            ocols_raw = tbl.column_names
+            orows = tbl.to_pylist()
             ocols = sorted(ocols_raw)
             o_set = sorted(
-                (tuple(normalize(row[i]) for i in ocols_order) for row in orows),
+                (tuple(normalize(row[c]) for c in ocols) for row in orows),
                 key=sort_key)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")

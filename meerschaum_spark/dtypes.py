@@ -159,12 +159,17 @@ def from_spark_type(dt: T.DataType) -> str:
 _WIDEN_ORDER = ["int8", "int16", "int32", "int64"]
 
 
-def widen_dtypes(old: str, new: str) -> str:
+def widen_dtypes(old: str, new: str, mixed_numerics: bool = True) -> str:
     """Resolve a dtype conflict between the registered and incoming dtype.
 
     Mirrors the reference's evolution rules (connectors/sql/_pipes.py:3496-3832,
     utils/dataframe.py:266-295): int widths widen; int+float → numeric;
     numeric precision unions; anything irreconcilable → str fallback.
+
+    ``mixed_numerics=False`` (the pipe flag, reference
+    core/Pipe/_attributes.py:506-514) disables the int/float → numeric
+    coercion: the conflict falls through to the str fallback, matching
+    the reference's warn-and-object path.
     """
     old, new = canonical_dtype(old), canonical_dtype(new)
     if old == new:
@@ -182,7 +187,11 @@ def widen_dtypes(old: str, new: str) -> str:
         ni = _WIDEN_ORDER.index(nb if nb != "int" else "int64")
         return _WIDEN_ORDER[max(oi, ni)]
     if (ob in ints and nb in floats) or (ob in floats and nb in ints):
-        return "numeric"  # reference widens mixed int/float to Decimal
+        # reference widens mixed int/float to Decimal — unless the pipe
+        # opts out via mixed_numerics=False
+        return "numeric" if mixed_numerics else "str"
+    # an already-numeric side keeps numeric regardless of the flag: the
+    # column is Decimal on disk; the flag only gates NEW coercions
     if "numeric" in (ob, nb) and {ob, nb} <= (ints | floats | {"numeric"}):
         return "numeric"
     if ob in floats and nb in floats:

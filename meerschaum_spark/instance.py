@@ -29,7 +29,7 @@ def get_pipes(
 ) -> list[Pipe]:
     """Materialize Pipe objects for every registered pipe matching the
     key/tag filters (reference ``mrsm.get_pipes``)."""
-    reg = PipeRegistry(instance)
+    reg = PipeRegistry.for_instance(instance)
     return [
         Pipe(c, m, l, instance=instance, spark=spark)
         for c, m, l in reg.fetch_pipes_keys(connector=connector,
@@ -38,16 +38,24 @@ def get_pipes(
     ]
 
 
+def _pipe_key(pipe: Pipe) -> tuple[str, str, str | None]:
+    """Result-dict key: the (connector, metric, location) identity, NOT
+    ``pipe.target`` — two pipes may share an explicit target, and keying
+    by target would silently drop one result."""
+    return (pipe.connector, pipe.metric, pipe.location)
+
+
 def _run_over(
     pipes: list[Pipe],
     fn: Callable[[Pipe], SyncResult],
     workers: int = 1,
-) -> dict[str, SyncResult]:
-    def one(pipe: Pipe) -> tuple[str, SyncResult]:
+) -> dict[tuple[str, str, str | None], SyncResult]:
+    def one(pipe: Pipe) -> tuple[tuple[str, str, str | None], SyncResult]:
         try:
-            return pipe.target, fn(pipe)
+            return _pipe_key(pipe), fn(pipe)
         except Exception as e:
-            return pipe.target, SyncResult(False, f"{type(e).__name__}: {e}")
+            return _pipe_key(pipe), SyncResult(False,
+                                               f"{type(e).__name__}: {e}")
 
     if workers > 1 and len(pipes) > 1:
         with ThreadPoolExecutor(max_workers=workers) as pool:
@@ -80,11 +88,11 @@ def deduplicate_pipes(spark: SparkSession, instance: str, workers: int = 1,
 
 
 def drop_pipes(spark: SparkSession, instance: str,
-               **filters: Any) -> dict[str, bool]:
+               **filters: Any) -> dict[tuple[str, str, str | None], bool]:
     """Drop data for every matching pipe (registry entries retained,
     matching the reference's drop-vs-delete split)."""
     out = {}
     for pipe in get_pipes(spark, instance, **filters):
         pipe.drop()
-        out[pipe.target] = not pipe.exists()
+        out[_pipe_key(pipe)] = not pipe.exists()
     return out

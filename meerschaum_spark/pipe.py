@@ -49,6 +49,7 @@ DEFAULT_BACKTRACK_MINUTES = 1440   # reference config/_default.py:236
 FILTER_PARAMS_INDEX_LIMIT = 250    # reference config/_default.py:247
 BOUNDS_SLOP_MINUTES = 1            # reference core/Pipe/_sync.py:794-858
 HIT_COL = "_mrsm_hit"              # marker: batch row's key exists in store
+ORD_COL = "_mrsm_ord"              # batch row order tag (keep-last dedupe)
 VERIFY_BOUND_DAYS = 366            # reference config/_default.py:239
 
 
@@ -106,6 +107,8 @@ class Pipe:
         enforce: bool | None = None,
         null_indices: bool | None = None,
         autoincrement: bool | None = None,
+        mixed_numerics: bool | None = None,
+        tags: list[str] | None = None,
         temporary: bool = False,
         fetch_fn: Callable[..., Any] | None = None,
         sync_fn: Callable[..., Any] | None = None,
@@ -127,7 +130,7 @@ class Pipe:
         #: core/Pipe/__init__.py:218,372: in-memory attributes only);
         #: their data cleans up with vacuum_temp / the instance GC
         self.temporary = bool(temporary)
-        self.registry = PipeRegistry(instance)
+        self.registry = PipeRegistry.for_instance(instance)
         self.target = target or target_name(self.connector, self.metric, self.location)
         self.fetch_fn = fetch_fn
         self.sync_fn = sync_fn
@@ -144,9 +147,12 @@ class Pipe:
             )
         for flag, val in (("upsert", upsert), ("static", static),
                           ("enforce", enforce), ("null_indices", null_indices),
-                          ("autoincrement", autoincrement)):
+                          ("autoincrement", autoincrement),
+                          ("mixed_numerics", mixed_numerics)):
             if val is not None:
                 params[flag] = bool(val)
+        if tags is not None:
+            params["tags"] = list(tags)
         self.parameters = params
         self._store: ParquetPipeStore | None = None
 
@@ -198,6 +204,24 @@ class Pipe:
         return bool(self.parameters.get("autoincrement", False))
 
     @property
+    def tags(self) -> list[str]:
+        """Tag list riding in parameters (reference
+        core/Pipe/_attributes.py tags accessor)."""
+        return list(self.parameters.get("tags", []))
+
+    @tags.setter
+    def tags(self, tags: list[str]) -> None:
+        self.parameters["tags"] = list(tags)
+
+    @property
+    def mixed_numerics(self) -> bool:
+        """When True (default), int columns widen to ``numeric`` when
+        floats arrive (reference core/Pipe/_attributes.py:506-514); when
+        False the conflict falls back to ``str``, matching the
+        reference's object fallback (utils/dataframe.py:266-295)."""
+        return bool(self.parameters.get("mixed_numerics", True))
+
+    @property
     def precision_unit(self) -> str:
         prec = self.parameters.get("precision") or {}
         return normalize_unit(prec.get("unit", "microsecond"))
@@ -244,8 +268,8 @@ class Pipe:
         self.parameters.update(parameters)
         self.register()
 
-    def exists(self) -> bool:
-        return self.store.exists()
+    def exists(self, refresh: bool = False) -> bool:
+        return self.store.exists(refresh=refresh)
 
     def delete(self) -> None:
         """Drop data and deregister (reference core/Pipe/_drop.py + _delete)."""
@@ -534,6 +558,15 @@ class Pipe:
         if self.enforce:
             df = mdf.enforce_dtypes(df, self.dtypes)
 
+        # Batch-order tag, assigned BEFORE any join/shuffle so it captures
+        # the source row order (partition_id << 33 | row_in_partition —
+        # deterministic for a parquet scan or createDataFrame). Patch
+        # dedupe orders by it desc to match the reference's
+        # drop_duplicates(keep='last') batch semantics
+        # (core/Pipe/_sync.py drop_duplicates / utils/dataframe.py
+        # filter_existing); dropped again before every write.
+        df = df.withColumn(ORD_COL, F.monotonically_increasing_id())
+
         if not self.registry.load(self.target):
             self.register()
 
@@ -541,10 +574,13 @@ class Pipe:
             for cached in sync_persisted:
                 cached.unpersist()
 
-        first_sync = not self.exists()
+        # fresh probe, not the TTL cache: a stale False here would take the
+        # append-without-diff path over a table another writer just created
+        first_sync = not self.exists(refresh=True)
         if first_sync:
             try:
-                patch = self._dedupe_patch(df) if self.upsert else df
+                patch = (self._dedupe_patch(df) if self.upsert
+                         else df.drop(ORD_COL))
                 n = patch.count()
                 with self._write_lock:
                     self.store.append(patch)
@@ -569,6 +605,7 @@ class Pipe:
 
         if not check_existing:
             try:
+                df = df.drop(ORD_COL)
                 n = df.count()
                 with self._write_lock:
                     self.store.append(df)
@@ -593,7 +630,8 @@ class Pipe:
             }
             n_unseen = counts.get(False, 0)
             n_update = counts.get(True, 0)
-            unseen = marked.filter(F.col(HIT_COL).isNull()).drop(HIT_COL)
+            unseen = (marked.filter(F.col(HIT_COL).isNull())
+                      .drop(HIT_COL, ORD_COL))
             update = marked.filter(F.col(HIT_COL).isNotNull()).drop(HIT_COL)
             with self._write_lock:
                 if n_unseen:
@@ -601,8 +639,10 @@ class Pipe:
                 if n_update:
                     # merge AFTER append: store.merge re-lists files, so rows
                     # the append just wrote are retained through the rewrite
-                    merge_keys = [c for c in self.index_cols
-                                  if c in update.columns] or update.columns
+                    merge_keys = ([c for c in self.index_cols
+                                   if c in update.columns]
+                                  or [c for c in update.columns
+                                      if c != ORD_COL])
                     # merge sources must be key-unique: a batch carrying two
                     # rows for one key would otherwise insert both
                     self.store.merge(self._dedupe_patch(update), merge_keys,
@@ -649,8 +689,12 @@ class Pipe:
         """
         dt = self.dt_col
         keys = [c for c in self.index_cols if c in df.columns]
-        df = df.persist()
+        # Persist ONLY when the caller supplies a ledger to unpersist from:
+        # sync() passes one and cleans up in its finally-block. External
+        # filter_existing() callers get an unpersisted (lazy) plan instead
+        # of a cache entry nobody ever releases.
         if _persisted is not None:
+            df = df.persist()
             _persisted.append(df)
         # ONE stats job: dt min/max + per-key distinct counts — the
         # reference derives the same bounds/pushdown from the in-memory
@@ -704,8 +748,8 @@ class Pipe:
         backtrack = self.get_data(begin=begin, end=end, order=None)
         for col, vals in pushdown.items():
             backtrack = backtrack.filter(F.col(col).isin(vals))
-        backtrack = backtrack.persist()
         if _persisted is not None:
+            backtrack = backtrack.persist()
             _persisted.append(backtrack)
 
         common = [c for c in df.columns if c in backtrack.columns]
@@ -733,16 +777,27 @@ class Pipe:
 
     def _dedupe_patch(self, df: DataFrame) -> DataFrame:
         """Dedupe an upsert patch on its keys — MERGE sources must be
-        key-unique (reference dedupes via drop_duplicates keep='last')."""
+        key-unique (reference dedupes via drop_duplicates keep='last',
+        core/Pipe/_sync.py).
+
+        When the batch carries the ingest-order tag (``ORD_COL``, stamped
+        by ``sync`` before any shuffle), the per-key winner is the LAST
+        row of the batch in source order — the reference's keep='last'.
+        Without the tag (external callers) the winner is the row with the
+        greatest non-key values, a deterministic fallback."""
         keys = [c for c in self.index_cols if c in df.columns]
         if not keys:
-            return df.dropDuplicates()
-        others = [c for c in df.columns if c not in keys]
-        order = ([F.col(c).desc_nulls_last() for c in others]
-                 or [F.lit(1).asc()])
+            return (df.drop(ORD_COL).dropDuplicates()
+                    if ORD_COL in df.columns else df.dropDuplicates())
+        if ORD_COL in df.columns:
+            order = [F.col(ORD_COL).desc()]
+        else:
+            others = [c for c in df.columns if c not in keys]
+            order = ([F.col(c).desc_nulls_last() for c in others]
+                     or [F.lit(1).asc()])
         w = Window.partitionBy(*keys).orderBy(*order)
         return (df.withColumn("_rn", F.row_number().over(w))
-                  .filter(F.col("_rn") == 1).drop("_rn"))
+                  .filter(F.col("_rn") == 1).drop("_rn", ORD_COL))
 
     def _evolve_dtypes(self, inferred: dict[str, str]) -> None:
         """Schema evolution: union new columns, widen conflicts (reference
@@ -757,7 +812,8 @@ class Pipe:
                 current[col] = new_dt
                 changed = True
             elif self.enforce and canonical_dtype(current[col]) != new_dt:
-                widened = widen_dtypes(current[col], new_dt)
+                widened = widen_dtypes(current[col], new_dt,
+                                       mixed_numerics=self.mixed_numerics)
                 if widened != canonical_dtype(current[col]):
                     current[col] = widened
                     changed = True

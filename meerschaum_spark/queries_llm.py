@@ -196,7 +196,12 @@ _SIG_CACHE: dict = {}
 def _cached_sigs(kind: str, spark: SparkSession, sf_dir: str, builder):
     # applicationId is unique per SparkContext: id(spark) could alias a
     # recreated session at the same address and serve dead checkpoints
-    key = (kind, spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    # evict entries from stopped SparkContexts: their checkpointed
+    # DataFrames would otherwise stay referenced for the process lifetime
+    for stale in [k for k in _SIG_CACHE if k[1] != app_id]:
+        del _SIG_CACHE[stale]
+    key = (kind, app_id, sf_dir)
     df = _SIG_CACHE.get(key)
     if df is None:
         df = builder().localCheckpoint(eager=True)

@@ -36,12 +36,55 @@ def target_name(connector: str, metric: str, location: str | None = None) -> str
 #: core/Pipe/_cache.py + config/_default.py:244-258)
 REGISTRY_TTL_SECONDS = 600.0
 
+#: tag negation prefix (reference STATIC_CONFIG
+#: system.fetch_pipes_keys.negation_prefix)
+NEGATION_PREFIX = "_"
+
+
+def _match_tag_groups(doc_tags: set, tags: list[str]) -> bool:
+    """Reference tag-group matching (connectors/sql/_pipes.py:279-309 via
+    utils/misc.py separate_negation_values): comma = AND within a group,
+    groups OR'd, ``_``-prefixed tags negated."""
+    for group in (t.split(",") for t in tags):
+        in_tags = [t for t in group if not t.startswith(NEGATION_PREFIX)]
+        ex_tags = [t[len(NEGATION_PREFIX):] for t in group
+                   if t.startswith(NEGATION_PREFIX)]
+        if (all(t in doc_tags for t in in_tags)
+                and not any(t in doc_tags for t in ex_tags)):
+            return True
+    return False
+
+
+#: one shared PipeRegistry per instance root, so the TTL cache survives
+#: across Pipe objects (the reference attributes cache lives on the
+#: instance connector, not the Pipe, core/Pipe/_cache.py) — without
+#: sharing, every Pipe.__init__ and every HTTP request re-read the JSON
+#: doc from disk
+_REGISTRIES: dict[str, "PipeRegistry"] = {}
+_REGISTRIES_MAX = 256
+
 
 class PipeRegistry:
     def __init__(self, instance_root: str):
         self.instance_root = instance_root
         self.registry_dir = os.path.join(instance_root, ".registry")
         self._cache: dict[str, tuple[dict[str, Any] | None, float]] = {}
+
+    @classmethod
+    def for_instance(cls, instance_root: str) -> "PipeRegistry":
+        """Shared, cache-carrying registry for an instance root."""
+        key = os.path.abspath(instance_root)
+        with _LOCK:
+            reg = _REGISTRIES.get(key)
+            if reg is None:
+                # bound the map: test suites churn through many temp
+                # instances; evict the oldest half when full
+                if len(_REGISTRIES) >= _REGISTRIES_MAX:
+                    for old in list(_REGISTRIES)[:_REGISTRIES_MAX // 2]:
+                        del _REGISTRIES[old]
+                reg = cls(instance_root)
+                _REGISTRIES[key] = reg
+            return reg
 
     def _doc_path(self, target: str) -> str:
         return os.path.join(self.registry_dir, f"{target}.json")
@@ -94,7 +137,13 @@ class PipeRegistry:
         tags: list[str] | None = None,
     ) -> list[tuple[str, str, str | None]]:
         """Filtered pipe listing (reference
-        connectors/instance/_pipes.py fetch_pipes_keys)."""
+        connectors/instance/_pipes.py fetch_pipes_keys).
+
+        Tag matching follows the reference's group semantics
+        (connectors/sql/_pipes.py:279-309): each element of ``tags`` is a
+        comma-joined AND-group, groups are OR'd, and a ``_`` prefix
+        negates a tag within its group — ``["a,b", "_c"]`` matches pipes
+        tagged (a AND b) OR (NOT c)."""
         out = []
         if not os.path.isdir(self.registry_dir):
             return out
@@ -113,7 +162,7 @@ class PipeRegistry:
                 continue
             if tags:
                 doc_tags = set(doc.get("parameters", {}).get("tags", []))
-                if not doc_tags.intersection(tags):
+                if not _match_tag_groups(doc_tags, tags):
                     continue
             out.append((keys.get("connector"), keys.get("metric"), keys.get("location")))
         return out

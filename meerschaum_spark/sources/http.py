@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import datetime
 import json
+import urllib.error
 import urllib.parse
 import urllib.request
 from typing import Any, Callable
@@ -54,6 +55,76 @@ def _fmt_bound(bound: Any) -> str:
     if isinstance(bound, datetime.datetime):
         return bound.isoformat()
     return str(bound)
+
+
+def http_request_json(
+    url: str,
+    method: str = "GET",
+    body: Any = None,
+    timeout: float = 30.0,
+    headers: dict[str, str] | None = None,
+) -> tuple[int, Any]:
+    """One JSON request/response round-trip, returning (status, payload).
+    4xx/5xx responses are returned (with their JSON body), not raised —
+    the management routes use 409 for already/not-registered."""
+    data = (json.dumps(body, default=str).encode("utf-8")
+            if body is not None else None)
+    hdrs = {"Content-Type": "application/json", **(headers or {})}
+    req = urllib.request.Request(url, data=data, method=method, headers=hdrs)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.status, json.loads(resp.read().decode("utf-8"))
+    except urllib.error.HTTPError as e:
+        try:
+            payload = json.loads(e.read().decode("utf-8"))
+        except Exception:
+            payload = {"error": str(e)}
+        return e.code, payload
+
+
+class RemotePipe:
+    """Client for one pipe on a ``PipeHTTPServer`` — the reference's API
+    connector surface (connectors/api/_pipes.py): register / edit /
+    delete / sync / attributes / data, purely over HTTP."""
+
+    def __init__(self, base_url: str, connector: str, metric: str,
+                 location: str | None = None, timeout: float = 30.0):
+        keys = [connector, metric] + ([location] if location else [])
+        self.url = base_url.rstrip("/") + "/pipes/" + "/".join(
+            urllib.parse.quote(k) for k in keys)
+        self.timeout = timeout
+
+    def _call(self, action: str, method: str, body: Any = None,
+              **query: str) -> tuple[int, Any]:
+        url = f"{self.url}/{action}"
+        if query:
+            url += "?" + urllib.parse.urlencode(query)
+        return http_request_json(url, method=method, body=body,
+                                 timeout=self.timeout)
+
+    def register(self, parameters: dict | None = None) -> tuple[int, Any]:
+        return self._call("register", "POST",
+                          {"parameters": parameters or {}})
+
+    def edit(self, parameters: dict, patch: bool = False) -> tuple[int, Any]:
+        return self._call("edit", "PATCH", {"parameters": parameters},
+                          patch=str(patch).lower())
+
+    def delete(self) -> tuple[int, Any]:
+        return self._call("delete", "DELETE")
+
+    def sync(self, docs: list[dict]) -> tuple[int, Any]:
+        return self._call("data", "POST", {"docs": docs})
+
+    def attributes(self) -> dict:
+        return self._call("attributes", "GET")[1]
+
+    def exists(self) -> bool:
+        return bool(self._call("exists", "GET")[1].get("exists"))
+
+    def get_data(self, **query: str) -> pd.DataFrame:
+        code, payload = self._call("data", "GET", **query)
+        return pd.DataFrame(payload.get("docs", []))
 
 
 def http_fetch_fn(url: str, timeout: float = 30.0,

@@ -18,6 +18,16 @@ Routes (mirroring the reference's route table):
   GET  /pipes/{conn}/{metric}[/{loc}]/chunk_bounds → epoch-aligned windows
   GET  /pipes/{conn}/{metric}[/{loc}]/size       → stored bytes + rowcount
   POST /pipes/{conn}/{metric}[/{loc}]/data       → sync posted docs
+  POST   /pipes/{conn}/{metric}[/{loc}]/register → register (body: parameters)
+  PATCH  /pipes/{conn}/{metric}[/{loc}]/edit     → edit parameters
+                                                   (?patch=true merges)
+  DELETE /pipes/{conn}/{metric}[/{loc}]/delete   → unregister (keeps data)
+
+The management trio mirrors reference api/routes/_pipes.py:64 (register),
+:118 (edit), :175 (delete): register 409s when already registered,
+edit/delete 409 when not — so a remote client can create a pipe before
+syncing into it. PATCH/DELETE also accept POST (stdlib-client
+convenience).
 
 Scale note: this is a metadata/modest-data control surface exactly like
 the reference's API connector — bulk table movement belongs on
@@ -64,6 +74,12 @@ class PipeHTTPServer:
             def do_POST(self):
                 outer._handle(self, "POST")
 
+            def do_PATCH(self):
+                outer._handle(self, "PATCH")
+
+            def do_DELETE(self):
+                outer._handle(self, "DELETE")
+
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
 
@@ -103,7 +119,8 @@ class PipeHTTPServer:
             # ('data', 'size', ...) still routes
             tail = parts[1:]
             known = {"data", "sync_time", "rowcount", "attributes",
-                     "exists", "columns", "csv", "chunk_bounds", "size"}
+                     "exists", "columns", "csv", "chunk_bounds", "size",
+                     "register", "edit", "delete"}
             if tail[-2:] == ["columns", "types"]:
                 keys, action = tail[:-2], tail[-2:]
             elif tail and tail[-1] in known:
@@ -115,21 +132,62 @@ class PipeHTTPServer:
             pipe = Pipe(keys[0], keys[1],
                         keys[2] if len(keys) == 3 else None,
                         instance=self.instance, spark=self.spark)
-            if method == "POST":
-                if action[:1] != ["data"]:
-                    return self._send(handler, 405, {"error": "POST /data only"})
+            if method != "GET":
                 length = int(handler.headers.get("Content-Length", 0))
-                docs = json.loads(handler.rfile.read(length) or b"[]")
-                if isinstance(docs, dict):
-                    docs = docs.get("docs", [])
-                res = pipe.sync(docs)
-                return self._send(handler, 200 if res.success else 409, {
-                    "success": res.success, "message": res.message,
-                    "inserted": res.inserted, "updated": res.updated,
-                })
+                body = json.loads(handler.rfile.read(length) or b"null")
+                return self._send(
+                    handler, *self._mutate(pipe, action, args, body, method))
             return self._send(handler, *self._get(pipe, action, args))
         except Exception as e:  # surface, don't kill the server thread
             self._send(handler, 500, {"error": f"{type(e).__name__}: {e}"})
+
+    def _mutate(self, pipe: Pipe, action: list[str], args: dict[str, str],
+                body: Any, method: str) -> tuple[int, Any]:
+        """POST/PATCH/DELETE routes (reference api/routes/_pipes.py:64-175
+        register/edit/delete + :1055 sync). PATCH and DELETE also accept
+        POST so bare stdlib clients can drive the full lifecycle."""
+        registered = pipe.registry.load(pipe.target) is not None
+        if action == ["data"] and method == "POST":
+            docs = body if body is not None else []
+            if isinstance(docs, dict):
+                docs = docs.get("docs", [])
+            res = pipe.sync(docs)
+            return 200 if res.success else 409, {
+                "success": res.success, "message": res.message,
+                "inserted": res.inserted, "updated": res.updated,
+            }
+        if action == ["register"] and method == "POST":
+            if registered:
+                return 409, {"success": False,
+                             "message": f"{pipe.target} already registered."}
+            if isinstance(body, dict):
+                # merge over constructor defaults (columns/dtypes/tags all
+                # ride in the parameters doc, as in the reference)
+                pipe.parameters.update(body.get("parameters", body))
+            pipe.register()
+            return 200, {"success": True,
+                         "message": f"Registered {pipe.target}."}
+        if action == ["edit"] and method in ("PATCH", "POST"):
+            if not registered:
+                return 409, {"success": False,
+                             "message": f"{pipe.target} is not registered."}
+            new_params = (body.get("parameters", body)
+                          if isinstance(body, dict) else {})
+            patch = args.get("patch", "false").lower() == "true"
+            if patch:
+                pipe.parameters.update(new_params)
+            else:
+                pipe.parameters = dict(new_params)
+            pipe.register()
+            return 200, {"success": True, "message": f"Edited {pipe.target}."}
+        if action == ["delete"] and method in ("DELETE", "POST"):
+            if not registered:
+                return 409, {"success": False,
+                             "message": f"{pipe.target} is not registered."}
+            pipe.registry.delete(pipe.target)
+            return 200, {"success": True,
+                         "message": f"Deleted {pipe.target} (data retained)."}
+        return 405, {"error": f"{method} {'/'.join(action)!r} not supported"}
 
     def _get(self, pipe: Pipe, action: list[str],
              args: dict[str, str]) -> tuple[int, Any]:
@@ -192,7 +250,7 @@ class PipeHTTPServer:
         return 404, {"error": f"unknown action {'/'.join(action)!r}"}
 
     def _list_pipes(self, args: dict[str, str]) -> list[dict[str, Any]]:
-        reg = PipeRegistry(self.instance)
+        reg = PipeRegistry.for_instance(self.instance)
         tags = json.loads(args["tags"]) if "tags" in args else None
         keys = reg.fetch_pipes_keys(connector=args.get("connector"),
                                     metric=args.get("metric"),

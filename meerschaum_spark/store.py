@@ -76,14 +76,19 @@ class ParquetPipeStore:
     def data_path(self) -> str:
         return os.path.join(self.path, "data")
 
-    def exists(self) -> bool:
+    def exists(self, refresh: bool = False) -> bool:
         """Directory probe with a TTL cache (reference caches ``exists``
         for 60 s, core/Pipe/_cache.py + config/_default.py:244-258): on a
         busy driver the per-call listing dominates small-sync latency.
         Local writes update the cache in place; external writers are
-        covered by expiry."""
+        covered by expiry.
+
+        ``refresh=True`` bypasses the cache — write paths whose behavior
+        forks on existence (first-sync append vs diff) must probe fresh:
+        a stale False cached up to TTL seconds before another writer
+        created the table would otherwise append without diffing."""
         now = time.monotonic()
-        if self._exists_cache is not None:
+        if not refresh and self._exists_cache is not None:
             val, ts = self._exists_cache
             if now - ts < EXISTS_TTL_SECONDS:
                 return val

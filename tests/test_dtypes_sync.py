@@ -143,6 +143,32 @@ def test_mixed_numerics_column(spark, instance_dir):
     assert vals[3] == Decimal("1.25") and vals[1] == Decimal("2")
 
 
+def test_mixed_numerics_across_batches(spark, instance_dir):
+    """An int column widens to numeric when a later batch brings floats
+    (reference utils/dataframe.py:266-295, flag default True)."""
+    pipe = Pipe("dtypes", "mixedcross", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"})
+    pipe.sync(pd.DataFrame([{"dt": dtm(2024, 1, 1), "id": 1, "val": 2}]))
+    assert pipe.dtypes["val"].startswith("int")
+    pipe.sync(pd.DataFrame([{"dt": dtm(2024, 1, 2), "id": 2, "val": 0.5}]))
+    assert pipe.dtypes["val"].startswith("numeric")
+    vals = {d["id"]: d["val"] for d in pipe.get_docs()}
+    assert vals[1] == Decimal("2") and vals[2] == Decimal("0.5")
+
+
+def test_mixed_numerics_flag_opt_out(spark, instance_dir):
+    """mixed_numerics=False (reference core/Pipe/_attributes.py:506-514)
+    disables the int/float -> numeric coercion; the conflict takes the
+    str fallback instead (the reference's object fallback)."""
+    pipe = Pipe("dtypes", "mixedoff", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"},
+                mixed_numerics=False)
+    assert pipe.mixed_numerics is False
+    pipe.sync(pd.DataFrame([{"dt": dtm(2024, 1, 1), "id": 1, "val": 2}]))
+    pipe.sync(pd.DataFrame([{"dt": dtm(2024, 1, 2), "id": 2, "val": 0.5}]))
+    assert pipe.dtypes["val"] == "str"
+
+
 def test_sniff_scans_all_values(spark, instance_dir):
     """A column whose FIRST value looks special but later holds plain
     strings must not be mis-typed for the whole batch."""

@@ -133,6 +133,63 @@ def test_pipe_http_server_roundtrip(spark, instance_dir, tmp_path):
         server.stop()
 
 
+def test_pipe_http_server_management_lifecycle(spark, instance_dir):
+    """Register, sync, edit, and delete a pipe purely over HTTP
+    (reference api/routes/_pipes.py:64 register, :118 edit, :175 delete):
+    a remote client can create a pipe before POSTing data into it."""
+    from meerschaum_spark.pipe import Pipe
+    from meerschaum_spark.sources import PipeHTTPServer
+    from meerschaum_spark.sources.http import RemotePipe
+
+    server = PipeHTTPServer(spark, instance_dir).start()
+    try:
+        rp = RemotePipe(server.url, "mgmt", "lifecycle")
+
+        # registering a new pipe (with columns riding in parameters)
+        code, out = rp.register({"columns": {"datetime": "dt", "id": "id"},
+                                 "tags": ["remote"]})
+        assert code == 200 and out["success"]
+        # double-register conflicts
+        code, out = rp.register()
+        assert code == 409 and not out["success"]
+
+        # the registration is immediately visible to sync
+        code, out = rp.sync([
+            {"dt": "2024-01-01T00:00:00+00:00", "id": 1, "val": 1.0},
+            {"dt": "2024-01-02T00:00:00+00:00", "id": 2, "val": 2.0},
+        ])
+        assert code == 200 and out["inserted"] == 2
+        attrs = rp.attributes()
+        assert attrs["parameters"]["columns"] == {"datetime": "dt",
+                                                  "id": "id"}
+        assert attrs["parameters"]["tags"] == ["remote"]
+
+        # PATCH-merge keeps existing parameters
+        code, out = rp.edit({"tags": ["remote", "gold"]}, patch=True)
+        assert code == 200 and out["success"]
+        attrs = rp.attributes()
+        assert attrs["parameters"]["tags"] == ["remote", "gold"]
+        assert attrs["parameters"]["columns"]  # merge preserved columns
+
+        # the edit is visible server-side (driver-side Pipe object)
+        local = Pipe("mgmt", "lifecycle", instance=instance_dir,
+                     spark=spark)
+        assert local.parameters.get("tags") == ["remote", "gold"]
+        assert local.get_rowcount() == 2
+
+        # delete unregisters but keeps data files
+        code, out = rp.delete()
+        assert code == 200 and out["success"]
+        code, out = rp.delete()
+        assert code == 409
+        assert rp.exists() is True  # data retained (drop is separate)
+        # editing an unregistered pipe conflicts
+        code, out = rp.edit({"tags": []})
+        assert code == 409
+    finally:
+        server.stop()
+
+
 def test_pipe_http_server_csv(spark, instance_dir):
     import datetime
     import urllib.request

@@ -1,0 +1,149 @@
+"""Metadata caching + sync-path cache-safety semantics.
+
+Mirrors the reference's attributes/exists caches
+(core/Pipe/_cache.py, config/_default.py:244-258): attributes served
+from a shared TTL cache across Pipe objects, while write-path decisions
+(first-sync append vs diff) always probe fresh.
+"""
+
+import datetime
+
+import pandas as pd
+import pytest
+
+from meerschaum_spark.pipe import Pipe
+from meerschaum_spark.registry import PipeRegistry
+
+UTC = datetime.timezone.utc
+
+
+def dtm(*args):
+    return datetime.datetime(*args, tzinfo=UTC)
+
+
+ROWS = [
+    {"dt": dtm(2024, 1, 1), "id": 1, "val": 1.0},
+    {"dt": dtm(2024, 1, 2), "id": 2, "val": 2.0},
+]
+
+
+def test_registry_shared_across_pipe_objects(spark, instance_dir):
+    p1 = Pipe("cache", "reg", instance=instance_dir, spark=spark,
+              columns={"datetime": "dt", "id": "id"})
+    p2 = Pipe("cache", "reg", instance=instance_dir, spark=spark)
+    assert p1.registry is p2.registry
+
+
+def test_registry_load_cached_within_ttl(spark, instance_dir, monkeypatch):
+    p = Pipe("cache", "ttl", instance=instance_dir, spark=spark,
+             columns={"datetime": "dt", "id": "id"})
+    p.sync(pd.DataFrame(ROWS))
+
+    reads = {"n": 0}
+    orig = PipeRegistry._load_uncached
+
+    def counting(self, target):
+        reads["n"] += 1
+        return orig(self, target)
+
+    monkeypatch.setattr(PipeRegistry, "_load_uncached", counting)
+    # fresh Pipe objects + reads served entirely from the shared cache
+    for _ in range(3):
+        q = Pipe("cache", "ttl", instance=instance_dir, spark=spark)
+        assert q.columns.get("datetime") == "dt"
+        assert q.get_data(order=None).count() == 2
+    assert reads["n"] == 0
+
+
+def test_registry_save_refreshes_shared_cache(spark, instance_dir):
+    p1 = Pipe("cache", "fresh", instance=instance_dir, spark=spark,
+              columns={"datetime": "dt", "id": "id"})
+    p1.sync(pd.DataFrame(ROWS))
+    p1.parameters["tags"] = ["gold"]
+    p1.register()
+    # a second Pipe object sees the in-process edit immediately
+    p2 = Pipe("cache", "fresh", instance=instance_dir, spark=spark)
+    assert p2.parameters.get("tags") == ["gold"]
+
+
+def test_first_sync_probes_fresh_not_cached(spark, instance_dir):
+    """A stale exists()=False must not route a sync down the blind-append
+    path once another writer has created the table."""
+    a = Pipe("cache", "probe", instance=instance_dir, spark=spark,
+             columns={"datetime": "dt", "id": "id"})
+    assert a.exists() is False  # caches False on pipe a's store
+    # a second Pipe object (separate store/exists cache) creates the table
+    b = Pipe("cache", "probe", instance=instance_dir, spark=spark,
+             columns={"datetime": "dt", "id": "id"})
+    b.sync(pd.DataFrame(ROWS))
+    # cached probe may still say False; sync must diff regardless
+    res = a.sync(pd.DataFrame(ROWS))
+    assert res.success
+    assert res.inserted == 0 and res.updated == 0
+    assert a.get_data(order=None).count() == 2
+
+
+def test_dedupe_patch_keeps_last_batch_row(spark, instance_dir):
+    """keep='last' batch semantics (reference drop_duplicates keep='last'):
+    two updates for one key in one batch -> the later row wins, even when
+    its values are smaller."""
+    p = Pipe("cache", "keeplast", instance=instance_dir, spark=spark,
+             columns={"datetime": "dt", "id": "id"}, upsert=True)
+    p.sync(pd.DataFrame(ROWS))
+    p.sync(pd.DataFrame([
+        {"dt": dtm(2024, 1, 1), "id": 1, "val": 9.0},
+        {"dt": dtm(2024, 1, 1), "id": 1, "val": 5.0},  # sent later, smaller
+    ]))
+    row = [r for r in p.get_data(order=None).collect() if r["id"] == 1][0]
+    assert row["val"] == 5.0
+
+
+def test_tags_roundtrip_and_group_matching(spark, instance_dir):
+    """Tags round-trip through the registry, and fetch_pipes_keys matches
+    with the reference's group semantics (comma = AND, list = OR,
+    '_'-prefix = NOT; connectors/sql/_pipes.py:279-309)."""
+    for metric, tags in (("a", ["prod", "etl"]), ("b", ["prod"]),
+                         ("c", ["dev"])):
+        p = Pipe("tagged", metric, instance=instance_dir, spark=spark,
+                 columns={"datetime": "dt", "id": "id"}, tags=tags)
+        p.register()
+    # round-trip: a fresh Pipe object sees the registered tags
+    assert Pipe("tagged", "a", instance=instance_dir,
+                spark=spark).tags == ["prod", "etl"]
+
+    reg = PipeRegistry.for_instance(instance_dir)
+
+    def metrics(tags):
+        return sorted(m for _, m, _ in
+                      reg.fetch_pipes_keys(connector="tagged", tags=tags))
+
+    assert metrics(["prod"]) == ["a", "b"]           # simple membership
+    assert metrics(["prod,etl"]) == ["a"]            # comma: AND
+    assert metrics(["etl", "dev"]) == ["a", "c"]     # list: OR
+    assert metrics(["_dev"]) == ["a", "b"]           # negation
+    assert metrics(["prod,_etl"]) == ["b"]           # AND with negation
+    assert metrics(["nope"]) == []
+
+    # tags setter + re-register updates the surface
+    p = Pipe("tagged", "c", instance=instance_dir, spark=spark)
+    p.tags = ["dev", "archived"]
+    p.register()
+    assert metrics(["archived"]) == ["c"]
+
+
+def test_filter_existing_no_cache_leak(spark, instance_dir):
+    """External filter_existing() must not leave persisted DataFrames
+    behind (ADVICE r2: the sync-leak class reintroduced one method up)."""
+    p = Pipe("cache", "leak", instance=instance_dir, spark=spark,
+             columns={"datetime": "dt", "id": "id"})
+    p.sync(pd.DataFrame(ROWS))
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    from meerschaum_spark import dataframe as mdf
+    df, _ = mdf.to_spark_df(spark, pd.DataFrame([
+        {"dt": dtm(2024, 1, 3), "id": 3, "val": 3.0},
+    ]), p.dtypes or None)
+    unseen, update = p.filter_existing(df)
+    assert unseen.count() == 1 and update.count() == 0
+    after = jsc.getPersistentRDDs().size()
+    assert after == before

@@ -257,6 +257,130 @@ def lsh_candidate_pairs(
             .distinct())
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list via iterative
+    min-label propagation: every node starts labeled with itself; each
+    round a node adopts the smallest label among itself and its
+    neighbors; converged when no label changes. Returns
+    (node, cluster_id) where cluster_id = min node id in the component.
+
+    Scale: each round is ONE shuffle (join + groupBy on node id), and
+    rounds needed = graph diameter — near-dup graphs are shallow (dups
+    cluster star-like around a canonical doc), so this converges in a
+    handful of rounds. Labels are localCheckpointed per round to keep
+    the plan flat. For adversarially deep graphs, the large-star/
+    small-star algorithm (Kiveris et al.) halves diameter per round —
+    not needed for dedup-shaped data. Convergence is detected by the
+    (monotonically decreasing) exact sum of labels, one lightweight
+    action per round."""
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .union(edges.select(F.col(dst).alias("u"),
+                               F.col(src).alias("v"))))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (sym.select(F.col("u").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    # decimal(38,0) sum: label sums exceed int64 at large node counts
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+    for _ in range(max_iter):
+        nbr_min = (sym.join(labels, sym["v"] == labels["node"])
+                   .groupBy(F.col("u").alias("node"))
+                   .agg(F.min("label").alias("nbr_label")))
+        labels = (labels.join(nbr_min, on="node", how="left")
+                  .select("node",
+                          F.least(F.col("label"),
+                                  F.coalesce("nbr_label", "label"))
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scope_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    sigs: DataFrame | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """The canonical 100 TB near-dup pass, fused end-to-end:
+
+      MinHash signatures → banded LSH candidate pairs → exact n-gram
+      Jaccard re-rank on candidates only → threshold to edges →
+      connected components (min-label propagation).
+
+    Returns (doc_id, cluster_id, keep): one row per document belonging
+    to a near-dup cluster, labeled with the smallest doc_id of its
+    component; ``keep`` marks the canonical survivor. Singleton
+    documents (no near-dup) are omitted — at corpus scale the
+    interesting output is the dup clusters, not the identity mapping.
+
+    Scale design: the only quadratic-risk step (pairing) is bounded by
+    LSH bucketing; the exact Jaccard runs ONLY on candidate pairs, as
+    two broadcast-joined shingle-set lookups + array_intersect (pure
+    JVM column ops — candidates are rare relative to the corpus, so
+    this join is candidate-proportional, never corpus²)."""
+    cands = lsh_candidate_pairs(df, text_col, id_col, scope_col,
+                                k=k, bands=bands, sigs=sigs)
+    # the candidate table feeds three consumers (id semi-join + two
+    # re-rank joins) — materialize it once
+    cands = cands.localCheckpoint(eager=True)
+    # shingle sets ONLY for docs that appear in a candidate pair: the
+    # exact re-rank stays candidate-proportional — at corpus scale the
+    # candidate docs are a sliver of the table, so hashing every doc's
+    # shingles would dominate the whole pass
+    cand_ids = (cands.select(F.col("doc_a").alias(id_col))
+                .union(cands.select(F.col("doc_b").alias(id_col)))
+                .distinct())
+    needed = df.join(cand_ids, on=id_col, how="left_semi")
+    toked = needed.select(F.col(id_col),
+                          tokens(F.col(text_col)).alias("_toks"))
+    sets = toked.select(
+        F.col(id_col),
+        F.transform(shingles_of_tokens(F.col("_toks"), n),
+                    lambda s: hash60(s)).alias("sh"))
+    sa = sets.select(F.col(id_col).alias("doc_a"),
+                     F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"),
+                     F.col("sh").alias("sh_b"))
+    scored = (cands.join(sa, on="doc_a").join(sb, on="doc_b")
+              .select("doc_a", "doc_b",
+                      F.size(F.array_intersect("sh_a", "sh_b"))
+                      .alias("n_shared"),
+                      F.size("sh_a").alias("na"),
+                      F.size("sh_b").alias("nb")))
+    edges = (scored
+             # guard: two sub-n-token docs have EMPTY shingle sets but can
+             # still be LSH candidates (signatures hash tokens) — 0/0 must
+             # not become an edge
+             .filter((F.col("na") + F.col("nb") - F.col("n_shared")) > 0)
+             .withColumn("jaccard",
+                         F.col("n_shared").cast("double")
+                         / (F.col("na") + F.col("nb") - F.col("n_shared")))
+             .filter(F.col("jaccard") >= F.lit(threshold))
+             .select("doc_a", "doc_b"))
+    comps = connected_components(edges, max_iter=max_iter)
+    return comps.select(
+        F.col("node").alias(id_col),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("keep"))
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = 60) -> DataFrame:
     """60-bit SimHash: per bit, strict-majority vote of the distinct

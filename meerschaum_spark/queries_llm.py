@@ -724,3 +724,64 @@ def doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", T.tokens(F.col("text")).alias("_t")) \
                .select("doc_id", F.size("_t").alias("n_tokens"))
     return select_token_budget(toks, 20_000).orderBy("doc_id")
+
+
+# ===========================================================================
+# Fused near-dup pipeline: LSH candidates -> Jaccard re-rank -> clusters
+# ===========================================================================
+
+#: edge threshold for the fused near-dup pass; 0.5 is the LSH default
+#: geometry's own detection threshold ((1/bands)^(bands/k) = (1/4)^(1/2))
+NEAR_DUP_JACCARD = 0.5
+
+_CLUSTERS_SQL = _MINHASH_CTE.replace("WITH t AS", "WITH RECURSIVE t AS", 1) + f""",
+    bands AS ({_band_rows_sql()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.source = b.source
+           AND a.doc_id < b.doc_id),
+    toked AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toked),
+    sets AS (SELECT doc_id,
+                    list_transform(shingles, s -> {_H60.format(x='s')}) AS sh
+             FROM sh),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.sh, sb.sh)) AS n_shared,
+             len(sa.sh) AS na, len(sb.sh) AS nb
+      FROM cand c
+      JOIN sets sa ON c.doc_a = sa.doc_id
+      JOIN sets sb ON c.doc_b = sb.doc_id),
+    edges AS (
+      SELECT doc_a, doc_b FROM scored
+      WHERE na + nb - n_shared > 0
+        AND CAST(n_shared AS DOUBLE) / (na + nb - n_shared)
+            >= {NEAR_DUP_JACCARD}),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM edges
+            UNION ALL
+            SELECT doc_b AS u, doc_a AS v FROM edges),
+    reach AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+    SELECT u AS doc_id,
+           LEAST(u, MIN(v)) AS cluster_id,
+           u = LEAST(u, MIN(v)) AS keep
+    FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+
+@query("doc_near_dup_clusters", _CLUSTERS_SQL)
+def doc_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical 100 TB dedup pass, fused end-to-end: MinHash
+    signatures (session-cached) -> banded LSH candidate pairs -> exact
+    n-gram Jaccard re-rank on candidates only -> threshold edges ->
+    connected components via min-label propagation. The oracle replays
+    the identical pipeline in SQL, with a recursive CTE (transitive
+    closure) standing in for the label-propagation loop."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    out = D.near_dup_clusters(docs, scope_col="source",
+                              threshold=NEAR_DUP_JACCARD,
+                              sigs=_minhash_sigs(spark, sf_dir))
+    return out.orderBy("doc_id")

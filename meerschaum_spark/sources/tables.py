@@ -23,8 +23,28 @@ TABLE_NAMES = [
 #: tables whose timestamp column is ns-precision in parquet
 _NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
+#: resolved-DataFrame cache: reader construction + schema inference +
+#: the nanosAsLong conf toggle cost ~100 ms per call (measured), paid by
+#: EVERY catalog query. The test corpus is immutable and DataFrames are
+#: immutable plans, so caching per (session, path, table) is safe; the
+#: shared FileStatusCache still governs file listing per action.
+_TABLE_CACHE: dict = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _TABLE_CACHE if k[0] != app_id]:
+        del _TABLE_CACHE[stale]
+    key = (app_id, os.path.abspath(sf_dir), name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = _load_table_uncached(spark, sf_dir, name)
+        _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str,
+                         name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _NANOS_TS_COLS.get(name, [])
     if not ns_cols:

@@ -297,3 +297,32 @@ def test_select_token_budget_prefix_semantics(spark):
     import re as _re
     for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert "_bkt" in m.group(1)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation: a 4-node chain, a 2-node pair, and a
+    triangle each collapse to their min node id; convergence handles
+    multi-hop label flow (1-2-3-4 needs >1 round)."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11),                    # pair
+         (20, 21), (21, 22), (22, 20)],  # triangle
+        "doc_a long, doc_b long")
+    out = {r["node"]: r["cluster_id"]
+           for r in D.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_near_dup_clusters_fused(docs):
+    """The fused pipeline clusters the exact dup pair (1,4) — LSH puts
+    identical docs in the same buckets, Jaccard 1.0 passes any
+    threshold — and excludes singletons; within a cluster the smallest
+    doc_id is kept."""
+    out = D.near_dup_clusters(docs, threshold=0.5)
+    rows = {r["doc_id"]: (r["cluster_id"], r["keep"])
+            for r in out.collect()}
+    assert rows[1] == (1, True)
+    assert rows[4] == (1, False)
+    assert 3 not in rows and 5 not in rows

@@ -137,13 +137,17 @@ def test_filter_existing_no_cache_leak(spark, instance_dir):
     p = Pipe("cache", "leak", instance=instance_dir, spark=spark,
              columns={"datetime": "dt", "id": "id"})
     p.sync(pd.DataFrame(ROWS))
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    def persistent_ids():
+        # compare RDD id SETS, not counts: the context cleaner may
+        # concurrently unpersist other tests' stale checkpoints
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    before = persistent_ids()
     from meerschaum_spark import dataframe as mdf
     df, _ = mdf.to_spark_df(spark, pd.DataFrame([
         {"dt": dtm(2024, 1, 3), "id": 3, "val": 3.0},
     ]), p.dtypes or None)
     unseen, update = p.filter_existing(df)
     assert unseen.count() == 1 and update.count() == 0
-    after = jsc.getPersistentRDDs().size()
-    assert after == before
+    assert persistent_ids() - before == set()

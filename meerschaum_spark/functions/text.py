@@ -140,3 +140,49 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         hash60(norm_text(F.col(text_col))).alias("fingerprint"),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): fraction
+    of tokens that are repeats, and the share of the corpus-of-one taken
+    by the most frequent token and word-bigram. High values flag
+    boilerplate/spam documents worth dropping from a training corpus.
+
+    Plan: explode tokens once, two hash-aggregations (token counts →
+    per-doc max/sum) — one shuffle per aggregation, no window, scales
+    linearly in corpus size. Bigrams ride the same shape.
+    """
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    ex = toked.select(id_col, F.explode("_t").alias("tok"))
+    tok_top = (ex.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+               .groupBy(id_col)
+               .agg(F.max("c").alias("top_tok_c"),
+                    F.sum("c").alias("n_tokens"),
+                    F.count(F.lit(1)).alias("n_distinct_tokens")))
+    # word bigrams via the same guarded sequence trick as shingles
+    bigrams = F.when(
+        F.size("_t") >= 2,
+        F.transform(F.sequence(F.lit(1), F.size("_t") - 1),
+                    lambda i: F.concat_ws(" ", F.element_at("_t", i),
+                                          F.element_at("_t", i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    bex = toked.select(id_col, F.explode(bigrams).alias("bg"))
+    bg_top = (bex.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
+              .groupBy(id_col)
+              .agg(F.max("c").alias("top_bg_c"),
+                   F.sum("c").alias("n_bigrams")))
+    return (tok_top.join(bg_top, on=id_col, how="left")
+            .select(
+                F.col(id_col),
+                F.col("n_tokens"),
+                F.col("n_distinct_tokens"),
+                (F.lit(1.0) - F.col("n_distinct_tokens").cast("double")
+                 / F.col("n_tokens")).alias("repeat_token_frac"),
+                (F.col("top_tok_c").cast("double")
+                 / F.col("n_tokens")).alias("top_token_frac"),
+                F.when(F.col("n_bigrams").isNotNull(),
+                       F.col("top_bg_c").cast("double")
+                       / F.col("n_bigrams"))
+                .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+            ))

@@ -976,3 +976,211 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events", "sum_value", "avg_value")
         .orderBy("bucket", "event_type")
     )
+
+
+@query(
+    "q13_customer_order_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (o_comment filter omitted — column not in the
+    corpus): customers LEFT JOIN orders, orders-per-customer, then the
+    distribution of those counts. Exercises outer join + double
+    aggregation; count(col) must skip NULLs from the outer side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+                 AS total_revenue_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(CAST(r.total_revenue_dec AS VARCHAR) AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue_dec = (SELECT max(total_revenue_dec) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: quarterly revenue per supplier, keep the max. The max
+    is compared in EXACT decimal (a double max could tie-break
+    differently across engines). The 1-row max side is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter((F.col("l_shipdate") >= F.lit(datetime.datetime(1996, 1, 1)))
+                  & (F.col("l_shipdate") < F.lit(datetime.datetime(1996, 4, 1))))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_dec("l_extendedprice")
+                   * (F.lit(1).cast(DEC) - _dec("l_discount")))
+             .alias("total_revenue_dec"))
+    )
+    top = rev.agg(F.max("total_revenue_dec").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top),
+                 rev["total_revenue_dec"] == top["max_rev"])
+        .join(sup, sup["s_suppkey"] == rev["supplier_no"])
+        .select("s_suppkey", "s_name",
+                F.col("total_revenue_dec").cast("double")
+                .alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH pq AS (
+      SELECT l.l_partkey,
+             CAST(sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6))
+                 AS sum_qty,
+             count(*) AS cnt
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#23'
+      GROUP BY l.l_partkey)
+    SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS VARCHAR)
+                AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN pq ON l.l_partkey = pq.l_partkey
+    WHERE CAST(5 AS DECIMAL(18,6)) * CAST(l.l_quantity AS DECIMAL(18,6))
+          * pq.cnt < pq.sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one
+    brand's parts. The correlated AVG subquery becomes a broadcast join
+    of per-part aggregates; the threshold compare is cross-multiplied
+    (5·qty·cnt < sum_qty) so both engines evaluate EXACT decimal
+    arithmetic — a decimal division would round differently per
+    engine's scale rules."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#23") \
+                      .select("p_partkey")
+    pq = (
+        li.join(F.broadcast(brand_parts),
+                li["l_partkey"] == brand_parts["p_partkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_quantity")).cast("decimal(28,6)").alias("sum_qty"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+    small = (
+        li.alias("l")
+        .join(F.broadcast(pq.alias("pq")),
+              F.col("l.l_partkey") == F.col("pq.l_partkey"))
+        .filter(F.lit(5).cast(DEC) * _dec("l.l_quantity") * F.col("pq.cnt")
+                < F.col("pq.sum_qty"))
+    )
+    return small.agg(
+        (F.sum(_dec("l.l_extendedprice")).cast("double") / F.lit(7.0))
+        .alias("avg_yearly"))
+
+
+@query(
+    "events_funnel",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase, strictly
+    increasing timestamps per user): each stage is a groupBy-min plus an
+    inequality join against the previous stage's first-touch time. The
+    per-stage tables are user-cardinality (small) — the event scan stays
+    the only big input, read once per stage with the event_type filter
+    pushed down."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, prev_t: str, etype: str,
+                    out_t: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype).alias("e")
+        p = prev.alias("p")
+        return (e.join(p, (F.col("e.user_id") == F.col("p.user_id"))
+                       & (F.col("e.ts") > F.col(f"p.{prev_t}")))
+                .groupBy(F.col("e.user_id").alias("user_id"))
+                .agg(F.min("e.ts").alias(out_t)))
+
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = first_after(v, "t1", "click", "t2")
+    p = first_after(c, "t2", "purchase", "t3")
+    counts = [df.count() for df in (v, c, p)]
+    return spark.createDataFrame(
+        [tuple(counts)],
+        "n_view long, n_view_click long, n_view_click_purchase long")
+
+
+@query(
+    "events_weekly_retention",
+    """
+    WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+               FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+            FROM events)
+    SELECT f.cohort,
+           CAST((CAST(act.wk AS DATE) - CAST(f.cohort AS DATE)) / 7 AS BIGINT)
+               AS week_offset,
+           count(*) AS n_users
+    FROM act JOIN f ON act.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen week, counted in
+    each later active week. Two aggregations + one join on user_id (the
+    cohort table is user-cardinality, broadcastable); week arithmetic is
+    integer days / 7 — exact on both engines since week truncs align."""
+    ev = load_table(spark, sf_dir, "events")
+    # DATE cohorts: DuckDB's date_trunc('week', ts) yields DATE
+    first = (ev.groupBy("user_id")
+             .agg(F.date_trunc("week", F.min("ts")).cast("date")
+                  .alias("cohort")))
+    active = (ev.select("user_id",
+                        F.date_trunc("week", F.col("ts")).cast("date")
+                        .alias("wk"))
+              .distinct())
+    return (
+        active.join(F.broadcast(first), on="user_id")
+        .groupBy("cohort",
+                 (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+                 .cast("long").alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort", "week_offset")
+    )

@@ -785,3 +785,47 @@ def doc_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                               threshold=NEAR_DUP_JACCARD,
                               sigs=_minhash_sigs(spark, sf_dir))
     return out.orderBy("doc_id")
+
+
+@query(
+    "doc_repetition_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+    tok_top AS (SELECT doc_id, max(c) AS top_tok_c,
+                       CAST(sum(c) AS BIGINT) AS n_tokens,
+                       count(*) AS n_distinct_tokens
+                FROM cnt GROUP BY 1),
+    bg AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= 2 THEN list_transform(
+                    generate_series(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+1], ' '))
+                  ELSE [] END AS bgs
+           FROM t),
+    bex AS (SELECT doc_id, unnest(bgs) AS b FROM bg),
+    bcnt AS (SELECT doc_id, b, count(*) AS c FROM bex GROUP BY 1, 2),
+    bg_top AS (SELECT doc_id, max(c) AS top_bg_c, sum(c) AS n_bigrams
+               FROM bcnt GROUP BY 1)
+    SELECT t.doc_id,
+           tok_top.n_tokens,
+           tok_top.n_distinct_tokens,
+           1.0 - CAST(tok_top.n_distinct_tokens AS DOUBLE) / tok_top.n_tokens
+               AS repeat_token_frac,
+           CAST(tok_top.top_tok_c AS DOUBLE) / tok_top.n_tokens
+               AS top_token_frac,
+           CASE WHEN bg_top.n_bigrams IS NOT NULL
+                THEN CAST(bg_top.top_bg_c AS DOUBLE) / bg_top.n_bigrams
+                ELSE 0.0 END AS top_bigram_frac
+    FROM t
+    JOIN tok_top ON t.doc_id = tok_top.doc_id
+    LEFT JOIN bg_top ON t.doc_id = bg_top.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (repeat-token fraction,
+    top token/bigram share) — the standard boilerplate/spam filters for
+    training-corpus curation."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    return T.repetition_stats(docs).orderBy("doc_id")

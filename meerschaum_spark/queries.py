@@ -1184,3 +1184,94 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort", "week_offset")
     )
+
+
+@query(
+    "streaming_dedup_keys",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup (§2.10): dropDuplicates over the
+    replayed event stream with event-time watermark bounding the per-key
+    state — the streaming analogue of the pipe's index-key diff. Output
+    is the KEY SET only: which physical row survives per key depends on
+    arrival order (nondeterministic across stream partitions), but the
+    distinct key set is exact, so the oracle checks that."""
+    import os as _os
+
+    from meerschaum_spark.streaming.stateful import streaming_dedup
+
+    _STREAM_RUN_COUNTER[0] += 1
+    sink = f"_mrsm_stream_dedup_{_STREAM_RUN_COUNTER[0]}"
+    path = _os.path.join(sf_dir, "events.parquet")
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw = spark.read.parquet(path)
+        stream = (spark.readStream.schema(raw.schema)
+                  .option("pathGlobFilter", "events.parquet")
+                  .parquet(sf_dir))
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        deduped = streaming_dedup(stream, ["user_id", "event_type"],
+                                  ts_col="ts", watermark="30 days")
+        q = (deduped.select("user_id", "event_type")
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return spark.table(sink).orderBy("user_id", "event_type")
+
+
+@query(
+    "events_anomaly_zscore",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                 AS dsum,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))
+                           * CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                 AS dsumsq,
+             count(value) AS cnt
+      FROM events GROUP BY event_type),
+    z AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (e.value - s.dsum / s.cnt)
+                 / sqrt(s.dsumsq / s.cnt - (s.dsum / s.cnt) * (s.dsum / s.cnt))
+                 AS zscore
+      FROM events e JOIN stats s ON e.event_type = s.event_type)
+    SELECT event_id, event_type, value, zscore
+    FROM z
+    ORDER BY abs(zscore) DESC, event_id
+    LIMIT 20
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers: sums and sum-of-squares accumulate in
+    EXACT decimal (order-insensitive across partitions/engines), then
+    mean/variance/z derive in double with the identical expression on
+    both engines — IEEE ops on identical inputs give identical doubles.
+    The stats side is a per-type aggregate (broadcastable); one scan +
+    one tiny join, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = (ev.groupBy("event_type")
+             .agg(F.sum(_dec("value")).cast("double").alias("dsum"),
+                  F.sum(_dec("value") * _dec("value")).cast("double")
+                  .alias("dsumsq"),
+                  F.count("value").alias("cnt")))
+    mean = F.col("dsum") / F.col("cnt")
+    z = (F.col("value") - mean) / F.sqrt(
+        F.col("dsumsq") / F.col("cnt") - mean * mean)
+    return (
+        ev.join(F.broadcast(stats), on="event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .orderBy(F.abs(F.col("zscore")).desc(), "event_id")
+        .limit(20)
+    )

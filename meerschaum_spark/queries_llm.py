@@ -829,3 +829,129 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-corpus curation."""
     docs = parallelize(load_table(spark, sf_dir, "documents"))
     return T.repetition_stats(docs).orderBy("doc_id")
+
+
+# ===========================================================================
+# Corpus mixing / contamination / embedding hygiene
+# ===========================================================================
+
+#: per-source sampling rates (percent) — the corpus-mixing knob: at
+#: 100 TB this is how web/books/code shares are rebalanced. Deterministic
+#: hash sampling keeps the selection reproducible and join-free.
+MIXTURE_RATES = {f"src{i}": (30 if i < 10 else 70) for i in range(20)}
+
+_RATE_CASE = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {r}" for s, r in MIXTURE_RATES.items()
+) + " ELSE 0 END"
+
+
+@query(
+    "doc_stratified_sample",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_H60.format(x="CAST(doc_id AS VARCHAR)")} % 100 < {_RATE_CASE}
+    ORDER BY doc_id
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus mixing: each source
+    keeps hash(doc_id) % 100 < rate — reproducible across runs and
+    engines, no shuffle, no join; the rate map is a literal CASE that
+    whole-stage codegen folds into the scan's filter."""
+    from meerschaum_spark.catalog import hash60
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(0)
+    for s, r in MIXTURE_RATES.items():
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    keep = (hash60(F.col("doc_id").cast("string")) % 100) < rate
+    return docs.filter(keep).select("doc_id", "source").orderBy("doc_id")
+
+
+#: minimum shared 5-gram shingles for a contamination flag
+CONTAMINATION_MIN_SHARED = 3
+
+_SHINGLES5_SQL = (
+    "CASE WHEN len(toks) >= 5 THEN list_distinct(list_transform("
+    "generate_series(1, len(toks) - 4), i -> array_to_string(toks[i:i+4], ' ')))"
+    " ELSE [] END"
+)
+
+
+@query(
+    "doc_contamination_check",
+    f"""
+    WITH base AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, source, {_SHINGLES5_SQL} AS shingles FROM base),
+    ex AS (SELECT doc_id, source,
+                  {_H60.format(x='unnest(shingles)')} AS s FROM sh),
+    eval_sh AS (SELECT DISTINCT s FROM ex WHERE source = 'src0'),
+    hits AS (
+      SELECT t.doc_id, count(*) AS n_shared
+      FROM ex t JOIN eval_sh e ON t.s = e.s
+      WHERE t.source <> 'src0'
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_shared FROM hits
+    WHERE n_shared >= {CONTAMINATION_MIN_SHARED}
+    ORDER BY n_shared DESC, doc_id
+    """,
+)
+def doc_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: training docs sharing ≥ K distinct
+    5-gram shingles with the eval set (here: source 'src0' stands in for
+    the benchmark). The eval shingle set is benchmark-sized — broadcast
+    — so the pass is ONE scan of the corpus with a broadcast hash join,
+    the shape that survives 100 TB."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", "source",
+                        T.tokens(F.col("text")).alias("_toks"))
+    from meerschaum_spark.catalog import hash60
+    ex = toked.select(
+        "doc_id", "source",
+        F.explode(D.shingles_of_tokens(F.col("_toks"), 5)).alias("_s"),
+    ).select("doc_id", "source", hash60(F.col("_s")).alias("s"))
+    eval_sh = (ex.filter(F.col("source") == "src0")
+               .select("s").distinct())
+    return (
+        ex.filter(F.col("source") != "src0")
+        .join(F.broadcast(eval_sh), on="s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAMINATION_MIN_SHARED)
+        .orderBy(F.col("n_shared").desc(), "doc_id")
+    )
+
+
+@query(
+    "emb_norm_stats",
+    """
+    WITH n AS (
+      SELECT vec_id, label,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+      FROM embeddings)
+    SELECT label,
+           count(*) AS n_vecs,
+           count(CASE WHEN norm > 1.0 THEN 1 END) AS n_above_unit,
+           min(norm) AS min_norm,
+           max(norm) AS max_norm
+    FROM n GROUP BY label ORDER BY label
+    """,
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene: per-label vector-norm stats. The per-row norm
+    is a sequential fold over the array (deterministic double math);
+    cross-row reducers are count/min/max only — order-insensitive, so no
+    decimal accumulation is needed. One scan, one shuffle on label."""
+    emb = parallelize(load_table(spark, sf_dir, "embeddings"))
+    norm = F.sqrt(F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    n = emb.select("vec_id", "label", norm.alias("norm"))
+    return (n.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.count(F.when(F.col("norm") > 1.0, 1))
+                 .alias("n_above_unit"),
+                 F.min("norm").alias("min_norm"),
+                 F.max("norm").alias("max_norm"))
+            .orderBy("label"))

@@ -117,3 +117,22 @@ def test_near_dup_rerank_is_candidate_proportional(spark, sf_dir):
     assert "LeftSemi" in explain_str(needed, "simple")
     # end-to-end still returns the expected shape
     assert out.columns == ["doc_id", "cluster_id", "keep"]
+
+
+def test_contamination_broadcasts_eval_shingles(spark, sf_dir):
+    """The contamination scan's eval-set shingles are benchmark-sized
+    and must broadcast — a shuffle join here would re-shuffle the whole
+    corpus at 100 TB."""
+    from meerschaum_spark.plans import plan_report
+    from meerschaum_spark.queries_llm import doc_contamination_check
+    r = plan_report(doc_contamination_check(spark, sf_dir))
+    assert r["broadcast_joins"] >= 1
+
+
+def test_stratified_sample_is_scan_only(spark, sf_dir):
+    """Deterministic hash sampling must stay a pure scan + filter: no
+    join, no shuffle before the final sort."""
+    from meerschaum_spark.plans import explain_str
+    from meerschaum_spark.queries_llm import doc_stratified_sample
+    plan = explain_str(doc_stratified_sample(spark, sf_dir), "simple")
+    assert "Join" not in plan

@@ -191,9 +191,14 @@ def widen_dtypes(old: str, new: str, mixed_numerics: bool = True) -> str:
         # opts out via mixed_numerics=False
         return "numeric" if mixed_numerics else "str"
     # an already-numeric side keeps numeric regardless of the flag: the
-    # column is Decimal on disk; the flag only gates NEW coercions
-    if "numeric" in (ob, nb) and {ob, nb} <= (ints | floats | {"numeric"}):
-        return "numeric"
+    # column is Decimal on disk; the flag only gates NEW coercions.
+    # Keep THAT side verbatim — an explicit numeric(p,s) is user intent
+    # and must survive widening against later int/float batches
+    if {ob, nb} <= (ints | floats | {"numeric"}):
+        if ob == "numeric":
+            return old
+        if nb == "numeric":
+            return new
     if ob in floats and nb in floats:
         return "float64"
     if {ob, nb} == {"datetime", "date"}:

@@ -1,0 +1,152 @@
+"""Property-based tests (hypothesis) over the pure driver-side kernels —
+the invariants the distributed operators are built on. Mirrors the
+reference's generative test style (tests/ uses parameterized flavors; we
+generate inputs instead)."""
+
+import datetime
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from meerschaum_spark.chunks import get_chunk_bounds
+from meerschaum_spark.dtypes import (
+    canonical_dtype,
+    canonical_json,
+    widen_dtypes,
+)
+from meerschaum_spark.registry import _match_tag_groups
+
+DTYPES = st.sampled_from([
+    "int8", "int16", "int32", "int64", "float32", "float64",
+    "numeric", "numeric(10,2)", "str", "datetime", "date", "bool",
+    "json", "uuid", "bytes",
+])
+
+
+@given(a=DTYPES, b=DTYPES)
+def test_widen_is_commutative_on_bases(a, b):
+    """Widening must not depend on which side arrived first, except for
+    the explicit-args preference (same base keeps the old side's args)."""
+    ab, ba = widen_dtypes(a, b), widen_dtypes(b, a)
+    base = lambda d: d.split("(")[0]
+    assert base(ab) == base(ba)
+
+
+@given(a=DTYPES)
+def test_widen_is_idempotent(a):
+    w = widen_dtypes(a, a)
+    assert w == canonical_dtype(a)
+    assert widen_dtypes(w, a) == w
+
+
+@given(a=DTYPES, b=DTYPES)
+def test_widen_is_absorbing(a, b):
+    """Once widened, adding either original side again changes nothing —
+    the registry never flip-flops dtypes across syncs."""
+    w = widen_dtypes(a, b)
+    assert widen_dtypes(w, a) == w
+    assert widen_dtypes(w, b) == w
+
+
+JSON_VALUES = st.recursive(
+    st.none() | st.booleans() | st.integers(-2**31, 2**31)
+    | st.floats(allow_nan=False, allow_infinity=False, width=32)
+    | st.text(max_size=20),
+    lambda children: st.lists(children, max_size=4)
+    | st.dictionaries(st.text(max_size=8), children, max_size=4),
+    max_leaves=10,
+)
+
+
+@given(obj=JSON_VALUES)
+def test_canonical_json_is_stable_and_sorted(obj):
+    """Canonical JSON must be loadable, key-sorted at every level, and a
+    fixed point — it is the row-identity serialization for the diff.
+    (Top-level strings are excluded: a non-JSON string passes through
+    verbatim by design, mirroring the reference's attempt-parse.)"""
+    if isinstance(obj, str):
+        return
+    s = canonical_json(obj)
+    if s is None:
+        return
+    loaded = json.loads(s)
+    assert canonical_json(loaded) == s
+
+    def keys_sorted(x):
+        if isinstance(x, dict):
+            ks = list(x.keys())
+            return ks == sorted(ks) and all(keys_sorted(v)
+                                            for v in x.values())
+        if isinstance(x, list):
+            return all(keys_sorted(v) for v in x)
+        return True
+    assert keys_sorted(loaded)
+
+
+@st.composite
+def _bounds(draw):
+    # tz-aware: the engine's canonical axis is µs-UTC; get_chunk_bounds
+    # normalizes naive input to UTC, so aware input round-trips exactly
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    b_off = draw(st.integers(0, 10_000_000))
+    minutes = draw(st.integers(1, 120_000))
+    # cap the span at ~500 chunks so a 1-minute grid stays fast
+    width = draw(st.integers(1, min(10_000_000, minutes * 60 * 500)))
+    begin = base + datetime.timedelta(seconds=b_off)
+    end = begin + datetime.timedelta(seconds=width)
+    return begin, end, minutes
+
+
+@settings(max_examples=60, deadline=None)
+@given(args=_bounds())
+def test_chunk_bounds_tile_exactly(args):
+    """The chunk grid must tile [begin, end) exactly: contiguous,
+    non-overlapping, clipped at both ends, every window non-empty —
+    the invariant verify/clear/partitioning all lean on."""
+    begin, end, minutes = args
+    chunks = list(get_chunk_bounds(begin, end, minutes))
+    assert chunks, (begin, end, minutes)
+    assert chunks[0][0] == begin
+    assert chunks[-1][1] == end
+    for (b1, e1), (b2, e2) in zip(chunks, chunks[1:]):
+        assert e1 == b2          # contiguous, no gap, no overlap
+    assert all(b < e for b, e in chunks)
+    width = datetime.timedelta(minutes=minutes)
+    assert all(e - b <= width for b, e in chunks)
+
+
+@settings(max_examples=60, deadline=None)
+@given(args=_bounds())
+def test_chunk_bounds_interior_edges_are_aligned(args):
+    """Interior edges snap to the epoch grid — two overlapping verify
+    runs produce the SAME windows, so their partition writes never
+    interleave."""
+    begin, end, minutes = args
+    width_us = minutes * 60_000_000
+    epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+    for b, e in get_chunk_bounds(begin, end, minutes):
+        if e != end:  # interior edge
+            off = int((e - epoch).total_seconds() * 1_000_000)
+            assert off % width_us == 0
+
+
+TAGS = st.lists(st.sampled_from(["a", "b", "c", "_a", "_b", "a,b",
+                                 "a,_c", "_a,_b"]), max_size=3)
+DOC_TAGS = st.sets(st.sampled_from(["a", "b", "c"]), max_size=3)
+
+
+@given(doc_tags=DOC_TAGS, tags=TAGS)
+def test_tag_groups_match_reference_semantics(doc_tags, tags):
+    """OR of groups; AND within a group; '_' negates: re-derive the
+    expected result naively and compare."""
+    if not tags:
+        return
+    expected = False
+    for group in (t.split(",") for t in tags):
+        ins = [t for t in group if not t.startswith("_")]
+        exs = [t[1:] for t in group if t.startswith("_")]
+        if all(t in doc_tags for t in ins) and \
+                not any(t in doc_tags for t in exs):
+            expected = True
+    assert _match_tag_groups(doc_tags, tags) == expected

@@ -96,3 +96,16 @@ def drop_pipes(spark: SparkSession, instance: str,
         pipe.drop()
         out[_pipe_key(pipe)] = not pipe.exists()
     return out
+
+
+def delete_pipes(spark: SparkSession, instance: str,
+                 **filters: Any) -> dict[tuple[str, str, str | None], bool]:
+    """Delete every matching pipe outright — data AND registry entry
+    (reference actions/delete.py delete pipes; ``Pipe.delete``)."""
+    out = {}
+    for pipe in get_pipes(spark, instance, **filters):
+        pipe.delete()
+        out[_pipe_key(pipe)] = (
+            not pipe.exists()
+            and pipe.registry.load(pipe.target) is None)
+    return out

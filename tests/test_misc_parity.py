@@ -167,6 +167,13 @@ def test_instance_bulk_actions(spark, instance_dir):
                                            connector="bulk") if p.exists()]
     assert {p.metric for p in remaining} == {"b"}
 
+    # delete removes data AND registration (drop-vs-delete split)
+    deleted = inst.delete_pipes(spark, instance_dir, connector="bulk",
+                                metric="b")
+    assert deleted == {("bulk", "b", None): True}
+    assert inst.get_pipes(spark, instance_dir, connector="bulk",
+                          metric="b") == []
+
 
 def test_bulk_results_keyed_by_pipe_keys(spark, instance_dir):
     """Two pipes sharing an explicit target must BOTH report results —

@@ -955,3 +955,37 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("norm").alias("min_norm"),
                  F.max("norm").alias("max_norm"))
             .orderBy("label"))
+
+
+@query(
+    "doc_dedup_survivors",
+    _CLUSTERS_SQL.replace(
+        """    SELECT u AS doc_id,
+           LEAST(u, MIN(v)) AS cluster_id,
+           u = LEAST(u, MIN(v)) AS keep
+    FROM reach GROUP BY u ORDER BY doc_id
+""",
+        """,
+    clusters AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u)
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters
+                           WHERE doc_id <> cluster_id)
+    ORDER BY d.doc_id
+"""),
+)
+def doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized deduped corpus: every document except non-canonical
+    near-dup cluster members (cluster survivors keep the smallest doc_id;
+    singletons pass through untouched). This is the pass a training
+    pipeline actually ships — clusters identify, THIS query removes. The
+    removal is an anti-join against the (tiny) non-canonical id set."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    clusters = D.near_dup_clusters(docs, scope_col="source",
+                                   threshold=NEAR_DUP_JACCARD,
+                                   sigs=_minhash_sigs(spark, sf_dir))
+    losers = clusters.filter(~F.col("keep")).select("doc_id")
+    return (docs.join(F.broadcast(losers), on="doc_id", how="left_anti")
+            .select("doc_id", "source").orderBy("doc_id"))

@@ -1275,3 +1275,28 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("zscore")).desc(), "event_id")
         .limit(20)
     )
+
+
+@query(
+    "events_value_histogram",
+    """
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: integer bucketing is exact on both engines
+    (floor of a double divide is deterministic IEEE); one scan, one
+    shuffle, map-side combine."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.floor(F.col("value") / 50.0).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("user_id").alias("n_users"))
+        .orderBy("bucket")
+    )

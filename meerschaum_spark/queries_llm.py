@@ -989,3 +989,45 @@ def doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = clusters.filter(~F.col("keep")).select("doc_id")
     return (docs.join(F.broadcast(losers), on="doc_id", how="left_anti")
             .select("doc_id", "source").orderBy("doc_id"))
+
+
+@query(
+    "doc_token_rarity",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t),
+    dfreq AS (SELECT tok, count(*) AS tok_df FROM ex GROUP BY tok),
+    scored AS (
+      SELECT ex.doc_id,
+             count(*) AS n_distinct_tokens,
+             CAST(sum(dfreq.tok_df) AS BIGINT) AS sum_df,
+             min(dfreq.tok_df) AS min_df
+      FROM ex JOIN dfreq ON ex.tok = dfreq.tok
+      GROUP BY ex.doc_id)
+    SELECT doc_id, n_distinct_tokens, sum_df, min_df,
+           CAST(sum_df AS DOUBLE) / n_distinct_tokens AS avg_token_df
+    FROM scored ORDER BY doc_id
+    """,
+)
+def doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative rarity scoring (CCNet-style signal, integer-exact):
+    each document's distinct tokens join the corpus document-frequency
+    table; low avg/min DF marks rare-vocabulary documents (or noise),
+    high marks boilerplate. Two shuffles (corpus DF build + per-doc
+    aggregate); the DF table is vocabulary-sized and reusable."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    ex = (docs.select("doc_id",
+                      F.explode(F.array_distinct(T.tokens(F.col("text"))))
+                      .alias("tok")))
+    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
+    return (
+        ex.join(dfreq, on="tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_distinct_tokens"),
+             F.sum("tok_df").alias("sum_df"),
+             F.min("tok_df").alias("min_df"))
+        .select("doc_id", "n_distinct_tokens", "sum_df", "min_df",
+                (F.col("sum_df").cast("double")
+                 / F.col("n_distinct_tokens")).alias("avg_token_df"))
+        .orderBy("doc_id")
+    )

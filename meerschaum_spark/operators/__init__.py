@@ -13,7 +13,10 @@ Scans / sources / sinks (§2.1)
   S5  bulk append sink           store.ParquetPipeStore.append
   S6/S7 flavor bulk fast paths   N/A — parquet writes are columnar bulk
   S8  Valkey doc store           N/A — semantics covered by store.merge
-  S9  API/HTTP source            sources/http.py (fetch_fn protocol, bounded GET)
+  S9  API/HTTP source + server   sources/http.py (fetch_fn protocol, bounded GET,
+                                 RemotePipe management client);
+                                 sources/server.py (data/metadata routes +
+                                 register/edit/delete management routes)
   S10 simple-lines text parse    dataframe.parse_simple_lines
   S11 canonical JSON export      export.df_to_json_rows / write_json / write_csv
   S12 Dask chunk scan            native Spark partitions (pipe.get_data as_iterator)
@@ -79,12 +82,23 @@ Plugins (§2.11)                  Pipe(fetch_fn=..., sync_fn=...) protocols
 
 Beyond-reference (training-data pipeline; BASELINE.json north star)
   dedup families                 functions/dedup.py (exact, n-gram Jaccard,
-                                 MinHash+LSH, SimHash + Hamming blocks)
-  similarity search              functions/similarity.py (brute-force + LSH ANN)
+                                 MinHash+LSH, SimHash + Hamming blocks,
+                                 fused near-dup clusters via
+                                 connected_components/near_dup_clusters,
+                                 survivor materialization)
+  similarity search              functions/similarity.py (brute-force + LSH/IVF
+                                 ANN, multi-table-LSH embedding near-dup)
   text analysis                  functions/text.py (stats, quality, lang-ID,
-                                 fingerprint)
+                                 fingerprint, Gopher repetition_stats,
+                                 corpus-relative token rarity)
+  corpus ops                     functions/corpus.py (one-pass prep,
+                                 token-budget selection); stratified mixing
+                                 sample + contamination scan (queries_llm.py)
   multimodal columns             functions/multimodal.py (binary payloads,
                                  Arrow-batched extract, stubbed decode)
+  analytics widening             queries.py (funnel, cohort retention,
+                                 z-score outliers, value histogram,
+                                 TPC-H Q13/Q15/Q17 shapes)
 
 Every operator with deterministic output also appears in the query
 catalog (queries.py / queries_llm.py) with a DuckDB oracle.

@@ -26,6 +26,7 @@ from meerschaum_spark.params import (
     params_to_filter,
 )
 from meerschaum_spark.sources import load_table
+from meerschaum_spark.sources.tables import canonicalize_ts
 
 from meerschaum_spark.catalog import DEC, ORACLE, QUERIES, QueryFn, dec as _dec, query, sum_dbl as _sum_dbl
 
@@ -901,8 +902,7 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = (spark.readStream.schema(raw.schema)
                   .option("pathGlobFilter", "events.parquet")
                   .parquet(sf_dir))
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        stream = canonicalize_ts(stream, ["ts"])
         sess = stateful_sessionize(stream, gap_seconds=30 * 60,
                                    order_cols=["event_id"])
         q = (sess.writeStream.format("memory").queryName(sink)
@@ -954,8 +954,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = (spark.readStream.schema(raw.schema)
                   .option("pathGlobFilter", "events.parquet")
                   .parquet(sf_dir))
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        stream = canonicalize_ts(stream, ["ts"])
         agg = (
             stream.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
             .agg(F.count(F.lit(1)).alias("n_events"),
@@ -1214,8 +1213,7 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = (spark.readStream.schema(raw.schema)
                   .option("pathGlobFilter", "events.parquet")
                   .parquet(sf_dir))
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        stream = canonicalize_ts(stream, ["ts"])
         deduped = streaming_dedup(stream, ["user_id", "event_type"],
                                   ts_col="ts", watermark="30 days")
         q = (deduped.select("user_id", "event_type")

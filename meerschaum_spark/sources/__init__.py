@@ -1,4 +1,6 @@
-from meerschaum_spark.sources.tables import TABLE_NAMES, load_table, register_views
+from meerschaum_spark.sources.tables import (
+    TABLE_NAMES, canonicalize_ts, load_table, register_views,
+)
 
 __all__ = ["TABLE_NAMES", "load_table", "register_views",
            "fetch_http_json", "http_fetch_fn", "PipeHTTPServer"]

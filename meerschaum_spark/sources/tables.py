@@ -1,11 +1,15 @@
 """Parquet table loaders for the engine's test corpus.
 
-One quirk handled here: ``events.parquet`` stores its timestamp with
-nanosecond precision, which Spark's parquet reader rejects
-(PARQUET_TYPE_ILLEGAL). The engine's canonical timestamp is µs-UTC
-(SURVEY §1.2), so we read nanos as raw longs
-(``spark.sql.legacy.parquet.nanosAsLong`` — a runtime-settable SQL conf)
-and floor to microseconds JVM-side. No data leaves the executors.
+One quirk handled here: ``events.parquet`` has shipped with different
+physical types for its timestamp across testdata generations —
+ns-precision INT64 (which Spark's parquet reader rejects outright,
+PARQUET_TYPE_ILLEGAL) and plain µs TIMESTAMP (read as TIMESTAMP_NTZ).
+The engine's canonical timestamp is µs-UTC TIMESTAMP (SURVEY §1.2), so
+the loader sniffs the *actual* read type and normalizes: raw longs
+(under ``spark.sql.legacy.parquet.nanosAsLong``) are floored to µs
+JVM-side; NTZ is reinterpreted as UTC via a cast (value-preserving —
+the engine pins the session timezone to UTC). No data leaves the
+executors either way.
 """
 
 from __future__ import annotations
@@ -14,6 +18,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = [
     "region", "nation", "customer", "supplier", "part",
@@ -43,6 +48,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def canonicalize_ts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Normalize timestamp columns to the engine's canonical µs-UTC
+    TIMESTAMP, keyed off the type the parquet reader actually produced:
+
+    - ``bigint`` (ns epoch read under ``nanosAsLong``): integer-DIV to
+      µs — ns epochs exceed double precision (2^53), so a float division
+      would be off by ±1 µs — then ``timestamp_micros``.
+    - ``timestamp_ntz``: cast to TIMESTAMP. Value-preserving because the
+      session timezone is pinned to UTC.
+    - already ``timestamp``: untouched.
+    """
+    for c in cols:
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType
+        if isinstance(dt, LongType):
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def _load_table_uncached(spark: SparkSession, sf_dir: str,
                          name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -52,12 +80,7 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str,
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
-        df = spark.read.parquet(path)
-        for c in ns_cols:
-            # integer DIV: ns epochs exceed double precision (2^53), so a
-            # float division here would be off by ±1 µs
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
-        return df
+        return canonicalize_ts(spark.read.parquet(path), ns_cols)
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
 

@@ -56,8 +56,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal)."""
     import meerschaum_spark.queries      # noqa: F401  (registers core ops)
     import meerschaum_spark.queries_llm  # noqa: F401  (registers LLM ops)
-    from meerschaum_spark.catalog import QUERIES
-    return dict(QUERIES)
+    from meerschaum_spark.catalog import QUERIES, ordered
+    return ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -65,5 +65,5 @@ def oracle_sql() -> dict[str, str]:
     weaker rows-only check)."""
     import meerschaum_spark.queries      # noqa: F401
     import meerschaum_spark.queries_llm  # noqa: F401
-    from meerschaum_spark.catalog import ORACLE
-    return dict(ORACLE)
+    from meerschaum_spark.catalog import ORACLE, ordered
+    return ordered(ORACLE)

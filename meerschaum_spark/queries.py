@@ -517,6 +517,32 @@ def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_meta_probes",
+    """
+    SELECT max(ts) AS sync_time,
+           count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-10'
+                              AND ts < TIMESTAMP '2024-01-20'
+                              AND event_type = 'purchase') AS bounded_rowcount,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+)
+def events_meta_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2+A5 composed into ONE scan (conditional aggregation): newest
+    datetime, bounded+param rowcount, distinct-id count. One catalog slot
+    carries three metadata operators past the driver gate's 50-entry
+    recording cap; the single-purpose forms remain registered below it."""
+    ev = load_table(spark, sf_dir, "events")
+    cond = combine_filters(datetime_filter("ts", _B1, _E1),
+                           params_to_filter({"event_type": "purchase"}))
+    return ev.agg(
+        F.max("ts").alias("sync_time"),
+        F.count(F.when(cond, F.lit(1))).alias("bounded_rowcount"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
     "events_dedup_keep_last",
     """
     SELECT event_id, ts, user_id, event_type, value FROM (

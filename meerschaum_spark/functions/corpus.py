@@ -85,6 +85,12 @@ def select_token_budget(
     the driver from ~128 rows, take every earlier bucket whole, and run
     the exact running sum ONLY inside the threshold bucket. Work is one
     pass plus a window over corpus/128 rows."""
+    # The algorithm takes three passes over ``df`` (quantile probe,
+    # bucket sums, final filter). The input is usually a narrow derived
+    # projection whose lineage is expensive (tokenization at ~regex cost
+    # per doc) — materialize it once so the passes scan stored rows, not
+    # lineage.
+    df = df.localCheckpoint(eager=True)
     n_buckets = 128
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = df.approxQuantile(order_col, probs, 0.001)
@@ -119,3 +125,20 @@ def select_token_budget(
                 .drop("_cum"))
         keep = keep.unionByName(edge)
     return keep.drop("_bkt")
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-shard assignment: shard = md5-based
+    ``hash60(id) mod n_shards``. Hash sharding (vs range) keeps shard
+    sizes balanced regardless of id clustering; the assignment is a
+    narrow projection, so writing a 100 TB corpus as N shard files is
+    scan → assign → partitioned write with exactly one shuffle (the
+    write's repartition on shard)."""
+    from meerschaum_spark.catalog import hash60
+    return df.withColumn(
+        "shard",
+        F.pmod(hash60(F.col(id_col).cast("string")), F.lit(n_shards)))

@@ -127,20 +127,34 @@ def assign_ivf_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF coarse assignment as a relational argmin: cross join the small
-    centroid set (broadcast), rank by exact-decimal squared distance with
-    centroid-id tie-break, keep rank 1. Adds a ``cell`` column."""
-    c = centroids.select(F.col(id_col).alias("_cid"),
-                         F.col(vec_col).alias("_cv"))
-    dist = _sqdist_dec(F.col(vec_col), F.col("_cv"))
-    w = Window.partitionBy(id_col).orderBy(F.col("_dist").asc(),
-                                           F.col("_cid").asc())
-    return (df.crossJoin(F.broadcast(c))
-            .withColumn("_dist", dist)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .withColumnRenamed("_cid", "cell")
-            .drop("_cv", "_dist", "_rn"))
+    """IVF coarse assignment as a narrow projection: the centroid set is
+    broadcast-sized by contract, so collect it to the driver and embed it
+    as a literal array; each row's cell is then an argmin over that array
+    (exact-decimal squared distance, centroid-id tie-break via struct
+    ordering). Zero shuffle and zero row multiplication — the previous
+    relational form (cross join + row_number window partitioned by the
+    vector id) shuffled |centroids|× the corpus just to take an argmin,
+    which at 100 TB is the whole job's cost."""
+    rows = sorted(centroids.select(id_col, vec_col).collect(),
+                  key=lambda r: r[0])
+    if not rows:
+        raise ValueError("assign_ivf_cells: empty centroid set")
+    cents = F.array(*[
+        F.struct(
+            F.lit(r[0]).alias("cid"),
+            # cast the literal back to array<float> so the float→decimal
+            # cast sequence inside _sqdist_dec is byte-identical to
+            # computing against the original column
+            F.array(*[F.lit(float(x)) for x in r[1]])
+            .cast("array<float>").alias("cv"),
+        ) for r in rows])
+    scored = F.transform(
+        cents, lambda c: F.struct(
+            _sqdist_dec(F.col(vec_col), c["cv"]).alias("d"),
+            c["cid"].alias("cid")))
+    # array_min on structs orders lexicographically: (distance asc,
+    # centroid id asc) — exactly the argmin tie-break
+    return df.withColumn("cell", F.array_min(scored)["cid"])
 
 
 def ivf_topk(

@@ -186,3 +186,83 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                        / F.col("n_bigrams"))
                 .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
             ))
+
+
+# ---------------------------------------------------------------------------
+# Chunking, PII scrubbing, vocabulary
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 400,
+    overlap: int = 80,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size character chunks with overlap
+    (the standard context-window prep for training/embedding pipelines).
+
+    Pure built-ins: a per-row ``sequence`` of chunk starts + ``posexplode``
+    + ``substr`` — row-multiplying but shuffle-free, so a 100 TB corpus
+    chunks in one narrow map stage. Empty documents yield one empty
+    chunk (the ``greatest`` guard) so every input row survives.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    starts = F.sequence(F.lit(1),
+                        F.greatest(F.length(F.col(text_col)), F.lit(1)),
+                        F.lit(stride))
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        F.col(text_col),
+    )
+    chunk = F.col(text_col).substr(F.col("chunk_start"), F.lit(chunk_chars))
+    return out.select(
+        id_col, "chunk_idx", "chunk_start",
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("n_chunk_chars"),
+    )
+
+
+#: PII patterns, least-specific last so earlier redactions cannot destroy
+#: later matches. Every pattern is valid in BOTH Java regex (Spark) and
+#: RE2 (DuckDB): no backreferences, no lookaround.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Detect + redact common PII shapes (email / IPv4 / phone), returning
+    per-pattern match counts and the fingerprint hash of the scrubbed
+    text. All regex work is JVM-side codegen; patterns are RE2-safe so
+    the DuckDB oracle applies the identical expressions."""
+    counts = [F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+              for name, pat, _ in PII_PATTERNS]
+    scrubbed = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(
+        F.col(id_col), *counts,
+        hash60(scrubbed).alias("scrubbed_fingerprint"),
+    )
+
+
+def vocab_topk(df: DataFrame, k: int = 50, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary head: the k most frequent tokens with their
+    total counts and document frequencies. One explode + one hash
+    aggregation (map-side partial combine) + a tiny top-k sort — the
+    canonical Zipf/vocab probe for corpus QA."""
+    ex = df.select(F.col(id_col),
+                   F.explode(tokens(F.col(text_col))).alias("tok"))
+    return (ex.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.countDistinct(id_col).alias("doc_freq"))
+            .orderBy(F.col("n_occurrences").desc(), "tok")
+            .limit(k))

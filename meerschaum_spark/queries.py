@@ -1155,16 +1155,22 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     def first_after(prev: DataFrame, prev_t: str, etype: str,
                     out_t: str) -> DataFrame:
         e = ev.filter(F.col("event_type") == etype).alias("e")
-        p = prev.alias("p")
+        p = F.broadcast(prev).alias("p")
         return (e.join(p, (F.col("e.user_id") == F.col("p.user_id"))
                        & (F.col("e.ts") > F.col(f"p.{prev_t}")))
                 .groupBy(F.col("e.user_id").alias("user_id"))
                 .agg(F.min("e.ts").alias(out_t)))
 
+    # Each stage's output is user-cardinality (tiny); materialize it so
+    # the next stage joins stored rows instead of replaying the previous
+    # stages' event scans — otherwise counting stage 3 re-runs stages 1+2
+    # and the three counts cost six event scans. Eager checkpoints also
+    # make the counts themselves metadata-cheap.
     v = (ev.filter(F.col("event_type") == "view")
-         .groupBy("user_id").agg(F.min("ts").alias("t1")))
-    c = first_after(v, "t1", "click", "t2")
-    p = first_after(c, "t2", "purchase", "t3")
+         .groupBy("user_id").agg(F.min("ts").alias("t1"))
+         .localCheckpoint(eager=True))
+    c = first_after(v, "t1", "click", "t2").localCheckpoint(eager=True)
+    p = first_after(c, "t2", "purchase", "t3").localCheckpoint(eager=True)
     counts = [df.count() for df in (v, c, p)]
     return spark.createDataFrame(
         [tuple(counts)],

@@ -326,3 +326,61 @@ def test_near_dup_clusters_fused(docs):
     assert rows[1] == (1, True)
     assert rows[4] == (1, False)
     assert 3 not in rows and 5 not in rows
+
+
+def test_chunk_documents_shapes(spark):
+    """Chunk boundaries: stride = chunk - overlap; consecutive chunks
+    overlap by exactly `overlap` chars; empty docs yield one empty chunk."""
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, ""), (3, "xy")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["chunk_idx"]): r
+           for r in T.chunk_documents(df, chunk_chars=4, overlap=2).collect()}
+    assert out[(1, 0)]["chunk_text"] == "abcd"
+    assert out[(1, 1)]["chunk_text"] == "cdef"     # starts at 3 (stride 2)
+    assert out[(1, 4)]["chunk_text"] == "ij"       # short tail survives
+    assert (1, 5) not in out                        # no start beyond length
+    assert out[(2, 0)]["chunk_text"] == ""          # empty doc -> one chunk
+    assert out[(3, 0)]["chunk_text"] == "xy"
+    assert out[(1, 1)]["chunk_start"] == 3
+    assert out[(1, 1)]["n_chunk_chars"] == 4
+    with pytest.raises(ValueError):
+        T.chunk_documents(df, chunk_chars=4, overlap=4)
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co or c.d@e.org, call 555-123-4567, host 10.0.0.1"),
+         (2, "clean text with no pii at all")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in T.pii_scrub(df).collect()}
+    assert rows[1]["n_email"] == 2
+    assert rows[1]["n_phone"] == 1
+    assert rows[1]["n_ipv4"] == 1
+    assert rows[2]["n_email"] == rows[2]["n_phone"] == rows[2]["n_ipv4"] == 0
+    # redaction changes the fingerprint only when something matched
+    base = {r["doc_id"]: r for r in T.fingerprint(df).collect()}
+    assert rows[1]["scrubbed_fingerprint"] != base[1]["fingerprint"]
+
+
+def test_vocab_topk_ordering(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b z")], "doc_id long, text string")
+    rows = T.vocab_topk(df, k=3).collect()
+    assert [r["tok"] for r in rows] == ["a", "b", "c"]  # count desc, tok asc
+    assert rows[0]["n_occurrences"] == 4
+    assert rows[0]["doc_freq"] == 2
+
+
+def test_shard_assign_deterministic_and_balanced(spark):
+    from meerschaum_spark.functions.corpus import shard_assign
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = shard_assign(df, n_shards=8)
+    counts = {r["shard"]: r["n"] for r in
+              out.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == set(range(8))             # every shard hit
+    assert max(counts.values()) < 2.0 * min(counts.values())
+    # stable across evaluations
+    a = sorted((r["doc_id"], r["shard"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["shard"]) for r in out.collect())
+    assert a == b

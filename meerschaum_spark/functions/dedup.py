@@ -437,3 +437,40 @@ def hamming_near_pairs(sim_df: DataFrame, id_col: str = "doc_id",
     dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (pairs.select("doc_a", "doc_b", dist.alias("hamming"))
             .filter(F.col("hamming") <= max_distance))
+
+
+def sentence_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 20,
+) -> DataFrame:
+    """Span-level (sentence) duplication profile: for each document, how
+    many of its distinct sentences also appear verbatim in ANOTHER
+    document. High cross-doc sentence overlap flags boilerplate and
+    template spam that document-level dedup misses.
+
+    Plan: sentence-split (codegen regex) → per-doc distinct sentence
+    hashes (explode + one aggregation) → corpus document-frequency per
+    hash (second aggregation) → join back. Both aggregations partition
+    on the hash/doc keys — no window, no all-pairs anything; the join is
+    hash-key equi, so the whole pass is two shuffles at any corpus size.
+    """
+    sents = F.filter(
+        F.transform(F.split(F.trim(F.col(text_col)), r"\.\s+"),
+                    lambda s: F.trim(s)),
+        lambda s: F.length(s) >= min_chars)
+    ex = (df.select(F.col(id_col),
+                    F.explode(F.array_distinct(sents)).alias("_sent"))
+          .select(id_col, hash60(F.col("_sent")).alias("_sh")))
+    dfreq = (ex.groupBy("_sh")
+             .agg(F.countDistinct(id_col).alias("_docs")))
+    return (ex.join(dfreq, on="_sh")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_sentences"),
+                 F.count(F.when(F.col("_docs") >= 2, 1))
+                 .alias("n_shared_sentences"))
+            .withColumn(
+                "shared_frac",
+                F.col("n_shared_sentences").cast("double")
+                / F.col("n_sentences")))

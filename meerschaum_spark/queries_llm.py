@@ -1184,3 +1184,35 @@ def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregation with map-side combine + tiny top-k."""
     docs = _docs(spark, sf_dir)
     return T.vocab_topk(docs, k=50)
+
+
+@query(
+    "doc_sentence_dedup",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(string_split_regex(trim(text), '\\.\\s+'),
+                              x -> trim(x)),
+               x -> length(x) >= 20)) AS sents
+      FROM documents),
+    ex AS (SELECT doc_id, {_H60.format(x='unnest(sents)')} AS sh FROM s),
+    dfreq AS (SELECT sh, count(DISTINCT doc_id) AS docs FROM ex GROUP BY sh),
+    agg AS (
+      SELECT ex.doc_id,
+             count(*) AS n_sentences,
+             count(*) FILTER (WHERE dfreq.docs >= 2) AS n_shared_sentences
+      FROM ex JOIN dfreq ON ex.sh = dfreq.sh
+      GROUP BY ex.doc_id)
+    SELECT doc_id, n_sentences, n_shared_sentences,
+           CAST(n_shared_sentences AS DOUBLE) / n_sentences AS shared_frac
+    FROM agg ORDER BY doc_id
+    """,
+)
+def doc_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup profile: per document, the fraction of its
+    distinct sentences (≥20 chars) that appear verbatim in at least one
+    OTHER document — the boilerplate signal document-level dedup misses.
+    Two hash aggregations, no window, no pairs."""
+    docs = _docs(spark, sf_dir)
+    return D.sentence_dedup_stats(docs).orderBy("doc_id")

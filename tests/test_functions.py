@@ -384,3 +384,17 @@ def test_shard_assign_deterministic_and_balanced(spark):
     a = sorted((r["doc_id"], r["shard"]) for r in out.collect())
     b = sorted((r["doc_id"], r["shard"]) for r in out.collect())
     assert a == b
+
+
+def test_sentence_dedup_stats(spark):
+    boiler = "this shared boilerplate sentence is long enough"
+    df = spark.createDataFrame(
+        [(1, f"{boiler}. unique first content sentence here."),
+         (2, f"{boiler}. a different unique sentence lives here."),
+         (3, "totally original document with one long sentence only.")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in D.sentence_dedup_stats(df).collect()}
+    assert rows[1]["n_sentences"] == 2 and rows[1]["n_shared_sentences"] == 1
+    assert rows[2]["n_shared_sentences"] == 1
+    assert rows[3]["n_shared_sentences"] == 0
+    assert rows[1]["shared_frac"] == pytest.approx(0.5)

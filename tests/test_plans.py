@@ -136,3 +136,26 @@ def test_stratified_sample_is_scan_only(spark, sf_dir):
     from meerschaum_spark.queries_llm import doc_stratified_sample
     plan = explain_str(doc_stratified_sample(spark, sf_dir), "simple")
     assert "Join" not in plan
+
+
+def test_chunk_and_shard_are_shuffle_free(spark, sf_dir):
+    """The row-multiplying chunker and the shard assignment are narrow
+    maps — zero exchanges; at 100 TB either becoming a shuffle would
+    dominate the whole pass."""
+    from meerschaum_spark.functions.corpus import shard_assign
+    from meerschaum_spark.functions.text import chunk_documents
+    docs = load_table(spark, sf_dir, "documents")
+    assert plan_report(chunk_documents(docs))["shuffles"] == 0
+    assert plan_report(shard_assign(docs))["shuffles"] == 0
+
+
+def test_ivf_assignment_is_narrow(spark, sf_dir):
+    """IVF coarse assignment must not multiply rows or shuffle: the
+    centroid argmin is a literal-array expression, not a join."""
+    from meerschaum_spark.functions.similarity import assign_ivf_cells
+    from pyspark.sql import functions as F
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    r = plan_report(assign_ivf_cells(emb, cents))
+    assert r["shuffles"] == 0
+    assert r["broadcast_joins"] == 0  # no join at all, not even broadcast

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from meerschaum_spark.catalog import hash60
 from meerschaum_spark.functions.text import tokens
@@ -213,6 +214,7 @@ def lsh_candidate_pairs(
     bands: int = DEFAULT_BANDS,
     target_sim: float | None = None,
     sigs: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH: split the K-long signature into ``bands`` bands of
     K/bands rows, bucket-join on (band_idx, md5(band values)). Returns
@@ -221,7 +223,16 @@ def lsh_candidate_pairs(
     Pass ``target_sim`` to size the band geometry from the data's needs
     instead of the defaults: (k, bands) are derived so the detection
     threshold lands near the requested Jaccard similarity
-    (``choose_lsh_params``)."""
+    (``choose_lsh_params``).
+
+    ``max_bucket_size`` bounds the quadratic risk at corpus scale: a
+    band bucket holding m documents emits m(m-1)/2 pairs, so one
+    boilerplate-heavy bucket of 10⁵ docs would emit 5·10⁹ candidates.
+    Buckets above the cap are dropped entirely (the hot-bucket analogue
+    of the stop-shingle cap: mega-buckets signal template-level
+    similarity, not near-dup specificity; a true near-dup pair usually
+    also collides in a colder band). Default None preserves exact
+    MMDS semantics — the catalog's oracle-checked queries use None."""
     if target_sim is not None:
         k, bands = choose_lsh_params(target_sim)
     rows_per_band = k // bands
@@ -245,6 +256,13 @@ def lsh_candidate_pairs(
         F.col(id_col), *scope,
         F.explode(F.array(*band_rows)).alias("bb"),
     ).select(id_col, *scope, "bb.band", "bb.bh")
+    if max_bucket_size is not None:
+        key = [*scope, "band", "bh"]
+        sizes = (buckets.groupBy(*key)
+                 .agg(F.count(F.lit(1)).alias("_bsz"))
+                 .filter(F.col("_bsz") <= max_bucket_size)
+                 .drop("_bsz"))
+        buckets = buckets.join(sizes, on=key, how="left_semi")
     a, b_ = buckets.alias("a"), buckets.alias("b")
     cond = ((F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
@@ -257,11 +275,44 @@ def lsh_candidate_pairs(
             .distinct())
 
 
+#: edge-count ceiling for the driver-side components fast path. A dup
+#: graph's edges are a sliver of the corpus (only near-duplicate pairs),
+#: so even 100 TB corpora usually produce a graph that fits the driver;
+#: 2M edges ≈ 32 MB of longs — far under any driver budget.
+COMPONENTS_LOCAL_MAX_EDGES = 2_000_000
+
+
+def _components_local(pairs: list, src_idx: int = 0,
+                      dst_idx: int = 1) -> dict:
+    """Union-find with path halving over collected edges; returns
+    node → min-node-id-of-component (identical semantics to the
+    distributed min-label loop)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        a, b = p[src_idx], p[dst_idx]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps the canonical label deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 50,
+    local_max_edges: int = COMPONENTS_LOCAL_MAX_EDGES,
 ) -> DataFrame:
     """Connected components over an undirected edge list via iterative
     min-label propagation: every node starts labeled with itself; each
@@ -277,10 +328,28 @@ def connected_components(
     small-star algorithm (Kiveris et al.) halves diameter per round —
     not needed for dedup-shaped data. Convergence is detected by the
     (monotonically decreasing) exact sum of labels, one lightweight
-    action per round."""
-    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-           .union(edges.select(F.col(dst).alias("u"),
-                               F.col(src).alias("v"))))
+    action per round.
+
+    Adaptive fast path: the dup graph is tiny relative to the corpus
+    (it holds only near-duplicate PAIRS), so when the distinct edge set
+    fits the driver (``local_max_edges``), a single-pass union-find
+    replaces N iterative shuffles — the same economics as a broadcast
+    join threshold. Semantics are identical (min-node-id labels)."""
+    dedup_edges = (edges.select(F.col(src).alias("u"),
+                                F.col(dst).alias("v"))
+                   .distinct().localCheckpoint(eager=True))
+    n_edges = dedup_edges.count()
+    if n_edges <= local_max_edges:
+        labels_map = _components_local(
+            [(r["u"], r["v"]) for r in dedup_edges.collect()])
+        spark = edges.sparkSession
+        id_type = edges.schema[src].dataType
+        schema = StructType([StructField("node", id_type),
+                             StructField("cluster_id", id_type)])
+        return spark.createDataFrame(sorted(labels_map.items()), schema)
+    sym = (dedup_edges
+           .union(dedup_edges.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v"))))
     sym = sym.localCheckpoint(eager=True)
     labels = (sym.select(F.col("u").alias("node")).distinct()
               .withColumn("label", F.col("node"))

@@ -308,11 +308,18 @@ def test_connected_components_chain_and_islands(spark):
          (10, 11),                    # pair
          (20, 21), (21, 22), (22, 20)],  # triangle
         "doc_a long, doc_b long")
+    expect = {1: 1, 2: 1, 3: 1, 4: 1,
+              10: 10, 11: 10,
+              20: 20, 21: 20, 22: 20}
+    # driver union-find fast path (default: edge set fits the driver)
     out = {r["node"]: r["cluster_id"]
            for r in D.connected_components(edges).collect()}
-    assert out == {1: 1, 2: 1, 3: 1, 4: 1,
-                   10: 10, 11: 10,
-                   20: 20, 21: 20, 22: 20}
+    assert out == expect
+    # distributed min-label loop (forced) must agree exactly
+    dist = {r["node"]: r["cluster_id"]
+            for r in D.connected_components(
+                edges, local_max_edges=0).collect()}
+    assert dist == expect
 
 
 def test_near_dup_clusters_fused(docs):
@@ -398,3 +405,17 @@ def test_sentence_dedup_stats(spark):
     assert rows[2]["n_shared_sentences"] == 1
     assert rows[3]["n_shared_sentences"] == 0
     assert rows[1]["shared_frac"] == pytest.approx(0.5)
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """max_bucket_size drops mega-buckets (quadratic-pair risk) while
+    identical docs still pair through any surviving band."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base) for i in range(1, 9)]          # 8 identical docs
+    rows += [(100, "totally different text one two three four five six")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = D.lsh_candidate_pairs(df).count()
+    assert full == 8 * 7 // 2                        # the full clique
+    capped = D.lsh_candidate_pairs(df, max_bucket_size=4).count()
+    assert capped == 0                               # every bucket is hot
+    assert D.lsh_candidate_pairs(df, max_bucket_size=8).count() == full

@@ -82,18 +82,23 @@ Plugins (§2.11)                  Pipe(fetch_fn=..., sync_fn=...) protocols
 
 Beyond-reference (training-data pipeline; BASELINE.json north star)
   dedup families                 functions/dedup.py (exact, n-gram Jaccard,
-                                 MinHash+LSH, SimHash + Hamming blocks,
-                                 fused near-dup clusters via
-                                 connected_components/near_dup_clusters,
-                                 survivor materialization)
+                                 MinHash+LSH with hot-bucket cap, SimHash +
+                                 Hamming blocks, fused near-dup clusters via
+                                 connected_components (adaptive union-find /
+                                 min-label loop), survivor materialization,
+                                 sentence-level dedup profile)
   similarity search              functions/similarity.py (brute-force + LSH/IVF
-                                 ANN, multi-table-LSH embedding near-dup)
+                                 ANN with shuffle-free centroid assignment,
+                                 multi-table-LSH embedding near-dup)
   text analysis                  functions/text.py (stats, quality, lang-ID,
                                  fingerprint, Gopher repetition_stats,
-                                 corpus-relative token rarity)
+                                 corpus-relative token rarity, overlapping
+                                 context-window chunking, PII scrub,
+                                 vocabulary head)
   corpus ops                     functions/corpus.py (one-pass prep,
-                                 token-budget selection); stratified mixing
-                                 sample + contamination scan (queries_llm.py)
+                                 token-budget selection, hash-shard
+                                 assignment); stratified mixing sample +
+                                 contamination scan (queries_llm.py)
   multimodal columns             functions/multimodal.py (binary payloads,
                                  Arrow-batched extract, stubbed decode)
   analytics widening             queries.py (funnel, cohort retention,

@@ -142,3 +142,72 @@ def shard_assign(
     return df.withColumn(
         "shard",
         F.pmod(hash60(F.col(id_col).cast("string")), F.lit(n_shards)))
+
+
+def with_running_sum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    out_col: str = "cumsum",
+    n_buckets: int = 128,
+) -> DataFrame:
+    """Distributed prefix sum: adds ``out_col`` = inclusive running sum of
+    ``value_col`` in ``order_col`` order — WITHOUT the global
+    single-partition window (`sum() OVER (ORDER BY ...)` collapses to one
+    task at any scale).
+
+    Two-phase: range-bucket on ``order_col`` (approx quantiles), sum each
+    bucket (one small aggregate), convert to exclusive per-bucket offsets
+    on the driver (~``n_buckets`` rows), then a window ONLY inside each
+    bucket plus the broadcast offset. Work is one pass + a window over
+    corpus/n_buckets rows per task — the building block for sequence
+    packing, token budgeting, and deterministic offset assignment."""
+    df = df.localCheckpoint(eager=True)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.approxQuantile(order_col, probs, 0.001)
+    uniq: list = []
+    for c in cuts:
+        if not uniq or c > uniq[-1]:
+            uniq.append(c)
+    bucket = F.lit(0)
+    for i, c in enumerate(uniq):
+        bucket = F.when(F.col(order_col) > F.lit(c), i + 1).otherwise(bucket)
+    tagged = df.withColumn("_bkt", bucket)
+    sums = {r["_bkt"]: r["_s"] for r in
+            tagged.groupBy("_bkt").agg(F.sum(value_col).alias("_s"))
+            .collect()}
+    offsets, acc = {}, 0
+    for b in range(len(uniq) + 1):
+        offsets[b] = acc
+        acc += sums.get(b, 0) or 0
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_bkt"))
+    w = Window.partitionBy("_bkt").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0)
+    return (tagged
+            .withColumn(out_col, F.sum(value_col).over(w) + offset_expr)
+            .drop("_bkt"))
+
+
+def sequence_pack(
+    df: DataFrame,
+    capacity: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Contiguous sequence packing: assign each document (in ``order_col``
+    order) to the fixed token-capacity bin its running-sum START position
+    falls into — ``pack_id = floor(exclusive_cumsum / capacity)``.
+
+    This is the streaming approximation of first-fit packing: bins are
+    contiguous runs, a document straddling a boundary stays with the bin
+    its start belongs to (bins may overshoot by one document's tail),
+    and the whole assignment is the distributed prefix sum — no global
+    window, no driver-side loop over documents."""
+    out = with_running_sum(df, token_col, order_col, out_col="_cum")
+    return (out.withColumn(
+        "pack_id",
+        F.floor((F.col("_cum") - F.col(token_col)) / F.lit(capacity))
+        .cast("long"))
+        .drop("_cum"))

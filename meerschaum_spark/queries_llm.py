@@ -1216,3 +1216,33 @@ def doc_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two hash aggregations, no window, no pairs."""
     docs = _docs(spark, sf_dir)
     return D.sentence_dedup_stats(docs).orderBy("doc_id")
+
+
+@query(
+    "doc_sequence_pack",
+    f"""
+    WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM t)
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+    FROM c ORDER BY doc_id
+    """,
+)
+def doc_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: contiguous docs fill 2048-token
+    bins via the distributed prefix sum (bucketed two-phase running sum
+    — no global single-task window; the oracle IS the naive global
+    window, proving the distributed form computes the same numbers)."""
+    from meerschaum_spark.functions.corpus import sequence_pack
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.size(T.tokens(F.col("text")))
+                       .alias("n_tokens"))
+    return (sequence_pack(toks, capacity=2048)
+            .select("doc_id",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    "pack_id")
+            .orderBy("doc_id"))

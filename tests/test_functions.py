@@ -419,3 +419,28 @@ def test_lsh_hot_bucket_cap(spark):
     capped = D.lsh_candidate_pairs(df, max_bucket_size=4).count()
     assert capped == 0                               # every bucket is hot
     assert D.lsh_candidate_pairs(df, max_bucket_size=8).count() == full
+
+
+def test_running_sum_and_sequence_pack(spark):
+    """The bucketed prefix sum must equal the naive global running sum,
+    and packing floors the exclusive cumsum into capacity bins."""
+    from meerschaum_spark.functions.corpus import sequence_pack, with_running_sum
+    rows = [(i, (i * 7) % 13 + 1) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {r["doc_id"]: r["cumsum"]
+           for r in with_running_sum(df, "n_tokens", "doc_id").collect()}
+    acc, expect = 0, {}
+    for i, v in rows:
+        acc += v
+        expect[i] = acc
+    assert got == expect
+    packed = {r["doc_id"]: r["pack_id"]
+              for r in sequence_pack(df, capacity=50).collect()}
+    for i, v in rows:
+        assert packed[i] == (expect[i] - v) // 50
+    # no global single-partition window in the plan
+    plan = with_running_sum(df, "n_tokens", "doc_id")._jdf \
+        .queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    import re as _re
+    for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_bkt" in m.group(1)

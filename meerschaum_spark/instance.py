@@ -109,3 +109,36 @@ def delete_pipes(spark: SparkSession, instance: str,
             not pipe.exists()
             and pipe.registry.load(pipe.target) is None)
     return out
+
+
+def clear_pipes(spark: SparkSession, instance: str,
+                begin=None, end=None,
+                **filters: Any) -> dict[tuple[str, str, str | None], int]:
+    """Bounded delete across every matching pipe (reference
+    actions/clear.py — ``mrsm clear pipes --begin --end``); returns rows
+    removed per pipe."""
+    return {_pipe_key(p): p.clear(begin=begin, end=end)
+            for p in get_pipes(spark, instance, **filters)}
+
+
+def vacuum_pipes(spark: SparkSession, instance: str,
+                 **filters: Any) -> dict[tuple[str, str, str | None], int]:
+    """GC stale staging artifacts for every matching pipe (reference
+    actions/vacuum.py); returns artifacts removed per pipe."""
+    return {_pipe_key(p): p.vacuum()
+            for p in get_pipes(spark, instance, **filters)}
+
+
+def tag_pipes(spark: SparkSession, instance: str, add: list[str] | None = None,
+              remove: list[str] | None = None,
+              **filters: Any) -> dict[tuple[str, str, str | None], list[str]]:
+    """Bulk tag editing (reference actions/tag.py): add/remove tags on
+    every matching pipe's registered parameters; returns each pipe's
+    final tag list."""
+    out = {}
+    for pipe in get_pipes(spark, instance, **filters):
+        tags = [t for t in pipe.tags if t not in set(remove or [])]
+        tags += [t for t in (add or []) if t not in tags]
+        pipe.edit(tags=tags)
+        out[_pipe_key(pipe)] = tags
+    return out

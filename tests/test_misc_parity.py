@@ -196,3 +196,41 @@ def test_bulk_results_keyed_by_pipe_keys(spark, instance_dir):
     res = inst._run_over([p1, p2], lambda p: p.deduplicate(), workers=2)
     assert set(res) == {("shared", "x", None), ("shared", "y", None)}
     assert all(r.success for r in res.values())
+
+
+def test_clear_vacuum_tag_bulk_actions(spark, instance_dir):
+    """r4 bulk verbs: bounded clear across pipes, staging GC, and bulk
+    tag editing that round-trips through the registry's tag filters."""
+    import datetime
+
+    import pandas as pd
+
+    from meerschaum_spark import instance as inst
+    from meerschaum_spark.pipe import Pipe
+
+    UTC = datetime.timezone.utc
+    rows = [{"dt": datetime.datetime(2024, 1, d, tzinfo=UTC),
+             "id": d, "val": float(d)} for d in (1, 2, 3)]
+    for metric in ("x", "y"):
+        p = Pipe("bulk2", metric, instance=instance_dir, spark=spark,
+                 columns={"datetime": "dt", "id": "id"})
+        p.sync(pd.DataFrame(rows))
+
+    cleared = inst.clear_pipes(
+        spark, instance_dir, connector="bulk2",
+        begin=datetime.datetime(2024, 1, 3, tzinfo=UTC))
+    assert cleared == {("bulk2", "x", None): 1, ("bulk2", "y", None): 1}
+    for p in inst.get_pipes(spark, instance_dir, connector="bulk2"):
+        assert p.get_rowcount() == 2
+
+    assert set(inst.vacuum_pipes(spark, instance_dir, connector="bulk2")) \
+        == {("bulk2", "x", None), ("bulk2", "y", None)}
+
+    tagged = inst.tag_pipes(spark, instance_dir, add=["gold"],
+                            connector="bulk2", metric="x")
+    assert tagged == {("bulk2", "x", None): ["gold"]}
+    assert [p.metric for p in
+            inst.get_pipes(spark, instance_dir, tags=["gold"])] == ["x"]
+    # remove round-trips too
+    inst.tag_pipes(spark, instance_dir, remove=["gold"], connector="bulk2")
+    assert inst.get_pipes(spark, instance_dir, tags=["gold"]) == []

@@ -92,24 +92,56 @@ def _plane_component(p: int, d, seed: str = "") -> F.Column:
     return F.when(bit == 1, F.lit(1).cast(VDEC)).otherwise(F.lit(-1).cast(VDEC))
 
 
-def lsh_bucket(vec_col, n_planes: int = N_PLANES, seed: str = "") -> F.Column:
+def _plane_bit(p: int, d: int, seed: str = "") -> int:
+    """Driver-side replica of ``_plane_component``'s bit: first 15 hex
+    digits of md5, low bit. Must stay identical to ``hash60`` so literal
+    plane arrays reproduce the expression path exactly."""
+    import hashlib
+    h = hashlib.md5(f"{seed}plane{p}_{d}".encode()).hexdigest()
+    return int(h[:15], 16) & 1
+
+
+def lsh_bucket(vec_col, n_planes: int = N_PLANES, seed: str = "",
+               dim: int | None = None) -> F.Column:
     """Sign-pattern bucket id from ``n_planes`` deterministic ±1
     hyperplanes. Signs are computed on exact decimal sums so bucketing is
     reproducible across engines. More planes → smaller buckets (finer
     recall/cost tradeoff): expected bucket occupancy is N / 2^n_planes,
-    so size n_planes ≈ log2(N / desired_bucket_size) for the corpus."""
+    so size n_planes ≈ log2(N / desired_bucket_size) for the corpus.
+
+    ``dim`` (embedding dimensionality) switches to literal plane-sign
+    arrays instead of deriving each sign via md5 per row. The two paths
+    are value-identical (same ±1 decimals, same accumulation order).
+    Measured at sf0.1/dim=64 the md5 expression path is FASTER (the
+    ~n_planes×dim-literal tree pays more in codegen compilation than the
+    per-row hashing costs), so the catalog uses the default; the literal
+    path exists for very wide embeddings or reused-plan pipelines where
+    compile-once amortizes."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        terms = F.transform(
-            F.sequence(F.lit(0), F.size(vec_col) - 1),
-            lambda d: _plane_component(p, d, seed)
-            * F.element_at(vec_col, d + 1).cast(VDEC),
-        )
+        if dim is not None:
+            signs = F.array(*[
+                F.lit(1 if _plane_bit(p, d, seed) else -1).cast(VDEC)
+                for d in range(dim)])
+            terms = F.zip_with(vec_col, signs,
+                               lambda x, s: s * x.cast(VDEC))
+        else:
+            terms = F.transform(
+                F.sequence(F.lit(0), F.size(vec_col) - 1),
+                lambda d: _plane_component(p, d, seed)
+                * F.element_at(vec_col, d + 1).cast(VDEC),
+            )
         dot = F.aggregate(terms, F.lit(0).cast(ACC),
                           lambda acc, x: (acc + x).cast(ACC))
         bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")) \
             .otherwise(F.lit(0).cast("long"))
     return bucket
+
+
+def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Embedding dimensionality from one row (None on empty input)."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    return None if row is None else row["n"]
 
 
 def _sqdist_dec(a, b):

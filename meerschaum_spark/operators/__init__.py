@@ -79,6 +79,9 @@ Maintenance (§2.9)
 Streaming (§2.10)                streaming/runner.py (foreachBatch → sync core,
                                  watermarked rollups, sync_loop)
 Plugins (§2.11)                  Pipe(fetch_fn=..., sync_fn=...) protocols
+Instance bulk actions            instance.py (get/sync/verify/deduplicate/
+                                 drop/delete/clear/vacuum/tag pipes with
+                                 key+tag filters, worker pooling)
 
 Beyond-reference (training-data pipeline; BASELINE.json north star)
   dedup families                 functions/dedup.py (exact, n-gram Jaccard,
@@ -97,8 +100,10 @@ Beyond-reference (training-data pipeline; BASELINE.json north star)
                                  vocabulary head)
   corpus ops                     functions/corpus.py (one-pass prep,
                                  token-budget selection, hash-shard
-                                 assignment); stratified mixing sample +
-                                 contamination scan (queries_llm.py)
+                                 assignment, distributed prefix sum +
+                                 sequence packing); stratified mixing
+                                 sample + contamination scan
+                                 (queries_llm.py)
   multimodal columns             functions/multimodal.py (binary payloads,
                                  Arrow-batched extract, stubbed decode)
   analytics widening             queries.py (funnel, cohort retention,

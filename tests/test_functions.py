@@ -444,3 +444,15 @@ def test_running_sum_and_sequence_pack(spark):
     import re as _re
     for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert "_bkt" in m.group(1)
+
+
+def test_lsh_bucket_literal_planes_match_expression(spark):
+    """The dim= literal-plane fast path must reproduce the md5 expression
+    path bit-for-bit (same buckets)."""
+    rows = [(i, [float(i % 7 - 3), float(i % 5), float(i % 3 - 1)])
+            for i in range(1, 41)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = emb.select("vec_id", S.lsh_bucket(F.col("embedding"), 8).alias("b"))
+    b = emb.select("vec_id", S.lsh_bucket(F.col("embedding"), 8,
+                                          dim=3).alias("b"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

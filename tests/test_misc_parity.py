@@ -234,3 +234,33 @@ def test_clear_vacuum_tag_bulk_actions(spark, instance_dir):
     # remove round-trips too
     inst.tag_pipes(spark, instance_dir, remove=["gold"], connector="bulk2")
     assert inst.get_pipes(spark, instance_dir, tags=["gold"]) == []
+
+
+def test_canonicalize_ts_branches(spark):
+    """The loader normalizer must handle every physical shape the events
+    timestamp has shipped with: int64-ns → µs TIMESTAMP (integer DIV,
+    no float drift), TIMESTAMP_NTZ → TIMESTAMP (UTC value-preserving),
+    TIMESTAMP passthrough, missing column no-op."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from meerschaum_spark.sources.tables import canonicalize_ts
+
+    ns = 1_704_067_200_123_456_789           # 2024-01-01 00:00:00.123456789
+    df = spark.createDataFrame([(ns,)], "ts long")
+    out = canonicalize_ts(df, ["ts"]).first()["ts"]
+    assert out == datetime.datetime(2024, 1, 1, 0, 0, 0, 123456)
+
+    ntz = spark.sql(
+        "SELECT TIMESTAMP_NTZ'2024-06-01 12:34:56.789' AS ts")
+    got = canonicalize_ts(ntz, ["ts"])
+    assert got.schema["ts"].dataType.typeName() == "timestamp"
+    assert got.first()["ts"] == datetime.datetime(2024, 6, 1, 12, 34, 56,
+                                                  789000)
+
+    ltz = spark.sql("SELECT TIMESTAMP'2024-06-01 01:02:03' AS ts")
+    assert canonicalize_ts(ltz, ["ts"]).first()["ts"] == \
+        datetime.datetime(2024, 6, 1, 1, 2, 3)
+    # absent column is a no-op, not an error
+    assert canonicalize_ts(ltz, ["nope"]).columns == ["ts"]

@@ -1246,3 +1246,48 @@ def doc_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_tokens").cast("long").alias("n_tokens"),
                     "pack_id")
             .orderBy("doc_id"))
+
+
+#: end-to-end export: reuse the corpus-prep CTEs, then budget → shard.
+_EXPORT_SQL = _CORPUS_SQL.split("SELECT doc_id, source, n_tokens")[0] + f""",
+    kept AS (
+      SELECT doc_id, n_tokens FROM d
+      WHERE rn = 1 AND quality_pass AND pred_lang IN ('en')),
+    bud AS (
+      SELECT doc_id, n_tokens FROM kept
+      QUALIFY CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              <= 15000),
+    sh AS (
+      SELECT doc_id, n_tokens,
+             {_H60.format(x="CAST(doc_id AS VARCHAR)")} % 8 AS shard
+      FROM bud)
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           min(doc_id) AS min_doc_id
+    FROM sh GROUP BY shard ORDER BY shard
+    """
+
+
+@query("doc_training_export", _EXPORT_SQL)
+def doc_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data export, composed from the engine's
+    own operators: one-pass corpus prep (quality + language + exact
+    dedup) → token-budget prefix selection (distributed, no global
+    window) → deterministic hash-shard assignment → per-shard manifest.
+    The oracle replays the entire composed pipeline in SQL — the
+    strongest single statement that a user's full curation flow, not
+    just its pieces, matches across engines."""
+    from meerschaum_spark.functions.corpus import (
+        prepare_corpus, select_token_budget, shard_assign,
+    )
+    docs = _docs(spark, sf_dir)
+    prepped = prepare_corpus(docs, carry_cols=["source"]) \
+        .select("doc_id", "n_tokens")
+    budgeted = select_token_budget(prepped, 15_000)
+    return (shard_assign(budgeted, n_shards=8)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("sum_tokens"),
+                 F.min("doc_id").alias("min_doc_id"))
+            .orderBy("shard"))

@@ -51,7 +51,7 @@ HEAD_ORDER = [
     # LLM-pipeline: text / dedup families
     "doc_token_stats", "doc_quality_score", "doc_lang_id",
     "doc_fingerprint", "doc_exact_dedup", "doc_ngram_jaccard_topk",
-    "doc_lsh_candidates", "doc_simhash_near_pairs", "doc_corpus_prep",
+    "doc_lsh_candidates", "doc_simhash_near_pairs", "doc_training_export",
     "doc_token_budget", "doc_near_dup_clusters",
     "doc_contamination_check", "doc_token_rarity", "doc_binary_features",
     # embeddings / similarity

@@ -304,3 +304,56 @@ def cosine_near_dup_pairs(
     cosine = _dot_dec(F.col("va"), F.col("vb")).cast("double")         / (F.col("na") * F.col("nb"))
     return (cand.select("vec_a", "vec_b", cosine.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def label_centroid_stats(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding hygiene: each label's centroid direction and
+    how tightly its members hug it (n, average and minimum cosine to the
+    centroid). Low averages / outlier minimums flag mislabeled or noisy
+    classes before training.
+
+    Determinism recipe: the centroid is represented by the per-dimension
+    exact-DECIMAL SUM vector (cosine is scale-invariant, so dividing by
+    the count — whose decimal division rules differ across engines — is
+    never needed); per-row dot products are fixed-order double folds over
+    the dimensions (order-deterministic because they are per-row array
+    folds, not cross-partition aggregates). Plan: one explode + two hash
+    aggregations for the sum vectors (broadcast-sized: one row per
+    label), a broadcast join back, then one narrow pass."""
+    x = F.col("_x")
+    ex = df.select(F.col(label_col),
+                   F.posexplode(F.col(vec_col)).alias("_pos", "_x"))
+    sums = (ex.groupBy(label_col, "_pos")
+            .agg(F.sum(x.cast(VDEC)).cast("decimal(22,9)").alias("_s")))
+    svecs = (sums.groupBy(label_col)
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("_pos", "_s"))),
+                 lambda p: p["_s"]).alias("_svec")))
+
+    def fold_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b,
+                       lambda u, v: u.cast("double") * v.cast("double")),
+            F.lit(0.0), lambda acc, t: acc + t)
+
+    svecs = svecs.withColumn(
+        "_ns", F.sqrt(fold_dot(F.col("_svec"), F.col("_svec"))))
+    joined = df.join(F.broadcast(svecs), on=label_col)
+    # zero-norm guard (a label whose members cancel exactly, or a zero
+    # vector): cosine undefined -> NULL, skipped by the aggregates
+    denom = (F.sqrt(fold_dot(F.col(vec_col), F.col(vec_col)))
+             * F.col("_ns"))
+    cos = F.when(denom != 0,
+                 fold_dot(F.col(vec_col), F.col("_svec")) / denom)
+    return (joined.select(F.col(label_col), cos.alias("_cos"))
+            .groupBy(label_col)
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 (F.sum(F.col("_cos").cast("decimal(18,12)"))
+                  .cast("double") / F.count(F.lit(1))).alias("avg_cos"),
+                 F.min("_cos").alias("min_cos"))
+            .orderBy(label_col))

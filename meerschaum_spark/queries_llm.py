@@ -1291,3 +1291,51 @@ def doc_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tokens").cast("long").alias("sum_tokens"),
                  F.min("doc_id").alias("min_doc_id"))
             .orderBy("shard"))
+
+
+@query(
+    "emb_centroid_stats",
+    """
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS x
+      FROM embeddings),
+    sums AS (
+      SELECT label, pos,
+             CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,9)))
+                  AS DECIMAL(22,9)) AS s
+      FROM ex GROUP BY 1, 2),
+    sv AS (SELECT label, list(s ORDER BY pos) AS svec FROM sums GROUP BY label),
+    svn AS (
+      SELECT label, svec,
+             sqrt(list_reduce(list_transform(generate_series(1, len(svec)),
+                  i -> CAST(CAST(svec[i] AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(svec[i] AS VARCHAR) AS DOUBLE)),
+                  (a, b) -> a + b)) AS ns
+      FROM sv),
+    scored AS (
+      SELECT e.label,
+             list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                      * CAST(CAST(s.svec[i] AS VARCHAR) AS DOUBLE)),
+                 (a, b) -> a + b)
+             / NULLIF(sqrt(list_reduce(
+                   list_transform(generate_series(1, len(e.embedding)),
+                       i -> CAST(e.embedding[i] AS DOUBLE)
+                            * CAST(e.embedding[i] AS DOUBLE)),
+                   (a, b) -> a + b)) * s.ns, 0) AS cos
+      FROM embeddings e JOIN svn s USING (label))
+    SELECT label, count(*) AS n_vecs,
+           CAST(CAST(sum(CAST(cos AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE)
+               / count(*) AS avg_cos,
+           min(cos) AS min_cos
+    FROM scored GROUP BY label ORDER BY label
+    """,
+)
+def emb_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding hygiene: average/minimum cosine of each
+    vector to its label centroid (represented scale-free by the exact
+    decimal per-dimension SUM vector — cross-engine decimal division
+    never happens). Flags mislabeled or noisy classes before training."""
+    emb = _emb(spark, sf_dir)
+    return S.label_centroid_stats(emb)

@@ -456,3 +456,19 @@ def test_lsh_bucket_literal_planes_match_expression(spark):
     b = emb.select("vec_id", S.lsh_bucket(F.col("embedding"), 8,
                                           dim=3).alias("b"))
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_label_centroid_stats(spark):
+    """Tight cluster ≈ cosine 1 to its centroid; a label containing
+    opposite vectors averages near 0."""
+    rows = [(1, [1.0, 0.0], 0), (2, [0.99, 0.01], 0), (3, [1.0, 0.01], 0),
+            (4, [0.0, 1.0], 1), (5, [0.0, -1.0], 1)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in S.label_centroid_stats(emb).collect()}
+    assert out[0]["n_vecs"] == 3 and out[0]["avg_cos"] > 0.99
+    assert out[1]["n_vecs"] == 2
+    # label 1's members cancel exactly -> zero sum vector -> cosines are
+    # undefined and surface as NULL, not a divide-by-zero error
+    assert out[1]["avg_cos"] is None and out[1]["min_cos"] is None
+    assert out[0]["min_cos"] <= out[0]["avg_cos"]

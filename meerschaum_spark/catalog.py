@@ -31,12 +31,14 @@ DEC = "decimal(18,6)"
 #: row/schema/value compare, and several have green rows in prior-round
 #: CORRECTNESS files (cited in SURVEY §2).
 HEAD_ORDER = [
-    # TPC-H-style SQL parity (joins, aggs, windows, anti/semi)
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "q10_returned_items", "q13_customer_order_distribution",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "top_brands_by_revenue",
-    "customer_top_orders", "urgent_orders_with_late_items",
+    # r5 rotation: the TPC-H block (q1..q18, top_brands, customer_top_orders,
+    # urgent_orders) retired to the tail — each holds fully-green rows in BOTH
+    # CORRECTNESS_r02 and CORRECTNESS_r04; the 11 queries that had never been
+    # driver-recorded (r4 verdict "What's missing #1") take their slots.
+    "doc_chunk_split", "doc_pii_scrub", "doc_shard_assign",
+    "doc_vocab_topk", "doc_sentence_dedup", "doc_sequence_pack",
+    "emb_centroid_stats", "doc_repetition_stats", "doc_stratified_sample",
+    "emb_norm_stats", "doc_dedup_survivors",
     # pipe/events operator families (params, diff, rollup, windows)
     "events_meta_probes", "events_bounded_params",
     "events_per_user_sync_times", "events_dedup_keep_last",
@@ -64,8 +66,19 @@ HEAD_ORDER = [
 
 def ordered(d: dict) -> dict:
     """Reorder a catalog dict so HEAD_ORDER entries come first (in that
-    order), then everything else in registration order."""
-    head = {k: d[k] for k in HEAD_ORDER if k in d}
+    order), then everything else in registration order.
+
+    A HEAD_ORDER name missing from the catalog would silently shift a tail
+    query into the driver-audited first 50, so treat it as a hard error
+    (catches typos and renames at import time).
+    """
+    missing = [k for k in HEAD_ORDER if k not in d]
+    if missing:
+        raise KeyError(
+            f"HEAD_ORDER names absent from the catalog: {missing}; "
+            "update catalog.HEAD_ORDER to match the registered query names"
+        )
+    head = {k: d[k] for k in HEAD_ORDER}
     head.update((k, v) for k, v in d.items() if k not in head)
     return head
 

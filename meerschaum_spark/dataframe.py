@@ -217,6 +217,14 @@ def to_spark_df(
     # dtype (it would corrupt the table's read schema)
     all_null_cols = [c for c in pdf.columns if pdf[c].isna().all()]
     sdf = spark.createDataFrame(pdf)
+    # driver-local input with a known (small) length: don't let the local
+    # relation fan out to defaultParallelism empty slices — every action on
+    # a 100-row batch would otherwise launch a full cluster-width task wave
+    n_rows = len(pdf)
+    slices = max(1, min(int(n_rows // 50_000) + 1,
+                        spark.sparkContext.defaultParallelism))
+    if slices * 2 < spark.sparkContext.defaultParallelism:
+        sdf = sdf.coalesce(slices)
     for c in all_null_cols:
         want = (dtypes or {}).get(c)
         sdf = sdf.withColumn(

@@ -23,7 +23,7 @@ from __future__ import annotations
 import datetime
 from typing import Any, Callable, Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
@@ -51,6 +51,69 @@ BOUNDS_SLOP_MINUTES = 1            # reference core/Pipe/_sync.py:794-858
 HIT_COL = "_mrsm_hit"              # marker: batch row's key exists in store
 ORD_COL = "_mrsm_ord"              # batch row order tag (keep-last dedupe)
 VERIFY_BOUND_DAYS = 366            # reference config/_default.py:239
+
+
+import contextlib
+import threading
+
+_AQE_LOCK = threading.Lock()
+_AQE_DEPTH = 0
+_AQE_PREV: str | None = None
+
+
+@contextlib.contextmanager
+def _low_latency_plan(spark: SparkSession):
+    """Plan small-batch sync actions WITHOUT AQE.
+
+    AQE materializes every exchange as its own job — measured on the sync
+    diff, a single incremental sync becomes 7–9 sequential driver
+    re-planning rounds of 1–3 tasks each, and the round-trip latency (not
+    the work) dominates. An incremental sync is, by construction, a small
+    bounded DAG (batch scan → one key join against a time-bounded
+    backtrack → write), exactly the shape AQE cannot improve; one
+    pipelined job is strictly better. Refcounted so concurrent chunk
+    syncs (verify's worker pool) nest safely; the previous value is
+    restored when the last sync exits. Other queries planned on this
+    session during the window also plan without AQE — acceptable for an
+    instance session whose concurrent work IS chunk syncs; analytics
+    sessions should not interleave planning with a sync storm anyway.
+    Bulk paths (first-table load, check_existing=False) keep AQE for its
+    rebalance-write and skew handling.
+    """
+    global _AQE_DEPTH, _AQE_PREV
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        # a small sync's shuffles should be a handful of tasks, not the
+        # analytics-width default: per-task launch latency (~10 ms) times
+        # 32 partitions times several stages IS the small-sync latency.
+        # 8 partitions comfortably covers incremental batch sizes; bulk
+        # paths keep the session default + AQE.
+        "spark.sql.shuffle.partitions": "8",
+    }
+    with _AQE_LOCK:
+        _AQE_DEPTH += 1
+        if _AQE_DEPTH == 1:
+            prev: dict[str, str | None] = {}
+            try:
+                for k, v in confs.items():
+                    prev[k] = spark.conf.get(k)
+                    spark.conf.set(k, v)
+                _AQE_PREV = prev
+            except Exception:
+                _AQE_PREV = None
+    try:
+        yield
+    finally:
+        with _AQE_LOCK:
+            _AQE_DEPTH -= 1
+            if _AQE_DEPTH == 0 and _AQE_PREV is not None:
+                try:
+                    for k, v in _AQE_PREV.items():
+                        if v is not None:
+                            spark.conf.set(k, v)
+                except Exception:
+                    pass
+                _AQE_PREV = None
 
 
 _DEFINITION_BAD_WORDS = (
@@ -581,9 +644,14 @@ class Pipe:
             try:
                 patch = (self._dedupe_patch(df) if self.upsert
                          else df.drop(ORD_COL))
-                n = patch.count()
+                # count DURING the write (Observation collects metrics from
+                # the write job itself) — a separate .count() action would
+                # re-scan the whole source, doubling bulk-load I/O
+                obs = Observation()
+                patch = patch.observe(obs, F.count(F.lit(1)).alias("n"))
                 with self._write_lock:
                     self.store.append(patch)
+                n = int(obs.get["n"])
             finally:
                 _release()
             self.register()
@@ -591,13 +659,16 @@ class Pipe:
 
         if self.upsert:
             try:
-                patch = self._dedupe_patch(df)
-                n = patch.count()
-                merge_keys = [c for c in self.index_cols
-                              if c in patch.columns] or patch.columns
-                with self._write_lock:
-                    self.store.merge(patch, merge_keys,
-                                     dtypes=self.dtypes or None)
+                with _low_latency_plan(self.spark):
+                    patch = self._dedupe_patch(df)
+                    obs = Observation()
+                    patch = patch.observe(obs, F.count(F.lit(1)).alias("n"))
+                    merge_keys = [c for c in self.index_cols
+                                  if c in patch.columns] or patch.columns
+                    with self._write_lock:
+                        self.store.merge(patch, merge_keys,
+                                         dtypes=self.dtypes or None)
+                    n = int(obs.get["n"])
             finally:
                 _release()
             self.register()
@@ -606,36 +677,51 @@ class Pipe:
         if not check_existing:
             try:
                 df = df.drop(ORD_COL)
-                n = df.count()
+                obs = Observation()
+                df = df.observe(obs, F.count(F.lit(1)).alias("n"))
                 with self._write_lock:
                     self.store.append(df)
+                n = int(obs.get["n"])
             finally:
                 _release()
             self.register()
             return SyncResult(True, f"Inserted {n} rows (no diff).", n, 0)
 
         _persisted: list[DataFrame] = sync_persisted
-        marked = self._split_existing(df, force_full_scan=force_full_scan,
-                                      _persisted=_persisted)
-        marked = marked.persist()
-        try:
-            # ONE count job for both splits (the reference counts unseen and
-            # update from the same in-memory diff; two .count() actions here
-            # would double the small-sync latency)
-            counts = {
-                r["h"]: r["cnt"]
-                for r in marked.groupBy(
-                    F.col(HIT_COL).isNotNull().alias("h")
-                ).agg(F.count(F.lit(1)).alias("cnt")).collect()
-            }
-            n_unseen = counts.get(False, 0)
-            n_update = counts.get(True, 0)
-            unseen = (marked.filter(F.col(HIT_COL).isNull())
+        with contextlib.ExitStack() as stack:
+            stack.enter_context(_low_latency_plan(self.spark))
+            bounds: dict = {}
+            marked = self._split_existing(df, force_full_scan=force_full_scan,
+                                          _persisted=_persisted,
+                                          _bounds=bounds)
+            # a long-running service must not leak one cache entry per sync
+            stack.callback(lambda: [c.unpersist() for c in _persisted])
+            # ONE job computes the diff, counts BOTH splits, and writes the
+            # unseen rows: an Observation above the split point collects
+            # total/update counts from the very job that materializes the
+            # diff and appends the unseen side. The previous shape
+            # (separate groupBy-collect, then append) paid an extra action
+            # per sync — at small-batch cadence that action dominates
+            # latency, at 100 TB it is a second full pass over the diff.
+            # ``marked`` is deliberately NOT cached: insert-only syncs (the
+            # common incremental case) would pay a pure-overhead cache
+            # build; the rare update-bearing sync instead recomputes the
+            # diff for its patch — a diff already pruned to the batch's
+            # time window and (for small batches) its key values.
+            obs = Observation()
+            marked_obs = marked.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_total"),
+                F.count(F.col(HIT_COL)).alias("n_update"),
+            )
+            unseen = (marked_obs.filter(F.col(HIT_COL).isNull())
                       .drop(HIT_COL, ORD_COL))
             update = marked.filter(F.col(HIT_COL).isNotNull()).drop(HIT_COL)
             with self._write_lock:
-                if n_unseen:
-                    self.store.append(unseen)
+                self.store.append(unseen)
+                m = obs.get
+                n_update = int(m["n_update"])
+                n_unseen = int(m["n_total"]) - n_update
                 if n_update:
                     # merge AFTER append: store.merge re-lists files, so rows
                     # the append just wrote are retained through the rewrite
@@ -643,20 +729,26 @@ class Pipe:
                                    if c in update.columns]
                                   or [c for c in update.columns
                                       if c != ORD_COL])
+                    # pass the diff's time bounds so the merge prunes the
+                    # existing side statically and runs as ONE action (the
+                    # bounds path is only sound when the partition-driving
+                    # dt is itself a merge key — matched rows then live in
+                    # the same cells as their patch rows)
+                    use_bounds = (self.dt_col in merge_keys
+                                  and "begin_us" in bounds)
                     # merge sources must be key-unique: a batch carrying two
                     # rows for one key would otherwise insert both
-                    self.store.merge(self._dedupe_patch(update), merge_keys,
-                                     dtypes=self.dtypes or None)
+                    self.store.merge(
+                        self._dedupe_patch(update), merge_keys,
+                        dtypes=self.dtypes or None,
+                        begin_us=bounds["begin_us"] if use_bounds else None,
+                        end_us=bounds["end_us"] if use_bounds else None,
+                    )
             self.register()
             return SyncResult(
                 True, f"Inserted {n_unseen}, updated {n_update} rows.",
                 n_unseen, n_update,
             )
-        finally:
-            marked.unpersist()
-            # a long-running service must not leak one cache entry per sync
-            for cached in _persisted:
-                cached.unpersist()
 
     def filter_existing(
         self, df: DataFrame, force_full_scan: bool = False,
@@ -672,6 +764,7 @@ class Pipe:
     def _split_existing(
         self, df: DataFrame, force_full_scan: bool = False,
         _persisted: list | None = None,
+        _bounds: dict | None = None,
     ) -> DataFrame:
         """The diff against the stored table, as ONE DataFrame: every
         changed row of the batch, tagged ``_mrsm_hit`` non-null when its
@@ -689,20 +782,15 @@ class Pipe:
         """
         dt = self.dt_col
         keys = [c for c in self.index_cols if c in df.columns]
-        # Persist ONLY when the caller supplies a ledger to unpersist from:
-        # sync() passes one and cleans up in its finally-block. External
-        # filter_existing() callers get an unpersisted (lazy) plan instead
-        # of a cache entry nobody ever releases.
-        if _persisted is not None:
-            df = df.persist()
-            _persisted.append(df)
         # ONE stats job: dt min/max + per-key distinct counts — the
         # reference derives the same bounds/pushdown from the in-memory
         # batch (core/Pipe/_sync.py:794-878); here it costs one pass
         stats_aggs: list[F.Column] = []
         key_cols = [c for c in keys if c != dt]
         if dt and dt in df.columns and not force_full_scan:
-            stats_aggs += [F.min(dt).alias("_lo"), F.max(dt).alias("_hi")]
+            stats_aggs += [F.min(dt).alias("_lo"), F.max(dt).alias("_hi"),
+                           F.count(F.when(F.col(dt).isNull(), 1))
+                           .alias("_dt_nulls")]
         for col in key_cols:
             # HLL estimate, not exact countDistinct: the only decision is
             # "≤ 250 distinct?", and the exact distinct shuffle would cost
@@ -712,7 +800,14 @@ class Pipe:
                               .alias(f"_nd_{col}"))
             stats_aggs.append(F.count(F.when(F.col(col).isNull(), 1))
                               .alias(f"_nn_{col}"))
-        stats = df.agg(*stats_aggs).first() if stats_aggs else None
+        # run stats (and the pushdown collect below) BEFORE persisting: the
+        # stats need only the dt + key columns, so an un-cached run is a
+        # column-pruned scan of the batch; persisting first would force the
+        # stats job to materialize every column into the cache. The full
+        # batch materializes later inside the write job that consumes it.
+        stats_cols = ([dt] if dt and dt in df.columns else []) + key_cols
+        stats_src = df.select(*stats_cols) if stats_cols else df
+        stats = stats_src.agg(*stats_aggs).first() if stats_aggs else None
 
         begin = end = None
         if stats is not None and "_lo" in stats.asDict() and stats["_lo"] is not None:
@@ -723,6 +818,13 @@ class Pipe:
             else:
                 slop = (BOUNDS_SLOP_MINUTES * 60_000_000) // UNIT_US[self.precision_unit]
                 begin, end = int(lo) - slop, int(hi) + slop + 1
+            if _bounds is not None and not stats["_dt_nulls"]:
+                # epoch-µs bounds for the caller's merge partition pruning;
+                # withheld when the batch carries null dts (those rows fall
+                # outside any range — the merge must fall back to the
+                # collected-parts path)
+                _bounds["begin_us"] = self._bound_us(begin)
+                _bounds["end_us"] = self._bound_us(end)
 
         # distinct-key IN pushdown (≤ 250 values per key col): collect only
         # for key columns the stats job proved small and null-free
@@ -741,6 +843,12 @@ class Pipe:
                 if len(vals) <= FILTER_PARAMS_INDEX_LIMIT:
                     pushdown[col] = vals
 
+        # No persist of the batch or the backtrack: after the fingerprint
+        # rewrite each appears exactly ONCE in the diff plan, so a cache
+        # build would be pure overhead — ``marked`` (the diff output) is
+        # the single cache point, persisted by sync() because the merge
+        # branch re-reads it.
+
         # NOTE: the pushdown is applied as a plain Column filter, NOT routed
         # through the user-facing params DSL — data values are not operator
         # syntax (a key value like '_foo' must not be parsed as negation).
@@ -748,31 +856,69 @@ class Pipe:
         backtrack = self.get_data(begin=begin, end=end, order=None)
         for col, vals in pushdown.items():
             backtrack = backtrack.filter(F.col(col).isin(vals))
-        if _persisted is not None:
-            backtrack = backtrack.persist()
-            _persisted.append(backtrack)
 
+        # Row-identity fingerprint instead of an all-columns join condition:
+        # equality over every shared column collapses to one 2×64-bit hash
+        # pair, so the stored side shuffles as (keys, fp) — a handful of
+        # bytes per row — rather than full rows, and the whole diff becomes
+        # ONE null-safe key join against a key-unique aggregate. (The
+        # previous shape — full-row anti-join + key-marker join — shuffled
+        # the backtrack rows twice with an all-columns comparison; at 100 TB
+        # that doubles the dominant shuffle.) Collision risk of the 128-bit
+        # pair on a same-key row is ~2⁻¹²⁸ — far below cosmic-ray rate.
         common = [c for c in df.columns if c in backtrack.columns]
-        b = backtrack.alias("b")
-        d = df.alias("d")
-        full_cond = None
-        for c in common:
-            eq = F.col(f"d.{c}").eqNullSafe(F.col(f"b.{c}"))
-            full_cond = eq if full_cond is None else (full_cond & eq)
-        delta = (d.join(b, on=full_cond, how="left_anti")
-                 if full_cond is not None else df)
+        if not common:
+            # disjoint schemas: nothing can match — everything is unseen
+            return df.withColumn(HIT_COL, F.lit(None).cast("int"))
+
+        def _fp(frame: DataFrame) -> F.Column:
+            ins: list[F.Column] = []
+            for c in common:
+                col = F.col(c)
+                dt_type = frame.schema[c].dataType.simpleString()
+                if dt_type in ("float", "double"):
+                    # IEEE: -0.0 + 0.0 == +0.0, NaN + 0.0 == NaN — matches
+                    # Spark's join-key normalization of floats, which plain
+                    # bit-hashing would not
+                    col = col + F.lit(0.0)
+                ins.append(col)
+            return F.struct(
+                F.xxhash64(*ins).alias("a"),
+                F.xxhash64(F.lit(1), *ins).alias("b"),
+            )
+
+        FP, FPS = "_mrsm_fp", "_mrsm_fps"
+        bt_fp = backtrack.select(*keys, _fp(backtrack).alias(FP))
         if not keys:
-            return delta.withColumn(HIT_COL, F.lit(None).cast("int"))
-        bk = (backtrack.select(*keys).dropDuplicates()
-              .withColumn(HIT_COL, F.lit(1)).alias("k"))
-        delta = delta.alias("x")
+            # no index columns: drop exact duplicates, everything else is new
+            bt_d = bt_fp.distinct()
+            return (
+                df.withColumn(FP, _fp(df))
+                .join(bt_d, on=[FP], how="left_anti")
+                .drop(FP)
+                .withColumn(HIT_COL, F.lit(None).cast("int"))
+            )
+        # key-unique aggregate: the store SHOULD be key-unique by
+        # construction, but a collect_set keeps the diff correct even if a
+        # key carries several stored versions (any full match → unchanged)
+        bt_keyed = (bt_fp.groupBy(*keys)
+                    .agg(F.collect_set(FP).alias(FPS)).alias("k"))
+        d = df.withColumn(FP, _fp(df)).alias("x")
         key_cond = None
         for c in keys:
             eq = F.col(f"x.{c}").eqNullSafe(F.col(f"k.{c}"))
             key_cond = eq if key_cond is None else (key_cond & eq)
-        return delta.join(bk, on=key_cond, how="left").select(
-            *[F.col(f"x.{c}") for c in df.columns],
-            F.col(f"k.{HIT_COL}").alias(HIT_COL),
+        joined = d.join(bt_keyed, on=key_cond, how="left")
+        return (
+            joined.filter(
+                F.col(FPS).isNull()
+                | ~F.array_contains(F.col(FPS), F.col(FP))
+            )
+            .select(
+                *[F.col(f"x.{c}") for c in df.columns],
+                F.when(F.col(FPS).isNotNull(), F.lit(1))
+                .cast("int").alias(HIT_COL),
+            )
         )
 
     def _dedupe_patch(self, df: DataFrame) -> DataFrame:

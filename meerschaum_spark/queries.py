@@ -701,7 +701,11 @@ def pipe_sync_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         pipe.sync(events.filter(F.col("ts") < F.lit(datetime.datetime(2024, 1, 20))))
         pipe.sync(events.filter(F.col("ts") >= F.lit(cut_lo)))
         second = pipe.sync(events)  # full overlap → must change nothing
-        mutated = (events.orderBy("ts").limit(1)
+        # materialize the one mutated row as a literal batch: an
+        # orderBy().limit(1) plan would re-sort the source inside every
+        # sync action that evaluates the batch
+        first_row = events.orderBy("ts").limit(1).collect()
+        mutated = (spark.createDataFrame(first_row, events.schema)
                    .withColumn("value", F.lit(-1.0)))
         third = pipe.sync(mutated)
         n_rows = pipe.get_rowcount()

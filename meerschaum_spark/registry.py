@@ -109,6 +109,18 @@ class PipeRegistry:
 
     def save(self, target: str, doc: dict[str, Any]) -> None:
         with _LOCK:
+            # no-op save skip: pipe.sync() re-registers after every cycle,
+            # but the doc only actually changes on schema evolution or
+            # parameter edits — skip the disk write (and updated_at bump)
+            # when the cached doc already matches (reference skips
+            # re-registration of unchanged attributes via its 600 s cache)
+            hit = self._cache.get(target)
+            if hit is not None and hit[0] is not None:
+                old = {k: v for k, v in hit[0].items() if k != "updated_at"}
+                new = json.loads(json.dumps(dict(doc), default=str))
+                new.pop("updated_at", None)
+                if old == new:
+                    return
             os.makedirs(self.registry_dir, exist_ok=True)
             doc = dict(doc)
             doc["updated_at"] = time.time()

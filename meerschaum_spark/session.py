@@ -24,6 +24,14 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # AQE decides broadcasts from RUNTIME sizes (not estimates), so a
+    # larger threshold is safe and pays off on the sync diff: the
+    # backtrack side is bounded by the batch's own time window and is
+    # usually far smaller than the table — broadcasting it keeps the
+    # batch entirely shuffle-free through the diff join. 64 MB covers
+    # ~1M-row (keys, fingerprint) aggregates; bigger ones fall back to
+    # shuffle join automatically.
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.parquet.compression.codec": "snappy",
     # local parquet files are small; pack more of them per task

@@ -192,20 +192,41 @@ class ParquetPipeStore:
 
     def append(self, df: DataFrame) -> None:
         """File-add append of rows known to be unseen (no rewrite)."""
-        out = self.with_part(df)
+        out = self._rebalanced(self.with_part(df))
         out.write.mode("append").partitionBy(PART_COL).parquet(self.data_path)
         self._mark_exists(True)
         self._refresh_listing()
 
+    def _rebalanced(self, df: DataFrame) -> DataFrame:
+        """REBALANCE(_mrsm_part) before a partitioned write: AQE coalesces
+        a small sync's N task-outputs into one file per partition cell
+        (instead of tasks × cells small files that every later backtrack
+        scan and merge re-lists), and splits skewed cells of a bulk load
+        into multiple right-sized files. This is the standard AQE answer
+        to the dynamic-partition small-files problem. When AQE is off
+        (the low-latency sync window) fall back to a plain
+        repartition(_mrsm_part): one task — one file — per touched cell,
+        which is the right shape for a small incremental sync (few cells,
+        tiny shuffle) and keeps every later backtrack scan from paying a
+        tasks × cells small-file listing."""
+        try:
+            aqe = self.spark.conf.get("spark.sql.adaptive.enabled")
+        except Exception:
+            aqe = "true"
+        if str(aqe).lower() != "true":
+            return df.repartition(F.col(PART_COL))
+        return df.hint("rebalance", PART_COL)
+
     def overwrite(self, df: DataFrame) -> None:
         """Full-table replace."""
+        out = self._rebalanced(self.with_part(df))
         if os.path.isdir(self.data_path):
             staging = self._staging_dir()
-            self.with_part(df).write.mode("overwrite").partitionBy(PART_COL).parquet(staging)
+            out.write.mode("overwrite").partitionBy(PART_COL).parquet(staging)
             shutil.rmtree(self.data_path)
             os.replace(staging, self.data_path)
         else:
-            self.with_part(df).write.mode("overwrite").partitionBy(PART_COL).parquet(
+            out.write.mode("overwrite").partitionBy(PART_COL).parquet(
                 self.data_path
             )
         self._mark_exists(True)
@@ -216,6 +237,8 @@ class ParquetPipeStore:
         patch: DataFrame,
         keys: list[str],
         dtypes: dict[str, str] | None = None,
+        begin_us: int | None = None,
+        end_us: int | None = None,
     ) -> None:
         """Upsert ``patch`` on ``keys``: delete-matching + insert, rewriting
         only affected partitions.
@@ -225,6 +248,15 @@ class ParquetPipeStore:
         Delta ``MERGE INTO`` with a partition-pruning merge condition. Key
         equality is null-safe (``eqNullSafe``), replacing the reference's
         COALESCE-sentinel machinery (utils/sql.py:1994-2045).
+
+        When the caller already knows the patch's time bounds
+        (``begin_us``/``end_us``, exclusive end — sync's diff computed them
+        anyway), the existing side prunes STATICALLY on the partition
+        column and the swap list comes from the staging directory after
+        the write — the whole merge is then ONE Spark action. Without
+        bounds, the affected-partition list is collected from the patch
+        first (one extra small action), exactly the reference's
+        MERGE date-bound pre-filter shape (utils/sql.py:1920-1933).
         """
         if not self.exists():
             self.append(patch)
@@ -245,12 +277,19 @@ class ParquetPipeStore:
             missing_pre = [c for c in full.columns if c not in patch.columns]
             patch = self._reattach(patch, full, keys, missing_pre)
         patch = self.with_part(patch)
-        # Affected partitions: small driver-side list (bounded by the patch's
-        # time range / chunk width — the analogue of MERGE date-bound pruning).
-        parts = [r[0] for r in patch.select(PART_COL).distinct().collect()]
-        if not parts:
-            return
-        existing = self.read(dtypes=dtypes, keep_part_col=True, part_values=parts)
+        if begin_us is not None and end_us is not None:
+            parts = None
+            existing = self.read(dtypes=dtypes, keep_part_col=True,
+                                 begin_us=begin_us, end_us=end_us)
+        else:
+            # Affected partitions: small driver-side list (bounded by the
+            # patch's time range / chunk width — the analogue of MERGE
+            # date-bound pruning).
+            parts = [r[0] for r in patch.select(PART_COL).distinct().collect()]
+            if not parts:
+                return
+            existing = self.read(dtypes=dtypes, keep_part_col=True,
+                                 part_values=parts)
 
         # Partial-column patches: re-attach the stored values of columns the
         # patch does not carry (reference J7, core/Pipe/_sync.py:993-1006 —
@@ -331,9 +370,11 @@ class ParquetPipeStore:
             return NULL_PART_DIR
         return f"{PART_COL}={value}"
 
-    def _swap_partitions(self, df: DataFrame, parts: list[Any]) -> None:
+    def _swap_partitions(self, df: DataFrame, parts: list[Any] | None) -> None:
         """Write ``df`` (covering exactly ``parts``) to staging, then swap
-        each partition directory into place.
+        each partition directory into place. ``parts=None`` means "derive
+        the list from the staging directory after the write" — a local
+        scandir, not a Spark action (used by the bounds-pruned merge).
 
         Spark refuses to overwrite a path it is also reading
         (self-referential plan), so the rewrite lands in a staging dir first;
@@ -342,7 +383,18 @@ class ParquetPipeStore:
         """
         staging = self._staging_dir()
         try:
-            df.write.mode("overwrite").partitionBy(PART_COL).parquet(staging)
+            (self._rebalanced(df)
+             .write.mode("overwrite").partitionBy(PART_COL).parquet(staging))
+            if parts is None:
+                parts = []
+                if os.path.isdir(staging):
+                    for entry in os.scandir(staging):
+                        if (entry.is_dir()
+                                and entry.name.startswith(f"{PART_COL}=")):
+                            raw = entry.name.split("=", 1)[1]
+                            parts.append(
+                                None if raw == "__HIVE_DEFAULT_PARTITION__"
+                                else int(raw))
             for value in parts:
                 name = self._part_dir_name(value)
                 src = os.path.join(staging, name)

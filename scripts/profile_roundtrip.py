@@ -41,7 +41,9 @@ try:
             events.filter(F.col("ts") >= F.lit(cut_lo)))),
         ("sync3_noop", lambda: pipe.sync(events)),
         ("sync4_update", lambda: pipe.sync(
-            events.orderBy("ts").limit(1).withColumn("value", F.lit(-1.0)))),
+            spark.createDataFrame(events.orderBy("ts").limit(1).collect(),
+                                  events.schema)
+            .withColumn("value", F.lit(-1.0)))),
         ("rowcount", lambda: pipe.get_rowcount()),
     ]
     total0 = time.time()

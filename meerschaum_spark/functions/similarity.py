@@ -117,6 +117,15 @@ def lsh_bucket(vec_col, n_planes: int = N_PLANES, seed: str = "",
     per-row hashing costs), so the catalog uses the default; the literal
     path exists for very wide embeddings or reused-plan pipelines where
     compile-once amortizes."""
+    if dim is not None:
+        # loud guard: zip_with null-pads on length mismatch, which would
+        # silently flip the sign accumulation — fail the job instead of
+        # bucketing wrong
+        vec_col = F.when(
+            F.size(vec_col) == F.lit(dim), vec_col
+        ).otherwise(F.raise_error(F.concat(
+            F.lit(f"lsh_bucket: expected dim={dim}, got vector of size "),
+            F.size(vec_col).cast("string"))))
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         if dim is not None:
@@ -142,6 +151,69 @@ def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
     """Embedding dimensionality from one row (None on empty input)."""
     row = df.select(F.size(F.col(vec_col)).alias("n")).first()
     return None if row is None else row["n"]
+
+
+def lsh_buckets_agg(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    seeds: list[str],
+    dim: int,
+) -> DataFrame:
+    """All (table, bucket) assignments for every vector, via ONE codegen'd
+    aggregation instead of per-row fold lambdas.
+
+    The per-plane signed sums Σ ±x_d are what ``lsh_bucket`` computes with
+    interpreted higher-order-function folds — len(seeds)×n_planes×dim
+    decimal ops per row OUTSIDE whole-stage codegen, which dominates the
+    bucket pass. Here the vector posexplodes once, broadcast-joins a
+    dim-row sign table carrying one ±1 decimal column per (table, plane),
+    and one hash aggregate produces every plane sum in codegen. Decimal
+    sums are exact and order-insensitive, so the sums — and therefore the
+    buckets — are bit-identical to the fold path (asserted in
+    tests/test_functions.py).
+
+    Returns columns: ``<id_col>``, ``tbl`` (index into ``seeds``),
+    ``bkt``.
+    """
+    import pandas as _pd
+
+    spark = df.sparkSession
+    sign_rows = {
+        "_pos": list(range(dim)),
+        **{
+            f"_s_{t}_{p}": [
+                1.0 if _plane_bit(p, d, seeds[t]) else -1.0
+                for d in range(dim)
+            ]
+            for t in range(len(seeds)) for p in range(n_planes)
+        },
+    }
+    signs = spark.createDataFrame(_pd.DataFrame(sign_rows))
+    signs = signs.select(
+        "_pos", *[F.col(c).cast(VDEC).alias(c)
+                  for c in signs.columns if c != "_pos"])
+    ex = df.select(F.col(id_col),
+                   F.posexplode(F.col(vec_col)).alias("_pos", "_x"))
+    j = ex.join(F.broadcast(signs), on="_pos")
+    x = F.col("_x").cast(VDEC)
+    sums = j.groupBy(id_col).agg(*[
+        F.sum(x * F.col(f"_s_{t}_{p}")).alias(f"_d_{t}_{p}")
+        for t in range(len(seeds)) for p in range(n_planes)
+    ])
+    tbl_buckets = []
+    for t in range(len(seeds)):
+        bkt = F.lit(0).cast("long")
+        for p in range(n_planes):
+            bkt = bkt + F.when(F.col(f"_d_{t}_{p}") > 0,
+                               F.lit(1 << p).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+        tbl_buckets.append(
+            F.struct(F.lit(t).alias("tbl"), bkt.alias("bkt")))
+    return (sums.select(F.col(id_col),
+                        F.explode(F.array(*tbl_buckets)).alias("bb"))
+            .select(id_col, "bb.tbl", "bb.bkt"))
 
 
 def _sqdist_dec(a, b):
@@ -230,15 +302,33 @@ def ann_lsh_topk(
     n_planes: int = N_PLANES,
 ) -> DataFrame:
     """Approximate top-k: equi-join query and corpus vectors on their LSH
-    bucket, exact cosine re-rank inside the bucket."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+    bucket, exact cosine re-rank inside the bucket. The corpus-side
+    bucket pass uses the aggregated (codegen) form when the
+    dimensionality can be probed; queries/corpus get their buckets from
+    the same pass so the two sides agree by construction."""
+    dim = _probe_dim(corpus, vec_col)
+    if dim is not None:
+        def _with_bucket(df: DataFrame) -> DataFrame:
+            b = (lsh_buckets_agg(df, id_col, vec_col, n_planes,
+                                 seeds=[""], dim=dim)
+                 .drop("tbl").withColumnRenamed("bkt", "bucket"))
+            return df.join(b, on=id_col)
+        cb, qb = _with_bucket(corpus), _with_bucket(queries)
+        c = cb.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cv"),
-                      _norm_dbl(F.col(vec_col)).alias("cnorm"),
-                      lsh_bucket(F.col(vec_col), n_planes).alias("bucket"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"),
-                       _norm_dbl(F.col(vec_col)).alias("qnorm"),
-                       lsh_bucket(F.col(vec_col), n_planes).alias("bucket"))
+                      _norm_dbl(F.col(vec_col)).alias("cnorm"), "bucket")
+        q = qb.select(F.col(id_col).alias("query_id"),
+                      F.col(vec_col).alias("qv"),
+                      _norm_dbl(F.col(vec_col)).alias("qnorm"), "bucket")
+    else:
+        c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("cv"),
+                          _norm_dbl(F.col(vec_col)).alias("cnorm"),
+                          lsh_bucket(F.col(vec_col), n_planes).alias("bucket"))
+        q = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("qv"),
+                           _norm_dbl(F.col(vec_col)).alias("qnorm"),
+                           lsh_bucket(F.col(vec_col), n_planes).alias("bucket"))
     joined = c.join(F.broadcast(q), on="bucket").filter(
         F.col("neighbor_id") != F.col("query_id"))
     cosine = (_dot_dec(F.col("qv"), F.col("cv")).cast("double")
@@ -260,6 +350,7 @@ def cosine_near_dup_pairs(
     threshold: float = 0.9,
     n_planes: int = 8,
     n_tables: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: multi-table random-hyperplane LSH
     candidates, exact-cosine threshold filter.
@@ -276,33 +367,57 @@ def cosine_near_dup_pairs(
     Size ``n_planes`` to the corpus: expected bucket occupancy is
     N / 2^n_planes, and candidate volume per table is quadratic in
     occupancy — undersized planes (big buckets) turn the candidate join
-    quadratic exactly like an uncapped shingle join. The bucket join
-    carries ids only; vectors re-attach to the deduplicated candidates,
-    so the exact-cosine work is proportional to candidates, not to
-    candidate multiplicity across tables."""
-    buckets = corpus.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-        _norm_dbl(F.col(vec_col)).alias("norm"),
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     lsh_bucket(F.col(vec_col), n_planes,
-                                seed=f"tbl{t}_").alias("bkt"))
-            for t in range(n_tables)
-        ])).alias("bb"),
-    ).select("vid", "vec", "norm", "bb.tbl", "bb.bkt")
+    quadratic exactly like an uncapped shingle join. The bucket table
+    carries IDS ONLY (n_tables × a 12-byte row per vector — the explode
+    must not multiply the embedding itself); vectors re-attach to the
+    deduplicated candidate pairs, so both the checkpoint footprint and
+    the self-join shuffle are independent of embedding width, and the
+    exact-cosine work is proportional to candidates, not to candidate
+    multiplicity across tables.
+
+    The bucket pass runs through ``lsh_buckets_agg`` — one codegen'd
+    aggregation for all n_tables × n_planes signed sums (``dim`` probed
+    from the data when omitted) — because the per-row fold form pays
+    n_tables × n_planes × dim interpreted decimal ops per vector."""
+    if dim is None:
+        dim = _probe_dim(corpus, vec_col)
+    buckets = lsh_buckets_agg(
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col)),
+        "vid", vec_col, n_planes,
+        seeds=[f"tbl{t}_" for t in range(n_tables)], dim=dim)
     buckets = buckets.localCheckpoint(eager=True)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                & (F.col("a.bkt") == F.col("b.bkt"))
                & (F.col("a.vid") < F.col("b.vid")))
-        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"),
-                F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"),
-                F.col("a.norm").alias("na"), F.col("b.norm").alias("nb"))
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    cosine = _dot_dec(F.col("va"), F.col("vb")).cast("double")         / (F.col("na") * F.col("nb"))
-    return (cand.select("vec_a", "vec_b", cosine.alias("cosine"))
+    vecs = corpus.select(F.col(id_col).alias("vid"),
+                         F.col(vec_col).alias("vec"),
+                         _norm_dbl(F.col(vec_col)).alias("norm"))
+    va, vb = vecs.alias("va_t"), vecs.alias("vb_t")
+    pairs = (
+        cand.join(va, F.col("vec_a") == F.col("va_t.vid"))
+        .join(vb, F.col("vec_b") == F.col("vb_t.vid"))
+        .select("vec_a", "vec_b",
+                F.col("va_t.vec").alias("va"), F.col("vb_t.vec").alias("vb"),
+                F.col("va_t.norm").alias("na"), F.col("vb_t.norm").alias("nb"))
+    )
+    # Two-stage threshold: a cheap double-precision cosine prunes the
+    # candidate bulk inside a guard band (double dot error over a few
+    # hundred float dims is ≲1e-12, the band is 1e-6), then the exact
+    # decimal cosine — the cross-engine-deterministic value — is computed
+    # only for near-threshold survivors and applies the real filter. The
+    # result set is identical to running the decimal filter on every
+    # candidate; the decimal work drops from |candidates| to |pairs|.
+    fast = (_dot_dbl(F.col("va"), F.col("vb"))
+            / (F.col("na") * F.col("nb")))
+    cosine = (_dot_dec(F.col("va"), F.col("vb")).cast("double")
+              / (F.col("na") * F.col("nb")))
+    return (pairs.filter(fast >= F.lit(threshold) - F.lit(1e-6))
+            .select("vec_a", "vec_b", cosine.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
 
 

@@ -112,6 +112,28 @@ def test_ann_lsh_buckets_identical_vectors_together(spark):
     assert out[0]["cosine"] == pytest.approx(1.0)
 
 
+def test_lsh_buckets_agg_matches_fold_path(spark):
+    """The aggregated (codegen) bucket pass must be bit-identical to the
+    per-row fold form: decimal sums are exact and order-insensitive, so
+    any divergence is a wiring bug, not arithmetic."""
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = ["tbl0_", "tbl1_", "tbl2_"]
+    agg = {(r["vec_id"], r["tbl"]): r["bkt"]
+           for r in S.lsh_buckets_agg(emb, "vec_id", "embedding", 6,
+                                      seeds=seeds, dim=16).collect()}
+    from pyspark.sql import functions as F
+    fold = {(r["vec_id"], t): r[f"b{t}"]
+            for r in emb.select(
+                "vec_id",
+                *[S.lsh_bucket(F.col("embedding"), 6, seed=s).alias(f"b{t}")
+                  for t, s in enumerate(seeds)]).collect()
+            for t in range(len(seeds))}
+    assert agg == fold
+
+
 def test_multimodal_features_and_stub(docs):
     payload = M.with_binary_payload(docs)
     feats = {r["doc_id"]: r for r in M.extract_binary_features(payload).collect()}

@@ -5,8 +5,9 @@ The reference reads in 100k-row chunks through a connection pool; the
 Spark equivalent is partitioned JDBC reads — ``partitionColumn`` /
 ``lowerBound`` / ``upperBound`` / ``numPartitions`` give N parallel
 range-bounded cursors, and Catalyst pushes filters/projections into the
-remote query. No JDBC driver jar ships in this container, so everything
-here builds the reader lazily; tests gate on driver availability.
+remote query. Live-tested end-to-end against embedded Apache Derby
+(which ships in Spark's own jars): write → partitioned bounded fetch →
+incremental pipe sync → write-back (tests/test_jdbc_live.py).
 """
 
 from __future__ import annotations
@@ -37,7 +38,9 @@ def read_jdbc(
     """
     dbtable = table_or_query
     if " " in table_or_query.strip():
-        dbtable = f"({table_or_query}) AS _mrsm_definition"
+        # SQL-standard identifier (no leading underscore): Derby and
+        # Oracle reject correlation names starting with '_'
+        dbtable = f"({table_or_query}) AS mrsm_definition"
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
@@ -80,8 +83,13 @@ def jdbc_fetch_definition(
     the reference's append-bounds-outside-the-CTE rewrite
     (connectors/sql/_fetch.py:344-361) done by Catalyst instead of
     string surgery."""
+    # range-partition the cursor only when BOTH bounds are known (Spark
+    # requires lower+upper); a begin-only incremental fetch stays a single
+    # cursor with the bound pushed into the remote WHERE — the backtrack
+    # window is small by construction, parallelism there buys nothing
+    partition = begin is not None and end is not None
     df = read_jdbc(spark, url, definition,
-                   partition_column=dt_col if begin is not None else None,
+                   partition_column=dt_col if partition else None,
                    lower_bound=begin, upper_bound=end,
                    num_partitions=num_partitions, properties=properties)
     from meerschaum_spark.params import datetime_filter

@@ -88,11 +88,19 @@ class RemotePipe:
     delete / sync / attributes / data, purely over HTTP."""
 
     def __init__(self, base_url: str, connector: str, metric: str,
-                 location: str | None = None, timeout: float = 30.0):
+                 location: str | None = None, timeout: float = 30.0,
+                 auth_token: str | None = None):
         keys = [connector, metric] + ([location] if location else [])
         self.url = base_url.rstrip("/") + "/pipes/" + "/".join(
             urllib.parse.quote(k) for k in keys)
         self.timeout = timeout
+        #: shared-secret bearer token matching the server's ``auth_token``
+        self.auth_token = auth_token
+
+    def _headers(self) -> dict[str, str]:
+        if self.auth_token is None:
+            return {}
+        return {"Authorization": f"Bearer {self.auth_token}"}
 
     def _call(self, action: str, method: str, body: Any = None,
               **query: str) -> tuple[int, Any]:
@@ -100,7 +108,8 @@ class RemotePipe:
         if query:
             url += "?" + urllib.parse.urlencode(query)
         return http_request_json(url, method=method, body=body,
-                                 timeout=self.timeout)
+                                 timeout=self.timeout,
+                                 headers=self._headers())
 
     def register(self, parameters: dict | None = None) -> tuple[int, Any]:
         return self._call("register", "POST",

@@ -58,10 +58,18 @@ class PipeHTTPServer:
 
     def __init__(self, spark: SparkSession, instance: str,
                  host: str = "127.0.0.1", port: int = 0,
-                 max_data_rows: int = 100_000):
+                 max_data_rows: int = 100_000,
+                 auth_token: str | None = None):
+        """``auth_token``: shared-secret bearer token. When set, EVERY
+        route requires ``Authorization: Bearer <token>`` and rejects
+        anything else with 401 — the stdlib stand-in for the reference
+        API's login/session auth around its pipe routes
+        (meerschaum/api/routes/_login.py:17+, api/dash/sessions.py).
+        ``None`` (default) keeps the open test-harness behavior."""
         self.spark = spark
         self.instance = instance
         self.max_data_rows = max_data_rows
+        self.auth_token = auth_token
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -104,8 +112,21 @@ class PipeHTTPServer:
 
     # ------------------------------------------------------------- routing
 
+    def _authorized(self, handler: BaseHTTPRequestHandler) -> bool:
+        if self.auth_token is None:
+            return True
+        import hmac
+        header = handler.headers.get("Authorization", "")
+        expected = f"Bearer {self.auth_token}"
+        # constant-time compare: no timing oracle on the token
+        return hmac.compare_digest(header, expected)
+
     def _handle(self, handler: BaseHTTPRequestHandler, method: str) -> None:
         try:
+            if not self._authorized(handler):
+                return self._send(
+                    handler, 401,
+                    {"error": "unauthorized: missing or bad bearer token"})
             parsed = urllib.parse.urlparse(handler.path)
             parts = [p for p in parsed.path.split("/") if p]
             args = {k: v[0] for k, v in

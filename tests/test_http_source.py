@@ -190,6 +190,54 @@ def test_pipe_http_server_management_lifecycle(spark, instance_dir):
         server.stop()
 
 
+def test_pipe_http_server_bearer_auth(spark, instance_dir):
+    """With auth_token set, every route rejects missing/wrong tokens with
+    401 and accepts the right one (reference protects its pipe routes
+    behind login/session auth, api/routes/_login.py:17+)."""
+    import json
+    import urllib.request
+
+    from meerschaum_spark.sources import PipeHTTPServer
+    from meerschaum_spark.sources.http import RemotePipe, http_request_json
+
+    server = PipeHTTPServer(spark, instance_dir,
+                            auth_token="s3cret-token").start()
+    try:
+        base = f"{server.url}/pipes/authed/metric"
+
+        # no token → 401 on management, sync, and read routes alike
+        for method, action, body in [
+            ("POST", "register", {"parameters": {}}),
+            ("POST", "data", {"docs": [{"dt": "2024-01-01T00:00:00", "id": 1}]}),
+            ("DELETE", "delete", None),
+            ("GET", "exists", None),
+        ]:
+            code, out = http_request_json(f"{base}/{action}", method=method,
+                                          body=body)
+            assert code == 401, (action, code, out)
+        # wrong token → 401
+        code, _ = http_request_json(
+            f"{base}/exists", headers={"Authorization": "Bearer wrong"})
+        assert code == 401
+        # pipe listing is covered too
+        code, _ = http_request_json(f"{server.url}/pipes")
+        assert code == 401
+
+        # right token → full lifecycle works
+        rp = RemotePipe(server.url, "authed", "metric",
+                        auth_token="s3cret-token")
+        code, out = rp.register({"columns": {"datetime": "dt", "id": "id"}})
+        assert code == 200 and out["success"]
+        code, out = rp.sync([{"dt": "2024-01-01T00:00:00+00:00", "id": 1,
+                              "val": 1.0}])
+        assert code == 200 and out["inserted"] == 1
+        assert rp.exists() is True
+        code, out = rp.delete()
+        assert code == 200
+    finally:
+        server.stop()
+
+
 def test_pipe_http_server_csv(spark, instance_dir):
     import datetime
     import urllib.request

@@ -663,7 +663,11 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Composite corpus preparation (one-pass pipeline)
 # ===========================================================================
 
-_CORPUS_SQL = f"""
+#: shared CTE chain (scan → metrics → language/quality → exact-dedup
+#: ranks) used by BOTH the corpus-prep oracle and the composed training
+#: export — one named constant, no string surgery (r4 advice: the export
+#: was previously derived by str.split on a literal line of this text)
+_CORPUS_PREFIX = f"""
     WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
     m AS (
       SELECT doc_id, source,
@@ -697,7 +701,9 @@ _CORPUS_SQL = f"""
       SELECT *,
              row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rn,
              count(*) OVER (PARTITION BY th) AS n_copies
-      FROM lp)
+      FROM lp)"""
+
+_CORPUS_SQL = _CORPUS_PREFIX + """
     SELECT doc_id, source, n_tokens, punct_ratio, stopword_ratio,
            pred_lang, fingerprint, n_copies
     FROM d WHERE rn = 1 AND quality_pass AND pred_lang IN ('en')
@@ -1248,11 +1254,20 @@ def doc_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-#: end-to-end export: reuse the corpus-prep CTEs, then budget → shard.
-_EXPORT_SQL = _CORPUS_SQL.split("SELECT doc_id, source, n_tokens")[0] + f""",
+#: end-to-end export: the shared corpus-prep CTE chain, then near-dup
+#: removal → budget → shard. The fused MinHash→LSH→Jaccard→components
+#: pass rides in as a self-contained scoped subquery (its WITH RECURSIVE
+#: and CTE names shadow the outer chain's inside the parentheses), so the
+#: composed statement needs no renaming surgery.
+_EXPORT_SQL = _CORPUS_PREFIX + f""",
+    nd_losers AS (
+      SELECT doc_id FROM (
+        {_CLUSTERS_SQL}
+      ) nd WHERE doc_id <> cluster_id),
     kept AS (
       SELECT doc_id, n_tokens FROM d
-      WHERE rn = 1 AND quality_pass AND pred_lang IN ('en')),
+      WHERE rn = 1 AND quality_pass AND pred_lang IN ('en')
+        AND doc_id NOT IN (SELECT doc_id FROM nd_losers)),
     bud AS (
       SELECT doc_id, n_tokens FROM kept
       QUALIFY CAST(sum(n_tokens) OVER (ORDER BY doc_id
@@ -1273,18 +1288,24 @@ _EXPORT_SQL = _CORPUS_SQL.split("SELECT doc_id, source, n_tokens")[0] + f""",
 def doc_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END training-data export, composed from the engine's
     own operators: one-pass corpus prep (quality + language + exact
-    dedup) → token-budget prefix selection (distributed, no global
-    window) → deterministic hash-shard assignment → per-shard manifest.
-    The oracle replays the entire composed pipeline in SQL — the
-    strongest single statement that a user's full curation flow, not
-    just its pieces, matches across engines."""
+    dedup) → fuzzy near-dup removal (the fused MinHash→LSH→Jaccard→
+    connected-components pass; non-canonical cluster members drop) →
+    token-budget prefix selection (distributed, no global window) →
+    deterministic hash-shard assignment → per-shard manifest. The oracle
+    replays the entire composed pipeline in SQL — the strongest single
+    statement that a user's full curation flow, not just its pieces,
+    matches across engines."""
     from meerschaum_spark.functions.corpus import (
         prepare_corpus, select_token_budget, shard_assign,
     )
     docs = _docs(spark, sf_dir)
     prepped = prepare_corpus(docs, carry_cols=["source"]) \
         .select("doc_id", "n_tokens")
-    budgeted = select_token_budget(prepped, 15_000)
+    losers = (_near_dup_clusters(spark, sf_dir)
+              .filter(~F.col("keep")).select("doc_id"))
+    deduped = prepped.join(F.broadcast(losers), on="doc_id",
+                           how="left_anti")
+    budgeted = select_token_budget(deduped, 15_000)
     return (shard_assign(budgeted, n_shards=8)
             .groupBy("shard")
             .agg(F.count(F.lit(1)).alias("n_docs"),

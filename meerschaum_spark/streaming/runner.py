@@ -94,20 +94,42 @@ def sync_loop(
     fetch: Callable[[], Any] | None = None,
     min_seconds: float = 1.0,
     iterations: int | None = None,
+    schedule: "str | float | None" = None,
+    _sleep: Callable[[float], None] = time.sleep,
+    _now: Callable[[], "Any"] = None,
 ) -> list[SyncResult]:
     """The reference's ``--loop`` (actions/sync.py:264-416): repeated
-    batch syncs with a minimum interval. For schedules, drive this from
-    any external scheduler; inside the engine it stays a plain loop."""
+    batch syncs with a minimum interval.
+
+    ``schedule`` accepts the reference's human grammar
+    (utils/schedule.py:21-154): ``"every 30 seconds"``, ``"hourly"``,
+    ``"daily at 06:00"`` — parsed by ``streaming.schedule``; fire times
+    are computed from the UTC clock, and the loop sleeps until the next
+    one. Without it, ``min_seconds`` keeps the plain minimum-interval
+    behavior. ``_sleep``/``_now`` exist for deterministic tests."""
+    import datetime as _dt
+
+    from meerschaum_spark.streaming.schedule import parse_schedule
+
+    sched = parse_schedule(schedule) if schedule is not None else None
+    now = _now or (lambda: _dt.datetime.now(_dt.timezone.utc)
+                   .replace(tzinfo=None))
     results: list[SyncResult] = []
     i = 0
     while iterations is None or i < iterations:
         started = time.monotonic()
+        fire_wall = now()
         data = fetch() if fetch is not None else None
         results.append(pipe.sync(data))
         i += 1
         if iterations is not None and i >= iterations:
             break
-        elapsed = time.monotonic() - started
-        if elapsed < min_seconds:
-            time.sleep(min_seconds - elapsed)
+        if sched is not None:
+            wait = (sched.next_fire(fire_wall) - now()).total_seconds()
+            if wait > 0:
+                _sleep(wait)
+        else:
+            elapsed = time.monotonic() - started
+            if elapsed < min_seconds:
+                _sleep(min_seconds - elapsed)
     return results

@@ -78,3 +78,73 @@ def test_sync_loop(spark, instance_dir):
     assert pipe.get_rowcount() == 2
     docs = pipe.get_docs(params={"dt": datetime.datetime(2024, 1, 1)})
     assert docs[0]["val"] == 2
+
+
+def test_parse_schedule_grammar():
+    from meerschaum_spark.streaming.schedule import parse_schedule
+
+    assert parse_schedule("every 30 seconds").seconds == 30.0
+    assert parse_schedule("every 1 minute").seconds == 60.0
+    assert parse_schedule("Every 2 Hours").seconds == 7200.0
+    assert parse_schedule("every 1.5 hours").seconds == 5400.0
+    assert parse_schedule("hourly").seconds == 3600.0
+    assert parse_schedule("daily").seconds == 86400.0
+    assert parse_schedule("weekly").seconds == 604800.0
+    assert parse_schedule(45).seconds == 45.0
+    assert parse_schedule("90").seconds == 90.0
+
+    s = parse_schedule("daily at 06:30")
+    assert s.at == datetime.time(6, 30)
+    s2 = parse_schedule("every day at 23:59:05")
+    assert s2.at == datetime.time(23, 59, 5)
+
+    import pytest as _pytest
+    for bad in ["every -1 hours", "every 0 seconds", "fortnightly",
+                "daily at 25:00", ""]:
+        with _pytest.raises(ValueError):
+            parse_schedule(bad)
+
+
+def test_schedule_next_fire():
+    from meerschaum_spark.streaming.schedule import parse_schedule
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    assert (parse_schedule("every 10 minutes").next_fire(t0)
+            == datetime.datetime(2024, 3, 1, 12, 10))
+    daily = parse_schedule("daily at 06:00")
+    # already past 06:00 → tomorrow
+    assert daily.next_fire(t0) == datetime.datetime(2024, 3, 2, 6, 0)
+    # before 06:00 → today
+    assert (daily.next_fire(datetime.datetime(2024, 3, 1, 5, 0))
+            == datetime.datetime(2024, 3, 1, 6, 0))
+    # exactly at the fire time → strictly after
+    assert (daily.next_fire(datetime.datetime(2024, 3, 1, 6, 0))
+            == datetime.datetime(2024, 3, 2, 6, 0))
+
+
+def test_sync_loop_scheduled_cadence(spark, instance_dir):
+    """The loop fires on the computed cadence: with a fake clock, each
+    sleep is the gap to the schedule's next fire time."""
+    pipe = Pipe("loop", "sched", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"})
+    clock = {"now": datetime.datetime(2024, 1, 1, 0, 0, 0)}
+    sleeps: list[float] = []
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        clock["now"] += datetime.timedelta(seconds=s)
+
+    batches = iter([
+        [{"dt": datetime.datetime(2024, 1, 1), "id": 1, "val": 1}],
+        [{"dt": datetime.datetime(2024, 1, 1, 1), "id": 2, "val": 2}],
+        [{"dt": datetime.datetime(2024, 1, 1, 2), "id": 3, "val": 3}],
+    ])
+    results = sync_loop(pipe, fetch=lambda: next(batches), iterations=3,
+                        schedule="every 5 minutes",
+                        _sleep=fake_sleep, _now=lambda: clock["now"])
+    assert all(r.success for r in results)
+    assert pipe.get_rowcount() == 3
+    # two sleeps (none after the final iteration), each ≈ 300 s minus the
+    # (zero, under the fake clock) work time
+    assert len(sleeps) == 2
+    assert all(s == 300.0 for s in sleeps)

@@ -38,9 +38,17 @@ def _clean_value(v: Any) -> Any:
     return v
 
 
-def df_to_json_rows(df: DataFrame, limit: int | None = None) -> list[str]:
-    """Collect to canonical JSON strings (driver-side; bounded use only —
-    for full-table export use ``write_json``)."""
+#: default driver-side materialization cap for ``df_to_json_rows``
+JSON_ROWS_DEFAULT_LIMIT = 100_000
+
+
+def df_to_json_rows(df: DataFrame,
+                    limit: int | None = JSON_ROWS_DEFAULT_LIMIT) -> list[str]:
+    """Collect to canonical JSON strings — a DRIVER-SIDE materialization,
+    capped at ``JSON_ROWS_DEFAULT_LIMIT`` rows by default so an
+    unbounded table cannot OOM the driver by accident. Pass
+    ``limit=None`` to opt out explicitly; for full-table export use the
+    distributed ``write_json``."""
     rows = df.limit(limit).collect() if limit is not None else df.collect()
     return [
         json.dumps({k: _clean_value(v) for k, v in row.asDict(recursive=True).items()},

@@ -346,7 +346,15 @@ def connected_components(
         id_type = edges.schema[src].dataType
         schema = StructType([StructField("node", id_type),
                              StructField("cluster_id", id_type)])
-        return spark.createDataFrame(sorted(labels_map.items()), schema)
+        # Arrow-backed pandas frame, unsorted: at the edge cap this is up
+        # to ~4M values — a python-tuple createDataFrame would push them
+        # through Py4J row by row, and the previous sorted() both wasted
+        # O(n log n) driver time and assumed homogeneous orderable ids
+        import pandas as _pd
+        items = list(labels_map.items())
+        pdf = _pd.DataFrame({"node": [k for k, _ in items],
+                             "cluster_id": [v for _, v in items]})
+        return spark.createDataFrame(pdf, schema)
     sym = (dedup_edges
            .union(dedup_edges.select(F.col("v").alias("u"),
                                      F.col("u").alias("v"))))

@@ -253,6 +253,46 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     )
 
 
+def tfidf_topk(df: DataFrame, n_docs: int, k: int = 5,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-k characteristic terms by a log-free TF-IDF
+    variant: ``score = tf × N / df`` computed in pure IEEE double from
+    exact integer inputs — deliberately no ``ln``: libm log results are
+    not bit-identical across engines, double multiply/divide are, so the
+    scores (and the oracle hash) stay deterministic. Plan: one explode,
+    two hash aggregations (tf per doc×token, df per token), a token-keyed
+    join, and a per-doc window rank — every stage partitions on small
+    keys, nothing global. ``n_docs`` is passed in (metadata-sized count)
+    so the plan carries it as a literal instead of a global aggregate."""
+    from pyspark.sql import Window
+    ex = df.select(F.col(id_col),
+                   F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = ex.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("token_df"))
+    score = ((F.col("tf").cast("double") * F.lit(float(n_docs)))
+             / F.col("token_df").cast("double"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("tok"))
+    return (tf.join(dfreq, on="tok")
+            .select(id_col, "tok", "tf", "token_df", score.alias("score"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
+def split_assign(df: DataFrame, id_col: str = "doc_id",
+                 train_pct: int = 96, val_pct: int = 2) -> DataFrame:
+    """Deterministic train/val/test split: ``hash(id) % 100`` buckets →
+    train < ``train_pct`` ≤ val < ``train_pct+val_pct`` ≤ test. A narrow
+    projection (no shuffle, no RNG state): the same document lands in the
+    same split on every engine, every run, every cluster size — the
+    reproducibility contract a training pipeline needs from its split."""
+    bucket = hash60(F.col(id_col).cast("string")) % 100
+    split = (F.when(bucket < train_pct, F.lit("train"))
+             .when(bucket < train_pct + val_pct, F.lit("val"))
+             .otherwise(F.lit("test")))
+    return df.withColumn("split", split)
+
+
 def vocab_topk(df: DataFrame, k: int = 50, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Corpus vocabulary head: the k most frequent tokens with their

@@ -1334,3 +1334,94 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("user_id").alias("n_users"))
         .orderBy("bucket")
     )
+
+
+@query(
+    "events_rolling_7d",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dayn,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS dsum
+      FROM events GROUP BY 1, 2, 3)
+    SELECT user_id, day, n_events,
+           CAST(dsum AS DOUBLE) AS day_value,
+           CAST(CAST(sum(dsum) OVER (
+                  PARTITION BY user_id ORDER BY dayn
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS DECIMAL(28,6)) AS DOUBLE) AS rolling_7d_value,
+           CAST(sum(n_events) OVER (
+                  PARTITION BY user_id ORDER BY dayn
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS rolling_7d_events
+    FROM daily ORDER BY user_id, day
+    """,
+)
+def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 7-day rolling value/event totals: a RANGE-frame window
+    over an integer day axis (RANGE over INTERVAL types differs between
+    engines; epoch-day integers do not). Accumulation stays in exact
+    decimal and surfaces as double. Partitioned by user — the window
+    parallelizes across users; no global frame anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(_dec("value")).cast("decimal(28,6)").alias("dsum"))
+        .withColumn("dayn", F.datediff(F.col("day"), F.lit("1970-01-01")))
+    )
+    w = (Window.partitionBy("user_id").orderBy("dayn")
+         .rangeBetween(-6, Window.currentRow))
+    return (
+        daily.select(
+            "user_id", "day", "n_events",
+            F.col("dsum").cast("double").alias("day_value"),
+            F.sum("dsum").over(w).cast("decimal(28,6)").cast("double")
+            .alias("rolling_7d_value"),
+            F.sum("n_events").over(w).cast("long")
+            .alias("rolling_7d_events"))
+        .orderBy("user_id", "day")
+    )
+
+
+@query(
+    "q4_priority_late_exists",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q4_priority_late_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4's shape on the available columns: order-priority counts
+    for orders with at least one item shipped >60 days after the order
+    date. The EXISTS is a left-semi join (no row multiplication however
+    many late items an order has); the date filter prunes the orders
+    scan before the join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(datetime.datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime.datetime(1996, 7, 1))))
+    late = (li.alias("l").join(
+        o.select("o_orderkey", "o_orderdate").alias("o"),
+        on=(F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        & (F.col("l.l_shipdate")
+           > F.col("o.o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        how="left_semi"))
+    return (
+        o.join(late.select("l_orderkey").distinct(),
+               on=F.col("o_orderkey") == F.col("l_orderkey"),
+               how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )

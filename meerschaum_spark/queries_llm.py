@@ -1360,3 +1360,60 @@ def emb_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     never happens). Flags mislabeled or noisy classes before training."""
     emb = _emb(spark, sf_dir)
     return S.label_centroid_stats(emb)
+
+
+@query(
+    "doc_tfidf_topk",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM ex GROUP BY 1, 2),
+    dfq AS (SELECT tok, count(*) AS token_df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, dfq.token_df,
+             (CAST(tf.tf AS DOUBLE)
+              * CAST((SELECT count(*) FROM documents) AS DOUBLE))
+             / CAST(dfq.token_df AS DOUBLE) AS score
+      FROM tf JOIN dfq ON tf.tok = dfq.tok),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, tok) AS rnk
+      FROM scored)
+    SELECT doc_id, tok, tf, token_df, score, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk
+    """,
+)
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by the log-free TF-IDF
+    variant score = tf × N / df — pure IEEE double over exact integer
+    inputs, so both engines compute bit-identical scores (libm ``ln``
+    would not be). Keyword extraction / doc summarization primitive."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    return (T.tfidf_topk(docs, n_docs=n_docs, k=5)
+            .select("doc_id", "tok",
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("token_df").cast("long").alias("token_df"),
+                    "score", "rnk")
+            .orderBy("doc_id", "rnk"))
+
+
+@query(
+    "doc_split_assign",
+    f"""
+    SELECT doc_id, source,
+           CASE WHEN {_H60.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 96
+                THEN 'train'
+                WHEN {_H60.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 98
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 96/2/2 train/val/test assignment from a content-free
+    id hash: reproducible across engines, runs, and cluster sizes; a
+    narrow projection with no shuffle or RNG state."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (T.split_assign(docs)
+            .select("doc_id", "source", "split").orderBy("doc_id"))

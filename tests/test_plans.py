@@ -66,6 +66,25 @@ def test_sync_backtrack_scan_is_bounded(spark, instance_dir, sf_dir):
     assert any("event_id" in f and "In" in f for f in r["pushed_filters"])
 
 
+def test_sync_diff_is_single_key_join_on_fingerprints(spark, instance_dir,
+                                                      sf_dir):
+    """The r5 diff contract: ONE join in the whole diff plan (the
+    null-safe key join against the (keys, fingerprint-set) aggregate) —
+    the stored side must never shuffle full rows through an all-columns
+    join condition, and the batch must not be joined twice."""
+    from meerschaum_spark.plans import explain_str
+    pipe = Pipe("plans", "fpdiff", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "event_id"})
+    events = load_table(spark, sf_dir, "events")
+    pipe.sync(events)
+    marked = pipe._split_existing(events)
+    plan = explain_str(marked, "simple")
+    n_joins = plan.count("Join")
+    assert n_joins == 1, f"expected exactly 1 join in the diff plan:\n{plan[:1200]}"
+    # row equality rides on the hash pair, not a column-by-column condition
+    assert "xxhash64" in plan.lower()
+
+
 def test_geo_and_multimodal_udfs_are_arrow_batched(spark, sf_dir):
     """Python-boundary operators must be Arrow-batched (ArrowEvalPython /
     MapInPandas nodes), never row-at-a-time BatchEvalPython."""

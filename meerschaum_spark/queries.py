@@ -1425,3 +1425,162 @@ def q4_priority_late_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q19_disjunctive_pushdown",
+    """
+    SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                     AS VARCHAR) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19's shape: an OR-of-ANDs predicate across both join sides.
+    Catalyst extracts the common per-side conjuncts and pushes them below
+    the (broadcast) join — the disjunction does not force a full scan of
+    either table's irrelevant rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q7_nation_trade_flow",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                     AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+      AND n1.n_regionkey = 0 AND n2.n_regionkey = 0
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q7_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7's shape: cross-nation trade revenue by ship year through
+    a five-way join — the fact table joins two broadcast dimension chains
+    (supplier→nation, customer→nation via orders); only the fact side
+    shuffles, and only for the final group-by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    n1 = nat.select(F.col("n_nationkey").alias("s_nk"),
+                    F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("c_nk"),
+                    F.col("n_name").alias("cust_nation"))
+    sdim = F.broadcast(supp.join(F.broadcast(n1),
+                                 supp["s_nationkey"] == n1["s_nk"])
+                       .select("s_suppkey", "supp_nation"))
+    cdim = F.broadcast(cust.join(F.broadcast(n2),
+                                 cust["c_nationkey"] == n2["c_nk"])
+                       .select("c_custkey", "cust_nation"))
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == orders["o_orderkey"])
+        .join(cdim, F.col("o_custkey") == cdim["c_custkey"])
+        .join(sdim, F.col("l_suppkey") == sdim["s_suppkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+             .cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    WITH flows AS (
+      SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,6))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,6))) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      JOIN region r ON n2.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      WHERE r.r_name = 'ASIA')
+    SELECT o_year,
+           CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                              ELSE 0 END) AS DECIMAL(28,6)) AS DOUBLE)
+           / CAST(CAST(sum(volume) AS DECIMAL(28,6)) AS DOUBLE)
+               AS mkt_share
+    FROM flows GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8's shape: one nation's share of a region's revenue per
+    year — a conditional-over-total ratio where BOTH sums accumulate in
+    exact decimal and only the final division happens in double (decimal
+    division scale rules differ across engines; IEEE double division
+    does not)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA")
+    cdim = F.broadcast(
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
+        .select("c_custkey"))
+    sdim = F.broadcast(
+        supp.join(F.broadcast(nat.select(F.col("n_nationkey").alias("snk"),
+                                         F.col("n_name").alias("supp_nation"))),
+                  supp["s_nationkey"] == F.col("snk"))
+        .select("s_suppkey", "supp_nation"))
+    volume = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    flows = (
+        li.join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+                li["l_orderkey"] == orders["o_orderkey"])
+        .join(cdim, F.col("o_custkey") == cdim["c_custkey"])
+        .join(sdim, F.col("l_suppkey") == sdim["s_suppkey"])
+        .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                volume.alias("volume"), "supp_nation")
+    )
+    nation_vol = F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                              F.col("volume")).otherwise(F.lit(0)))
+    return (
+        flows.groupBy("o_year")
+        .agg((nation_vol.cast("decimal(28,6)").cast("double")
+              / F.sum("volume").cast("decimal(28,6)").cast("double"))
+             .alias("mkt_share"))
+        .orderBy("o_year")
+    )

@@ -692,7 +692,11 @@ def pipe_sync_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from meerschaum_spark.pipe import Pipe
 
-    events = load_table(spark, sf_dir, "events")
+    # one cache for the four sync batches: every sync below derives from
+    # this frame, and an uncached plan would rescan + re-canonicalize the
+    # source parquet per sync action (a real caller holds the DataFrame
+    # exactly like this)
+    events = load_table(spark, sf_dir, "events").persist()
     instance = tempfile.mkdtemp(prefix="mrsm_q_sync_")
     try:
         pipe = Pipe("catalog", "events", instance=instance, spark=spark,
@@ -715,6 +719,7 @@ def pipe_sync_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(n_rows, noop, upd)],
             "n_rows long, second_sync_noop int, update_detected int")
     finally:
+        events.unpersist()
         shutil.rmtree(instance, ignore_errors=True)
 
 

@@ -34,6 +34,11 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.parquet.compression.codec": "snappy",
+    # INT96 (the legacy default) carries NO min/max statistics — every
+    # time-bounded scan loses row-group pruning and the file-pruned MERGE
+    # cannot classify files. TIMESTAMP_MICROS is the modern, smaller,
+    # stats-bearing physical type and matches the engine's canonical µs.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # local parquet files are small; pack more of them per task
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.ui.enabled": "false",

@@ -278,6 +278,19 @@ class ParquetPipeStore:
             patch = self._reattach(patch, full, keys, missing_pre)
         patch = self.with_part(patch)
         if begin_us is not None and end_us is not None:
+            # file-level pruning inside the affected cells: parquet footer
+            # min/max of the dt column decides which FILES can hold a
+            # matchable row (key sets include dt on this path, so a row
+            # matching a patch key has the patch row's dt — a file whose
+            # dt range misses [begin_us, end_us) cannot participate).
+            # Untouched files stay in place; the rewrite is proportional
+            # to overlapping files, not to the cell width — the same
+            # economics as Delta's file-pruned MERGE.
+            touched, untouched = self._split_files_by_dt(
+                begin_us, end_us)
+            if touched is not None and untouched:
+                self._merge_files(patch, keys, dtypes, touched)
+                return
             parts = None
             existing = self.read(dtypes=dtypes, keep_part_col=True,
                                  begin_us=begin_us, end_us=end_us)
@@ -310,6 +323,152 @@ class ParquetPipeStore:
         # column union — kept rows MUST NOT lose columns absent from the patch
         merged = keep.unionByName(patch, allowMissingColumns=True)
         self._swap_partitions(merged, parts)
+
+    def _split_files_by_dt(
+        self, begin_us: int, end_us: int,
+    ) -> tuple[list[str] | None, list[str]]:
+        """Partition the data files of the in-range cells into (touched,
+        untouched) by parquet footer dt statistics. Returns
+        ``(None, [])`` when pruning is unavailable (no dt column, a file
+        without stats) — callers then fall back to the cell-level path.
+
+        Driver-side footer reads are bounded by the patch's time range
+        (files of the matching cells only); on a cluster this is the
+        table-format metadata lookup Delta/Iceberg do from their
+        manifests."""
+        if self.dt_col is None:
+            return None, []
+        lo_cell = self.part_index_of(begin_us)
+        hi_cell = self.part_index_of(end_us - 1)
+        touched: list[str] = []
+        untouched: list[str] = []
+        try:
+            import pyarrow.parquet as pq
+        except Exception:
+            return None, []
+        for cell in self.partition_values():
+            if cell is None or not (lo_cell <= cell <= hi_cell):
+                continue
+            cell_dir = os.path.join(self.data_path, self._part_dir_name(cell))
+            for entry in os.scandir(cell_dir):
+                if not entry.is_file() or not entry.name.endswith(".parquet"):
+                    continue
+                rng = self._file_dt_range_us(pq, entry.path)
+                if rng is None:
+                    return None, []  # no stats → cannot prune safely
+                fmin, fmax = rng
+                # overlap test against the exclusive-end patch range
+                if fmin < end_us and fmax >= begin_us:
+                    touched.append(entry.path)
+                else:
+                    untouched.append(entry.path)
+        return touched, untouched
+
+    def _file_dt_range_us(self, pq, path: str) -> tuple[int, int] | None:
+        """[min, max] of the dt column across a file's row groups, in
+        epoch µs (or the int axis scaled to µs); None when stats are
+        missing."""
+        import datetime as _dt
+        try:
+            meta = pq.ParquetFile(path).metadata
+            if meta.num_row_groups == 0:
+                # zero rows → can never match; an empty (inverted) range
+                # makes every overlap test false
+                return (2**62, -(2**62))
+            rg0 = meta.row_group(0)
+            idx = None
+            for i in range(rg0.num_columns):
+                if rg0.column(i).path_in_schema == self.dt_col:
+                    idx = i
+                    break
+            if idx is None:
+                return None
+            lo = hi = None
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn, mx = st.min, st.max
+                for v in (mn, mx):
+                    if v is None:
+                        return None
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            if lo is None:
+                return None
+
+            def _us(v) -> int:
+                if isinstance(v, _dt.datetime):
+                    if v.tzinfo is not None:
+                        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                    return int((v - _dt.datetime(1970, 1, 1)).total_seconds()
+                               * 1_000_000)
+                return int(v) * UNIT_US[self.dt_unit] if self.dt_is_int \
+                    else int(v)
+            return _us(lo), _us(hi)
+        except Exception:
+            return None
+
+    def _merge_files(
+        self,
+        patch: DataFrame,
+        keys: list[str],
+        dtypes: dict[str, str] | None,
+        touched: list[str],
+    ) -> None:
+        """Merge against an explicit file set: anti-join only the touched
+        files' rows, write keep ∪ patch to staging, then swap at FILE
+        granularity — delete the touched files and move the staged ones
+        in beside the untouched files."""
+        if touched:
+            reader = self.spark.read.option("basePath", self.data_path)
+            schema = self.read_schema(dtypes)
+            if schema is not None:
+                reader = reader.schema(schema)
+            existing = reader.parquet(*touched)
+        else:
+            schema = self.read_schema(dtypes) or patch.schema
+            existing = self.spark.createDataFrame([], schema)
+        missing = [c for c in existing.columns
+                   if c not in patch.columns and c != PART_COL]
+        if missing:
+            patch = self._reattach(patch, existing, keys, missing)
+        p = patch.alias("p")
+        e = existing.alias("e")
+        cond = None
+        for k in keys:
+            c = F.col(f"e.{k}").eqNullSafe(F.col(f"p.{k}"))
+            cond = c if cond is None else (cond & c)
+        keep = e.join(p, on=cond, how="left_anti")
+        merged = keep.unionByName(patch, allowMissingColumns=True)
+        staging = self._staging_dir()
+        try:
+            (self._rebalanced(merged)
+             .write.mode("overwrite").partitionBy(PART_COL).parquet(staging))
+            # file-granular swap: staged files move in, touched files go
+            for path in touched:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+            if os.path.isdir(staging):
+                for entry in os.scandir(staging):
+                    if (not entry.is_dir()
+                            or not entry.name.startswith(f"{PART_COL}=")):
+                        continue
+                    dst_dir = os.path.join(self.data_path, entry.name)
+                    os.makedirs(dst_dir, exist_ok=True)
+                    for f in os.scandir(entry.path):
+                        if f.is_file() and f.name.endswith(".parquet"):
+                            shutil.move(
+                                f.path,
+                                os.path.join(
+                                    dst_dir,
+                                    f"m{uuid.uuid4().hex[:8]}-{f.name}"))
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        self._mark_exists(self._exists_uncached())
+        self._refresh_listing()
 
     @staticmethod
     def _reattach(

@@ -414,3 +414,43 @@ def test_sync_chunk_generator(pipe):
         yield batch([{"dt": dtm(2024, 1, 2), "id": 1, "val": 2}])
     res2 = pipe.sync(chunks2())
     assert res2.inserted == 0 and res2.updated == 1
+
+
+def test_merge_rewrites_only_overlapping_files(spark, instance_dir):
+    """File-level MERGE pruning: an update whose time range misses a
+    data file's parquet-footer dt range must leave that file untouched
+    on disk (same path, same bytes) — rewrite cost is proportional to
+    overlapping files, not partition-cell width."""
+    import glob
+    import os
+
+    pipe = Pipe("test", "fprune", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"})
+    # two syncs of disjoint week-apart slices → separate files with
+    # disjoint dt ranges inside the same 30-day partition cell
+    pipe.sync(batch([{"dt": dtm(2024, 1, 1, h), "id": h, "val": float(h)}
+                     for h in range(5)]))
+    pipe.sync(batch([{"dt": dtm(2024, 1, 8, h), "id": 100 + h,
+                      "val": float(h)} for h in range(5)]))
+    data_glob = os.path.join(instance_dir, pipe.target, "data", "**",
+                             "*.parquet")
+    before = {p: os.path.getsize(p)
+              for p in glob.glob(data_glob, recursive=True)}
+    assert len(before) >= 2
+
+    # update one row of the Jan-8 slice only
+    res = pipe.sync(batch([{"dt": dtm(2024, 1, 8, 2), "id": 102,
+                            "val": -1.0}]))
+    assert res.updated == 1 and res.inserted == 0
+
+    after = {p: os.path.getsize(p)
+             for p in glob.glob(data_glob, recursive=True)}
+    # every file whose range misses Jan 8 survives byte-identical
+    jan1_files = [p for p, sz in before.items()
+                  if p in after and after[p] == sz]
+    assert jan1_files, "expected at least one untouched file"
+    # and the Jan-1 slice's rows must all still be served from them
+    vals = {r["id"]: r["val"] for r in pipe.get_data(order=None).collect()}
+    assert vals[102] == -1.0
+    assert all(vals[h] == float(h) for h in range(5))
+    assert pipe.get_rowcount() == 10

@@ -187,22 +187,30 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        keep_cols: list[str] | None = None) -> DataFrame:
     """K-permutation MinHash over the distinct-token set: one md5 per
     token (hash60), then K affine mixes — sig_i = min over tokens of
-    (A_i·(h mod 2³⁰) + B_i) mod P. One projection, no shuffle, and the
-    expensive hash runs once instead of K times."""
-    toks = F.array_distinct(tokens(F.col(text_col)))
-    base = df.withColumn("_hs", F.transform(toks, lambda t: hash60(t)))
-    def mixer(a: int, b: int):
-        # closure factory: a default-arg lambda would change the arity
-        # PySpark infers for the higher-order function
-        return lambda h: (F.lit(a) * (h % F.lit(MINHASH_DOMAIN))
-                          + F.lit(b)) % F.lit(MINHASH_PRIME)
+    (A_i·(h mod 2³⁰) + B_i) mod P.
 
-    cols = [F.col(id_col)] + [F.col(c) for c in (keep_cols or [])]
+    Shape: explode the distinct tokens and compute all K mins in ONE
+    whole-stage-codegen hash aggregate — the per-row higher-order-
+    function form ran K interpreted lambda passes per document (the
+    same interpreted-HOF tax the LSH bucket pass paid, see
+    ``similarity.lsh_buckets_agg``). Partial aggregation computes the
+    mins map-side (exploded rows of a document stay in its partition),
+    so the shuffle carries ~one K-wide row per document. explode_outer
+    keeps token-less documents present with NULL signatures, matching
+    the fold form and the DuckDB oracle's list_min semantics."""
+    keep = list(keep_cols or [])
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    ex = (df.select(F.col(id_col), *[F.col(c) for c in keep],
+                    F.explode_outer(toks).alias("_t"))
+          .withColumn("_h", hash60(F.col("_t"))))
+    h = F.col("_h")
+    aggs = []
     for i in range(k):
         a, b = minhash_mix(i)
-        mixed = F.transform(F.col("_hs"), mixer(a, b))
-        cols.append(F.array_min(mixed).alias(f"sig_{i}"))
-    return base.select(*cols)
+        aggs.append(F.min((F.lit(a) * (h % F.lit(MINHASH_DOMAIN))
+                           + F.lit(b)) % F.lit(MINHASH_PRIME))
+                    .alias(f"sig_{i}"))
+    return ex.groupBy(id_col, *keep).agg(*aggs)
 
 
 def lsh_candidate_pairs(

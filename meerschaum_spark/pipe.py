@@ -630,6 +630,12 @@ class Pipe:
         # filter_existing); dropped again before every write.
         df = df.withColumn(ORD_COL, F.monotonically_increasing_id())
 
+        # content-dedup at ingest (opt-in): drop rows whose dedup-column
+        # content was EVER stored before, regardless of keys/time — the
+        # training-corpus ingest contract ("never ingest a document twice")
+        # that the key-diff alone cannot express
+        df = self._ingest_dedup_filter(df)
+
         if not self.registry.load(self.target):
             self.register()
 
@@ -654,6 +660,7 @@ class Pipe:
                 n = int(obs.get["n"])
             finally:
                 _release()
+            self._commit_fingerprints()
             self.register()
             return SyncResult(True, f"Inserted {n} rows (new table).", n, 0)
 
@@ -671,6 +678,7 @@ class Pipe:
                     n = int(obs.get["n"])
             finally:
                 _release()
+            self._commit_fingerprints()
             self.register()
             return SyncResult(True, f"Upserted {n} rows.", 0, n)
 
@@ -684,6 +692,7 @@ class Pipe:
                 n = int(obs.get["n"])
             finally:
                 _release()
+            self._commit_fingerprints()
             self.register()
             return SyncResult(True, f"Inserted {n} rows (no diff).", n, 0)
 
@@ -744,6 +753,7 @@ class Pipe:
                         begin_us=bounds["begin_us"] if use_bounds else None,
                         end_us=bounds["end_us"] if use_bounds else None,
                     )
+            self._commit_fingerprints()
             self.register()
             return SyncResult(
                 True, f"Inserted {n_unseen}, updated {n_update} rows.",
@@ -920,6 +930,59 @@ class Pipe:
                 .cast("int").alias(HIT_COL),
             )
         )
+
+    # -------------------------------------------------- ingest content dedup
+
+    @property
+    def _dedup_conf(self) -> dict:
+        conf = self.parameters.get("dedup")
+        return conf if isinstance(conf, dict) else {}
+
+    @property
+    def _fps_dir(self) -> str:
+        import os
+        return os.path.join(self.store.path, "fingerprints")
+
+    def _ingest_dedup_filter(self, df: DataFrame) -> DataFrame:
+        """Opt-in exact content dedup at ingest
+        (``parameters['dedup'] = {'method': 'exact', 'column': 'text'}``):
+        drop batch rows whose dedup-column content has EVER been synced,
+        via an incremental fingerprint side table — the stored corpus is
+        never rescanned (at 100 TB a content column scan per sync is the
+        cost this table exists to avoid). Batch-internal duplicates keep
+        the FIRST occurrence (source order). The 2×64-bit fingerprint
+        pair makes a false drop ~2⁻¹²⁸ — the near-dup operators
+        (functions/dedup.py) cover fuzzy matching; this is the exact
+        "never ingest twice" contract."""
+        conf = self._dedup_conf
+        col = conf.get("column")
+        self._pending_fps = None
+        if (not col or conf.get("method", "exact") != "exact"
+                or col not in df.columns):
+            return df
+        import os
+        f1 = F.xxhash64(F.col(col))
+        f2 = F.xxhash64(F.lit(1), F.col(col))
+        df = df.withColumn("_fp1", f1).withColumn("_fp2", f2)
+        w = Window.partitionBy("_fp1", "_fp2").orderBy(F.col(ORD_COL).asc())
+        df = (df.withColumn("_fprn", F.row_number().over(w))
+              .filter(F.col("_fprn") == 1).drop("_fprn"))
+        if os.path.isdir(self._fps_dir):
+            seen = (self.spark.read.schema("_fp1 long, _fp2 long")
+                    .parquet(self._fps_dir))
+            df = df.join(seen, on=["_fp1", "_fp2"], how="left_anti")
+        self._pending_fps = df.select("_fp1", "_fp2")
+        return df.drop("_fp1", "_fp2")
+
+    def _commit_fingerprints(self) -> None:
+        """Record the surviving batch's fingerprints after a successful
+        write (re-derives them from the batch plan — one extra pruned
+        pass, only when the feature is on)."""
+        fps = getattr(self, "_pending_fps", None)
+        if fps is None:
+            return
+        self._pending_fps = None
+        fps.write.mode("append").parquet(self._fps_dir)
 
     def _dedupe_patch(self, df: DataFrame) -> DataFrame:
         """Dedupe an upsert patch on its keys — MERGE sources must be

@@ -454,3 +454,53 @@ def test_merge_rewrites_only_overlapping_files(spark, instance_dir):
     assert vals[102] == -1.0
     assert all(vals[h] == float(h) for h in range(5))
     assert pipe.get_rowcount() == 10
+
+
+def test_ingest_content_dedup(spark, instance_dir):
+    """parameters['dedup'] = {'method': 'exact', 'column': ...}: a row
+    whose content was EVER synced is dropped at ingest — across batches,
+    regardless of keys — via the incremental fingerprint side table;
+    batch-internal content dups keep the first occurrence."""
+    import os
+
+    pipe = Pipe("test", "ingdedup", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"},
+                parameters={"dedup": {"method": "exact", "column": "txt"}})
+    r1 = pipe.sync(batch([
+        {"dt": dtm(2024, 1, 1), "id": 1, "txt": "alpha"},
+        {"dt": dtm(2024, 1, 2), "id": 2, "txt": "beta"},
+        {"dt": dtm(2024, 1, 3), "id": 3, "txt": "alpha"},  # batch dup
+    ]))
+    assert r1.success and r1.inserted == 2
+    assert pipe.get_rowcount() == 2
+    assert os.path.isdir(os.path.join(instance_dir, pipe.target,
+                                      "fingerprints"))
+
+    # same content under NEW keys → dropped; genuinely new content lands
+    r2 = pipe.sync(batch([
+        {"dt": dtm(2024, 2, 1), "id": 10, "txt": "alpha"},
+        {"dt": dtm(2024, 2, 2), "id": 11, "txt": "gamma"},
+    ]))
+    assert r2.inserted == 1
+    stored = {r["txt"] for r in pipe.get_data(order=None).collect()}
+    assert stored == {"alpha", "beta", "gamma"}
+
+    # an UPDATE that changes content on an existing key still applies
+    r3 = pipe.sync(batch([
+        {"dt": dtm(2024, 1, 1), "id": 1, "txt": "alpha-v2"},
+    ]))
+    assert r3.updated == 1
+    vals = {r["id"]: r["txt"] for r in pipe.get_data(order=None).collect()}
+    assert vals[1] == "alpha-v2"
+    # ...and its OLD content stays fingerprinted (ever-seen semantics)
+    r4 = pipe.sync(batch([
+        {"dt": dtm(2024, 3, 1), "id": 20, "txt": "alpha"},
+    ]))
+    assert r4.inserted == 0 and r4.updated == 0
+
+    # pipes without the parameter are untouched by the feature
+    plain = Pipe("test", "nodedup", instance=instance_dir, spark=spark,
+                 columns={"datetime": "dt", "id": "id"})
+    plain.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "txt": "alpha"},
+                      {"dt": dtm(2024, 1, 2), "id": 2, "txt": "alpha"}]))
+    assert plain.get_rowcount() == 2

@@ -974,15 +974,35 @@ class Pipe:
         self._pending_fps = df.select("_fp1", "_fp2")
         return df.drop("_fp1", "_fp2")
 
+    #: compact the fingerprint side table when it accumulates this many
+    #: files (one small file lands per sync)
+    _FPS_COMPACT_FILES = 64
+
     def _commit_fingerprints(self) -> None:
         """Record the surviving batch's fingerprints after a successful
         write (re-derives them from the batch plan — one extra pruned
-        pass, only when the feature is on)."""
+        pass, only when the feature is on). Compacts the side table when
+        sync cadence has fragmented it into many small files."""
+        import os
+        import shutil as _sh
         fps = getattr(self, "_pending_fps", None)
         if fps is None:
             return
         self._pending_fps = None
         fps.write.mode("append").parquet(self._fps_dir)
+        try:
+            n_files = sum(1 for e in os.scandir(self._fps_dir)
+                          if e.is_file() and e.name.endswith(".parquet"))
+        except OSError:
+            return
+        if n_files >= self._FPS_COMPACT_FILES:
+            compacted = (self.spark.read.schema("_fp1 long, _fp2 long")
+                         .parquet(self._fps_dir).distinct())
+            tmp = self._fps_dir + "_compact"
+            compacted.write.mode("overwrite").parquet(tmp)
+            _sh.rmtree(self._fps_dir)
+            os.replace(tmp, self._fps_dir)
+            self.spark.catalog.refreshByPath(self._fps_dir)
 
     def _dedupe_patch(self, df: DataFrame) -> DataFrame:
         """Dedupe an upsert patch on its keys — MERGE sources must be

@@ -1589,3 +1589,55 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("mkt_share"))
         .orderBy("o_year")
     )
+
+
+@query(
+    "pipe_ingest_dedup",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def pipe_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The content-dedup-at-ingest feature under the correctness gate:
+    replay the documents table through a Pipe in two doc_id-ordered
+    batches with ``dedup={'method':'exact','column':'text'}``. With
+    globally ordered ingestion, "ever-seen content is dropped" is
+    equivalent to keeping each text's smallest doc_id — which is exactly
+    what the oracle states in one window. Both the fingerprint side
+    table's cross-batch memory AND the batch-internal first-wins rule
+    are on the hook for the hash to match."""
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").persist()
+    instance = tempfile.mkdtemp(prefix="mrsm_q_ingdedup_")
+    try:
+        pipe = Pipe(
+            "catalog", "ingdedup", instance=instance, spark=spark,
+            columns={"datetime": "doc_id", "id": "doc_id"},
+            parameters={"dedup": {"method": "exact", "column": "text"},
+                        "precision": {"unit": "second"}},
+            dtypes={"doc_id": "int64"})
+        half = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+        pipe.sync(docs.filter(F.col("doc_id") <= F.lit(int(half))))
+        pipe.sync(docs)  # full replay: already-stored content drops
+        # re-keyed copies: NEW doc_ids carrying already-seen text — the
+        # key-diff alone would insert every one of them; only the
+        # fingerprint table's cross-batch content memory drops them
+        copies = (docs.withColumn("doc_id",
+                                  F.col("doc_id") + F.lit(1_000_000)))
+        pipe.sync(copies)
+        stored = pipe.get_data(select_columns=["doc_id", "source"],
+                               order=None)
+        rows = stored.collect()
+        out = spark.createDataFrame(rows, stored.schema)
+        return out.orderBy("doc_id")
+    finally:
+        docs.unpersist()
+        shutil.rmtree(instance, ignore_errors=True)

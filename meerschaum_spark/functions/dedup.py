@@ -213,6 +213,27 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return ex.groupBy(id_col, *keep).agg(*aggs)
 
 
+def band_hash_rows(sigs: DataFrame, id_col: str, k: int, bands: int,
+                   keep_cols: list[str] | None = None) -> DataFrame:
+    """Banded LSH bucket rows from a signature table: one
+    ``(id, band, bh)`` row per band, ``bh = md5(band's sig values)`` —
+    the shared bucketing for candidate self-joins AND the ingest-time
+    near-dup guard."""
+    rows_per_band = k // bands
+    band_rows = []
+    for b in range(bands):
+        members = [F.col(f"sig_{b * rows_per_band + j}").cast("string")
+                   for j in range(rows_per_band)]
+        band_rows.append(F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *members)).alias("bh")))
+    keep = list(keep_cols or [])
+    return sigs.select(
+        F.col(id_col), *keep,
+        F.explode(F.array(*band_rows)).alias("bb"),
+    ).select(id_col, *keep, "bb.band", "bb.bh")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -252,18 +273,8 @@ def lsh_candidate_pairs(
         # signatures (callers with a precomputed table pass ``sigs``
         # already checkpointed and amortize it across queries)
         sigs = sigs.localCheckpoint(eager=True)
-    band_rows = []
-    for b in range(bands):
-        members = [F.col(f"sig_{b * rows_per_band + j}").cast("string")
-                   for j in range(rows_per_band)]
-        band_rows.append(F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws(",", *members)).alias("bh")))
     scope = [scope_col] if scope_col else []
-    buckets = sigs.select(
-        F.col(id_col), *scope,
-        F.explode(F.array(*band_rows)).alias("bb"),
-    ).select(id_col, *scope, "bb.band", "bb.bh")
+    buckets = band_hash_rows(sigs, id_col, k, bands, keep_cols=scope)
     if max_bucket_size is not None:
         key = [*scope, "band", "bh"]
         sizes = (buckets.groupBy(*key)

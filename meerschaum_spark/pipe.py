@@ -944,22 +944,35 @@ class Pipe:
         return os.path.join(self.store.path, "fingerprints")
 
     def _ingest_dedup_filter(self, df: DataFrame) -> DataFrame:
-        """Opt-in exact content dedup at ingest
-        (``parameters['dedup'] = {'method': 'exact', 'column': 'text'}``):
+        """Opt-in content dedup at ingest
+        (``parameters['dedup'] = {'method': ..., 'column': 'text'}``):
         drop batch rows whose dedup-column content has EVER been synced,
         via an incremental fingerprint side table — the stored corpus is
         never rescanned (at 100 TB a content column scan per sync is the
-        cost this table exists to avoid). Batch-internal duplicates keep
-        the FIRST occurrence (source order). The 2×64-bit fingerprint
-        pair makes a false drop ~2⁻¹²⁸ — the near-dup operators
-        (functions/dedup.py) cover fuzzy matching; this is the exact
-        "never ingest twice" contract."""
+        cost this table exists to avoid).
+
+        ``method='exact'``: 2×64-bit content hash pair (false drop
+        ~2⁻¹²⁸); batch-internal duplicates keep the FIRST occurrence in
+        source order. ``method='minhash'``: MinHash-banded-LSH guard —
+        an incoming row dropped when ≥ ``min_bands`` of its band hashes
+        collide with the STORED corpus's (near-dup-at-ingest; the
+        standard OR-construction recall geometry, ``k``/``bands``
+        configurable). The minhash guard deliberately checks against
+        stored content only — within-batch fuzzy dups are
+        ``near_dup_clusters``' job."""
         conf = self._dedup_conf
         col = conf.get("column")
+        method = conf.get("method", "exact")
         self._pending_fps = None
-        if (not col or conf.get("method", "exact") != "exact"
-                or col not in df.columns):
+        if not col or col not in df.columns:
             return df
+        if method == "exact":
+            return self._ingest_dedup_exact(df, col)
+        if method == "minhash":
+            return self._ingest_dedup_minhash(df, col, conf)
+        return df
+
+    def _ingest_dedup_exact(self, df: DataFrame, col: str) -> DataFrame:
         import os
         f1 = F.xxhash64(F.col(col))
         f2 = F.xxhash64(F.lit(1), F.col(col))
@@ -971,8 +984,37 @@ class Pipe:
             seen = (self.spark.read.schema("_fp1 long, _fp2 long")
                     .parquet(self._fps_dir))
             df = df.join(seen, on=["_fp1", "_fp2"], how="left_anti")
-        self._pending_fps = df.select("_fp1", "_fp2")
+        self._pending_fps = (self._fps_dir, "_fp1 long, _fp2 long",
+                             df.select("_fp1", "_fp2"))
         return df.drop("_fp1", "_fp2")
+
+    def _ingest_dedup_minhash(self, df: DataFrame, col: str,
+                              conf: dict) -> DataFrame:
+        import os
+
+        import meerschaum_spark.functions.dedup as D
+        k = int(conf.get("k", D.DEFAULT_MINHASH_K))
+        bands = int(conf.get("bands", D.DEFAULT_BANDS))
+        min_bands = int(conf.get("min_bands", 1))
+        lsh_dir = self._fps_dir + "_lsh"
+        sigs = D.minhash_signatures(df.select(F.col(ORD_COL), F.col(col)),
+                                    text_col=col, id_col=ORD_COL, k=k)
+        buckets = D.band_hash_rows(sigs, ORD_COL, k, bands)
+        if os.path.isdir(lsh_dir):
+            seen = (self.spark.read.schema("band int, bh string")
+                    .parquet(lsh_dir))
+            hits = (buckets.join(seen, on=["band", "bh"], how="left_semi")
+                    .groupBy(ORD_COL)
+                    .agg(F.count(F.lit(1)).alias("_nb"))
+                    .filter(F.col("_nb") >= min_bands)
+                    .select(ORD_COL))
+            df = df.join(hits, on=ORD_COL, how="left_anti")
+        survivors = (buckets
+                     .join(df.select(ORD_COL), on=ORD_COL, how="left_semi")
+                     .select(F.col("band").cast("int").alias("band"), "bh")
+                     .distinct())
+        self._pending_fps = (lsh_dir, "band int, bh string", survivors)
+        return df
 
     #: compact the fingerprint side table when it accumulates this many
     #: files (one small file lands per sync)
@@ -985,24 +1027,25 @@ class Pipe:
         sync cadence has fragmented it into many small files."""
         import os
         import shutil as _sh
-        fps = getattr(self, "_pending_fps", None)
-        if fps is None:
+        pending = getattr(self, "_pending_fps", None)
+        if pending is None:
             return
         self._pending_fps = None
-        fps.write.mode("append").parquet(self._fps_dir)
+        fps_dir, schema, fps = pending
+        fps.write.mode("append").parquet(fps_dir)
         try:
-            n_files = sum(1 for e in os.scandir(self._fps_dir)
+            n_files = sum(1 for e in os.scandir(fps_dir)
                           if e.is_file() and e.name.endswith(".parquet"))
         except OSError:
             return
         if n_files >= self._FPS_COMPACT_FILES:
-            compacted = (self.spark.read.schema("_fp1 long, _fp2 long")
-                         .parquet(self._fps_dir).distinct())
-            tmp = self._fps_dir + "_compact"
+            compacted = (self.spark.read.schema(schema)
+                         .parquet(fps_dir).distinct())
+            tmp = fps_dir + "_compact"
             compacted.write.mode("overwrite").parquet(tmp)
-            _sh.rmtree(self._fps_dir)
-            os.replace(tmp, self._fps_dir)
-            self.spark.catalog.refreshByPath(self._fps_dir)
+            _sh.rmtree(fps_dir)
+            os.replace(tmp, fps_dir)
+            self.spark.catalog.refreshByPath(fps_dir)
 
     def _dedupe_patch(self, df: DataFrame) -> DataFrame:
         """Dedupe an upsert patch on its keys — MERGE sources must be

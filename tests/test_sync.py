@@ -504,3 +504,40 @@ def test_ingest_content_dedup(spark, instance_dir):
     plain.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "txt": "alpha"},
                       {"dt": dtm(2024, 1, 2), "id": 2, "txt": "alpha"}]))
     assert plain.get_rowcount() == 2
+
+
+def test_ingest_near_dup_minhash(spark, instance_dir):
+    """dedup={'method': 'minhash'}: an incoming document that is a NEAR
+    duplicate of stored content (lightly edited, new key) collides in
+    enough LSH bands to be dropped at ingest; genuinely different
+    documents pass. Within-batch near-dups are deliberately NOT the
+    guard's job (near_dup_clusters covers those)."""
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen sleepy cats watch from the warm windowsill "
+            "and the rain taps softly on the old tin roof all night")
+    edited = base.replace("softly", "gently")   # one-token edit
+    other = ("completely different subject matter entirely about "
+             "submarine navigation protocols and sonar calibration "
+             "procedures for deep ocean trench mapping expeditions")
+
+    pipe = Pipe("test", "neardup", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"},
+                parameters={"dedup": {"method": "minhash",
+                                      "column": "txt", "min_bands": 1}})
+    r1 = pipe.sync(batch([{"dt": dtm(2024, 1, 1), "id": 1, "txt": base}]))
+    assert r1.inserted == 1
+
+    r2 = pipe.sync(batch([
+        {"dt": dtm(2024, 2, 1), "id": 10, "txt": edited},  # near-dup
+        {"dt": dtm(2024, 2, 2), "id": 11, "txt": other},   # novel
+    ]))
+    assert r2.inserted == 1
+    stored = {r["id"] for r in pipe.get_data(order=None).collect()}
+    assert stored == {1, 11}
+
+    # the novel doc's bands were recorded too: its own near-dup now drops
+    r3 = pipe.sync(batch([
+        {"dt": dtm(2024, 3, 1), "id": 20,
+         "txt": other.replace("deep", "vast")},
+    ]))
+    assert r3.inserted == 0 and r3.updated == 0

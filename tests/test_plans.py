@@ -178,3 +178,22 @@ def test_ivf_assignment_is_narrow(spark, sf_dir):
     r = plan_report(assign_ivf_cells(emb, cents))
     assert r["shuffles"] == 0
     assert r["broadcast_joins"] == 0  # no join at all, not even broadcast
+
+
+def test_q7_q19_join_strategies(spark, sf_dir):
+    """r5 analytics shapes keep their scale contracts: Q7's five-way join
+    broadcasts every dimension chain (only the fact side shuffles into
+    the group-by), and Q19's OR-of-ANDs still pushes the extracted
+    per-side conjuncts into the scans."""
+    from meerschaum_spark.plans import plan_report
+    from meerschaum_spark.queries import (
+        q7_nation_trade_flow,
+        q19_disjunctive_pushdown,
+    )
+    r7 = plan_report(q7_nation_trade_flow(spark, sf_dir))
+    assert r7["broadcast_joins"] >= 3
+    r19 = plan_report(q19_disjunctive_pushdown(spark, sf_dir))
+    assert r19["broadcast_joins"] >= 1
+    # Catalyst extracts `p_brand IN (...)`-style conjuncts from the
+    # disjunction and pushes them to the part scan
+    assert any("p_brand" in f for f in r19["pushed_filters"])

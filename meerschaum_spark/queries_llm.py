@@ -420,14 +420,14 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, queries, k=10)
 
 
-def _ann_sql(k: int, query_filter: str) -> str:
+def _ann_sql(k: int, query_filter: str, n_planes: int = S.N_PLANES) -> str:
     comp = (f"CASE WHEN ({_H60.format(x=chr(39) + 'plane{p}_' + chr(39) + ' || CAST(i - 1 AS VARCHAR)')} & 1) = 1 "
             f"THEN {_EL} ELSE -{_EL} END")
     bucket_terms = " + ".join(
         "CASE WHEN list_sum(list_transform(generate_series(1, len({v})), i -> "
         + comp.replace("{p}", str(p))
         + f")) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
-        for p in range(S.N_PLANES)
+        for p in range(n_planes)
     )
     dot_qc = "CAST(CAST(" + _DOT.format(a="qv", b="cv") + " AS VARCHAR) AS DOUBLE)"
     dot_qq = "CAST(CAST(" + _DOT.format(a="qv", b="qv") + " AS VARCHAR) AS DOUBLE)"
@@ -459,6 +459,45 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return S.ann_lsh_topk(emb, queries, k=5)
+
+
+@query(
+    "emb_ann_recall",
+    f"""
+    WITH ann AS (
+      SELECT query_id, neighbor_id FROM ({_ann_sql(5, "vec_id % 100 = 0", n_planes=4)}) a),
+    exact AS (
+      SELECT query_id, neighbor_id
+      FROM ({_cosine_sql(5, "vec_id % 100 = 0")}) e)
+    SELECT count(DISTINCT exact.query_id) AS n_queries,
+           count(*) AS n_exact_pairs,
+           count(ann.neighbor_id) AS n_hits,
+           CAST(count(ann.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+    FROM exact LEFT JOIN ann USING (query_id, neighbor_id)
+    """,
+)
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH ANN path against exact brute force — ANN is a
+    recall/cost tradeoff, so the engine measures it instead of asserting
+    it ("measure, don't guess"). Integer hit counts; the only float op is
+    the final IEEE division, so the number is bit-stable across engines.
+    At 100 TB this runs on a query SAMPLE — the corpus-side cost is the
+    same two passes the ANN and exact operators already define."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = S.cosine_topk(emb, queries, k=5) \
+        .select("query_id", "neighbor_id")
+    ann = (S.ann_lsh_topk(emb, queries, k=5, n_planes=4)
+           .select("query_id", "neighbor_id")
+           .withColumn("_hit", F.lit(1)))
+    return (
+        exact.join(ann, on=["query_id", "neighbor_id"], how="left")
+        .agg(F.countDistinct("query_id").alias("n_queries"),
+             F.count(F.lit(1)).alias("n_exact_pairs"),
+             F.count("_hit").alias("n_hits"),
+             (F.count("_hit").cast("double")
+              / F.count(F.lit(1))).alias("recall_at_5"))
+    )
 
 
 def _ivf_sql(k: int, n_centroids: int, query_filter: str) -> str:

@@ -1456,3 +1456,117 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (T.split_assign(docs)
             .select("doc_id", "source", "split").orderBy("doc_id"))
+
+
+#: window length (tokens) for exact-substring overlap; DF cap drops
+#: boilerplate windows shared by more docs than this
+SUBSTR_WINDOW = 16
+SUBSTR_MAX_DF = 50
+
+
+@query(
+    "doc_substring_dup_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {SUBSTR_WINDOW}
+                  THEN list_distinct(list_transform(
+                    generate_series(1, len(toks) - {SUBSTR_WINDOW - 1}),
+                    i -> {_H60.format(x=f"array_to_string(toks[i:i+{SUBSTR_WINDOW - 1}], ' ')")}))
+                  ELSE [] END AS whs
+      FROM t),
+    ex AS (SELECT doc_id, unnest(whs) AS wh FROM w),
+    dfreq AS (SELECT wh, count(*) AS wdf FROM ex GROUP BY wh),
+    keepw AS (SELECT ex.doc_id, ex.wh FROM ex
+              JOIN dfreq ON ex.wh = dfreq.wh
+              WHERE dfreq.wdf BETWEEN 2 AND {SUBSTR_MAX_DF}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_shared_windows
+      FROM keepw a JOIN keepw b
+        ON a.wh = b.wh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared_windows
+    FROM pairs
+    ORDER BY n_shared_windows DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def doc_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact long-substring overlap (the training-data dedup signal
+    MinHash misses: verbatim 16-token runs inside otherwise-different
+    documents). Rolling window hashes → DF-capped equi-join (windows in
+    2..50 docs; singleton windows can't pair, hotter ones are
+    boilerplate) → shared-window counts. The join carries (doc_id, hash)
+    only, and the DF cap bounds every bucket — the same quadratic guard
+    as the shingle-join cap."""
+    docs = _docs(spark, sf_dir)
+    from meerschaum_spark.catalog import hash60
+    toks = T.tokens(F.col("text"))
+    whs = F.when(
+        F.size(toks) >= SUBSTR_WINDOW,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(SUBSTR_WINDOW - 1)),
+            lambda i: hash60(F.array_join(
+                F.slice(toks, i, SUBSTR_WINDOW), " ")))),
+    ).otherwise(F.array().cast("array<long>"))
+    ex = (docs.select("doc_id", whs.alias("whs"))
+          .select("doc_id", F.explode("whs").alias("wh")))
+    dfreq = (ex.groupBy("wh").agg(F.count(F.lit(1)).alias("wdf"))
+             .filter(F.col("wdf").between(2, SUBSTR_MAX_DF)))
+    keepw = ex.join(dfreq.select("wh"), on="wh", how="left_semi")
+    a, b = keepw.alias("a"), keepw.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.wh") == F.col("b.wh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+    return pairs.orderBy(F.col("n_shared_windows").desc(),
+                         "doc_a", "doc_b").limit(20)
+
+
+@query(
+    "doc_adaptive_quality",
+    f"""
+    WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens,
+                      CAST(length(text) - length(regexp_replace(text,
+                           '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
+                          AS punct_ratio
+               FROM documents),
+    th AS (SELECT quantile_cont(n_tokens, 0.05) AS tok_lo,
+                  quantile_cont(n_tokens, 0.95) AS tok_hi,
+                  quantile_cont(punct_ratio, 0.95) AS punct_hi
+           FROM t)
+    SELECT doc_id, n_tokens, punct_ratio,
+           (n_tokens >= tok_lo AND n_tokens <= tok_hi
+            AND punct_ratio <= punct_hi) AS keep_adaptive
+    FROM t, th ORDER BY doc_id
+    """,
+)
+def doc_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality gating: thresholds come from the corpus's OWN
+    distribution (token-count p5/p95, punctuation p95) instead of fixed
+    constants — the filter that survives a domain shift. One tiny
+    percentile aggregate broadcast back over the scan; exact
+    interpolated percentiles match quantile_cont bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        (F.length(F.col("text"))
+         - F.length(F.regexp_replace(F.col("text"), r"[.,!?;:]", "")))
+        .cast("double").__div__(F.length(F.col("text")))
+        .alias("punct_ratio"))
+    th = t.agg(F.expr("percentile(n_tokens, 0.05)").alias("tok_lo"),
+               F.expr("percentile(n_tokens, 0.95)").alias("tok_hi"),
+               F.expr("percentile(punct_ratio, 0.95)").alias("punct_hi"))
+    keep = ((F.col("n_tokens") >= F.col("tok_lo"))
+            & (F.col("n_tokens") <= F.col("tok_hi"))
+            & (F.col("punct_ratio") <= F.col("punct_hi")))
+    return (t.crossJoin(F.broadcast(th))
+            .select("doc_id", "n_tokens", "punct_ratio",
+                    keep.alias("keep_adaptive"))
+            .orderBy("doc_id"))

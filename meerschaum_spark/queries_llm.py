@@ -1570,3 +1570,58 @@ def doc_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_tokens", "punct_ratio",
                     keep.alias("keep_adaptive"))
             .orderBy("doc_id"))
+
+
+@query(
+    "pipe_ingest_dedup_minhash",
+    _MINHASH_CTE + f""",
+    bands AS ({_band_rows_sql()}),
+    half AS (SELECT floor(quantile_cont(doc_id, 0.5)) AS h FROM documents),
+    coll AS (
+      SELECT b2.doc_id, count(DISTINCT b2.band) AS nb
+      FROM bands b2, bands b1, half
+      WHERE b2.doc_id > half.h AND b1.doc_id <= half.h
+        AND b1.band = b2.band AND b1.bh = b2.bh
+      GROUP BY b2.doc_id),
+    dropped AS (SELECT doc_id FROM coll WHERE nb >= 2)
+    SELECT d.doc_id, d.source FROM documents d, half
+    WHERE d.doc_id <= half.h
+       OR d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    ORDER BY d.doc_id
+    """,
+)
+def pipe_ingest_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUZZY ingest guard under the correctness gate: sync the first
+    half of the corpus, then the second — a second-half document is
+    dropped iff any of its LSH band hashes matches the stored half's
+    in at least TWO of the four bands (min_bands=2 — one collision of
+    four 4-row bands is a coarse 'maybe'; two is the AND-amplified
+    signal). The oracle replays the identical MinHash banding and
+    the EXISTS-collision decision, so the guard's geometry (K, bands,
+    band hashing) is pinned cross-engine — not just its plumbing."""
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").persist()
+    instance = tempfile.mkdtemp(prefix="mrsm_q_ingmh_")
+    try:
+        pipe = Pipe(
+            "catalog", "ingmh", instance=instance, spark=spark,
+            columns={"datetime": "doc_id", "id": "doc_id"},
+            parameters={"dedup": {"method": "minhash", "column": "text",
+                                  "min_bands": 2},
+                        "precision": {"unit": "second"}},
+            dtypes={"doc_id": "int64"})
+        half = int(docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0])
+        pipe.sync(docs.filter(F.col("doc_id") <= F.lit(half)))
+        pipe.sync(docs.filter(F.col("doc_id") > F.lit(half)))
+        stored = pipe.get_data(select_columns=["doc_id", "source"],
+                               order=None)
+        rows = stored.collect()
+        return (spark.createDataFrame(rows, stored.schema)
+                .orderBy("doc_id"))
+    finally:
+        docs.unpersist()
+        shutil.rmtree(instance, ignore_errors=True)

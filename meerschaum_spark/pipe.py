@@ -943,6 +943,18 @@ class Pipe:
         import os
         return os.path.join(self.store.path, "fingerprints")
 
+    @property
+    def _fps_tls(self):
+        # pending fingerprints are per-THREAD: verify's worker pool syncs
+        # one pipe from several threads, and an instance attribute would
+        # let one chunk's commit consume another's pending plan
+        tls = getattr(self, "_fps_tls_obj", None)
+        if tls is None:
+            import threading as _th
+            tls = _th.local()
+            self._fps_tls_obj = tls
+        return tls
+
     def _ingest_dedup_filter(self, df: DataFrame) -> DataFrame:
         """Opt-in content dedup at ingest
         (``parameters['dedup'] = {'method': ..., 'column': 'text'}``):
@@ -963,7 +975,7 @@ class Pipe:
         conf = self._dedup_conf
         col = conf.get("column")
         method = conf.get("method", "exact")
-        self._pending_fps = None
+        self._fps_tls.pending = None
         if not col or col not in df.columns:
             return df
         if method == "exact":
@@ -984,8 +996,8 @@ class Pipe:
             seen = (self.spark.read.schema("_fp1 long, _fp2 long")
                     .parquet(self._fps_dir))
             df = df.join(seen, on=["_fp1", "_fp2"], how="left_anti")
-        self._pending_fps = (self._fps_dir, "_fp1 long, _fp2 long",
-                             df.select("_fp1", "_fp2"))
+        self._fps_tls.pending = (self._fps_dir, "_fp1 long, _fp2 long",
+                                 df.select("_fp1", "_fp2"))
         return df.drop("_fp1", "_fp2")
 
     def _ingest_dedup_minhash(self, df: DataFrame, col: str,
@@ -1013,7 +1025,7 @@ class Pipe:
                      .join(df.select(ORD_COL), on=ORD_COL, how="left_semi")
                      .select(F.col("band").cast("int").alias("band"), "bh")
                      .distinct())
-        self._pending_fps = (lsh_dir, "band int, bh string", survivors)
+        self._fps_tls.pending = (lsh_dir, "band int, bh string", survivors)
         return df
 
     #: compact the fingerprint side table when it accumulates this many
@@ -1027,10 +1039,10 @@ class Pipe:
         sync cadence has fragmented it into many small files."""
         import os
         import shutil as _sh
-        pending = getattr(self, "_pending_fps", None)
+        pending = getattr(self._fps_tls, "pending", None)
         if pending is None:
             return
-        self._pending_fps = None
+        self._fps_tls.pending = None
         fps_dir, schema, fps = pending
         fps.write.mode("append").parquet(fps_dir)
         try:

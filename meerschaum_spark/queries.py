@@ -1641,3 +1641,342 @@ def pipe_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         docs.unpersist()
         shutil.rmtree(instance, ignore_errors=True)
+
+
+# ===========================================================================
+# TPC-H shapes round 2: correlated-min (Q2), profit rollup (Q9), scalar
+# subquery HAVING (Q11), CASE-bucket counts (Q12), nested-agg share (Q20),
+# single-blame EXISTS/NOT-EXISTS (Q21) — adapted to the testdata schema
+# (no partsupp/commitdate/shipmode; lineitem supplies prices and dates).
+# ===========================================================================
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH price AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               AS unit_price
+      FROM lineitem GROUP BY 1, 2),
+    eligible AS (
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+             n.n_name, price.unit_price,
+             row_number() OVER (PARTITION BY p.p_partkey
+                                ORDER BY price.unit_price ASC,
+                                         s.s_suppkey ASC) AS rn
+      FROM price
+      JOIN part p ON price.l_partkey = p.p_partkey
+      JOIN supplier s ON price.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE p.p_type = 'LARGE' AND p.p_size <= 10 AND r.r_name = 'EUROPE')
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+           unit_price
+    FROM eligible WHERE rn = 1
+    ORDER BY s_acctbal DESC, p_partkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's shape (correlated MIN subquery): for each qualifying
+    part, the EUROPE supplier quoting the lowest observed unit price.
+    The reference's partsupp.ps_supplycost is absent from the testdata,
+    so unit price derives from lineitem (sum price / sum qty, exact
+    decimal sums surfaced as double). The correlated `= (SELECT min..)`
+    becomes a per-part window rank — one fact shuffle on (part, supp),
+    every dimension broadcast; the min-per-part needs no extra shuffle
+    because the rank rides the same (part)-clustered exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE")
+    sdim = F.broadcast(
+        supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    price = (
+        li.groupBy(F.col("l_partkey"), F.col("l_suppkey"))
+        .agg((F.sum(_dec("l_extendedprice")).cast("double")
+              / F.sum(_dec("l_quantity")).cast("double")).alias("unit_price"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("unit_price").asc(), F.col("s_suppkey").asc())
+    return (
+        price.join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .join(sdim, F.col("l_suppkey") == sdim["s_suppkey"])
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal",
+                "n_name", "unit_price")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1).drop("rn")
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey")
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation, EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+           CAST(CAST(sum(
+             CAST(l.l_extendedprice AS DECIMAL(18,6))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
+             - CAST(0.5 AS DECIMAL(18,6)) * CAST(p.p_retailprice AS DECIMAL(18,6))
+               * CAST(l.l_quantity AS DECIMAL(18,6))
+           ) AS VARCHAR) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9's shape: per-nation, per-year profit on a part-name
+    family. ps_supplycost is absent, so cost is modeled as half the
+    part's retail price per unit — the arithmetic stays entirely in
+    exact decimal until the final double cast. part/supplier/nation
+    broadcast; the only shuffles are the orders join (key = orderkey)
+    and the final small group-by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    sdim = F.broadcast(
+        supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("nation")))
+    profit = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+              - F.lit(0.5).cast(DEC) * _dec("p_retailprice")
+              * _dec("l_quantity"))
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .join(sdim, li["l_suppkey"] == sdim["s_suppkey"])
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy(F.col("nation"),
+                 F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(_sum_dbl(profit, "profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q11_important_stock",
+    """
+    WITH holdings AS (
+      SELECT n.n_name,
+             sum(CAST(l.l_quantity AS DECIMAL(18,6))
+                 * CAST(p.p_retailprice AS DECIMAL(18,6))) AS value_dec
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1),
+    total AS (SELECT sum(value_dec) AS total_dec FROM holdings)
+    SELECT n_name,
+           CAST(CAST(value_dec AS VARCHAR) AS DOUBLE) AS stock_value
+    FROM holdings, total
+    WHERE CAST(CAST(value_dec AS VARCHAR) AS DOUBLE)
+          > 0.04 * CAST(CAST(total_dec AS VARCHAR) AS DOUBLE)
+    ORDER BY stock_value DESC, n_name
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's shape: nations holding an outsized share of total
+    stock value — the `HAVING > (SELECT sum(..) * fraction)` scalar
+    subquery becomes a broadcast cross-join of the single-row global
+    total against the per-nation rollup (25 rows), so the threshold
+    comparison never re-scans the fact table. Sums stay decimal-exact;
+    the share comparison happens in IEEE double on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    sdim = F.broadcast(
+        supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .select("s_suppkey", "n_name"))
+    value = _dec("l_quantity") * _dec("p_retailprice")
+    holdings = (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .join(sdim, li["l_suppkey"] == sdim["s_suppkey"])
+        .groupBy("n_name")
+        .agg(F.sum(value).alias("value_dec"))
+    )
+    total = holdings.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        holdings.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double")
+                > F.lit(0.04) * F.col("total_dec").cast("double"))
+        .select("n_name", F.col("value_dec").cast("double").alias("stock_value"))
+        .orderBy(F.col("stock_value").desc(), "n_name")
+    )
+
+
+@query(
+    "q12_ship_delay_classes",
+    """
+    SELECT CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) < 30 THEN 'FAST'
+                WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) < 90 THEN 'MEDIUM'
+                ELSE 'SLOW' END AS delay_class,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q12_ship_delay_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12's shape: line counts split by order priority across
+    shipping classes. l_shipmode/commitdate/receiptdate are absent, so
+    the class derives from the order-to-ship delay in days. One join
+    shuffle on orderkey, then a 3-row conditional aggregation — the
+    CASE counters fold map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    delay_class = (F.when(delay < 30, "FAST")
+                   .when(delay < 90, "MEDIUM").otherwise("SLOW"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(delay_class.alias("delay_class"))
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+        .orderBy("delay_class")
+    )
+
+
+@query(
+    "q20_excess_share_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(18,6))) AS sq
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'small%'
+      GROUP BY 1, 2),
+    part_total AS (
+      SELECT l_partkey, sum(sq) AS tq, count(*) AS ns
+      FROM shipped GROUP BY 1)
+    SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+    FROM shipped
+    JOIN part_total USING (l_partkey)
+    JOIN supplier s ON shipped.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE CAST(CAST(sq AS VARCHAR) AS DOUBLE)
+          > 2.0 * CAST(CAST(tq AS VARCHAR) AS DOUBLE) / ns
+    ORDER BY s_suppkey
+    """,
+)
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20's shape (nested grouped subquery): suppliers who
+    shipped more than 2x their fair share of some part in a name
+    family — the reference's `ps_availqty > 0.5 * (SELECT
+    sum(l_quantity) ...)` with availability re-derived from shipment
+    volume and the threshold made RELATIVE (2x 1/n_suppliers) so the
+    predicate keeps selecting at any scale factor (an absolute share
+    shrinks as more suppliers touch each part). Both aggregation
+    levels group the SAME (part)-keyed rows, so the per-part total
+    reuses the first rollup (no second fact scan); dimensions
+    broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    sdim = F.broadcast(
+        supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .select("s_suppkey", "s_name", "n_name"))
+    shipped = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sq"))
+    )
+    part_total = shipped.groupBy("l_partkey").agg(
+        F.sum("sq").alias("tq"), F.count(F.lit(1)).alias("ns"))
+    return (
+        shipped.join(part_total, on="l_partkey")
+        .filter(F.col("sq").cast("double")
+                > F.lit(2.0) * F.col("tq").cast("double") / F.col("ns"))
+        .join(sdim, F.col("l_suppkey") == sdim["s_suppkey"])
+        .select("s_suppkey", "s_name", "n_name").distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    WITH per_supp AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY 1, 2),
+    per_order AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late
+      FROM per_supp GROUP BY 1)
+    SELECT s.s_name, count(*) AS numwait
+    FROM per_supp
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier s ON per_supp.l_suppkey = s.s_suppkey
+    WHERE per_supp.is_late = 1 AND per_order.n_supp >= 2
+      AND per_order.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape (EXISTS + NOT EXISTS): suppliers who were the
+    SOLE late shipper on finished multi-supplier orders. Late derives
+    from ship-vs-order date (no commit/receipt dates in the testdata).
+    The exists/not-exists pair collapses into one (order, supplier)
+    rollup plus an order-level count — the blame filter `n_late = 1 AND
+    is_late` IS "exists another supplier, none of them late". Two
+    shuffles total (orderkey, then the small name rollup); the
+    order-level counts ride the same orderkey clustering."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        1).otherwise(0)
+    per_supp = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late"))
+    return (
+        per_supp.join(per_order, on="l_orderkey")
+        .filter((F.col("is_late") == 1) & (F.col("n_supp") >= 2)
+                & (F.col("n_late") == 1))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

@@ -472,3 +472,170 @@ def label_centroid_stats(
                   .cast("double") / F.count(F.lit(1))).alias("avg_cos"),
                  F.min("_cos").alias("min_cos"))
             .orderBy(label_col))
+
+
+def kmeans_assign(df: DataFrame, cents: list, vec_col: str = "embedding",
+                  cell_col: str = "cell") -> DataFrame:
+    """Assign each vector to its nearest centroid from a literal list of
+    ``(cell_id, [double, ...])`` — the k-means analogue of
+    ``assign_ivf_cells``: centroids are broadcast-sized by contract, so
+    the argmin is a narrow projection over a literal struct array (zero
+    shuffle, zero row multiplication). Distances are double (both
+    engines fold the same IEEE ops in the same order); ties break on the
+    lower cell id via lexicographic struct ordering.
+
+    The whole argmin is ONE ``F.expr`` SQL string rather than a
+    Column-API tree: k x dim literal leaves built one Py4J call at a
+    time cost ~2 s of driver latency PER ASSIGNMENT (measured at
+    k=8 x dim=64); a single string parses JVM-side in milliseconds.
+    Double literals round-trip exactly through ``repr`` (shortest
+    exact decimal) + Spark's correctly-rounded string->double cast."""
+    structs = []
+    for cid, cv in cents:
+        arr = ", ".join(f"CAST('{float(c)!r}' AS DOUBLE)" for c in cv)
+        d = (f"aggregate(zip_with({vec_col}, array({arr}), "
+             f"(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+             f"CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)")
+        structs.append(
+            f"struct({d} AS d, CAST({int(cid)} AS BIGINT) AS cid)")
+    return df.withColumn(
+        cell_col, F.expr(f"array_min(array({', '.join(structs)}))['cid']"))
+
+
+def kmeans_stats(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means for a fixed number of iterations,
+    returning per-cluster quality stats (size + within-cluster sum of
+    squares). Seeded deterministically from the ``k`` vectors with the
+    smallest ids (KMeans|| would add a second job per round; seeded init
+    keeps the oracle replayable).
+
+    Each iteration is one narrow assignment pass (literal-centroid
+    argmin — no shuffle) plus one explode + hash aggregation for the
+    per-dimension sums; the k x dim sum table (~512 values) collects to
+    the driver exactly like a broadcast join's build side, so per-round
+    cost at 100 TB is one scan + one map-side-combining agg.
+
+    Determinism recipe: per-dimension sums accumulate in exact DECIMAL;
+    new centroid components are double(str(sum))/n (correctly-rounded
+    decimal->double, then one IEEE division — replayed in SQL as
+    CAST(CAST(s AS VARCHAR) AS DOUBLE)/n); distances are per-row double
+    folds. WCSS uses the identity sum||x-mu||^2 = sum||x||^2 -
+    ||s||^2/n, so no per-row distance to a divided mean is ever needed:
+    sum||x||^2 is exact decimal, ||s||^2/n is a double fold over the
+    sum vector. Cells that lose every member drop out of later rounds
+    (their rows re-assign to surviving centroids).
+    """
+    init_rows = sorted(
+        df.filter(F.col(id_col) < k).select(id_col, vec_col).collect(),
+        key=lambda r: r[0])
+    if not init_rows:
+        raise ValueError("kmeans_stats: no seed vectors with id < k")
+    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in init_rows]
+
+    assigned = None
+    for it in range(iters):
+        assigned = kmeans_assign(df, cents, vec_col)
+        if it == iters - 1:
+            break
+        ex = assigned.select("cell", F.posexplode(F.col(vec_col))
+                             .alias("_pos", "_x"))
+        sums = (ex.groupBy("cell", "_pos")
+                .agg(F.sum(F.col("_x").cast("double").cast(VDEC))
+                     .cast("decimal(22,9)").alias("_s"),
+                     F.count(F.lit(1)).alias("_n")))
+        rows = sums.collect()  # k x dim rows: broadcast-sized by contract
+        by_cell: dict = {}
+        for r in rows:
+            by_cell.setdefault(int(r["cell"]), []).append(
+                (int(r["_pos"]), float(str(r["_s"])) / int(r["_n"])))
+        cents = [(cell, [v for _, v in sorted(vals)])
+                 for cell, vals in sorted(by_cell.items())]
+
+    xx = F.aggregate(
+        F.transform(F.col(vec_col),
+                    lambda x: x.cast("double").cast(VDEC)
+                    * x.cast("double").cast(VDEC)),
+        F.lit(0).cast(ACC), lambda acc, t: (acc + t).cast(ACC))
+    per_cell = (assigned.select("cell", xx.alias("_xx"),
+                                F.posexplode(F.col(vec_col))
+                                .alias("_pos", "_x"))
+                .groupBy("cell", "_pos")
+                .agg(F.sum(F.col("_x").cast("double").cast(VDEC))
+                     .cast("decimal(22,9)").alias("_s"),
+                     F.sum("_xx").alias("_sxx"),
+                     F.count(F.lit(1)).alias("_n")))
+    # _sxx/_n repeat per dimension; pos 0 carries the per-cell truth
+    svecs = (per_cell.groupBy("cell")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("_pos", "_s"))),
+                 lambda p: p["_s"]).alias("_svec"),
+                 F.max(F.when(F.col("_pos") == 0, F.col("_sxx")))
+                 .alias("_sumxx"),
+                 F.max(F.when(F.col("_pos") == 0, F.col("_n")))
+                 .alias("n_vecs")))
+    ssq = F.aggregate(
+        F.transform(F.col("_svec"),
+                    lambda s: s.cast("double") * s.cast("double")),
+        F.lit(0.0), lambda acc, t: acc + t)
+    wcss = (F.col("_sumxx").cast("double")
+            - ssq / F.col("n_vecs"))
+    return (svecs.select(F.col("cell"), F.col("n_vecs"),
+                         wcss.alias("wcss"),
+                         (wcss / F.col("n_vecs")).alias("avg_sqdist"))
+            .orderBy("cell"))
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023's shape):
+    cluster the corpus with coarse centroids, then inside each cluster
+    drop every vector that has a near-duplicate (cosine >= threshold)
+    with a smaller id. Returns (vec_id, cell, kept).
+
+    The cluster pass is what bounds the quadratic: candidate pairs form
+    only within a cell, so sizing k proportionally to N keeps per-cell
+    occupancy - and the pairwise work - constant. This uses the
+    order-independent "dominated by any earlier id" rule rather than the
+    sequential greedy sweep (which chains: a~b, b~c, a!~c keeps c);
+    dominated-by-earlier is embarrassingly parallel, SQL-replayable, and
+    upper-bounds the dedup - the right variant for a distributed engine.
+
+    Cost shape: one assignment pass (literal-centroid argmin, no
+    shuffle), one cell-keyed self-join, double-precision prefilter with
+    a 1e-6 guard band, exact-decimal cosine only for near-threshold
+    survivors (the cross-engine-deterministic value)."""
+    assigned = assign_ivf_cells(corpus, centroids, id_col, vec_col)
+    base = assigned.select(F.col(id_col).alias("vid"),
+                           F.col(vec_col).alias("vec"),
+                           _norm_dbl(F.col(vec_col)).alias("norm"),
+                           "cell")
+    a, b = base.alias("sd_a"), base.alias("sd_b")
+    pairs = (a.join(b, (F.col("sd_a.cell") == F.col("sd_b.cell"))
+                    & (F.col("sd_a.vid") < F.col("sd_b.vid")))
+             .select(F.col("sd_a.vec").alias("va"),
+                     F.col("sd_b.vec").alias("vb"),
+                     F.col("sd_a.norm").alias("na"),
+                     F.col("sd_b.norm").alias("nb"),
+                     F.col("sd_b.vid").alias("dominated")))
+    fast = _dot_dbl(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    exact = (_dot_dec(F.col("va"), F.col("vb")).cast("double")
+             / (F.col("na") * F.col("nb")))
+    dominated = (pairs.filter(fast >= F.lit(threshold) - F.lit(1e-6))
+                 .filter(exact >= threshold)
+                 .select("dominated").distinct()
+                 .withColumn("_dom", F.lit(1)))
+    return (assigned.join(dominated,
+                          assigned[id_col] == dominated["dominated"], "left")
+            .select(id_col, "cell", F.col("_dom").isNull().alias("kept"))
+            .orderBy(id_col))

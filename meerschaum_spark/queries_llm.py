@@ -1625,3 +1625,182 @@ def pipe_ingest_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         docs.unpersist()
         shutil.rmtree(instance, ignore_errors=True)
+
+
+# ===========================================================================
+# Clustering + semantic dedup + data mixing (r5 continuation)
+# ===========================================================================
+
+_KM_K = 8
+_KM_DIST0 = """list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+           * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))),
+        (a, b) -> a + b)"""
+_KM_DIST1 = """list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        i -> (CAST(e.embedding[i] AS DOUBLE) - m.mv[i])
+           * (CAST(e.embedding[i] AS DOUBLE) - m.mv[i])),
+        (a, b) -> a + b)"""
+_KM_XX = _DOT.format(a="embedding", b="embedding")
+
+_KMEANS_SQL = f"""
+    WITH cent0 AS (SELECT vec_id AS cid, embedding AS cv
+                   FROM embeddings WHERE vec_id < {_KM_K}),
+    a1 AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_KM_DIST0} ASC, c.cid ASC) AS rn
+        FROM embeddings e, cent0 c) WHERE rn = 1),
+    ex1 AS (SELECT cell, generate_subscripts(embedding, 1) AS pos,
+                   unnest(embedding) AS x
+            FROM a1),
+    sums1 AS (
+      SELECT cell, pos,
+             CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,9)))
+                  AS DECIMAL(22,9)) AS s,
+             count(*) AS nn
+      FROM ex1 GROUP BY 1, 2),
+    m1 AS (SELECT cell,
+                  list(CAST(CAST(s AS VARCHAR) AS DOUBLE) / nn
+                       ORDER BY pos) AS mv
+           FROM sums1 GROUP BY cell),
+    a2 AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, m.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_KM_DIST1} ASC, m.cell ASC) AS rn
+        FROM embeddings e, m1 m) WHERE rn = 1),
+    stats0 AS (
+      SELECT cell, count(*) AS n_vecs, sum({_KM_XX}) AS sumxx
+      FROM a2 GROUP BY cell),
+    ex2 AS (SELECT cell, generate_subscripts(embedding, 1) AS pos,
+                   unnest(embedding) AS x
+            FROM a2),
+    sums2 AS (
+      SELECT cell, pos,
+             CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,9)))
+                  AS DECIMAL(22,9)) AS s
+      FROM ex2 GROUP BY 1, 2),
+    sv2 AS (SELECT cell, list(s ORDER BY pos) AS svec FROM sums2 GROUP BY cell),
+    ssq2 AS (
+      SELECT cell,
+             list_reduce(list_transform(generate_series(1, len(svec)),
+                 i -> CAST(CAST(svec[i] AS VARCHAR) AS DOUBLE)
+                      * CAST(CAST(svec[i] AS VARCHAR) AS DOUBLE)),
+                 (a, b) -> a + b) AS ssq
+      FROM sv2)
+    SELECT cell, n_vecs,
+           CAST(CAST(sumxx AS VARCHAR) AS DOUBLE) - ssq / n_vecs AS wcss,
+           (CAST(CAST(sumxx AS VARCHAR) AS DOUBLE) - ssq / n_vecs) / n_vecs
+               AS avg_sqdist
+    FROM stats0 JOIN ssq2 USING (cell) ORDER BY cell
+    """
+
+
+@query("emb_kmeans", _KMEANS_SQL)
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (2 iterations, seeded from the 8
+    smallest vec_ids) with per-cluster size and within-cluster sum of
+    squares — the corpus-clustering primitive under SemDeDup / IVF
+    index builds / topic bucketing. Per round: one shuffle-free
+    literal-centroid assignment + one explode/agg; the oracle replays
+    both unrolled iterations in SQL."""
+    return S.kmeans_stats(_emb(spark, sf_dir), k=_KM_K, iters=2)
+
+
+_SEMDEDUP_K = 32
+_SEMDEDUP_TAU = 0.9
+_SD_DIFF = ("(" + _EL.replace("{v}", "e.embedding") + " - "
+            + _EL.replace("{v}", "c._cv") + ")")
+_SD_SQDIST = (f"list_sum(list_transform(generate_series(1, len(e.embedding)), "
+              f"i -> {_SD_DIFF} * {_SD_DIFF}))")
+_SD_DOT_AB = "CAST(CAST(" + _DOT.format(a="a.embedding", b="b.embedding") + " AS VARCHAR) AS DOUBLE)"
+_SD_DOT_AA = "CAST(CAST(" + _DOT.format(a="a.embedding", b="a.embedding") + " AS VARCHAR) AS DOUBLE)"
+_SD_DOT_BB = "CAST(CAST(" + _DOT.format(a="b.embedding", b="b.embedding") + " AS VARCHAR) AS DOUBLE)"
+
+_SEMDEDUP_SQL = f"""
+    WITH cent AS (SELECT vec_id AS _cid, embedding AS _cv
+                  FROM embeddings WHERE vec_id < {_SEMDEDUP_K}),
+    assigned AS (
+      SELECT vec_id, embedding, _cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c._cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_SD_SQDIST} ASC, c._cid ASC) AS rn
+        FROM embeddings e, cent c
+      ) WHERE rn = 1),
+    dom AS (
+      SELECT b.vec_id AS dominated
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_SD_DOT_AB} / (sqrt({_SD_DOT_AA}) * sqrt({_SD_DOT_BB}))
+            >= {_SEMDEDUP_TAU}
+      GROUP BY 1)
+    SELECT e.vec_id, e.cell, (d.dominated IS NULL) AS kept
+    FROM assigned e LEFT JOIN dom d ON e.vec_id = d.dominated
+    ORDER BY e.vec_id
+    """
+
+
+@query("emb_semantic_dedup", _SEMDEDUP_SQL)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: coarse-cluster the embeddings
+    (32 seeded centroids), drop any vector with a same-cell cosine
+    near-duplicate of smaller id. The cells bound the pairwise pass —
+    k scales with N so per-cell occupancy (and the quadratic) stays
+    constant at 100 TB."""
+    emb = _emb(spark, sf_dir)
+    centroids = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _SEMDEDUP_K)
+    return S.semantic_dedup(emb, centroids, threshold=_SEMDEDUP_TAU)
+
+
+@query(
+    "doc_domain_mix",
+    f"""
+    WITH t AS (SELECT source, len({_TOKS}) AS nt FROM documents),
+    s AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum(nt) AS BIGINT) AS n_tokens
+          FROM t GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot_tokens,
+                   count(*) AS n_sources
+            FROM s)
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / tot_tokens AS token_share,
+           (1.0 / n_sources) / (CAST(n_tokens AS DOUBLE) / tot_tokens)
+               AS mix_weight,
+           least((1.0 / n_sources)
+                 / (CAST(n_tokens AS DOUBLE) / tot_tokens), 4.0) AS epochs,
+           CAST(n_tokens AS DOUBLE)
+             * least((1.0 / n_sources)
+                     / (CAST(n_tokens AS DOUBLE) / tot_tokens), 4.0)
+               AS effective_tokens
+    FROM s, tot ORDER BY source
+    """,
+)
+def doc_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: per-source token shares and the
+    up/down-sampling weight that moves the corpus toward a uniform
+    domain mixture, with repetition capped at 4 epochs (the standard
+    dont-repeat-data guard). One scan + one tiny agg + a broadcast
+    cross-join of the single-row total; every ratio is IEEE double
+    from exact integer counts, so cross-engine hashes match."""
+    docs = _docs(spark, sf_dir)
+    per_source = (docs.select("source", F.size(T.tokens(F.col("text")))
+                              .alias("nt"))
+                  .groupBy("source")
+                  .agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.sum("nt").alias("n_tokens")))
+    total = per_source.agg(
+        F.sum("n_tokens").cast("double").alias("tot_tokens"),
+        F.count(F.lit(1)).alias("n_sources"))
+    share = F.col("n_tokens").cast("double") / F.col("tot_tokens")
+    weight = (F.lit(1.0) / F.col("n_sources")) / share
+    epochs = F.least(weight, F.lit(4.0))
+    return (per_source.crossJoin(F.broadcast(total))
+            .select("source", "n_docs", "n_tokens",
+                    share.alias("token_share"),
+                    weight.alias("mix_weight"),
+                    epochs.alias("epochs"),
+                    (F.col("n_tokens").cast("double") * epochs)
+                    .alias("effective_tokens"))
+            .orderBy("source"))

@@ -494,3 +494,69 @@ def test_label_centroid_stats(spark):
     # undefined and surface as NULL, not a divide-by-zero error
     assert out[1]["avg_cos"] is None and out[1]["min_cos"] is None
     assert out[0]["min_cos"] <= out[0]["avg_cos"]
+
+
+def test_kmeans_assign_and_stats(spark):
+    # two obvious clusters around (0,0) and (10,10); seeds = ids 0 and 1
+    rows = [
+        (0, [0.0, 0.1]), (1, [10.0, 10.0]),
+        (2, [0.2, 0.0]), (3, [9.9, 10.1]),
+        (4, [0.1, 0.1]), (5, [10.2, 9.8]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned = S.kmeans_assign(
+        df, [(0, [0.0, 0.1]), (1, [10.0, 10.0])])
+    cells = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    assert cells == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+
+    stats = S.kmeans_stats(df, k=2, iters=2).collect()
+    assert [r["cell"] for r in stats] == [0, 1]
+    assert all(r["n_vecs"] == 3 for r in stats)
+    # tight clusters: wcss small and non-negative, avg = wcss / n
+    for r in stats:
+        assert 0.0 <= r["wcss"] < 1.0
+        assert r["avg_sqdist"] == pytest.approx(r["wcss"] / r["n_vecs"])
+
+
+def test_kmeans_empty_cell_drops_out(spark):
+    # seed 1 is strictly farther from every point than seed 0, so its
+    # cell empties after the first assignment and the stats carry one row
+    rows = [(0, [0.0, 0.0]), (1, [100.0, 100.0]),
+            (2, [0.1, 0.0]), (3, [0.0, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned = S.kmeans_assign(df, [(0, [0.0, 0.0])])
+    assert {r["cell"] for r in assigned.collect()} == {0}
+
+
+def test_semantic_dedup_drops_within_cell_near_dup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),            # centroid/cell A
+        (1, [0.0, 1.0, 0.0]),            # centroid/cell B
+        (2, [0.999, 0.01, 0.0]),         # near-dup of 0, same cell
+        (3, [0.01, 0.999, 0.0]),         # near-dup of 1, same cell
+        (4, [0.7, 0.7, 0.2]),            # not near anything at 0.99
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = df.filter(F.col("vec_id") < 2)
+    out = {r["vec_id"]: r for r in
+           S.semantic_dedup(df, cents, threshold=0.99).collect()}
+    assert out[0]["kept"] and out[1]["kept"] and out[4]["kept"]
+    assert not out[2]["kept"] and not out[3]["kept"]
+    # the dominated vector sits in the dominator's cell
+    assert out[2]["cell"] == out[0]["cell"]
+
+
+def test_semantic_dedup_dominance_is_order_independent(spark):
+    # chain a~b, b~c with a!~c: dominated-by-earlier drops BOTH b and c
+    # (b dominates c even though b itself is dropped) — the documented
+    # parallel variant, stricter than the sequential greedy sweep
+    rows = [  # unit vectors at 0, 3 and 6 degrees: adjacent pairs are
+        (0, [1.0, 0.0]),            # ~cos(3deg)=0.9986 apart, the ends
+        (1, [0.9986295, 0.0523360]),  # only cos(6deg)=0.9945
+        (2, [0.9945219, 0.1045285]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = df.filter(F.col("vec_id") < 1)  # one cell
+    out = {r["vec_id"]: r["kept"] for r in
+           S.semantic_dedup(df, cents, threshold=0.996).collect()}
+    assert out[0] and not out[1] and not out[2]

@@ -151,9 +151,15 @@ def to_spark_df(
     spark: SparkSession,
     data: Any,
     dtypes: dict[str, str] | None = None,
+    _local_out: dict | None = None,
 ) -> tuple[DataFrame, dict[str, str]]:
     """Normalize input (Spark DF / pandas DF / list[dict] / simple-lines str)
-    to a Spark DataFrame; returns (df, inferred_mrsm_dtypes)."""
+    to a Spark DataFrame; returns (df, inferred_mrsm_dtypes).
+
+    ``_local_out``: when the input is driver-local (anything but a Spark
+    DataFrame), the fully-converted pandas frame is placed under
+    ``_local_out['pdf']`` so callers can derive batch statistics without
+    scheduling Spark jobs (see ``Pipe._split_existing``)."""
     if isinstance(data, DataFrame):
         return data, {c: from_spark_type(f.dataType) for c, f in
                       zip(data.columns, data.schema.fields)}
@@ -216,6 +222,8 @@ def to_spark_df(
     # inferred map — an all-null batch must never evolve a registered
     # dtype (it would corrupt the table's read schema)
     all_null_cols = [c for c in pdf.columns if pdf[c].isna().all()]
+    if _local_out is not None:
+        _local_out["pdf"] = pdf
     sdf = spark.createDataFrame(pdf)
     # driver-local input with a known (small) length: don't let the local
     # relation fan out to defaultParallelism empty slices — every action on

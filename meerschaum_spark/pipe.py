@@ -604,7 +604,9 @@ class Pipe:
             return SyncResult(True, "Empty batch.", 0, 0)
         if isinstance(data, (list, tuple)) and not data:
             return SyncResult(True, "Empty batch.", 0, 0)
-        df, inferred = mdf.to_spark_df(self.spark, data, self.dtypes or None)
+        local_out: dict = {}
+        df, inferred = mdf.to_spark_df(self.spark, data, self.dtypes or None,
+                                       _local_out=local_out)
         if df is None or not df.columns:
             return SyncResult(True, "Empty batch.", 0, 0)
 
@@ -702,7 +704,8 @@ class Pipe:
             bounds: dict = {}
             marked = self._split_existing(df, force_full_scan=force_full_scan,
                                           _persisted=_persisted,
-                                          _bounds=bounds)
+                                          _bounds=bounds,
+                                          _local_pdf=local_out.get("pdf"))
             # a long-running service must not leak one cache entry per sync
             stack.callback(lambda: [c.unpersist() for c in _persisted])
             # ONE job computes the diff, counts BOTH splits, and writes the
@@ -771,10 +774,58 @@ class Pipe:
             marked.filter(F.col(HIT_COL).isNotNull()).drop(HIT_COL),
         )
 
+    @staticmethod
+    def _local_batch_stats(
+        pdf, stats_cols: list, dt: str | None, key_cols: list,
+        force_full_scan: bool, pushdown: dict,
+    ) -> dict:
+        """Driver-side replica of the batch-stats job for local input:
+        dt bounds + per-key distinct values straight from the pandas
+        frame. Fills ``pushdown`` in place for columns whose literal
+        equality provably matches the stored column's (int/str/bool/
+        datetime); anything exotic (decimal, bytes, geometry) keeps the
+        full backtrack — pushdown is a pruning optimization, never worth
+        a semantic gamble.
+
+        The frame may be a SUPERSET of the batch (ingest-dedup can drop
+        rows after conversion): superset bounds/values only widen the
+        backtrack, so every error direction is conservative."""
+        import pandas as _pd
+
+        def _py(v):
+            if isinstance(v, _pd.Timestamp):
+                if v.tzinfo is not None:
+                    # naive-UTC to match values a Spark stats job returns
+                    # in the engine's UTC session
+                    v = v.tz_convert("UTC").tz_localize(None)
+                return v.to_pydatetime()
+            return v.item() if hasattr(v, "item") else v
+
+        stats: dict = {}
+        if dt and dt in stats_cols and not force_full_scan:
+            s = pdf[dt]
+            nn = s.dropna()
+            stats["_dt_nulls"] = int(len(s) - len(nn))
+            stats["_lo"] = _py(nn.min()) if len(nn) else None
+            stats["_hi"] = _py(nn.max()) if len(nn) else None
+        for col in key_cols:
+            s = pdf[col]
+            n_null = int(s.isna().sum())
+            vals = [_py(v) for v in s.dropna().unique().tolist()]
+            stats[f"_nd_{col}"] = len(vals)
+            stats[f"_nn_{col}"] = n_null
+            safe = all(isinstance(v, (int, str, bool, datetime.datetime))
+                       for v in vals)
+            if (0 < len(vals) <= FILTER_PARAMS_INDEX_LIMIT
+                    and not n_null and safe):
+                pushdown[col] = vals
+        return stats
+
     def _split_existing(
         self, df: DataFrame, force_full_scan: bool = False,
         _persisted: list | None = None,
         _bounds: dict | None = None,
+        _local_pdf=None,
     ) -> DataFrame:
         """The diff against the stored table, as ONE DataFrame: every
         changed row of the batch, tagged ``_mrsm_hit`` non-null when its
@@ -817,10 +868,28 @@ class Pipe:
         # batch materializes later inside the write job that consumes it.
         stats_cols = ([dt] if dt and dt in df.columns else []) + key_cols
         stats_src = df.select(*stats_cols) if stats_cols else df
-        stats = stats_src.agg(*stats_aggs).first() if stats_aggs else None
+        # Local-batch fast path: rows that arrived as driver-local data
+        # (dict/list/pandas syncs, HTTP payloads — the reference's dominant
+        # small-batch cadence) carry their converted pandas frame in
+        # ``_local_pdf``, so BOTH probe actions (stats agg + per-key
+        # distinct collect) collapse into driver-side Python — two fewer
+        # Spark jobs on the per-sync critical path. Distributed batches
+        # keep the one-pass HLL stats job + bounded pushdown collect.
+        stats: dict | None = None
+        pushdown: dict[str, list] = {}
+        use_local = (
+            _local_pdf is not None and stats_aggs
+            and all(c in _local_pdf.columns for c in stats_cols))
+        if use_local:
+            stats = self._local_batch_stats(_local_pdf, stats_cols, dt,
+                                            key_cols, force_full_scan,
+                                            pushdown)
+        elif stats_aggs:
+            row = stats_src.agg(*stats_aggs).first()
+            stats = row.asDict() if row is not None else None
 
         begin = end = None
-        if stats is not None and "_lo" in stats.asDict() and stats["_lo"] is not None:
+        if stats is not None and "_lo" in stats and stats["_lo"] is not None:
             lo, hi = stats["_lo"], stats["_hi"]
             if isinstance(lo, datetime.datetime):
                 slop = datetime.timedelta(minutes=BOUNDS_SLOP_MINUTES)
@@ -837,21 +906,23 @@ class Pipe:
                 _bounds["end_us"] = self._bound_us(end)
 
         # distinct-key IN pushdown (≤ 250 values per key col): collect only
-        # for key columns the stats job proved small and null-free
-        pushdown: dict[str, list] = {}
-        for col in key_cols:
-            if stats is None:
-                break
-            n_distinct = stats[f"_nd_{col}"]
-            has_nulls = stats[f"_nn_{col}"] > 0
-            # 1.2× slack covers the HLL rsd; the exact distinct below is
-            # bounded and double-checks the limit
-            if 0 < n_distinct <= FILTER_PARAMS_INDEX_LIMIT * 1.2 and not has_nulls:
-                vals = [r[0] for r in
-                        df.select(col).distinct()
-                        .limit(FILTER_PARAMS_INDEX_LIMIT + 1).collect()]
-                if len(vals) <= FILTER_PARAMS_INDEX_LIMIT:
-                    pushdown[col] = vals
+        # for key columns the stats job proved small and null-free (the
+        # local fast path above already filled ``pushdown`` exactly)
+        if not use_local:
+            for col in key_cols:
+                if stats is None:
+                    break
+                n_distinct = stats[f"_nd_{col}"]
+                has_nulls = stats[f"_nn_{col}"] > 0
+                # 1.2× slack covers the HLL rsd; the exact distinct below is
+                # bounded and double-checks the limit
+                if (0 < n_distinct <= FILTER_PARAMS_INDEX_LIMIT * 1.2
+                        and not has_nulls):
+                    vals = [r[0] for r in
+                            df.select(col).distinct()
+                            .limit(FILTER_PARAMS_INDEX_LIMIT + 1).collect()]
+                    if len(vals) <= FILTER_PARAMS_INDEX_LIMIT:
+                        pushdown[col] = vals
 
         # No persist of the batch or the backtrack: after the fingerprint
         # rewrite each appears exactly ONCE in the diff plan, so a cache

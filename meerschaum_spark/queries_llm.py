@@ -378,6 +378,7 @@ def doc_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _VDEC = S.VDEC.upper()
+_ACC = S.ACC.upper()
 # cast float → DOUBLE first: DuckDB's float→decimal cast rounds from the
 # shortest decimal repr, but its double→decimal (like Spark's) rounds from
 # the exact binary expansion — only the latter matches across engines
@@ -1804,3 +1805,140 @@ def doc_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_tokens").cast("double") * epochs)
                     .alias("effective_tokens"))
             .orderBy("source"))
+
+
+# ===========================================================================
+# Gopher quality rules, BM25 retrieval, int8 quantization (r5 continuation)
+# ===========================================================================
+
+_GOPHER_SW = ", ".join(f"'{w}'" for w in T.GOPHER_REQUIRED_STOPWORDS)
+
+@query(
+    "doc_gopher_quality",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / len(toks) AS mean_word_len,
+             CAST((len(string_split_regex(text, '#')) - 1)
+                  + (len(string_split_regex(text, '\\.\\.\\.')) - 1) AS DOUBLE)
+               / len(toks) AS symbol_ratio,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS DOUBLE) / len(toks) AS alpha_frac,
+             len(list_filter([{_GOPHER_SW}],
+                             w -> list_contains(toks, w))) AS stopword_hits
+      FROM t)
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+           stopword_hits,
+           (n_words >= {T.GOPHER_MIN_WORDS} AND n_words <= {T.GOPHER_MAX_WORDS}
+            AND mean_word_len >= {T.GOPHER_MIN_MEAN_LEN!r}
+            AND mean_word_len <= {T.GOPHER_MAX_MEAN_LEN!r}
+            AND symbol_ratio <= {T.GOPHER_MAX_SYMBOL_RATIO!r}
+            AND alpha_frac >= {T.GOPHER_MIN_ALPHA_FRAC!r}
+            AND stopword_hits >= {T.GOPHER_MIN_STOPWORD_HITS}) AS gopher_pass
+    FROM m ORDER BY doc_id
+    """,
+)
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter (Rae et al. 2021 App. A): word-count /
+    mean-word-length bounds, symbol ratio, alpha fraction, required
+    stopwords — one shuffle-free codegen projection over the corpus."""
+    docs = _docs(spark, sf_dir)
+    return T.gopher_quality(docs).orderBy("doc_id")
+
+
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+def _bm25_sql(terms: list[str], k: int) -> str:
+    k1, b = T.BM25_K1, T.BM25_B
+    tf_defs = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_defs = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms)))
+    contribs = []
+    for i in range(len(terms)):
+        tf = f"CAST(tf_{i} AS DOUBLE)"
+        dfq = f"CAST(df_{i} AS DOUBLE)"
+        idf = (f"((CAST(n_docs AS DOUBLE) - {dfq} + CAST(0.5 AS DOUBLE))"
+               f" / ({dfq} + CAST(0.5 AS DOUBLE)))")
+        denom = (f"({tf} + CAST({k1!r} AS DOUBLE) * (CAST({1.0 - b!r} AS DOUBLE)"
+                 f" + CAST({b!r} AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))")
+        contribs.append(f"{idf} * ({tf} * CAST({k1 + 1.0!r} AS DOUBLE)) / {denom}")
+    score = "CAST(0.0 AS DOUBLE) + " + " + ".join(contribs)
+    tf_out = ", ".join(f"tf_{i} AS tf_{t}" for i, t in enumerate(terms))
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_defs}
+      FROM t),
+    stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS sum_dl, {df_defs} FROM base),
+    j AS (
+      SELECT base.*, stats.*,
+             CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+      FROM base, stats),
+    scored AS (
+      SELECT doc_id, dl, {tf_out}, {score} AS score FROM j),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM scored WHERE score > 0)
+    SELECT doc_id, dl, {', '.join('tf_' + t for t in terms)}, score, rnk
+    FROM ranked WHERE rnk <= {k} ORDER BY rnk
+    """
+
+
+@query("doc_bm25_topk", _bm25_sql(_BM25_TERMS, 10))
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (log-free idf variant, see functions/text.py
+    bm25_topk): corpus stats reduce to ONE single-row broadcast
+    aggregate; scoring is a narrow projection; top-k is distributed
+    TakeOrderedAndProject — no posting-list shuffle anywhere."""
+    docs = _docs(spark, sf_dir)
+    return T.bm25_topk(docs, _BM25_TERMS, k=10)
+
+
+def _int8_sql() -> str:
+    el = "CAST(v[i] AS DOUBLE)"
+    q_el = (f"CASE WHEN max_abs = CAST(0.0 AS DOUBLE) THEN 0 "
+            f"ELSE CAST(floor({el} / scale + CAST(0.5 AS DOUBLE)) AS BIGINT) END")
+    err_el = f"({el} - CAST(({q_el}) AS DOUBLE) * scale)"
+    # residuals quantize to 1e-9 ints; the squared sum is exact BIGINT
+    # arithmetic (order-free, engine-free) — see int8_quantize_stats
+    eq_el = (f"CAST(floor(({err_el}) * CAST(1000000000.0 AS DOUBLE)"
+             f" + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+    sq_dec = (f"list_sum(list_transform(generate_series(1, len(v)), i -> "
+              f"({eq_el}) * ({eq_el})))")
+    max_err = (f"list_max(list_transform(generate_series(1, len(v)), i -> "
+               f"abs({err_el})))")
+    n_clip = (f"len(list_filter(generate_series(1, len(v)), i -> "
+              f"({q_el}) > 127 OR ({q_el}) < -127))")
+    return f"""
+    WITH t AS (SELECT vec_id, embedding AS v FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 CAST(list_max(list_transform(v, x -> abs(x))) AS DOUBLE)
+                   AS max_abs
+          FROM t),
+    s AS (SELECT vec_id, v, max_abs,
+                 max_abs / CAST(127.0 AS DOUBLE) AS scale
+          FROM m)
+    SELECT vec_id, scale,
+           CAST({sq_dec} AS DOUBLE) / CAST(1e18 AS DOUBLE) AS sq_err,
+           {max_err} AS max_abs_err,
+           {n_clip} AS n_clipped
+    FROM s ORDER BY vec_id
+    """
+
+
+@query("emb_int8_quantize", _int8_sql())
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization + reconstruction error
+    (see functions/similarity.py int8_quantize_stats): shuffle-free
+    narrow projection, decimal-accumulated squared error."""
+    emb = _emb(spark, sf_dir)
+    return S.int8_quantize_stats(emb).orderBy("vec_id")

@@ -560,3 +560,50 @@ def test_semantic_dedup_dominance_is_order_independent(spark):
     out = {r["vec_id"]: r["kept"] for r in
            S.semantic_dedup(df, cents, threshold=0.996).collect()}
     assert out[0] and not out[1] and not out[2]
+
+
+def test_gopher_quality_rules(spark):
+    long_good = "the quick brown fox jumps over a lazy dog near it " * 6
+    short = "tiny doc"                                 # under min words
+    symbols = ("the a of " + "### ... " * 30).strip()  # symbol-heavy
+    df = spark.createDataFrame(
+        [(1, long_good), (2, short), (3, symbols)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in T.gopher_quality(df).collect()}
+    assert rows[1]["gopher_pass"] is True
+    assert rows[1]["n_words"] == 66
+    assert rows[1]["alpha_frac"] == 1.0
+    assert rows[2]["gopher_pass"] is False              # word-count floor
+    assert rows[3]["symbol_ratio"] > T.GOPHER_MAX_SYMBOL_RATIO
+    assert rows[3]["gopher_pass"] is False
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    df = spark.createDataFrame(
+        [(1, "spark spark spark join"),
+         (2, "spark join window"),
+         (3, "nothing relevant here"),
+         (4, "window window")],
+        "doc_id long, text string")
+    out = T.bm25_topk(df, ["spark", "join"], k=10).collect()
+    got = [r["doc_id"] for r in out]
+    assert 3 not in got                     # zero-score docs filtered
+    assert got[0] in (1, 2)                 # a spark+join doc ranks first
+    assert [r["rnk"] for r in out] == list(range(1, len(out) + 1))
+    # tf columns surface per query term
+    assert out[0]["tf_spark"] >= 1
+
+
+def test_int8_quantize_roundtrip_error_small(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.125, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    rows = {r["vec_id"]: r for r in S.int8_quantize_stats(df).collect()}
+    # max|v| = 0.5 → scale ≈ 0.5/127; worst-case per-element err ≤ scale/2
+    assert rows[1]["scale"] == pytest.approx(0.5 / 127)
+    assert rows[1]["max_abs_err"] <= rows[1]["scale"] / 2 + 1e-12
+    assert rows[1]["n_clipped"] == 0
+    assert rows[1]["sq_err"] >= 0.0
+    # all-zero vector: scale 0, zero error (guarded division)
+    assert rows[2]["scale"] == 0.0
+    assert rows[2]["sq_err"] == 0.0
+    assert rows[2]["max_abs_err"] == 0.0

@@ -197,3 +197,44 @@ def test_q7_q19_join_strategies(spark, sf_dir):
     # Catalyst extracts `p_brand IN (...)`-style conjuncts from the
     # disjunction and pushes them to the part scan
     assert any("p_brand" in f for f in r19["pushed_filters"])
+
+
+def test_gopher_quality_is_scan_only(spark, sf_dir):
+    """The Gopher rules are a narrow codegen projection: zero shuffles,
+    and the scan reads only (doc_id, text)."""
+    from meerschaum_spark.queries_llm import doc_gopher_quality
+    r = plan_report(doc_gopher_quality(spark, sf_dir))
+    assert r["shuffles"] <= 1            # the final orderBy only
+    assert all(len(cols) <= 2 for cols in r["read_schemas"])
+
+
+def test_bm25_stats_broadcast_and_topk(spark, sf_dir):
+    """BM25: the corpus-stats row joins back as a broadcast (no shuffle
+    keyed on data), and top-k runs as TakeOrderedAndProject, never a
+    single-partition global window."""
+    from meerschaum_spark.plans import explain_str
+    from meerschaum_spark.queries_llm import doc_bm25_topk
+    df = doc_bm25_topk(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in simple or "BroadcastHashJoin" in simple
+    assert "TakeOrderedAndProject" in simple
+
+
+def test_int8_quantize_is_shuffle_free(spark, sf_dir):
+    from meerschaum_spark.queries_llm import emb_int8_quantize
+    r = plan_report(emb_int8_quantize(spark, sf_dir))
+    assert r["shuffles"] <= 1            # the final orderBy only
+
+
+def test_affinity_pairs_never_self_joins_orders(spark, sf_dir):
+    """Market-basket pairs expand inside the basket array — the plan
+    must show zero joins between order-grain tables (the oracle's naive
+    self-join would shuffle the fact table twice at 100 TB)."""
+    from meerschaum_spark.plans import explain_str
+    from meerschaum_spark.queries import part_affinity_pairs
+    df = part_affinity_pairs(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "SortMergeJoin" not in simple
+    # exactly one broadcast join: lineitem → part (the dimension)
+    import re
+    assert len(re.findall(r"BroadcastHashJoin", simple)) == 1

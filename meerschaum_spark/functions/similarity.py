@@ -691,3 +691,68 @@ def int8_quantize_stats(
         max_err.alias("max_abs_err"),
         n_clip.alias("n_clipped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top principal direction (power iteration)
+# ---------------------------------------------------------------------------
+
+PCA_ELEM_SCALE = 1_000_000.0     # float elements → 1e-6-quantized ints
+PCA_ITER_SCALE = 10_000.0        # per-round rescale target max|w| = 1e4
+
+
+def pca_power_direction(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dominant right-singular direction of the (uncentered) embedding
+    matrix via two unrolled power-iteration rounds — the distributed
+    building block for SIF-style "remove the top principal component"
+    embedding post-processing and PCA whitening.
+
+    Never materializes the d×d gram matrix: each round is two linear
+    passes — per-row projections ``t_i = ⟨v_i, w⟩`` (narrow, codegen),
+    then the weighted column sum ``w'_j = Σ_i t_i·v_ij`` via
+    posexplode + a 64-key hash aggregation (map-side combined). Between
+    rounds only the d-vector ``w`` crosses the driver (metadata-sized,
+    like k-means centroids), rescaled to max|w| = 1e4.
+
+    Determinism: elements quantize to 1e-6 ints up front; every sum is
+    exact int64 arithmetic (order-free, engine-free), and the rescale is
+    one double multiply-divide-floor chain replayed identically by the
+    SQL oracle. Headroom: |w2| ≲ rows·1e4·1e8 — int64-safe through
+    ~1e6 rows per partition-sum at this quantization; rescale more
+    aggressively (or accumulate in decimal) beyond that.
+    """
+    vi = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(PCA_ELEM_SCALE)
+                          + F.lit(0.5)).cast("long"))
+    base = corpus.select(vi.alias("vi"))
+    # round 1: w0 = all-ones → t1 = Σ_k v_ik
+    t1 = F.aggregate(F.col("vi"), F.lit(0).cast("long"),
+                     lambda acc, x: acc + x)
+    r1 = base.select(F.col("vi"), t1.alias("t1"))
+    w1_rows = (r1.select(F.posexplode("vi").alias("dim", "el"), "t1")
+               .groupBy("dim")
+               .agg(F.sum(F.col("t1") * F.col("el")).alias("w1"))
+               .collect())
+    w1 = {r["dim"]: r["w1"] for r in w1_rows}
+    max_abs = max(abs(v) for v in w1.values()) or 1
+    import math
+    # the exact double chain the oracle replays: (w*1e4)/max_abs, floored
+    w1s = {d: math.floor((v * PCA_ITER_SCALE) / max_abs)
+           for d, v in w1.items()}
+    w1s_lit = F.array(*[F.lit(w1s[d]).cast("long") for d in sorted(w1s)])
+    # round 2 with the rescaled literal direction
+    t2 = F.aggregate(F.zip_with(F.col("vi"), w1s_lit, lambda x, y: x * y),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    r2 = base.select(F.col("vi"), t2.alias("t2"))
+    return (r2.select(F.posexplode("vi").alias("dim", "el"), "t2")
+            .groupBy("dim")
+            .agg(F.sum(F.col("t2") * F.col("el")).alias("w2"))
+            .withColumn("w1_scaled",
+                        F.element_at(w1s_lit, F.col("dim") + 1))
+            .select("dim", "w1_scaled", "w2")
+            .orderBy("dim"))

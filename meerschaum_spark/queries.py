@@ -2053,3 +2053,69 @@ def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "brand_a", "brand_b")
         .limit(30)
     )
+
+
+@query(
+    "streaming_topk_trending",
+    """
+    WITH w AS (
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS win_start,
+             event_type
+      FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) AS win_start, event_type FROM events),
+    c AS (
+      SELECT win_start, event_type, count(*) AS n_events
+      FROM w GROUP BY 1, 2),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY win_start
+                                   ORDER BY n_events DESC, event_type) AS rnk
+      FROM c)
+    SELECT win_start, event_type, n_events, rnk
+    FROM r WHERE rnk <= 3 ORDER BY win_start, rnk
+    """,
+)
+def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection as a STREAMING sliding-window aggregate:
+    2-hour windows sliding hourly over the replayed events stream
+    (each event lands in two windows), complete output mode,
+    availableNow trigger; the per-window top-3 rank runs batch-side on
+    the (tiny) aggregated sink. The oracle replays the same window math
+    in SQL via a two-window UNION ALL — integer counts, so cross-engine
+    hashes are exact.
+
+    Scale shape: the streaming aggregation is incremental per
+    micro-batch with state keyed on (window, event_type) — the classic
+    trending-topics pattern; at production scale the same query runs
+    unchanged with a watermark instead of a bounded replay."""
+    import os as _os
+
+    _STREAM_RUN_COUNTER[0] += 1
+    sink = f"_mrsm_stream_trend_{_STREAM_RUN_COUNTER[0]}"
+    path = _os.path.join(sf_dir, "events.parquet")
+    with _stream_replay_confs(spark):
+        raw = spark.read.parquet(path)
+        stream = (spark.readStream.schema(raw.schema)
+                  .option("pathGlobFilter", "events.parquet")
+                  .parquet(sf_dir))
+        stream = canonicalize_ts(stream, ["ts"])
+        agg = (
+            stream.groupBy(F.window("ts", "2 hours", "1 hour"),
+                           F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        q = (agg.writeStream.format("memory").queryName(sink)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), "event_type")
+    return (
+        spark.table(sink)
+        .select(F.col("window.start").alias("win_start"), "event_type",
+                "n_events")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("win_start", "rnk")
+    )

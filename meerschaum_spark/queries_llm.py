@@ -1942,3 +1942,49 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow projection, decimal-accumulated squared error."""
     emb = _emb(spark, sf_dir)
     return S.int8_quantize_stats(emb).orderBy("vec_id")
+
+
+def _pca_sql(dim: int = 64) -> str:
+    es, its = S.PCA_ELEM_SCALE, S.PCA_ITER_SCALE
+    vi = (f"list_transform(embedding, x -> "
+          f"CAST(floor(CAST(x AS DOUBLE) * CAST({es!r} AS DOUBLE)"
+          f" + CAST(0.5 AS DOUBLE)) AS BIGINT))")
+    return f"""
+    WITH base AS (SELECT {vi} AS vi FROM embeddings),
+    r1 AS (SELECT vi, CAST(list_sum(vi) AS BIGINT) AS t1 FROM base),
+    w1 AS (
+      SELECT j - 1 AS dim, CAST(sum(t1 * vi[j]) AS BIGINT) AS w1
+      FROM r1, (SELECT unnest(range(1, {dim + 1})) AS j)
+      GROUP BY j),
+    mx AS (SELECT max(abs(w1)) AS max_abs FROM w1),
+    w1s AS (
+      SELECT dim,
+             CAST(floor((CAST(w1 AS DOUBLE) * CAST({its!r} AS DOUBLE))
+                        / CAST(max_abs AS DOUBLE)) AS BIGINT) AS w1_scaled
+      FROM w1, mx),
+    w1arr AS (SELECT list(w1_scaled ORDER BY dim) AS wa FROM w1s),
+    r2 AS (
+      SELECT vi,
+             CAST(list_sum(list_transform(range(1, {dim + 1}),
+                                          k -> vi[k] * wa[k])) AS BIGINT) AS t2
+      FROM base, w1arr),
+    w2 AS (
+      SELECT j - 1 AS dim, CAST(sum(t2 * vi[j]) AS BIGINT) AS w2
+      FROM r2, (SELECT unnest(range(1, {dim + 1})) AS j)
+      GROUP BY j)
+    SELECT w2.dim, w1s.w1_scaled, w2.w2
+    FROM w2 JOIN w1s ON w2.dim = w1s.dim
+    ORDER BY w2.dim
+    """
+
+
+@query("emb_pca_power_direction", _pca_sql())
+def emb_pca_power_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding matrix by two
+    power-iteration rounds (see functions/similarity.py
+    pca_power_direction): two matvec passes, never a gram matrix; only
+    the d-vector crosses the driver between rounds; all sums are exact
+    scaled-int64 so the oracle (which unrolls both rounds in SQL)
+    hash-matches."""
+    emb = _emb(spark, sf_dir)
+    return S.pca_power_direction(emb)

@@ -607,3 +607,24 @@ def test_int8_quantize_roundtrip_error_small(spark):
     assert rows[2]["scale"] == 0.0
     assert rows[2]["sq_err"] == 0.0
     assert rows[2]["max_abs_err"] == 0.0
+
+
+def test_pca_power_direction_converges(spark):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    # corpus with a dominant direction: d0-heavy + small noise
+    dom = np.zeros(8); dom[0] = 1.0; dom[1] = 0.5
+    dom /= np.linalg.norm(dom)
+    X = (rng.normal(size=(300, 1)) * dom[None, :] * 0.05
+         + rng.normal(size=(300, 8)) * 0.005).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>")
+    rows = S.pca_power_direction(df).collect()
+    assert [r["dim"] for r in rows] == list(range(8))
+    w = np.array([r["w2"] for r in rows], dtype="float64")
+    w /= np.linalg.norm(w)
+    # numpy reference: dominant right-singular vector of X
+    _, _, vt = np.linalg.svd(X.astype("float64"), full_matrices=False)
+    ref = vt[0]
+    assert abs(float(np.dot(w, ref))) > 0.99

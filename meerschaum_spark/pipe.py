@@ -1082,7 +1082,13 @@ class Pipe:
         lsh_dir = self._fps_dir + "_lsh"
         sigs = D.minhash_signatures(df.select(F.col(ORD_COL), F.col(col)),
                                     text_col=col, id_col=ORD_COL, k=k)
-        buckets = D.band_hash_rows(sigs, ORD_COL, k, bands)
+        # One materialization of the MinHash pass: every downstream sync
+        # action (bounds probe, diff job, append, fingerprint commit)
+        # embeds this plan — without the checkpoint each re-tokenizes and
+        # re-hashes the whole batch. The checkpointed frame is tiny
+        # (``bands`` rows per doc of (ord, band, hash)); the batch itself
+        # stays lazy so its scan still prunes columns per consumer.
+        buckets = D.band_hash_rows(sigs, ORD_COL, k, bands).localCheckpoint()
         if os.path.isdir(lsh_dir):
             seen = (self.spark.read.schema("band int, bh string")
                     .parquet(lsh_dir))

@@ -1504,7 +1504,11 @@ def doc_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the shingle-join cap."""
     docs = _docs(spark, sf_dir)
     from meerschaum_spark.catalog import hash60
-    toks = T.tokens(F.col("text"))
+    # tokens MUST be a projected column, not an inline expression: an
+    # expression referenced inside the transform() lambda is re-evaluated
+    # per element (one regex split per WINDOW instead of per doc — 4x
+    # slower measured at sf0.1); an attribute reference is computed once
+    toks = F.col("toks")
     whs = F.when(
         F.size(toks) >= SUBSTR_WINDOW,
         F.array_distinct(F.transform(
@@ -1512,8 +1516,16 @@ def doc_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: hash60(F.array_join(
                 F.slice(toks, i, SUBSTR_WINDOW), " ")))),
     ).otherwise(F.array().cast("array<long>"))
-    ex = (docs.select("doc_id", whs.alias("whs"))
+    ex = (docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+          .select("doc_id", whs.alias("whs"))
           .select("doc_id", F.explode("whs").alias("wh")))
+    # materialize the window table ONCE: it feeds the doc-frequency agg,
+    # the semi-join probe, and BOTH sides of the pair self-join — left
+    # lazy, the rolling-hash explode re-runs four times (measured 4-5 s
+    # per eval at sf0.1, >16 s total). The checkpointed frame is two
+    # longs per window (~196k rows at sf0.1; at corpus scale this is the
+    # operator's natural shuffle-input size, not an extra copy).
+    ex = ex.localCheckpoint()
     dfreq = (ex.groupBy("wh").agg(F.count(F.lit(1)).alias("wdf"))
              .filter(F.col("wdf").between(2, SUBSTR_MAX_DF)))
     keepw = ex.join(dfreq.select("wh"), on="wh", how="left_semi")

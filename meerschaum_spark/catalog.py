@@ -57,11 +57,12 @@ HEAD_ORDER = [
     "emb_pca_power_direction", "emb_ann_recall",
     "part_affinity_pairs", "streaming_topk_trending",
     "multimodal_fake_decode",
+    # -- never driver-recorded: added this session --
+    "q6_forecast_revenue", "q14_promo_revenue", "q22_lapsed_customers",
     # -- recorded only once, oldest rows first --
     "streaming_hourly_rollup", "doc_corpus_prep", "q15_top_supplier",
     "doc_training_export", "doc_near_dup_clusters", "doc_token_budget",
-    "doc_contamination_check", "doc_token_rarity", "streaming_dedup_keys",
-    "events_funnel", "events_weekly_retention",
+    "doc_contamination_check", "doc_token_rarity",
 ]
 
 
@@ -69,17 +70,20 @@ def ordered(d: dict) -> dict:
     """Reorder a catalog dict so HEAD_ORDER entries come first (in that
     order), then everything else in registration order.
 
-    A HEAD_ORDER name missing from the catalog would silently shift a tail
-    query into the driver-audited first 50, so treat it as a hard error
-    (catches typos and renames at import time).
+    A HEAD_ORDER name missing from the QUERIES registry would silently
+    shift a tail query into the driver-audited first 50, so treat it as a
+    hard error (catches typos and renames at import time). Names that are
+    registered queries but absent from THIS dict are fine — the ORACLE
+    dict legitimately lacks rows-only entries (e.g. the multimodal
+    decode stub) and those are simply skipped here.
     """
-    missing = [k for k in HEAD_ORDER if k not in d]
+    missing = [k for k in HEAD_ORDER if k not in QUERIES]
     if missing:
         raise KeyError(
             f"HEAD_ORDER names absent from the catalog: {missing}; "
             "update catalog.HEAD_ORDER to match the registered query names"
         )
-    head = {k: d[k] for k in HEAD_ORDER}
+    head = {k: d[k] for k in HEAD_ORDER if k in d}
     head.update((k, v) for k, v in d.items() if k not in head)
     return head
 

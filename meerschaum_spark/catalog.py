@@ -59,10 +59,11 @@ HEAD_ORDER = [
     "multimodal_fake_decode",
     # -- never driver-recorded: added this session --
     "q6_forecast_revenue", "q14_promo_revenue", "q22_lapsed_customers",
+    "pipe_rollup_incremental",
     # -- recorded only once, oldest rows first --
     "streaming_hourly_rollup", "doc_corpus_prep", "q15_top_supplier",
     "doc_training_export", "doc_near_dup_clusters", "doc_token_budget",
-    "doc_contamination_check", "doc_token_rarity",
+    "doc_contamination_check",
 ]
 
 

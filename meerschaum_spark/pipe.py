@@ -656,13 +656,16 @@ class Pipe:
                 # the write job itself) — a separate .count() action would
                 # re-scan the whole source, doubling bulk-load I/O
                 obs = Observation()
-                patch = patch.observe(obs, F.count(F.lit(1)).alias("n"))
+                patch = patch.observe(obs, F.count(F.lit(1)).alias("n"),
+                                      *self._rollup_bounds_aggs(patch))
                 with self._write_lock:
                     self.store.append(patch)
-                n = int(obs.get["n"])
+                m = obs.get
+                n = int(m["n"])
             finally:
                 _release()
             self._commit_fingerprints()
+            self._rollups_after_write(m)
             self.register()
             return SyncResult(True, f"Inserted {n} rows (new table).", n, 0)
 
@@ -671,16 +674,19 @@ class Pipe:
                 with _low_latency_plan(self.spark):
                     patch = self._dedupe_patch(df)
                     obs = Observation()
-                    patch = patch.observe(obs, F.count(F.lit(1)).alias("n"))
+                    patch = patch.observe(obs, F.count(F.lit(1)).alias("n"),
+                                          *self._rollup_bounds_aggs(patch))
                     merge_keys = [c for c in self.index_cols
                                   if c in patch.columns] or patch.columns
                     with self._write_lock:
                         self.store.merge(patch, merge_keys,
                                          dtypes=self.dtypes or None)
-                    n = int(obs.get["n"])
+                    m = obs.get
+                    n = int(m["n"])
             finally:
                 _release()
             self._commit_fingerprints()
+            self._rollups_after_write(m)
             self.register()
             return SyncResult(True, f"Upserted {n} rows.", 0, n)
 
@@ -688,13 +694,16 @@ class Pipe:
             try:
                 df = df.drop(ORD_COL)
                 obs = Observation()
-                df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+                df = df.observe(obs, F.count(F.lit(1)).alias("n"),
+                                *self._rollup_bounds_aggs(df))
                 with self._write_lock:
                     self.store.append(df)
-                n = int(obs.get["n"])
+                m = obs.get
+                n = int(m["n"])
             finally:
                 _release()
             self._commit_fingerprints()
+            self._rollups_after_write(m)
             self.register()
             return SyncResult(True, f"Inserted {n} rows (no diff).", n, 0)
 
@@ -757,6 +766,16 @@ class Pipe:
                         end_us=bounds["end_us"] if use_bounds else None,
                     )
             self._commit_fingerprints()
+            if n_unseen or n_update:
+                # the diff's stats bounds (slop-widened superset of the
+                # written rows' time range) drive bucket-scoped rollup
+                # maintenance; a bound-less write (null dts) falls back to
+                # a full refresh inside the helper
+                if "begin_us" in bounds:
+                    self._maintain_rollups(bounds["begin_us"],
+                                           bounds["end_us"])
+                else:
+                    self._maintain_rollups(None, None)
             self.register()
             return SyncResult(
                 True, f"Inserted {n_unseen}, updated {n_update} rows.",
@@ -1136,6 +1155,214 @@ class Pipe:
             os.replace(tmp, fps_dir)
             self.spark.catalog.refreshByPath(fps_dir)
 
+    # ------------------------------------------------- incremental rollups
+
+    #: fixed-width rollup intervals (epoch-aligned in UTC, so the bucket
+    #: grid and the store's partition grid never straddle each other)
+    _ROLLUP_WIDTH_US = {
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+    }
+
+    @property
+    def _rollup_confs(self) -> list[dict]:
+        """Continuous-aggregate configs (TimescaleDB continuous-aggregate
+        analogue — the reference's primary backend; compress/hypertable
+        machinery lives in connectors/sql/_compress.py:31-636 but the
+        reference has no rollup maintenance, this is a beyond-parity
+        scale feature)::
+
+            parameters['rollups'] = [{'name': 'hourly', 'interval': 'hour',
+                                      'groupby': ['event_type'],
+                                      'values': ['value']}]
+
+        Each sync recomputes ONLY the buckets its patch touched from the
+        stored table (scan pruned to the patch's time range) and MERGEs
+        them into a side table — work per sync is proportional to the
+        patch's time span, never to table history. That is the
+        continuous-aggregate invalidation model: correct under updates
+        and late data because touched buckets are recomputed from
+        post-merge storage, not incremented."""
+        confs = self.parameters.get("rollups") or []
+        return [c for c in confs if isinstance(c, dict) and c.get("name")]
+
+    def _rollup_store(self, conf: dict) -> ParquetPipeStore:
+        return ParquetPipeStore(
+            self.spark, self.store.path, f"rollup_{conf['name']}",
+            dt_col=self.dt_col, dt_is_int=self.dt_is_int,
+            dt_unit=self.precision_unit, chunk_minutes=self.chunk_minutes,
+        )
+
+    def _rollup_width_us(self, conf: dict) -> int:
+        unit = str(conf.get("interval", "hour")).lower().rstrip("s")
+        try:
+            return self._ROLLUP_WIDTH_US[unit]
+        except KeyError:
+            raise ValueError(
+                f"rollup interval must be one of "
+                f"{sorted(self._ROLLUP_WIDTH_US)}, got {unit!r}") from None
+
+    def _rollup_bucket(self, conf: dict) -> F.Column:
+        """Bucket expression named after the dt column — the rollup table
+        reads as a downsampled pipe with the same time axis."""
+        dt = self.dt_col
+        width_us = self._rollup_width_us(conf)
+        if self.dt_is_int:
+            width_units = width_us // UNIT_US[self.precision_unit]
+            if width_units <= 0:
+                raise ValueError(
+                    "rollup interval is finer than the integer axis unit")
+            return (F.floor(F.col(dt).cast("long") / F.lit(width_units))
+                    * F.lit(width_units)).cast("long").alias(dt)
+        unit = str(conf.get("interval", "hour")).lower().rstrip("s")
+        return F.date_trunc(unit, F.col(dt)).alias(dt)
+
+    def _rollup_aggs(self, conf: dict, columns: list[str]) -> list[F.Column]:
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for v in conf.get("values") or []:
+            if v not in columns:
+                continue
+            # exact-decimal accumulation: double sums are order-sensitive,
+            # so an incremental recompute could drift from a full one
+            aggs += [
+                F.sum(F.col(v).cast("decimal(18,6)")).cast("decimal(28,6)")
+                .alias(f"sum_{v}"),
+                F.min(v).alias(f"min_{v}"),
+                F.max(v).alias(f"max_{v}"),
+            ]
+        return aggs
+
+    def _rollup_dtypes(self, conf: dict) -> dict[str, str]:
+        dt = self.dt_col
+        out = {dt: self.dtypes.get(dt, "datetime")}
+        for g in conf.get("groupby") or []:
+            out[g] = self.dtypes.get(g, "str")
+        out["n_rows"] = "int64"
+        for v in conf.get("values") or []:
+            out[f"sum_{v}"] = "numeric(28,6)"
+            out[f"min_{v}"] = self.dtypes.get(v, "float")
+            out[f"max_{v}"] = self.dtypes.get(v, "float")
+        return out
+
+    def _rollup_bounds_aggs(self, frame: DataFrame) -> list[F.Column]:
+        """Patch time-bounds collected from the WRITE job itself (same
+        Observation trick as the row counts — zero extra actions)."""
+        dt = self.dt_col
+        if not self._rollup_confs or not dt or dt not in frame.columns:
+            return []
+        c = F.col(dt)
+        us = (c.cast("long") * F.lit(UNIT_US[self.precision_unit])
+              if self.dt_is_int else F.unix_micros(c))
+        return [F.min(us).alias("_ru_lo"), F.max(us).alias("_ru_hi")]
+
+    def _maintain_rollups(self, begin_us: int | None,
+                          end_us: int | None) -> None:
+        """Recompute the patch-touched buckets from storage and MERGE them
+        into each rollup table. ``end_us`` exclusive; ``None`` bounds mean
+        the caller could not bound the patch (null dts) → full refresh."""
+        confs = self._rollup_confs
+        if not confs or not self.dt_col:
+            return
+        if begin_us is None or end_us is None:
+            for conf in confs:
+                self.refresh_rollup(conf["name"])
+            return
+        for conf in confs:
+            width = self._rollup_width_us(conf)
+            b0 = (begin_us // width) * width
+            e0 = ((end_us - 1) // width + 1) * width
+            part = self._rollup_compute(conf, b0, e0)
+            keys = [self.dt_col] + list(conf.get("groupby") or [])
+            self._rollup_store(conf).merge(
+                part, keys, dtypes=self._rollup_dtypes(conf),
+                begin_us=b0, end_us=e0)
+
+    def _rollups_after_write(self, metrics: dict) -> None:
+        """Post-write hook fed by the write job's Observation metrics:
+        bounded maintenance when the patch's time bounds were observed,
+        full refresh when rows landed without observable bounds (no/null
+        dt), nothing when the write was empty."""
+        if not self._rollup_confs or not self.dt_col:
+            return
+        n = 0
+        for key in ("n", "n_total"):
+            if metrics.get(key) is not None:
+                n = int(metrics[key])
+                break
+        lo, hi = metrics.get("_ru_lo"), metrics.get("_ru_hi")
+        if lo is not None and hi is not None:
+            self._maintain_rollups(int(lo), int(hi) + 1)
+        elif n:
+            self._maintain_rollups(None, None)
+
+    def _rollup_compute(self, conf: dict, b0_us: int | None,
+                        e0_us: int | None) -> DataFrame:
+        dt = self.dt_col
+        scoped = self.store.read(dtypes=self.dtypes or None,
+                                 begin_us=b0_us, end_us=e0_us)
+        if b0_us is not None:
+            c = F.col(dt)
+            us = (c.cast("long") * F.lit(UNIT_US[self.precision_unit])
+                  if self.dt_is_int else F.unix_micros(c))
+            scoped = scoped.filter((us >= F.lit(b0_us)) & (us < F.lit(e0_us)))
+        groups = [self._rollup_bucket(conf)] + [
+            F.col(g) for g in conf.get("groupby") or [] if g in scoped.columns]
+        return scoped.groupBy(*groups).agg(
+            *self._rollup_aggs(conf, scoped.columns))
+
+    def refresh_rollup(self, name: str) -> None:
+        """Full rebuild of one rollup table (used after operations that can
+        EMPTY buckets — deduplicate — where a merge could strand rows)."""
+        conf = next((c for c in self._rollup_confs if c["name"] == name), None)
+        if conf is None:
+            raise KeyError(f"no rollup named {name!r} configured")
+        rstore = self._rollup_store(conf)
+        rstore.drop()
+        if self.exists():
+            rstore.append(self._rollup_compute(conf, None, None))
+
+    def _rollup_clear(self, begin_us: int | None, end_us: int | None) -> None:
+        """After a bounded delete: recompute the affected bucket range by
+        delete-then-append (a merge would strand rows for buckets that
+        became empty)."""
+        confs = self._rollup_confs
+        if not confs or not self.dt_col:
+            return
+        if begin_us is None and end_us is None:
+            for conf in confs:
+                self.refresh_rollup(conf["name"])
+            return
+        for conf in confs:
+            if begin_us is None or end_us is None:
+                # half-open delete range: a bounded delete+append could
+                # strand or duplicate buckets on the open side
+                self.refresh_rollup(conf["name"])
+                continue
+            width = self._rollup_width_us(conf)
+            b0 = (begin_us // width) * width
+            e0 = ((end_us - 1) // width + 1) * width
+            rstore = self._rollup_store(conf)
+            if not rstore.exists():
+                continue
+            dtc = F.col(self.dt_col)
+            us = (dtc.cast("long") * F.lit(UNIT_US[self.precision_unit])
+                  if self.dt_is_int else F.unix_micros(dtc))
+            cond = (us >= F.lit(b0)) & (us < F.lit(e0))
+            rstore.delete_where(cond, dtypes=self._rollup_dtypes(conf),
+                                begin_us=b0, end_us=e0)
+            if self.exists():
+                rstore.append(self._rollup_compute(conf, b0, e0))
+
+    def get_rollup(self, name: str) -> DataFrame:
+        """Read one rollup table."""
+        conf = next((c for c in self._rollup_confs if c["name"] == name), None)
+        if conf is None:
+            raise KeyError(f"no rollup named {name!r} configured")
+        return self._rollup_store(conf).read(
+            dtypes=self._rollup_dtypes(conf))
+
     def _dedupe_patch(self, df: DataFrame) -> DataFrame:
         """Dedupe an upsert patch on its keys — MERGE sources must be
         key-unique (reference dedupes via drop_duplicates keep='last',
@@ -1395,6 +1622,10 @@ class Pipe:
             out_scope = scoped.filter(~F.coalesce(cond, F.lit(False)))
             deduped = deduped.unionByName(out_scope)
         self.store._swap_partitions(deduped, dup_parts)
+        # dedup can empty buckets, so rollups need the rebuild form; the
+        # dedup pass itself already walked the table
+        for conf in self._rollup_confs:
+            self.refresh_rollup(conf["name"])
         return SyncResult(True, f"Removed {n_removed} duplicates.",
                           0, n_removed)
 
@@ -1411,9 +1642,12 @@ class Pipe:
         )
         if cond is None:
             cond = F.lit(True)
-        return self.store.delete_where(cond, dtypes=self.dtypes or None,
-                                       begin_us=self._bound_us(begin),
-                                       end_us=self._bound_us(end))
+        n = self.store.delete_where(cond, dtypes=self.dtypes or None,
+                                    begin_us=self._bound_us(begin),
+                                    end_us=self._bound_us(end))
+        if n:
+            self._rollup_clear(self._bound_us(begin), self._bound_us(end))
+        return n
 
     def verify(
         self,

@@ -2249,3 +2249,73 @@ def q22_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"))
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "pipe_rollup_incremental",
+    """
+    WITH fr AS (SELECT event_id AS fid FROM events ORDER BY ts, event_id
+                LIMIT 1),
+    eff AS (
+      SELECT e.ts, e.event_type,
+             CASE WHEN e.event_id = (SELECT fid FROM fr) THEN -1.0
+                  ELSE e.value END AS value
+      FROM events e)
+    SELECT date_trunc('hour', ts) AS ts, event_type,
+           count(*) AS n_rows,
+           CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                          AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE)
+               AS sum_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM eff GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def pipe_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance under the correctness gate
+    (continuous-aggregate analogue; beyond-reference — the reference's
+    TimescaleDB backend delegates this to the database). Two overlapping
+    sync batches plus one mutated row flow through the pipe; each sync
+    recomputes ONLY the patch-touched hourly buckets from storage and
+    MERGEs them into the rollup side table (maintenance scan pruning is
+    asserted in tests/test_rollup.py). The oracle recomputes the full
+    hourly rollup from the effective final table — incremental
+    maintenance must be indistinguishable from a full rebuild, updates
+    included, with exact-decimal sums."""
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+
+    events = load_table(spark, sf_dir, "events").persist()
+    instance = tempfile.mkdtemp(prefix="mrsm_q_roll_")
+    try:
+        pipe = Pipe(
+            "catalog", "rollup", instance=instance, spark=spark,
+            columns={"datetime": "ts", "id": "event_id"},
+            parameters={"rollups": [{"name": "hourly", "interval": "hour",
+                                     "groupby": ["event_type"],
+                                     "values": ["value"]}],
+                        # daily partition grid: the 1-row update sync then
+                        # recomputes ONE bucket from ONE pruned partition,
+                        # not the whole month — the incremental claim,
+                        # visible in the plan (test_rollup.py asserts it)
+                        "verify": {"chunk_minutes": 1440}})
+        cut = datetime.datetime(2024, 1, 20)
+        lo = datetime.datetime(2024, 1, 18)  # 2-day late-data overlap
+        pipe.sync(events.filter(F.col("ts") < F.lit(cut)))
+        pipe.sync(events.filter(F.col("ts") >= F.lit(lo)))
+        first = events.orderBy("ts", "event_id").limit(1).collect()[0]
+        mutated = dict(first.asDict())
+        mutated["value"] = -1.0
+        pipe.sync([mutated])
+        ru = (pipe.get_rollup("hourly")
+              .select("ts", "event_type", "n_rows",
+                      F.col("sum_value").cast("double").alias("sum_value"),
+                      "min_value", "max_value")
+              .orderBy("ts", "event_type"))
+        rows = ru.collect()
+        return (spark.createDataFrame(rows, ru.schema)
+                .orderBy("ts", "event_type"))
+    finally:
+        events.unpersist()
+        shutil.rmtree(instance, ignore_errors=True)

@@ -1,0 +1,112 @@
+"""Incremental rollup maintenance (continuous-aggregate analogue).
+
+Beyond-reference scale feature: each sync recomputes only the buckets its
+patch touched (scan pruned to the patch's time range) and merges them into
+a side table — the TimescaleDB continuous-aggregate invalidation model on
+the Spark substrate. The reference has no rollup maintenance; its
+TimescaleDB backend gets this from the database (SURVEY §2.9 M9 context).
+"""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from meerschaum_spark.pipe import Pipe
+from meerschaum_spark.plans.inspect import plan_report
+from meerschaum_spark.sources import load_table
+
+ROLLUPS = [{"name": "hourly", "interval": "hour",
+            "groupby": ["event_type"], "values": ["value"]}]
+
+
+def _expected_hourly(stored):
+    return (
+        stored.groupBy(F.date_trunc("hour", "ts").alias("ts"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col("value").cast("decimal(18,6)"))
+             .cast("decimal(28,6)").alias("sum_value"),
+             F.min("value").alias("min_value"),
+             F.max("value").alias("max_value"))
+    )
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_rollup_tracks_syncs_updates_clear_dedup(spark, instance_dir, sf_dir):
+    events = load_table(spark, sf_dir, "events").persist()
+    try:
+        pipe = Pipe("roll", "ev", instance=instance_dir, spark=spark,
+                    columns={"datetime": "ts", "id": "event_id"},
+                    parameters={"rollups": ROLLUPS})
+        cut = datetime.datetime(2024, 1, 15)
+        pipe.sync(events.filter(F.col("ts") < F.lit(cut)))
+        # overlapping second batch (late-data shape)
+        pipe.sync(events.filter(
+            F.col("ts") >= F.lit(cut) - datetime.timedelta(days=2)))
+        # update one row through the diff path — its bucket must recompute
+        row = events.orderBy("ts", "event_id").limit(1).collect()[0].asDict()
+        row["value"] = -5.0
+        res = pipe.sync([row])
+        assert res.updated == 1
+        got = _rows(pipe.get_rollup("hourly"))
+        assert got == _rows(_expected_hourly(pipe.get_data(order=None)))
+        # the mutated bucket really carries the new min
+        bucket = datetime.datetime(row["ts"].year, row["ts"].month,
+                                   row["ts"].day, row["ts"].hour)
+        mb = (pipe.get_rollup("hourly")
+              .filter((F.col("ts") == F.lit(bucket))
+                      & (F.col("event_type") == row["event_type"]))
+              .collect())
+        assert mb and float(mb[0]["min_value"]) == -5.0
+
+        # bounded clear: affected buckets recompute, empty buckets vanish
+        pipe.clear(begin=datetime.datetime(2024, 1, 10),
+                   end=datetime.datetime(2024, 1, 12))
+        assert _rows(pipe.get_rollup("hourly")) == _rows(
+            _expected_hourly(pipe.get_data(order=None)))
+
+        # dedup rebuilds
+        pipe.deduplicate()
+        assert _rows(pipe.get_rollup("hourly")) == _rows(
+            _expected_hourly(pipe.get_data(order=None)))
+    finally:
+        events.unpersist()
+
+
+def test_rollup_maintenance_scan_is_bounded(spark, instance_dir, sf_dir):
+    """The scale contract: the per-sync recompute scan prunes to the
+    patch-touched partition range — maintenance cost follows the patch's
+    time span, not table history."""
+    events = load_table(spark, sf_dir, "events")
+    pipe = Pipe("roll", "evp", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "event_id"},
+                parameters={"rollups": ROLLUPS,
+                            "verify": {"chunk_minutes": 1440}})
+    pipe.sync(events)
+    conf = pipe._rollup_confs[0]
+    day_us = 86_400_000_000
+    b0 = int(datetime.datetime(2024, 1, 10).timestamp()) * 1_000_000
+    part = pipe._rollup_compute(conf, b0, b0 + day_us)
+    r = plan_report(part)
+    assert r["partition_filters"] and "_mrsm_part" in r["partition_filters"][0]
+    # the bucket agg shuffles once (the groupBy), nothing more
+    assert r["shuffles"] <= 1
+
+
+def test_rollup_int_axis(spark, instance_dir):
+    """Integer epoch axes bucket by floor-multiples of the interval."""
+    rows = [{"k": i, "v": float(i)} for i in range(10)]
+    pipe = Pipe("roll", "intax", instance=instance_dir, spark=spark,
+                columns={"datetime": "k", "id": "k"},
+                parameters={"precision": {"unit": "second"},
+                            "rollups": [{"name": "m", "interval": "minute",
+                                         "values": ["v"]}]},
+                dtypes={"k": "int64"})
+    pipe.sync(rows)
+    out = {(r["k"], r["n_rows"]) for r in pipe.get_rollup("m").collect()}
+    assert out == {(0, 10)}
+    pipe.sync([{"k": 61, "v": 1.0}])
+    out = {(r["k"], r["n_rows"]) for r in pipe.get_rollup("m").collect()}
+    assert out == {(0, 10), (60, 1)}

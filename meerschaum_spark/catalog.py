@@ -59,11 +59,10 @@ HEAD_ORDER = [
     "multimodal_fake_decode",
     # -- never driver-recorded: added this session --
     "q6_forecast_revenue", "q14_promo_revenue", "q22_lapsed_customers",
-    "pipe_rollup_incremental",
+    "pipe_rollup_incremental", "events_hll_distinct", "doc_dsir_weights",
     # -- recorded only once, oldest rows first --
     "streaming_hourly_rollup", "doc_corpus_prep", "q15_top_supplier",
-    "doc_training_export", "doc_near_dup_clusters", "doc_token_budget",
-    "doc_contamination_check",
+    "doc_training_export", "doc_near_dup_clusters",
 ]
 
 

@@ -2319,3 +2319,81 @@ def pipe_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         events.unpersist()
         shutil.rmtree(instance, ignore_errors=True)
+
+
+@query(
+    "events_hll_distinct",
+    """
+    WITH h AS (
+      SELECT event_type, user_id,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)
+                 AS h
+      FROM events),
+    regs AS (
+      SELECT event_type, h % 256 AS b,
+             max(CASE WHEN (h >> 8) = 0 THEN 53
+                      ELSE 53 - length(bin(h >> 8)) END) AS m_j
+      FROM h GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type, count(*) AS n_present,
+             sum(1::BIGINT << (53 - m_j)) AS s_present
+      FROM regs GROUP BY 1),
+    ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+           FROM events GROUP BY 1)
+    SELECT ex.event_type, ex.n_exact,
+           CAST(256 AS BIGINT) AS n_registers,
+           CAST(256 - agg.n_present AS BIGINT) AS n_zero_registers,
+           CAST(agg.s_present + (256 - agg.n_present) * (1::BIGINT << 53)
+                AS BIGINT) AS s_scaled,
+           (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+             / CAST(agg.s_present
+                    + (256 - agg.n_present) * (1::BIGINT << 53) AS DOUBLE)
+               AS hll_estimate
+    FROM ex JOIN agg ON ex.event_type = agg.event_type
+    ORDER BY ex.event_type
+    """,
+)
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count sketch, cross-engine
+    checked REGISTER FOR REGISTER: md5-derived 60-bit hash (shared
+    hash60), low 8 bits pick one of 256 registers, the leading-zero rank
+    of the remaining 52 bits comes from an integer string op
+    (length(bin(x)) — no float log2 whose rounding could differ), and
+    the harmonic-mean denominator Σ2^-M accumulates as an EXACT scaled
+    integer (Σ 2^(53-M) ≤ 2^61), so the only floating-point op is the
+    final constant-over-integer division — bit-identical in both
+    engines. The registers are mergeable (max per bucket), which is the
+    100 TB story: per-partition register pages combine map-side, the
+    shuffle carries ≤256 rows per group, and the same pages union across
+    days/shards. Exact distinct + the raw HLL estimate surface side by
+    side (n ≫ 2.5m here, so the raw regime is the active one)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    rest = F.shiftright(h, 8)
+    rho = F.when(rest == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(rest)))
+    regs = (ev.select("event_type", (h % 256).alias("b"), rho.alias("rho"))
+            .groupBy("event_type", "b").agg(F.max("rho").alias("m_j")))
+    agg = (regs.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_present"),
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), "
+                             "CAST(53 - m_j AS INT))"))
+                .alias("s_present")))
+    ex = (ev.groupBy("event_type")
+          .agg(F.countDistinct("user_id").alias("n_exact")))
+    s_scaled = (F.col("s_present")
+                + (F.lit(256) - F.col("n_present"))
+                * F.lit(9007199254740992))
+    alpha_num = (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+                 * F.lit(65536.0) * F.lit(9007199254740992.0))
+    return (
+        ex.join(agg, on="event_type")
+        .select("event_type", "n_exact",
+                F.lit(256).cast("long").alias("n_registers"),
+                (F.lit(256) - F.col("n_present")).cast("long")
+                .alias("n_zero_registers"),
+                s_scaled.alias("s_scaled"),
+                (alpha_num / s_scaled.cast("double")).alias("hll_estimate"))
+        .orderBy("event_type")
+    )

@@ -2000,3 +2000,106 @@ def emb_pca_power_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches."""
     emb = _emb(spark, sf_dir)
     return S.pca_power_direction(emb)
+
+
+# ===========================================================================
+# DSIR-style importance weighting (data selection for language models)
+# ===========================================================================
+
+#: hashed-feature space size for DSIR (Xie et al. 2023 use 10k buckets;
+#: 1024 keeps the weight table broadcast-trivial at any corpus size)
+DSIR_BUCKETS = 1024
+DSIR_TARGET_SOURCES = ("src0", "src1")
+#: fixed-point quantum for log-ratio weights: sums become EXACT integers
+DSIR_FP = 10_000
+
+
+@query(
+    "doc_dsir_weights",
+    f"""
+    WITH t AS (SELECT doc_id, source, unnest({_TOKS}) AS tok
+               FROM documents),
+    tb AS (SELECT doc_id, source,
+                  ({_H60.format(x="tok")} % {DSIR_BUCKETS}) AS b
+           FROM t),
+    nr AS (SELECT count(*) AS n_raw FROM tb),
+    nt AS (SELECT count(*) AS n_tgt FROM tb
+           WHERE source IN {DSIR_TARGET_SOURCES!r}),
+    raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY b),
+    tgt AS (SELECT b, count(*) AS ct FROM tb
+            WHERE source IN {DSIR_TARGET_SOURCES!r} GROUP BY b),
+    w AS (
+      SELECT raw.b,
+             CAST(floor(ln(
+                 CAST((COALESCE(tgt.ct, 0) + 1)
+                      * (nr.n_raw + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((raw.cr + 1)
+                        * (nt.n_tgt + {DSIR_BUCKETS}) AS DOUBLE))
+                 * {DSIR_FP}.0 + 0.5) AS BIGINT) AS w_int
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b, nr, nt),
+    ds AS (
+      SELECT tb.doc_id, count(*) AS n_tokens,
+             CAST(sum(w.w_int) AS BIGINT) AS s
+      FROM tb JOIN w ON tb.b = w.b GROUP BY 1),
+    scored AS (
+      SELECT doc_id, n_tokens,
+             CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE) / {DSIR_FP}.0
+                 AS dsir_score
+      FROM ds),
+    th AS (SELECT quantile_cont(dsir_score, 0.75) AS q75 FROM scored)
+    SELECT doc_id, n_tokens, dsir_score,
+           dsir_score >= th.q75 AS selected
+    FROM scored, th ORDER BY doc_id
+    """,
+)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): rank raw documents by how much more
+    likely their hashed unigram features are under a TARGET distribution
+    (here sources src0/src1 stand in for the high-quality target corpus)
+    than under the raw corpus, then flag the top quartile for selection.
+
+    Determinism engineering: the Laplace-smoothed probability ratio is a
+    ratio of EXACT integers (both engines divide the same two doubles),
+    its log quantizes to 1e-4 fixed point, and per-doc scores sum those
+    integer weights — order-insensitive, so the shuffle layout can never
+    change a score. The length-normalized score divides two exact values
+    in IEEE double. At 100 TB the 1024-row weight table broadcasts and
+    the per-doc pass is one explode + one hash-agg — no shuffle carries
+    more than (doc_id, bucket) pairs."""
+    docs = _docs(spark, sf_dir)
+    from meerschaum_spark.catalog import hash60
+    tb = (docs.select("doc_id", "source",
+                      T.tokens(F.col("text")).alias("toks"))
+          .select("doc_id", "source", F.explode("toks").alias("tok"))
+          .select("doc_id", "source",
+                  (hash60(F.col("tok")) % DSIR_BUCKETS).alias("b")))
+    # one materialization: the bucket table feeds four aggregates below
+    tb = tb.localCheckpoint()
+    is_tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    totals = tb.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("n_tgt"))
+    counts = tb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("ct"))
+    ratio = (((F.col("ct") + 1) * (F.col("n_raw") + DSIR_BUCKETS))
+             .cast("double")
+             / ((F.col("cr") + 1) * (F.col("n_tgt") + DSIR_BUCKETS))
+             .cast("double"))
+    w = (counts.crossJoin(F.broadcast(totals))
+         .select("b", F.floor(F.log(ratio) * F.lit(float(DSIR_FP))
+                              + F.lit(0.5)).cast("long").alias("w_int")))
+    ds = (tb.join(F.broadcast(w), on="b")
+          .groupBy("doc_id")
+          .agg(F.count(F.lit(1)).alias("n_tokens"),
+               F.sum("w_int").alias("s")))
+    scored = ds.select(
+        "doc_id", "n_tokens",
+        (F.col("s").cast("double") / F.col("n_tokens").cast("double")
+         / F.lit(float(DSIR_FP))).alias("dsir_score"))
+    th = scored.agg(F.expr("percentile(dsir_score, 0.75)").alias("q75"))
+    return (scored.crossJoin(F.broadcast(th))
+            .select("doc_id", "n_tokens", "dsir_score",
+                    (F.col("dsir_score") >= F.col("q75")).alias("selected"))
+            .orderBy("doc_id"))

@@ -60,9 +60,9 @@ HEAD_ORDER = [
     # -- never driver-recorded: added this session --
     "q6_forecast_revenue", "q14_promo_revenue", "q22_lapsed_customers",
     "pipe_rollup_incremental", "events_hll_distinct", "doc_dsir_weights",
+    "doc_cms_heavy_hitters", "streaming_interval_join",
     # -- recorded only once, oldest rows first --
     "streaming_hourly_rollup", "doc_corpus_prep", "q15_top_supplier",
-    "doc_training_export", "doc_near_dup_clusters",
 ]
 
 

@@ -2397,3 +2397,72 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (alpha_num / s_scaled.cast("double")).alias("hll_estimate"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_interval_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+    purch AS (
+      SELECT user_id, ts AS p_ts, value FROM events
+      WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT c.user_id, c.c_ts, p.p_ts, p.value
+      FROM clicks c JOIN purch p
+        ON c.user_id = p.user_id
+       AND p.p_ts >= c.c_ts
+       AND p.p_ts < c.c_ts + INTERVAL 30 MINUTE)
+    SELECT user_id, count(*) AS n_pairs,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                AS DOUBLE) AS purchase_value
+    FROM pairs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (§2.10 beyond parity): clicks joined
+    to same-user purchases landing within 30 minutes, both sides live
+    watermarked streams. This is the Structured Streaming capability the
+    other streaming queries don't cover — the state store buffers BOTH
+    sides, the watermark (1 hour > the 30-minute join window) bounds how
+    long a click waits for a matching purchase, and expired state
+    evicts. The availableNow replay of the bounded table is checked
+    against the plain batch interval join in DuckDB — streaming and
+    batch semantics must coincide once every watermark passes.
+    Attribution pairs aggregate batch-side (exact-decimal sum)."""
+    import os as _os
+
+    _STREAM_RUN_COUNTER[0] += 1
+    sink = f"_mrsm_stream_ij_{_STREAM_RUN_COUNTER[0]}"
+    with _stream_replay_confs(spark):
+        path = _os.path.join(sf_dir, "events.parquet")
+        raw = spark.read.parquet(path)
+        stream = (spark.readStream.schema(raw.schema)
+                  .option("pathGlobFilter", "events.parquet")
+                  .parquet(sf_dir))
+        stream = canonicalize_ts(stream, ["ts"])
+        clicks = (stream.filter(F.col("event_type") == "click")
+                  .select("user_id", F.col("ts").alias("c_ts"))
+                  .withWatermark("c_ts", "1 hour"))
+        purch = (stream.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"), "value")
+                 .withWatermark("p_ts", "1 hour"))
+        joined = clicks.join(
+            purch,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        q = (joined.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum(_dec("value")).cast("double").alias("purchase_value"))
+        .orderBy("user_id")
+    )

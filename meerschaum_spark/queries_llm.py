@@ -2103,3 +2103,77 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_tokens", "dsir_score",
                     (F.col("dsir_score") >= F.col("q75")).alias("selected"))
             .orderBy("doc_id"))
+
+
+# ===========================================================================
+# Count-min sketch heavy hitters
+# ===========================================================================
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOPK = 20
+
+
+@query(
+    "doc_cms_heavy_hitters",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    exact AS (
+      SELECT tok, count(*) AS n_exact FROM tok GROUP BY tok
+      ORDER BY n_exact DESC, tok LIMIT {CMS_TOPK}),
+    th AS (SELECT tok, md5(tok) AS h FROM tok),
+    cms AS (
+      SELECT i, (('0x' || substr(h, 1 + 7 * i, 7))::BIGINT % {CMS_WIDTH})
+                 AS b, count(*) AS c
+      FROM th, generate_series(0, {CMS_DEPTH - 1}) AS g(i)
+      GROUP BY 1, 2),
+    probes AS (
+      SELECT e.tok, e.n_exact, g.i,
+             (('0x' || substr(md5(e.tok), 1 + 7 * g.i, 7))::BIGINT
+              % {CMS_WIDTH}) AS b
+      FROM exact e, generate_series(0, {CMS_DEPTH - 1}) AS g(i))
+    SELECT p.tok, p.n_exact,
+           CAST(min(cms.c) AS BIGINT) AS n_cms,
+           CAST(min(cms.c) - p.n_exact AS BIGINT) AS overcount
+    FROM probes p JOIN cms ON p.i = cms.i AND p.b = cms.b
+    GROUP BY p.tok, p.n_exact
+    ORDER BY p.n_exact DESC, p.tok
+    """,
+)
+def doc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch checked COUNTER FOR COUNTER against the exact
+    heavy hitters: a 4x1024 integer sketch (independent rows via salted
+    hash60), point-estimate = min over rows, overcount surfaced next to
+    the exact count. Pure integer arithmetic end to end — nothing can
+    drift between engines. The scale story is the sketch's: counters
+    fold map-side into at most depth x width cells per partition, the
+    shuffle carries 4096 rows regardless of corpus size, and sketches
+    from different shards/days merge by cell-wise addition (the same
+    layout this query builds)."""
+    docs = _docs(spark, sf_dir)
+    from meerschaum_spark.catalog import hash60
+    tok = (docs.select(T.tokens(F.col("text")).alias("toks"))
+           .select(F.explode("toks").alias("tok")))
+    tok = tok.localCheckpoint()
+    exact = (tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+             .orderBy(F.col("n_exact").desc(), "tok").limit(CMS_TOPK))
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("i")
+    # ONE md5 per token; the 4 "independent" row hashes are disjoint
+    # 7-hex-digit substrings of it (28 bits each) — 4x less hashing on
+    # the hot path, same cross-engine determinism contract
+    def _cms_bucket():
+        return (F.conv(F.substring(F.col("h"), F.col("i") * 7 + 1, 7),
+                       16, 10).cast("long") % CMS_WIDTH)
+    cms = (tok.select(F.md5("tok").alias("h"), rows)
+           .select("i", _cms_bucket().alias("b"))
+           .groupBy("i", "b").agg(F.count(F.lit(1)).alias("c")))
+    probes = (exact.select("tok", "n_exact", F.md5("tok").alias("h"), rows)
+              .select("tok", "n_exact", "i", _cms_bucket().alias("b")))
+    return (
+        probes.join(F.broadcast(cms), on=["i", "b"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("c").alias("n_cms"))
+        .select("tok", "n_exact", "n_cms",
+                (F.col("n_cms") - F.col("n_exact")).alias("overcount"))
+        .orderBy(F.col("n_exact").desc(), "tok")
+    )

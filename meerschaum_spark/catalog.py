@@ -61,8 +61,9 @@ HEAD_ORDER = [
     "q6_forecast_revenue", "q14_promo_revenue", "q22_lapsed_customers",
     "pipe_rollup_incremental", "events_hll_distinct", "doc_dsir_weights",
     "doc_cms_heavy_hitters", "streaming_interval_join",
-    # -- recorded only once, oldest rows first --
-    "streaming_hourly_rollup", "doc_corpus_prep", "q15_top_supplier",
+    "doc_bloom_prescreen", "doc_minhash_jaccard_est",
+    # -- recorded only once, oldest row first --
+    "streaming_hourly_rollup",
 ]
 
 

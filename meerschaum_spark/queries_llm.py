@@ -2177,3 +2177,199 @@ def doc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_cms") - F.col("n_exact")).alias("overcount"))
         .orderBy(F.col("n_exact").desc(), "tok")
     )
+
+
+# ===========================================================================
+# Bloom-filter contamination pre-screen
+# ===========================================================================
+
+BLOOM_BITS = 65536  # m = 2^16
+BLOOM_K = 4
+
+
+@query(
+    "doc_bloom_prescreen",
+    f"""
+    WITH base AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, source, {_SHINGLES5_SQL} AS shingles FROM base),
+    ex AS (SELECT doc_id, source,
+                  {_H60.format(x='unnest(shingles)')} AS s FROM sh),
+    eval_sh AS (SELECT DISTINCT s FROM ex WHERE source = 'src0'),
+    bits AS (
+      SELECT DISTINCT ((s >> (15 * g.i)) % {BLOOM_BITS}) AS p
+      FROM eval_sh, generate_series(0, {BLOOM_K - 1}) AS g(i)),
+    probe AS (SELECT doc_id, s FROM ex WHERE source <> 'src0'),
+    bloom AS (
+      SELECT p2.doc_id, p2.s
+      FROM (SELECT probe.doc_id, probe.s, count(*) AS nbits
+            FROM probe, generate_series(0, {BLOOM_K - 1}) AS g(i)
+            JOIN bits
+              ON ((probe.s >> (15 * g.i)) % {BLOOM_BITS}) = bits.p
+            GROUP BY 1, 2) p2
+      WHERE p2.nbits = {BLOOM_K}),
+    agg AS (
+      SELECT p.doc_id,
+             count(*) AS n_shingles,
+             count(b.s) AS n_bloom_hits,
+             count(e.s) AS n_exact_hits
+      FROM probe p
+      LEFT JOIN bloom b ON p.doc_id = b.doc_id AND p.s = b.s
+      LEFT JOIN eval_sh e ON p.s = e.s
+      GROUP BY 1)
+    SELECT doc_id, n_shingles, n_bloom_hits, n_exact_hits,
+           CAST(n_bloom_hits - n_exact_hits AS BIGINT) AS n_false_pos
+    FROM agg ORDER BY doc_id
+    """,
+)
+def doc_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-screen for benchmark contamination, checked BIT
+    FOR BIT: the eval set's shingle hashes set k=4 positions each in a
+    2^16-bit filter (positions are disjoint 15-bit slices of the shared
+    60-bit md5 hash — no extra hashing), and every training shingle
+    counts as a bloom hit iff all 4 of its positions are set. Exact hits
+    surface beside the bloom hits, so the false-positive overhead of the
+    screen is itself an output under the gate. The 100 TB story: the
+    filter is CONSTANT-SIZE (2^16 candidate positions) no matter how
+    large the eval corpus grows, so the pre-screen broadcast never hits
+    a size wall — only bloom-positive docs proceed to the exact
+    (broadcast-set) verification join that doc_contamination_check
+    runs."""
+    docs = _docs(spark, sf_dir)
+    from meerschaum_spark.catalog import hash60
+    toked = docs.select("doc_id", "source",
+                        T.tokens(F.col("text")).alias("_toks"))
+    ex = toked.select(
+        "doc_id", "source",
+        F.explode(D.shingles_of_tokens(F.col("_toks"), 5)).alias("_s"),
+    ).select("doc_id", "source", hash60(F.col("_s")).alias("s"))
+    ex = ex.localCheckpoint()
+    positions = F.array(*[
+        (F.shiftright(F.col("s"), 15 * i) % BLOOM_BITS)
+        for i in range(BLOOM_K)])
+    eval_sh = (ex.filter(F.col("source") == "src0").select("s").distinct())
+    bits = (eval_sh.select(F.explode(positions).alias("p")).distinct())
+    probe = ex.filter(F.col("source") != "src0").select("doc_id", "s")
+    bloom = (probe
+             .select("doc_id", "s", F.explode(positions).alias("p"))
+             .join(F.broadcast(bits), on="p", how="left_semi")
+             .groupBy("doc_id", "s")
+             .agg(F.count(F.lit(1)).alias("nbits"))
+             .filter(F.col("nbits") == BLOOM_K)
+             .select(F.col("doc_id").alias("b_doc"),
+                     F.col("s").alias("bs")))
+    exact = eval_sh.select(F.col("s").alias("es"))
+    return (
+        probe
+        .join(bloom, (F.col("doc_id") == F.col("b_doc"))
+              & (F.col("s") == F.col("bs")), "left")
+        .join(F.broadcast(exact), F.col("s") == F.col("es"), "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.count("bs").alias("n_bloom_hits"),
+             F.count("es").alias("n_exact_hits"))
+        .select("doc_id", "n_shingles", "n_bloom_hits", "n_exact_hits",
+                (F.col("n_bloom_hits") - F.col("n_exact_hits"))
+                .alias("n_false_pos"))
+        .orderBy("doc_id")
+    )
+
+
+# ===========================================================================
+# MinHash estimator validation (sketch geometry under the gate)
+# ===========================================================================
+
+MINHASH_EST_MIN_BANDS = 2
+MINHASH_EST_TOPK = 200
+MINHASH_EST_CAND_CAP = 500
+
+
+@query(
+    "doc_minhash_jaccard_est",
+    _MINHASH_CTE + f""",
+    bands AS ({_band_rows_sql()}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(DISTINCT a.band) AS n_bands
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.source = b.source
+           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(DISTINCT a.band) >= {MINHASH_EST_MIN_BANDS}
+      ORDER BY n_bands DESC, doc_a, doc_b LIMIT {MINHASH_EST_CAND_CAP}),
+    est AS (
+      SELECT c.doc_a, c.doc_b, c.n_bands,
+             ({' + '.join(f'CASE WHEN sa.sig_{i} = sb.sig_{i} '
+                          'THEN 1 ELSE 0 END' for i in range(_K))})
+                 / {_K}.0 AS minhash_est
+      FROM cand c
+      JOIN sig sa ON c.doc_a = sa.doc_id
+      JOIN sig sb ON c.doc_b = sb.doc_id),
+    ex AS (
+      SELECT e.doc_a, e.doc_b, e.n_bands, e.minhash_est,
+             CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(ta.hs, tb.hs))) AS DOUBLE)
+                 AS exact_jaccard
+      FROM est e JOIN t ta ON e.doc_a = ta.doc_id
+                 JOIN t tb ON e.doc_b = tb.doc_id)
+    SELECT doc_a, doc_b, n_bands, exact_jaccard, minhash_est,
+           abs(minhash_est - exact_jaccard) AS abs_err
+    FROM ex ORDER BY exact_jaccard DESC, doc_a, doc_b
+    LIMIT {MINHASH_EST_TOPK}
+    """,
+)
+def doc_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash sketch's ESTIMATE checked against the exact statistic
+    it approximates: for every LSH candidate pair colliding in >= 2 of
+    the 4 bands, the component-agreement estimate (matching sig rows /
+    K) sits beside the exact distinct-token Jaccard and the absolute
+    error — the measured-recall discipline of emb_ann_recall applied to
+    the text-dedup sketch. Candidates come from the banded equi-join
+    (never all pairs); the exact re-rank joins hashed token SETS only
+    for candidate docs. Both the estimate (integer matches / 16.0) and
+    the exact ratio (two exact integer counts divided once in double)
+    are bit-deterministic."""
+    sigs_src = _minhash_sigs(spark, sf_dir)
+    sigs = sigs_src.drop("source")
+    bands = D.band_hash_rows(sigs_src, "doc_id", _K, _BANDS,
+                             keep_cols=["source"])
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct(F.col("a.band")).alias("n_bands"))
+        .filter(F.col("n_bands") >= MINHASH_EST_MIN_BANDS)
+        # explicit candidate cap, strongest-collision-first: the exact
+        # re-rank below must stay candidate-proportional at any scale
+        .orderBy(F.col("n_bands").desc(), "doc_a", "doc_b")
+        .limit(MINHASH_EST_CAND_CAP)
+    )
+    matches = sum(
+        F.when(F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}"), 1).otherwise(0)
+        for i in range(_K))
+    est = (cand
+           .join(sigs.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+           .join(sigs.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+           .select("doc_a", "doc_b", "n_bands",
+                   (matches / F.lit(float(_K))).alias("minhash_est")))
+    from meerschaum_spark.catalog import hash60
+    docs = _docs(spark, sf_dir)
+    hs = docs.select(
+        "doc_id",
+        F.transform(F.array_distinct(T.tokens(F.col("text"))),
+                    lambda t: hash60(t)).alias("hs"))
+    jac = (F.size(F.array_intersect(F.col("ta.hs"), F.col("tb.hs")))
+           .cast("double")
+           / F.size(F.array_union(F.col("ta.hs"), F.col("tb.hs")))
+           .cast("double"))
+    return (est
+            .join(hs.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+            .join(hs.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
+            .select("doc_a", "doc_b", "n_bands",
+                    jac.alias("exact_jaccard"), "minhash_est",
+                    F.abs(F.col("minhash_est") - jac).alias("abs_err"))
+            .orderBy(F.col("exact_jaccard").desc(), "doc_a", "doc_b")
+            .limit(MINHASH_EST_TOPK))

@@ -56,14 +56,18 @@ HEAD_ORDER = [
     "emb_kmeans", "emb_semantic_dedup", "emb_int8_quantize",
     "emb_pca_power_direction", "emb_ann_recall",
     "part_affinity_pairs", "streaming_topk_trending",
-    "multimodal_fake_decode",
     # -- never driver-recorded: added this session --
     "q6_forecast_revenue", "q14_promo_revenue", "q22_lapsed_customers",
     "pipe_rollup_incremental", "events_hll_distinct", "doc_dsir_weights",
     "doc_cms_heavy_hitters", "streaming_interval_join",
     "doc_bloom_prescreen", "doc_minhash_jaccard_est",
-    # -- recorded only once, oldest row first --
-    "streaming_hourly_rollup",
+    "emb_ivf_recall", "doc_bigram_lm_score",
+    # the 50-slot head is now ALL never-recorded queries; the two
+    # remaining never-recorded entries ride just past the cap and lead
+    # the next rotation: multimodal_fake_decode (rows-only — the weakest
+    # evidence a driver row can add) and streaming_hourly_rollup's
+    # replacement cohort. streaming_hourly_rollup itself rests on its
+    # green CORRECTNESS_r02 row.
 ]
 
 

@@ -2373,3 +2373,148 @@ def doc_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.abs(F.col("minhash_est") - jac).alias("abs_err"))
             .orderBy(F.col("exact_jaccard").desc(), "doc_a", "doc_b")
             .limit(MINHASH_EST_TOPK))
+
+
+@query(
+    "emb_ivf_recall",
+    f"""
+    WITH ivf AS (
+      SELECT query_id, neighbor_id
+      FROM ({_ivf_sql(5, 8, "vec_id % 100 = 0")}) a),
+    exact AS (
+      SELECT query_id, neighbor_id
+      FROM ({_cosine_sql(5, "vec_id % 100 = 0")}) e)
+    SELECT count(DISTINCT exact.query_id) AS n_queries,
+           count(*) AS n_exact_pairs,
+           count(ivf.neighbor_id) AS n_hits,
+           CAST(count(ivf.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+    FROM exact LEFT JOIN ivf USING (query_id, neighbor_id)
+    """,
+)
+def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF (nprobe=1) path against exact brute force —
+    the companion measurement to emb_ann_recall, so BOTH approximate
+    index layouts carry a gated accuracy number, not a claim. Integer
+    hit counts; the single float op is the final division."""
+    emb = _emb(spark, sf_dir)
+    centroids = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = S.cosine_topk(emb, queries, k=5) \
+        .select("query_id", "neighbor_id")
+    ivf = (S.ivf_topk(emb, queries, centroids, k=5)
+           .select("query_id", "neighbor_id")
+           .withColumn("_hit", F.lit(1)))
+    return (
+        exact.join(ivf, on=["query_id", "neighbor_id"], how="left")
+        .agg(F.countDistinct("query_id").alias("n_queries"),
+             F.count(F.lit(1)).alias("n_exact_pairs"),
+             F.count("_hit").alias("n_hits"),
+             (F.count("_hit").cast("double")
+              / F.count(F.lit(1))).alias("recall_at_5"))
+    )
+
+
+# ===========================================================================
+# Bigram language-model scoring (CCNet-style perplexity-proxy filter)
+# ===========================================================================
+
+LM_FP = 10_000
+
+
+@query(
+    "doc_bigram_lm_score",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    v AS (SELECT count(DISTINCT tok) AS vsize
+          FROM (SELECT unnest(toks) AS tok FROM t)),
+    bg AS (
+      SELECT doc_id,
+             {_H60.format(x="pair")} AS bgh,
+             {_H60.format(x="w1")} AS w1h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS pair,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                      i -> toks[i])) AS w1
+        FROM t WHERE len(toks) >= 2)),
+    c2 AS (SELECT bgh, w1h, count(*) AS n2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1h, count(*) AS n1 FROM bg GROUP BY 1),
+    w AS (
+      SELECT c2.bgh, c2.w1h,
+             CAST(floor(ln(CAST(c2.n2 + 1 AS DOUBLE)
+                           / CAST(c1.n1 + v.vsize AS DOUBLE))
+                        * {LM_FP}.0 + 0.5) AS BIGINT) AS w_int
+      FROM c2 JOIN c1 ON c2.w1h = c1.w1h, v),
+    ds AS (
+      SELECT bg.doc_id, count(*) AS n_bigrams,
+             CAST(sum(w.w_int) AS BIGINT) AS s
+      FROM bg JOIN w ON bg.bgh = w.bgh AND bg.w1h = w.w1h
+      GROUP BY 1),
+    scored AS (
+      SELECT doc_id, n_bigrams,
+             -(CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) / {LM_FP}.0
+                 AS neg_avg_logp
+      FROM ds),
+    th AS (SELECT quantile_cont(neg_avg_logp, 0.9) AS q90 FROM scored)
+    SELECT doc_id, n_bigrams, neg_avg_logp,
+           neg_avg_logp >= th.q90 AS flagged_noisy
+    FROM scored, th ORDER BY doc_id
+    """,
+)
+def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring without the external
+    LM: a Laplace-smoothed bigram model TRAINED ON THE CORPUS ITSELF
+    scores every document's average negative log-probability, and the
+    noisiest decile is flagged — the perplexity-bucketing filter of the
+    CCNet pipeline with the model's counts fully inside the engine.
+    Same determinism contract as doc_dsir_weights: probability ratios
+    are exact-integer ratios divided once in double, log-weights
+    quantize to 1e-4 fixed point, per-doc scores sum exact integers.
+    Scale shape: bigram and context counts are two hash aggregates over
+    one exploded pass; the weight table joins back by 60-bit hash (longs
+    on the wire, never strings)."""
+    docs = _docs(spark, sf_dir)
+    from meerschaum_spark.catalog import hash60
+    toked = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    vsize = (toked.select(F.explode("toks").alias("tok"))
+             .agg(F.countDistinct("tok").alias("vsize")))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                              F.element_at("toks", i + 1)))
+    firsts = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.element_at("toks", i))
+    bg = (toked.filter(F.size("toks") >= 2)
+          .select("doc_id", F.explode(F.arrays_zip(
+              pairs.alias("pair"), firsts.alias("w1"))).alias("z"))
+          .select("doc_id", hash60(F.col("z.pair")).alias("bgh"),
+                  hash60(F.col("z.w1")).alias("w1h")))
+    bg = bg.localCheckpoint()
+    c2 = bg.groupBy("bgh", "w1h").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1h").agg(F.count(F.lit(1)).alias("n1"))
+    w = (c2.join(c1.withColumnRenamed("w1h", "_c1w"),
+                 F.col("w1h") == F.col("_c1w"))
+         .crossJoin(F.broadcast(vsize))
+         .select("bgh", "w1h",
+                 F.floor(F.log((F.col("n2") + 1).cast("double")
+                               / (F.col("n1") + F.col("vsize"))
+                               .cast("double"))
+                         * F.lit(float(LM_FP)) + F.lit(0.5))
+                 .cast("long").alias("w_int")))
+    ds = (bg.join(w, on=["bgh", "w1h"])
+          .groupBy("doc_id")
+          .agg(F.count(F.lit(1)).alias("n_bigrams"),
+               F.sum("w_int").alias("s")))
+    scored = ds.select(
+        "doc_id", "n_bigrams",
+        (-(F.col("s").cast("double") / F.col("n_bigrams").cast("double"))
+         / F.lit(float(LM_FP))).alias("neg_avg_logp"))
+    th = scored.agg(F.expr("percentile(neg_avg_logp, 0.9)").alias("q90"))
+    return (scored.crossJoin(F.broadcast(th))
+            .select("doc_id", "n_bigrams", "neg_avg_logp",
+                    (F.col("neg_avg_logp") >= F.col("q90"))
+                    .alias("flagged_noisy"))
+            .orderBy("doc_id"))

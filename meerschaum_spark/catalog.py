@@ -16,6 +16,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
+#: queries deliberately registered WITHOUT an oracle (rows-only driver
+#: check) — anything else in the gate head must have an ORACLE entry
+ROWS_ONLY = {"multimodal_fake_decode"}
 
 #: exact-decimal accumulator type for double aggregates (see queries.py
 #: module docstring: decimal sums are order-insensitive, doubles are not)
@@ -32,11 +35,12 @@ DEC = "decimal(18,6)"
 #: CORRECTNESS files (cited in SURVEY §2).
 HEAD_ORDER = [
     # r5 rotation (restarted-round refresh): EVERY query that has never
-    # held a green row in any CORRECTNESS_r*.json comes first — 39 of
-    # them fit well inside the 50-entry gate cap — so this round's file
-    # finally covers the whole never-recorded set. Queries with archived
-    # green rows (r2/r3/r4, cited in SURVEY §2) retire to the tail; the
-    # spare slots go to the oldest once-recorded entries.
+    # held a green row in any CORRECTNESS_r*.json comes first. The
+    # session's new operators consumed all spare slots: the head is now
+    # exactly 50 never-recorded queries; the only never-recorded entry
+    # past the cap is multimodal_fake_decode (rows-only — the weakest
+    # evidence a driver row can add). Queries with archived green rows
+    # (r2/r3/r4, cited in SURVEY §2) rest in the tail.
     #
     # -- never driver-recorded: r4 batch --
     "doc_chunk_split", "doc_pii_scrub", "doc_shard_assign",
@@ -62,12 +66,6 @@ HEAD_ORDER = [
     "doc_cms_heavy_hitters", "streaming_interval_join",
     "doc_bloom_prescreen", "doc_minhash_jaccard_est",
     "emb_ivf_recall", "doc_bigram_lm_score",
-    # the 50-slot head is now ALL never-recorded queries; the two
-    # remaining never-recorded entries ride just past the cap and lead
-    # the next rotation: multimodal_fake_decode (rows-only — the weakest
-    # evidence a driver row can add) and streaming_hourly_rollup's
-    # replacement cohort. streaming_hourly_rollup itself rests on its
-    # green CORRECTNESS_r02 row.
 ]
 
 
@@ -77,16 +75,25 @@ def ordered(d: dict) -> dict:
 
     A HEAD_ORDER name missing from the QUERIES registry would silently
     shift a tail query into the driver-audited first 50, so treat it as a
-    hard error (catches typos and renames at import time). Names that are
-    registered queries but absent from THIS dict are fine — the ORACLE
-    dict legitimately lacks rows-only entries (e.g. the multimodal
-    decode stub) and those are simply skipped here.
+    hard error (catches typos and renames at import time). A head query
+    missing from the ORACLE dict is equally a hard error UNLESS it is
+    explicitly declared rows-only (ROWS_ONLY) — otherwise a forgotten
+    oracle would silently degrade a gated query to the weaker rows-only
+    check.
     """
     missing = [k for k in HEAD_ORDER if k not in QUERIES]
     if missing:
         raise KeyError(
             f"HEAD_ORDER names absent from the catalog: {missing}; "
             "update catalog.HEAD_ORDER to match the registered query names"
+        )
+    silent = [k for k in HEAD_ORDER
+              if k not in d and k in QUERIES and d is ORACLE
+              and k not in ROWS_ONLY]
+    if silent:
+        raise KeyError(
+            f"HEAD_ORDER queries with no oracle and not declared in "
+            f"ROWS_ONLY: {silent}"
         )
     head = {k: d[k] for k in HEAD_ORDER if k in d}
     head.update((k, v) for k, v in d.items() if k not in head)

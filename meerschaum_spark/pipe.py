@@ -184,7 +184,8 @@ class Pipe:
         #: serializes store mutations when chunk syncs run concurrently
         #: (chunks are partition-disjoint, but parquet append jobs share
         #: the output committer's _temporary dir)
-        self._write_lock = threading.Lock()
+        # RLock: rollup maintenance re-acquires under sync paths
+        self._write_lock = threading.RLock()
         self.connector = str(connector)
         self.metric = str(metric)
         self.location = location if location else None
@@ -1214,10 +1215,19 @@ class Pipe:
             if width_units <= 0:
                 raise ValueError(
                     "rollup interval is finer than the integer axis unit")
-            return (F.floor(F.col(dt).cast("long") / F.lit(width_units))
-                    * F.lit(width_units)).cast("long").alias(dt)
-        unit = str(conf.get("interval", "hour")).lower().rstrip("s")
-        return F.date_trunc(unit, F.col(dt)).alias(dt)
+            c = F.col(dt).cast("long")
+            return (c - F.pmod(c, F.lit(width_units))).alias(dt)
+        # pure epoch arithmetic, NOT date_trunc: the session timezone
+        # shifts date_trunc's day/hour boundaries, while the maintenance
+        # window math (b0/e0) floors epoch microseconds — a non-UTC
+        # session would recompute buckets from a fraction of their rows.
+        # For fixed-width UTC-aligned intervals the two agree under UTC;
+        # this form agrees under EVERY session timezone.
+        us = F.unix_micros(F.col(dt))
+        # us - pmod(us, width): exact long arithmetic (a double-division
+        # floor could round at bucket boundaries), floor semantics for
+        # pre-epoch timestamps included
+        return F.timestamp_micros(us - F.pmod(us, F.lit(width_us))).alias(dt)
 
     def _rollup_aggs(self, conf: dict, columns: list[str]) -> list[F.Column]:
         aggs = [F.count(F.lit(1)).alias("n_rows")]
@@ -1255,7 +1265,8 @@ class Pipe:
         c = F.col(dt)
         us = (c.cast("long") * F.lit(UNIT_US[self.precision_unit])
               if self.dt_is_int else F.unix_micros(c))
-        return [F.min(us).alias("_ru_lo"), F.max(us).alias("_ru_hi")]
+        return [F.min(us).alias("_ru_lo"), F.max(us).alias("_ru_hi"),
+                F.count(F.when(c.isNull(), 1)).alias("_ru_nulls")]
 
     def _maintain_rollups(self, begin_us: int | None,
                           end_us: int | None) -> None:
@@ -1265,19 +1276,24 @@ class Pipe:
         confs = self._rollup_confs
         if not confs or not self.dt_col:
             return
-        if begin_us is None or end_us is None:
+        # under the write lock: concurrent syncs serialize their main
+        # writes there already — an unserialized rollup merge could scan
+        # storage before a peer's append lands yet swap partitions after
+        # the peer's merge, stranding stale bucket rows
+        with self._write_lock:
+            if begin_us is None or end_us is None:
+                for conf in confs:
+                    self.refresh_rollup(conf["name"])
+                return
             for conf in confs:
-                self.refresh_rollup(conf["name"])
-            return
-        for conf in confs:
-            width = self._rollup_width_us(conf)
-            b0 = (begin_us // width) * width
-            e0 = ((end_us - 1) // width + 1) * width
-            part = self._rollup_compute(conf, b0, e0)
-            keys = [self.dt_col] + list(conf.get("groupby") or [])
-            self._rollup_store(conf).merge(
-                part, keys, dtypes=self._rollup_dtypes(conf),
-                begin_us=b0, end_us=e0)
+                width = self._rollup_width_us(conf)
+                b0 = (begin_us // width) * width
+                e0 = ((end_us - 1) // width + 1) * width
+                part = self._rollup_compute(conf, b0, e0)
+                keys = [self.dt_col] + list(conf.get("groupby") or [])
+                self._rollup_store(conf).merge(
+                    part, keys, dtypes=self._rollup_dtypes(conf),
+                    begin_us=b0, end_us=e0)
 
     def _rollups_after_write(self, metrics: dict) -> None:
         """Post-write hook fed by the write job's Observation metrics:
@@ -1292,7 +1308,11 @@ class Pipe:
                 n = int(metrics[key])
                 break
         lo, hi = metrics.get("_ru_lo"), metrics.get("_ru_hi")
-        if lo is not None and hi is not None:
+        # rows with null dt fall in the null bucket, which no bounded
+        # window covers — their presence forces the full-refresh form
+        # (the diff path guards the same case via stats['_dt_nulls'])
+        has_nulls = bool(metrics.get("_ru_nulls"))
+        if lo is not None and hi is not None and not has_nulls:
             self._maintain_rollups(int(lo), int(hi) + 1)
         elif n:
             self._maintain_rollups(None, None)
@@ -1318,10 +1338,11 @@ class Pipe:
         conf = next((c for c in self._rollup_confs if c["name"] == name), None)
         if conf is None:
             raise KeyError(f"no rollup named {name!r} configured")
-        rstore = self._rollup_store(conf)
-        rstore.drop()
-        if self.exists():
-            rstore.append(self._rollup_compute(conf, None, None))
+        with self._write_lock:
+            rstore = self._rollup_store(conf)
+            rstore.drop()
+            if self.exists():
+                rstore.append(self._rollup_compute(conf, None, None))
 
     def _rollup_clear(self, begin_us: int | None, end_us: int | None) -> None:
         """After a bounded delete: recompute the affected bucket range by
@@ -1330,6 +1351,12 @@ class Pipe:
         confs = self._rollup_confs
         if not confs or not self.dt_col:
             return
+        with self._write_lock:
+            self._rollup_clear_locked(confs, begin_us, end_us)
+
+    def _rollup_clear_locked(self, confs: list[dict],
+                             begin_us: int | None,
+                             end_us: int | None) -> None:
         if begin_us is None and end_us is None:
             for conf in confs:
                 self.refresh_rollup(conf["name"])

@@ -964,9 +964,14 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    order_cols=["event_id"])
         q = (sess.writeStream.format("memory").queryName(sink)
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
         if q.exception() is not None:
             raise q.exception()
+        if not finished:
+            # a timed-out replay would silently aggregate a PARTIAL
+            # stream (and keep mutating the sink behind later queries)
+            q.stop()
+            raise TimeoutError("streaming replay did not finish in 300 s")
     return (
         spark.table(sink)
         # streaming sessions are 0-based; the batch running sum is 1-based
@@ -1017,9 +1022,14 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q = (agg.writeStream.format("memory").queryName(sink)
              .outputMode("complete").trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
         if q.exception() is not None:
             raise q.exception()
+        if not finished:
+            # a timed-out replay would silently aggregate a PARTIAL
+            # stream (and keep mutating the sink behind later queries)
+            q.stop()
+            raise TimeoutError("streaming replay did not finish in 300 s")
     return (
         spark.table(sink)
         .select(F.col("window.start").alias("bucket"), "event_type",
@@ -1274,9 +1284,14 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (deduped.select("user_id", "event_type")
              .writeStream.format("memory").queryName(sink)
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
         if q.exception() is not None:
             raise q.exception()
+        if not finished:
+            # a timed-out replay would silently aggregate a PARTIAL
+            # stream (and keep mutating the sink behind later queries)
+            q.stop()
+            raise TimeoutError("streaming replay did not finish in 300 s")
     return spark.table(sink).orderBy("user_id", "event_type")
 
 
@@ -2106,9 +2121,14 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q = (agg.writeStream.format("memory").queryName(sink)
              .outputMode("complete").trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
         if q.exception() is not None:
             raise q.exception()
+        if not finished:
+            # a timed-out replay would silently aggregate a PARTIAL
+            # stream (and keep mutating the sink behind later queries)
+            q.stop()
+            raise TimeoutError("streaming replay did not finish in 300 s")
     w = Window.partitionBy("win_start").orderBy(
         F.col("n_events").desc(), "event_type")
     return (
@@ -2456,9 +2476,14 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q = (joined.writeStream.format("memory").queryName(sink)
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
         if q.exception() is not None:
             raise q.exception()
+        if not finished:
+            # a timed-out replay would silently aggregate a PARTIAL
+            # stream (and keep mutating the sink behind later queries)
+            q.stop()
+            raise TimeoutError("streaming replay did not finish in 300 s")
     return (
         spark.table(sink)
         .groupBy("user_id")

@@ -2063,7 +2063,12 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio of EXACT integers (both engines divide the same two doubles),
     its log quantizes to 1e-4 fixed point, and per-doc scores sum those
     integer weights — order-insensitive, so the shuffle layout can never
-    change a score. The length-normalized score divides two exact values
+    change a score. The ln() itself is the one residual cross-engine
+    trust point: JVM Math.log and DuckDB's libm log measured
+    bit-identical here, and the 1e-4 quantum leaves ~12 orders of
+    magnitude between a 1-ulp log discrepancy and the nearest rounding
+    boundary, so a weight flip needs BOTH a libm divergence and a
+    boundary-adjacent value (~1e-12 per weight). The length-normalized score divides two exact values
     in IEEE double. At 100 TB the 1024-row weight table broadcasts and
     the per-doc pass is one explode + one hash-agg — no shuffle carries
     more than (doc_id, bucket) pairs."""
@@ -2183,7 +2188,7 @@ def doc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bloom-filter contamination pre-screen
 # ===========================================================================
 
-BLOOM_BITS = 65536  # m = 2^16
+BLOOM_BITS = 32768  # m = 2^15
 BLOOM_K = 4
 
 
@@ -2469,9 +2474,10 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores every document's average negative log-probability, and the
     noisiest decile is flagged — the perplexity-bucketing filter of the
     CCNet pipeline with the model's counts fully inside the engine.
-    Same determinism contract as doc_dsir_weights: probability ratios
-    are exact-integer ratios divided once in double, log-weights
-    quantize to 1e-4 fixed point, per-doc scores sum exact integers.
+    Same determinism contract (and the same residual ln() trust point,
+    see doc_dsir_weights) as the DSIR operator: exact-integer ratios
+    divided once in double, log-weights quantized to 1e-4 fixed point,
+    per-doc scores summing exact integers.
     Scale shape: bigram and context counts are two hash aggregates over
     one exploded pass; the weight table joins back by 60-bit hash (longs
     on the wire, never strings)."""

@@ -1676,6 +1676,38 @@ class Pipe:
             self._rollup_clear(self._bound_us(begin), self._bound_us(end))
         return n
 
+    def prune(self, keep: Any) -> int:
+        """Retention policy (TimescaleDB ``drop_chunks``/retention-policy
+        analogue; the reference delegates retention to the DBMS): drop
+        every row older than ``keep`` relative to the pipe's NEWEST
+        timestamp — so a stalled feed never silently empties its own
+        history the way a wall-clock cutoff would. ``keep`` accepts an
+        ``'every'``-less schedule-grammar duration (``'30 days'``,
+        ``'12 hours'``), a ``datetime.timedelta``, or — on integer axes —
+        a bare count of axis units. Returns rows removed; the bounded
+        delete prunes partitions and maintains rollups like any
+        ``clear``."""
+        newest = self.get_sync_time()
+        if newest is None:
+            return 0
+        if isinstance(keep, datetime.timedelta):
+            delta_us = int(keep.total_seconds() * 1_000_000)
+        elif isinstance(keep, (int, float)) and not isinstance(keep, bool):
+            delta_us = int(keep) * UNIT_US[self.precision_unit]
+        else:
+            from meerschaum_spark.streaming.schedule import parse_schedule
+            sched = parse_schedule(f"every {keep}")
+            if sched.seconds is None:
+                raise ValueError(f"not a duration: {keep!r}")
+            delta_us = int(sched.seconds * 1_000_000)
+        if delta_us <= 0:
+            raise ValueError(f"retention window must be positive: {keep!r}")
+        if isinstance(newest, datetime.datetime):
+            cutoff: Any = newest - datetime.timedelta(microseconds=delta_us)
+        else:
+            cutoff = int(newest) - delta_us // UNIT_US[self.precision_unit]
+        return self.clear(end=cutoff)
+
     def verify(
         self,
         source: Callable[[Any, Any], Any] | None = None,

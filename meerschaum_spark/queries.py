@@ -2491,3 +2491,114 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(_dec("value")).cast("double").alias("purchase_value"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_gapfill_locf",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+                 AS sum_dec
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+    spine AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           bounds,
+           (SELECT unnest(generate_series(bounds.h0, bounds.h1,
+                                          INTERVAL 1 HOUR)) AS h
+            FROM bounds) g),
+    joined AS (
+      SELECT s.event_type, s.h,
+             COALESCE(hourly.n_events, 0) AS n_events,
+             CAST(CAST(hourly.sum_dec AS VARCHAR) AS DOUBLE) AS sum_value
+      FROM spine s LEFT JOIN hourly
+        ON s.event_type = hourly.event_type AND s.h = hourly.h)
+    SELECT event_type, h AS bucket_ts, n_events,
+           n_events > 0 AS observed,
+           last_value(sum_value IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sum_value_locf
+    FROM joined ORDER BY event_type, bucket_ts
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with last-observation-carried-forward —
+    the TimescaleDB ``time_bucket_gapfill``+``locf`` analogue (the
+    reference's flagship backend exposes it in the database; here it is
+    an engine operator). The bucket spine is generated per group over
+    the observed [min, max] hour range (sequence + explode — no driver
+    loop), missing buckets join as NULL and LOCF is one
+    last_value(ignorenulls) window per group. At 100 TB the window
+    partitions by series key, so state per task is one series — the
+    standard time-series layout; sums accumulate exact decimal before
+    the single double surface."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(_dec("value")).cast("decimal(28,6)")
+                   .alias("sum_dec")))
+    hourly = hourly.localCheckpoint()
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (hourly.select("event_type").distinct()
+             .crossJoin(F.broadcast(bounds))
+             .select("event_type",
+                     F.explode(F.sequence(
+                         F.col("h0"), F.col("h1"),
+                         F.expr("INTERVAL 1 HOUR"))).alias("h")))
+    joined = (spine.join(hourly, on=["event_type", "h"], how="left")
+              .select("event_type", "h",
+                      F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                      F.col("sum_dec").cast("double").alias("sum_value")))
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (joined.select(
+                "event_type", F.col("h").alias("bucket_ts"), "n_events",
+                (F.col("n_events") > 0).alias("observed"),
+                F.last("sum_value", ignorenulls=True).over(w)
+                .alias("sum_value_locf"))
+            .orderBy("event_type", "bucket_ts"))
+
+
+@query(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    trans AS (
+      SELECT event_type AS prev_type, next_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT prev_type, sum(n) AS n_prev FROM trans GROUP BY 1)
+    SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n,
+           CAST(t.n AS DOUBLE) / CAST(tot.n_prev AS DOUBLE) AS p
+    FROM trans t JOIN tot ON t.prev_type = tot.prev_type
+    ORDER BY t.prev_type, t.next_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (the behavioral-model primitive behind next-event prediction and
+    anomalous-flow detection): lead() within each user's time-ordered
+    stream, transition counts, and row-normalized probabilities — two
+    exact integer counts divided once in double. The lead window
+    shuffles once on user_id; the 5x5 transition matrix is
+    driver-trivial at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("event_type",
+                    F.lead("event_type").over(w).alias("next_type"))
+    trans = (seq.filter(F.col("next_type").isNotNull())
+             .groupBy(F.col("event_type").alias("prev_type"), "next_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("n_prev"))
+    return (trans.join(tot, on="prev_type")
+            .select("prev_type", "next_type", "n",
+                    (F.col("n").cast("double")
+                     / F.col("n_prev").cast("double")).alias("p"))
+            .orderBy("prev_type", "next_type"))

@@ -113,3 +113,37 @@ def test_analyze_statistics(spark, instance_dir):
     assert pipe.analyze(columns=["id"]).keys() == {"id"}
     assert Pipe("maint", "none", instance=instance_dir,
                 spark=spark).analyze() == {}
+
+
+def test_prune_retention(spark, instance_dir, sf_dir):
+    """pipe.prune drops rows older than the window relative to the
+    NEWEST stored timestamp (not wall clock), maintains partitions, and
+    accepts grammar strings / timedeltas / int-axis unit counts."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from meerschaum_spark.sources import load_table
+    from meerschaum_spark.pipe import Pipe
+
+    events = load_table(spark, sf_dir, "events")
+    pipe = Pipe("maint", "prune", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "event_id"})
+    pipe.sync(events)
+    newest = pipe.get_sync_time()
+    keep = datetime.timedelta(days=10)
+    expect_kept = events.filter(F.col("ts") >= newest - keep).count()
+    removed = pipe.prune("10 days")
+    assert pipe.get_rowcount() == expect_kept
+    assert removed == events.count() - expect_kept
+    # idempotent: nothing newer got dropped
+    assert pipe.prune(keep) == 0
+
+    # integer axis: keep last 5 units
+    p2 = Pipe("maint", "prune_int", instance=instance_dir, spark=spark,
+              columns={"datetime": "k", "id": "k"},
+              parameters={"precision": {"unit": "second"}},
+              dtypes={"k": "int64"})
+    p2.sync([{"k": i} for i in range(10)])
+    assert p2.prune(5) == 4  # keeps k in [4, 9]
+    assert p2.get_rowcount() == 6

@@ -110,3 +110,47 @@ def test_rollup_int_axis(spark, instance_dir):
     pipe.sync([{"k": 61, "v": 1.0}])
     out = {(r["k"], r["n_rows"]) for r in pipe.get_rollup("m").collect()}
     assert out == {(0, 10), (60, 1)}
+
+
+def test_rollup_upsert_and_nodiff_paths(spark, instance_dir, sf_dir):
+    """The upsert and check_existing=False write paths maintain rollups
+    through their Observation bounds too."""
+    events = load_table(spark, sf_dir, "events").limit(200).persist()
+    try:
+        pipe = Pipe("roll", "ups", instance=instance_dir, spark=spark,
+                    columns={"datetime": "ts", "id": "event_id"},
+                    parameters={"rollups": ROLLUPS, "upsert": True})
+        pipe.sync(events)
+        pipe.sync(events)  # idempotent merge
+        assert _rows(pipe.get_rollup("hourly")) == _rows(
+            _expected_hourly(pipe.get_data(order=None)))
+
+        pipe2 = Pipe("roll", "nodiff", instance=instance_dir, spark=spark,
+                     columns={"datetime": "ts", "id": "event_id"},
+                     parameters={"rollups": ROLLUPS})
+        pipe2.sync(events)
+        pipe2.sync(events.limit(50), check_existing=False)  # dup append
+        assert _rows(pipe2.get_rollup("hourly")) == _rows(
+            _expected_hourly(pipe2.get_data(order=None)))
+    finally:
+        events.unpersist()
+
+
+def test_rollup_null_dt_rows_force_refresh(spark, instance_dir):
+    """A batch carrying null-dt rows must not leave the null bucket out
+    of the rollup (the Observation min/max skip nulls)."""
+    import datetime as dt
+    rows = [
+        {"ts": dt.datetime(2024, 1, 1, 0, 30), "event_id": 1, "v": 1.0},
+        {"ts": None, "event_id": 2, "v": 2.0},
+    ]
+    pipe = Pipe("roll", "nulls", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "event_id"},
+                parameters={"rollups": [{"name": "hourly",
+                                         "interval": "hour",
+                                         "values": ["v"]}],
+                            "null_indices": True})
+    pipe.sync(rows)
+    got = {(r["ts"], r["n_rows"]) for r in pipe.get_rollup("hourly").collect()}
+    assert (None, 1) in got
+    assert (dt.datetime(2024, 1, 1, 0, 0), 1) in got

@@ -1077,19 +1077,29 @@ class Pipe:
 
     def _ingest_dedup_exact(self, df: DataFrame, col: str) -> DataFrame:
         import os
-        f1 = F.xxhash64(F.col(col))
-        f2 = F.xxhash64(F.lit(1), F.col(col))
-        df = df.withColumn("_fp1", f1).withColumn("_fp2", f2)
+        # Fingerprint pairs materialize ONCE (3 longs per row): the
+        # previous shape carried the full batch — text included —
+        # through a window shuffle embedded in the batch plan, so every
+        # downstream sync action re-shuffled and re-hashed the whole
+        # batch. Now the expensive pass runs once, the surviving-row set
+        # is a checkpointed ord list, and downstream actions pay only a
+        # pruned batch scan + one semi-join against that list.
+        fps = df.select(
+            F.col(ORD_COL),
+            F.xxhash64(F.col(col)).alias("_fp1"),
+            F.xxhash64(F.lit(1), F.col(col)).alias("_fp2"),
+        ).localCheckpoint()
         w = Window.partitionBy("_fp1", "_fp2").orderBy(F.col(ORD_COL).asc())
-        df = (df.withColumn("_fprn", F.row_number().over(w))
-              .filter(F.col("_fprn") == 1).drop("_fprn"))
+        keep = (fps.withColumn("_fprn", F.row_number().over(w))
+                .filter(F.col("_fprn") == 1).drop("_fprn"))
         if os.path.isdir(self._fps_dir):
             seen = (self.spark.read.schema("_fp1 long, _fp2 long")
                     .parquet(self._fps_dir))
-            df = df.join(seen, on=["_fp1", "_fp2"], how="left_anti")
+            keep = keep.join(seen, on=["_fp1", "_fp2"], how="left_anti")
+        keep = keep.localCheckpoint()
         self._fps_tls.pending = (self._fps_dir, "_fp1 long, _fp2 long",
-                                 df.select("_fp1", "_fp2"))
-        return df.drop("_fp1", "_fp2")
+                                 keep.select("_fp1", "_fp2"))
+        return df.join(keep.select(ORD_COL), on=ORD_COL, how="left_semi")
 
     def _ingest_dedup_minhash(self, df: DataFrame, col: str,
                               conf: dict) -> DataFrame:

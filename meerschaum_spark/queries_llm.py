@@ -2524,3 +2524,85 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("neg_avg_logp") >= F.col("q90"))
                     .alias("flagged_noisy"))
             .orderBy("doc_id"))
+
+
+# ===========================================================================
+# Product quantization (FAISS-style PQ codes + reconstruction error)
+# ===========================================================================
+
+PQ_SUBSPACES = 2
+PQ_CODEBOOK = 16
+PQ_SUBDIM = 32  # 64-dim embeddings / 2 subspaces
+
+_PQ_SUBDIST = """list_reduce(list_transform(generate_series(1, {d}), i ->
+        (CAST(e.embedding[{off} + i] AS DOUBLE)
+           - CAST(c.embedding[{off} + i] AS DOUBLE))
+      * (CAST(e.embedding[{off} + i] AS DOUBLE)
+           - CAST(c.embedding[{off} + i] AS DOUBLE))),
+      (a, b) -> a + b)"""
+
+
+def _pq_assign_sql(m: int) -> str:
+    dist = _PQ_SUBDIST.format(d=PQ_SUBDIM, off=m * PQ_SUBDIM)
+    return f"""
+      SELECT vec_id, cid AS code{m}, dist AS err{m} FROM (
+        SELECT e.vec_id, c.vec_id AS cid, {dist} AS dist,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist} ASC, c.vec_id ASC) AS rn
+        FROM embeddings e,
+             (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < {PQ_CODEBOOK}) c
+      ) WHERE rn = 1"""
+
+
+@query(
+    "emb_pq_codes",
+    f"""
+    WITH a0 AS ({_pq_assign_sql(0)}),
+    a1 AS ({_pq_assign_sql(1)})
+    SELECT a0.vec_id, a0.code0, a1.code1,
+           a0.err0 + a1.err1 AS recon_err
+    FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id
+    ORDER BY a0.vec_id
+    """,
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the FAISS IVFPQ compression layer): the
+    64-dim embedding splits into 2 subspaces of 32 dims, each encoded
+    as its nearest of 16 seeded codebook entries (vec_id < 16 halves —
+    the same seeded-centroid convention as emb_ivf_topk/emb_kmeans),
+    with the summed squared reconstruction error beside the codes —
+    8 bits replace 256 float bytes, accuracy measured not claimed.
+
+    Scale shape: the codebook collects to the driver (2x16x32 floats)
+    and assignment is a SHUFFLE-FREE literal-array projection per row —
+    the r4 IVF pattern; nothing joins, nothing re-distributes. Distance
+    folds are sequential per element (F.aggregate == list_reduce), ties
+    break on the lower code deterministically in both engines."""
+    emb = _emb(spark, sf_dir)
+    cents = (load_table(spark, sf_dir, "embeddings")
+             .filter(F.col("vec_id") < PQ_CODEBOOK)
+             .orderBy("vec_id").collect())
+    out_cols = [F.col("vec_id")]
+    errs = []
+    for m in range(PQ_SUBSPACES):
+        half = F.slice(F.col("embedding"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    half,
+                    F.array(*[F.lit(float(v))
+                              for v in r.embedding[m * PQ_SUBDIM:
+                                                   (m + 1) * PQ_SUBDIM]]),
+                    lambda a, b: (a.cast("double") - b)
+                    * (a.cast("double") - b)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            for r in cents])
+        best = F.array_min(dists)
+        # array_position returns the FIRST bit-equal match (1-based) —
+        # the same smallest-code tie-break as the oracle's row_number
+        code = (F.array_position(dists, best) - 1).cast("long")
+        out_cols.append(code.alias(f"code{m}"))
+        errs.append(best)
+    out_cols.append((errs[0] + errs[1]).alias("recon_err"))
+    return emb.select(*out_cols).orderBy("vec_id")

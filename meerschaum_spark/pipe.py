@@ -1859,29 +1859,44 @@ class Pipe:
         self.register()
         return SyncResult(True, f"Repartitioned {old} → {chunk_minutes} min grid.")
 
-    def optimize(self, max_files_per_partition: int = 1) -> int:
+    def optimize(self, max_files_per_partition: int = 1,
+                 cluster_by: list[str] | None = None) -> int:
         """Compact partitions that accumulated small append files — the
         OPTIMIZE analogue (reference maps compress/vacuum to this,
         SURVEY §2.9 M9/M10; TimescaleDB compression policy
         connectors/sql/_compress.py:31-636 collapses to a rewrite since
-        parquet is already columnar). Returns partitions rewritten."""
+        parquet is already columnar). Returns partitions rewritten.
+
+        ``cluster_by`` adds the ZORDER-lite half of OPTIMIZE: rows sort
+        by the given columns WITHIN each time partition before the
+        rewrite (TimescaleDB's ``segmentby``/``orderby`` compression
+        layout, connectors/sql/_compress.py:199-519), so parquet
+        row-group min/max stats become selective for those columns and
+        point/range reads on them prune at the row-group level — the
+        poor man's secondary index. Clustering rewrites EVERY partition
+        (a layout change, not just a compaction)."""
         import os
         if not self.exists():
             return 0
-        fragmented: list[int | None] = []
+        targets: list[int | None] = []
         for part in self.store.partition_values():
+            if cluster_by:
+                targets.append(part)
+                continue
             d = os.path.join(self.store.data_path,
                              self.store._part_dir_name(part))
             n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
             if n_files > max_files_per_partition:
-                fragmented.append(part)
-        if not fragmented:
+                targets.append(part)
+        if not targets:
             return 0
         scoped = self.store.read(dtypes=self.dtypes or None,
-                                 keep_part_col=True, part_values=fragmented)
+                                 keep_part_col=True, part_values=targets)
         compacted = scoped.repartition("_mrsm_part")
-        self.store._swap_partitions(compacted, fragmented)
-        return len(fragmented)
+        keys = [c for c in (cluster_by or []) if c in scoped.columns]
+        self.store._swap_partitions(compacted, targets,
+                                    sort_by=keys or None)
+        return len(targets)
 
     def vacuum(self, stale_minutes: int = 1440) -> int:
         """Remove orphaned staging dirs from interrupted merges (the

@@ -2602,3 +2602,75 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n").cast("double")
                      / F.col("n_prev").cast("double")).alias("p"))
             .orderBy("prev_type", "next_type"))
+
+
+@query(
+    "events_hll_merge",
+    """
+    WITH h AS (
+      SELECT event_id % 2 AS shard,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)
+                 AS h
+      FROM events),
+    r AS (SELECT shard, h % 256 AS b,
+                 max(CASE WHEN (h >> 8) = 0 THEN 53
+                          ELSE 53 - length(bin(h >> 8)) END) AS m_j
+          FROM h GROUP BY 1, 2),
+    merged AS (SELECT b, max(m_j) AS m_j FROM r GROUP BY b),
+    direct AS (SELECT h % 256 AS b,
+                      max(CASE WHEN (h >> 8) = 0 THEN 53
+                               ELSE 53 - length(bin(h >> 8)) END) AS m_j
+               FROM h GROUP BY 1),
+    sm AS (SELECT CAST(sum(1::BIGINT << (53 - m_j))
+                       + (256 - count(*)) * (1::BIGINT << 53) AS BIGINT)
+                      AS s FROM merged),
+    sd AS (SELECT CAST(sum(1::BIGINT << (53 - m_j))
+                       + (256 - count(*)) * (1::BIGINT << 53) AS BIGINT)
+                      AS s FROM direct)
+    SELECT 2 AS n_shards,
+           sm.s AS s_merged, sd.s AS s_direct,
+           sm.s = sd.s AS merge_exact,
+           (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+             / CAST(sm.s AS DOUBLE) AS hll_estimate
+    FROM sm, sd
+    """,
+)
+def events_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL MERGEABILITY contract under the gate: per-shard register
+    pages (here two deterministic event_id-parity shards standing in
+    for days/files/workers) combine by cell-wise max, and the merged
+    page must equal — integer for integer — the page computed over the
+    union directly. That equality is WHY the sketch works at 100 TB:
+    register pages roll up across partitions, days, and shards without
+    re-reading anything. Same register math as events_hll_distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    rest = F.shiftright(h, 8)
+    rho = F.when(rest == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(rest)))
+    base = ev.select((F.col("event_id") % 2).alias("shard"),
+                     (h % 256).alias("b"), rho.alias("rho"))
+    base = base.localCheckpoint()
+    shard_regs = (base.groupBy("shard", "b").agg(F.max("rho").alias("m_j")))
+    merged = shard_regs.groupBy("b").agg(F.max("m_j").alias("m_j"))
+    direct = base.groupBy("b").agg(F.max("rho").alias("m_j"))
+
+    def s_of(regs: DataFrame) -> DataFrame:
+        return regs.agg(
+            (F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), "
+                          "CAST(53 - m_j AS INT))"))
+             + (F.lit(256) - F.count(F.lit(1)))
+             * F.lit(9007199254740992)).cast("long").alias("s"))
+
+    sm = s_of(merged).withColumnRenamed("s", "s_merged")
+    sd = s_of(direct).withColumnRenamed("s", "s_direct")
+    alpha_num = (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+                 * F.lit(65536.0) * F.lit(9007199254740992.0))
+    return (sm.crossJoin(sd)
+            .select(F.lit(2).cast("int").alias("n_shards"),
+                    "s_merged", "s_direct",
+                    (F.col("s_merged") == F.col("s_direct"))
+                    .alias("merge_exact"),
+                    (alpha_num / F.col("s_merged").cast("double"))
+                    .alias("hll_estimate")))

@@ -529,11 +529,17 @@ class ParquetPipeStore:
             return NULL_PART_DIR
         return f"{PART_COL}={value}"
 
-    def _swap_partitions(self, df: DataFrame, parts: list[Any] | None) -> None:
+    def _swap_partitions(self, df: DataFrame, parts: list[Any] | None,
+                         sort_by: list[str] | None = None) -> None:
         """Write ``df`` (covering exactly ``parts``) to staging, then swap
         each partition directory into place. ``parts=None`` means "derive
         the list from the staging directory after the write" — a local
         scandir, not a Spark action (used by the bounds-pruned merge).
+
+        ``sort_by`` applies a per-task sort (PART_COL first, so rows of
+        one cell stay contiguous) AFTER the rebalance — the clustering
+        write for ``optimize(cluster_by=...)``; sorting before the
+        rebalance would be undone by its shuffle.
 
         Spark refuses to overwrite a path it is also reading
         (self-referential plan), so the rewrite lands in a staging dir first;
@@ -542,7 +548,10 @@ class ParquetPipeStore:
         """
         staging = self._staging_dir()
         try:
-            (self._rebalanced(df)
+            out = self._rebalanced(df)
+            if sort_by:
+                out = out.sortWithinPartitions(PART_COL, *sort_by)
+            (out
              .write.mode("overwrite").partitionBy(PART_COL).parquet(staging))
             if parts is None:
                 parts = []

@@ -651,17 +651,18 @@ class Pipe:
         first_sync = not self.exists(refresh=True)
         if first_sync:
             try:
-                patch = (self._dedupe_patch(df) if self.upsert
-                         else df.drop(ORD_COL))
+                pre = (self._dedupe_patch(df) if self.upsert
+                       else df.drop(ORD_COL))
                 # count DURING the write (Observation collects metrics from
                 # the write job itself) — a separate .count() action would
                 # re-scan the whole source, doubling bulk-load I/O
+                obs_aggs = [F.count(F.lit(1)).alias("n"),
+                            *self._rollup_bounds_aggs(pre)]
                 obs = Observation()
-                patch = patch.observe(obs, F.count(F.lit(1)).alias("n"),
-                                      *self._rollup_bounds_aggs(patch))
+                patch = pre.observe(obs, *obs_aggs)
                 with self._write_lock:
                     self.store.append(patch)
-                m = obs.get
+                m = self._obs_get(obs, pre, obs_aggs)
                 n = int(m["n"])
             finally:
                 _release()
@@ -673,16 +674,17 @@ class Pipe:
         if self.upsert:
             try:
                 with _low_latency_plan(self.spark):
-                    patch = self._dedupe_patch(df)
+                    pre = self._dedupe_patch(df)
+                    obs_aggs = [F.count(F.lit(1)).alias("n"),
+                                *self._rollup_bounds_aggs(pre)]
                     obs = Observation()
-                    patch = patch.observe(obs, F.count(F.lit(1)).alias("n"),
-                                          *self._rollup_bounds_aggs(patch))
+                    patch = pre.observe(obs, *obs_aggs)
                     merge_keys = [c for c in self.index_cols
                                   if c in patch.columns] or patch.columns
                     with self._write_lock:
                         self.store.merge(patch, merge_keys,
                                          dtypes=self.dtypes or None)
-                    m = obs.get
+                    m = self._obs_get(obs, pre, obs_aggs)
                     n = int(m["n"])
             finally:
                 _release()
@@ -693,13 +695,14 @@ class Pipe:
 
         if not check_existing:
             try:
-                df = df.drop(ORD_COL)
+                pre = df.drop(ORD_COL)
+                obs_aggs = [F.count(F.lit(1)).alias("n"),
+                            *self._rollup_bounds_aggs(pre)]
                 obs = Observation()
-                df = df.observe(obs, F.count(F.lit(1)).alias("n"),
-                                *self._rollup_bounds_aggs(df))
+                df = pre.observe(obs, *obs_aggs)
                 with self._write_lock:
                     self.store.append(df)
-                m = obs.get
+                m = self._obs_get(obs, pre, obs_aggs)
                 n = int(m["n"])
             finally:
                 _release()
@@ -730,18 +733,18 @@ class Pipe:
             # build; the rare update-bearing sync instead recomputes the
             # diff for its patch — a diff already pruned to the batch's
             # time window and (for small batches) its key values.
-            obs = Observation()
-            marked_obs = marked.observe(
-                obs,
+            obs_aggs = [
                 F.count(F.lit(1)).alias("n_total"),
                 F.count(F.col(HIT_COL)).alias("n_update"),
-            )
+            ]
+            obs = Observation()
+            marked_obs = marked.observe(obs, *obs_aggs)
             unseen = (marked_obs.filter(F.col(HIT_COL).isNull())
                       .drop(HIT_COL, ORD_COL))
             update = marked.filter(F.col(HIT_COL).isNotNull()).drop(HIT_COL)
             with self._write_lock:
                 self.store.append(unseen)
-                m = obs.get
+                m = self._obs_get(obs, marked, obs_aggs)
                 n_update = int(m["n_update"])
                 n_unseen = int(m["n_total"]) - n_update
                 if n_update:
@@ -1265,6 +1268,24 @@ class Pipe:
             out[f"min_{v}"] = self.dtypes.get(v, "float")
             out[f"max_{v}"] = self.dtypes.get(v, "float")
         return out
+
+    @staticmethod
+    def _obs_get(obs: "Observation", pre: DataFrame,
+                 aggs: list[F.Column]) -> dict:
+        """Observation metrics with an explicit-recount fallback.
+
+        ``Observation.get`` cannot retrieve metrics when sync runs on a
+        foreachBatch callback thread (the micro-batch executes on a
+        cloned session whose listener row never reaches the observation;
+        PythonSQLUtils.toPyRow asserts). The fused count-during-write
+        stays the fast path everywhere else; in that context the same
+        aggregates recompute as one explicit job over the pre-observe
+        frame — correctness identical, one extra pass."""
+        try:
+            return obs.get
+        except Exception:
+            row = pre.agg(*aggs).first()
+            return row.asDict() if row is not None else {}
 
     def _rollup_bounds_aggs(self, frame: DataFrame) -> list[F.Column]:
         """Patch time-bounds collected from the WRITE job itself (same

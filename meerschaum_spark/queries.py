@@ -2674,3 +2674,64 @@ def events_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("merge_exact"),
                     (alpha_num / F.col("s_merged").cast("double"))
                     .alias("hll_estimate")))
+
+
+@query(
+    "streaming_pipe_sync",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT event_id) AS n_ids,
+           min(ts) AS min_ts, max(ts) AS max_ts,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                AS DOUBLE) AS sum_value
+    FROM events
+    """,
+)
+def streaming_pipe_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCT's streaming ingestion path under the gate: a
+    readStream replay drives ``pipe.sync`` micro-batch by micro-batch
+    through ``stream_sync_pipe`` (foreachBatch), then the SAME source
+    replays again from a fresh checkpoint — the diff must absorb every
+    duplicate row (effective exactly-once via idempotent sync, §3.1).
+    The stored table's row count, key count, time bounds, and exact-
+    decimal value sum must equal a direct aggregate of the source."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+    from meerschaum_spark.streaming.runner import stream_sync_pipe
+
+    instance = tempfile.mkdtemp(prefix="mrsm_q_spsync_")
+    try:
+        pipe = Pipe("catalog", "spsync", instance=instance, spark=spark,
+                    columns={"datetime": "ts", "id": "event_id"})
+        path = _os.path.join(sf_dir, "events.parquet")
+        with _stream_replay_confs(spark):
+            raw = spark.read.parquet(path)
+            for replay in range(2):
+                stream = (spark.readStream.schema(raw.schema)
+                          .option("pathGlobFilter", "events.parquet")
+                          .parquet(sf_dir))
+                stream = canonicalize_ts(stream, ["ts"])
+                ckpt = _os.path.join(instance, f"_ckpt{replay}")
+                q = stream_sync_pipe(pipe, stream, ckpt,
+                                     query_name=f"_mrsm_spsync_{replay}")
+                finished = q.awaitTermination(300)
+                if q.exception() is not None:
+                    raise q.exception()
+                if not finished:
+                    q.stop()
+                    raise TimeoutError("streaming sync replay timed out")
+        stored = pipe.get_data(order=None)
+        row = (stored.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("event_id").alias("n_ids"),
+            F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"))
+            .collect())
+        return spark.createDataFrame(
+            row, "n_rows long, n_ids long, min_ts timestamp, "
+                 "max_ts timestamp, sum_value double")
+    finally:
+        shutil.rmtree(instance, ignore_errors=True)

@@ -2606,3 +2606,50 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         errs.append(best)
     out_cols.append((errs[0] + errs[1]).alias("recon_err"))
     return emb.select(*out_cols).orderBy("vec_id")
+
+
+@query(
+    "doc_lang_id_accuracy",
+    f"""
+    WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
+    r AS (
+      SELECT doc_id, lang,
+             {_hits_sql(T.STOPWORDS['en'])} AS hits_en,
+             {_hits_sql(T.STOPWORDS['de'])} AS hits_de,
+             {_hits_sql(T.STOPWORDS['es'])} AS hits_es,
+             {_hits_sql(T.STOPWORDS['fr'])} AS hits_fr,
+             CAST(length(text) - length(regexp_replace(text,
+                  '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE) / length(text)
+                 AS non_ascii_ratio
+      FROM t),
+    pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN non_ascii_ratio > 0.3 THEN 'zh'
+                  WHEN hits_en >= hits_de AND hits_en >= hits_es
+                       AND hits_en >= hits_fr THEN 'en'
+                  WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+                  WHEN hits_es >= hits_fr THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM r)
+    SELECT lang, pred_lang, count(*) AS n,
+           CAST(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def doc_lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The language-ID heuristic graded against the corpus's OWN labels:
+    the full confusion matrix (true lang x predicted lang with counts),
+    the same measure-don't-guess discipline as emb_ann_recall /
+    doc_minhash_jaccard_est applied to the text classifier. One scan,
+    one small shuffle on the (lang, pred) pair."""
+    docs = _docs(spark, sf_dir)
+    pred = T.lang_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", "lang").join(pred, on="doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.when(F.col("lang") == F.col("pred_lang"), 1)
+                   .otherwise(0)).alias("n_correct"))
+        .orderBy("lang", "pred_lang")
+    )

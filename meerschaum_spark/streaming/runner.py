@@ -45,6 +45,12 @@ def stream_sync_pipe(
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # detach from the micro-batch's streaming lineage: sync's fused
+        # count-during-write Observations are unsupported on plans owned
+        # by an IncrementalExecution (Observation.get raises on the diff
+        # path), and the checkpoint also keeps sync's several actions
+        # from re-reading the source once per action
+        batch_df = batch_df.localCheckpoint()
         result = pipe.sync(batch_df)
         if not result.success:
             raise RuntimeError(

@@ -66,4 +66,4 @@ def oracle_sql() -> dict[str, str]:
     import meerschaum_spark.queries      # noqa: F401
     import meerschaum_spark.queries_llm  # noqa: F401
     from meerschaum_spark.catalog import ORACLE, ordered
-    return ordered(ORACLE)
+    return ordered(ORACLE, oracle_complete=True)

@@ -69,17 +69,17 @@ HEAD_ORDER = [
 ]
 
 
-def ordered(d: dict) -> dict:
+def ordered(d: dict, oracle_complete: bool = False) -> dict:
     """Reorder a catalog dict so HEAD_ORDER entries come first (in that
     order), then everything else in registration order.
 
     A HEAD_ORDER name missing from the QUERIES registry would silently
     shift a tail query into the driver-audited first 50, so treat it as a
-    hard error (catches typos and renames at import time). A head query
-    missing from the ORACLE dict is equally a hard error UNLESS it is
-    explicitly declared rows-only (ROWS_ONLY) — otherwise a forgotten
-    oracle would silently degrade a gated query to the weaker rows-only
-    check.
+    hard error (catches typos and renames at import time). Pass
+    ``oracle_complete=True`` when ordering an oracle dict: a head query
+    missing from it is then equally a hard error UNLESS explicitly
+    declared rows-only (ROWS_ONLY) — otherwise a forgotten oracle would
+    silently degrade a gated query to the weaker rows-only check.
     """
     missing = [k for k in HEAD_ORDER if k not in QUERIES]
     if missing:
@@ -87,14 +87,14 @@ def ordered(d: dict) -> dict:
             f"HEAD_ORDER names absent from the catalog: {missing}; "
             "update catalog.HEAD_ORDER to match the registered query names"
         )
-    silent = [k for k in HEAD_ORDER
-              if k not in d and k in QUERIES and d is ORACLE
-              and k not in ROWS_ONLY]
-    if silent:
-        raise KeyError(
-            f"HEAD_ORDER queries with no oracle and not declared in "
-            f"ROWS_ONLY: {silent}"
-        )
+    if oracle_complete:
+        silent = [k for k in HEAD_ORDER
+                  if k not in d and k not in ROWS_ONLY]
+        if silent:
+            raise KeyError(
+                f"HEAD_ORDER queries with no oracle and not declared in "
+                f"ROWS_ONLY: {silent}"
+            )
     head = {k: d[k] for k in HEAD_ORDER if k in d}
     head.update((k, v) for k, v in d.items() if k not in head)
     return head

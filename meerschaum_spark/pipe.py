@@ -744,9 +744,17 @@ class Pipe:
             update = marked.filter(F.col(HIT_COL).isNotNull()).drop(HIT_COL)
             with self._write_lock:
                 self.store.append(unseen)
-                m = self._obs_get(obs, marked, obs_aggs)
-                n_update = int(m["n_update"])
-                n_unseen = int(m["n_total"]) - n_update
+            # metrics OUTSIDE the lock: on a foreachBatch callback thread
+            # _obs_get falls back to re-running the diff probe join — a
+            # per-micro-batch cost that must not serialize every other
+            # sync on the pipe. Releasing between append and merge is
+            # safe: merge re-lists files at merge time, so rows any
+            # interleaved writer lands are retained through the rewrite,
+            # and partition swaps themselves still serialize per-merge.
+            m = self._obs_get(obs, marked, obs_aggs)
+            n_update = int(m["n_update"])
+            n_unseen = int(m["n_total"]) - n_update
+            with self._write_lock:
                 if n_update:
                     # merge AFTER append: store.merge re-lists files, so rows
                     # the append just wrote are retained through the rewrite
@@ -1914,7 +1922,12 @@ class Pipe:
         scoped = self.store.read(dtypes=self.dtypes or None,
                                  keep_part_col=True, part_values=targets)
         compacted = scoped.repartition("_mrsm_part")
-        keys = [c for c in (cluster_by or []) if c in scoped.columns]
+        keys = list(cluster_by or [])
+        unknown = [c for c in keys if c not in scoped.columns]
+        if unknown:
+            # a typo'd key must not degrade to an expensive unclustered
+            # full-table rewrite that reports success
+            raise KeyError(f"cluster_by columns not in the table: {unknown}")
         self.store._swap_partitions(compacted, targets,
                                     sort_by=keys or None)
         return len(targets)

@@ -2341,6 +2341,23 @@ def pipe_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(instance, ignore_errors=True)
 
 
+
+
+def _hll_register_cols(user_col: str) -> tuple[F.Column, F.Column]:
+    """Shared HLL register math (bucket, rank) for the sketch queries:
+    low 8 bits of the 60-bit md5 hash pick one of 256 registers, the
+    leading-zero rank of the remaining 52 bits comes from an integer
+    string op (length(bin(x)) — no float log2). events_hll_distinct and
+    events_hll_merge MUST stay on one implementation: the merge query's
+    contract is "same register math"."""
+    from meerschaum_spark.catalog import hash60
+    h = hash60(F.col(user_col).cast("string"))
+    rest = F.shiftright(h, 8)
+    rho = F.when(rest == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(rest)))
+    return (h % 256).alias("b"), rho.alias("rho")
+
+
 @query(
     "events_hll_distinct",
     """
@@ -2388,12 +2405,8 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     days/shards. Exact distinct + the raw HLL estimate surface side by
     side (n ≫ 2.5m here, so the raw regime is the active one)."""
     ev = load_table(spark, sf_dir, "events")
-    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
-               16, 10).cast("long")
-    rest = F.shiftright(h, 8)
-    rho = F.when(rest == 0, F.lit(53)).otherwise(
-        F.lit(53) - F.length(F.bin(rest)))
-    regs = (ev.select("event_type", (h % 256).alias("b"), rho.alias("rho"))
+    b, rho = _hll_register_cols("user_id")
+    regs = (ev.select("event_type", b, rho)
             .groupBy("event_type", "b").agg(F.max("rho").alias("m_j")))
     agg = (regs.groupBy("event_type")
            .agg(F.count(F.lit(1)).alias("n_present"),
@@ -2644,13 +2657,8 @@ def events_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     register pages roll up across partitions, days, and shards without
     re-reading anything. Same register math as events_hll_distinct."""
     ev = load_table(spark, sf_dir, "events")
-    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
-               16, 10).cast("long")
-    rest = F.shiftright(h, 8)
-    rho = F.when(rest == 0, F.lit(53)).otherwise(
-        F.lit(53) - F.length(F.bin(rest)))
-    base = ev.select((F.col("event_id") % 2).alias("shard"),
-                     (h % 256).alias("b"), rho.alias("rho"))
+    b, rho = _hll_register_cols("user_id")
+    base = ev.select((F.col("event_id") % 2).alias("shard"), b, rho)
     base = base.localCheckpoint()
     shard_regs = (base.groupBy("shard", "b").agg(F.max("rho").alias("m_j")))
     merged = shard_regs.groupBy("b").agg(F.max("m_j").alias("m_j"))

@@ -2234,7 +2234,7 @@ def doc_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts as a bloom hit iff all 4 of its positions are set. Exact hits
     surface beside the bloom hits, so the false-positive overhead of the
     screen is itself an output under the gate. The 100 TB story: the
-    filter is CONSTANT-SIZE (2^16 candidate positions) no matter how
+    filter is CONSTANT-SIZE (2^15 candidate positions) no matter how
     large the eval corpus grows, so the pre-screen broadcast never hits
     a size wall — only bloom-positive docs proceed to the exact
     (broadcast-set) verification join that doc_contamination_check

@@ -154,3 +154,29 @@ def test_rollup_null_dt_rows_force_refresh(spark, instance_dir):
     got = {(r["ts"], r["n_rows"]) for r in pipe.get_rollup("hourly").collect()}
     assert (None, 1) in got
     assert (dt.datetime(2024, 1, 1, 0, 0), 1) in got
+
+
+def test_concurrent_syncs_with_rollups(spark, instance_dir, sf_dir):
+    """Two threads syncing DISJOINT time slices of one pipe concurrently:
+    the write lock serializes partition swaps and rollup merges, so the
+    final table and rollup must equal a serial full rebuild."""
+    import datetime as dt
+    from concurrent.futures import ThreadPoolExecutor
+
+    events = load_table(spark, sf_dir, "events").persist()
+    try:
+        pipe = Pipe("roll", "conc", instance=instance_dir, spark=spark,
+                    columns={"datetime": "ts", "id": "event_id"},
+                    parameters={"rollups": ROLLUPS})
+        cut = dt.datetime(2024, 1, 15)
+        lo = events.filter(F.col("ts") < F.lit(cut))
+        hi = events.filter(F.col("ts") >= F.lit(cut))
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [ex.submit(pipe.sync, b) for b in (lo, hi)]
+            results = [f.result(timeout=300) for f in futs]
+        assert all(r.success for r in results)
+        assert pipe.get_rowcount() == events.count()
+        assert _rows(pipe.get_rollup("hourly")) == _rows(
+            _expected_hourly(pipe.get_data(order=None)))
+    finally:
+        events.unpersist()

@@ -2743,3 +2743,226 @@ def streaming_pipe_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "max_ts timestamp, sum_value double")
     finally:
         shutil.rmtree(instance, ignore_errors=True)
+
+
+@query(
+    "events_time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events),
+    seg AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,6))
+               * CAST(date_diff('microsecond', ts, next_ts) AS DECIMAL(20,0))
+                 AS wv,
+             CAST(date_diff('microsecond', ts, next_ts) AS DECIMAL(20,0))
+                 AS w
+      FROM seq WHERE next_ts IS NOT NULL),
+    agg AS (
+      SELECT user_id,
+             CAST(sum(wv) AS DECIMAL(38,6)) AS sum_wv,
+             CAST(sum(w) AS DECIMAL(38,0)) AS sum_w,
+             count(*) AS n_segments
+      FROM seg GROUP BY user_id)
+    SELECT user_id, n_segments,
+           CAST(CAST(sum_wv AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(sum_w AS VARCHAR) AS DOUBLE) AS tw_avg
+    FROM agg ORDER BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``time_weight('LOCF')`` hyperfunction analogue (the
+    reference's flagship backend ships it in-database): per-user
+    time-weighted average of ``value``, each observation weighted by
+    how long it remained current (LOCF segments between consecutive
+    events). Weighted sums accumulate EXACT decimal (value x duration-µs
+    products are exact; a double accumulation would be shuffle-order-
+    sensitive) and only the final ratio divides in double. One lead
+    window per series key, one aggregation — the standard time-series
+    layout."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "ts", "value",
+                    F.lead("ts").over(w).alias("next_ts"))
+    dur = (F.unix_micros("next_ts") - F.unix_micros("ts"))
+    seg = (seq.filter(F.col("next_ts").isNotNull())
+           .select("user_id",
+                   (_dec("value") * dur.cast("decimal(20,0)")).alias("wv"),
+                   dur.cast("decimal(20,0)").alias("w")))
+    return (seg.groupBy("user_id")
+            .agg(F.sum("wv").cast("decimal(38,6)").alias("sum_wv"),
+                 F.sum("w").cast("decimal(38,0)").alias("sum_w"),
+                 F.count(F.lit(1)).alias("n_segments"))
+            .select("user_id", "n_segments",
+                    (F.col("sum_wv").cast("double")
+                     / F.col("sum_w").cast("double")).alias("tw_avg"))
+            .orderBy("user_id"))
+
+
+@query(
+    "events_counter_delta",
+    """
+    WITH seq AS (
+      SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_value
+      FROM events),
+    d AS (
+      SELECT user_id,
+             CASE WHEN value >= prev_value
+                  THEN CAST(value AS DECIMAL(18,6))
+                       - CAST(prev_value AS DECIMAL(18,6))
+                  ELSE CAST(value AS DECIMAL(18,6)) END AS delta,
+             CASE WHEN value < prev_value THEN 1 ELSE 0 END AS reset
+      FROM seq WHERE prev_value IS NOT NULL)
+    SELECT user_id,
+           CAST(CAST(CAST(sum(delta) AS DECIMAL(38,6)) AS VARCHAR)
+                AS DOUBLE) AS counter_delta,
+           CAST(sum(reset) AS BIGINT) AS n_resets,
+           count(*) AS n_deltas
+    FROM d GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_counter_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``counter_agg``/``delta`` hyperfunction analogue:
+    per-user accumulated increase of a monotonic-counter-style metric
+    with reset detection — a drop below the previous reading counts the
+    full new value (the counter restarted), exactly the Prometheus/
+    Timescale counter-reset rule. Deltas accumulate exact decimal; one
+    lag window per series key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "value",
+                    F.lag("value").over(w).alias("prev_value"))
+    d = (seq.filter(F.col("prev_value").isNotNull())
+         .select("user_id",
+                 F.when(F.col("value") >= F.col("prev_value"),
+                        _dec("value") - _dec("prev_value"))
+                 .otherwise(_dec("value")).alias("delta"),
+                 F.when(F.col("value") < F.col("prev_value"), 1)
+                 .otherwise(0).alias("reset")))
+    return (d.groupBy("user_id")
+            .agg(F.sum("delta").cast("decimal(38,6)").cast("double")
+                 .alias("counter_delta"),
+                 F.sum("reset").alias("n_resets"),
+                 F.count(F.lit(1)).alias("n_deltas"))
+            .orderBy("user_id"))
+
+
+KMV_K = 64
+KMV_DOMAIN = float(1 << 60)
+
+
+@query(
+    "events_kmv_intersection",
+    f"""
+    WITH dh AS (
+      SELECT DISTINCT event_type,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)
+                 AS h
+      FROM events),
+    sk AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM dh) WHERE rn <= {KMV_K}),
+    tp AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM (SELECT DISTINCT event_type FROM events) a,
+           (SELECT DISTINCT event_type FROM events) b
+      WHERE a.event_type < b.event_type),
+    exact AS (
+      SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS n_exact
+      FROM dh x JOIN dh y
+        ON x.h = y.h AND x.event_type < y.event_type
+      GROUP BY 1, 2),
+    u AS (
+      SELECT ta, tb, h FROM tp JOIN sk ON sk.event_type = tp.ta
+      UNION
+      SELECT ta, tb, h FROM tp JOIN sk ON sk.event_type = tp.tb),
+    ur AS (
+      SELECT ta, tb, h, row_number() OVER (PARTITION BY ta, tb
+                                           ORDER BY h) AS rn
+      FROM u),
+    uk AS (SELECT ta, tb, h FROM ur WHERE rn <= {KMV_K}),
+    kth AS (SELECT ta, tb, max(h) AS h_k, count(*) AS n_u FROM uk
+            GROUP BY 1, 2),
+    both_ AS (
+      SELECT uk.ta, uk.tb, count(*) AS n_both
+      FROM uk
+      JOIN sk sa ON sa.event_type = uk.ta AND sa.h = uk.h
+      JOIN sk sb ON sb.event_type = uk.tb AND sb.h = uk.h
+      GROUP BY 1, 2)
+    SELECT e.ta AS type_a, e.tb AS type_b, e.n_exact,
+           CAST(COALESCE(b.n_both, 0) AS BIGINT) AS n_sketch_both,
+           (CAST({KMV_K - 1} AS DOUBLE) * {KMV_DOMAIN!r}
+              / CAST(k.h_k AS DOUBLE))
+             * (CAST(COALESCE(b.n_both, 0) AS DOUBLE)
+                / CAST(k.n_u AS DOUBLE)) AS kmv_intersection_est
+    FROM exact e
+    JOIN kth k ON e.ta = k.ta AND e.tb = k.tb
+    LEFT JOIN both_ b ON e.ta = b.ta AND e.tb = b.tb
+    ORDER BY e.ta, e.tb
+    """,
+)
+def events_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketch with SET-INTERSECTION estimation
+    (Beyer et al. 2007) — the sketch family HLL cannot cover: per
+    event type keep the 64 smallest distinct md5-derived user hashes,
+    estimate the union size from the union-sketch's k-th minimum
+    (D_u ≈ (k-1)·2^60 / h_(k)) and the intersection as the matching
+    fraction of the union sketch times that estimate, beside the exact
+    intersection. Integer hashes end to end; the only float ops are the
+    two final divisions (the >2^53 k-th value rounds to double
+    identically in both engines). Sketches are mergeable by
+    take-k-smallest-of-union — the 64-row pages combine across shards
+    exactly as the pairwise CTE does here."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    dh = ev.select("event_type", h.alias("h")).distinct().localCheckpoint()
+    wk = Window.partitionBy("event_type").orderBy("h")
+    sk = (dh.withColumn("rn", F.row_number().over(wk))
+          .filter(F.col("rn") <= KMV_K).drop("rn"))
+    types = dh.select("event_type").distinct()
+    tp = (types.select(F.col("event_type").alias("ta"))
+          .crossJoin(types.select(F.col("event_type").alias("tb")))
+          .filter(F.col("ta") < F.col("tb")))
+    a, b = dh.alias("a"), dh.alias("b")
+    exact = (a.join(b, (F.col("a.h") == F.col("b.h"))
+                    & (F.col("a.event_type") < F.col("b.event_type")))
+             .groupBy(F.col("a.event_type").alias("ta"),
+                      F.col("b.event_type").alias("tb"))
+             .agg(F.count(F.lit(1)).alias("n_exact")))
+    u = (tp.join(sk, sk["event_type"] == tp["ta"]).select("ta", "tb", "h")
+         .union(tp.join(sk, sk["event_type"] == tp["tb"])
+                .select("ta", "tb", "h"))
+         .distinct())
+    wu = Window.partitionBy("ta", "tb").orderBy("h")
+    uk = (u.withColumn("rn", F.row_number().over(wu))
+          .filter(F.col("rn") <= KMV_K).drop("rn").localCheckpoint())
+    kth = uk.groupBy("ta", "tb").agg(F.max("h").alias("h_k"),
+                                     F.count(F.lit(1)).alias("n_u"))
+    sa = sk.select(F.col("event_type").alias("_sa"), F.col("h").alias("_ha"))
+    sb = sk.select(F.col("event_type").alias("_sb"), F.col("h").alias("_hb"))
+    both = (uk.join(sa, (F.col("ta") == F.col("_sa"))
+                    & (F.col("h") == F.col("_ha")))
+            .join(sb, (F.col("tb") == F.col("_sb"))
+                  & (F.col("h") == F.col("_hb")))
+            .groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("n_both")))
+    est = ((F.lit(float(KMV_K - 1)) * F.lit(KMV_DOMAIN)
+            / F.col("h_k").cast("double"))
+           * (F.coalesce(F.col("n_both"), F.lit(0)).cast("double")
+              / F.col("n_u").cast("double")))
+    return (exact
+            .join(kth, on=["ta", "tb"])
+            .join(both, on=["ta", "tb"], how="left")
+            .select(F.col("ta").alias("type_a"), F.col("tb").alias("type_b"),
+                    "n_exact",
+                    F.coalesce(F.col("n_both"), F.lit(0)).cast("long")
+                    .alias("n_sketch_both"),
+                    est.alias("kmv_intersection_est"))
+            .orderBy("type_a", "type_b"))

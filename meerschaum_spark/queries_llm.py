@@ -9,7 +9,7 @@ programmatically right next to the Spark builder they mirror.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from meerschaum_spark.catalog import parallelize, query
@@ -2757,3 +2757,64 @@ def doc_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_shared_fps").desc(), "doc_a", "doc_b")
         .limit(WINNOW_TOPK)
     )
+
+
+# ===========================================================================
+# Cluster-balanced sampling (embedding-space-balanced curation subset)
+# ===========================================================================
+
+CELL_SAMPLE_CAP = 32
+_CELL_DIST = """list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+           * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))),
+        (a, b) -> a + b)"""
+
+
+@query(
+    "emb_cell_balanced_sample",
+    f"""
+    WITH assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.vec_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_CELL_DIST} ASC, c.vec_id ASC)
+                   AS rn
+        FROM embeddings e,
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) c
+      ) WHERE rn = 1),
+    sized AS (
+      SELECT vec_id, cell, count(*) OVER (PARTITION BY cell) AS cell_size,
+             row_number() OVER (PARTITION BY cell ORDER BY
+               {_H60.format(x="CAST(vec_id AS VARCHAR)")}, vec_id)
+                 AS kept_rank
+      FROM assigned)
+    SELECT vec_id, cell, CAST(cell_size AS BIGINT) AS cell_size, kept_rank
+    FROM sized WHERE kept_rank <= {CELL_SAMPLE_CAP}
+    ORDER BY vec_id
+    """,
+)
+def emb_cell_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced curation sampling (the SemDeDup-pipeline
+    companion: after dedup, BALANCE the kept set across embedding-space
+    regions instead of letting dense regions dominate): every vector
+    assigns to its nearest seeded coarse centroid (the shared
+    shuffle-free IVF assignment) and each cell keeps at most 32 vectors
+    in deterministic hash order — an unbiased within-cell draw both
+    engines reproduce bit-for-bit. Output is bounded by cells x cap
+    regardless of corpus size; the only shuffle is the per-cell rank."""
+    from meerschaum_spark.catalog import hash60
+    emb = _emb(spark, sf_dir)
+    centroids = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 8)
+    assigned = S.assign_ivf_cells(emb, centroids).select("vec_id", "cell")
+    wsize = Window.partitionBy("cell")
+    wrank = Window.partitionBy("cell").orderBy(
+        hash60(F.col("vec_id").cast("string")), "vec_id")
+    return (assigned
+            .withColumn("cell_size", F.count(F.lit(1)).over(wsize))
+            .withColumn("kept_rank", F.row_number().over(wrank))
+            .filter(F.col("kept_rank") <= CELL_SAMPLE_CAP)
+            .select("vec_id", "cell",
+                    F.col("cell_size").cast("long").alias("cell_size"),
+                    "kept_rank")
+            .orderBy("vec_id"))

@@ -29,7 +29,7 @@ from meerschaum_spark.params import (
 from meerschaum_spark.sources import load_table
 from meerschaum_spark.sources.tables import canonicalize_ts
 
-from meerschaum_spark.catalog import DEC, ORACLE, QUERIES, QueryFn, dec as _dec, query, sum_dbl as _sum_dbl
+from meerschaum_spark.catalog import DEC, HASH60_SQL, ORACLE, QUERIES, QueryFn, dec as _dec, hash60, query, sum_dbl as _sum_dbl
 
 UTC = datetime.timezone.utc
 
@@ -2861,8 +2861,7 @@ KMV_DOMAIN = float(1 << 60)
     f"""
     WITH dh AS (
       SELECT DISTINCT event_type,
-             (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)
-                 AS h
+             {HASH60_SQL.format(x="CAST(user_id AS VARCHAR)")} AS h
       FROM events),
     sk AS (
       SELECT event_type, h FROM (
@@ -2898,8 +2897,9 @@ KMV_DOMAIN = float(1 << 60)
       GROUP BY 1, 2)
     SELECT e.ta AS type_a, e.tb AS type_b, e.n_exact,
            CAST(COALESCE(b.n_both, 0) AS BIGINT) AS n_sketch_both,
-           (CAST({KMV_K - 1} AS DOUBLE) * {KMV_DOMAIN!r}
-              / CAST(k.h_k AS DOUBLE))
+           (CASE WHEN k.n_u < {KMV_K} THEN CAST(k.n_u AS DOUBLE)
+                 ELSE CAST({KMV_K - 1} AS DOUBLE) * {KMV_DOMAIN!r}
+                      / CAST(k.h_k AS DOUBLE) END)
              * (CAST(COALESCE(b.n_both, 0) AS DOUBLE)
                 / CAST(k.n_u AS DOUBLE)) AS kmv_intersection_est
     FROM exact e
@@ -2921,8 +2921,7 @@ def events_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     take-k-smallest-of-union — the 64-row pages combine across shards
     exactly as the pairwise CTE does here."""
     ev = load_table(spark, sf_dir, "events")
-    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
-               16, 10).cast("long")
+    h = hash60(F.col("user_id").cast("string"))
     dh = ev.select("event_type", h.alias("h")).distinct().localCheckpoint()
     wk = Window.partitionBy("event_type").orderBy("h")
     sk = (dh.withColumn("rn", F.row_number().over(wk))
@@ -2953,8 +2952,15 @@ def events_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(sb, (F.col("tb") == F.col("_sb"))
                   & (F.col("h") == F.col("_hb")))
             .groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("n_both")))
-    est = ((F.lit(float(KMV_K - 1)) * F.lit(KMV_DOMAIN)
-            / F.col("h_k").cast("double"))
+    # Beyer et al. 2007: the (k-1)/h_(k) extrapolation applies only to a
+    # FULL sketch; below k distinct values the sketch IS the union and
+    # the exact count n_u is the estimate (otherwise small cardinalities
+    # overestimate ~(k-1)*domain/h_k regardless of true size)
+    union_est = F.when(F.col("n_u") < KMV_K,
+                       F.col("n_u").cast("double")).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(KMV_DOMAIN)
+        / F.col("h_k").cast("double"))
+    est = (union_est
            * (F.coalesce(F.col("n_both"), F.lit(0)).cast("double")
               / F.col("n_u").cast("double")))
     return (exact

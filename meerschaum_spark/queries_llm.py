@@ -2764,10 +2764,13 @@ def doc_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 CELL_SAMPLE_CAP = 32
-_CELL_DIST = """list_reduce(list_transform(generate_series(1, len(e.embedding)),
-        i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
-           * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))),
-        (a, b) -> a + b)"""
+# exact-decimal squared distance, mirroring S.assign_ivf_cells /
+# _sqdist_dec (the _ivf_sql convention): a double fold here would rank
+# near-equidistant centroids differently than the Spark side and flake
+# the gate on an unlucky corpus
+_CELL_DIFF = "(" + _EL.replace("{v}", "e.embedding") + " - "     + _EL.replace("{v}", "c.embedding") + ")"
+_CELL_DIST = (f"list_sum(list_transform(generate_series(1, "
+              f"len(e.embedding)), i -> {_CELL_DIFF} * {_CELL_DIFF}))")
 
 
 @query(

@@ -2972,3 +2972,68 @@ def events_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_sketch_both"),
                     est.alias("kmv_intersection_est"))
             .orderBy("type_a", "type_b"))
+
+
+@query(
+    "streaming_rollup_maintenance",
+    """
+    SELECT date_trunc('hour', ts) AS ts, event_type,
+           count(*) AS n_rows,
+           CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                          AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE)
+               AS sum_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full continuous-ingestion composition under one gate: a
+    readStream replay drives pipe.sync micro-batch by micro-batch
+    (stream_sync_pipe) into a pipe with an HOURLY ROLLUP configured —
+    every micro-batch's write maintains only its patch-touched buckets —
+    and the resulting rollup table must equal a full DuckDB rebuild of
+    the hourly aggregate over the source. Streaming ingestion,
+    idempotent diff, and incremental continuous aggregates proven
+    consistent in one pass."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+    from meerschaum_spark.streaming.runner import stream_sync_pipe
+
+    instance = tempfile.mkdtemp(prefix="mrsm_q_sroll_")
+    try:
+        pipe = Pipe(
+            "catalog", "sroll", instance=instance, spark=spark,
+            columns={"datetime": "ts", "id": "event_id"},
+            parameters={"rollups": [{"name": "hourly", "interval": "hour",
+                                     "groupby": ["event_type"],
+                                     "values": ["value"]}],
+                        "verify": {"chunk_minutes": 1440}})
+        path = _os.path.join(sf_dir, "events.parquet")
+        with _stream_replay_confs(spark):
+            raw = spark.read.parquet(path)
+            stream = (spark.readStream.schema(raw.schema)
+                      .option("pathGlobFilter", "events.parquet")
+                      .parquet(sf_dir))
+            stream = canonicalize_ts(stream, ["ts"])
+            ckpt = _os.path.join(instance, "_ckpt")
+            q = stream_sync_pipe(pipe, stream, ckpt,
+                                 query_name="_mrsm_sroll")
+            finished = q.awaitTermination(300)
+            if q.exception() is not None:
+                raise q.exception()
+            if not finished:
+                q.stop()
+                raise TimeoutError("streaming rollup replay timed out")
+        ru = (pipe.get_rollup("hourly")
+              .select("ts", "event_type", "n_rows",
+                      F.col("sum_value").cast("double").alias("sum_value"),
+                      "min_value", "max_value")
+              .orderBy("ts", "event_type"))
+        rows = ru.collect()
+        return (spark.createDataFrame(rows, ru.schema)
+                .orderBy("ts", "event_type"))
+    finally:
+        shutil.rmtree(instance, ignore_errors=True)

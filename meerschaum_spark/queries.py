@@ -3037,3 +3037,52 @@ def streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy("ts", "event_type"))
     finally:
         shutil.rmtree(instance, ignore_errors=True)
+
+
+@query(
+    "events_conversion_latency",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id),
+    lat AS (
+      SELECT s.user_id,
+             CAST(date_diff('microsecond', s.signup_ts, p.purchase_ts)
+                  AS DOUBLE) / 3600e6 AS hours
+      FROM s JOIN p ON s.user_id = p.user_id)
+    SELECT count(*) AS n_converted,
+           quantile_cont(hours, 0.5) AS p50_hours,
+           quantile_cont(hours, 0.9) AS p90_hours,
+           min(hours) AS min_hours, max(hours) AS max_hours
+    FROM lat
+    """,
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase conversion latency percentiles — the
+    funnel-timing analytic (first qualifying event per user on each
+    side, ordered composition, exact interpolated percentiles).
+    Latencies are exact microsecond integers scaled once to hours in
+    double; two min-aggregations shuffle on user_id and the percentile
+    runs over one row per converted user."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(s, on="user_id")
+         .filter(F.col("ts") >= F.col("signup_ts"))
+         .groupBy("user_id").agg(F.min("ts").alias("purchase_ts")))
+    lat = (s.join(p, on="user_id")
+           .select(((F.unix_micros("purchase_ts")
+                     - F.unix_micros("signup_ts")).cast("double")
+                    / F.lit(3600e6)).alias("hours")))
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile(hours, 0.5)").alias("p50_hours"),
+        F.expr("percentile(hours, 0.9)").alias("p90_hours"),
+        F.min("hours").alias("min_hours"),
+        F.max("hours").alias("max_hours"))

@@ -2821,3 +2821,122 @@ def emb_cell_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cell_size").cast("long").alias("cell_size"),
                     "kept_rank")
             .orderBy("vec_id"))
+
+
+# ===========================================================================
+# Johnson-Lindenstrauss projection with measured distortion
+# ===========================================================================
+
+JL_K = 16   # target dims (from 64)
+JL_D = 64
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic Rademacher (+-1) projection matrix derived from md5
+    at import time — ONE Python-computed constant inlined into BOTH
+    engines' plans, so no cross-engine hash evaluation is involved."""
+    import hashlib
+    rows = []
+    for r in range(JL_K):
+        row = []
+        for i in range(JL_D):
+            h = hashlib.md5(f"jl:{r}:{i}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) & 1 else -1)
+        rows.append(row)
+    return rows
+
+
+_JL_SIGNS = _jl_signs()
+_JL_DIFF = ("list_transform(generate_series(1, len(a.embedding)), i -> "
+            + _EL.replace("{v}", "a.embedding") + " - "
+            + _EL.replace("{v}", "b.embedding") + ")")
+# square at bounded scale: p_r carries scale 9 (padded to 18 by the
+# accumulator) — cast to DECIMAL(18,9) first so the square is (37,18),
+# exact under BOTH engines' 38-digit cap (squaring the raw (30,18)
+# accumulator overflows and rounds differently per engine)
+_JL_PROJ_SQ = " + ".join(
+    "(CAST(p{r} AS DECIMAL(18,9)) * CAST(p{r} AS DECIMAL(18,9)))"
+    .format(r=r) for r in range(JL_K))
+_JL_PROJS = ",\n             ".join(
+    "list_sum(list_transform(generate_series(1, {d}), i -> dv[i] * "
+    "({signs}[i])::DECIMAL(2,0))) AS p{r}".format(
+        d=JL_D, signs=_JL_SIGNS[r], r=r)
+    for r in range(JL_K))
+
+
+@query(
+    "emb_jl_distortion",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_JL_DIFF} AS dv
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 50 = 0),
+    proj AS (
+      SELECT vec_a, vec_b,
+             list_sum(list_transform(dv, d -> d * d)) AS orig_sq_dec,
+             {_JL_PROJS}
+      FROM pairs)
+    SELECT vec_a, vec_b,
+           CAST(CAST(orig_sq_dec AS VARCHAR) AS DOUBLE) AS orig_sq,
+           CAST(CAST(({_JL_PROJ_SQ}) AS VARCHAR) AS DOUBLE) / {JL_K}.0
+               AS proj_sq_scaled,
+           (CAST(CAST(({_JL_PROJ_SQ}) AS VARCHAR) AS DOUBLE) / {JL_K}.0)
+             / CAST(CAST(orig_sq_dec AS VARCHAR) AS DOUBLE) AS distortion
+    FROM proj ORDER BY vec_a
+    """,
+)
+def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (64 -> 16 dims via a
+    deterministic Rademacher sign matrix) with its distortion MEASURED
+    on sampled neighbor pairs: |P(a-b)|^2/k against |a-b|^2 — the JL
+    lemma says the ratio concentrates near 1, and the gate pins the
+    actual numbers. The sign matrix is one Python-computed constant
+    inlined into both engines; every dot/square accumulates exact
+    decimal (signs are +-1, so products stay exact) and only the final
+    two ratios run in double. At corpus scale the projection is a
+    narrow per-row expression — no shuffle, the 16x64 matrix lives in
+    the plan itself."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("vb"))
+    pairs = (a.filter(F.col("vec_a") % 50 == 0)
+             .join(b, F.col("vec_b") == F.col("vec_a") + 1))
+    dv = F.zip_with("va", "vb",
+                    lambda x, y: x.cast(S.VDEC) - y.cast(S.VDEC))
+    pairs = pairs.select("vec_a", "vec_b", dv.alias("dv")).localCheckpoint()
+    orig_sq = F.aggregate(
+        F.transform("dv", lambda d: d * d),
+        F.lit(0).cast(S.ACC), lambda acc, x: (acc + x).cast(S.ACC))
+    projs = [
+        F.aggregate(
+            F.zip_with("dv", F.array(*[F.lit(s).cast("decimal(2,0)")
+                                       for s in _JL_SIGNS[r]]),
+                       lambda d, s: d * s),
+            F.lit(0).cast(S.ACC), lambda acc, x: (acc + x).cast(S.ACC))
+        .alias(f"p{r}")
+        for r in range(JL_K)
+    ]
+    proj = pairs.select("vec_a", "vec_b", orig_sq.alias("orig_sq_dec"),
+                        *projs)
+    # fixed-type fold, NOT chained '+': Spark's decimal-addition type
+    # rule grows precision by one per add and past 38 digits it sheds
+    # SCALE, silently rounding the sum; the aggregate re-casts the
+    # accumulator every step so the type never drifts (the _sqdist_dec
+    # discipline)
+    squares = F.array(*[
+        (F.col(f"p{r}").cast("decimal(18,9)")
+         * F.col(f"p{r}").cast("decimal(18,9)")).cast("decimal(38,18)")
+        for r in range(JL_K)])
+    proj_sq = F.aggregate(squares, F.lit(0).cast("decimal(38,18)"),
+                          lambda acc, x: (acc + x).cast("decimal(38,18)"))
+    return (proj.select(
+                "vec_a", "vec_b",
+                F.col("orig_sq_dec").cast("double").alias("orig_sq"),
+                (proj_sq.cast("double") / F.lit(float(JL_K)))
+                .alias("proj_sq_scaled"),
+                ((proj_sq.cast("double") / F.lit(float(JL_K)))
+                 / F.col("orig_sq_dec").cast("double")).alias("distortion"))
+            .orderBy("vec_a"))

@@ -61,7 +61,7 @@ HEAD_ORDER = [
     "emb_pca_power_direction", "emb_ann_recall",
     "part_affinity_pairs", "streaming_topk_trending",
     # -- never driver-recorded: added this session --
-    "q6_forecast_revenue", "q14_promo_revenue", "q22_lapsed_customers",
+    "streaming_pipe_sync", "events_kmv_intersection", "doc_winnowing_pairs",
     "pipe_rollup_incremental", "events_hll_distinct", "doc_dsir_weights",
     "doc_cms_heavy_hitters", "streaming_interval_join",
     "doc_bloom_prescreen", "doc_minhash_jaccard_est",

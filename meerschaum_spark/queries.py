@@ -2141,136 +2141,6 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# TPC-H sweep completion: Q6 / Q14 / Q22 shapes (the last three of the 22)
-# ---------------------------------------------------------------------------
-
-@query(
-    "q6_forecast_revenue",
-    """
-    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-                         * CAST(l_discount AS DECIMAL(18,6))) AS VARCHAR)
-                AS DOUBLE) AS revenue,
-           count(*) AS n_lines
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l_shipdate < TIMESTAMP '1997-01-01'
-      AND l_discount BETWEEN 0.04 AND 0.06
-      AND l_quantity < 24
-    """,
-)
-def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 (year shifted to the corpus's 1995-2001 shipdate range):
-    pure scan-side revenue forecast — every predicate (date range,
-    discount band, quantity cap) pushes into the parquet scan, the sum
-    folds map-side, and NO shuffle moves more than one partial row per
-    task. The arithmetic accumulates in exact decimal (double sums are
-    order-sensitive) and only the final value surfaces as double."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit(datetime.datetime(1996, 1, 1)))
-            & (F.col("l_shipdate") < F.lit(datetime.datetime(1997, 1, 1)))
-            & F.col("l_discount").between(0.04, 0.06)
-            & (F.col("l_quantity") < 24))
-        .agg((F.sum(_dec("l_extendedprice") * _dec("l_discount")))
-             .cast("double").alias("revenue"),
-             F.count(F.lit(1)).alias("n_lines"))
-    )
-
-
-@query(
-    "q14_promo_revenue",
-    """
-    SELECT CAST(CAST(sum(CASE WHEN p.p_type LIKE 'ECO%'
-                         THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
-                              * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
-                         ELSE 0 END) AS DECIMAL(28,6)) AS DOUBLE) * 100.0
-           / CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                           * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
-                       AS DECIMAL(28,6)) AS DOUBLE) AS promo_revenue_pct
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
-      AND l.l_shipdate < TIMESTAMP '1996-04-01'
-    """,
-)
-def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 (promo family mapped to the corpus's 'ECO%' p_type —
-    there is no PROMO prefix in this generator): one month's revenue
-    share of a part family. Conditional-over-total ratio in the q8
-    style: both sums accumulate exact decimal, only the final division
-    runs in IEEE double. The part dimension broadcasts; the date
-    predicate prunes the fact scan before the join."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    volume = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
-    promo = F.sum(F.when(F.col("p_type").like("ECO%"), volume)
-                  .otherwise(F.lit(0)))
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit(datetime.datetime(1996, 3, 1)))
-            & (F.col("l_shipdate") < F.lit(datetime.datetime(1996, 4, 1))))
-        .join(F.broadcast(part.select("p_partkey", "p_type")),
-              F.col("l_partkey") == F.col("p_partkey"))
-        .agg((promo.cast("decimal(28,6)").cast("double") * F.lit(100.0)
-              / F.sum(volume).cast("decimal(28,6)").cast("double"))
-             .alias("promo_revenue_pct"))
-    )
-
-
-@query(
-    "q22_lapsed_customers",
-    """
-    WITH pos AS (
-      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(28,6))
-                 AS sum_bal,
-             count(*) AS n_pos
-      FROM customer WHERE c_acctbal > 0),
-    lapsed AS (
-      SELECT c.c_nationkey, c.c_acctbal
-      FROM customer c, pos
-      WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) * pos.n_pos > pos.sum_bal
-        AND NOT EXISTS (
-          SELECT 1 FROM orders o
-          WHERE o.o_custkey = c.c_custkey
-            AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
-    SELECT c_nationkey AS cntrycode,
-           count(*) AS numcust,
-           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS VARCHAR)
-                AS DOUBLE) AS totacctbal
-    FROM lapsed GROUP BY 1 ORDER BY 1
-    """,
-)
-def q22_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22's shape adapted to the corpus: 'country code' is
-    c_nationkey (no c_phone column) and — because every customer here
-    has SOME order — the anti-join condition is 'no order since
-    2000-01-01' (lapsed) rather than 'no order ever'. The above-average
-    balance filter is cross-multiplied (bal x n > sum) so both engines
-    compare exact decimals instead of a rounded average; the 1-row
-    global aggregate broadcasts, and the anti-join's order side is
-    pre-filtered by the date predicate before it shuffles."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    pos = (cust.filter(F.col("c_acctbal") > 0)
-           .agg(F.sum(_dec("c_acctbal")).cast("decimal(28,6)")
-                .alias("sum_bal"),
-                F.count(F.lit(1)).alias("n_pos")))
-    recent = (orders
-              .filter(F.col("o_orderdate")
-                      >= F.lit(datetime.datetime(2000, 1, 1)))
-              .select("o_custkey"))
-    return (
-        cust.crossJoin(F.broadcast(pos))
-        .filter(_dec("c_acctbal") * F.col("n_pos") > F.col("sum_bal"))
-        .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
-        .groupBy(F.col("c_nationkey").alias("cntrycode"))
-        .agg(F.count(F.lit(1)).alias("numcust"),
-             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"))
-        .orderBy("cntrycode")
-    )
-
-
 @query(
     "pipe_rollup_incremental",
     """

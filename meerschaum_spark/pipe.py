@@ -1421,13 +1421,45 @@ class Pipe:
             if self.exists():
                 rstore.append(self._rollup_compute(conf, b0, e0))
 
-    def get_rollup(self, name: str) -> DataFrame:
-        """Read one rollup table."""
+    def get_rollup(self, name: str, gapfill: bool = False) -> DataFrame:
+        """Read one rollup table.
+
+        ``gapfill=True`` returns a dense bucket spine over the observed
+        [min, max] range per group combination (TimescaleDB
+        ``time_bucket_gapfill``): missing buckets appear with
+        ``n_rows = 0`` and NULL aggregates — downstream LOCF/interp is
+        one window away. The spine generates via sequence + explode (no
+        driver loop); the min/max probe is one tiny action over the
+        rollup table itself, never the base table."""
         conf = next((c for c in self._rollup_confs if c["name"] == name), None)
         if conf is None:
             raise KeyError(f"no rollup named {name!r} configured")
-        return self._rollup_store(conf).read(
-            dtypes=self._rollup_dtypes(conf))
+        df = self._rollup_store(conf).read(dtypes=self._rollup_dtypes(conf))
+        if not gapfill or self.dt_col is None:
+            return df
+        dt = self.dt_col
+        groups = [g for g in (conf.get("groupby") or []) if g in df.columns]
+        row = df.filter(F.col(dt).isNotNull())                 .agg(F.min(dt).alias("_lo"), F.max(dt).alias("_hi")).first()
+        if row is None or row["_lo"] is None:
+            return df
+        width_us = self._rollup_width_us(conf)
+        if self.dt_is_int:
+            step = width_us // UNIT_US[self.precision_unit]
+            spine_buckets = F.explode(F.sequence(
+                F.lit(int(row["_lo"])), F.lit(int(row["_hi"])),
+                F.lit(step))).alias(dt)
+        else:
+            spine_buckets = F.explode(F.expr(
+                f"sequence(timestamp'{row['_lo']}', timestamp'{row['_hi']}',"
+                f" interval {width_us} microsecond)")).alias(dt)
+        combos = (df.select(*groups).distinct() if groups
+                  else self.spark.range(1).select(F.lit(1).alias("_one")))
+        spine = combos.select(*(groups or []), spine_buckets)
+        if not groups:
+            spine = spine.select(dt)
+        out = spine.join(df, on=[dt] + groups, how="left")
+        return out.withColumn(
+            "n_rows", F.coalesce(F.col("n_rows"), F.lit(0).cast("long")))
 
     def _dedupe_patch(self, df: DataFrame) -> DataFrame:
         """Dedupe an upsert patch on its keys — MERGE sources must be

@@ -238,3 +238,46 @@ def test_affinity_pairs_never_self_joins_orders(spark, sf_dir):
     # exactly one broadcast join: lineitem → part (the dimension)
     import re
     assert len(re.findall(r"BroadcastHashJoin", simple)) == 1
+
+
+def test_dsir_weight_table_broadcasts(spark, sf_dir):
+    """The 1024-row DSIR weight table must broadcast back over the
+    bucket table — a shuffle join here would re-partition the whole
+    exploded corpus at 100 TB."""
+    from meerschaum_spark.queries_llm import doc_dsir_weights
+    r = plan_report(doc_dsir_weights(spark, sf_dir))
+    assert r["broadcast_joins"] >= 2   # weight join + threshold join
+    assert r["sortmerge_joins"] == 0
+
+
+def test_hll_register_pages_stay_small(spark, sf_dir):
+    """HLL: the shuffle after the register groupBy carries <=256 rows
+    per group — the plan must show partial aggregation (map-side
+    combine), i.e. two HashAggregates around each Exchange."""
+    from meerschaum_spark.plans import explain_str
+    from meerschaum_spark.queries import events_hll_distinct
+    simple = explain_str(events_hll_distinct(spark, sf_dir), "simple")
+    import re
+    # partial+final pairs: at least as many HashAggregates as 2x the
+    # register/total aggregations
+    assert len(re.findall(r"HashAggregate", simple)) >= 4
+    assert "SortMergeJoin" not in simple
+
+
+def test_cell_balanced_sample_single_rank_shuffle(spark, sf_dir):
+    """Cluster-balanced sampling: centroid assignment is a narrow
+    literal projection; the only wide operations are the per-cell
+    window (one shuffle on cell) and the final sort."""
+    from meerschaum_spark.queries_llm import emb_cell_balanced_sample
+    r = plan_report(emb_cell_balanced_sample(spark, sf_dir))
+    assert r["sortmerge_joins"] == 0
+    assert r["broadcast_joins"] == 0
+    assert r["shuffles"] <= 3   # cell window + rank window reuse + orderBy
+
+
+def test_jl_projection_is_narrow(spark, sf_dir):
+    """The JL projection itself must be a per-row expression — the only
+    join is the neighbor-pair build, and nothing shuffles the corpus."""
+    from meerschaum_spark.queries_llm import emb_jl_distortion
+    r = plan_report(emb_jl_distortion(spark, sf_dir))
+    assert r["sortmerge_joins"] == 0

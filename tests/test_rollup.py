@@ -180,3 +180,34 @@ def test_concurrent_syncs_with_rollups(spark, instance_dir, sf_dir):
             _expected_hourly(pipe.get_data(order=None)))
     finally:
         events.unpersist()
+
+
+def test_rollup_gapfill(spark, instance_dir, sf_dir):
+    """get_rollup(gapfill=True) densifies the bucket spine: buckets
+    emptied by a bounded clear reappear with n_rows=0 and NULL sums."""
+    import datetime as dt
+    events = load_table(spark, sf_dir, "events").persist()
+    try:
+        pipe = Pipe("roll", "gap", instance=instance_dir, spark=spark,
+                    columns={"datetime": "ts", "id": "event_id"},
+                    parameters={"rollups": ROLLUPS})
+        pipe.sync(events)
+        b0 = dt.datetime(2024, 1, 3)
+        b1 = dt.datetime(2024, 1, 4)
+        pipe.clear(begin=b0, end=b1)
+        sparse = pipe.get_rollup("hourly")
+        dense = pipe.get_rollup("hourly", gapfill=True)
+        # cleared buckets absent from the sparse read, zero-filled in
+        # the dense one
+        assert sparse.filter((F.col("ts") >= b0)
+                             & (F.col("ts") < b1)).count() == 0
+        gap = dense.filter((F.col("ts") >= b0) & (F.col("ts") < b1))
+        assert gap.count() > 0
+        assert gap.filter(F.col("n_rows") != 0).count() == 0
+        assert gap.filter(F.col("sum_value").isNotNull()).count() == 0
+        # observed buckets identical in both reads
+        obs = {tuple(r) for r in sparse.collect()}
+        dobs = {tuple(r) for r in dense.filter(F.col("n_rows") > 0).collect()}
+        assert obs == dobs
+    finally:
+        events.unpersist()

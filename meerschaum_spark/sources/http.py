@@ -135,6 +135,15 @@ class RemotePipe:
         code, payload = self._call("data", "GET", **query)
         return pd.DataFrame(payload.get("docs", []))
 
+    def get_rollup(self, name: str, gapfill: bool = False,
+                   **query: str) -> pd.DataFrame:
+        """Read a server-side rollup table (continuous-aggregate
+        analogue) over HTTP."""
+        code, payload = self._call(
+            "rollup", "GET", name=name,
+            **({"gapfill": "true"} if gapfill else {}), **query)
+        return pd.DataFrame(payload.get("docs", []))
+
 
 def http_fetch_fn(url: str, timeout: float = 30.0,
                   headers: dict[str, str] | None = None) -> Callable:

@@ -141,7 +141,7 @@ class PipeHTTPServer:
             tail = parts[1:]
             known = {"data", "sync_time", "rowcount", "attributes",
                      "exists", "columns", "csv", "chunk_bounds", "size",
-                     "register", "edit", "delete"}
+                     "register", "edit", "delete", "rollup"}
             if tail[-2:] == ["columns", "types"]:
                 keys, action = tail[:-2], tail[-2:]
             elif tail and tail[-1] in known:
@@ -252,6 +252,21 @@ class PipeHTTPServer:
                                            unit=pipe.precision_unit)
             ]
             return 200, {"chunk_bounds": bounds}
+        if action == ["rollup"]:
+            name = args.get("name")
+            if not name:
+                return 400, {"error": "rollup requires ?name=<rollup>"}
+            try:
+                df = pipe.get_rollup(
+                    name,
+                    gapfill=args.get("gapfill", "").lower() == "true")
+            except KeyError as exc:
+                return 404, {"error": str(exc)}
+            limit = min(int(args.get("limit", self.max_data_rows)),
+                        self.max_data_rows)
+            if pipe.dt_col and pipe.dt_col in df.columns:
+                df = df.orderBy(pipe.dt_col)
+            return 200, {"docs": list(iter_json_docs(df.limit(limit)))}
         if action == ["size"]:
             return 200, {"bytes": pipe.get_size(),
                          "rowcount": pipe.get_rowcount()}

@@ -325,3 +325,44 @@ def test_pipe_http_server_action_named_metric(spark, instance_dir):
             assert json.load(r)["rowcount"] == 1
     finally:
         server.stop()
+
+
+def test_rollup_over_http(spark, instance_dir):
+    """The rollup side table serves over HTTP and through RemotePipe."""
+    import datetime
+    import json
+    import urllib.request
+
+    import pandas as pd
+
+    from meerschaum_spark.pipe import Pipe
+    from meerschaum_spark.sources import PipeHTTPServer
+    from meerschaum_spark.sources.http import RemotePipe
+
+    UTC = datetime.timezone.utc
+    rows = [{"dt": datetime.datetime(2024, 1, 1, i, tzinfo=UTC),
+             "id": i, "val": float(i)} for i in range(6)]
+    served = Pipe("api", "roll", instance=instance_dir, spark=spark,
+                  columns={"datetime": "dt", "id": "id"},
+                  parameters={"rollups": [{"name": "hourly",
+                                           "interval": "hour",
+                                           "values": ["val"]}]})
+    served.sync(pd.DataFrame(rows))
+    server = PipeHTTPServer(spark, instance_dir).start()
+    try:
+        base = f"{server.url}/pipes/api/roll"
+        with urllib.request.urlopen(f"{base}/rollup?name=hourly") as r:
+            docs = json.load(r)["docs"]
+        assert len(docs) == 6 and all(d["n_rows"] == 1 for d in docs)
+        with urllib.request.urlopen(f"{base}/rollup?name=missing") as r2:
+            pass
+    except urllib.error.HTTPError as exc:
+        assert exc.code == 404
+    finally:
+        pass
+    try:
+        remote = RemotePipe(server.url, "api", "roll")
+        pdf = remote.get_rollup("hourly")
+        assert len(pdf) == 6 and set(pdf["n_rows"]) == {1}
+    finally:
+        server.stop()

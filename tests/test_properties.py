@@ -150,3 +150,29 @@ def test_tag_groups_match_reference_semantics(doc_tags, tags):
                 not any(t in doc_tags for t in exs):
             expected = True
     assert _match_tag_groups(doc_tags, tags) == expected
+
+
+@given(us=st.integers(min_value=-(10**15), max_value=4 * 10**15),
+       width=st.sampled_from([1_000_000, 60_000_000, 3_600_000_000,
+                              86_400_000_000]))
+def test_rollup_bucket_floor_is_exact(us, width):
+    """The rollup bucket formula (us - pmod(us, width)) must equal the
+    mathematical floor-to-multiple for every epoch microsecond,
+    pre-epoch timestamps included — a double-division floor would round
+    at bucket boundaries."""
+    bucket = us - ((us % width) + width) % width  # pmod semantics
+    assert bucket % width == 0
+    assert bucket <= us < bucket + width
+
+
+@given(n=st.integers(min_value=1, max_value=10_000),
+       unit=st.sampled_from(["seconds", "minutes", "hours", "days",
+                             "weeks"]))
+def test_prune_duration_grammar_roundtrips(n, unit):
+    """Every 'N unit' string the prune API documents parses to the
+    matching positive second count."""
+    from meerschaum_spark.streaming.schedule import parse_schedule
+    sched = parse_schedule(f"every {n} {unit}")
+    per = {"seconds": 1, "minutes": 60, "hours": 3600, "days": 86400,
+           "weeks": 604800}[unit]
+    assert sched.seconds == float(n * per)

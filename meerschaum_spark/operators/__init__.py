@@ -70,14 +70,26 @@ Maintenance (§2.9)
   M6  copy                       pipe.Pipe.copy_to
   M7  range partitioning         store layout (_mrsm_part epoch grid)
   M8  repartition                pipe.Pipe.repartition_grid
-  M9  compress                   pipe.Pipe.optimize (parquet already columnar)
+  M9  compress                   pipe.Pipe.optimize (parquet already columnar;
+                                 cluster_by=[...] adds the ZORDER-lite
+                                 within-partition sort)
   M10 vacuum/analyze             pipe.Pipe.vacuum / optimize
+  M14 continuous aggregates      pipe parameters['rollups'] → per-sync
+                                 bucket-scoped maintenance, get_rollup
+                                 (gapfill option), refresh_rollup; also
+                                 served over HTTP (sources/server.py)
+  M15 retention policy           pipe.Pipe.prune (cutoff relative to the
+                                 newest stored timestamp)
   M11 autoincrement/autotime     pipe._apply_autoincrement / _apply_autotime
   M12 table creation             store first-write (schema from dtype registry)
   M13 temp-table GC              pipe.Pipe.vacuum (staging dirs)
 
-Streaming (§2.10)                streaming/runner.py (foreachBatch → sync core,
-                                 watermarked rollups, sync_loop)
+Streaming (§2.10)                streaming/runner.py (foreachBatch → sync core
+                                 with Observation fallback, watermarked
+                                 rollups, sync_loop + schedule grammar);
+                                 stream-stream interval join, streaming
+                                 ingest + rollup maintenance gated in
+                                 queries.py
 Plugins (§2.11)                  Pipe(fetch_fn=..., sync_fn=...) protocols
 Instance bulk actions            instance.py (get/sync/verify/deduplicate/
                                  drop/delete/clear/vacuum/tag pipes with
@@ -89,10 +101,25 @@ Beyond-reference (training-data pipeline; BASELINE.json north star)
                                  Hamming blocks, fused near-dup clusters via
                                  connected_components (adaptive union-find /
                                  min-label loop), survivor materialization,
-                                 sentence-level dedup profile)
+                                 sentence-level dedup profile); winnowing
+                                 (MOSS) fingerprints, exact-substring
+                                 windows, MinHash-estimate validation
+                                 (queries_llm.py)
+  sketches                       deterministic cross-engine HLL (+ shard
+                                 merge), count-min heavy hitters, Bloom
+                                 contamination pre-screen, KMV set
+                                 intersection (queries.py / queries_llm.py)
+  data selection / scoring       DSIR importance weights, bigram-LM
+                                 perplexity proxy, Gopher/adaptive quality,
+                                 domain-mix weights, cluster-balanced
+                                 embedding sampling
   similarity search              functions/similarity.py (brute-force + LSH/IVF
-                                 ANN with shuffle-free centroid assignment,
-                                 multi-table-LSH embedding near-dup)
+                                 ANN with shuffle-free centroid assignment
+                                 and measured recall@5 for BOTH layouts,
+                                 multi-table-LSH embedding near-dup,
+                                 k-means, SemDeDup, int8 + PQ quantization,
+                                 JL projection with measured distortion,
+                                 power-iteration PCA)
   text analysis                  functions/text.py (stats, quality, lang-ID,
                                  fingerprint, Gopher repetition_stats,
                                  corpus-relative token rarity, overlapping
@@ -106,9 +133,12 @@ Beyond-reference (training-data pipeline; BASELINE.json north star)
                                  (queries_llm.py)
   multimodal columns             functions/multimodal.py (binary payloads,
                                  Arrow-batched extract, stubbed decode)
-  analytics widening             queries.py (funnel, cohort retention,
-                                 z-score outliers, value histogram,
-                                 TPC-H Q13/Q15/Q17 shapes)
+  analytics widening             queries.py (full 22-shape TPC-H sweep,
+                                 funnel + conversion latency, cohort
+                                 retention, z-score outliers, histogram,
+                                 gap-fill+LOCF, Markov transitions,
+                                 time-weighted avg, counter deltas,
+                                 market-basket affinity)
 
 Every operator with deterministic output also appears in the query
 catalog (queries.py / queries_llm.py) with a DuckDB oracle.

@@ -1424,13 +1424,18 @@ class Pipe:
     def get_rollup(self, name: str, gapfill: bool = False) -> DataFrame:
         """Read one rollup table.
 
-        ``gapfill=True`` returns a dense bucket spine over the observed
-        [min, max] range per group combination (TimescaleDB
-        ``time_bucket_gapfill``): missing buckets appear with
-        ``n_rows = 0`` and NULL aggregates — downstream LOCF/interp is
-        one window away. The spine generates via sequence + explode (no
-        driver loop); the min/max probe is one tiny action over the
-        rollup table itself, never the base table."""
+        ``gapfill=True`` returns a dense bucket spine over the GLOBAL
+        observed [min, max] bucket range, crossed with every group
+        combination (TimescaleDB ``time_bucket_gapfill`` over the query
+        range): missing buckets appear with ``n_rows = 0`` and NULL
+        aggregates — downstream LOCF/interp is one window away. The
+        spine generates via sequence + explode (no driver loop) in pure
+        EPOCH arithmetic (a rendered-timestamp literal would shift with
+        the driver's OS timezone); the min/max probe is one tiny action
+        over the rollup table itself, never the base table. Null-keyed
+        rollup rows (the null-dt bucket, null group values) are
+        preserved: group matching is null-safe and null-dt rows append
+        past the spine."""
         conf = next((c for c in self._rollup_confs if c["name"] == name), None)
         if conf is None:
             raise KeyError(f"no rollup named {name!r} configured")
@@ -1439,25 +1444,37 @@ class Pipe:
             return df
         dt = self.dt_col
         groups = [g for g in (conf.get("groupby") or []) if g in df.columns]
-        row = df.filter(F.col(dt).isNotNull())                 .agg(F.min(dt).alias("_lo"), F.max(dt).alias("_hi")).first()
+        dtc = F.col(dt)
+        us_col = (dtc.cast("long") * F.lit(UNIT_US[self.precision_unit])
+                  if self.dt_is_int else F.unix_micros(dtc))
+        row = (df.filter(dtc.isNotNull())
+               .agg(F.min(us_col).alias("_lo"), F.max(us_col).alias("_hi"))
+               .first())
         if row is None or row["_lo"] is None:
             return df
+        lo_us, hi_us = int(row["_lo"]), int(row["_hi"])
         width_us = self._rollup_width_us(conf)
+        seq = F.explode(F.sequence(F.lit(lo_us), F.lit(hi_us),
+                                   F.lit(width_us))).alias("_us")
         if self.dt_is_int:
-            step = width_us // UNIT_US[self.precision_unit]
-            spine_buckets = F.explode(F.sequence(
-                F.lit(int(row["_lo"])), F.lit(int(row["_hi"])),
-                F.lit(step))).alias(dt)
+            bucket = (F.col("_us") / F.lit(UNIT_US[self.precision_unit]))                 .cast("long").alias(dt)
         else:
-            spine_buckets = F.explode(F.expr(
-                f"sequence(timestamp'{row['_lo']}', timestamp'{row['_hi']}',"
-                f" interval {width_us} microsecond)")).alias(dt)
+            bucket = F.timestamp_micros(F.col("_us")).alias(dt)
         combos = (df.select(*groups).distinct() if groups
-                  else self.spark.range(1).select(F.lit(1).alias("_one")))
-        spine = combos.select(*(groups or []), spine_buckets)
-        if not groups:
-            spine = spine.select(dt)
-        out = spine.join(df, on=[dt] + groups, how="left")
+                  else self.spark.range(1).select(F.lit(0).alias("_one")))
+        spine = combos.select(*(groups or []), seq).select(
+            *(groups or []), bucket)
+        right = df.select(*[F.col(c).alias(f"_r_{c}") for c in df.columns])
+        cond = F.col(dt) == F.col(f"_r_{dt}")
+        for g in groups:
+            # eqNullSafe: null group values are real combos
+            cond = cond & F.col(g).eqNullSafe(F.col(f"_r_{g}"))
+        agg_cols = [c for c in df.columns if c != dt and c not in groups]
+        filled = (spine.join(right, cond, "left")
+                  .select(dt, *groups,
+                          *[F.col(f"_r_{c}").alias(c) for c in agg_cols]))
+        null_dt_rows = df.filter(dtc.isNull())
+        out = filled.unionByName(null_dt_rows)
         return out.withColumn(
             "n_rows", F.coalesce(F.col("n_rows"), F.lit(0).cast("long")))
 

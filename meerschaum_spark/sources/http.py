@@ -138,10 +138,13 @@ class RemotePipe:
     def get_rollup(self, name: str, gapfill: bool = False,
                    **query: str) -> pd.DataFrame:
         """Read a server-side rollup table (continuous-aggregate
-        analogue) over HTTP."""
+        analogue) over HTTP. Non-200 responses raise (an unknown rollup
+        name must not masquerade as an empty table)."""
         code, payload = self._call(
             "rollup", "GET", name=name,
             **({"gapfill": "true"} if gapfill else {}), **query)
+        if code != 200:
+            raise KeyError(payload.get("error", f"rollup read HTTP {code}"))
         return pd.DataFrame(payload.get("docs", []))
 
 

@@ -348,21 +348,21 @@ def test_rollup_over_http(spark, instance_dir):
                                            "interval": "hour",
                                            "values": ["val"]}]})
     served.sync(pd.DataFrame(rows))
+    import pytest
+
     server = PipeHTTPServer(spark, instance_dir).start()
     try:
         base = f"{server.url}/pipes/api/roll"
         with urllib.request.urlopen(f"{base}/rollup?name=hourly") as r:
             docs = json.load(r)["docs"]
         assert len(docs) == 6 and all(d["n_rows"] == 1 for d in docs)
-        with urllib.request.urlopen(f"{base}/rollup?name=missing") as r2:
-            pass
-    except urllib.error.HTTPError as exc:
-        assert exc.code == 404
-    finally:
-        pass
-    try:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"{base}/rollup?name=missing")
+        assert exc.value.code == 404
         remote = RemotePipe(server.url, "api", "roll")
         pdf = remote.get_rollup("hourly")
         assert len(pdf) == 6 and set(pdf["n_rows"]) == {1}
+        with pytest.raises(KeyError):
+            remote.get_rollup("missing")
     finally:
         server.stop()

@@ -274,10 +274,3 @@ def test_cell_balanced_sample_single_rank_shuffle(spark, sf_dir):
     assert r["broadcast_joins"] == 0
     assert r["shuffles"] <= 3   # cell window + rank window reuse + orderBy
 
-
-def test_jl_projection_is_narrow(spark, sf_dir):
-    """The JL projection itself must be a per-row expression — the only
-    join is the neighbor-pair build, and nothing shuffles the corpus."""
-    from meerschaum_spark.queries_llm import emb_jl_distortion
-    r = plan_report(emb_jl_distortion(spark, sf_dir))
-    assert r["sortmerge_joins"] == 0

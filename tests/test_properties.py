@@ -152,17 +152,33 @@ def test_tag_groups_match_reference_semantics(doc_tags, tags):
     assert _match_tag_groups(doc_tags, tags) == expected
 
 
-@given(us=st.integers(min_value=-(10**15), max_value=4 * 10**15),
-       width=st.sampled_from([1_000_000, 60_000_000, 3_600_000_000,
-                              86_400_000_000]))
-def test_rollup_bucket_floor_is_exact(us, width):
-    """The rollup bucket formula (us - pmod(us, width)) must equal the
-    mathematical floor-to-multiple for every epoch microsecond,
-    pre-epoch timestamps included — a double-division floor would round
-    at bucket boundaries."""
-    bucket = us - ((us % width) + width) % width  # pmod semantics
-    assert bucket % width == 0
-    assert bucket <= us < bucket + width
+def test_rollup_bucket_floor_is_exact_via_product_expr(tmp_path):
+    """Drive the REAL _rollup_bucket expression (int-axis form) through
+    Spark over adversarial epoch values — exact-multiple boundaries,
+    off-by-one-microsecond neighbors, negative epochs — and check the
+    mathematical floor-to-multiple. A double-division floor (the bug
+    this formula replaced) rounds at exactly these boundaries."""
+    from meerschaum_spark.session import get_spark
+    from meerschaum_spark.pipe import Pipe
+
+    spark = get_spark("meerschaum_spark_tests")
+    pipe = Pipe("prop", "bucket", instance=str(tmp_path), spark=spark,
+                columns={"datetime": "k", "id": "k"},
+                parameters={"precision": {"unit": "microsecond"},
+                            "rollups": [{"name": "h", "interval": "hour"}]},
+                dtypes={"k": "int64"})
+    width = 3_600_000_000
+    vals = []
+    for base in (-(10**15), -width, 0, width, 7 * width, 10**15):
+        vals += [base - 1, base, base + 1]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    conf = pipe._rollup_confs[0]
+    got = [r["k"] for r in
+           df.select(pipe._rollup_bucket(conf)).collect()]
+    expect = [v - (((v % width) + width) % width) for v in vals]
+    assert got == expect
+    for v, b in zip(vals, got):
+        assert b % width == 0 and b <= v < b + width
 
 
 @given(n=st.integers(min_value=1, max_value=10_000),

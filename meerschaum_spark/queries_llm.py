@@ -2940,3 +2940,148 @@ def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((proj_sq.cast("double") / F.lit(float(JL_K)))
                  / F.col("orig_sq_dec").cast("double")).alias("distortion"))
             .orderBy("vec_a"))
+
+
+# ===========================================================================
+# Dedup cascade report: every dedup method's reach, side by side
+# ===========================================================================
+
+_CASCADE_TAIL = f""",
+    flagged_near AS (SELECT DISTINCT u AS doc_id FROM reach),
+    tot AS (SELECT count(*) AS n FROM documents),
+    ex_h AS (SELECT md5(text) AS h FROM documents),
+    n_exact AS (
+      SELECT COALESCE(CAST(sum(c) AS BIGINT), 0) AS n FROM (
+        SELECT count(*) AS c FROM ex_h GROUP BY h HAVING count(*) >= 2)),
+    fp_h AS (SELECT {_FP_SQL} AS h FROM documents),
+    n_fp AS (
+      SELECT COALESCE(CAST(sum(c) AS BIGINT), 0) AS n FROM (
+        SELECT count(*) AS c FROM fp_h GROUP BY h HAVING count(*) >= 2)),
+    n_near AS (SELECT count(*) AS n FROM flagged_near),
+    sub_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sub_w AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {SUBSTR_WINDOW}
+                  THEN list_distinct(list_transform(
+                    generate_series(1, len(toks) - {SUBSTR_WINDOW - 1}),
+                    i -> {_H60.format(
+                        x=f"array_to_string(toks[i:i+{SUBSTR_WINDOW - 1}], ' ')")}))
+                  ELSE [] END AS whs
+      FROM sub_t),
+    sub_ex AS (SELECT doc_id, unnest(whs) AS wh FROM sub_w),
+    sub_keep AS (
+      SELECT wh FROM sub_ex GROUP BY wh
+      HAVING count(*) BETWEEN 2 AND {SUBSTR_MAX_DF}),
+    n_sub AS (
+      SELECT count(DISTINCT sub_ex.doc_id) AS n
+      FROM sub_ex JOIN sub_keep ON sub_ex.wh = sub_keep.wh),
+    win_g AS (SELECT doc_id, {_WIN_GRAMS} AS hs FROM sub_t),
+    win_fp AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= {WINNOW_W}
+                  THEN list_distinct(list_transform(
+                    generate_series(1, len(hs) - {WINNOW_W - 1}),
+                    i -> list_min(hs[i:i+{WINNOW_W - 1}])))
+                  ELSE list_distinct(hs) END AS fps
+      FROM win_g),
+    win_ex AS (SELECT doc_id, unnest(fps) AS f FROM win_fp),
+    win_keep AS (
+      SELECT f FROM win_ex GROUP BY f
+      HAVING count(*) BETWEEN 2 AND {WINNOW_MAX_DF}),
+    n_win AS (
+      SELECT count(DISTINCT win_ex.doc_id) AS n
+      FROM win_ex JOIN win_keep ON win_ex.f = win_keep.f)
+    SELECT method, n_flagged,
+           CAST(n_flagged AS DOUBLE) / CAST(tot.n AS DOUBLE) AS frac_flagged
+    FROM (
+      SELECT 'exact' AS method, n_exact.n AS n_flagged FROM n_exact
+      UNION ALL SELECT 'fingerprint', n_fp.n FROM n_fp
+      UNION ALL SELECT 'near_dup_cluster', n_near.n FROM n_near
+      UNION ALL SELECT 'substring_window', n_sub.n FROM n_sub
+      UNION ALL SELECT 'winnowing', n_win.n FROM n_win
+    ) m, tot ORDER BY method
+"""
+
+
+@query(
+    "doc_dedup_cascade_report",
+    _CLUSTERS_SQL.replace(
+        """    SELECT u AS doc_id,
+           LEAST(u, MIN(v)) AS cluster_id,
+           u = LEAST(u, MIN(v)) AS keep
+    FROM reach GROUP BY u ORDER BY doc_id
+""",
+        _CASCADE_TAIL),
+)
+def doc_dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup arsenal's comparative reach in ONE gated report: for
+    each method — exact text hash, normalized fingerprint, fused
+    MinHash/LSH/Jaccard/CC near-dup clusters, 16-token substring
+    windows, winnowing fingerprints — the count and fraction of
+    documents it flags as duplicate-implicated. This is the cascade a
+    curation team actually evaluates before choosing its dedup budget;
+    every number shares the geometry constants (window sizes, DF caps,
+    K/bands) of its standalone operator, so the report can never drift
+    from the operators it summarizes. Session-cached tables (spread
+    docs, cluster labels) make the marginal cost two window passes."""
+    from meerschaum_spark.catalog import hash60
+    docs = _docs(spark, sf_dir)
+    n_total = docs.count()
+
+    def _dup_count(hash_col) -> int:
+        counts = (docs.select(hash_col.alias("h"))
+                  .groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+                  .filter(F.col("c") >= 2)
+                  .agg(F.sum("c")).first()[0])
+        return int(counts or 0)
+
+    n_exact = _dup_count(F.md5(F.col("text")))
+    n_fp = _dup_count(hash60(T.norm_text(F.col("text"))))
+    n_near = _near_dup_clusters(spark, sf_dir) \
+        .select("doc_id").distinct().count()
+
+    toked = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    whs = F.when(
+        F.size(toks) >= SUBSTR_WINDOW,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(SUBSTR_WINDOW - 1)),
+            lambda i: hash60(F.array_join(
+                F.slice(toks, i, SUBSTR_WINDOW), " ")))),
+    ).otherwise(F.array().cast("array<long>"))
+    sub_ex = (toked.select("doc_id", F.explode(whs.alias("whs")).alias("wh"))
+              .localCheckpoint())
+    sub_keep = (sub_ex.groupBy("wh").agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c").between(2, SUBSTR_MAX_DF)).select("wh"))
+    n_sub = (sub_ex.join(sub_keep, on="wh", how="left_semi")
+             .select("doc_id").distinct().count())
+
+    grams = F.when(
+        F.size(toks) >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(WINNOW_K - 1)),
+            lambda i: hash60(F.array_join(
+                F.slice(toks, i, WINNOW_K), " "))),
+    ).otherwise(F.array().cast("array<long>"))
+    hs = F.col("hs")
+    fps = F.when(
+        F.size(hs) >= WINNOW_W,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(hs) - F.lit(WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice(hs, i, WINNOW_W)))),
+    ).otherwise(F.array_distinct(hs))
+    win_g = toked.select("doc_id", grams.alias("hs")).localCheckpoint()
+    win_ex = (win_g.select("doc_id", F.explode(fps.alias("fps")).alias("f"))
+              .localCheckpoint())
+    win_keep = (win_ex.groupBy("f").agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c").between(2, WINNOW_MAX_DF)).select("f"))
+    n_win = (win_ex.join(win_keep, on="f", how="left_semi")
+             .select("doc_id").distinct().count())
+
+    rows = [("exact", n_exact), ("fingerprint", n_fp),
+            ("near_dup_cluster", n_near), ("substring_window", n_sub),
+            ("winnowing", n_win)]
+    return (spark.createDataFrame(
+                [(m, n, float(n) / float(n_total)) for m, n in rows],
+                "method string, n_flagged long, frac_flagged double")
+            .orderBy("method"))

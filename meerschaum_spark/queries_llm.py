@@ -860,6 +860,18 @@ _CLUSTERS_SQL = _MINHASH_CTE.replace("WITH t AS", "WITH RECURSIVE t AS", 1) + f"
 """
 
 
+#: the final SELECT of _CLUSTERS_SQL — derived oracles replace it with
+#: their own continuation; assert the needle exists so a reformat of the
+#: cluster SQL fails at import instead of producing a silently-unreplaced
+#: oracle with the wrong shape
+_CLUSTERS_FINAL_SELECT = """    SELECT u AS doc_id,
+           LEAST(u, MIN(v)) AS cluster_id,
+           u = LEAST(u, MIN(v)) AS keep
+    FROM reach GROUP BY u ORDER BY doc_id
+"""
+assert _CLUSTERS_FINAL_SELECT in _CLUSTERS_SQL
+
+
 @query("doc_near_dup_clusters", _CLUSTERS_SQL)
 def doc_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical 100 TB dedup pass, fused end-to-end: MinHash
@@ -1044,11 +1056,7 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_dedup_survivors",
     _CLUSTERS_SQL.replace(
-        """    SELECT u AS doc_id,
-           LEAST(u, MIN(v)) AS cluster_id,
-           u = LEAST(u, MIN(v)) AS keep
-    FROM reach GROUP BY u ORDER BY doc_id
-""",
+        _CLUSTERS_FINAL_SELECT,
         """,
     clusters AS (
       SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
@@ -1465,6 +1473,33 @@ SUBSTR_WINDOW = 16
 SUBSTR_MAX_DF = 50
 
 
+def _substr_whs_expr(toks):
+    """Rolling 16-token window hashes (shared by the standalone substring
+    operator and the cascade report — ONE definition, no drift).
+    ``toks`` must be a projected column (lambda-CSE gotcha)."""
+    from meerschaum_spark.catalog import hash60
+    return F.when(
+        F.size(toks) >= SUBSTR_WINDOW,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(SUBSTR_WINDOW - 1)),
+            lambda i: hash60(F.array_join(
+                F.slice(toks, i, SUBSTR_WINDOW), " ")))),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def _substr_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached exploded (doc_id, wh) window table — the substring
+    operator and the cascade report both consume it; first caller pays
+    the rolling-hash explode once per session."""
+    def build():
+        docs = _docs(spark, sf_dir)
+        return (docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+                .select("doc_id", _substr_whs_expr(F.col("toks"))
+                        .alias("whs"))
+                .select("doc_id", F.explode("whs").alias("wh")))
+    return _cached_sigs("substr_windows", spark, sf_dir, build)
+
+
 @query(
     "doc_substring_dup_pairs",
     f"""
@@ -1502,30 +1537,11 @@ def doc_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate) → shared-window counts. The join carries (doc_id, hash)
     only, and the DF cap bounds every bucket — the same quadratic guard
     as the shingle-join cap."""
-    docs = _docs(spark, sf_dir)
-    from meerschaum_spark.catalog import hash60
-    # tokens MUST be a projected column, not an inline expression: an
-    # expression referenced inside the transform() lambda is re-evaluated
-    # per element (one regex split per WINDOW instead of per doc — 4x
-    # slower measured at sf0.1); an attribute reference is computed once
-    toks = F.col("toks")
-    whs = F.when(
-        F.size(toks) >= SUBSTR_WINDOW,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(SUBSTR_WINDOW - 1)),
-            lambda i: hash60(F.array_join(
-                F.slice(toks, i, SUBSTR_WINDOW), " ")))),
-    ).otherwise(F.array().cast("array<long>"))
-    ex = (docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
-          .select("doc_id", whs.alias("whs"))
-          .select("doc_id", F.explode("whs").alias("wh")))
-    # materialize the window table ONCE: it feeds the doc-frequency agg,
-    # the semi-join probe, and BOTH sides of the pair self-join — left
-    # lazy, the rolling-hash explode re-runs four times (measured 4-5 s
-    # per eval at sf0.1, >16 s total). The checkpointed frame is two
-    # longs per window (~196k rows at sf0.1; at corpus scale this is the
-    # operator's natural shuffle-input size, not an extra copy).
-    ex = ex.localCheckpoint()
+    # session-cached materialized window table (ONE rolling-hash explode
+    # per session): it feeds the doc-frequency agg, the semi-join probe,
+    # BOTH sides of the pair self-join, and the cascade report — left
+    # lazy it re-ran per consumer (measured 4-5 s per eval at sf0.1)
+    ex = _substr_windows(spark, sf_dir)
     dfreq = (ex.groupBy("wh").agg(F.count(F.lit(1)).alias("wdf"))
              .filter(F.col("wdf").between(2, SUBSTR_MAX_DF)))
     keepw = ex.join(dfreq.select("wh"), on="wh", how="left_semi")
@@ -2671,6 +2687,45 @@ _WIN_GRAMS = (
 ).format(h=_H60.format(x=f"array_to_string(toks[i:i+{WINNOW_K - 1}], ' ')"))
 
 
+def _winnow_grams_expr(toks):
+    """5-token k-gram hash array (shared winnowing geometry)."""
+    from meerschaum_spark.catalog import hash60
+    return F.when(
+        F.size(toks) >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(WINNOW_K - 1)),
+            lambda i: hash60(F.array_join(
+                F.slice(toks, i, WINNOW_K), " "))),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def _winnow_fps_expr(hs):
+    """Window-minimum selection over a gram-hash array column."""
+    return F.when(
+        F.size(hs) >= WINNOW_W,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(hs) - F.lit(WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice(hs, i, WINNOW_W)))),
+    ).otherwise(F.array_distinct(hs))
+
+
+def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached exploded (doc_id, f) winnowing fingerprints —
+    shared by the pairs operator and the cascade report. The inner gram
+    table checkpoints first (the stacked-transform CollapseProject trap:
+    collapsed into one plan, the gram transform re-evaluates inside the
+    winnow transform's element loop — measured 50x slower)."""
+    def build():
+        docs = _docs(spark, sf_dir)
+        g = (docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+             .select("doc_id", _winnow_grams_expr(F.col("toks"))
+                     .alias("hs"))).localCheckpoint()
+        return (g.select("doc_id", _winnow_fps_expr(F.col("hs"))
+                         .alias("fps"))
+                .select("doc_id", F.explode("fps").alias("f")))
+    return _cached_sigs("winnow_fps", spark, sf_dir, build)
+
+
 @query(
     "doc_winnowing_pairs",
     f"""
@@ -2713,37 +2768,7 @@ def doc_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DF-capped equi-join, never all-pairs. The window minimum is an
     integer min over md5-derived hashes — bit-deterministic in both
     engines."""
-    docs = _docs(spark, sf_dir)
-    from meerschaum_spark.catalog import hash60
-    toks = F.col("toks")
-    grams = F.when(
-        F.size(toks) >= WINNOW_K,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(WINNOW_K - 1)),
-            lambda i: hash60(F.array_join(
-                F.slice(toks, i, WINNOW_K), " "))),
-    ).otherwise(F.array().cast("array<long>"))
-    hs = F.col("hs")
-    fps = F.when(
-        F.size(hs) >= WINNOW_W,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.size(hs) - F.lit(WINNOW_W - 1)),
-            lambda i: F.array_min(F.slice(hs, i, WINNOW_W)))),
-    ).otherwise(F.array_distinct(hs))
-    # BARRIER between the two transform layers: collapsed into one plan,
-    # the gram transform re-evaluates inside the winnow transform's
-    # element loop (the lambda-CSE trap, compounded) — measured 50x
-    # slower (11.5 s vs 0.2 s at sf0.1). The gram table is one ~50-long
-    # array per doc; at corpus scale this is the operator's natural
-    # intermediate, not an extra copy.
-    g = (docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
-         .select("doc_id", grams.alias("hs"))).localCheckpoint()
-    ex = (g.select("doc_id", fps.alias("fps"))
-          .select("doc_id", F.explode("fps").alias("f")))
-    # one materialization: the fingerprint table feeds the DF agg, the
-    # semi-join probe, and both self-join sides (the substring-pairs
-    # lesson)
-    ex = ex.localCheckpoint()
+    ex = _winnow_fingerprints(spark, sf_dir)
     dfreq = (ex.groupBy("f").agg(F.count(F.lit(1)).alias("fdf"))
              .filter(F.col("fdf").between(2, WINNOW_MAX_DF)))
     keepf = ex.join(dfreq.select("f"), on="f", how="left_semi")
@@ -3006,11 +3031,7 @@ _CASCADE_TAIL = f""",
 @query(
     "doc_dedup_cascade_report",
     _CLUSTERS_SQL.replace(
-        """    SELECT u AS doc_id,
-           LEAST(u, MIN(v)) AS cluster_id,
-           u = LEAST(u, MIN(v)) AS keep
-    FROM reach GROUP BY u ORDER BY doc_id
-""",
+        _CLUSTERS_FINAL_SELECT,
         _CASCADE_TAIL),
 )
 def doc_dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3040,43 +3061,18 @@ def doc_dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_near = _near_dup_clusters(spark, sf_dir) \
         .select("doc_id").distinct().count()
 
-    toked = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
-    toks = F.col("toks")
-    whs = F.when(
-        F.size(toks) >= SUBSTR_WINDOW,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(SUBSTR_WINDOW - 1)),
-            lambda i: hash60(F.array_join(
-                F.slice(toks, i, SUBSTR_WINDOW), " ")))),
-    ).otherwise(F.array().cast("array<long>"))
-    sub_ex = (toked.select("doc_id", F.explode(whs.alias("whs")).alias("wh"))
-              .localCheckpoint())
-    sub_keep = (sub_ex.groupBy("wh").agg(F.count(F.lit(1)).alias("c"))
-                .filter(F.col("c").between(2, SUBSTR_MAX_DF)).select("wh"))
-    n_sub = (sub_ex.join(sub_keep, on="wh", how="left_semi")
-             .select("doc_id").distinct().count())
+    def _flagged(ex: DataFrame, key: str, cap: int) -> int:
+        keep = (ex.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c").between(2, cap)).select(key))
+        return (ex.join(keep, on=key, how="left_semi")
+                .select("doc_id").distinct().count())
 
-    grams = F.when(
-        F.size(toks) >= WINNOW_K,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(WINNOW_K - 1)),
-            lambda i: hash60(F.array_join(
-                F.slice(toks, i, WINNOW_K), " "))),
-    ).otherwise(F.array().cast("array<long>"))
-    hs = F.col("hs")
-    fps = F.when(
-        F.size(hs) >= WINNOW_W,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.size(hs) - F.lit(WINNOW_W - 1)),
-            lambda i: F.array_min(F.slice(hs, i, WINNOW_W)))),
-    ).otherwise(F.array_distinct(hs))
-    win_g = toked.select("doc_id", grams.alias("hs")).localCheckpoint()
-    win_ex = (win_g.select("doc_id", F.explode(fps.alias("fps")).alias("f"))
-              .localCheckpoint())
-    win_keep = (win_ex.groupBy("f").agg(F.count(F.lit(1)).alias("c"))
-                .filter(F.col("c").between(2, WINNOW_MAX_DF)).select("f"))
-    n_win = (win_ex.join(win_keep, on="f", how="left_semi")
-             .select("doc_id").distinct().count())
+    # the SAME session-cached tables the standalone operators consume —
+    # shared definition AND shared materialization, so the report can
+    # neither drift from nor re-pay for the operators it summarizes
+    n_sub = _flagged(_substr_windows(spark, sf_dir), "wh", SUBSTR_MAX_DF)
+    n_win = _flagged(_winnow_fingerprints(spark, sf_dir), "f",
+                     WINNOW_MAX_DF)
 
     rows = [("exact", n_exact), ("fingerprint", n_fp),
             ("near_dup_cluster", n_near), ("substring_window", n_sub),

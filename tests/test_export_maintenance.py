@@ -181,3 +181,19 @@ def test_optimize_cluster_by_sorts_row_groups(spark, instance_dir, sf_dir):
                 assert vals == sorted(vals), f"{f} not clustered"
                 checked += 1
     assert checked >= 1
+
+
+def test_optimize_cluster_by_unknown_column_raises(spark, instance_dir,
+                                                   sf_dir):
+    """A typo'd cluster key must raise, not degrade to an unclustered
+    full-table rewrite that reports success."""
+    import pytest
+
+    from meerschaum_spark.sources import load_table
+    from meerschaum_spark.pipe import Pipe
+
+    pipe = Pipe("maint", "clustbad", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "event_id"})
+    pipe.sync(load_table(spark, sf_dir, "events").limit(100))
+    with pytest.raises(KeyError):
+        pipe.optimize(cluster_by=["userid"])  # typo for user_id

@@ -364,5 +364,8 @@ def test_rollup_over_http(spark, instance_dir):
         assert len(pdf) == 6 and set(pdf["n_rows"]) == {1}
         with pytest.raises(KeyError):
             remote.get_rollup("missing")
+        # gapfill over HTTP: served rows form a dense hourly spine
+        dense = remote.get_rollup("hourly", gapfill=True)
+        assert len(dense) == 6  # contiguous hours -> spine == observed
     finally:
         server.stop()

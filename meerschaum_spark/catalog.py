@@ -34,38 +34,21 @@ DEC = "decimal(18,6)"
 #: row/schema/value compare, and several have green rows in prior-round
 #: CORRECTNESS files (cited in SURVEY §2).
 HEAD_ORDER = [
-    # r5 rotation (restarted-round refresh): EVERY query that has never
-    # held a green row in any CORRECTNESS_r*.json comes first. The
-    # session's new operators consumed all spare slots: the head is now
-    # exactly 50 never-recorded queries; the only never-recorded entry
-    # past the cap is multimodal_fake_decode (rows-only — the weakest
-    # evidence a driver row can add). Queries with archived green rows
-    # (r2/r3/r4, cited in SURVEY §2) rest in the tail.
+    # r6 rotation: the 12 queries that have never held a green row in any
+    # CORRECTNESS_r*.json come first (the r5 head filled all 50 slots with
+    # then-never-recorded queries, pushing these past the cap), followed
+    # by this round's NEW queries. Every query in the r5 head landed green
+    # in CORRECTNESS_r05; the slots after this list backfill from
+    # registration order with already-green queries — harmless
+    # re-confirmation. After this round every oracle-backed catalog query
+    # has a driver-green row in SOME CORRECTNESS file.
     #
-    # -- never driver-recorded: r4 batch --
-    "doc_chunk_split", "doc_pii_scrub", "doc_shard_assign",
-    "doc_vocab_topk", "doc_sentence_dedup", "doc_sequence_pack",
-    "emb_centroid_stats", "doc_repetition_stats", "doc_stratified_sample",
-    "emb_norm_stats", "doc_dedup_survivors",
-    # -- never driver-recorded: r5 batch --
-    "events_rolling_7d", "q4_priority_late_exists",
-    "q19_disjunctive_pushdown", "q7_nation_trade_flow", "q8_market_share",
-    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
-    "q12_ship_delay_classes", "q20_excess_share_suppliers",
-    "q21_waiting_suppliers",
-    "pipe_ingest_dedup", "pipe_ingest_dedup_minhash",
-    "doc_tfidf_topk", "doc_split_assign", "doc_substring_dup_pairs",
-    "doc_adaptive_quality", "doc_domain_mix", "doc_gopher_quality",
-    "doc_bm25_topk",
-    "emb_kmeans", "emb_semantic_dedup", "emb_int8_quantize",
-    "emb_pca_power_direction", "emb_ann_recall",
-    "part_affinity_pairs", "streaming_topk_trending",
-    # -- never driver-recorded: added this session --
-    "streaming_pipe_sync", "events_kmv_intersection", "doc_winnowing_pairs",
-    "pipe_rollup_incremental", "events_hll_distinct", "doc_dsir_weights",
-    "doc_cms_heavy_hitters", "streaming_interval_join",
-    "doc_bloom_prescreen", "doc_minhash_jaccard_est",
-    "emb_ivf_recall", "doc_bigram_lm_score",
+    # -- never driver-recorded (registered past the r5 cap) --
+    "events_gapfill_locf", "events_markov_transitions", "events_hll_merge",
+    "events_time_weighted_avg", "events_counter_delta",
+    "events_conversion_latency", "streaming_rollup_maintenance",
+    "emb_pq_codes", "doc_lang_id_accuracy", "emb_cell_balanced_sample",
+    "emb_jl_distortion", "doc_dedup_cascade_report",
 ]
 
 

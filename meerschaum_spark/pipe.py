@@ -689,7 +689,11 @@ class Pipe:
             finally:
                 _release()
             self._commit_fingerprints()
-            self._rollups_after_write(m)
+            # dt not among the merge keys → a matched row's dt may have
+            # moved buckets; its OLD bucket is outside the patch's observed
+            # bounds, so bounded maintenance would leave it stale
+            self._rollups_after_write(
+                m, force_full=self.dt_col not in merge_keys)
             self.register()
             return SyncResult(True, f"Upserted {n} rows.", 0, n)
 
@@ -742,26 +746,39 @@ class Pipe:
             unseen = (marked_obs.filter(F.col(HIT_COL).isNull())
                       .drop(HIT_COL, ORD_COL))
             update = marked.filter(F.col(HIT_COL).isNotNull()).drop(HIT_COL)
+            # On a detached (foreachBatch-cloned) session Observation.get
+            # WILL fail, and the post-append fallback recompute would be
+            # wrong: re-running ``marked`` re-joins against storage that
+            # now CONTAINS the just-appended rows, so the full-row
+            # fingerprint delta drops them — n_total undercounts and an
+            # insert-only micro-batch reports n_unseen=0 (skipping rollup
+            # maintenance). Snapshot the counts BEFORE the append in that
+            # case: one extra probe join over the micro-batch-sized input,
+            # same cost the old post-append fallback paid, correct counts.
+            pre_m: dict | None = None
+            if self._obs_detached(df):
+                row = marked.agg(*obs_aggs).first()
+                pre_m = row.asDict() if row is not None else {}
             with self._write_lock:
                 self.store.append(unseen)
-            # metrics OUTSIDE the lock: on a foreachBatch callback thread
-            # _obs_get falls back to re-running the diff probe join — a
-            # per-micro-batch cost that must not serialize every other
-            # sync on the pipe. Releasing between append and merge is
-            # safe: merge re-lists files at merge time, so rows any
-            # interleaved writer lands are retained through the rewrite,
-            # and partition swaps themselves still serialize per-merge.
-            m = self._obs_get(obs, marked, obs_aggs)
+            # metrics OUTSIDE the lock: the (rare, non-detached) fallback
+            # re-runs the diff probe join — a cost that must not serialize
+            # every other sync on the pipe. Releasing between append and
+            # merge is safe: merge re-lists files at merge time, so rows
+            # any interleaved writer lands are retained through the
+            # rewrite, and partition swaps themselves still serialize
+            # per-merge.
+            m = pre_m if pre_m is not None else self._obs_get(
+                obs, marked, obs_aggs)
             n_update = int(m["n_update"])
             n_unseen = int(m["n_total"]) - n_update
+            merge_keys = ([c for c in self.index_cols
+                           if c in update.columns]
+                          or [c for c in update.columns if c != ORD_COL])
             with self._write_lock:
                 if n_update:
                     # merge AFTER append: store.merge re-lists files, so rows
                     # the append just wrote are retained through the rewrite
-                    merge_keys = ([c for c in self.index_cols
-                                   if c in update.columns]
-                                  or [c for c in update.columns
-                                      if c != ORD_COL])
                     # pass the diff's time bounds so the merge prunes the
                     # existing side statically and runs as ONE action (the
                     # bounds path is only sound when the partition-driving
@@ -782,8 +799,13 @@ class Pipe:
                 # the diff's stats bounds (slop-widened superset of the
                 # written rows' time range) drive bucket-scoped rollup
                 # maintenance; a bound-less write (null dts) falls back to
-                # a full refresh inside the helper
-                if "begin_us" in bounds:
+                # a full refresh inside the helper. When updates landed
+                # and dt is NOT a merge key, a matched row's dt may have
+                # CHANGED — its old bucket lies outside the patch bounds
+                # and a bounded recompute would leave it stale, so mirror
+                # the use_bounds guard above with a full refresh.
+                dt_moved = bool(n_update) and self.dt_col not in merge_keys
+                if "begin_us" in bounds and not dt_moved:
                     self._maintain_rollups(bounds["begin_us"],
                                            bounds["end_us"])
                 else:
@@ -1295,6 +1317,17 @@ class Pipe:
             row = pre.agg(*aggs).first()
             return row.asDict() if row is not None else {}
 
+    def _obs_detached(self, frame: DataFrame) -> bool:
+        """True when ``frame`` belongs to a session other than the pipe's
+        (the foreachBatch micro-batch clone) — exactly the context where
+        ``Observation.get`` cannot retrieve metrics, so callers that need
+        pre-write counts must snapshot them before writing."""
+        try:
+            return not frame.sparkSession._jsparkSession.equals(
+                self.spark._jsparkSession)
+        except Exception:
+            return False
+
     def _rollup_bounds_aggs(self, frame: DataFrame) -> list[F.Column]:
         """Patch time-bounds collected from the WRITE job itself (same
         Observation trick as the row counts — zero extra actions)."""
@@ -1325,20 +1358,45 @@ class Pipe:
                     self.refresh_rollup(conf["name"])
                 return
             for conf in confs:
+                rstore = self._rollup_store(conf)
+                if not rstore.exists():
+                    # first maintenance for a rollup configured mid-life:
+                    # buckets OUTSIDE the patch bounds have never been
+                    # computed, so a bounded build would silently miss all
+                    # prior history — full build instead (RLock: safe here)
+                    self.refresh_rollup(conf["name"])
+                    continue
                 width = self._rollup_width_us(conf)
                 b0 = (begin_us // width) * width
                 e0 = ((end_us - 1) // width + 1) * width
                 part = self._rollup_compute(conf, b0, e0)
-                keys = [self.dt_col] + list(conf.get("groupby") or [])
-                self._rollup_store(conf).merge(
-                    part, keys, dtypes=self._rollup_dtypes(conf),
-                    begin_us=b0, end_us=e0)
+                # delete-then-append, NOT merge: a sync update that changes
+                # a groupby column (or an upsert that moves rows between
+                # buckets) can EMPTY a (bucket, group) combo — a merge only
+                # replaces matched keys, so the stale combo row would be
+                # stranded and get_rollup would serve phantom aggregates.
+                # Same hazard _rollup_clear_locked documents for deletes;
+                # both paths now share the delete+recompute shape. The
+                # range is bucket-aligned so the delete prunes to exactly
+                # the partitions the append rewrites — still patch-
+                # proportional work.
+                dtc = F.col(self.dt_col)
+                us = (dtc.cast("long") * F.lit(UNIT_US[self.precision_unit])
+                      if self.dt_is_int else F.unix_micros(dtc))
+                cond = (us >= F.lit(b0)) & (us < F.lit(e0))
+                rstore.delete_where(cond, dtypes=self._rollup_dtypes(conf),
+                                    begin_us=b0, end_us=e0)
+                rstore.append(part)
 
-    def _rollups_after_write(self, metrics: dict) -> None:
+    def _rollups_after_write(self, metrics: dict,
+                             force_full: bool = False) -> None:
         """Post-write hook fed by the write job's Observation metrics:
         bounded maintenance when the patch's time bounds were observed,
         full refresh when rows landed without observable bounds (no/null
-        dt), nothing when the write was empty."""
+        dt) or the caller knows bounds can't cover the damage
+        (``force_full`` — e.g. an upsert whose merge keys exclude dt, so
+        matched rows may have moved out of the observed window), nothing
+        when the write was empty."""
         if not self._rollup_confs or not self.dt_col:
             return
         n = 0
@@ -1351,7 +1409,8 @@ class Pipe:
         # window covers — their presence forces the full-refresh form
         # (the diff path guards the same case via stats['_dt_nulls'])
         has_nulls = bool(metrics.get("_ru_nulls"))
-        if lo is not None and hi is not None and not has_nulls:
+        if (lo is not None and hi is not None and not has_nulls
+                and not force_full):
             self._maintain_rollups(int(lo), int(hi) + 1)
         elif n:
             self._maintain_rollups(None, None)

@@ -2245,7 +2245,7 @@ BLOOM_K = 4
 def doc_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter pre-screen for benchmark contamination, checked BIT
     FOR BIT: the eval set's shingle hashes set k=4 positions each in a
-    2^16-bit filter (positions are disjoint 15-bit slices of the shared
+    2^15-bit filter (positions are disjoint 15-bit slices of the shared
     60-bit md5 hash — no extra hashing), and every training shingle
     counts as a bloom hit iff all 4 of its positions are set. Exact hits
     surface beside the bloom hits, so the false-positive overhead of the

@@ -136,6 +136,56 @@ def test_rollup_upsert_and_nodiff_paths(spark, instance_dir, sf_dir):
         events.unpersist()
 
 
+def test_rollup_groupby_change_no_stranded_bucket(spark, instance_dir):
+    """A diff-path update that CHANGES a groupby column empties its old
+    (bucket, group) combo — the maintenance recompute must delete the
+    stale combo row, not leave it behind (a merge-only publish would:
+    the recomputed part simply lacks the emptied combo's key, so merge
+    never touches it and get_rollup serves phantom aggregates)."""
+    import datetime as dt
+    rows = [
+        {"ts": dt.datetime(2024, 1, 1, 0, 15), "event_id": 1,
+         "event_type": "A", "value": 1.0},
+        {"ts": dt.datetime(2024, 1, 1, 0, 45), "event_id": 2,
+         "event_type": "B", "value": 2.0},
+    ]
+    pipe = Pipe("roll", "strand", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "event_id"},
+                parameters={"rollups": ROLLUPS})
+    pipe.sync(rows)
+    before = {r["event_type"] for r in pipe.get_rollup("hourly").collect()}
+    assert before == {"A", "B"}
+    # move the only "A" row to group "B" (event_type is NOT an index col,
+    # so this rides the update path); the (bucket, "A") combo is now empty
+    res = pipe.sync([{"ts": dt.datetime(2024, 1, 1, 0, 15), "event_id": 1,
+                      "event_type": "B", "value": 1.0}])
+    assert res.updated == 1
+    got = _rows(pipe.get_rollup("hourly"))
+    assert got == _rows(_expected_hourly(pipe.get_data(order=None)))
+    assert not any(r[1] == "A" for r in got)
+
+
+def test_rollup_configured_midlife_builds_full_history(spark, instance_dir):
+    """Enabling a rollup on a pipe that ALREADY holds history must build
+    every historical bucket on the first maintenance pass, not just the
+    buckets the triggering patch touched."""
+    import datetime as dt
+    pipe = Pipe("roll", "midlife", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "event_id"})
+    pipe.sync([{"ts": dt.datetime(2024, 1, 1, 3, 0), "event_id": 1,
+                "event_type": "A", "value": 1.0},
+               {"ts": dt.datetime(2024, 1, 2, 9, 0), "event_id": 2,
+                "event_type": "B", "value": 2.0}])
+    pipe.parameters["rollups"] = ROLLUPS
+    # the triggering patch touches only one NEW bucket; history must
+    # appear in the rollup anyway
+    pipe.sync([{"ts": dt.datetime(2024, 1, 3, 5, 0), "event_id": 3,
+                "event_type": "A", "value": 3.0}])
+    assert _rows(pipe.get_rollup("hourly")) == _rows(
+        _expected_hourly(pipe.get_data(order=None)))
+    assert pipe.get_rollup("hourly").count() == 3
+
+
 def test_rollup_null_dt_rows_force_refresh(spark, instance_dir):
     """A batch carrying null-dt rows must not leave the null bucket out
     of the rollup (the Observation min/max skip nulls)."""

@@ -17,8 +17,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 #: queries deliberately registered WITHOUT an oracle (rows-only driver
-#: check) — anything else in the gate head must have an ORACLE entry
-ROWS_ONLY = {"multimodal_fake_decode"}
+#: check) — anything else in the gate head must have an ORACLE entry.
+#: Empty since r6: multimodal_fake_decode was retired in favor of the
+#: oracle-checked multimodal_png_decode (stdlib PNG codec).
+ROWS_ONLY: set[str] = set()
 
 #: exact-decimal accumulator type for double aggregates (see queries.py
 #: module docstring: decimal sums are order-insensitive, doubles are not)
@@ -49,6 +51,8 @@ HEAD_ORDER = [
     "events_conversion_latency", "streaming_rollup_maintenance",
     "emb_pq_codes", "doc_lang_id_accuracy", "emb_cell_balanced_sample",
     "emb_jl_distortion", "doc_dedup_cascade_report",
+    # -- new in r6 (never recorded by definition) --
+    "multimodal_png_decode",
 ]
 
 

@@ -32,31 +32,214 @@ def with_binary_payload(df: DataFrame, text_col: str = "text",
 
 def extract_binary_features(df: DataFrame, id_col: str = "doc_id",
                             payload_col: str = "payload") -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads — the
-    pattern every real decode step follows (bytes in, metadata out)."""
+    """Byte-level features over binary payloads with JVM built-ins —
+    length, md5 checksum, and first byte are all native Spark functions,
+    so this stays inside whole-stage codegen (no Arrow round-trip; the
+    Python-boundary pattern a real decoder needs lives in
+    ``fake_decode_images``/``fake_sample_frames``, where Python is
+    genuinely required)."""
+    pc = F.col(payload_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.octet_length(pc).cast("long").alias("n_bytes"),
+        F.md5(pc).alias("checksum"),
+        # first BYTE of the payload (−1 when empty): substring works on
+        # binary and returns a 1-byte slice; hex→conv turns it into its
+        # integer value without any string/charset round-trip
+        F.when(F.octet_length(pc) > 0,
+               F.conv(F.hex(F.substring(pc, 1, 1)), 16, 10).cast("long"))
+        .otherwise(F.lit(-1).cast("long")).alias("head_byte"),
+    )
+
+
+def decode_image(payload: bytes):
+    """Image decode dispatch: PNG decodes for real (pure stdlib — see
+    ``decode_png``); other formats require PIL/opencv, absent in this
+    container."""
+    if payload[:8] == PNG_SIGNATURE:
+        return decode_png(payload)
+    raise NotImplementedError(
+        "non-PNG image decode requires PIL/opencv; use fake_decode_images "
+        "for the pipeline plumbing"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec, pure stdlib (zlib + struct): encoder exercises all five
+# scanline filter types, decoder parses chunks, inflates, and unfilters.
+# A wrong unfilter breaks the decoded pixel sum, so the oracle-checked
+# pixel_sum proves the decode end to end.
+# ---------------------------------------------------------------------------
+
+import struct
+import zlib
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_line(ftype: int, line: bytes, prev: bytes, bpp: int) -> bytes:
+    out = bytearray(len(line))
+    for j, x in enumerate(line):
+        a = line[j - bpp] if j >= bpp else 0
+        b = prev[j]
+        c = prev[j - bpp] if j >= bpp else 0
+        if ftype == 0:
+            out[j] = x
+        elif ftype == 1:
+            out[j] = (x - a) & 0xFF
+        elif ftype == 2:
+            out[j] = (x - b) & 0xFF
+        elif ftype == 3:
+            out[j] = (x - (a + b) // 2) & 0xFF
+        else:
+            out[j] = (x - _paeth(a, b, c)) & 0xFF
+    return bytes(out)
+
+
+def _unfilter_line(ftype: int, filt: bytes, prev: bytes, bpp: int) -> bytes:
+    out = bytearray(len(filt))
+    for j, f in enumerate(filt):
+        a = out[j - bpp] if j >= bpp else 0
+        b = prev[j]
+        c = prev[j - bpp] if j >= bpp else 0
+        if ftype == 0:
+            out[j] = f
+        elif ftype == 1:
+            out[j] = (f + a) & 0xFF
+        elif ftype == 2:
+            out[j] = (f + b) & 0xFF
+        elif ftype == 3:
+            out[j] = (f + (a + b) // 2) & 0xFF
+        elif ftype == 4:
+            out[j] = (f + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+    return bytes(out)
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def encode_png(seed: int, width: int, height: int) -> bytes:
+    """Deterministic 8-bit RGB PNG: pixel byte ``i`` (scanline order) is
+    ``(seed + i) % 256``; each scanline uses filter type ``row % 5`` so a
+    decoder must implement the full None/Sub/Up/Average/Paeth set."""
+    bpr = 3 * width
+    prev = bytes(bpr)
+    lines = []
+    for r in range(height):
+        base = seed + bpr * r
+        line = bytes((base + j) & 0xFF for j in range(bpr))
+        ftype = r % 5
+        lines.append(bytes([ftype]) + _filter_line(ftype, line, prev, 3))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse IHDR, inflate the concatenated IDAT stream, undo per-scanline
+    filtering, and return image metadata + the raw pixel byte sum (the
+    value the DuckDB oracle reproduces in closed form)."""
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length:pos + 12 + length])
+        if crc != zlib.crc32(tag + data) & 0xFFFFFFFF:
+            raise ValueError(f"bad CRC on {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    width, height, bit_depth, color_type, _, _, interlace = ihdr
+    if bit_depth != 8 or color_type != 2 or interlace != 0:
+        raise NotImplementedError(
+            "decoder supports 8-bit truecolor non-interlaced PNG")
+    raw = zlib.decompress(bytes(idat))
+    bpr = 3 * width
+    if len(raw) != height * (bpr + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    prev = bytes(bpr)
+    total = 0
+    for r in range(height):
+        off = r * (bpr + 1)
+        line = _unfilter_line(raw[off], raw[off + 1:off + 1 + bpr], prev, 3)
+        total += sum(line)
+        prev = line
+    return {"width": width, "height": height, "bit_depth": bit_depth,
+            "color_type": color_type, "n_pixel_bytes": bpr * height,
+            "pixel_sum": total}
+
+
+def with_png_payload(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """Attach a deterministic PNG per row (dims and seed derived from the
+    id, so an SQL oracle knows them without decoding): width = 4 + id%13,
+    height = 4 + id%11, seed = id%256. Arrow-batched — the same
+    bytes-out-of-Python shape a real thumbnailer/renderer has."""
+    cols = df.select(id_col)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                payload_col: [
+                    encode_png(int(i) % 256, 4 + int(i) % 13,
+                               4 + int(i) % 11)
+                    for i in ids
+                ],
+            })
+
+    return cols.mapInPandas(op, schema=f"doc_id long, {payload_col} binary")
+
+
+PNG_DECODE_SCHEMA = ("doc_id long, width long, height long, bit_depth long, "
+                     "color_type long, n_pixel_bytes long, pixel_sum long")
+
+
+def decode_pngs(df: DataFrame, id_col: str = "doc_id",
+                payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched REAL image decode (bytes in, typed metadata out) —
+    the exact pipeline shape a PIL/opencv decoder plugs into, with the
+    stdlib PNG codec doing genuine chunk-parse/inflate/unfilter work."""
     cols = df.select(id_col, payload_col)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf[payload_col]
-            yield pd.DataFrame({
-                "doc_id": pdf[id_col],
-                "n_bytes": payloads.map(len).astype("int64"),
-                "checksum": payloads.map(
-                    lambda b: hashlib.md5(bytes(b)).hexdigest()),
-                "head_byte": payloads.map(
-                    lambda b: b[0] if len(b) else -1).astype("int64"),
-            })
+            decoded = [decode_png(bytes(b)) for b in pdf[payload_col]]
+            out = pd.DataFrame(decoded or None,
+                               columns=["width", "height", "bit_depth",
+                                        "color_type", "n_pixel_bytes",
+                                        "pixel_sum"])
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out.astype("int64")
 
-    return cols.mapInPandas(op, schema=BINARY_FEATURE_SCHEMA)
-
-
-def decode_image(payload: bytes):
-    """Real image decode — requires PIL/opencv, absent in this container."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv; use fake_decode_images for the "
-        "pipeline plumbing"
-    )
+    return cols.mapInPandas(op, schema=PNG_DECODE_SCHEMA)
 
 
 def fake_decode_images(df: DataFrame, id_col: str = "doc_id",

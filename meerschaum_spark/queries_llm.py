@@ -561,20 +561,57 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing through an Arrow-batched pandas UDF,
+    """Byte-level metadata over opaque binary payloads, computed with
+    JVM built-ins (octet_length/md5/first-byte — no Python boundary),
     oracle-checked against DuckDB's byte functions."""
     docs = _docs(spark, sf_dir)
     payload = M.with_binary_payload(docs)
     return M.extract_binary_features(payload).orderBy("doc_id")
 
 
-@query("multimodal_fake_decode")
-def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-decode pipeline shape with the deterministic fake decoder
-    (real decode stubbed — no image libs in the container); rows-only."""
+@query(
+    "multimodal_png_decode",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               4 + doc_id % 13 AS width,
+               4 + doc_id % 11 AS height,
+               doc_id % 256 AS seed
+        FROM documents),
+    s AS (
+        SELECT doc_id, width, height, seed,
+               3 * width * height AS n_pixel_bytes,
+               seed + 3 * width * height AS m_hi
+        FROM g)
+    SELECT doc_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS bit_depth,
+           CAST(2 AS BIGINT) AS color_type,
+           CAST(n_pixel_bytes AS BIGINT) AS n_pixel_bytes,
+           CAST(((m_hi // 256) * 32640
+                 + (m_hi % 256) * ((m_hi % 256) - 1) // 2)
+                - ((seed // 256) * 32640
+                   + (seed % 256) * ((seed % 256) - 1) // 2)
+                AS BIGINT) AS pixel_sum
+    FROM s ORDER BY doc_id
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the correctness gate, pure stdlib: every
+    row gets a deterministic 8-bit RGB PNG (dims/seed derived from
+    doc_id, scanlines cycling through all five PNG filter types), and an
+    Arrow-batched decoder parses chunks, verifies CRCs, inflates IDAT,
+    and undoes the filtering. The oracle reproduces the decoded
+    dimensions and raw pixel-byte sum in closed form — any unfiltering
+    or inflate mistake breaks pixel_sum. Replaces the rows-only
+    ``multimodal_fake_decode``: the plumbing proof is now also a value
+    proof (reference parity: the reference treats attachments as opaque
+    bytes; this is the 100 TB decode-stage shape with stdlib standing in
+    for PIL/opencv, absent in this container)."""
     docs = _docs(spark, sf_dir)
-    payload = M.with_binary_payload(docs)
-    return M.fake_decode_images(payload).orderBy("doc_id")
+    pngs = M.with_png_payload(docs)
+    return M.decode_pngs(pngs).orderBy("doc_id")
 
 
 @query(
@@ -3047,37 +3084,48 @@ def doc_dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, cluster labels) make the marginal cost two window passes."""
     from meerschaum_spark.catalog import hash60
     docs = _docs(spark, sf_dir)
-    n_total = docs.count()
 
-    def _dup_count(hash_col) -> int:
-        counts = (docs.select(hash_col.alias("h"))
-                  .groupBy("h").agg(F.count(F.lit(1)).alias("c"))
-                  .filter(F.col("c") >= 2)
-                  .agg(F.sum("c")).first()[0])
-        return int(counts or 0)
+    # every method folds to a ONE-ROW aggregate frame; a union of the
+    # five + a broadcast of the one-row total makes the whole report a
+    # single lazy plan — one job at action time, no driver-side count
+    # loop (was five sequential .count() actions)
+    def _dup_frame(label: str, hash_col) -> DataFrame:
+        return (docs.select(hash_col.alias("h"))
+                .groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") >= 2)
+                .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+                     .alias("n_flagged"))
+                .select(F.lit(label).alias("method"), "n_flagged"))
 
-    n_exact = _dup_count(F.md5(F.col("text")))
-    n_fp = _dup_count(hash60(T.norm_text(F.col("text"))))
-    n_near = _near_dup_clusters(spark, sf_dir) \
-        .select("doc_id").distinct().count()
-
-    def _flagged(ex: DataFrame, key: str, cap: int) -> int:
+    def _flag_frame(label: str, ex: DataFrame, key: str,
+                    cap: int) -> DataFrame:
         keep = (ex.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
                 .filter(F.col("c").between(2, cap)).select(key))
         return (ex.join(keep, on=key, how="left_semi")
-                .select("doc_id").distinct().count())
+                .agg(F.count_distinct("doc_id").cast("long")
+                     .alias("n_flagged"))
+                .select(F.lit(label).alias("method"), "n_flagged"))
 
     # the SAME session-cached tables the standalone operators consume —
     # shared definition AND shared materialization, so the report can
     # neither drift from nor re-pay for the operators it summarizes
-    n_sub = _flagged(_substr_windows(spark, sf_dir), "wh", SUBSTR_MAX_DF)
-    n_win = _flagged(_winnow_fingerprints(spark, sf_dir), "f",
-                     WINNOW_MAX_DF)
-
-    rows = [("exact", n_exact), ("fingerprint", n_fp),
-            ("near_dup_cluster", n_near), ("substring_window", n_sub),
-            ("winnowing", n_win)]
-    return (spark.createDataFrame(
-                [(m, n, float(n) / float(n_total)) for m, n in rows],
-                "method string, n_flagged long, frac_flagged double")
+    parts = [
+        _dup_frame("exact", F.md5(F.col("text"))),
+        _dup_frame("fingerprint", hash60(T.norm_text(F.col("text")))),
+        (_near_dup_clusters(spark, sf_dir)
+         .agg(F.count_distinct("doc_id").cast("long").alias("n_flagged"))
+         .select(F.lit("near_dup_cluster").alias("method"), "n_flagged")),
+        _flag_frame("substring_window", _substr_windows(spark, sf_dir),
+                    "wh", SUBSTR_MAX_DF),
+        _flag_frame("winnowing", _winnow_fingerprints(spark, sf_dir),
+                    "f", WINNOW_MAX_DF),
+    ]
+    report = parts[0]
+    for p in parts[1:]:
+        report = report.unionByName(p)
+    total = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_total"))
+    return (report.crossJoin(F.broadcast(total))
+            .select("method", "n_flagged",
+                    (F.col("n_flagged").cast("double")
+                     / F.col("_n_total")).alias("frac_flagged"))
             .orderBy("method"))

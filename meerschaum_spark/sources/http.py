@@ -82,6 +82,35 @@ def http_request_json(
         return e.code, payload
 
 
+def http_login(base_url: str, username: str, password: str,
+               timeout: float = 30.0) -> str:
+    """POST /login and return the session bearer token (reference
+    connectors/api/_login.py login flow). The token slots straight into
+    ``RemotePipe(auth_token=...)`` — session tokens and the shared
+    secret ride the same Authorization header."""
+    code, payload = http_request_json(
+        base_url.rstrip("/") + "/login", method="POST",
+        body={"username": username, "password": password}, timeout=timeout)
+    if code != 200:
+        raise PermissionError(
+            f"login failed ({code}): {payload.get('error', payload)}")
+    return payload["access_token"]
+
+
+def http_register_user(base_url: str, username: str, password: str,
+                       auth_token: str | None = None,
+                       timeout: float = 30.0) -> tuple[int, Any]:
+    """POST /users/register (reference connectors/api/_users.py
+    register_user). ``auth_token``: admin session when the server
+    requires one (any token is ignored for the bootstrap admin)."""
+    headers = ({"Authorization": f"Bearer {auth_token}"}
+               if auth_token else None)
+    return http_request_json(
+        base_url.rstrip("/") + "/users/register", method="POST",
+        body={"username": username, "password": password},
+        timeout=timeout, headers=headers)
+
+
 class RemotePipe:
     """Client for one pipe on a ``PipeHTTPServer`` — the reference's API
     connector surface (connectors/api/_pipes.py): register / edit /

@@ -59,17 +59,44 @@ class PipeHTTPServer:
     def __init__(self, spark: SparkSession, instance: str,
                  host: str = "127.0.0.1", port: int = 0,
                  max_data_rows: int = 100_000,
-                 auth_token: str | None = None):
-        """``auth_token``: shared-secret bearer token. When set, EVERY
-        route requires ``Authorization: Bearer <token>`` and rejects
-        anything else with 401 — the stdlib stand-in for the reference
-        API's login/session auth around its pipe routes
-        (meerschaum/api/routes/_login.py:17+, api/dash/sessions.py).
-        ``None`` (default) keeps the open test-harness behavior."""
+                 auth_token: str | None = None,
+                 user_auth: bool = False,
+                 session_minutes: float = 60.0,
+                 allow_registration: bool = False,
+                 _now=None):
+        """Auth modes (both optional, composable):
+
+        ``auth_token``: shared-secret bearer token. When set, routes
+        accept ``Authorization: Bearer <token>`` — the single-secret
+        mode from r5.
+
+        ``user_auth``: per-user accounts + login sessions (reference
+        api/routes/_login.py:17-154, _users.py:42-236,
+        dash/sessions.py). Accounts live in ``users.json`` beside the
+        pipe registry (PBKDF2-SHA256, per-user salt); ``POST /login``
+        with {username, password} issues an expiring bearer token that
+        then authorizes every route. The FIRST registered account is
+        the admin (bootstrap registration is always open);
+        ``allow_registration`` opens self-service signup after that,
+        else registration/deletion require an admin session (deletion:
+        admin or self). ``_now`` injects a clock for expiry tests.
+
+        With neither mode set, the server stays open (test harness)."""
+        from meerschaum_spark.sources.users import (
+            SessionManager,
+            UserRegistry,
+        )
         self.spark = spark
         self.instance = instance
         self.max_data_rows = max_data_rows
         self.auth_token = auth_token
+        self.user_auth = user_auth
+        self.allow_registration = allow_registration
+        self.users = UserRegistry(instance) if user_auth else None
+        self.sessions = SessionManager(
+            ttl_seconds=session_minutes * 60.0,
+            **({"_now": _now} if _now is not None else {})) \
+            if user_auth else None
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -112,25 +139,53 @@ class PipeHTTPServer:
 
     # ------------------------------------------------------------- routing
 
-    def _authorized(self, handler: BaseHTTPRequestHandler) -> bool:
-        if self.auth_token is None:
-            return True
+    def _authorized(self, handler: BaseHTTPRequestHandler) -> str | None:
+        """The authenticated principal: a username (session token), the
+        sentinel ``"*token*"`` (shared secret, acts as admin), ``"*"``
+        when the server runs open, or None (reject with 401)."""
+        if self.auth_token is None and not self.user_auth:
+            return "*"
         import hmac
         header = handler.headers.get("Authorization", "")
-        expected = f"Bearer {self.auth_token}"
-        # constant-time compare: no timing oracle on the token
-        return hmac.compare_digest(header, expected)
+        if self.auth_token is not None:
+            # constant-time compare: no timing oracle on the token
+            if hmac.compare_digest(header, f"Bearer {self.auth_token}"):
+                return "*token*"
+        if self.user_auth and header.startswith("Bearer "):
+            return self.sessions.validate(header[len("Bearer "):])
+        return None
+
+    def _is_admin(self, principal: str) -> bool:
+        if principal in ("*", "*token*"):
+            return True
+        return bool(self.users) and self.users.is_admin(principal)
 
     def _handle(self, handler: BaseHTTPRequestHandler, method: str) -> None:
         try:
-            if not self._authorized(handler):
-                return self._send(
-                    handler, 401,
-                    {"error": "unauthorized: missing or bad bearer token"})
             parsed = urllib.parse.urlparse(handler.path)
             parts = [p for p in parsed.path.split("/") if p]
             args = {k: v[0] for k, v in
                     urllib.parse.parse_qs(parsed.query).items()}
+            # /login and bootstrap/self-service /users/register are the
+            # only routes reachable without credentials (reference
+            # _login.py login endpoint, _users.py register)
+            if self.user_auth and parts == ["login"] and method == "POST":
+                return self._send(handler, *self._login(handler))
+            if self.user_auth and parts == ["logout"] and method == "POST":
+                header = handler.headers.get("Authorization", "")
+                tok = header[len("Bearer "):] \
+                    if header.startswith("Bearer ") else ""
+                ok = self.sessions.logout(tok)
+                return self._send(handler, 200 if ok else 401,
+                                  {"success": ok})
+            if parts and parts[0] == "users":
+                return self._send(
+                    handler, *self._users_route(handler, parts[1:], method))
+            principal = self._authorized(handler)
+            if principal is None:
+                return self._send(
+                    handler, 401,
+                    {"error": "unauthorized: missing or bad bearer token"})
             if not parts or parts[0] != "pipes":
                 return self._send(handler, 404, {"error": "not found"})
             if len(parts) == 1:
@@ -161,6 +216,90 @@ class PipeHTTPServer:
             return self._send(handler, *self._get(pipe, action, args))
         except Exception as e:  # surface, don't kill the server thread
             self._send(handler, 500, {"error": f"{type(e).__name__}: {e}"})
+
+    # ------------------------------------------------------- users / login
+
+    @staticmethod
+    def _read_body(handler: BaseHTTPRequestHandler) -> Any:
+        length = int(handler.headers.get("Content-Length", 0))
+        return json.loads(handler.rfile.read(length) or b"null")
+
+    def _login(self, handler: BaseHTTPRequestHandler) -> tuple[int, Any]:
+        """POST /login {username, password} → expiring bearer token
+        (reference api/routes/_login.py:109-154 login endpoint)."""
+        body = self._read_body(handler) or {}
+        username = str(body.get("username", ""))
+        if not self.users.verify(username, str(body.get("password", ""))):
+            return 401, {"error": "invalid credentials"}
+        token = self.sessions.login(username)
+        return 200, {"access_token": token, "token_type": "bearer",
+                     "expires_in": int(self.sessions.ttl)}
+
+    def _users_route(self, handler: BaseHTTPRequestHandler,
+                     tail: list[str], method: str) -> tuple[int, Any]:
+        """/users routes (reference api/routes/_users.py:42-236):
+        register, list, me, attributes, edit, delete. Bootstrap
+        registration (empty registry) and ``allow_registration``
+        self-signup skip auth; everything else needs a session."""
+        if not self.user_auth:
+            return 404, {"error": "user auth is not enabled"}
+        if tail == ["register"] and method == "POST":
+            body = self._read_body(handler) or {}
+            username = str(body.get("username", ""))
+            open_signup = len(self.users) == 0 or self.allow_registration
+            if not open_signup:
+                principal = self._authorized(handler)
+                if principal is None:
+                    return 401, {"error": "unauthorized"}
+                if not self._is_admin(principal):
+                    return 403, {"error":
+                                 "registration requires an admin session"}
+            try:
+                created = self.users.register(
+                    username, str(body.get("password", "")),
+                    user_type=str(body.get("type", "user")),
+                    attributes=body.get("attributes"))
+            except ValueError as e:
+                return 400, {"error": str(e)}
+            if not created:
+                return 409, {"success": False,
+                             "message": f"user {username!r} already exists"}
+            return 200, {"success": True,
+                         "message": f"Registered user {username!r}."}
+        principal = self._authorized(handler)
+        if principal is None:
+            return 401, {"error": "unauthorized"}
+        if not tail and method == "GET":
+            return 200, {"users": self.users.list_users()}
+        if tail == ["me"] and method == "GET":
+            if principal in ("*", "*token*"):
+                return 200, {"username": principal, "type": "admin"}
+            return 200, self.users.get(principal)
+        if tail == ["edit"] and method in ("POST", "PATCH"):
+            body = self._read_body(handler) or {}
+            target = str(body.get("username", principal))
+            if not (self._is_admin(principal) or principal == target):
+                return 403, {"error": "admin or self required"}
+            ok = self.users.edit(target,
+                                 password=body.get("password"),
+                                 attributes=body.get("attributes"))
+            return (200, {"success": True,
+                          "message": f"Edited user {target!r}."}) if ok \
+                else (404, {"error": f"no user {target!r}"})
+        if len(tail) == 2 and tail[1] == "attributes" and method == "GET":
+            rec = self.users.get(urllib.parse.unquote(tail[0]))
+            return (200, rec) if rec else (
+                404, {"error": f"no user {tail[0]!r}"})
+        if len(tail) == 2 and tail[1] == "delete" \
+                and method in ("DELETE", "POST"):
+            target = urllib.parse.unquote(tail[0])
+            if not (self._is_admin(principal) or principal == target):
+                return 403, {"error": "admin or self required"}
+            ok = self.users.delete(target)
+            return (200, {"success": True,
+                          "message": f"Deleted user {target!r}."}) if ok \
+                else (404, {"error": f"no user {target!r}"})
+        return 404, {"error": "unknown users route"}
 
     def _mutate(self, pipe: Pipe, action: list[str], args: dict[str, str],
                 body: Any, method: str) -> tuple[int, Any]:

@@ -41,16 +41,27 @@ def stream_sync_pipe(
     exactly-once: a replayed epoch re-syncs rows the pipe already holds,
     and the anti-join drops them. The checkpoint dir carries source
     offsets across restarts (the analogue of the pipe's sync time).
+
+    File sources: files must APPEAR atomically in the watched directory
+    (write elsewhere, then rename in — Spark's file-source contract). A
+    non-atomic in-place write can surface the same rows under two paths
+    (``_temporary`` + final) within one micro-batch; in-batch full-row
+    duplicates pass the against-storage anti-join twice, matching the
+    reference's pandas merge-indicator semantics
+    (utils/dataframe.py filter_unseen_df).
     """
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # detach from the micro-batch's streaming lineage FIRST: sync's
+        # fused count-during-write Observations are unsupported on plans
+        # owned by an IncrementalExecution (Observation.get raises on
+        # the diff path), and the checkpoint keeps sync's several
+        # actions from re-reading the source once per action. Taking it
+        # before the emptiness check means the source is read exactly
+        # ONCE per micro-batch (isEmpty-then-checkpoint read it twice —
+        # measured as numInputRows doubling).
+        batch_df = batch_df.localCheckpoint()
         if batch_df.isEmpty():
             return
-        # detach from the micro-batch's streaming lineage: sync's fused
-        # count-during-write Observations are unsupported on plans owned
-        # by an IncrementalExecution (Observation.get raises on the diff
-        # path), and the checkpoint also keeps sync's several actions
-        # from re-reading the source once per action
-        batch_df = batch_df.localCheckpoint()
         result = pipe.sync(batch_df)
         if not result.success:
             raise RuntimeError(

@@ -144,7 +144,39 @@ def test_multimodal_features_and_stub(docs):
     fake = {r["doc_id"]: r for r in M.fake_decode_images(payload).collect()}
     assert 64 <= fake[1]["width"] <= 255 and fake[1]["n_channels"] in (1, 2, 3)
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG")
+        M.decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")  # non-PNG → stub
+
+
+def test_png_codec_roundtrip_and_corruption():
+    """The stdlib PNG codec: encode→decode is exact for every filter
+    type (height ≥ 5 cycles through all five), decode_image dispatches
+    PNG payloads to it, and a corrupted byte fails the CRC check."""
+    png = M.encode_png(seed=7, width=6, height=9)
+    d = M.decode_png(png)
+    assert (d["width"], d["height"]) == (6, 9)
+    assert d["n_pixel_bytes"] == 3 * 6 * 9
+    # closed-form pixel sum: bytes are (seed + i) % 256
+    def s(m):
+        return (m // 256) * 32640 + (m % 256) * ((m % 256) - 1) // 2
+    assert d["pixel_sum"] == s(7 + 3 * 6 * 9) - s(7)
+    assert M.decode_image(png) == d
+    broken = bytearray(png)
+    broken[60] ^= 0xFF
+    with pytest.raises(ValueError):
+        M.decode_png(bytes(broken))
+
+
+def test_png_decode_distributed(docs):
+    """The Spark path: per-row PNG generation and Arrow-batched decode
+    agree with the driver-side codec."""
+    out = {r["doc_id"]: r
+           for r in M.decode_pngs(M.with_png_payload(docs)).collect()}
+    for i, row in out.items():
+        assert row["width"] == 4 + i % 13
+        assert row["height"] == 4 + i % 11
+        local = M.decode_png(M.encode_png(i % 256, row["width"],
+                                          row["height"]))
+        assert row["pixel_sum"] == local["pixel_sum"]
 
 
 def test_jaccard_shingle_df_cap(spark):

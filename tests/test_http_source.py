@@ -369,3 +369,82 @@ def test_rollup_over_http(spark, instance_dir):
         assert len(dense) == 6  # contiguous hours -> spine == observed
     finally:
         server.stop()
+
+
+def test_pipe_http_server_multi_user_auth(spark, instance_dir):
+    """Per-user accounts + login sessions (reference _login.py /
+    _users.py): bootstrap admin, credentialed login, session-token
+    access to pipe routes, admin-gated registration, self/admin delete,
+    expiry, and logout."""
+    from meerschaum_spark.sources import PipeHTTPServer
+    from meerschaum_spark.sources.http import (
+        RemotePipe,
+        http_login,
+        http_register_user,
+        http_request_json,
+    )
+
+    clock = [1_000.0]
+    server = PipeHTTPServer(spark, instance_dir, user_auth=True,
+                            session_minutes=1.0,
+                            _now=lambda: clock[0]).start()
+    try:
+        # no session → 401 on pipe routes
+        code, _ = http_request_json(f"{server.url}/pipes")
+        assert code == 401
+        # bootstrap: first registration is open and becomes admin
+        code, out = http_register_user(server.url, "alice", "wonderland")
+        assert code == 200, out
+        # after bootstrap, anonymous registration is rejected
+        code, out = http_register_user(server.url, "mallory", "pw")
+        assert code == 401, out
+        # bad credentials → 401
+        import pytest as _pytest
+        with _pytest.raises(PermissionError):
+            http_login(server.url, "alice", "wrong")
+        admin_tok = http_login(server.url, "alice", "wonderland")
+        # admin session registers a normal user
+        code, out = http_register_user(server.url, "bob", "builder",
+                                       auth_token=admin_tok)
+        assert code == 200, out
+        # duplicate username conflicts
+        code, _ = http_register_user(server.url, "bob", "x",
+                                     auth_token=admin_tok)
+        assert code == 409
+        bob_tok = http_login(server.url, "bob", "builder")
+        # bob's session authorizes the pipe surface
+        rp = RemotePipe(server.url, "authed", "users_m", auth_token=bob_tok)
+        code, out = rp.register({"columns": {"datetime": "dt", "id": "id"}})
+        assert code == 200 and out["success"]
+        code, out = rp.sync([{"dt": "2024-01-01T00:00:00+00:00", "id": 1}])
+        assert code == 200 and out["inserted"] == 1
+        # identity + listing
+        hdr = {"Authorization": f"Bearer {bob_tok}"}
+        code, me = http_request_json(f"{server.url}/users/me", headers=hdr)
+        assert code == 200 and me["username"] == "bob" and me["type"] == "user"
+        code, out = http_request_json(f"{server.url}/users", headers=hdr)
+        assert out["users"] == ["alice", "bob"]
+        # bob cannot delete alice; alice (admin) can delete bob
+        code, _ = http_request_json(f"{server.url}/users/alice/delete",
+                                    method="DELETE", headers=hdr)
+        assert code == 403
+        # expiry: advance the injected clock past the TTL
+        clock[0] += 120.0
+        code, _ = http_request_json(f"{server.url}/users/me", headers=hdr)
+        assert code == 401
+        admin_tok = http_login(server.url, "alice", "wonderland")
+        ahdr = {"Authorization": f"Bearer {admin_tok}"}
+        code, out = http_request_json(f"{server.url}/users/bob/delete",
+                                      method="DELETE", headers=ahdr)
+        assert code == 200 and out["success"]
+        # deleted user can no longer log in
+        with _pytest.raises(PermissionError):
+            http_login(server.url, "bob", "builder")
+        # logout invalidates the session immediately
+        code, out = http_request_json(f"{server.url}/logout", method="POST",
+                                      headers=ahdr)
+        assert code == 200 and out["success"]
+        code, _ = http_request_json(f"{server.url}/users/me", headers=ahdr)
+        assert code == 401
+    finally:
+        server.stop()

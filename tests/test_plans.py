@@ -90,10 +90,10 @@ def test_geo_and_multimodal_udfs_are_arrow_batched(spark, sf_dir):
     MapInPandas nodes), never row-at-a-time BatchEvalPython."""
     from meerschaum_spark.queries_llm import (
         geo_wkb_roundtrip,
-        multimodal_fake_decode,
+        multimodal_png_decode,
     )
     from meerschaum_spark.plans import explain_str
-    for q in (geo_wkb_roundtrip, multimodal_fake_decode):
+    for q in (geo_wkb_roundtrip, multimodal_png_decode):
         plan = explain_str(q(spark, sf_dir), "simple")
         assert "BatchEvalPython" not in plan, plan[:800]
         assert ("ArrowEvalPython" in plan) or ("MapInPandas" in plan), plan[:800]
@@ -113,6 +113,22 @@ def test_q15_q17_broadcast_aggregate_sides(spark, sf_dir):
     assert r17["broadcast_joins"] >= 2
     # the brand filter reaches the part scan
     assert any("p_brand" in f for f in r17["pushed_filters"])
+
+
+def test_q9_broadcasts_all_dims(spark, sf_dir):
+    """Q9 (the classic shuffle-heavy profit shape): part, supplier, and
+    nation are dimension-sized and must ALL ride broadcast joins — the
+    only shuffle-partitioned joins allowed are against orders (fact-to-
+    fact on orderkey), so lineitem is never reshuffled for a dimension.
+    The part-name filter must also reach the part scan."""
+    from meerschaum_spark.plans import plan_report
+    from meerschaum_spark.queries import q9_product_profit
+    r = plan_report(q9_product_profit(spark, sf_dir))
+    assert r["broadcast_joins"] >= 3, r
+    # at most the orders join shuffle + the final groupBy + sort land
+    # exchanges on the fact path
+    assert r["sortmerge_joins"] <= 1, r
+    assert any("p_name" in f for f in r["pushed_filters"]), r
 
 
 def test_near_dup_rerank_is_candidate_proportional(spark, sf_dir):

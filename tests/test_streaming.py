@@ -52,6 +52,101 @@ def test_stream_sync_pipe_idempotent(spark, instance_dir, stream_env):
     assert pipe.get_rowcount() == n_total
 
 
+def test_stream_sync_rollup_processing_time_soak(spark, instance_dir,
+                                                 stream_env):
+    """Live-trigger soak: a ProcessingTime-trigger stream keeps running
+    while three overlapping parquet arrivals land in the source dir; the
+    per-micro-batch rollup maintenance must converge to the batch oracle
+    (availableNow replay is covered by the catalog query — this proves
+    the continuously-running trigger path, multiple micro-batches, late
+    data included)."""
+    import time
+
+    src_dir, ckpt_dir = stream_env
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    n_total = events.count()
+    cut1 = datetime.datetime(2024, 1, 10)
+    cut2 = datetime.datetime(2024, 1, 20)
+    arrivals = [
+        events.filter(F.col("ts") < cut1),
+        # overlaps arrival 1 (late data) and extends forward
+        events.filter((F.col("ts") >= cut1 - datetime.timedelta(days=3))
+                      & (F.col("ts") < cut2)),
+        events.filter(F.col("ts") >= cut2 - datetime.timedelta(days=2)),
+    ]
+    pipe = Pipe("stream", "soak", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "event_id"},
+                parameters={"rollups": [{"name": "hourly",
+                                         "interval": "hour",
+                                         "groupby": ["event_type"],
+                                         "values": ["value"]}]})
+    stage_dir = tempfile.mkdtemp(prefix="stream_stage_")
+    # expected DISTINCT cumulative rowcount after each arrival (arrivals
+    # are cumulative time-slices, so the prefix union is just a prefix
+    # of the table)
+    expected_counts = [
+        events.filter(F.col("ts") < cut1).count(),
+        events.filter(F.col("ts") < cut2).count(),
+        n_total,
+    ]
+    stream = (spark.readStream.schema(events.schema).parquet(src_dir + "/*"))
+    q = stream_sync_pipe(pipe, stream, ckpt_dir,
+                         trigger={"processingTime": "1 seconds"},
+                         query_name="_soak")
+    try:
+        for i, arrival in enumerate(arrivals):
+            # Spark's file source requires files to APPEAR atomically in
+            # the watched dir — writing parquet in place lets the stream
+            # list _temporary files mid-commit (observed: the same rows
+            # arrive under two paths in one micro-batch and duplicate).
+            # Stage outside, then rename the finished directory in.
+            staged = os.path.join(stage_dir, f"b{i}")
+            arrival.write.parquet(staged)
+            os.rename(staged, os.path.join(src_dir, f"b{i}"))
+            # wait until THIS arrival is fully absorbed before landing
+            # the next, so the run really spans ≥ 3 micro-batches
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                try:
+                    have = pipe.get_rowcount()
+                except Exception:
+                    have = -1  # reader raced a partition swap; retry
+                if have == expected_counts[i]:
+                    break
+                time.sleep(0.5)
+            assert pipe.get_rowcount() == expected_counts[i], \
+                f"arrival {i} not absorbed before deadline"
+        assert pipe.get_rowcount() == n_total
+        # rowcount converges MID-batch (the append lands before rollup
+        # maintenance and before the batch's progress event) — wait for
+        # the stream to go idle so the last batch's maintenance and
+        # progress entry are both in
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            st = q.status
+            if not st["isDataAvailable"] and not st["isTriggerActive"]:
+                break
+            time.sleep(0.3)
+        n_batches = len({p["batchId"] for p in q.recentProgress})
+        assert n_batches >= 3, f"soak ran only {n_batches} micro-batches"
+    finally:
+        q.stop()
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    # rollup converged to the batch rebuild
+    expected = (pipe.get_data(order=None)
+                .groupBy(F.date_trunc("hour", "ts").alias("ts"),
+                         "event_type")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.sum(F.col("value").cast("decimal(18,6)"))
+                     .cast("decimal(28,6)").alias("sum_value"),
+                     F.min("value").alias("min_value"),
+                     F.max("value").alias("max_value")))
+    got = {tuple(r) for r in pipe.get_rollup("hourly").collect()}
+    assert got == {tuple(r) for r in expected.collect()}
+
+
 def test_windowed_rollup_batch_semantics(spark):
     # windowed_rollup is a plain transform; check it on a batch frame
     ev = load_table(spark, "/root/testdata/sf0.001", "events")

@@ -1370,23 +1370,16 @@ class Pipe:
                 b0 = (begin_us // width) * width
                 e0 = ((end_us - 1) // width + 1) * width
                 part = self._rollup_compute(conf, b0, e0)
-                # delete-then-append, NOT merge: a sync update that changes
-                # a groupby column (or an upsert that moves rows between
-                # buckets) can EMPTY a (bucket, group) combo — a merge only
-                # replaces matched keys, so the stale combo row would be
-                # stranded and get_rollup would serve phantom aggregates.
-                # Same hazard _rollup_clear_locked documents for deletes;
-                # both paths now share the delete+recompute shape. The
-                # range is bucket-aligned so the delete prunes to exactly
-                # the partitions the append rewrites — still patch-
-                # proportional work.
-                dtc = F.col(self.dt_col)
-                us = (dtc.cast("long") * F.lit(UNIT_US[self.precision_unit])
-                      if self.dt_is_int else F.unix_micros(dtc))
-                cond = (us >= F.lit(b0)) & (us < F.lit(e0))
-                rstore.delete_where(cond, dtypes=self._rollup_dtypes(conf),
-                                    begin_us=b0, end_us=e0)
-                rstore.append(part)
+                # range-replace, NOT merge: a sync update that changes a
+                # groupby column (or an upsert that moves rows between
+                # buckets) can EMPTY a (bucket, group) combo — a merge
+                # only replaces matched keys, so the stale combo row
+                # would be stranded and get_rollup would serve phantom
+                # aggregates. replace_range publishes the recompute as
+                # the entire bucket-aligned window in ONE job + ONE
+                # partition swap — still patch-proportional work.
+                rstore.replace_range(part, b0, e0,
+                                     dtypes=self._rollup_dtypes(conf))
 
     def _rollups_after_write(self, metrics: dict,
                              force_full: bool = False) -> None:
@@ -1471,14 +1464,12 @@ class Pipe:
             rstore = self._rollup_store(conf)
             if not rstore.exists():
                 continue
-            dtc = F.col(self.dt_col)
-            us = (dtc.cast("long") * F.lit(UNIT_US[self.precision_unit])
-                  if self.dt_is_int else F.unix_micros(dtc))
-            cond = (us >= F.lit(b0)) & (us < F.lit(e0))
-            rstore.delete_where(cond, dtypes=self._rollup_dtypes(conf),
-                                begin_us=b0, end_us=e0)
-            if self.exists():
-                rstore.append(self._rollup_compute(conf, b0, e0))
+            # one fused job: buckets the delete emptied vanish, the rest
+            # of the range recomputes from post-delete storage (an empty
+            # recompute — base table dropped — leaves a pure delete)
+            rstore.replace_range(
+                self._rollup_compute(conf, b0, e0), b0, e0,
+                dtypes=self._rollup_dtypes(conf))
 
     def get_rollup(self, name: str, gapfill: bool = False) -> DataFrame:
         """Read one rollup table.

@@ -1724,8 +1724,19 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
         .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
         .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    # dimension filters pushed BELOW the aggregate as broadcast
+    # semi-joins: only ~4% of parts qualify and ~20% of suppliers are
+    # EUROPE, so at fact scale the per-(part,supp) aggregate sees a
+    # small fraction of lineitem instead of all of it — per-group sums
+    # are unaffected because the semi-joins drop whole groups, never
+    # rows within a kept group
+    li_scoped = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                li["l_partkey"] == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(sdim.select("s_suppkey")),
+              li["l_suppkey"] == F.col("s_suppkey"), "left_semi"))
     price = (
-        li.groupBy(F.col("l_partkey"), F.col("l_suppkey"))
+        li_scoped.groupBy(F.col("l_partkey"), F.col("l_suppkey"))
         .agg((F.sum(_dec("l_extendedprice")).cast("double")
               / F.sum(_dec("l_quantity")).cast("double")).alias("unit_price"))
     )

@@ -492,6 +492,53 @@ class ParquetPipeStore:
             *[F.col(f"em.{c}").alias(c) for c in missing],
         )
 
+    def replace_range(self, df: DataFrame, begin_us: int, end_us: int,
+                      dtypes: dict[str, str] | None = None) -> None:
+        """Atomically replace every stored row whose dt epoch lies in
+        ``[begin_us, end_us)`` with ``df`` (whose rows must all lie in
+        that range — the caller's recompute supersedes the window).
+
+        The fused form of ``delete_where(range)`` + ``append(df)`` used
+        by rollup maintenance: ONE job (keep-outside-range ∪ new rows)
+        and ONE partition swap instead of two of each, with no window
+        where the range is empty. Cells the recompute emptied are
+        removed by the swap's ``also_remove`` list; cells that only the
+        new rows populate come from the staging listing."""
+        if not self.exists():
+            self.append(df)
+            return
+        p_lo = self.part_index_of(begin_us)
+        p_hi = self.part_index_of(end_us - 1)
+        # stored cells overlapping the range — from the directory
+        # listing, no Spark job (null-dt rows live in the null cell,
+        # which a bounded range never touches)
+        affected: list[int] = []
+        for entry in os.scandir(self.data_path):
+            if not entry.is_dir() \
+                    or not entry.name.startswith(f"{PART_COL}="):
+                continue
+            try:
+                v = int(entry.name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if p_lo <= v <= p_hi:
+                affected.append(v)
+        new = self.with_part(df)
+        if not affected:
+            # nothing stored overlaps: plain file-add append
+            out = self._rebalanced(new)
+            out.write.mode("append").partitionBy(PART_COL).parquet(
+                self.data_path)
+            self._mark_exists(True)
+            self._refresh_listing()
+            return
+        us = self._epoch_us_col()
+        keep = (self.read(dtypes=dtypes, keep_part_col=True,
+                          part_values=affected)
+                .filter((us < F.lit(begin_us)) | (us >= F.lit(end_us))))
+        combined = keep.unionByName(new, allowMissingColumns=True)
+        self._swap_partitions(combined, None, also_remove=affected)
+
     def delete_where(self, cond: F.Column, dtypes: dict[str, str] | None = None,
                      begin_us: int | None = None, end_us: int | None = None) -> int:
         """Bounded DELETE (reference clear_pipe, connectors/sql/_pipes.py:3158-3246):
@@ -530,11 +577,15 @@ class ParquetPipeStore:
         return f"{PART_COL}={value}"
 
     def _swap_partitions(self, df: DataFrame, parts: list[Any] | None,
-                         sort_by: list[str] | None = None) -> None:
+                         sort_by: list[str] | None = None,
+                         also_remove: list[Any] | None = None) -> None:
         """Write ``df`` (covering exactly ``parts``) to staging, then swap
         each partition directory into place. ``parts=None`` means "derive
         the list from the staging directory after the write" — a local
         scandir, not a Spark action (used by the bounds-pruned merge).
+        ``also_remove`` lists cells that must be swapped even when absent
+        from staging (i.e. deleted — a replace_range can empty a cell,
+        and a staging-derived list would never touch it).
 
         ``sort_by`` applies a per-task sort (PART_COL first, so rows of
         one cell stay contiguous) AFTER the rebalance — the clustering
@@ -563,7 +614,11 @@ class ParquetPipeStore:
                             parts.append(
                                 None if raw == "__HIVE_DEFAULT_PARTITION__"
                                 else int(raw))
-            for value in parts:
+            swap_set = list(parts)
+            for extra in (also_remove or []):
+                if extra not in swap_set:
+                    swap_set.append(extra)
+            for value in swap_set:
                 name = self._part_dir_name(value)
                 src = os.path.join(staging, name)
                 dst = os.path.join(self.data_path, name)

@@ -6,7 +6,7 @@ compact JSON line the driver's stdout-tail buffer can hold in full:
 
 Two lessons from rounds 1-5 are baked in:
 
-* **The tail buffer is ~2 KB.** A one-line JSON carrying all 126 per-query
+* **The tail buffer is ~2 KB.** A one-line JSON carrying all ~130 per-query
   floats exceeded it, so the driver recorded ``parsed: null`` every round
   and no TPC-H timing was ever captured. The stdout line now carries only
   the TPC-H queries individually plus per-family totals (<~1 KB); the full

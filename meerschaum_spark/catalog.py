@@ -52,7 +52,8 @@ HEAD_ORDER = [
     "emb_pq_codes", "doc_lang_id_accuracy", "emb_cell_balanced_sample",
     "emb_jl_distortion", "doc_dedup_cascade_report",
     # -- new in r6 (never recorded by definition) --
-    "multimodal_png_decode",
+    "multimodal_png_decode", "events_quantile_histogram_est",
+    "events_cdc_snapshot", "doc_bpe_pair_counts",
 ]
 
 

@@ -2967,3 +2967,116 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(hours, 0.9)").alias("p90_hours"),
         F.min("hours").alias("min_hours"),
         F.max("hours").alias("max_hours"))
+
+
+@query(
+    "events_quantile_histogram_est",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(floor(value * 2) AS BIGINT) AS bin,
+             count(*) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bin, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM b)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           min(CASE WHEN cum >= (n + 1) // 2
+                    THEN CAST(bin AS DOUBLE) * 0.5 END) AS p50_est,
+           min(CASE WHEN cum >= (9 * n + 9) // 10
+                    THEN CAST(bin AS DOUBLE) * 0.5 END) AS p90_est,
+           min(CASE WHEN cum >= (99 * n + 99) // 100
+                    THEN CAST(bin AS DOUBLE) * 0.5 END) AS p99_est
+    FROM cum GROUP BY event_type, n ORDER BY event_type
+    """,
+)
+def events_quantile_histogram_est(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Mergeable quantile estimation (t-digest/HDR-histogram analogue,
+    TimescaleDB ``percentile_agg`` hyperfunction): per-type equi-width
+    bin counts are the sketch — shards aggregate their own bins and
+    merge by summing, then quantiles read off the cumulative bin walk.
+    Fully deterministic cross-engine (bin = floor(value*2) is exact
+    IEEE arithmetic, ranks use integer ceil forms — no percentile
+    interpolation ambiguity). 100 TB shape: the fact scan folds to
+    ≤ types × bins rows map-side; the window walks only that sketch."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    bins = (ev.groupBy("event_type",
+                       F.floor(F.col("value") * 2).alias("bin"))
+            .agg(F.count(F.lit(1)).alias("c")))
+    w_cum = Window.partitionBy("event_type").orderBy("bin")
+    w_all = Window.partitionBy("event_type")
+    cum = bins.select(
+        "event_type", "bin", "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"))
+
+    def est(rank_expr, alias):
+        return F.min(
+            F.when(F.col("cum") >= rank_expr,
+                   F.col("bin") * F.lit(0.5))).alias(alias)
+
+    n = F.col("n")
+    return (cum.groupBy("event_type", n.cast("long").alias("n"))
+            .agg(est(F.floor((n + 1) / 2), "p50_est"),
+                 est(F.floor((9 * n + 9) / 10), "p90_est"),
+                 est(F.floor((99 * n + 99) / 100), "p99_est"))
+            .orderBy("event_type"))
+
+
+@query(
+    "events_cdc_snapshot",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_id % 17 = 0 THEN 'd' ELSE 'u' END AS op
+      FROM events),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_changes,
+             sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id) AS n_deletes
+      FROM log)
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           value AS last_value,
+           CAST(n_changes AS BIGINT) AS n_changes,
+           CAST(n_deletes AS BIGINT) AS n_deletes
+    FROM ranked WHERE rn = 1 AND op <> 'd'
+    ORDER BY user_id
+    """,
+)
+def events_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction to a latest-state snapshot: each event is an
+    upsert or (deterministically derived) delete tombstone for its
+    user_id key; the snapshot keeps each key's newest non-tombstone row
+    and drops keys whose final op is a delete — the Debezium/Hudi
+    read-optimized-view shape. ONE shuffle: the row_number rank and
+    both per-key counts ride the same user_id-partitioned window
+    exchange (no separate groupBy join)."""
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.when(F.col("event_id") % 17 == 0, F.lit("d"))
+        .otherwise(F.lit("u")).alias("op"))
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    w_all = Window.partitionBy("user_id")
+    ranked = log.select(
+        "*",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_changes"),
+        F.sum(F.when(F.col("op") == "d", 1).otherwise(0))
+        .over(w_all).alias("n_deletes"))
+    return (ranked.filter((F.col("rn") == 1) & (F.col("op") != "d"))
+            .select("user_id", F.col("ts").alias("last_ts"),
+                    F.col("event_type").alias("last_event_type"),
+                    F.col("value").alias("last_value"),
+                    F.col("n_changes").cast("long").alias("n_changes"),
+                    F.col("n_deletes").cast("long").alias("n_deletes"))
+            .orderBy("user_id"))

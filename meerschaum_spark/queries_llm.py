@@ -3129,3 +3129,44 @@ def doc_dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_flagged").cast("double")
                      / F.col("_n_total")).alias("frac_flagged"))
             .orderBy("method"))
+
+
+@query(
+    "doc_bpe_pair_counts",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents),
+    p AS (
+      SELECT t.doc_id, u.pr[1] || ' ' || u.pr[2] AS pair
+      FROM t, UNNEST(list_zip(t.toks[1:-2], t.toks[2:])) AS u(pr)
+      WHERE len(t.toks) >= 2)
+    SELECT pair,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS doc_freq
+    FROM p GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT 40
+    """,
+)
+def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge round at corpus scale: adjacent-token pair
+    frequencies (the statistic a byte-pair-encoding trainer maximizes
+    each iteration — Sennrich et al. 2016). zip_with over two slices of
+    the token array builds the pair list JVM-side, explode + one hash
+    aggregation with map-side combine counts it, and a 40-row top-k
+    comes back. 100 TB shape: no shuffle carries raw text — only
+    (pair, partial count) pairs move, exactly how a distributed BPE
+    trainer's count step runs per merge."""
+    docs = _docs(spark, sf_dir)
+    t = (docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+         .filter(F.size("toks") >= 2))
+    pairs = t.select(
+        "doc_id",
+        F.explode(F.expr(
+            "zip_with(slice(toks, 1, size(toks) - 1),"
+            "         slice(toks, 2, size(toks) - 1),"
+            "         (a, b) -> concat(a, ' ', b))")).alias("pair"))
+    return (pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.count_distinct("doc_id").alias("doc_freq"))
+            .orderBy(F.col("n_occurrences").desc(), "pair")
+            .limit(40))

@@ -132,10 +132,9 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
 
-def encode_png(seed: int, width: int, height: int) -> bytes:
-    """Deterministic 8-bit RGB PNG: pixel byte ``i`` (scanline order) is
-    ``(seed + i) % 256``; each scanline uses filter type ``row % 5`` so a
-    decoder must implement the full None/Sub/Up/Average/Paeth set."""
+def encode_png_scalar(seed: int, width: int, height: int) -> bytes:
+    """Reference scalar encoder (byte-for-byte what ``encode_png``'s
+    vectorized path must produce; kept for the equivalence test)."""
     bpr = 3 * width
     prev = bytes(bpr)
     lines = []
@@ -148,6 +147,41 @@ def encode_png(seed: int, width: int, height: int) -> bytes:
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
     return (PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + _png_chunk(b"IEND", b""))
+
+
+def encode_png(seed: int, width: int, height: int) -> bytes:
+    """Deterministic 8-bit RGB PNG: pixel byte ``i`` (scanline order) is
+    ``(seed + i) % 256``; each scanline uses filter type ``row % 5`` so a
+    decoder must implement the full None/Sub/Up/Average/Paeth set.
+
+    Filtering is numpy-vectorized (encode filters read only RAW
+    neighbors, so there is no loop-carried dependency — unlike decode);
+    asserted byte-identical to ``encode_png_scalar`` in tests."""
+    import numpy as np
+
+    bpr = 3 * width
+    idx = np.arange(height * bpr, dtype=np.int64)
+    pix = ((seed + idx) & 0xFF).reshape(height, bpr).astype(np.int16)
+    a = np.zeros_like(pix)
+    a[:, 3:] = pix[:, :-3]            # left neighbor (bpp=3)
+    b = np.zeros_like(pix)
+    b[1:, :] = pix[:-1, :]            # up neighbor
+    c = np.zeros_like(pix)
+    c[1:, 3:] = pix[:-1, :-3]         # up-left neighbor
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    paeth = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    ftypes = (np.arange(height) % 5)[:, None]
+    pred = np.select(
+        [ftypes == 0, ftypes == 1, ftypes == 2, ftypes == 3],
+        [np.zeros_like(pix), a, b, (a + b) // 2], default=paeth)
+    out = np.empty((height, bpr + 1), dtype=np.uint8)
+    out[:, 0] = (np.arange(height) % 5).astype(np.uint8)
+    out[:, 1:] = ((pix - pred) & 0xFF).astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(out.tobytes()))
             + _png_chunk(b"IEND", b""))
 
 
@@ -183,12 +217,24 @@ def decode_png(payload: bytes) -> dict:
     bpr = 3 * width
     if len(raw) != height * (bpr + 1):
         raise ValueError("IDAT length does not match dimensions")
-    prev = bytes(bpr)
+    import numpy as np
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, bpr + 1)
+    prev = np.zeros(bpr, dtype=np.uint8)
     total = 0
     for r in range(height):
-        off = r * (bpr + 1)
-        line = _unfilter_line(raw[off], raw[off + 1:off + 1 + bpr], prev, 3)
-        total += sum(line)
+        ftype = int(rows[r, 0])
+        filt = rows[r, 1:]
+        # None/Up have no intra-line dependency — vectorize; Sub/Avg/
+        # Paeth feed on the byte just produced, so they stay scalar
+        if ftype == 0:
+            line = filt.copy()
+        elif ftype == 2:
+            line = ((filt.astype(np.int16) + prev) & 0xFF).astype(np.uint8)
+        else:
+            line = np.frombuffer(
+                _unfilter_line(ftype, filt.tobytes(), prev.tobytes(), 3),
+                dtype=np.uint8)
+        total += int(line.sum())
         prev = line
     return {"width": width, "height": height, "bit_depth": bit_depth,
             "color_type": color_type, "n_pixel_bytes": bpr * height,

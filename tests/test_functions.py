@@ -151,6 +151,9 @@ def test_png_codec_roundtrip_and_corruption():
     """The stdlib PNG codec: encode→decode is exact for every filter
     type (height ≥ 5 cycles through all five), decode_image dispatches
     PNG payloads to it, and a corrupted byte fails the CRC check."""
+    # the vectorized encoder is byte-identical to the scalar reference
+    for s, w, h in [(7, 6, 9), (0, 4, 4), (255, 16, 14), (123, 5, 11)]:
+        assert M.encode_png(s, w, h) == M.encode_png_scalar(s, w, h)
     png = M.encode_png(seed=7, width=6, height=9)
     d = M.decode_png(png)
     assert (d["width"], d["height"]) == (6, 9)

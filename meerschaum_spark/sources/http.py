@@ -151,6 +151,23 @@ class RemotePipe:
     def delete(self) -> tuple[int, Any]:
         return self._call("delete", "DELETE")
 
+    def drop(self) -> tuple[int, Any]:
+        """Drop the target table, keep the registration (reference
+        api/routes/_pipes.py:734 drop_pipe)."""
+        return self._call("drop", "DELETE")
+
+    def clear(self, begin: str | None = None, end: str | None = None,
+              params: dict | None = None) -> tuple[int, Any]:
+        """Bounded server-side delete (reference api/routes/_pipes.py:755
+        clear_pipe)."""
+        query: dict[str, str] = {}
+        if begin is not None:
+            query["begin"] = begin
+        if end is not None:
+            query["end"] = end
+        body = {"params": params} if params is not None else None
+        return self._call("clear", "DELETE", body=body, **query)
+
     def sync(self, docs: list[dict]) -> tuple[int, Any]:
         return self._call("data", "POST", {"docs": docs})
 

@@ -22,6 +22,9 @@ Routes (mirroring the reference's route table):
   PATCH  /pipes/{conn}/{metric}[/{loc}]/edit     → edit parameters
                                                    (?patch=true merges)
   DELETE /pipes/{conn}/{metric}[/{loc}]/delete   → unregister (keeps data)
+  DELETE /pipes/{conn}/{metric}[/{loc}]/drop     → drop the target table
+  DELETE /pipes/{conn}/{metric}[/{loc}]/clear    → bounded delete (begin/end/params)
+  POST /login, POST /logout, /users[...]         → accounts + sessions (user_auth)
 
 The management trio mirrors reference api/routes/_pipes.py:64 (register),
 :118 (edit), :175 (delete): register 409s when already registered,
@@ -196,7 +199,8 @@ class PipeHTTPServer:
             tail = parts[1:]
             known = {"data", "sync_time", "rowcount", "attributes",
                      "exists", "columns", "csv", "chunk_bounds", "size",
-                     "register", "edit", "delete", "rollup"}
+                     "register", "edit", "delete", "rollup", "drop",
+                     "clear"}
             if tail[-2:] == ["columns", "types"]:
                 keys, action = tail[:-2], tail[-2:]
             elif tail and tail[-1] in known:
@@ -340,6 +344,25 @@ class PipeHTTPServer:
                 pipe.parameters = dict(new_params)
             pipe.register()
             return 200, {"success": True, "message": f"Edited {pipe.target}."}
+        if action == ["drop"] and method in ("DELETE", "POST"):
+            # reference api/routes/_pipes.py:734 drop_pipe: drop the
+            # target table, keep the registration
+            pipe.drop()
+            return 200, {"success": True,
+                         "message": f"Dropped {pipe.target}."}
+        if action == ["clear"] and method in ("DELETE", "POST"):
+            # reference api/routes/_pipes.py:755 clear_pipe: bounded
+            # delete by begin/end (+ params filter)
+            body_args = body if isinstance(body, dict) else {}
+            begin = args.get("begin", body_args.get("begin"))
+            end = args.get("end", body_args.get("end"))
+            params = body_args.get("params")
+            if "params" in args:
+                params = json.loads(args["params"])
+            n = pipe.clear(begin=begin, end=end, params=params)
+            return 200, {"success": True,
+                         "message": f"Cleared {n} rows from {pipe.target}.",
+                         "rows_deleted": n}
         if action == ["delete"] and method in ("DELETE", "POST"):
             if not registered:
                 return 409, {"success": False,

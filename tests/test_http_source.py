@@ -177,6 +177,11 @@ def test_pipe_http_server_management_lifecycle(spark, instance_dir):
         assert local.parameters.get("tags") == ["remote", "gold"]
         assert local.get_rowcount() == 2
 
+        # bounded clear over HTTP (reference :755 clear_pipe)
+        code, out = rp.clear(begin="2024-01-02T00:00:00")
+        assert code == 200 and out["rows_deleted"] == 1
+        assert local.get_rowcount() == 1
+
         # delete unregisters but keeps data files
         code, out = rp.delete()
         assert code == 200 and out["success"]
@@ -186,6 +191,11 @@ def test_pipe_http_server_management_lifecycle(spark, instance_dir):
         # editing an unregistered pipe conflicts
         code, out = rp.edit({"tags": []})
         assert code == 409
+
+        # drop removes the data too (reference :734 drop_pipe)
+        code, out = rp.drop()
+        assert code == 200 and out["success"]
+        assert rp.exists() is False
     finally:
         server.stop()
 

@@ -197,3 +197,50 @@ def test_optimize_cluster_by_unknown_column_raises(spark, instance_dir,
     pipe.sync(load_table(spark, sf_dir, "events").limit(100))
     with pytest.raises(KeyError):
         pipe.optimize(cluster_by=["userid"])  # typo for user_id
+
+
+def test_store_replace_range_semantics(spark, tmp_path):
+    """replace_range swaps a bucket-aligned window in one pass: rows
+    outside the window survive untouched, emptied cells disappear from
+    disk, and cells only the replacement populates are created."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from meerschaum_spark.store import ParquetPipeStore
+
+    store = ParquetPipeStore(spark, str(tmp_path), "rr", dt_col="ts",
+                             chunk_minutes=60)  # one cell per hour
+    rows = [(dt.datetime(2024, 1, 1, h, 30), h, float(h)) for h in range(6)]
+    df = spark.createDataFrame(rows, "ts timestamp, k long, v double")
+    store.append(df)
+
+    def us(h):
+        return int(dt.datetime(2024, 1, 1, h).replace(
+            tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+
+    # replace hours [1, 4): hour 1 gets one new row, hour 2 is emptied,
+    # hour 3 gets two rows
+    new = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 1, 5), 100, 1.5),
+         (dt.datetime(2024, 1, 1, 3, 5), 300, 3.5),
+         (dt.datetime(2024, 1, 1, 3, 50), 301, 3.6)],
+        "ts timestamp, k long, v double")
+    store.replace_range(new, us(1), us(4))
+    got = {(r["k"], r["v"]) for r in store.read().collect()}
+    assert got == {(0, 0.0), (100, 1.5), (300, 3.5), (301, 3.6),
+                   (4, 4.0), (5, 5.0)}
+    # the emptied hour-2 cell is GONE from disk (no stale directory)
+    import os as _os
+    cells = {e.name for e in _os.scandir(store.data_path)
+             if e.name.startswith("_mrsm_part=")}
+    assert f"_mrsm_part={us(2) // store.width_us}" not in cells
+
+    # replacing a window with NO stored overlap is a pure append
+    far = spark.createDataFrame([(dt.datetime(2024, 2, 1, 0, 5), 999, 9.9)],
+                                "ts timestamp, k long, v double")
+    feb = int(dt.datetime(2024, 2, 1).replace(
+        tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    store.replace_range(far, feb, feb + 3_600_000_000)
+    assert store.read().filter(F.col("k") == 999).count() == 1
+    assert store.read().count() == 7

@@ -53,7 +53,7 @@ HEAD_ORDER = [
     "emb_jl_distortion", "doc_dedup_cascade_report",
     # -- new in r6 (never recorded by definition) --
     "multimodal_png_decode", "events_quantile_histogram_est",
-    "events_cdc_snapshot", "doc_bpe_pair_counts",
+    "events_cdc_snapshot", "doc_bpe_pair_counts", "events_gapfill_interp",
 ]
 
 

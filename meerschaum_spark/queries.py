@@ -3080,3 +3080,104 @@ def events_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_changes").cast("long").alias("n_changes"),
                     F.col("n_deletes").cast("long").alias("n_deletes"))
             .orderBy("user_id"))
+
+
+@query(
+    "events_gapfill_interp",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+                 AS sum_dec
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+    spine AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM hourly) t,
+           bounds,
+           (SELECT unnest(generate_series(bounds.h0, bounds.h1,
+                                          INTERVAL 1 HOUR)) AS h
+            FROM bounds) g),
+    joined AS (
+      SELECT s.event_type, s.h,
+             CAST(CAST(hourly.sum_dec AS VARCHAR) AS DOUBLE)
+                 / CAST(hourly.n_events AS DOUBLE) AS v
+      FROM spine s LEFT JOIN hourly
+        ON s.event_type = hourly.event_type AND s.h = hourly.h),
+    nbr AS (
+      SELECT event_type, h, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM joined)
+    SELECT event_type, h AS bucket_ts,
+           v IS NOT NULL AS observed,
+           CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL OR nv IS NULL THEN NULL
+             ELSE pv + (nv - pv)
+                  * (CAST(epoch_us(h) - epoch_us(pt) AS DOUBLE)
+                     / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+           END AS v_interp
+    FROM nbr ORDER BY event_type, bucket_ts
+    """,
+)
+def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly mean with LINEAR interpolation between the
+    nearest observed buckets — the TimescaleDB ``interpolate``
+    hyperfunction beside the LOCF variant. Two ignore-nulls window walks
+    (backward carry of the previous observation and its time, forward
+    carry of the next) give each gap its bracketing points; the
+    interpolation weight is pure epoch arithmetic, byte-deterministic
+    cross-engine. Leading/trailing gaps (no bracket) stay NULL —
+    interpolation never extrapolates. Same 100 TB layout as LOCF: state
+    per window task is one series."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(_dec("value")).cast("decimal(28,6)")
+                   .alias("sum_dec")))
+    hourly = hourly.localCheckpoint()
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (hourly.select("event_type").distinct()
+             .crossJoin(F.broadcast(bounds))
+             .select("event_type",
+                     F.explode(F.sequence(
+                         F.col("h0"), F.col("h1"),
+                         F.expr("INTERVAL 1 HOUR"))).alias("h")))
+    joined = (spine.join(hourly, on=["event_type", "h"], how="left")
+              .select("event_type", "h",
+                      (F.col("sum_dec").cast("double")
+                       / F.col("n_events").cast("double")).alias("v")))
+    back = (Window.partitionBy("event_type").orderBy("h")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fwd = (Window.partitionBy("event_type").orderBy("h")
+           .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_t = F.when(F.col("v").isNotNull(), F.col("h"))
+    nbr = joined.select(
+        "event_type", "h", "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_t, ignorenulls=True).over(back).alias("pt"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_t, ignorenulls=True).over(fwd).alias("nt"))
+    frac = ((F.unix_micros("h") - F.unix_micros("pt")).cast("double")
+            / (F.unix_micros("nt") - F.unix_micros("pt")).cast("double"))
+    return (nbr.select(
+        "event_type", F.col("h").alias("bucket_ts"),
+        F.col("v").isNotNull().alias("observed"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(),
+              F.lit(None).cast("double"))
+        .otherwise(F.col("pv")
+                   + (F.col("nv") - F.col("pv")) * frac).alias("v_interp"))
+        .orderBy("event_type", "bucket_ts"))

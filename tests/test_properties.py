@@ -192,3 +192,59 @@ def test_prune_duration_grammar_roundtrips(n, unit):
     per = {"seconds": 1, "minutes": 60, "hours": 3600, "days": 86400,
            "weeks": 604800}[unit]
     assert sched.seconds == float(n * per)
+
+
+@given(seed=st.integers(0, 255), width=st.integers(1, 24),
+       height=st.integers(1, 20))
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_matches_closed_form(seed, width, height):
+    """decode(encode(seed, w, h)) recovers the dimensions and the exact
+    closed-form pixel sum for EVERY geometry, including single-row /
+    single-column images and every filter-type mix (height < 5 exercises
+    a prefix of the None/Sub/Up/Average/Paeth cycle)."""
+    from meerschaum_spark.functions import multimodal as M
+
+    png = M.encode_png(seed, width, height)
+    assert png == M.encode_png_scalar(seed, width, height)
+    d = M.decode_png(png)
+    n = 3 * width * height
+
+    def s(m):
+        return (m // 256) * 32640 + (m % 256) * ((m % 256) - 1) // 2
+
+    assert (d["width"], d["height"]) == (width, height)
+    assert d["n_pixel_bytes"] == n
+    assert d["pixel_sum"] == s(seed + n) - s(seed)
+
+
+@given(values=st.lists(st.integers(-10_000, 10_000), min_size=1,
+                       max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_histogram_quantile_rank_bounds(values):
+    """The integer ceil-rank forms used by events_quantile_histogram_est
+    pick a bin whose cumulative count covers the target rank, and the
+    resulting estimate brackets the true quantile to within one bin
+    width (0.5)."""
+    vals = sorted(v / 100.0 for v in values)
+    n = len(vals)
+    import math
+    for p, rank in ((0.5, (n + 1) // 2), (0.9, (9 * n + 9) // 10),
+                    (0.99, (99 * n + 99) // 100)):
+        assert rank == math.ceil(p * n) or n * p == int(n * p), (p, n)
+        assert 1 <= rank <= n
+        # replicate the sketch: bin = floor(v*2), estimate = bin*0.5 of
+        # the first bin whose cumulative count >= rank
+        bins = {}
+        for v in vals:
+            b = math.floor(v * 2)
+            bins[b] = bins.get(b, 0) + 1
+        cum = 0
+        est = None
+        for b in sorted(bins):
+            cum += bins[b]
+            if cum >= rank:
+                est = b * 0.5
+                break
+        true_q = vals[rank - 1]  # rank-th smallest
+        assert est is not None
+        assert est <= true_q < est + 0.5

@@ -701,15 +701,27 @@ def _bucket_sql(seed: str, n_planes: int, vec: str = "embedding") -> str:
     return "(" + terms.replace("{v}", vec) + ")"
 
 
-def _near_dup_sql(threshold: float, n_planes: int, n_tables: int) -> str:
+def _near_dup_sql(threshold: float, n_planes: int, n_tables: int,
+                  continuation: str | None = None) -> str:
+    """CTE chain LSH-candidates → exact cosine → thresholded ``pairs``;
+    derived oracles (the cluster closure) pass a ``continuation`` that
+    extends the WITH chain instead of string-patching the default final
+    SELECT (the surgery anti-pattern r4's advice flagged)."""
     bucket_cols = ", ".join(
         f"{_bucket_sql(f'tbl{t}_', n_planes)} AS b{t}" for t in range(n_tables))
     any_tbl = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
     dot_ab = "CAST(CAST(" + _DOT.format(a="va", b="vb") + " AS VARCHAR) AS DOUBLE)"
     dot_aa = "CAST(CAST(" + _DOT.format(a="va", b="va") + " AS VARCHAR) AS DOUBLE)"
     dot_bb = "CAST(CAST(" + _DOT.format(a="vb", b="vb") + " AS VARCHAR) AS DOUBLE)"
+    final = continuation or """
+    SELECT vec_a, vec_b, cosine FROM pairs
+    ORDER BY vec_a, vec_b
+    """
+    # WITH RECURSIVE is valid (and inert) without a recursive member, so
+    # the closure continuation can add one
     return f"""
-    WITH b AS (SELECT vec_id, embedding, {bucket_cols} FROM embeddings),
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding, {bucket_cols} FROM embeddings),
     cand AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              a.embedding AS va, b.embedding AS vb
@@ -717,11 +729,19 @@ def _near_dup_sql(threshold: float, n_planes: int, n_tables: int) -> str:
     scored AS (
       SELECT vec_a, vec_b,
              {dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})) AS cosine
-      FROM cand)
-    SELECT vec_a, vec_b, cosine FROM scored
-    WHERE cosine >= {threshold}
-    ORDER BY vec_a, vec_b
-    """
+      FROM cand),
+    pairs AS (
+      SELECT vec_a, vec_b, cosine FROM scored
+      WHERE cosine >= {threshold})""" + final
+
+
+def _emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached LSH near-dup pair table — consumed by both the
+    pairs query and the cluster closure."""
+    return _cached_sigs(
+        "emb_ndpairs", spark, sf_dir,
+        lambda: S.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4,
+                                        n_planes=8, n_tables=4))
 
 
 @query("emb_near_dup_pairs", _near_dup_sql(0.4, 8, 4))
@@ -730,10 +750,40 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent 8-plane tables) + exact threshold filter. The oracle
     mirrors the exact candidate semantics, so recall choices are part of
     the checked contract."""
-    emb = _emb(spark, sf_dir)
-    pairs = S.cosine_near_dup_pairs(emb, threshold=0.4,
-                                    n_planes=8, n_tables=4)
-    return pairs.orderBy("vec_a", "vec_b")
+    return _emb_near_dup_pairs(spark, sf_dir).orderBy("vec_a", "vec_b")
+
+
+_EMB_CLUSTERS_SQL = _near_dup_sql(0.4, 8, 4, continuation=""",
+    sym AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+            UNION ALL
+            SELECT vec_b AS u, vec_a AS v FROM pairs),
+    reach AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+    SELECT u AS vec_id,
+           LEAST(u, MIN(v)) AS cluster_id,
+           u = LEAST(u, MIN(v)) AS keep
+    FROM reach GROUP BY u ORDER BY vec_id
+    """)
+
+
+@query("emb_near_dup_clusters", _EMB_CLUSTERS_SQL)
+def emb_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup closed to CLUSTERS: the LSH
+    near-dup pair graph (session-cached, shared with the pairs query)
+    collapses via connected components to (vec_id, cluster_id, keep),
+    the smallest vec_id surviving per component — the embedding-space
+    twin of doc_near_dup_clusters. Oracle: the identical pair semantics
+    plus a recursive-CTE transitive closure standing in for the
+    min-label loop."""
+    pairs = _emb_near_dup_pairs(spark, sf_dir)
+    comp = D.connected_components(pairs, src="vec_a", dst="vec_b")
+    return (comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("cluster_id"),
+        (F.col("node") == F.col("cluster_id")).alias("keep"))
+        .orderBy("vec_id"))
 
 
 # ===========================================================================

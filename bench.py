@@ -66,7 +66,7 @@ def _warm(spark, sf_dir: str) -> None:
     from meerschaum_spark import queries_llm as QL
     for fn in (QL._docs, QL._emb, QL._minhash_sigs, QL._simhash_sigs,
                QL._near_dup_clusters, QL._substr_windows,
-               QL._winnow_fingerprints):
+               QL._winnow_fingerprints, QL._emb_near_dup_pairs):
         try:
             fn(spark, sf_dir).count()
         except Exception as e:

@@ -155,7 +155,12 @@ class PipeHTTPServer:
             if hmac.compare_digest(header, f"Bearer {self.auth_token}"):
                 return "*token*"
         if self.user_auth and header.startswith("Bearer "):
-            return self.sessions.validate(header[len("Bearer "):])
+            username = self.sessions.validate(header[len("Bearer "):])
+            # belt-and-braces beside revoke_user: a session whose account
+            # no longer exists authorizes nothing
+            if username is not None and self.users.get(username) is None:
+                return None
+            return username
         return None
 
     def _is_admin(self, principal: str) -> bool:
@@ -251,17 +256,22 @@ class PipeHTTPServer:
             body = self._read_body(handler) or {}
             username = str(body.get("username", ""))
             open_signup = len(self.users) == 0 or self.allow_registration
-            if not open_signup:
-                principal = self._authorized(handler)
-                if principal is None:
-                    return 401, {"error": "unauthorized"}
-                if not self._is_admin(principal):
-                    return 403, {"error":
-                                 "registration requires an admin session"}
+            principal = self._authorized(handler)
+            by_admin = principal is not None and self._is_admin(principal)
+            if not open_signup and principal is None:
+                return 401, {"error": "unauthorized"}
+            if not open_signup and not by_admin:
+                return 403, {"error":
+                             "registration requires an admin session"}
+            # only an admin may grant a type; anonymous self-signup is
+            # ALWAYS a plain user (a client-supplied {"type": "admin"}
+            # would otherwise be privilege escalation). The bootstrap
+            # account still becomes admin inside the registry.
+            user_type = str(body.get("type", "user")) if by_admin else "user"
             try:
                 created = self.users.register(
                     username, str(body.get("password", "")),
-                    user_type=str(body.get("type", "user")),
+                    user_type=user_type,
                     attributes=body.get("attributes"))
             except ValueError as e:
                 return 400, {"error": str(e)}
@@ -278,7 +288,8 @@ class PipeHTTPServer:
         if tail == ["me"] and method == "GET":
             if principal in ("*", "*token*"):
                 return 200, {"username": principal, "type": "admin"}
-            return 200, self.users.get(principal)
+            rec = self.users.get(principal)
+            return (200, rec) if rec else (401, {"error": "unauthorized"})
         if tail == ["edit"] and method in ("POST", "PATCH"):
             body = self._read_body(handler) or {}
             target = str(body.get("username", principal))
@@ -287,6 +298,9 @@ class PipeHTTPServer:
             ok = self.users.edit(target,
                                  password=body.get("password"),
                                  attributes=body.get("attributes"))
+            if ok and body.get("password"):
+                # a password change invalidates existing sessions
+                self.sessions.revoke_user(target)
             return (200, {"success": True,
                           "message": f"Edited user {target!r}."}) if ok \
                 else (404, {"error": f"no user {target!r}"})
@@ -300,6 +314,11 @@ class PipeHTTPServer:
             if not (self._is_admin(principal) or principal == target):
                 return 403, {"error": "admin or self required"}
             ok = self.users.delete(target)
+            if ok:
+                # deletion revokes the account's live sessions NOW —
+                # without this the stale bearer token keeps full access
+                # until its TTL expires
+                self.sessions.revoke_user(target)
             return (200, {"success": True,
                           "message": f"Deleted user {target!r}."}) if ok \
                 else (404, {"error": f"no user {target!r}"})

@@ -170,6 +170,17 @@ class SessionManager:
         with self._lock:
             return self._sessions.pop(token, None) is not None
 
+    def revoke_user(self, username: str) -> int:
+        """Invalidate every live session of one user — MUST run when the
+        account is deleted or its password changes, else the stale token
+        keeps full access until TTL."""
+        with self._lock:
+            stale = [t for t, (u, _) in self._sessions.items()
+                     if u == username]
+            for t in stale:
+                del self._sessions[t]
+            return len(stale)
+
     def _prune_locked(self) -> None:
         now = self._now()
         for t in [t for t, (_, exp) in self._sessions.items() if now >= exp]:

@@ -458,3 +458,67 @@ def test_pipe_http_server_multi_user_auth(spark, instance_dir):
         assert code == 401
     finally:
         server.stop()
+
+
+def test_http_user_auth_no_escalation_and_revocation(spark, instance_dir):
+    """Open self-signup must not honor a client-supplied admin type, and
+    deleting an account (or changing its password) revokes its live
+    sessions immediately — a stale bearer token authorizes nothing."""
+    from meerschaum_spark.sources import PipeHTTPServer
+    from meerschaum_spark.sources.http import http_login, http_request_json
+
+    server = PipeHTTPServer(spark, instance_dir, user_auth=True,
+                            allow_registration=True).start()
+    try:
+        # bootstrap admin
+        code, _ = http_request_json(
+            f"{server.url}/users/register", method="POST",
+            body={"username": "root", "password": "rootpw"})
+        assert code == 200
+        # anonymous signup asking for admin: accepted, but as plain user
+        code, _ = http_request_json(
+            f"{server.url}/users/register", method="POST",
+            body={"username": "mallory", "password": "pw",
+                  "type": "admin"})
+        assert code == 200
+        mtok = http_login(server.url, "mallory", "pw")
+        mhdr = {"Authorization": f"Bearer {mtok}"}
+        code, me = http_request_json(f"{server.url}/users/me", headers=mhdr)
+        assert me["type"] == "user"
+        # ...so mallory cannot delete the admin
+        code, _ = http_request_json(f"{server.url}/users/root/delete",
+                                    method="DELETE", headers=mhdr)
+        assert code == 403
+        # an admin session CAN grant a type
+        rtok = http_login(server.url, "root", "rootpw")
+        rhdr = {"Authorization": f"Bearer {rtok}"}
+        code, _ = http_request_json(
+            f"{server.url}/users/register", method="POST",
+            body={"username": "ops", "password": "opspw", "type": "admin"},
+            headers=rhdr)
+        assert code == 200
+        otok = http_login(server.url, "ops", "opspw")
+        code, me = http_request_json(
+            f"{server.url}/users/me",
+            headers={"Authorization": f"Bearer {otok}"})
+        assert me["type"] == "admin"
+        # deletion revokes mallory's live session at once
+        code, _ = http_request_json(f"{server.url}/users/mallory/delete",
+                                    method="DELETE", headers=rhdr)
+        assert code == 200
+        code, _ = http_request_json(f"{server.url}/users/me", headers=mhdr)
+        assert code == 401
+        code, _ = http_request_json(f"{server.url}/pipes", headers=mhdr)
+        assert code == 401
+        # a password change revokes the old session too
+        code, _ = http_request_json(
+            f"{server.url}/users/edit", method="POST",
+            body={"username": "ops", "password": "newpw"}, headers=rhdr)
+        assert code == 200
+        code, _ = http_request_json(
+            f"{server.url}/users/me",
+            headers={"Authorization": f"Bearer {otok}"})
+        assert code == 401
+        assert http_login(server.url, "ops", "newpw")
+    finally:
+        server.stop()

@@ -54,7 +54,7 @@ HEAD_ORDER = [
     # -- new in r6 (never recorded by definition) --
     "multimodal_png_decode", "events_quantile_histogram_est",
     "events_cdc_snapshot", "doc_bpe_pair_counts", "events_gapfill_interp",
-    "emb_near_dup_clusters",
+    "emb_near_dup_clusters", "streaming_cdc_snapshot",
 ]
 
 

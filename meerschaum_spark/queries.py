@@ -3028,9 +3028,7 @@ def events_quantile_histogram_est(spark: SparkSession,
             .orderBy("event_type"))
 
 
-@query(
-    "events_cdc_snapshot",
-    """
+_CDC_SNAPSHOT_SQL = """
     WITH log AS (
       SELECT user_id, ts, event_id, event_type, value,
              CASE WHEN event_id % 17 = 0 THEN 'd' ELSE 'u' END AS op
@@ -3049,8 +3047,10 @@ def events_quantile_histogram_est(spark: SparkSession,
            CAST(n_deletes AS BIGINT) AS n_deletes
     FROM ranked WHERE rn = 1 AND op <> 'd'
     ORDER BY user_id
-    """,
-)
+    """
+
+
+@query("events_cdc_snapshot", _CDC_SNAPSHOT_SQL)
 def events_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC log compaction to a latest-state snapshot: each event is an
     upsert or (deterministically derived) delete tombstone for its
@@ -3181,3 +3181,45 @@ def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("pv")
                    + (F.col("nv") - F.col("pv")) * frac).alias("v_interp"))
         .orderBy("event_type", "bucket_ts"))
+
+
+@query("streaming_cdc_snapshot", _CDC_SNAPSHOT_SQL)
+def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC latest-state view maintained CONTINUOUSLY: the replayed
+    event stream folds through a custom stateful operator
+    (``applyInPandasWithState``) holding one snapshot row per key in the
+    state store, tombstones included; the final emission per key (the
+    monotonic ``n_changes`` maximum) must hash-match the batch window
+    oracle — the streaming and batch twins share one SQL contract.
+    100 TB shape: state is one row per live key, updates stream in
+    update mode, and the sink read is snapshot-sized, never log-sized."""
+    import os as _os
+
+    from meerschaum_spark.streaming.stateful import stateful_cdc_snapshot
+
+    _STREAM_RUN_COUNTER[0] += 1
+    sink = f"_mrsm_stream_cdc_{_STREAM_RUN_COUNTER[0]}"
+    path = _os.path.join(sf_dir, "events.parquet")
+    with _stream_replay_confs(spark):
+        raw = spark.read.parquet(path)
+        stream = (spark.readStream.schema(raw.schema)
+                  .option("pathGlobFilter", "events.parquet")
+                  .parquet(sf_dir))
+        stream = canonicalize_ts(stream, ["ts"])
+        snap = stateful_cdc_snapshot(stream)
+        q = (snap.writeStream.format("memory").queryName(sink)
+             .outputMode("update").trigger(availableNow=True).start())
+        finished = q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+        if not finished:
+            q.stop()
+            raise TimeoutError("streaming CDC replay did not finish in 300 s")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_changes").desc())
+    return (
+        spark.table(sink)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (~F.col("is_delete")))
+        .select("user_id", "last_ts", "last_event_type", "last_value",
+                "n_changes", "n_deletes")
+        .orderBy("user_id"))

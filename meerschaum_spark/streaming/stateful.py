@@ -129,3 +129,76 @@ def streaming_dedup(
         return stream_df.withWatermark(ts_col, watermark) \
                         .dropDuplicates(key_cols)
     return stream_df.dropDuplicates(key_cols)
+
+
+CDC_OUTPUT_SCHEMA = ("user_id long, last_ts timestamp, last_event_id long, "
+                     "last_event_type string, last_value double, "
+                     "n_changes long, n_deletes long, is_delete boolean")
+CDC_STATE_SCHEMA = ("last_ts_us long, last_event_id long, "
+                    "last_event_type string, last_value double, "
+                    "n_changes long, n_deletes long, is_delete boolean")
+
+
+def _cdc_group(
+    key: Tuple[Any],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold one key's micro-batch rows into its latest-state snapshot.
+    Only the lexicographically-largest (ts, event_id) row decides the
+    snapshot values; counts accumulate across batches in state."""
+    (user_id,) = key
+    if state.exists:
+        (ts_us, eid, etype, val, n, nd, isdel) = state.get
+    else:
+        ts_us, eid, etype, val, n, nd, isdel = -1, -1, None, None, 0, 0, False
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        ops_del = (pdf["event_id"] % 17 == 0)
+        nd += int(ops_del.sum())
+        # the batch's last row by (ts, event_id)
+        ordered = pdf.sort_values(["ts", "event_id"])
+        last = ordered.iloc[-1]
+        last_us = int(last["ts"].value) // 1000  # pandas ns → µs
+        if (last_us, int(last["event_id"])) > (ts_us, eid):
+            ts_us, eid = last_us, int(last["event_id"])
+            etype = str(last["event_type"])
+            val = float(last["value"])
+            isdel = bool(int(last["event_id"]) % 17 == 0)
+    state.update((ts_us, eid, etype, val, n, nd, isdel))
+    yield pd.DataFrame({
+        "user_id": [user_id],
+        "last_ts": [pd.Timestamp(ts_us, unit="us")],
+        "last_event_id": [eid],
+        "last_event_type": [etype],
+        "last_value": [val],
+        "n_changes": [n],
+        "n_deletes": [nd],
+        "is_delete": [isdel],
+    })
+
+
+def stateful_cdc_snapshot(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming CDC compaction: per-key latest-state snapshot with
+    delete tombstones, held in the state store across micro-batches —
+    the streaming twin of the batch ``events_cdc_snapshot`` query (the
+    Debezium/Hudi upsert-view maintained continuously). Emits each
+    key's refreshed snapshot every micro-batch; readers keep the
+    highest-``n_changes`` row per key (monotonic across batches)."""
+    from pyspark.sql import functions as F
+
+    src = stream_df.select(
+        F.col(key_col).alias("user_id"), "ts", "event_id",
+        "event_type", "value")
+    return (src.groupBy("user_id").applyInPandasWithState(
+        _cdc_group,
+        outputStructType=CDC_OUTPUT_SCHEMA,
+        stateStructType=CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ))

@@ -55,6 +55,7 @@ HEAD_ORDER = [
     "multimodal_png_decode", "events_quantile_histogram_est",
     "events_cdc_snapshot", "doc_bpe_pair_counts", "events_gapfill_interp",
     "emb_near_dup_clusters", "streaming_cdc_snapshot",
+    "pipe_verify_backfill", "doc_domain_caps",
 ]
 
 

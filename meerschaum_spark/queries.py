@@ -3223,3 +3223,56 @@ def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "last_ts", "last_event_type", "last_value",
                 "n_changes", "n_deletes")
         .orderBy("user_id"))
+
+
+@query(
+    "pipe_verify_backfill",
+    """
+    SELECT ts, event_id, event_type, value
+    FROM events ORDER BY event_id
+    """,
+)
+def pipe_verify_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipe.verify`` — the reference's chunked backfill flagship
+    (core/Pipe/_verify.py:18-440) — under the correctness gate: a pipe
+    seeded with only the first day re-syncs the FULL range through the
+    epoch-aligned chunk grid (7-day chunks, 4 worker threads, each
+    chunk an independent bounded fetch + idempotent diff sync), and the
+    verified table must hash-match the source exactly. Chunks touch
+    disjoint store partitions, so the pool parallelism is real."""
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+
+    events = load_table(spark, sf_dir, "events").persist()
+    instance = tempfile.mkdtemp(prefix="mrsm_q_verify_")
+    try:
+        pipe = Pipe(
+            "catalog", "verify", instance=instance, spark=spark,
+            columns={"datetime": "ts", "id": "event_id"},
+            parameters={"verify": {"chunk_minutes": 10080}})
+        row = events.agg(F.min("ts").alias("lo"),
+                         F.max("ts").alias("hi")).first()
+        lo, hi = row["lo"], row["hi"]
+        pipe.sync(events.filter(
+            F.col("ts") < F.lit(lo + datetime.timedelta(days=1))))
+
+        def src(b, e):
+            return events.filter((F.col("ts") >= F.lit(b))
+                                 & (F.col("ts") < F.lit(e)))
+
+        res = pipe.verify(source=src, begin=lo,
+                          end=hi + datetime.timedelta(microseconds=1),
+                          workers=4, bound_days=None)
+        if not res.success:
+            raise RuntimeError(f"verify failed: {res.message}")
+        stored = pipe.get_data(
+            select_columns=["ts", "event_id", "event_type", "value"],
+            order=None)
+        rows = stored.collect()
+        return (spark.createDataFrame(rows, stored.schema)
+                .orderBy("event_id"))
+    finally:
+        events.unpersist()
+        shutil.rmtree(instance, ignore_errors=True)

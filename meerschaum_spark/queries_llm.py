@@ -3220,3 +3220,37 @@ def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count_distinct("doc_id").alias("doc_freq"))
             .orderBy(F.col("n_occurrences").desc(), "pair")
             .limit(40))
+
+
+@query(
+    "doc_domain_caps",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY length(text) DESC, doc_id) AS rnk,
+             count(*) OVER (PARTITION BY source) AS n_source_docs
+      FROM documents)
+    SELECT doc_id, source,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(n_source_docs AS BIGINT) AS n_source_docs
+    FROM ranked WHERE rnk <= 50 ORDER BY doc_id
+    """,
+)
+def doc_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps — the Common-Crawl-style curation rule
+    "keep at most K docs per source, preferring the longest": one
+    windowed rank per source (deterministic tie-break on doc_id) and a
+    cap filter. At corpus scale this is a single shuffle on the domain
+    key; heavily-skewed domains are exactly what the cap bounds, so the
+    output per key is ≤ K rows no matter how hot the domain."""
+    docs = _docs(spark, sf_dir)
+    w_rank = Window.partitionBy("source").orderBy(
+        F.length("text").desc(), "doc_id")
+    w_all = Window.partitionBy("source")
+    return (docs.select(
+        "doc_id", "source",
+        F.row_number().over(w_rank).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_source_docs"))
+        .filter(F.col("rnk") <= 50)
+        .orderBy("doc_id"))

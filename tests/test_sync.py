@@ -541,3 +541,39 @@ def test_ingest_near_dup_minhash(spark, instance_dir):
          "txt": other.replace("deep", "vast")},
     ]))
     assert r3.inserted == 0 and r3.updated == 0
+
+
+def test_obs_detached_detects_cloned_session(spark, instance_dir):
+    """The foreachBatch micro-batch clone is exactly where Observation
+    metrics are unretrievable; sync detects it by session identity and
+    snapshots diff counts BEFORE the append (a post-append recompute
+    would see its own write and undercount)."""
+    pipe = Pipe("sync", "obsdet", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "event_id"})
+    same = spark.range(3).selectExpr("id AS event_id")
+    assert pipe._obs_detached(same) is False
+    clone = spark.newSession()
+    other = clone.range(3).selectExpr("id AS event_id")
+    assert pipe._obs_detached(other) is True
+
+
+def test_sync_counts_correct_on_detached_session(spark, instance_dir):
+    """An insert-bearing batch arriving on a DIFFERENT session (the
+    foreachBatch shape) must report exact inserted/updated counts — the
+    pre-append snapshot path, not a post-append recount that would see
+    its own write and report n_unseen=0."""
+    import datetime as dt
+    pipe = Pipe("sync", "detcnt", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "event_id"})
+    base = [{"ts": dt.datetime(2024, 1, 1, h), "event_id": h,
+             "v": float(h)} for h in range(4)]
+    assert pipe.sync(base).inserted == 4
+    clone = spark.newSession()
+    batch2 = clone.createDataFrame(
+        [(dt.datetime(2024, 1, 1, h), h, float(h)) for h in range(2, 6)]
+        + [(dt.datetime(2024, 1, 1, 1), 1, -9.0)],  # value change → update
+        "ts timestamp, event_id long, v double")
+    res = pipe.sync(batch2)
+    assert res.inserted == 2, res.message   # hours 4, 5
+    assert res.updated == 1, res.message    # hour 1 value change
+    assert pipe.get_rowcount() == 6

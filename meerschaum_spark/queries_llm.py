@@ -3239,18 +3239,31 @@ def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document caps — the Common-Crawl-style curation rule
-    "keep at most K docs per source, preferring the longest": one
-    windowed rank per source (deterministic tie-break on doc_id) and a
-    cap filter. At corpus scale this is a single shuffle on the domain
-    key; heavily-skewed domains are exactly what the cap bounds, so the
-    output per key is ≤ K rows no matter how hot the domain."""
+    "keep at most K docs per source, preferring the longest"
+    (deterministic tie-break on doc_id).
+
+    Skew-proof two-phase top-K: a SALTED local rank first caps every
+    (source, salt) slice at K, so the global per-source rank sorts at
+    most K x 32 rows per domain — a domain holding half the corpus (the
+    realistic web-crawl skew case) never lands in one window partition.
+    The exact per-source totals come from a separate map-side-combined
+    count aggregate, broadcast back onto the K winners."""
     docs = _docs(spark, sf_dir)
+    k = 50
+    salted = docs.select(
+        "doc_id", "source", F.length("text").alias("_len"),
+        F.pmod(F.col("doc_id"), F.lit(32)).alias("_salt"))
+    w_local = Window.partitionBy("source", "_salt").orderBy(
+        F.col("_len").desc(), "doc_id")
+    pruned = (salted.withColumn("_lr", F.row_number().over(w_local))
+              .filter(F.col("_lr") <= k))
     w_rank = Window.partitionBy("source").orderBy(
-        F.length("text").desc(), "doc_id")
-    w_all = Window.partitionBy("source")
-    return (docs.select(
-        "doc_id", "source",
-        F.row_number().over(w_rank).cast("long").alias("rnk"),
-        F.count(F.lit(1)).over(w_all).cast("long").alias("n_source_docs"))
-        .filter(F.col("rnk") <= 50)
-        .orderBy("doc_id"))
+        F.col("_len").desc(), "doc_id")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_source_docs"))
+    return (pruned
+            .withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+            .filter(F.col("rnk") <= k)
+            .join(F.broadcast(counts), on="source")
+            .select("doc_id", "source", "rnk", "n_source_docs")
+            .orderBy("doc_id"))

@@ -290,3 +290,28 @@ def test_cell_balanced_sample_single_rank_shuffle(spark, sf_dir):
     assert r["broadcast_joins"] == 0
     assert r["shuffles"] <= 3   # cell window + rank window reuse + orderBy
 
+
+
+def test_r6_operator_plan_shapes(spark, sf_dir):
+    """Plan contracts for the r6 operators: the quantile sketch prunes
+    its scan to the two columns it needs, the domain cap broadcasts its
+    count side (never a shuffle join), and the BPE pair count shuffles
+    only after aggregation (partial counts, not raw text)."""
+    from meerschaum_spark.plans import plan_report
+    from meerschaum_spark.queries import events_quantile_histogram_est
+    from meerschaum_spark.queries_llm import (
+        doc_bpe_pair_counts,
+        doc_domain_caps,
+    )
+    rq = plan_report(events_quantile_histogram_est(spark, sf_dir))
+    assert any(set(s) <= {"event_type", "value"} and s
+               for s in rq["read_schemas"]), rq["read_schemas"]
+    rc = plan_report(doc_domain_caps(spark, sf_dir))
+    assert rc["broadcast_joins"] >= 1 and rc["sortmerge_joins"] == 0, rc
+    rb = plan_report(doc_bpe_pair_counts(spark, sf_dir))
+    # explode + partial hash agg runs BEFORE the exchange: the plan has
+    # a partial_count on the map side (raw pairs never shuffle unreduced)
+    from meerschaum_spark.plans import explain_str
+    plan = explain_str(doc_bpe_pair_counts(spark, sf_dir), "formatted")
+    assert "partial_count" in plan or "partial count" in plan.lower(), \
+        plan[:800]

@@ -56,6 +56,7 @@ HEAD_ORDER = [
     "events_cdc_snapshot", "doc_bpe_pair_counts", "events_gapfill_interp",
     "emb_near_dup_clusters", "streaming_cdc_snapshot",
     "pipe_verify_backfill", "doc_domain_caps",
+    "events_state_durations", "events_uptime_agg", "doc_ngram_novelty",
 ]
 
 

@@ -3276,3 +3276,74 @@ def pipe_verify_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         events.unpersist()
         shutil.rmtree(instance, ignore_errors=True)
+
+
+@query(
+    "events_state_durations",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS state, ts,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events)
+    SELECT state,
+           CAST(sum(epoch_us(next_ts) - epoch_us(ts)) AS BIGINT)
+               AS total_us,
+           count(*) AS n_intervals
+    FROM seq WHERE next_ts IS NOT NULL
+    GROUP BY state ORDER BY state
+    """,
+)
+def events_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``state_agg`` hyperfunction analogue: time spent in
+    each state, attributing every inter-event interval to the state the
+    user was in when it began (one lead window per series key, exact
+    integer-microsecond sums — no float drift at any scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", F.col("event_type").alias("state"), "ts",
+                    F.lead("ts").over(w).alias("next_ts"))
+    return (seq.filter(F.col("next_ts").isNotNull())
+            .groupBy("state")
+            .agg(F.sum(F.unix_micros("next_ts") - F.unix_micros("ts"))
+                 .cast("long").alias("total_us"),
+                 F.count(F.lit(1)).alias("n_intervals"))
+            .orderBy("state"))
+
+
+@query(
+    "events_uptime_agg",
+    """
+    WITH seq AS (
+      SELECT user_id, ts,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nxt
+      FROM events)
+    SELECT user_id,
+           CAST(sum(LEAST(epoch_us(nxt) - epoch_us(ts), 3600000000))
+                AS BIGINT) AS covered_us,
+           CAST(sum(CASE WHEN epoch_us(nxt) - epoch_us(ts) > 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dead_gaps,
+           count(*) AS n_heartbeats
+    FROM seq WHERE nxt IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_uptime_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``heartbeat_agg`` analogue: per key, the liveness
+    time covered by heartbeats under a 1-hour tolerance — each gap
+    contributes min(gap, tolerance), and gaps beyond it count as dead
+    periods. One lag/lead window per series, integer-µs arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    tol = 3_600_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "ts", F.lead("ts").over(w).alias("nxt"))
+    gap = F.unix_micros("nxt") - F.unix_micros("ts")
+    return (seq.filter(F.col("nxt").isNotNull())
+            .groupBy("user_id")
+            .agg(F.sum(F.least(gap, F.lit(tol))).cast("long")
+                 .alias("covered_us"),
+                 F.sum(F.when(gap > tol, 1).otherwise(0)).cast("long")
+                 .alias("n_dead_gaps"),
+                 F.count(F.lit(1)).alias("n_heartbeats"))
+            .orderBy("user_id"))

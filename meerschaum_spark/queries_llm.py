@@ -3267,3 +3267,47 @@ def doc_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(counts), on="source")
             .select("doc_id", "source", "rnk", "n_source_docs")
             .orderBy("doc_id"))
+
+
+@query(
+    "doc_ngram_novelty",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t),
+    ex AS (SELECT doc_id, {_H60.format(x='unnest(shingles)')} AS sh FROM sh),
+    firsts AS (SELECT sh, min(doc_id) AS first_doc FROM ex GROUP BY sh)
+    SELECT ex.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS novelty
+    FROM ex JOIN firsts f ON ex.sh = f.sh
+    GROUP BY ex.doc_id ORDER BY ex.doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset novelty curve: per document, the fraction of its distinct
+    3-gram shingles whose FIRST corpus occurrence (smallest doc_id) is
+    this document — the statistic behind diminishing-returns curves for
+    corpus growth (later crawls add mostly already-seen n-grams). Two
+    hash aggregations over one exploded shingle pass; the first-seen
+    table joins back on 60-bit hashes (longs on the wire, never the
+    shingle strings)."""
+    from meerschaum_spark.catalog import hash60
+    docs = _docs(spark, sf_dir)
+    toked = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    ex = (toked.select(
+        "doc_id",
+        F.explode(D.shingles_of_tokens(F.col("toks"))).alias("s"))
+        .select("doc_id", hash60(F.col("s")).alias("sh")))
+    firsts = ex.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                  .otherwise(0))
+    return (ex.join(firsts, on="sh")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 novel.cast("long").alias("n_novel"),
+                 (novel.cast("double")
+                  / F.count(F.lit(1))).alias("novelty"))
+            .orderBy("doc_id"))

@@ -365,19 +365,34 @@ class PipeHTTPServer:
             return 200, {"success": True, "message": f"Edited {pipe.target}."}
         if action == ["drop"] and method in ("DELETE", "POST"):
             # reference api/routes/_pipes.py:734 drop_pipe: drop the
-            # target table, keep the registration
+            # target table, keep the registration. Unknown pipe → 409,
+            # matching the sibling delete route (a key typo must not
+            # read as a successful drop of the real pipe)
+            if not registered:
+                return 409, {"success": False,
+                             "message": f"{pipe.target} is not registered."}
             pipe.drop()
             return 200, {"success": True,
                          "message": f"Dropped {pipe.target}."}
         if action == ["clear"] and method in ("DELETE", "POST"):
             # reference api/routes/_pipes.py:755 clear_pipe: bounded
             # delete by begin/end (+ params filter)
+            if not registered:
+                return 409, {"success": False,
+                             "message": f"{pipe.target} is not registered."}
             body_args = body if isinstance(body, dict) else {}
             begin = args.get("begin", body_args.get("begin"))
             end = args.get("end", body_args.get("end"))
             params = body_args.get("params")
             if "params" in args:
                 params = json.loads(args["params"])
+            if (begin is not None or end is not None) \
+                    and pipe.dt_col is None:
+                # Pipe.clear would silently DISCARD the bounds (no time
+                # axis to bound on) — an unbounded delete where the
+                # client asked for a window; reject instead
+                return 400, {"error": "begin/end bounds require the pipe "
+                                      "to have a datetime column"}
             n = pipe.clear(begin=begin, end=end, params=params)
             return 200, {"success": True,
                          "message": f"Cleared {n} rows from {pipe.target}.",

@@ -164,8 +164,13 @@ def _cdc_group(
         last_us = int(last["ts"].value) // 1000  # pandas ns → µs
         if (last_us, int(last["event_id"])) > (ts_us, eid):
             ts_us, eid = last_us, int(last["event_id"])
-            etype = str(last["event_type"])
-            val = float(last["value"])
+            # preserve SQL NULLs: Arrow hands pandas NaN/None for null
+            # cells, and float()/str() would coin NaN / the string 'nan'
+            # where the batch twin (and the shared oracle) emit NULL
+            etype = (None if pd.isna(last["event_type"])
+                     else str(last["event_type"]))
+            val = (None if pd.isna(last["value"])
+                   else float(last["value"]))
             isdel = bool(int(last["event_id"]) % 17 == 0)
     state.update((ts_us, eid, etype, val, n, nd, isdel))
     yield pd.DataFrame({

@@ -182,20 +182,21 @@ def test_pipe_http_server_management_lifecycle(spark, instance_dir):
         assert code == 200 and out["rows_deleted"] == 1
         assert local.get_rowcount() == 1
 
-        # delete unregisters but keeps data files
-        code, out = rp.delete()
-        assert code == 200 and out["success"]
-        code, out = rp.delete()
-        assert code == 409
-        assert rp.exists() is True  # data retained (drop is separate)
-        # editing an unregistered pipe conflicts
-        code, out = rp.edit({"tags": []})
-        assert code == 409
-
-        # drop removes the data too (reference :734 drop_pipe)
+        # drop removes the data, keeps the registration (reference :734)
         code, out = rp.drop()
         assert code == 200 and out["success"]
         assert rp.exists() is False
+
+        # delete unregisters (data already dropped here)
+        code, out = rp.delete()
+        assert code == 200 and out["success"]
+        code, out = rp.delete()
+        assert code == 409
+        # editing/dropping an unregistered pipe conflicts
+        code, out = rp.edit({"tags": []})
+        assert code == 409
+        code, out = rp.drop()
+        assert code == 409
     finally:
         server.stop()
 
@@ -520,5 +521,34 @@ def test_http_user_auth_no_escalation_and_revocation(spark, instance_dir):
             headers={"Authorization": f"Bearer {otok}"})
         assert code == 401
         assert http_login(server.url, "ops", "newpw")
+    finally:
+        server.stop()
+
+
+def test_http_drop_clear_error_contract(spark, instance_dir):
+    """drop/clear on an unknown pipe must 409 like delete (a key typo
+    must not read as success), and a BOUNDED clear on a pipe with no
+    datetime axis must 400 rather than silently discarding the bounds."""
+    from meerschaum_spark.sources import PipeHTTPServer
+    from meerschaum_spark.sources.http import RemotePipe
+
+    server = PipeHTTPServer(spark, instance_dir).start()
+    try:
+        ghost = RemotePipe(server.url, "mgmt", "no_such_pipe")
+        code, out = ghost.drop()
+        assert code == 409 and not out["success"]
+        code, out = ghost.clear()
+        assert code == 409 and not out["success"]
+
+        nodt = RemotePipe(server.url, "mgmt", "no_dt")
+        code, _ = nodt.register({"columns": {"id": "k"}})
+        assert code == 200
+        code, out = nodt.sync([{"k": 1, "v": 1.0}, {"k": 2, "v": 2.0}])
+        assert code == 200
+        code, out = nodt.clear(begin="2024-01-01T00:00:00")
+        assert code == 400, out
+        # unbounded clear on the same pipe is legitimate and explicit
+        code, out = nodt.clear()
+        assert code == 200 and out["rows_deleted"] == 2
     finally:
         server.stop()

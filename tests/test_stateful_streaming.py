@@ -74,3 +74,34 @@ def test_streaming_dedup(spark, dirs):
     assert q.exception() is None, q.exception()
     got = spark.read.parquet(out).collect()
     assert len(got) == 2
+
+
+def test_stateful_cdc_preserves_nulls(spark, tmp_path):
+    """A key whose newest row carries NULL value/event_type must surface
+    SQL NULLs from the stateful CDC fold — not NaN or the string 'nan'
+    (the batch twin and the shared oracle emit NULL)."""
+    import datetime as dt
+    import os
+
+    from meerschaum_spark.streaming.stateful import stateful_cdc_snapshot
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0), 1, 7, "click", 1.5),
+        (dt.datetime(2024, 1, 1, 1), 2, 7, None, None),  # newest: NULLs
+        (dt.datetime(2024, 1, 1, 0), 3, 8, "view", 2.0),
+    ]
+    src = spark.createDataFrame(
+        rows, "ts timestamp, event_id long, user_id long, "
+              "event_type string, value double")
+    src_dir = str(tmp_path / "cdc_src")
+    src.write.parquet(src_dir)
+    stream = spark.readStream.schema(src.schema).parquet(src_dir)
+    snap = stateful_cdc_snapshot(stream)
+    q = (snap.writeStream.format("memory").queryName("_cdc_nulls")
+         .outputMode("update").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    out = {r["user_id"]: r for r in spark.table("_cdc_nulls").collect()}
+    assert out[7]["last_event_type"] is None
+    assert out[7]["last_value"] is None
+    assert out[7]["n_changes"] == 2
+    assert out[8]["last_event_type"] == "view"

@@ -57,6 +57,7 @@ HEAD_ORDER = [
     "emb_near_dup_clusters", "streaming_cdc_snapshot",
     "pipe_verify_backfill", "doc_domain_caps",
     "events_state_durations", "events_uptime_agg", "doc_ngram_novelty",
+    "events_session_window_native",
 ]
 
 

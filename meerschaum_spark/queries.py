@@ -3347,3 +3347,47 @@ def events_uptime_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_dead_gaps"),
                  F.count(F.lit(1)).alias("n_heartbeats"))
             .orderBy("user_id"))
+
+
+@query(
+    "events_session_window_native",
+    """
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    isl AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sid
+      FROM seq)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM isl GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session_window_native(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` (dynamic-gap session assignment
+    inside the aggregation operator, no explicit window function)
+    cross-checked against the classic gaps-and-islands SQL — proving the
+    built-in's semantics coincide with the manual lag + running-sum
+    construction the engine uses elsewhere (events_sessionization). The
+    native form is the 100 TB choice: sessions form inside one hash
+    aggregation with map-side partials, no full-partition sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events")
+            .orderBy("user_id", "session_start"))

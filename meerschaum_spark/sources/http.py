@@ -181,6 +181,57 @@ class RemotePipe:
         code, payload = self._call("data", "GET", **query)
         return pd.DataFrame(payload.get("docs", []))
 
+    def get_sync_time(self, newest: bool = True,
+                      params: dict | None = None):
+        """Remote newest/oldest dt (reference connectors/api/_pipes.py
+        get_sync_time) as a naive-UTC datetime, or None."""
+        import datetime as _dt
+        query = {"newest": str(newest).lower()}
+        if params is not None:
+            query["params"] = json.dumps(params)
+        st = self._call("sync_time", "GET", **query)[1].get("sync_time")
+        if st is None:
+            return None
+        try:
+            parsed = _dt.datetime.fromisoformat(st)
+        except (TypeError, ValueError):
+            return st  # integer dt axis
+        if parsed.tzinfo is not None:
+            # engine convention: naive UTC
+            parsed = parsed.astimezone(_dt.timezone.utc) \
+                           .replace(tzinfo=None)
+        return parsed
+
+    def get_rowcount(self, begin: str | None = None,
+                     end: str | None = None,
+                     params: dict | None = None) -> int:
+        query: dict[str, str] = {}
+        if begin is not None:
+            query["begin"] = begin
+        if end is not None:
+            query["end"] = end
+        if params is not None:
+            query["params"] = json.dumps(params)
+        return int(self._call("rowcount", "GET", **query)[1]["rowcount"])
+
+    def dtypes(self) -> dict[str, str]:
+        return self._call("columns/types", "GET")[1].get("dtypes", {})
+
+    def chunk_bounds(self, begin: str | None = None,
+                     end: str | None = None,
+                     chunk_minutes: int | None = None) -> list:
+        """Server-computed epoch-aligned verify windows — a remote
+        worker pool can claim disjoint chunks without seeing the data."""
+        query: dict[str, str] = {}
+        if begin is not None:
+            query["begin"] = begin
+        if end is not None:
+            query["end"] = end
+        if chunk_minutes is not None:
+            query["chunk_minutes"] = str(chunk_minutes)
+        return self._call("chunk_bounds", "GET",
+                          **query)[1].get("chunk_bounds", [])
+
     def get_rollup(self, name: str, gapfill: bool = False,
                    **query: str) -> pd.DataFrame:
         """Read a server-side rollup table (continuous-aggregate

@@ -552,3 +552,39 @@ def test_http_drop_clear_error_contract(spark, instance_dir):
         assert code == 200 and out["rows_deleted"] == 2
     finally:
         server.stop()
+
+
+def test_remote_pipe_full_instance_surface(spark, instance_dir):
+    """RemotePipe as the api-instance connector equivalent (reference
+    connectors/api/_pipes.py): a client that never touches the instance
+    directory drives the full metadata + data surface — sync_time,
+    rowcount (bounded + params), dtypes, chunk_bounds — over HTTP."""
+    import datetime as dt
+
+    from meerschaum_spark.sources import PipeHTTPServer
+    from meerschaum_spark.sources.http import RemotePipe
+
+    server = PipeHTTPServer(spark, instance_dir).start()
+    try:
+        rp = RemotePipe(server.url, "api_inst", "events")
+        code, _ = rp.register({"columns": {"datetime": "ts", "id": "id"}})
+        assert code == 200
+        docs = [{"ts": f"2024-01-0{d}T00:00:00+00:00", "id": d,
+                 "event_type": "click" if d % 2 else "view",
+                 "val": float(d)} for d in range(1, 6)]
+        code, out = rp.sync(docs)
+        assert code == 200 and out["inserted"] == 5
+        assert rp.get_sync_time() == dt.datetime(2024, 1, 5)
+        assert rp.get_sync_time(newest=False) == dt.datetime(2024, 1, 1)
+        assert rp.get_rowcount() == 5
+        assert rp.get_rowcount(begin="2024-01-02", end="2024-01-04") == 2
+        assert rp.get_rowcount(params={"event_type": "click"}) == 3
+        assert rp.dtypes()["val"].startswith("float")
+        cb = rp.chunk_bounds(chunk_minutes=1440)
+        assert len(cb) >= 4
+        first_b, first_e = cb[0]
+        assert first_b.startswith("2024-01-01")
+        # the windows tile: each end equals the next begin
+        assert all(cb[i][1] == cb[i + 1][0] for i in range(len(cb) - 1))
+    finally:
+        server.stop()

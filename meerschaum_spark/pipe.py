@@ -638,6 +638,17 @@ class Pipe:
         # training-corpus ingest contract ("never ingest a document twice")
         # that the key-diff alone cannot express
         df = self._ingest_dedup_filter(df)
+        if getattr(self._fps_tls, "empty", False):
+            # the guard dropped EVERY row (pure replay): skip the diff,
+            # append, and fingerprint commit entirely — steady-state
+            # re-ingestion costs one job, not a full sync cycle. (A
+            # populated fingerprint table implies a prior successful
+            # sync, so registration already happened.)
+            for cached in sync_persisted:
+                cached.unpersist()
+            return SyncResult(
+                True, "Inserted 0, updated 0 rows "
+                "(all content previously ingested).", 0, 0)
 
         if not self.registry.load(self.target):
             self.register()
@@ -722,7 +733,9 @@ class Pipe:
             marked = self._split_existing(df, force_full_scan=force_full_scan,
                                           _persisted=_persisted,
                                           _bounds=bounds,
-                                          _local_pdf=local_out.get("pdf"))
+                                          _local_pdf=local_out.get("pdf"),
+                                          _stats_hint=getattr(
+                                              self._fps_tls, "stats", None))
             # a long-running service must not leak one cache entry per sync
             stack.callback(lambda: [c.unpersist() for c in _persisted])
             # ONE job computes the diff, counts BOTH splits, and writes the
@@ -879,6 +892,7 @@ class Pipe:
         _persisted: list | None = None,
         _bounds: dict | None = None,
         _local_pdf=None,
+        _stats_hint: dict | None = None,
     ) -> DataFrame:
         """The diff against the stored table, as ONE DataFrame: every
         changed row of the batch, tagged ``_mrsm_hit`` non-null when its
@@ -937,6 +951,15 @@ class Pipe:
             stats = self._local_batch_stats(_local_pdf, stats_cols, dt,
                                             key_cols, force_full_scan,
                                             pushdown)
+        elif _stats_hint is not None and stats_aggs:
+            # the ingest-dedup guard already observed the batch's stats on
+            # its checkpoint job — reuse them instead of a second pass.
+            # Under force_full_scan the dt bounds must not narrow the
+            # backtrack, so drop them (matching stats_aggs' own guard).
+            stats = dict(_stats_hint)
+            if force_full_scan:
+                for k in ("_lo", "_hi", "_dt_nulls"):
+                    stats.pop(k, None)
         elif stats_aggs:
             row = stats_src.agg(*stats_aggs).first()
             stats = row.asDict() if row is not None else None
@@ -1100,6 +1123,8 @@ class Pipe:
         col = conf.get("column")
         method = conf.get("method", "exact")
         self._fps_tls.pending = None
+        self._fps_tls.stats = None
+        self._fps_tls.empty = False
         if not col or col not in df.columns:
             return df
         if method == "exact":
@@ -1110,18 +1135,23 @@ class Pipe:
 
     def _ingest_dedup_exact(self, df: DataFrame, col: str) -> DataFrame:
         import os
-        # Fingerprint pairs materialize ONCE (3 longs per row): the
-        # previous shape carried the full batch — text included —
-        # through a window shuffle embedded in the batch plan, so every
-        # downstream sync action re-shuffled and re-hashed the whole
-        # batch. Now the expensive pass runs once, the surviving-row set
-        # is a checkpointed ord list, and downstream actions pay only a
-        # pruned batch scan + one semi-join against that list.
+        # ONE materialization for the whole guard (was two): scan + hash +
+        # first-wins window + seen anti-join checkpoint together, and the
+        # same job doubles as the sync's batch-stats pass — an Observation
+        # rides the checkpoint action collecting the surviving-row count,
+        # dt bounds, and per-key cardinalities, so a dedup-guarded sync
+        # launches NO separate stats job and an all-duplicates batch
+        # short-circuits before the diff/append machinery spins up (the
+        # steady-state replay case pays one job total).
+        dt = self.dt_col if self.dt_col and self.dt_col in df.columns else None
+        key_cols = [c for c in self.index_cols
+                    if c in df.columns and c != dt]
+        stats_cols = ([dt] if dt else []) + key_cols
         fps = df.select(
-            F.col(ORD_COL),
+            F.col(ORD_COL), *[F.col(c) for c in stats_cols],
             F.xxhash64(F.col(col)).alias("_fp1"),
             F.xxhash64(F.lit(1), F.col(col)).alias("_fp2"),
-        ).localCheckpoint()
+        )
         w = Window.partitionBy("_fp1", "_fp2").orderBy(F.col(ORD_COL).asc())
         keep = (fps.withColumn("_fprn", F.row_number().over(w))
                 .filter(F.col("_fprn") == 1).drop("_fprn"))
@@ -1129,7 +1159,33 @@ class Pipe:
             seen = (self.spark.read.schema("_fp1 long, _fp2 long")
                     .parquet(self._fps_dir))
             keep = keep.join(seen, on=["_fp1", "_fp2"], how="left_anti")
-        keep = keep.localCheckpoint()
+        obs_aggs: list[F.Column] = [F.count(F.lit(1)).alias("_n")]
+        if dt:
+            obs_aggs += [F.min(dt).alias("_lo"), F.max(dt).alias("_hi"),
+                         F.count(F.when(F.col(dt).isNull(), 1))
+                         .alias("_dt_nulls")]
+        for c in key_cols:
+            obs_aggs.append(F.approx_count_distinct(c, rsd=0.05)
+                            .alias(f"_nd_{c}"))
+            obs_aggs.append(F.count(F.when(F.col(c).isNull(), 1))
+                            .alias(f"_nn_{c}"))
+        if self._obs_detached(df):
+            # foreachBatch clone: Observation cannot collect — checkpoint
+            # plain, then one cheap agg over the checkpointed frame
+            keep = keep.localCheckpoint()
+            row = keep.agg(*obs_aggs).first()
+            stats = row.asDict() if row is not None else {"_n": 0}
+        else:
+            obs = Observation()
+            keep = keep.observe(obs, *obs_aggs).localCheckpoint()
+            stats = dict(obs.get)
+        if not int(stats.get("_n") or 0):
+            # every row's content was already ingested: nothing to diff,
+            # write, or fingerprint — the caller returns a no-op sync
+            self._fps_tls.empty = True
+            return df
+        stats.pop("_n", None)
+        self._fps_tls.stats = stats if stats_cols else None
         self._fps_tls.pending = (self._fps_dir, "_fp1 long, _fp2 long",
                                  keep.select("_fp1", "_fp2"))
         return df.join(keep.select(ORD_COL), on=ORD_COL, how="left_semi")

@@ -1660,11 +1660,15 @@ def pipe_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         copies = (docs.withColumn("doc_id",
                                   F.col("doc_id") + F.lit(1_000_000)))
         pipe.sync(copies)
-        stored = pipe.get_data(select_columns=["doc_id", "source"],
-                               order=None)
+        stored = (pipe.get_data(select_columns=["doc_id", "source"],
+                                order=None)
+                  .orderBy("doc_id"))
+        # sort BEFORE the collect: the gate-materialization pattern
+        # (collect, then createDataFrame so the temp store can be
+        # dropped) preserves row order, so re-sorting the local result
+        # distributed-side would pay a pure-overhead parallelize+sort
         rows = stored.collect()
-        out = spark.createDataFrame(rows, stored.schema)
-        return out.orderBy("doc_id")
+        return spark.createDataFrame(rows, stored.schema)
     finally:
         docs.unpersist()
         shutil.rmtree(instance, ignore_errors=True)

@@ -42,6 +42,14 @@ ENGINE_CONFS: dict[str, str] = {
     # local parquet files are small; pack more of them per task
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.ui.enabled": "false",
+    # v2 commit: tasks move their files into the destination directly
+    # instead of staging under the job dir for a second driver-side
+    # rename pass. The engine's writes land in staging dirs that a
+    # driver-side swap publishes (store._swap_partitions), so v1's
+    # crash-atomicity buys nothing here — v2 halves the rename traffic
+    # of every partitioned write, the dominant fixed cost of a
+    # small-batch sync's append/merge.
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
 }
 
 
@@ -84,4 +92,12 @@ def apply_engine_confs(spark: SparkSession) -> SparkSession:
                 spark.conf.set(k, v)
             except Exception:
                 pass  # static confs can't change post-start; safe to skip
+        elif k.startswith("spark.hadoop."):
+            # hadoop confs are read per-job from the live configuration,
+            # so they CAN be applied to an externally-created session
+            try:
+                spark.sparkContext._jsc.hadoopConfiguration().set(
+                    k[len("spark.hadoop."):], v)
+            except Exception:
+                pass
     return spark

@@ -3357,15 +3357,15 @@ def events_uptime_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_window_native",
     """
     WITH seq AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                       > 1800000000
+                       >= 1800000000
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     isl AS (
       SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                AND CURRENT ROW) AS sid
       FROM seq)
@@ -3385,7 +3385,13 @@ def events_session_window_native(spark: SparkSession,
     built-in's semantics coincide with the manual lag + running-sum
     construction the engine uses elsewhere (events_sessionization). The
     native form is the 100 TB choice: sessions form inside one hash
-    aggregation with map-side partials, no full-partition sort."""
+    aggregation with map-side partials, no full-partition sort.
+
+    Boundary semantics: ``session_window``'s end is EXCLUSIVE
+    ([start, last+gap)), so an event arriving exactly ``gap`` after its
+    predecessor starts a NEW session — the oracle's gap test is ``>=``,
+    and both windows order by (ts, event_id) so tied timestamps
+    straddling a session boundary resolve deterministically."""
     ev = load_table(spark, sf_dir, "events")
     return (ev.groupBy("user_id",
                        F.session_window("ts", "30 minutes").alias("w"))

@@ -221,7 +221,8 @@ class PipeHTTPServer:
                 length = int(handler.headers.get("Content-Length", 0))
                 body = json.loads(handler.rfile.read(length) or b"null")
                 return self._send(
-                    handler, *self._mutate(pipe, action, args, body, method))
+                    handler, *self._mutate(pipe, action, args, body, method,
+                                           principal))
             return self._send(handler, *self._get(pipe, action, args))
         except Exception as e:  # surface, don't kill the server thread
             self._send(handler, 500, {"error": f"{type(e).__name__}: {e}"})
@@ -324,16 +325,51 @@ class PipeHTTPServer:
                 else (404, {"error": f"no user {target!r}"})
         return 404, {"error": "unknown users route"}
 
+    def _pipe_owner(self, pipe: Pipe) -> str | None:
+        doc = pipe.registry.load(pipe.target) or {}
+        return (doc.get("parameters") or {}).get("owner")
+
+    def _can_write(self, principal: str, pipe: Pipe) -> bool:
+        """Ownership gate for mutating pipe routes in ``user_auth`` mode
+        (reference permission model: api/routes/_pipes.py checks
+        ``pipe_belongs_to_user`` / ``is_user_allowed_to_execute`` before
+        edit/drop/delete/sync). Admins (and the shared-secret token) may
+        mutate anything; a plain user only pipes they own. Pipes with no
+        recorded owner (registered out-of-band, pre-auth data) are
+        admin-only — the conservative default, since granting every
+        authenticated user write access to unowned pipes would let a
+        low-privilege account destroy instance data (the r6 advisory)."""
+        if self._is_admin(principal):
+            return True
+        if not self.user_auth:
+            return True
+        return self._pipe_owner(pipe) == principal
+
     def _mutate(self, pipe: Pipe, action: list[str], args: dict[str, str],
-                body: Any, method: str) -> tuple[int, Any]:
+                body: Any, method: str, principal: str = "*",
+                ) -> tuple[int, Any]:
         """POST/PATCH/DELETE routes (reference api/routes/_pipes.py:64-175
         register/edit/delete + :1055 sync). PATCH and DELETE also accept
-        POST so bare stdlib clients can drive the full lifecycle."""
+        POST so bare stdlib clients can drive the full lifecycle.
+
+        Every mutating route (sync/edit/drop/clear/delete) is
+        ownership-gated via ``_can_write``; ``register`` is open to any
+        authenticated principal and stamps the registrant as the pipe's
+        owner (in ``parameters['owner']``, where the reference keeps its
+        user-id column on the pipes table)."""
         registered = pipe.registry.load(pipe.target) is not None
+        if registered and action != ["register"] \
+                and not self._can_write(principal, pipe):
+            return 403, {"error": f"user {principal!r} does not own "
+                                  f"{pipe.target} (admin required)"}
         if action == ["data"] and method == "POST":
             docs = body if body is not None else []
             if isinstance(docs, dict):
                 docs = docs.get("docs", [])
+            if not registered and self.user_auth \
+                    and principal not in ("*", "*token*"):
+                # sync auto-registers a new pipe — the registrant owns it
+                pipe.parameters.setdefault("owner", principal)
             res = pipe.sync(docs)
             return 200 if res.success else 409, {
                 "success": res.success, "message": res.message,
@@ -347,6 +383,9 @@ class PipeHTTPServer:
                 # merge over constructor defaults (columns/dtypes/tags all
                 # ride in the parameters doc, as in the reference)
                 pipe.parameters.update(body.get("parameters", body))
+            if self.user_auth and principal not in ("*", "*token*"):
+                # a client-supplied 'owner' would be ownership spoofing
+                pipe.parameters["owner"] = principal
             pipe.register()
             return 200, {"success": True,
                          "message": f"Registered {pipe.target}."}
@@ -357,10 +396,16 @@ class PipeHTTPServer:
             new_params = (body.get("parameters", body)
                           if isinstance(body, dict) else {})
             patch = args.get("patch", "false").lower() == "true"
+            owner = self._pipe_owner(pipe)
             if patch:
                 pipe.parameters.update(new_params)
             else:
                 pipe.parameters = dict(new_params)
+            if self.user_auth and owner is not None \
+                    and not self._is_admin(principal):
+                # an edit must not reassign or clear ownership (only an
+                # admin may transfer a pipe)
+                pipe.parameters["owner"] = owner
             pipe.register()
             return 200, {"success": True, "message": f"Edited {pipe.target}."}
         if action == ["drop"] and method in ("DELETE", "POST"):

@@ -92,9 +92,19 @@ class UserRegistry:
             self._save(doc)
             return True
 
+    #: static dummy record hashed for UNKNOWN usernames so /login takes
+    #: the same ~PBKDF2 time whether or not the account exists — without
+    #: it, response timing enumerates valid usernames. (Salt/hash values
+    #: are arbitrary constants; the comparison always fails.)
+    _DUMMY_RECORD = {"algo": "pbkdf2_sha256", "iterations": PBKDF2_ITERATIONS,
+                     "salt": "00" * 16, "hash": "00" * 32}
+
     def verify(self, username: str, password: str) -> bool:
         rec = self._load().get(username)
-        return bool(rec) and verify_password(password, rec["password"])
+        if not rec:
+            verify_password(password, self._DUMMY_RECORD)
+            return False
+        return verify_password(password, rec["password"])
 
     def edit(self, username: str, password: str | None = None,
              attributes: dict | None = None) -> bool:

@@ -588,3 +588,88 @@ def test_remote_pipe_full_instance_surface(spark, instance_dir):
         assert all(cb[i][1] == cb[i + 1][0] for i in range(len(cb) - 1))
     finally:
         server.stop()
+
+
+def test_http_pipe_ownership_gating(spark, instance_dir):
+    """In user_auth mode, mutating pipe routes (sync/edit/drop/clear/
+    delete) are ownership-gated (the r7 advisory): a plain user may only
+    mutate pipes they registered; other users' pipes and unowned pipes
+    (created out-of-band) are admin-only. Reads stay open to any
+    authenticated session, and an edit cannot reassign ownership."""
+    from meerschaum_spark.pipe import Pipe
+    from meerschaum_spark.sources import PipeHTTPServer
+    from meerschaum_spark.sources.http import (
+        RemotePipe,
+        http_login,
+        http_register_user,
+        http_request_json,
+    )
+
+    # a pipe created OUT-OF-BAND (no owner recorded) before the server
+    unowned = Pipe("own", "legacy", instance=instance_dir, spark=spark,
+                   columns={"datetime": "dt", "id": "id"})
+    unowned.sync([{"dt": "2024-01-01T00:00:00+00:00", "id": 1}])
+
+    server = PipeHTTPServer(spark, instance_dir, user_auth=True).start()
+    try:
+        code, _ = http_register_user(server.url, "admin", "adminpw")
+        assert code == 200
+        atok = http_login(server.url, "admin", "adminpw")
+        for u in ("alice", "bob"):
+            code, _ = http_register_user(server.url, u, u + "pw",
+                                         auth_token=atok)
+            assert code == 200
+        alice = http_login(server.url, "alice", "alicepw")
+        bob = http_login(server.url, "bob", "bobpw")
+
+        # alice registers + syncs her own pipe
+        ap = RemotePipe(server.url, "own", "alice_m", auth_token=alice)
+        code, out = ap.register({"columns": {"datetime": "dt", "id": "id"}})
+        assert code == 200, out
+        code, out = ap.sync([{"dt": "2024-01-01T00:00:00+00:00", "id": 1}])
+        assert code == 200 and out["inserted"] == 1
+
+        # bob can READ alice's pipe but not mutate it
+        bp = RemotePipe(server.url, "own", "alice_m", auth_token=bob)
+        assert bp.get_rowcount() == 1
+        code, out = bp.sync([{"dt": "2024-01-02T00:00:00+00:00", "id": 2}])
+        assert code == 403, out
+        for fn in (bp.drop, bp.clear, bp.delete):
+            code, out = fn()
+            assert code == 403, (fn, out)
+        code, _ = http_request_json(
+            f"{server.url}/pipes/own/alice_m/edit", method="POST",
+            body={"parameters": {"owner": "bob"}},
+            headers={"Authorization": f"Bearer {bob}"})
+        assert code == 403
+
+        # alice cannot strip her own ownership via a full-replace edit
+        code, _ = http_request_json(
+            f"{server.url}/pipes/own/alice_m/edit", method="POST",
+            body={"parameters": {"columns": {"datetime": "dt", "id": "id"}}},
+            headers={"Authorization": f"Bearer {alice}"})
+        assert code == 200
+        code, out = ap.sync([{"dt": "2024-01-03T00:00:00+00:00", "id": 3}])
+        assert code == 200 and out["inserted"] == 1
+
+        # the unowned pipe is admin-only for mutation, readable by all
+        bu = RemotePipe(server.url, "own", "legacy", auth_token=bob)
+        assert bu.get_rowcount() == 1
+        code, out = bu.drop()
+        assert code == 403, out
+        au = RemotePipe(server.url, "own", "legacy", auth_token=atok)
+        code, out = au.clear()
+        assert code == 200, out
+
+        # a sync that auto-registers a NEW pipe records the syncer as owner
+        np_bob = RemotePipe(server.url, "own", "bob_new", auth_token=bob)
+        code, out = np_bob.sync([{"dt": "2024-01-01T00:00:00+00:00",
+                                  "id": 1}])
+        assert code == 200 and out["inserted"] == 1
+        np_alice = RemotePipe(server.url, "own", "bob_new", auth_token=alice)
+        code, out = np_alice.drop()
+        assert code == 403, out
+        code, out = np_bob.drop()
+        assert code == 200, out
+    finally:
+        server.stop()

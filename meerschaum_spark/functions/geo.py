@@ -89,3 +89,178 @@ def with_geom_info(df: DataFrame, col: str, prefix: str = "geo_") -> DataFrame:
         info["y"].alias(f"{prefix}y"),
         info["n_points"].alias(f"{prefix}n_points"),
     )
+
+
+# ===========================================================================
+# Spatial operators (reference postgis flavor: spatial predicates over
+# geometry pipes, connectors/sql/_pipes.py GIST-indexed queries +
+# utils/dtypes/__init__.py:800-882). ST_-style semantics, planar (SRID is
+# carried, not projected). Python touches only the WKB decode — one
+# Arrow batch per task; every aggregation/join stays JVM-side.
+# ===========================================================================
+
+_BBOX_SCHEMA = T.StructType([
+    T.StructField("xmin", T.DoubleType()),
+    T.StructField("ymin", T.DoubleType()),
+    T.StructField("xmax", T.DoubleType()),
+    T.StructField("ymax", T.DoubleType()),
+])
+
+
+def _walk_positions(c):
+    """Yield every (x, y[, z]) position of a nested coords list."""
+    if not isinstance(c, list) or not c:
+        return
+    if not isinstance(c[0], list):
+        yield c
+        return
+    for sub in c:
+        yield from _walk_positions(sub)
+
+
+@F.pandas_udf(_BBOX_SCHEMA)
+def geom_bbox(wkb: pd.Series) -> pd.DataFrame:
+    """WKB → bounding box (ST_Envelope's extent) over every vertex of any
+    geometry type."""
+    out = {"xmin": [], "ymin": [], "xmax": [], "ymax": []}
+    for v in wkb:
+        if v is None:
+            for k in out:
+                out[k].append(None)
+            continue
+        g = geo.from_wkb(bytes(v))
+        coords = g.coords if g.geom_type.lower() != "point" else [g.coords]
+        xs, ys = [], []
+        for pos in _walk_positions(coords if coords else []):
+            if len(pos) >= 2:
+                xs.append(pos[0])
+                ys.append(pos[1])
+        if not xs:
+            for k in out:
+                out[k].append(None)
+            continue
+        out["xmin"].append(min(xs))
+        out["ymin"].append(min(ys))
+        out["xmax"].append(max(xs))
+        out["ymax"].append(max(ys))
+    return pd.DataFrame(out)
+
+
+def _polygon_rings(g: "geo.Geometry") -> list:
+    """Flattened ring list of a POLYGON ([ring][pt][xy]) or MULTIPOLYGON
+    ([poly][ring][pt][xy]); even-odd parity over ALL rings handles holes
+    and disjoint parts alike."""
+    t = g.geom_type.lower()
+    if t == "polygon":
+        return g.coords or []
+    if t == "multipolygon":
+        return [ring for poly in (g.coords or []) for ring in poly]
+    raise ValueError(f"st_contains_point requires a polygonal geometry, "
+                     f"got {g.geom_type}")
+
+
+def _point_in_rings(rings: list, x: float, y: float) -> bool:
+    """Even-odd ray casting with the half-open edge rule ((y1 > y) !=
+    (y2 > y)) — deterministic at vertex heights; points exactly ON an
+    edge are boundary-ambiguous, so oracles use grids that never land
+    on one."""
+    inside = False
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i][0], ring[i][1]
+            x2, y2 = ring[(i + 1) % n][0], ring[(i + 1) % n][1]
+            if (y1 > y) != (y2 > y):
+                xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                if xint > x:
+                    inside = not inside
+    return inside
+
+
+@F.pandas_udf(T.BooleanType())
+def st_contains_point(wkb: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    """ST_Contains(polygon, point) for a WKB polygon column against
+    coordinate columns. The polygon is usually a broadcast literal — the
+    parsed ring set is cached per distinct WKB value, so each Arrow batch
+    decodes it once and the per-row work is pure ray casting."""
+    ring_cache: dict[bytes, list] = {}
+    out = []
+    for v, px, py in zip(wkb, x, y):
+        if v is None or px is None or py is None:
+            out.append(None)
+            continue
+        key = bytes(v)
+        rings = ring_cache.get(key)
+        if rings is None:
+            rings = ring_cache[key] = _polygon_rings(geo.from_wkb(key))
+        out.append(_point_in_rings(rings, float(px), float(py)))
+    return pd.Series(out, dtype="object")
+
+
+_PATH_SCHEMA = T.StructType([
+    T.StructField("n_points", T.IntegerType()),
+    T.StructField("len_sq_sum", T.LongType()),
+])
+
+
+@F.pandas_udf(_PATH_SCHEMA)
+def st_path_stats(wkb: pd.Series) -> pd.DataFrame:
+    """LINESTRING WKB → (vertex count, Σ squared segment length). The
+    squared form keeps integer-grid paths exactly summable cross-engine
+    (Σ(dx²+dy²) is an integer — no float-order sensitivity), which is
+    what the closed-form oracles pin; callers wanting metric length take
+    sqrt per segment downstream."""
+    ns, sums = [], []
+    for v in wkb:
+        if v is None:
+            ns.append(None)
+            sums.append(None)
+            continue
+        g = geo.from_wkb(bytes(v))
+        pts = [p for p in _walk_positions(g.coords or [])]
+        total = 0
+        for a, b in zip(pts, pts[1:]):
+            dx, dy = b[0] - a[0], b[1] - a[1]
+            total += int(dx * dx + dy * dy)
+        ns.append(len(pts))
+        sums.append(total)
+    return pd.DataFrame({"n_points": ns, "len_sq_sum": sums})
+
+
+def radius_candidate_join(
+    a: DataFrame,
+    b: DataFrame,
+    radius: float,
+    ax: str = "x", ay: str = "y",
+    bx: str = "x", by: str = "y",
+    cell: float | None = None,
+) -> DataFrame:
+    """Spatial radius join without a cross product: bucket both sides on
+    an integer grid of ``cell`` width (default = radius), replicate the
+    ``a`` side into its 3×3 cell neighborhood, equi-join on the cell key,
+    then apply the exact predicate ``dist² ≤ radius²``.
+
+    The 100 TB shape of ST_DWithin: every true pair shares a join cell by
+    construction, so the shuffle is a plain hash equi-join on (cx, cy) —
+    candidate volume is proportional to local point density, never |a|×|b|.
+    The ×9 replication rides the smaller side (pass it as ``a``). Column
+    names of ``a`` and ``b`` must be disjoint (alias beforehand).
+    """
+    cell = float(cell if cell is not None else radius)
+    if cell <= 0:
+        raise ValueError("cell width must be positive")
+    spark = a.sparkSession
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "_odx int, _ody int")
+    a_rep = (a.crossJoin(F.broadcast(offsets))
+             .withColumn("_cx", F.floor(F.col(ax) / cell) + F.col("_odx"))
+             .withColumn("_cy", F.floor(F.col(ay) / cell) + F.col("_ody"))
+             .drop("_odx", "_ody"))
+    b_cell = (b.withColumn("_cx", F.floor(F.col(bx) / cell))
+              .withColumn("_cy", F.floor(F.col(by) / cell)))
+    dist_sq = ((F.col(ax) - F.col(bx)) * (F.col(ax) - F.col(bx))
+               + (F.col(ay) - F.col(by)) * (F.col(ay) - F.col(by)))
+    return (a_rep.join(b_cell, on=["_cx", "_cy"], how="inner")
+            .filter(dist_sq <= F.lit(float(radius) ** 2))
+            .drop("_cx", "_cy"))

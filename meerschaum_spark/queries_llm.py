@@ -689,6 +689,212 @@ def geo_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Spatial operators (r7): ST-style predicates/aggregates over WKB columns.
+# Points derive from integer formulas (x = event_id % 97, y = event_id % 89)
+# so every oracle is closed-form and exact; polygon/radius literals sit on
+# half-integers so no grid point ever lands on a boundary.
+# ---------------------------------------------------------------------------
+
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → (event_id, event_type, x, y) integer grid points."""
+    ev = parallelize(load_table(spark, sf_dir, "events")
+                     .select("event_id", "event_type"))
+    return ev.withColumn("x", (F.col("event_id") % 97).cast("double")) \
+             .withColumn("y", (F.col("event_id") % 89).cast("double"))
+
+
+@query(
+    "geo_bbox_agg",
+    """
+    WITH p AS (
+      SELECT event_type,
+             event_id % 97 AS x, event_id % 89 AS y,
+             event_id % 7 AS dx, event_id % 5 AS dy
+      FROM events)
+    SELECT event_type,
+           CAST(min(least(x, x + dx, x - 3)) AS DOUBLE) AS xmin,
+           CAST(min(least(y, y + dy, y + 2)) AS DOUBLE) AS ymin,
+           CAST(max(greatest(x, x + dx, x - 3)) AS DOUBLE) AS xmax,
+           CAST(max(greatest(y, y + dy, y + 2)) AS DOUBLE) AS ymax,
+           count(*) AS n_geoms
+    FROM p GROUP BY event_type ORDER BY event_type
+    """,
+)
+def geo_bbox_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Extent analogue: per group, the envelope of 3-vertex LINESTRING
+    geometries — WKT build → EWKB encode → ``geom_bbox`` decode (the only
+    Python step, one Arrow batch per task) → plain JVM min/max
+    aggregation. The oracle recomputes each vertex in closed form, so the
+    whole encode/decode/bbox path must be lossless to hash-match."""
+    from meerschaum_spark.functions import geo as G
+    ev = _geo_points(spark, sf_dir)
+    num = lambda c: c.cast("long").cast("string")  # noqa: E731
+    x, y = F.col("x"), F.col("y")
+    dx, dy = F.col("event_id") % 7, F.col("event_id") % 5
+    wkt = F.concat(
+        F.lit("LINESTRING ("),
+        num(x), F.lit(" "), num(y), F.lit(", "),
+        num(x + dx), F.lit(" "), num(y + dy), F.lit(", "),
+        num(x - 3), F.lit(" "), num(y + 2), F.lit(")"))
+    bbox = G.geom_bbox(G.wkt_to_wkb(wkt))
+    return (
+        ev.select("event_type", bbox.alias("b"))
+        .groupBy("event_type")
+        .agg(F.min("b.xmin").alias("xmin"), F.min("b.ymin").alias("ymin"),
+             F.max("b.xmax").alias("xmax"), F.max("b.ymax").alias("ymax"),
+             F.count(F.lit(1)).alias("n_geoms"))
+        .orderBy("event_type")
+    )
+
+
+#: concave test region: diamond of Manhattan radius 20.5 around (48, 44)
+#: with a diamond hole of radius 5.5 — half-integer vertices mean an
+#: integer grid point is NEVER on the boundary, so even-odd ray casting
+#: and the closed-form |dx|+|dy| test agree exactly
+_POLY_WKT = ("POLYGON ((27.5 44, 48 23.5, 68.5 44, 48 64.5, 27.5 44), "
+             "(42.5 44, 48 38.5, 53.5 44, 48 49.5, 42.5 44))")
+
+
+@query(
+    "geo_point_in_polygon",
+    """
+    WITH p AS (SELECT event_type, event_id % 97 AS x, event_id % 89 AS y
+               FROM events)
+    SELECT event_type, count(*) AS n_points,
+           CAST(sum(CASE WHEN abs(x - 48) + abs(y - 44) <= 20
+                          AND NOT abs(x - 48) + abs(y - 44) <= 5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
+    FROM p GROUP BY event_type ORDER BY event_type
+    """,
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Contains(polygon, point) at scale: a broadcast WKB polygon
+    literal (with a hole) tested against every point by even-odd ray
+    casting inside one Arrow-batched pass — the parsed ring set is cached
+    per batch, aggregation is JVM-side. The oracle states containment in
+    closed form (Manhattan diamond minus hole), so the ray caster's
+    geometry must be exactly right, holes included."""
+    from meerschaum_spark import geometry as geocodec
+    from meerschaum_spark.functions import geo as G
+    poly_wkb = geocodec.to_wkb(geocodec.from_wkt(_POLY_WKT))
+    pts = _geo_points(spark, sf_dir)
+    inside = G.st_contains_point(F.lit(poly_wkb), F.col("x"), F.col("y"))
+    return (
+        pts.select("event_type", inside.alias("inside"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_points"),
+             F.sum(F.when(F.col("inside"), 1).otherwise(0)).cast("long")
+             .alias("n_inside"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "geo_radius_join",
+    """
+    WITH a AS (SELECT event_id AS a_id,
+                      event_id % 97 AS x1, event_id % 89 AS y1
+               FROM events WHERE event_id % 101 = 0),
+    b AS (SELECT event_id AS b_id,
+                 event_id % 97 AS x2, event_id % 89 AS y2
+          FROM events)
+    SELECT a_id, count(*) AS n_neighbors,
+           CAST(min((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2))
+                AS BIGINT) AS closest_sq
+    FROM a JOIN b
+      ON a_id <> b_id
+     AND (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2) <= 30.25
+    GROUP BY a_id ORDER BY a_id
+    """,
+)
+def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_DWithin as a distributed join: both point sets arrive as WKB
+    geometry columns (codec round-trip included), coordinates are decoded
+    once, and ``radius_candidate_join`` buckets them on a radius-wide
+    grid — candidates come from a hash equi-join on the 3×3 cell
+    neighborhood, never |a|×|b| pairs (the oracle is the naive quadratic
+    join, which is exactly what this shape avoids at scale)."""
+    from meerschaum_spark.functions import geo as G
+
+    def as_points(df: DataFrame, idc: str, xc: str, yc: str) -> DataFrame:
+        wkt = F.concat(F.lit("POINT ("),
+                       F.col("x").cast("long").cast("string"), F.lit(" "),
+                       F.col("y").cast("long").cast("string"), F.lit(")"))
+        info = G.geom_info(G.wkt_to_wkb(wkt))
+        return df.select(F.col("event_id").alias(idc),
+                         info["x"].alias(xc), info["y"].alias(yc))
+
+    pts = _geo_points(spark, sf_dir)
+    a = as_points(pts.filter(F.col("event_id") % 101 == 0), "a_id", "x1", "y1")
+    b = as_points(pts, "b_id", "x2", "y2")
+    joined = G.radius_candidate_join(a, b, radius=5.5,
+                                     ax="x1", ay="y1", bx="x2", by="y2")
+    dist_sq = ((F.col("x1") - F.col("x2")) * (F.col("x1") - F.col("x2"))
+               + (F.col("y1") - F.col("y2")) * (F.col("y1") - F.col("y2")))
+    return (
+        joined.filter(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id")
+        .agg(F.count(F.lit(1)).alias("n_neighbors"),
+             F.min(dist_sq).cast("long").alias("closest_sq"))
+        .orderBy("a_id")
+    )
+
+
+@query(
+    "geo_path_length",
+    """
+    WITH r AS (
+      SELECT user_id, event_id % 97 AS x, event_id % 89 AS y,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    s AS (
+      SELECT user_id, x, y,
+             lag(x) OVER w AS px, lag(y) OVER w AS py
+      FROM r WHERE rn <= 40
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn))
+    SELECT user_id, count(*) AS n_points,
+           CAST(sum(CASE WHEN px IS NULL THEN 0
+                         ELSE (x - px) * (x - px) + (y - py) * (y - py)
+                    END) AS BIGINT) AS len_sq_sum
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def geo_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory assembly + ST_Length-style measurement: each user's
+    first 40 events (by ts) become one LINESTRING — built with JVM
+    collect_list/array_sort/slice, encoded to WKB, measured by
+    ``st_path_stats`` in one Arrow batch. Squared segment lengths keep
+    the sum an exact integer cross-engine. One shuffle (the groupBy);
+    the per-user path cap bounds both the WKT size and the state."""
+    from meerschaum_spark.functions import geo as G
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts",
+                                                    "event_id")
+    pt = F.struct(
+        F.col("ts"), F.col("event_id"),
+        (F.col("event_id") % 97).cast("long").alias("x"),
+        (F.col("event_id") % 89).cast("long").alias("y"))
+    arr = F.slice(F.array_sort(F.collect_list(pt)), 1, 40)
+    paths = (ev.groupBy("user_id").agg(arr.alias("arr"))
+             .select("user_id",
+                     G.wkt_to_wkb(F.concat(
+                         F.lit("LINESTRING ("),
+                         F.array_join(F.transform(
+                             F.col("arr"),
+                             lambda p: F.concat(p["x"].cast("string"),
+                                                F.lit(" "),
+                                                p["y"].cast("string"))),
+                             ", "),
+                         F.lit(")"))).alias("wkb")))
+    stats = G.st_path_stats(F.col("wkb"))
+    return (paths.select("user_id", stats.alias("s"))
+            .select("user_id",
+                    F.col("s.n_points").cast("long").alias("n_points"),
+                    F.col("s.len_sq_sum").alias("len_sq_sum"))
+            .orderBy("user_id"))
+
+
 def _bucket_sql(seed: str, n_planes: int, vec: str = "embedding") -> str:
     comp_t = (f"CASE WHEN ({_H60.format(x=chr(39) + seed + 'plane{p}_' + chr(39) + ' || CAST(i - 1 AS VARCHAR)')} & 1) = 1 "
               f"THEN {_EL} ELSE -{_EL} END")

@@ -173,3 +173,136 @@ def test_geometry_column_with_nan_nulls(spark, instance_dir):
     docs = {d["id"]: d["geom"] for d in pipe.get_docs()}
     assert docs[2] is None
     assert geo.from_wkb(bytes(docs[1])).coords == [1.0, 2.0]
+
+
+# ---------------------------------------------------------------------------
+# Spatial operators (r7): bbox, point-in-polygon, radius join, path stats
+# ---------------------------------------------------------------------------
+
+def test_geom_bbox_multitypes(spark):
+    """geom_bbox covers every vertex of point / linestring / polygon /
+    multipolygon geometries."""
+    from pyspark.sql import functions as F
+
+    from meerschaum_spark.functions import geo as G
+    wkts = [
+        ("pt", "POINT (3 -2)", (3, -2, 3, -2)),
+        ("ls", "LINESTRING (0 0, 5 1, -1 4)", (-1, 0, 5, 4)),
+        ("pg", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 1))",
+         (0, 0, 4, 4)),
+        ("mp", "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 7 5, 7 9, 5 5)))",
+         (0, 0, 7, 9)),
+    ]
+    df = spark.createDataFrame([(k, w) for k, w, _ in wkts], "k string, wkt string")
+    bbox = G.geom_bbox(G.wkt_to_wkb(F.col("wkt")))
+    got = {r["k"]: (r["b"]["xmin"], r["b"]["ymin"], r["b"]["xmax"], r["b"]["ymax"])
+           for r in df.select("k", bbox.alias("b")).collect()}
+    for k, _, want in wkts:
+        assert got[k] == tuple(float(v) for v in want), k
+    # null propagates
+    nulls = spark.createDataFrame([(None,)], "wkb binary")
+    row = nulls.select(G.geom_bbox(F.col("wkb")).alias("b")).first()
+    assert row["b"]["xmin"] is None
+
+
+def test_st_contains_point_holes_and_multipolygon(spark):
+    """Even-odd ray casting: holes exclude, disjoint parts both contain,
+    and a concave vertex-height ray is handled deterministically."""
+    from pyspark.sql import functions as F
+
+    from meerschaum_spark import geometry as geocodec
+    from meerschaum_spark.functions import geo as G
+    poly = geocodec.to_wkb(geocodec.from_wkt(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"))
+    mp = geocodec.to_wkb(geocodec.from_wkt(
+        "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))"))
+    cases = [
+        # (wkb, x, y, expected)
+        (poly, 1.0, 1.0, True),     # inside shell
+        (poly, 5.0, 5.0, False),    # inside hole
+        (poly, 11.0, 5.0, False),   # outside
+        (poly, 4.5, 4.5, False),    # hole interior corner-ish
+        (mp, 1.0, 1.0, True),       # first part
+        (mp, 6.0, 6.0, True),       # second part
+        (mp, 3.0, 3.0, False),      # between parts
+    ]
+    df = spark.createDataFrame(
+        [(i, w, x, y, e) for i, (w, x, y, e) in enumerate(cases)],
+        "i int, wkb binary, x double, y double, want boolean")
+    out = df.select("i", "want", G.st_contains_point(
+        F.col("wkb"), F.col("x"), F.col("y")).alias("got")).collect()
+    for r in out:
+        assert r["got"] == r["want"], r["i"]
+
+
+def test_radius_candidate_join_matches_brute_force(spark):
+    """The grid-bucketed radius join finds EXACTLY the brute-force pair
+    set on deterministic pseudo-random points (including cross-cell
+    pairs), for a non-default cell width too."""
+    from pyspark.sql import functions as F
+
+    from meerschaum_spark.functions import geo as G
+    import random
+    rng = random.Random(7)
+    pts = [(i, rng.uniform(-50, 50), rng.uniform(-50, 50))
+           for i in range(300)]
+    a = spark.createDataFrame([(i, x, y) for i, x, y in pts[:80]],
+                              "a_id int, x1 double, y1 double")
+    b = spark.createDataFrame(pts, "b_id int, x2 double, y2 double")
+    r = 4.25
+    got = {(row["a_id"], row["b_id"])
+           for row in G.radius_candidate_join(
+               a, b, radius=r, ax="x1", ay="y1", bx="x2", by="y2")
+           .select("a_id", "b_id").collect()}
+    want = {(i, j) for i, xa, ya in pts[:80] for j, xb, yb in pts
+            if (xa - xb) ** 2 + (ya - yb) ** 2 <= r * r}
+    assert got == want and len(want) > 100
+    # wider cells must give the same exact answer (fewer, larger buckets)
+    got2 = {(row["a_id"], row["b_id"])
+            for row in G.radius_candidate_join(
+                a, b, radius=r, ax="x1", ay="y1", bx="x2", by="y2",
+                cell=10.0)
+            .select("a_id", "b_id").collect()}
+    assert got2 == want
+
+
+def test_radius_join_plan_is_equi_join(spark):
+    """Scale shape: the candidate join is a hash equi-join on the grid
+    cell (broadcast offsets; no cartesian / nested-loop join in the
+    plan)."""
+    from meerschaum_spark.functions import geo as G
+    a = spark.range(100).selectExpr("id as a_id",
+                                    "cast(id % 13 as double) as x1",
+                                    "cast(id % 7 as double) as y1")
+    b = spark.range(1000).selectExpr("id as b_id",
+                                     "cast(id % 13 as double) as x2",
+                                     "cast(id % 7 as double) as y2")
+    joined = G.radius_candidate_join(
+        a, b, 2.5, ax="x1", ay="y1", bx="x2", by="y2")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the tiny broadcast offsets
+    # cross join (9 rows); the a↔b candidate join itself must be an
+    # equi-join on the cell key
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_st_path_stats_exact(spark):
+    """LINESTRING squared-length sum is the exact integer of the vertex
+    walk; single-point paths measure zero."""
+    from pyspark.sql import functions as F
+
+    from meerschaum_spark.functions import geo as G
+    df = spark.createDataFrame(
+        [("a", "LINESTRING (0 0, 3 4, 3 10)"),   # 25 + 36
+         ("b", "LINESTRING (5 5)"),
+         ("c", None)],
+        "k string, wkt string")
+    stats = G.st_path_stats(G.wkt_to_wkb(F.col("wkt")))
+    got = {r["k"]: (r["s"]["n_points"], r["s"]["len_sq_sum"])
+           for r in df.select("k", stats.alias("s")).collect()}
+    assert got["a"] == (3, 61)
+    assert got["b"] == (1, 0)
+    assert got["c"] == (None, None)

@@ -3,8 +3,16 @@
 AQE's skew-join splitting (enabled in the engine session) handles most
 cases at runtime; these helpers are for the planned-ahead version — when
 a known-hot key (the null key, a celebrity id) would otherwise pin one
-task: salt fan-out for aggregations (two-phase combine) and replicated
-broadcast salting for joins.
+task: salt fan-out for aggregations (two-phase combine), replicated
+broadcast salting for joins, and two-phase salted top-K for per-key
+window ranks.
+
+Production consumers: ``Pipe._split_existing`` routes its diff marker
+join through ``salted_join`` when batch stats show a hot null key
+(pipe.py), and ``doc_domain_caps`` builds on ``salted_top_k``
+(queries_llm.py) — the reference never needs this layer because its SQL
+backends handle distribution server-side (connectors/sql/_pipes.py);
+on Spark the partition layout is ours to manage.
 """
 
 from __future__ import annotations
@@ -55,15 +63,63 @@ def salted_agg(
 def salted_join(
     big: DataFrame,
     small: DataFrame,
-    key: str,
+    on: str | Sequence[str],
     n_salts: int = 16,
     how: str = "inner",
+    null_safe: bool = False,
 ) -> DataFrame:
-    """Skewed equi-join: salt the big side, replicate the small side once
-    per salt value, join on (key, salt). Each hot key's rows spread over
-    ``n_salts`` tasks instead of one."""
-    big_s = with_salt(big, n_salts)
+    """Skewed equi-join: salt the big side (deterministic per-row hash),
+    replicate the small side once per salt value, join on
+    (keys..., salt). Each hot key's rows spread over ``n_salts`` tasks
+    instead of one — including the NULL key when ``null_safe=True``
+    (``eqNullSafe`` key equality), which a plain shuffle join hashes to
+    a single reducer.
+
+    Multiplicity is preserved exactly: every big row carries ONE salt
+    and matches only the small-side replica with that salt, so inner /
+    left semantics are identical to the unsalted join. Returns
+    ``big``'s columns followed by ``small``'s non-key columns."""
+    keys = [on] if isinstance(on, str) else list(on)
+    salt_col = "_mrsm_skw_salt"
+    big_s = with_salt(big, n_salts, salt_col).alias("_skb")
+    # long to match with_salt's pmod(xxhash64) output type
     salts = big.sparkSession.range(n_salts).select(
-        F.col("id").cast("int").alias("_salt"))
-    small_r = small.crossJoin(F.broadcast(salts))
-    return big_s.join(small_r, on=[key, "_salt"], how=how).drop("_salt")
+        F.col("id").alias(salt_col))
+    small_r = small.crossJoin(F.broadcast(salts)).alias("_sks")
+    cond: Column = F.col(f"_skb.{salt_col}") == F.col(f"_sks.{salt_col}")
+    for k in keys:
+        a, b = F.col(f"_skb.{k}"), F.col(f"_sks.{k}")
+        cond = cond & (a.eqNullSafe(b) if null_safe else (a == b))
+    rest = [c for c in small.columns if c not in keys]
+    return (big_s.join(small_r, on=cond, how=how)
+            .select(*[F.col(f"_skb.{c}") for c in big.columns],
+                    *[F.col(f"_sks.{c}") for c in rest]))
+
+
+def salted_top_k(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    n_salts: int = 32,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Two-phase per-key top-K for skewed keys: a salted LOCAL rank first
+    caps every (key, salt) slice at ``k``, so the exact global per-key
+    rank sorts at most ``k × n_salts`` rows per key — a key holding half
+    the table (the realistic web-crawl-domain case) never lands in one
+    window partition. ``order_cols`` must be a deterministic total order
+    (add a tie-break column) for the result to be exact. Returns ``df``'s
+    columns plus ``rank_col`` (int), rows with rank ≤ k only."""
+    salt_col, local_col = "_mrsm_skw_salt", "_mrsm_skw_lr"
+    from pyspark.sql import Window
+    order_cols = list(order_cols)
+    salted = with_salt(df, n_salts, salt_col)
+    w_local = Window.partitionBy(*keys, salt_col).orderBy(*order_cols)
+    pruned = (salted.withColumn(local_col, F.row_number().over(w_local))
+              .filter(F.col(local_col) <= k))
+    w_global = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (pruned
+            .withColumn(rank_col, F.row_number().over(w_global))
+            .filter(F.col(rank_col) <= k)
+            .drop(salt_col, local_col))

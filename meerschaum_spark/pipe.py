@@ -47,6 +47,12 @@ from meerschaum_spark.store import ParquetPipeStore
 
 DEFAULT_BACKTRACK_MINUTES = 1440   # reference config/_default.py:236
 FILTER_PARAMS_INDEX_LIMIT = 250    # reference config/_default.py:247
+#: batch null-count in any single key column above which the diff's
+#: marker join salts the null key (see _split_existing): ~1M rows on one
+#: reducer is where a single task visibly straggles; below that the
+#: plain join is cheaper than the x16 replication of the backtrack
+#: aggregate. Class-level so tests (and operators) can tune it.
+HOT_NULL_KEY_ROWS = 1_000_000
 BOUNDS_SLOP_MINUTES = 1            # reference core/Pipe/_sync.py:794-858
 HIT_COL = "_mrsm_hit"              # marker: batch row's key exists in store
 ORD_COL = "_mrsm_ord"              # batch row order tag (keep-last dedupe)
@@ -153,6 +159,12 @@ class SyncResult:
 class Pipe:
     """``Pipe(connector, metric, location, instance=path)`` — same 4-part
     identity as the reference (core/Pipe/__init__.py:65-88)."""
+
+    #: see module constant — class-level so tests/operators can tune it
+    HOT_NULL_KEY_ROWS = HOT_NULL_KEY_ROWS
+    #: whether the most recent diff routed through the salted marker join
+    #: (observability for the hot-null-key guard; False until a diff runs)
+    _last_diff_salted = False
 
     def __init__(
         self,
@@ -1059,22 +1071,42 @@ class Pipe:
         # construction, but a collect_set keeps the diff correct even if a
         # key carries several stored versions (any full match → unchanged)
         bt_keyed = (bt_fp.groupBy(*keys)
-                    .agg(F.collect_set(FP).alias(FPS)).alias("k"))
-        d = df.withColumn(FP, _fp(df)).alias("x")
+                    .agg(F.collect_set(FP).alias(FPS)))
+        d = df.withColumn(FP, _fp(df))
+        hit = F.when(F.col(FPS).isNotNull(), F.lit(1)).cast("int")
+        not_unchanged = (F.col(FPS).isNull()
+                         | ~F.array_contains(F.col(FPS), F.col(FP)))
+        # Hot-NULL-key guard: the stats pass already counted nulls per key
+        # column for free — when one key column carries a huge null share
+        # (sensor feeds with unkeyed rows, the case the reference's DB
+        # backend absorbs server-side), a shuffle marker join would hash
+        # every null-key row to ONE reducer. Route through salted_join
+        # (functions/skew.py): batch rows spread over 16 salts, the tiny
+        # key-unique backtrack aggregate replicates per salt. Hot NON-null
+        # keys are left to AQE's runtime skew splitting; nulls are the
+        # case we can detect statically at zero cost.
+        self._last_diff_salted = False
+        nn_vals = [(stats or {}).get(f"_nn_{c}") or 0 for c in key_cols]
+        if dt and dt in keys and stats:
+            nn_vals.append(stats.get("_dt_nulls") or 0)
+        if nn_vals and max(nn_vals) >= self.HOT_NULL_KEY_ROWS:
+            from meerschaum_spark.functions.skew import salted_join
+            self._last_diff_salted = True
+            joined = salted_join(d, bt_keyed, on=keys, n_salts=16,
+                                 how="left", null_safe=True)
+            return (joined.filter(not_unchanged)
+                    .select(*df.columns, hit.alias(HIT_COL)))
+        dd, kk = d.alias("x"), bt_keyed.alias("k")
         key_cond = None
         for c in keys:
             eq = F.col(f"x.{c}").eqNullSafe(F.col(f"k.{c}"))
             key_cond = eq if key_cond is None else (key_cond & eq)
-        joined = d.join(bt_keyed, on=key_cond, how="left")
+        joined = dd.join(kk, on=key_cond, how="left")
         return (
-            joined.filter(
-                F.col(FPS).isNull()
-                | ~F.array_contains(F.col(FPS), F.col(FP))
-            )
+            joined.filter(not_unchanged)
             .select(
                 *[F.col(f"x.{c}") for c in df.columns],
-                F.when(F.col(FPS).isNotNull(), F.lit(1))
-                .cast("int").alias(HIT_COL),
+                hit.alias(HIT_COL),
             )
         )
 

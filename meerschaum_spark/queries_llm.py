@@ -3448,30 +3448,28 @@ def doc_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keep at most K docs per source, preferring the longest"
     (deterministic tie-break on doc_id).
 
-    Skew-proof two-phase top-K: a SALTED local rank first caps every
+    Skew-proof two-phase top-K via the shared ``salted_top_k`` helper
+    (functions/skew.py): a SALTED local rank first caps every
     (source, salt) slice at K, so the global per-source rank sorts at
     most K x 32 rows per domain — a domain holding half the corpus (the
     realistic web-crawl skew case) never lands in one window partition.
     The exact per-source totals come from a separate map-side-combined
     count aggregate, broadcast back onto the K winners."""
+    from meerschaum_spark.functions.skew import salted_top_k
     docs = _docs(spark, sf_dir)
     k = 50
-    salted = docs.select(
-        "doc_id", "source", F.length("text").alias("_len"),
-        F.pmod(F.col("doc_id"), F.lit(32)).alias("_salt"))
-    w_local = Window.partitionBy("source", "_salt").orderBy(
-        F.col("_len").desc(), "doc_id")
-    pruned = (salted.withColumn("_lr", F.row_number().over(w_local))
-              .filter(F.col("_lr") <= k))
-    w_rank = Window.partitionBy("source").orderBy(
-        F.col("_len").desc(), "doc_id")
+    ranked = salted_top_k(
+        docs.select("doc_id", "source", F.length("text").alias("_len")),
+        keys=["source"],
+        order_cols=[F.col("_len").desc(), F.col("doc_id")],
+        k=k, n_salts=32, rank_col="rnk")
     counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_source_docs"))
-    return (pruned
-            .withColumn("rnk", F.row_number().over(w_rank).cast("long"))
-            .filter(F.col("rnk") <= k)
+    return (ranked
             .join(F.broadcast(counts), on="source")
-            .select("doc_id", "source", "rnk", "n_source_docs")
+            .select("doc_id", "source",
+                    F.col("rnk").cast("long").alias("rnk"),
+                    "n_source_docs")
             .orderBy("doc_id"))
 
 

@@ -2048,11 +2048,24 @@ class Pipe:
 
     def copy_to(self, other: "Pipe", begin: Any = None, end: Any = None,
                 params: dict[str, Any] | None = None) -> SyncResult:
-        """Pipe→pipe copy (reference core/Pipe/_copy.py:14+)."""
+        """Pipe→pipe copy (reference core/Pipe/_copy.py:14+). ``other``
+        may be any object with ``.columns``/``.parameters``/``.sync`` —
+        including a ``RemotePipe``, which makes this the reference's
+        cross-INSTANCE sync (connectors/api/_pipes.py): local storage →
+        HTTP → a remote engine's store."""
         df = self.get_data(begin=begin, end=end, params=params, order=None)
         if other.columns == {} and self.columns:
             other.parameters["columns"] = self.columns
-        return other.sync(df)
+        out = other.sync(df)
+        if isinstance(out, tuple) and len(out) == 2:
+            # RemotePipe returns (status_code, payload) — normalize
+            code, payload = out
+            payload = payload or {}
+            ok = code == 200 and bool(payload.get("success", True))
+            return SyncResult(ok, str(payload.get("message", code)),
+                              int(payload.get("inserted") or 0),
+                              int(payload.get("updated") or 0))
+        return out
 
     def repartition_grid(self, chunk_minutes: int) -> SyncResult:
         """Rebuild the table onto a new epoch-aligned grid width (reference

@@ -125,6 +125,10 @@ class RemotePipe:
         self.timeout = timeout
         #: shared-secret bearer token matching the server's ``auth_token``
         self.auth_token = auth_token
+        #: locally staged parameters (the ``Pipe.copy_to`` duck seam
+        #: writes ``parameters['columns']`` here before syncing) — pushed
+        #: to the server via register() on the next DataFrame sync
+        self.parameters: dict = {}
 
     def _headers(self) -> dict[str, str]:
         if self.auth_token is None:
@@ -168,8 +172,84 @@ class RemotePipe:
         body = {"params": params} if params is not None else None
         return self._call("clear", "DELETE", body=body, **query)
 
-    def sync(self, docs: list[dict]) -> tuple[int, Any]:
-        return self._call("data", "POST", {"docs": docs})
+    #: docs per POST when shipping a DataFrame (bounded request bodies —
+    #: the reference API connector chunks its sync the same way,
+    #: connectors/api/_pipes.py sync chunking)
+    SYNC_CHUNK_DOCS = 10_000
+
+    def sync(self, docs: "list[dict] | Any") -> tuple[int, Any]:
+        """POST docs to the remote pipe. Also accepts a Spark or pandas
+        DataFrame — the ``Pipe.copy_to(remote)`` duck seam (reference
+        cross-instance sync, connectors/api/_pipes.py): the frame is
+        serialized with the canonical JSON export and shipped in bounded
+        chunks; staged ``parameters`` are registered remotely first so
+        column roles arrive before the first batch. Returns the last
+        response with inserted/updated summed across chunks."""
+        if not isinstance(docs, (list, tuple)):
+            docs = self._df_to_docs(docs)
+            if self.parameters:
+                # 409 (already registered) is fine — columns then come
+                # from the existing remote registration
+                self.register(self.parameters)
+        docs = list(docs)
+        if not docs:
+            return 200, {"success": True, "message": "Empty batch.",
+                         "inserted": 0, "updated": 0}
+        total_ins = total_upd = 0
+        code, out = 200, {}
+        for i in range(0, len(docs), self.SYNC_CHUNK_DOCS):
+            code, out = self._call(
+                "data", "POST", {"docs": docs[i:i + self.SYNC_CHUNK_DOCS]})
+            if code != 200:
+                return code, out
+            total_ins += int(out.get("inserted") or 0)
+            total_upd += int(out.get("updated") or 0)
+        out = dict(out)
+        out["inserted"], out["updated"] = total_ins, total_upd
+        return code, out
+
+    @staticmethod
+    def _df_to_docs(df: Any) -> list[dict]:
+        """Serialize a Spark or pandas DataFrame to canonical JSON docs
+        (ISO datetimes, base64 bytes — the same rules the server's export
+        uses, so a round-trip re-ingests to identical rows)."""
+        try:
+            from pyspark.sql import DataFrame as _SparkDF
+        except ImportError:  # pragma: no cover
+            _SparkDF = ()
+        if isinstance(df, _SparkDF):
+            from meerschaum_spark.export import iter_json_docs
+            return list(iter_json_docs(df))
+        if isinstance(df, pd.DataFrame):
+            from meerschaum_spark.export import _clean_value
+
+            def _conv(v: Any) -> Any:
+                if v is None or v is pd.NaT:
+                    return None
+                if isinstance(v, pd.Timestamp):
+                    return _clean_value(v.to_pydatetime())
+                if isinstance(v, float) and v != v:  # NaN
+                    return None
+                if hasattr(v, "item") and not isinstance(v, (bytes, str)):
+                    try:
+                        v = v.item()  # numpy scalars → python
+                    except (AttributeError, ValueError):
+                        pass
+                return _clean_value(v)
+
+            return [{k: _conv(v) for k, v in rec.items()}
+                    for rec in df.to_dict("records")]
+        raise TypeError(f"cannot sync {type(df).__name__} to a RemotePipe")
+
+    @property
+    def columns(self) -> dict:
+        """Remote column-role mapping (duck-compatible with
+        ``Pipe.columns``; staged parameters win until pushed)."""
+        staged = self.parameters.get("columns")
+        if staged:
+            return staged
+        attrs = self.attributes() or {}
+        return (attrs.get("parameters") or {}).get("columns") or {}
 
     def attributes(self) -> dict:
         return self._call("attributes", "GET")[1]

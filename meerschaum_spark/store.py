@@ -194,7 +194,11 @@ class ParquetPipeStore:
         """File-add append of rows known to be unseen (no rewrite)."""
         out = self._rebalanced(self.with_part(df))
         out.write.mode("append").partitionBy(PART_COL).parquet(self.data_path)
-        self._mark_exists(True)
+        # re-probe, don't assume: an EMPTY df writes no partition dirs, and
+        # caching exists=True for it would send the next read to schema
+        # inference over a dir with no data files (found by the
+        # replace_range property test)
+        self._mark_exists(self._exists_uncached())
         self._refresh_listing()
 
     def _rebalanced(self, df: DataFrame) -> DataFrame:
@@ -229,7 +233,7 @@ class ParquetPipeStore:
             out.write.mode("overwrite").partitionBy(PART_COL).parquet(
                 self.data_path
             )
-        self._mark_exists(True)
+        self._mark_exists(self._exists_uncached())
         self._refresh_listing()
 
     def merge(
@@ -525,11 +529,12 @@ class ParquetPipeStore:
                 affected.append(v)
         new = self.with_part(df)
         if not affected:
-            # nothing stored overlaps: plain file-add append
+            # nothing stored overlaps: plain file-add append (re-probe
+            # exists — the recompute may be empty, see append)
             out = self._rebalanced(new)
             out.write.mode("append").partitionBy(PART_COL).parquet(
                 self.data_path)
-            self._mark_exists(True)
+            self._mark_exists(self._exists_uncached())
             self._refresh_listing()
             return
         us = self._epoch_us_col()

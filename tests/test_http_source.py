@@ -673,3 +673,51 @@ def test_http_pipe_ownership_gating(spark, instance_dir):
         assert code == 200, out
     finally:
         server.stop()
+
+
+def test_copy_to_remote_pipe_over_http(spark, instance_dir, tmp_path):
+    """pipe.copy_to(RemotePipe) — the reference's cross-INSTANCE sync
+    (connectors/api/_pipes.py): a local pipe's stored rows land in a
+    SECOND instance served over HTTP, column roles travel with them,
+    bounded copies work, and the copy is idempotent (the remote diff
+    absorbs the overlap)."""
+    import datetime as dtm
+
+    import pandas as pd
+
+    from meerschaum_spark.pipe import Pipe
+    from meerschaum_spark.sources import PipeHTTPServer
+    from meerschaum_spark.sources.http import RemotePipe
+
+    src = Pipe("copy", "src", instance=instance_dir, spark=spark,
+               columns={"datetime": "ts", "id": "id"})
+    rows = [{"ts": dtm.datetime(2024, 1, 1) + dtm.timedelta(hours=i),
+             "id": i, "kind": "a" if i % 2 else "b", "v": float(i)}
+            for i in range(48)]
+    src.sync(pd.DataFrame(rows))
+
+    remote_instance = str(tmp_path / "remote_instance")
+    server = PipeHTTPServer(spark, remote_instance).start()
+    try:
+        dest = RemotePipe(server.url, "copy", "dest")
+        res = src.copy_to(dest)
+        assert res.success and res.inserted == 48, res.message
+        # column roles traveled: the remote registration has them
+        attrs = dest.attributes()
+        assert attrs["parameters"]["columns"]["datetime"] == "ts"
+        assert dest.get_rowcount() == 48
+        # idempotent: the remote diff absorbs the full overlap
+        res2 = src.copy_to(dest)
+        assert res2.success and res2.inserted == 0 and res2.updated == 0
+        # bounded copy into a fresh remote pipe
+        dest2 = RemotePipe(server.url, "copy", "dest_bounded")
+        res3 = src.copy_to(dest2, begin=dtm.datetime(2024, 1, 2))
+        assert res3.success and res3.inserted == 24
+        assert dest2.get_rowcount() == 24
+        assert dest2.get_sync_time(newest=False) == dtm.datetime(2024, 1, 2)
+        # the copied VALUES round-tripped exactly
+        got = {(d["id"], d["kind"], d["v"])
+               for d in dest.get_data().to_dict("records")}
+        assert got == {(r["id"], r["kind"], r["v"]) for r in rows}
+    finally:
+        server.stop()

@@ -248,3 +248,63 @@ def test_histogram_quantile_rank_bounds(values):
         true_q = vals[rank - 1]  # rank-th smallest
         assert est is not None
         assert est <= true_q < est + 0.5
+
+
+# ---------------------------------------------------------------------------
+# store.replace_range ≡ delete_where(range) + append  (the r6 rollup
+# publication primitive — hypothesis locks the strand-fix against
+# regression, including emptied-cell and staging-only-cell edges)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=12, deadline=None)
+@given(data=st.data())
+def test_replace_range_equiv_delete_plus_append(data, spark):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from meerschaum_spark.store import ParquetPipeStore
+
+    base = data.draw(st.lists(st.integers(0, 300), unique=True,
+                              min_size=0, max_size=25), label="base_epochs")
+    b = data.draw(st.integers(0, 300), label="begin_s")
+    width = data.draw(st.integers(1, 200), label="width_s")
+    e = b + width
+    # recompute rows MUST lie inside [b, e) per the contract; empty is the
+    # emptied-cell edge (the range's rows vanish entirely)
+    new = data.draw(st.lists(st.integers(b, e - 1), unique=True,
+                             min_size=0, max_size=15), label="new_epochs")
+
+    root = tempfile.mkdtemp(prefix="mrsm_rr_prop_")
+    try:
+        def mk(target):
+            s = ParquetPipeStore(spark, root, target, dt_col="dt",
+                                 dt_is_int=True, dt_unit="second",
+                                 chunk_minutes=1)
+            if base:
+                s.append(spark.createDataFrame(
+                    [(t, f"base{t}") for t in base], "dt long, v string"))
+            return s
+
+        new_df_schema = "dt long, v string"
+        new_rows = [(t, f"new{t}") for t in new]
+        a = mk("via_replace")
+        a.replace_range(
+            spark.createDataFrame(new_rows, new_df_schema),
+            begin_us=b * 1_000_000, end_us=e * 1_000_000)
+
+        c = mk("via_two_step")
+        c.delete_where((F.col("dt") >= b) & (F.col("dt") < e),
+                       begin_us=b * 1_000_000, end_us=e * 1_000_000)
+        c.append(spark.createDataFrame(new_rows, new_df_schema))
+
+        got = sorted((r["dt"], r["v"]) for r in a.read().collect())
+        want = sorted((r["dt"], r["v"]) for r in c.read().collect())
+        assert got == want
+        # closed form: rows outside [b, e) kept, inside replaced by new
+        expect = sorted([(t, f"base{t}") for t in base
+                         if not (b <= t < e)] + new_rows)
+        assert got == expect
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

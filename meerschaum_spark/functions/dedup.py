@@ -29,6 +29,17 @@ from meerschaum_spark.functions.text import tokens
 DEFAULT_MINHASH_K = 8
 DEFAULT_BANDS = 4
 
+#: band-bucket membership cap for LSH candidate generation: a bucket of
+#: m docs emits m(m-1)/2 pairs, so one boilerplate mega-bucket turns the
+#: candidate join quadratic (measured in the r7 scale soak: 79% of a
+#: homogeneous corpus in ONE bucket → 134× superlinear, SCALE.md).
+#: Buckets above the cap carry template-level similarity, not near-dup
+#: specificity, and are dropped from candidate generation — the LSH
+#: analogue of a stopword. 256 is far above every observed bucket on the
+#: driver testdata (max 24 at sf0.01, 208 at sf0.1), so capped and
+#: uncapped semantics coincide there bit-for-bit.
+LSH_MAX_BUCKET = 256
+
 #: universal-hash mixing constants: sig_i = (A[i]*(h mod 2^30) + B[i]) mod P.
 #: One md5 per token (hash60) + K cheap affine mixes replaces K md5 passes;
 #: products stay < 2^60 so the arithmetic is overflow-free and identical
@@ -234,6 +245,19 @@ def band_hash_rows(sigs: DataFrame, id_col: str, k: int, bands: int,
     ).select(id_col, *keep, "bb.band", "bb.bh")
 
 
+def cap_band_buckets(buckets: DataFrame, keys: list[str],
+                     cap: int = LSH_MAX_BUCKET) -> DataFrame:
+    """Drop LSH band buckets with more than ``cap`` members (see
+    ``LSH_MAX_BUCKET``). The size table is tiny (one row per surviving
+    bucket) so the semi-join broadcasts; the quadratic candidate join
+    downstream is then bounded at cap²/2 pairs per bucket."""
+    sizes = (buckets.groupBy(*keys)
+             .agg(F.count(F.lit(1)).alias("_bsz"))
+             .filter(F.col("_bsz") <= cap)
+             .drop("_bsz"))
+    return buckets.join(sizes, on=keys, how="left_semi")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -243,7 +267,7 @@ def lsh_candidate_pairs(
     bands: int = DEFAULT_BANDS,
     target_sim: float | None = None,
     sigs: DataFrame | None = None,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Banded LSH: split the K-long signature into ``bands`` bands of
     K/bands rows, bucket-join on (band_idx, md5(band values)). Returns
@@ -260,8 +284,12 @@ def lsh_candidate_pairs(
     Buckets above the cap are dropped entirely (the hot-bucket analogue
     of the stop-shingle cap: mega-buckets signal template-level
     similarity, not near-dup specificity; a true near-dup pair usually
-    also collides in a colder band). Default None preserves exact
-    MMDS semantics — the catalog's oracle-checked queries use None."""
+    also collides in a colder band). The r7 scale soak MEASURED the
+    hazard: a homogeneous 25k-doc corpus put 79% of documents in one
+    bucket and the uncapped pair join went 134× superlinear (SCALE.md),
+    so the cap now defaults ON at ``LSH_MAX_BUCKET`` and every catalog
+    oracle mirrors the same size filter. Pass None for exact MMDS
+    semantics."""
     if target_sim is not None:
         k, bands = choose_lsh_params(target_sim)
     rows_per_band = k // bands
@@ -276,12 +304,8 @@ def lsh_candidate_pairs(
     scope = [scope_col] if scope_col else []
     buckets = band_hash_rows(sigs, id_col, k, bands, keep_cols=scope)
     if max_bucket_size is not None:
-        key = [*scope, "band", "bh"]
-        sizes = (buckets.groupBy(*key)
-                 .agg(F.count(F.lit(1)).alias("_bsz"))
-                 .filter(F.col("_bsz") <= max_bucket_size)
-                 .drop("_bsz"))
-        buckets = buckets.join(sizes, on=key, how="left_semi")
+        buckets = cap_band_buckets(buckets, [*scope, "band", "bh"],
+                                   max_bucket_size)
     a, b_ = buckets.alias("a"), buckets.alias("b")
     cond = ((F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))

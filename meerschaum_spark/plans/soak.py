@@ -1,0 +1,228 @@
+"""Scale-soak harness: generate a seeded synthetic corpus at multiple
+scales and measure the engine's heaviest families at each, so the
+"linear at 100 TB" plan claims are MEASURED, not asserted.
+
+The generator is pure Spark expressions (JVM-side hashing of seeded
+ids) — producing a 10× corpus costs one partitioned write, no Python
+row loop. Schemas match the driver testdata (`TESTDATA.md`) exactly, so
+the regular catalog queries run unchanged against a generated directory.
+
+Determinism: every value derives from xxhash64(id, seed) — identical
+across runs and machines. ~15% of documents are exact duplicates of an
+earlier document (the ingest-dedup and LSH families need real dup
+structure), and one "domain" holds ~40% of the corpus (the skew case
+doc_domain_caps exists for).
+
+Used by ``tests/test_scale_soak.py`` (small scales, ratio assertions)
+and ``scripts/scale_soak.py`` (1×/10×, SCALE.md + shuffle-byte capture
+via the UI REST API).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VOCAB = [
+    "the", "a", "of", "and", "to", "in", "is", "for", "on", "with",
+    "data", "table", "row", "key", "value", "hash", "scan", "merge",
+    "sort", "join", "batch", "part", "spark", "plan", "query", "shard",
+    "window", "agg", "sync", "pipe", "store", "chunk", "index", "range",
+    "fast", "slow", "line", "text", "token", "model", "corpus", "train",
+    "filter", "count", "group", "order", "limit", "cache", "write", "read",
+]
+
+DOMAINS = 30  # src0 is hot (~40%); src1 warm (~15%); the rest uniform
+
+
+def generate_documents(spark: SparkSession, out_dir: str, n_docs: int,
+                       seed: int = 7) -> str:
+    """Write ``<out_dir>/documents.parquet`` with the testdata schema
+    (doc_id, text, lang, source, n_chars)."""
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    # ~15% of docs (doc_id % 13 in {11, 12}) copy the text of the group
+    # leader doc_id - (doc_id % 13): exact duplicates with NEW ids
+    mod13 = F.pmod(F.col("doc_id"), 13)
+    seed_id = F.when(mod13 >= 11, F.col("doc_id") - mod13) \
+               .otherwise(F.col("doc_id"))
+    n_words = (F.pmod(F.xxhash64(seed_id, F.lit(seed)), 120) + 30)
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda i: F.element_at(
+            vocab,
+            (F.pmod(F.xxhash64(seed_id * 1_000_003 + i, F.lit(seed)),
+                    len(VOCAB)) + 1).cast("int")))
+    h = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed + 1)), 100)
+    source = (F.when(h < 40, F.lit("src0"))
+              .when(h < 55, F.lit("src1"))
+              .otherwise(F.concat(F.lit("src"),
+                                  (F.pmod(h, DOMAINS - 2) + 2)
+                                  .cast("string"))))
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("es"), F.lit("de"), F.lit("fr")),
+        (F.pmod(F.xxhash64(seed_id, F.lit(seed + 2)), 4) + 1).cast("int"))
+    df = (base
+          .withColumn("text", F.array_join(words, " "))
+          .withColumn("lang", lang)
+          .withColumn("source", source)
+          .withColumn("n_chars", F.length("text")))
+    path = os.path.join(out_dir, "documents.parquet")
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def generate_events(spark: SparkSession, out_dir: str, n_events: int,
+                    seed: int = 7) -> str:
+    """Write ``<out_dir>/events.parquet`` with the testdata schema
+    (event_id, ts µs-timestamp, user_id, event_type, value, props)."""
+    base = spark.range(n_events).select(F.col("id").alias("event_id"))
+    # 90-second cadence → a multi-month span crossing many 30-day cells
+    ts = F.timestamp_seconds(F.lit(1_704_067_200)  # 2024-01-01 UTC
+                             + F.col("event_id") * 90)
+    n_users = max(50, n_events // 600)
+    df = (base
+          .withColumn("ts", ts)
+          .withColumn("user_id",
+                      F.pmod(F.xxhash64("event_id", F.lit(seed)),
+                             n_users))
+          .withColumn("event_type", F.element_at(
+              F.array(F.lit("click"), F.lit("view"), F.lit("purchase"),
+                      F.lit("scroll"), F.lit("login")),
+              (F.pmod(F.xxhash64("event_id", F.lit(seed + 1)), 5) + 1)
+              .cast("int")))
+          .withColumn("value",
+                      (F.pmod(F.xxhash64("event_id", F.lit(seed + 2)),
+                              10_000) / 100.0))
+          .withColumn("props", F.to_json(F.struct(
+              F.pmod(F.xxhash64("event_id", F.lit(seed + 3)), 100)
+              .alias("k")))))
+    path = os.path.join(out_dir, "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def generate_corpus(spark: SparkSession, out_dir: str, n_docs: int,
+                    n_events: int, seed: int = 7) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    generate_documents(spark, out_dir, n_docs, seed)
+    generate_events(spark, out_dir, n_events, seed)
+    return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Families under soak — each returns (rows_processed, result DataFrame or
+# None). Catalog families run the REAL registered query on the generated
+# dir; pipe families drive the REAL sync machinery.
+# ---------------------------------------------------------------------------
+
+def _family_sync_diff(spark: SparkSession, sf_dir: str,
+                      workdir: str) -> tuple[int, None]:
+    """Bulk load 60%, then re-sync the full table: the incremental diff
+    absorbs the 60% overlap and appends the rest."""
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+    from meerschaum_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    inst = tempfile.mkdtemp(prefix="soak_sync_", dir=workdir)
+    try:
+        pipe = Pipe("soak", "events", instance=inst, spark=spark,
+                    columns={"datetime": "ts", "id": "event_id"})
+        cut = int(n * 0.6)
+        r1 = pipe.sync(ev.filter(F.col("event_id") < cut))
+        r2 = pipe.sync(ev)
+        assert r1.success and r2.success
+        assert r1.inserted == cut and r2.inserted == n - cut, \
+            (r1.inserted, r2.inserted, n)
+        return n, None
+    finally:
+        shutil.rmtree(inst, ignore_errors=True)
+
+
+def _family_ingest_dedup(spark: SparkSession, sf_dir: str,
+                         workdir: str) -> tuple[int, None]:
+    """Content-dedup guard under replay: half, then full (the guard
+    drops all previously ingested text, including re-keyed dups)."""
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+    from meerschaum_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    inst = tempfile.mkdtemp(prefix="soak_dedup_", dir=workdir)
+    try:
+        pipe = Pipe("soak", "docs", instance=inst, spark=spark,
+                    columns={"datetime": "doc_id", "id": "doc_id"},
+                    parameters={"dedup": {"method": "exact",
+                                          "column": "text"},
+                                "precision": {"unit": "second"}},
+                    dtypes={"doc_id": "int64"})
+        r1 = pipe.sync(docs.filter(F.col("doc_id") < n // 2))
+        r2 = pipe.sync(docs)
+        assert r1.success and r2.success
+        # second pass inserts only second-half docs with UNSEEN text
+        assert 0 < r2.inserted <= n - n // 2
+        return n, None
+    finally:
+        shutil.rmtree(inst, ignore_errors=True)
+
+
+def _catalog_family(name: str) -> Callable:
+    def run(spark: SparkSession, sf_dir: str,
+            workdir: str) -> tuple[int, DataFrame]:
+        import meerschaum_spark.queries  # noqa: F401
+        import meerschaum_spark.queries_llm  # noqa: F401
+        from meerschaum_spark.catalog import QUERIES
+        df = QUERIES[name](spark, sf_dir)
+        rows = len(df.collect())
+        return rows, df
+    run.__name__ = f"family_{name}"
+    return run
+
+
+FAMILIES: dict[str, Callable] = {
+    "pipe_sync_diff": _family_sync_diff,
+    "pipe_ingest_dedup": _family_ingest_dedup,
+    "doc_domain_caps": _catalog_family("doc_domain_caps"),
+    "doc_token_budget": _catalog_family("doc_token_budget"),
+    "doc_minhash_lsh": _catalog_family("doc_minhash_jaccard_est"),
+    "doc_bigram_lm": _catalog_family("doc_bigram_lm_score"),
+}
+
+
+def run_families(spark: SparkSession, sf_dir: str, workdir: str,
+                 families: list[str] | None = None,
+                 stage_sampler: Callable | None = None) -> dict:
+    """Run each family against ``sf_dir``; returns
+    ``{family: {"sec": wall, "rows": n, "plan": {...} | None,
+                "stages": sampler_delta | None}}``.
+    ``stage_sampler()`` (optional) returns cumulative executor metrics —
+    sampled before/after each family for shuffle/input byte deltas."""
+    from meerschaum_spark.plans.inspect import plan_report
+
+    out: dict = {}
+    for name in (families or list(FAMILIES)):
+        fn = FAMILIES[name]
+        before = stage_sampler() if stage_sampler else None
+        t0 = time.time()
+        rows, df = fn(spark, sf_dir, workdir)
+        sec = time.time() - t0
+        rec: dict = {"sec": round(sec, 3), "rows": rows}
+        if df is not None:
+            rec["plan"] = plan_report(df)
+        if stage_sampler:
+            after = stage_sampler()
+            rec["stages"] = {k: after[k] - before.get(k, 0)
+                            for k in after}
+        out[name] = rec
+    return out

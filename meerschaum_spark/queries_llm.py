@@ -296,6 +296,21 @@ def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_sigs(spark, sf_dir).drop("source").orderBy("doc_id")
 
 
+def _bands_cte_capped() -> str:
+    """``bands0`` (raw band rows) → bucket-size filter → ``bands``,
+    mirroring ``D.cap_band_buckets``'s ``LSH_MAX_BUCKET`` cap so the
+    oracle and the engine drop the same mega-buckets (a no-op on the
+    driver testdata, where every bucket is far below the cap)."""
+    return (f"bands0 AS ({_band_rows_sql()}),\n"
+            f"    bands AS (\n"
+            f"      SELECT b.* FROM bands0 b\n"
+            f"      JOIN (SELECT band, bh, source FROM bands0\n"
+            f"            GROUP BY band, bh, source\n"
+            f"            HAVING count(*) <= {D.LSH_MAX_BUCKET}) z\n"
+            f"        ON b.band = z.band AND b.bh = z.bh\n"
+            f"       AND b.source = z.source)")
+
+
 def _band_rows_sql() -> str:
     rows_per_band = _K // _BANDS
     selects = []
@@ -311,7 +326,7 @@ def _band_rows_sql() -> str:
 @query(
     "doc_lsh_candidates",
     _MINHASH_CTE + f""",
-    bands AS ({_band_rows_sql()})
+    {_bands_cte_capped()}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bh = b.bh AND a.source = b.source
@@ -1116,7 +1131,7 @@ def doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEAR_DUP_JACCARD = 0.5
 
 _CLUSTERS_SQL = _MINHASH_CTE.replace("WITH t AS", "WITH RECURSIVE t AS", 1) + f""",
-    bands AS ({_band_rows_sql()}),
+    {_bands_cte_capped()},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -2600,7 +2615,7 @@ MINHASH_EST_CAND_CAP = 500
 @query(
     "doc_minhash_jaccard_est",
     _MINHASH_CTE + f""",
-    bands AS ({_band_rows_sql()}),
+    {_bands_cte_capped()},
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              count(DISTINCT a.band) AS n_bands
@@ -2644,8 +2659,10 @@ def doc_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bit-deterministic."""
     sigs_src = _minhash_sigs(spark, sf_dir)
     sigs = sigs_src.drop("source")
-    bands = D.band_hash_rows(sigs_src, "doc_id", _K, _BANDS,
-                             keep_cols=["source"])
+    bands = D.cap_band_buckets(
+        D.band_hash_rows(sigs_src, "doc_id", _K, _BANDS,
+                         keep_cols=["source"]),
+        ["source", "band", "bh"])
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -2787,9 +2804,15 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     see doc_dsir_weights) as the DSIR operator: exact-integer ratios
     divided once in double, log-weights quantized to 1e-4 fixed point,
     per-doc scores summing exact integers.
-    Scale shape: bigram and context counts are two hash aggregates over
-    one exploded pass; the weight table joins back by 60-bit hash (longs
-    on the wire, never strings)."""
+    Scale shape (r7 rework): the raw exploded bigram stream is hash-
+    aggregated to per-(doc, bigram) counts BEFORE the lambda-CSE
+    checkpoint barrier, so the materialized frame shrinks by the
+    within-doc repeat factor and — the bigger win — its size no longer
+    tracks raw token volume. Corpus bigram counts roll up from the
+    doc-level table (map-side combinable), context counts roll up from
+    the bigram counts (c1 = Σ c2 over w1h — no second full-data pass),
+    and the weight join-back multiplies by the per-doc count. Hashes are
+    60-bit longs on the wire, never strings."""
     docs = _docs(spark, sf_dir)
     from meerschaum_spark.catalog import hash60
     toked = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
@@ -2802,14 +2825,16 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts = F.transform(
         F.sequence(F.lit(1), F.size("toks") - 1),
         lambda i: F.element_at("toks", i))
-    bg = (toked.filter(F.size("toks") >= 2)
-          .select("doc_id", F.explode(F.arrays_zip(
-              pairs.alias("pair"), firsts.alias("w1"))).alias("z"))
-          .select("doc_id", hash60(F.col("z.pair")).alias("bgh"),
-                  hash60(F.col("z.w1")).alias("w1h")))
-    bg = bg.localCheckpoint()
-    c2 = bg.groupBy("bgh", "w1h").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bg.groupBy("w1h").agg(F.count(F.lit(1)).alias("n1"))
+    bgd = (toked.filter(F.size("toks") >= 2)
+           .select("doc_id", F.explode(F.arrays_zip(
+               pairs.alias("pair"), firsts.alias("w1"))).alias("z"))
+           .select("doc_id", hash60(F.col("z.pair")).alias("bgh"),
+                   hash60(F.col("z.w1")).alias("w1h"))
+           .groupBy("doc_id", "bgh", "w1h")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .localCheckpoint())
+    c2 = bgd.groupBy("bgh", "w1h").agg(F.sum("n").alias("n2"))
+    c1 = c2.groupBy("w1h").agg(F.sum("n2").alias("n1"))
     w = (c2.join(c1.withColumnRenamed("w1h", "_c1w"),
                  F.col("w1h") == F.col("_c1w"))
          .crossJoin(F.broadcast(vsize))
@@ -2819,10 +2844,10 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                                .cast("double"))
                          * F.lit(float(LM_FP)) + F.lit(0.5))
                  .cast("long").alias("w_int")))
-    ds = (bg.join(w, on=["bgh", "w1h"])
+    ds = (bgd.join(w, on=["bgh", "w1h"])
           .groupBy("doc_id")
-          .agg(F.count(F.lit(1)).alias("n_bigrams"),
-               F.sum("w_int").alias("s")))
+          .agg(F.sum("n").cast("long").alias("n_bigrams"),
+               F.sum(F.col("w_int") * F.col("n")).alias("s")))
     scored = ds.select(
         "doc_id", "n_bigrams",
         (-(F.col("s").cast("double") / F.col("n_bigrams").cast("double"))

@@ -36,28 +36,70 @@ DEC = "decimal(18,6)"
 #: row/schema/value compare, and several have green rows in prior-round
 #: CORRECTNESS files (cited in SURVEY §2).
 HEAD_ORDER = [
-    # r6 rotation: the 12 queries that have never held a green row in any
-    # CORRECTNESS_r*.json come first (the r5 head filled all 50 slots with
-    # then-never-recorded queries, pushing these past the cap), followed
-    # by this round's NEW queries. Every query in the r5 head landed green
-    # in CORRECTNESS_r05; the slots after this list backfill from
-    # registration order with already-green queries — harmless
-    # re-confirmation. After this round every oracle-backed catalog query
-    # has a driver-green row in SOME CORRECTNESS file.
+    # r7 rotation (standing rule: NEW queries lead, then queries whose
+    # code/oracle CHANGED this round, then the stalest green rows).
+    # After r6 every catalog query holds a cumulative driver-green row,
+    # so this round's head is freshness-driven: re-record everything the
+    # r7 engine work touched, then the 36 queries whose only green rows
+    # predate the r5 diff-path rewrite (r2–r4). The three r4-era queries
+    # that don't fit the 50-cap (doc_gopher_quality-era stragglers)
+    # rotate next round.
     #
-    # -- never driver-recorded (registered past the r5 cap) --
-    "events_gapfill_locf", "events_markov_transitions", "events_hll_merge",
-    "events_time_weighted_avg", "events_counter_delta",
-    "events_conversion_latency", "streaming_rollup_maintenance",
-    "emb_pq_codes", "doc_lang_id_accuracy", "emb_cell_balanced_sample",
-    "emb_jl_distortion", "doc_dedup_cascade_report",
-    # -- new in r6 (never recorded by definition) --
-    "multimodal_png_decode", "events_quantile_histogram_est",
-    "events_cdc_snapshot", "doc_bpe_pair_counts", "events_gapfill_interp",
-    "emb_near_dup_clusters", "streaming_cdc_snapshot",
-    "pipe_verify_backfill", "doc_domain_caps",
-    "events_state_durations", "events_uptime_agg", "doc_ngram_novelty",
+    # -- new in r7: spatial operators --
+    "geo_bbox_agg",
+    "geo_point_in_polygon",
+    "geo_radius_join",
+    "geo_path_length",
+    # -- changed in r7 (oracle boundary fix; sync-path perf rework;
+    #    LSH bucket cap; bigram checkpoint rework; salted_top_k) --
     "events_session_window_native",
+    "pipe_sync_roundtrip",
+    "pipe_ingest_dedup",
+    "pipe_ingest_dedup_minhash",
+    "doc_minhash_jaccard_est",
+    "doc_lsh_candidates",
+    "doc_near_dup_clusters",
+    "doc_dedup_cascade_report",
+    "doc_bigram_lm_score",
+    "doc_domain_caps",
+    # -- stalest green rows: r2/r3 --
+    "doc_corpus_prep",
+    "streaming_hourly_rollup",
+    "doc_minhash_signatures",
+    "doc_simhash",
+    "q15_top_supplier",
+    # -- stalest green rows: r4 (pre-rewrite) --
+    "doc_binary_features",
+    "doc_contamination_check",
+    "doc_exact_dedup",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "doc_ngram_jaccard_topk",
+    "doc_quality_score",
+    "doc_simhash_near_pairs",
+    "doc_token_budget",
+    "doc_token_rarity",
+    "doc_token_stats",
+    "doc_training_export",
+    "emb_ann_lsh_topk",
+    "emb_cosine_topk",
+    "emb_ivf_topk",
+    "emb_near_dup_pairs",
+    "events_anomaly_zscore",
+    "events_asof_attribution",
+    "events_daily_cube",
+    "events_funnel",
+    "events_json_extract",
+    "events_sessionization",
+    "events_type_pivot",
+    "events_value_histogram",
+    "events_weekly_retention",
+    "geo_wkb_roundtrip",
+    "multimodal_frame_sample",
+    "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
+    "streaming_dedup_keys",
+    "streaming_sessionization",
 ]
 
 

@@ -227,6 +227,39 @@ def st_path_stats(wkb: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"n_points": ns, "len_sq_sum": sums})
 
 
+def with_point_coords(df: DataFrame, wkb_col: str,
+                      x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Decode a WKB point column to (x, y) doubles in ONE Arrow pass.
+
+    Why not ``geom_info(col)["x"]`` twice: struct-field extraction of a
+    pandas-UDF expression gets re-inlined by CollapseProject, so each
+    extracted field re-runs the whole decode (measured 2× python passes
+    per side in the radius join). ``mapInPandas`` is a single plan node —
+    the decode runs exactly once however many fields consumers read."""
+    out_fields = [f for f in df.schema.fields if f.name != wkb_col]
+    schema = T.StructType(out_fields + [T.StructField(x_col, T.DoubleType()),
+                                        T.StructField(y_col, T.DoubleType())])
+    keep = [f.name for f in out_fields]
+
+    def decode(batches):
+        for pdf in batches:
+            out = pdf[keep].copy()
+            xs, ys = [], []
+            for v in pdf[wkb_col]:
+                if v is None:
+                    xs.append(None)
+                    ys.append(None)
+                    continue
+                pos = _first_position(geo.from_wkb(bytes(v)))
+                xs.append(pos[0] if pos else None)
+                ys.append(pos[1] if pos and len(pos) > 1 else None)
+            out[x_col] = xs
+            out[y_col] = ys
+            yield out
+
+    return df.mapInPandas(decode, schema)
+
+
 def radius_candidate_join(
     a: DataFrame,
     b: DataFrame,

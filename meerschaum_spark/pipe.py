@@ -757,11 +757,23 @@ class Pipe:
             # (separate groupBy-collect, then append) paid an extra action
             # per sync — at small-batch cadence that action dominates
             # latency, at 100 TB it is a second full pass over the diff.
-            # ``marked`` is deliberately NOT cached: insert-only syncs (the
-            # common incremental case) would pay a pure-overhead cache
-            # build; the rare update-bearing sync instead recomputes the
-            # diff for its patch — a diff already pruned to the batch's
-            # time window and (for small batches) its key values.
+            # ``marked`` is NOT cached for distributed batches: insert-only
+            # syncs (the common incremental case) would pay a
+            # pure-overhead cache build of every column; the rare
+            # update-bearing sync instead recomputes the diff for its
+            # patch — a diff already pruned to the batch's time window
+            # and (for small batches) its key values. DRIVER-LOCAL small
+            # batches are the exception: their diff output is at most
+            # batch-sized, so a MEMORY_ONLY cache rides the append job
+            # for ~free and the update path's merge reads the cached diff
+            # instead of re-running the backtrack join (one heavy job
+            # saved on exactly the small-update cadence the reference's
+            # API sync hits hardest).
+            pdf = local_out.get("pdf")
+            if pdf is not None and len(pdf) <= 100_000:
+                from pyspark.storagelevel import StorageLevel
+                marked = marked.persist(StorageLevel.MEMORY_ONLY)
+                _persisted.append(marked)
             obs_aggs = [
                 F.count(F.lit(1)).alias("n_total"),
                 F.count(F.col(HIT_COL)).alias("n_update"),

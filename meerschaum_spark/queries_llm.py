@@ -836,9 +836,11 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         wkt = F.concat(F.lit("POINT ("),
                        F.col("x").cast("long").cast("string"), F.lit(" "),
                        F.col("y").cast("long").cast("string"), F.lit(")"))
-        info = G.geom_info(G.wkt_to_wkb(wkt))
-        return df.select(F.col("event_id").alias(idc),
-                         info["x"].alias(xc), info["y"].alias(yc))
+        wkb = df.select(F.col("event_id").alias(idc),
+                        G.wkt_to_wkb(wkt).alias("_wkb"))
+        # one-pass decode (see with_point_coords: field extraction of a
+        # pandas-UDF struct re-runs the decode per field)
+        return G.with_point_coords(wkb, "_wkb", xc, yc)
 
     pts = _geo_points(spark, sf_dir)
     a = as_points(pts.filter(F.col("event_id") % 101 == 0), "a_id", "x1", "y1")

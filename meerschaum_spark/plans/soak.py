@@ -197,6 +197,9 @@ FAMILIES: dict[str, Callable] = {
     "doc_token_budget": _catalog_family("doc_token_budget"),
     "doc_minhash_lsh": _catalog_family("doc_minhash_jaccard_est"),
     "doc_bigram_lm": _catalog_family("doc_bigram_lm_score"),
+    # spatial grid join over events-derived WKB points: candidate volume
+    # must track local density, not |a|×|b|
+    "geo_radius_join": _catalog_family("geo_radius_join"),
 }
 
 

@@ -75,7 +75,8 @@ def main() -> None:
         for fam, rec in results[label].items():
             # corpus rows are the honest normalization axis: several
             # catalog queries return capped/top-k result sets
-            rec["corpus_rows"] = (n_events if fam.startswith("pipe_sync")
+            rec["corpus_rows"] = (n_events if fam in ("pipe_sync_diff",
+                                             "geo_radius_join")
                                   else n_docs)
             print(f"#   {label} {fam}: {rec['sec']} s, rows={rec['rows']}",
                   file=sys.stderr)

@@ -40,16 +40,17 @@ HEAD_ORDER = [
     # code/oracle CHANGED this round, then the stalest green rows).
     # After r6 every catalog query holds a cumulative driver-green row,
     # so this round's head is freshness-driven: re-record everything the
-    # r7 engine work touched, then the 36 queries whose only green rows
-    # predate the r5 diff-path rewrite (r2–r4). The three r4-era queries
-    # that don't fit the 50-cap (doc_gopher_quality-era stragglers)
-    # rotate next round.
+    # r7 engine work touched, then the queries whose only green rows
+    # predate the r5 diff-path rewrite (r2–r4). The r4-era queries that
+    # don't fit the 50-cap (streaming_sessionization and the
+    # doc_gopher_quality-era stragglers) rotate next round.
     #
     # -- new in r7: spatial operators --
     "geo_bbox_agg",
     "geo_point_in_polygon",
     "geo_radius_join",
     "geo_path_length",
+    "geo_polygon_area",
     # -- changed in r7 (oracle boundary fix; sync-path perf rework;
     #    LSH bucket cap; bigram checkpoint rework; salted_top_k) --
     "events_session_window_native",
@@ -99,7 +100,6 @@ HEAD_ORDER = [
     "q13_customer_order_distribution",
     "q17_small_quantity_revenue",
     "streaming_dedup_keys",
-    "streaming_sessionization",
 ]
 
 

@@ -227,6 +227,49 @@ def st_path_stats(wkb: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"n_points": ns, "len_sq_sum": sums})
 
 
+def _ring_shoelace2(ring: list) -> float:
+    """Signed DOUBLED shoelace area of one ring (closing edge implied;
+    an explicitly closed ring contributes a zero term for the repeated
+    vertex, so both conventions give the same sum)."""
+    total = 0.0
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i][0], ring[i][1]
+        x2, y2 = ring[(i + 1) % n][0], ring[(i + 1) % n][1]
+        total += x1 * y2 - x2 * y1
+    return total
+
+
+@F.pandas_udf(T.LongType())
+def st_area2(wkb: pd.Series) -> pd.Series:
+    """DOUBLED polygon area (ST_Area × 2) as an exact integer for
+    integer-grid vertices: |shoelace(shell)| minus Σ|shoelace(hole)| per
+    polygon, summed over multipolygon parts. The doubled form keeps
+    half-unit triangles exactly representable, so closed-form oracles
+    hash-match without float tolerance."""
+    out = []
+    for v in wkb:
+        if v is None:
+            out.append(None)
+            continue
+        g = geo.from_wkb(bytes(v))
+        t = g.geom_type.lower()
+        polys = [g.coords] if t == "polygon" else (
+            g.coords if t == "multipolygon" else None)
+        if polys is None:
+            raise ValueError(f"st_area2 requires a polygonal geometry, "
+                             f"got {g.geom_type}")
+        total = 0.0
+        for rings in polys:
+            if not rings:
+                continue
+            total += abs(_ring_shoelace2(rings[0]))
+            for hole in rings[1:]:
+                total -= abs(_ring_shoelace2(hole))
+        out.append(int(round(total)))
+    return pd.Series(out, dtype="object")
+
+
 def with_point_coords(df: DataFrame, wkb_col: str,
                       x_col: str = "x", y_col: str = "y") -> DataFrame:
     """Decode a WKB point column to (x, y) doubles in ONE Arrow pass.

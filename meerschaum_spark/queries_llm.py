@@ -859,6 +859,56 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "geo_polygon_area",
+    """
+    WITH p AS (SELECT event_type,
+                      event_id % 97 AS x, event_id % 89 AS y,
+                      event_id % 7 + 1 AS a, event_id % 5 + 1 AS b,
+                      event_id % 11 + 1 AS e
+               FROM events),
+    s AS (SELECT event_type,
+                 abs( (x * y - (x + a) * y)
+                    + ((x + a) * (y + b) - (x + e) * y)
+                    + ((x + e) * (y + b) - x * (y + b))
+                    + (x * y - x * (y + b)) ) AS area2
+          FROM p)
+    SELECT event_type, count(*) AS n_polys,
+           CAST(sum(area2) AS BIGINT) AS sum_area2
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+)
+def geo_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Area over per-row polygon geometries: each event becomes a
+    simple quadrilateral with integer vertices ((x,y) → (x+a,y) →
+    (x+e,y+b) → (x,y+b)), encoded to WKB and measured by the shoelace
+    UDF in one Arrow pass; the per-group sum aggregates JVM-side. The
+    DOUBLED area is an exact integer, and the oracle evaluates the same
+    four shoelace cross-terms in closed form — the ring decode, vertex
+    order, and hole-free shoelace must all be exactly right to
+    hash-match."""
+    from meerschaum_spark.functions import geo as G
+    ev = _geo_points(spark, sf_dir)
+    num = lambda c: c.cast("long").cast("string")  # noqa: E731
+    x, y = F.col("x"), F.col("y")
+    a = F.col("event_id") % 7 + 1
+    b = F.col("event_id") % 5 + 1
+    e = F.col("event_id") % 11 + 1
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        num(x), F.lit(" "), num(y), F.lit(", "),
+        num(x + a), F.lit(" "), num(y), F.lit(", "),
+        num(x + e), F.lit(" "), num(y + b), F.lit(", "),
+        num(x), F.lit(" "), num(y + b), F.lit(", "),
+        num(x), F.lit(" "), num(y), F.lit("))"))
+    return (ev.select("event_type",
+                      G.st_area2(G.wkt_to_wkb(wkt)).alias("area2"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_polys"),
+                 F.sum("area2").cast("long").alias("sum_area2"))
+            .orderBy("event_type"))
+
+
+@query(
     "geo_path_length",
     """
     WITH r AS (

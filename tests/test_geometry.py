@@ -306,3 +306,26 @@ def test_st_path_stats_exact(spark):
     assert got["a"] == (3, 61)
     assert got["b"] == (1, 0)
     assert got["c"] == (None, None)
+
+
+def test_st_area2_exact_with_holes(spark):
+    """Doubled shoelace area: exact integers for integer-grid polygons,
+    holes subtract, multipolygon parts sum, orientation-independent."""
+    from pyspark.sql import functions as F
+
+    from meerschaum_spark.functions import geo as G
+    cases = [
+        ("square", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", 32),
+        ("tri", "POLYGON ((0 0, 3 0, 0 3, 0 0))", 9),
+        ("cw_square", "POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))", 32),
+        ("holed", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                  "(2 2, 4 2, 4 4, 2 4, 2 2))", 200 - 8),
+        ("multi", "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), "
+                  "((5 5, 8 5, 8 9, 5 9, 5 5)))", 8 + 24),
+    ]
+    df = spark.createDataFrame([(k, w) for k, w, _ in cases],
+                               "k string, wkt string")
+    got = {r["k"]: r["a2"] for r in df.select(
+        "k", G.st_area2(G.wkt_to_wkb(F.col("wkt"))).alias("a2")).collect()}
+    for k, _, want in cases:
+        assert got[k] == want, (k, got[k], want)

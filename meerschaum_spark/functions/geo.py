@@ -325,6 +325,14 @@ def radius_candidate_join(
     cell = float(cell if cell is not None else radius)
     if cell <= 0:
         raise ValueError("cell width must be positive")
+    if cell < radius:
+        # the 3×3 neighborhood only covers all true pairs when one cell
+        # step bounds the radius — a finer grid would need a wider
+        # neighborhood and silently dropping far pairs is worse than
+        # refusing
+        raise ValueError(
+            f"cell width {cell} < radius {radius}: pairs spanning more "
+            "than one cell would be missed (use cell >= radius)")
     spark = a.sparkSession
     offsets = spark.createDataFrame(
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],

@@ -892,12 +892,15 @@ class Pipe:
             return v.item() if hasattr(v, "item") else v
 
         stats: dict = {}
-        if dt and dt in stats_cols and not force_full_scan:
+        if dt and dt in stats_cols:
             s = pdf[dt]
             nn = s.dropna()
+            # null count unconditionally (hot-null-key salting input);
+            # bounds only when they may narrow the backtrack
             stats["_dt_nulls"] = int(len(s) - len(nn))
-            stats["_lo"] = _py(nn.min()) if len(nn) else None
-            stats["_hi"] = _py(nn.max()) if len(nn) else None
+            if not force_full_scan:
+                stats["_lo"] = _py(nn.min()) if len(nn) else None
+                stats["_hi"] = _py(nn.max()) if len(nn) else None
         for col in key_cols:
             s = pdf[col]
             n_null = int(s.isna().sum())
@@ -939,10 +942,14 @@ class Pipe:
         # batch (core/Pipe/_sync.py:794-878); here it costs one pass
         stats_aggs: list[F.Column] = []
         key_cols = [c for c in keys if c != dt]
-        if dt and dt in df.columns and not force_full_scan:
-            stats_aggs += [F.min(dt).alias("_lo"), F.max(dt).alias("_hi"),
-                           F.count(F.when(F.col(dt).isNull(), 1))
-                           .alias("_dt_nulls")]
+        if dt and dt in df.columns:
+            if not force_full_scan:
+                stats_aggs += [F.min(dt).alias("_lo"),
+                               F.max(dt).alias("_hi")]
+            # null count collected even under force_full_scan: it feeds
+            # the hot-null-key salting decision, not the bounds
+            stats_aggs.append(F.count(F.when(F.col(dt).isNull(), 1))
+                              .alias("_dt_nulls"))
         for col in key_cols:
             # HLL estimate, not exact countDistinct: the only decision is
             # "≤ 250 distinct?", and the exact distinct shuffle would cost
@@ -978,11 +985,14 @@ class Pipe:
         elif _stats_hint is not None and stats_aggs:
             # the ingest-dedup guard already observed the batch's stats on
             # its checkpoint job — reuse them instead of a second pass.
-            # Under force_full_scan the dt bounds must not narrow the
-            # backtrack, so drop them (matching stats_aggs' own guard).
+            # Under force_full_scan the dt BOUNDS must not narrow the
+            # backtrack, so drop them (matching stats_aggs' own guard) —
+            # but keep _dt_nulls: the hot-null-key salting decision reads
+            # it, and a full-scan diff is exactly where a hot null dt key
+            # hurts most.
             stats = dict(_stats_hint)
             if force_full_scan:
-                for k in ("_lo", "_hi", "_dt_nulls"):
+                for k in ("_lo", "_hi"):
                     stats.pop(k, None)
         elif stats_aggs:
             row = stats_src.agg(*stats_aggs).first()
@@ -1199,7 +1209,8 @@ class Pipe:
         w = Window.partitionBy("_fp1", "_fp2").orderBy(F.col(ORD_COL).asc())
         keep = (fps.withColumn("_fprn", F.row_number().over(w))
                 .filter(F.col("_fprn") == 1).drop("_fprn"))
-        if os.path.isdir(self._fps_dir):
+        have_seen = os.path.isdir(self._fps_dir)
+        if have_seen:
             seen = (self.spark.read.schema("_fp1 long, _fp2 long")
                     .parquet(self._fps_dir))
             keep = keep.join(seen, on=["_fp1", "_fp2"], how="left_anti")
@@ -1223,9 +1234,14 @@ class Pipe:
             obs = Observation()
             keep = keep.observe(obs, *obs_aggs).localCheckpoint()
             stats = dict(obs.get)
-        if not int(stats.get("_n") or 0):
+        if not int(stats.get("_n") or 0) and have_seen:
             # every row's content was already ingested: nothing to diff,
-            # write, or fingerprint — the caller returns a no-op sync
+            # write, or fingerprint — the caller returns a no-op sync.
+            # Guarded on the side table EXISTING: without it, zero
+            # survivors just means the batch itself was empty (the
+            # within-batch window drops nothing from a fresh corpus), and
+            # a brand-new pipe must still fall through to the normal
+            # machinery so registration happens.
             self._fps_tls.empty = True
             return df
         stats.pop("_n", None)

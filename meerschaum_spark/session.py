@@ -44,11 +44,17 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.ui.enabled": "false",
     # v2 commit: tasks move their files into the destination directly
     # instead of staging under the job dir for a second driver-side
-    # rename pass. The engine's writes land in staging dirs that a
-    # driver-side swap publishes (store._swap_partitions), so v1's
-    # crash-atomicity buys nothing here — v2 halves the rename traffic
-    # of every partitioned write, the dominant fixed cost of a
-    # small-batch sync's append/merge.
+    # rename pass — halving the rename traffic of every partitioned
+    # write, the dominant fixed cost of a small-batch sync. Atomicity
+    # accounting: merge/replace/overwrite paths write to a STAGING dir
+    # that a driver-side swap publishes (store._swap_partitions), so v1
+    # buys nothing there. Plain appends DO write into the table path, so
+    # a mid-job failure can leave already-committed task files visible —
+    # accepted because the sync diff is full-row-fingerprint based: a
+    # retry of the failed batch diffs the orphaned rows out and lands
+    # exactly the missing remainder (self-healing, same end state as
+    # v1-plus-retry; a transactional table format would close the
+    # transient-visibility window on a real cluster).
     "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
 }
 

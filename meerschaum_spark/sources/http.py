@@ -185,41 +185,46 @@ class RemotePipe:
         chunks; staged ``parameters`` are registered remotely first so
         column roles arrive before the first batch. Returns the last
         response with inserted/updated summed across chunks."""
+        from itertools import islice
         if not isinstance(docs, (list, tuple)):
             docs = self._df_to_docs(docs)
             if self.parameters:
                 # 409 (already registered) is fine — columns then come
                 # from the existing remote registration
                 self.register(self.parameters)
-        docs = list(docs)
-        if not docs:
-            return 200, {"success": True, "message": "Empty batch.",
-                         "inserted": 0, "updated": 0}
+        # chunk LAZILY: a Spark frame streams through toLocalIterator, so
+        # driver memory stays O(chunk) however large the table is
+        it = iter(docs)
         total_ins = total_upd = 0
-        code, out = 200, {}
-        for i in range(0, len(docs), self.SYNC_CHUNK_DOCS):
-            code, out = self._call(
-                "data", "POST", {"docs": docs[i:i + self.SYNC_CHUNK_DOCS]})
+        code, out = 200, {"success": True, "message": "Empty batch.",
+                          "inserted": 0, "updated": 0}
+        while True:
+            chunk = list(islice(it, self.SYNC_CHUNK_DOCS))
+            if not chunk:
+                break
+            code, out = self._call("data", "POST", {"docs": chunk})
             if code != 200:
                 return code, out
             total_ins += int(out.get("inserted") or 0)
             total_upd += int(out.get("updated") or 0)
-        out = dict(out)
-        out["inserted"], out["updated"] = total_ins, total_upd
+            out = dict(out)
+            out["inserted"], out["updated"] = total_ins, total_upd
         return code, out
 
     @staticmethod
-    def _df_to_docs(df: Any) -> list[dict]:
+    def _df_to_docs(df: Any):
         """Serialize a Spark or pandas DataFrame to canonical JSON docs
         (ISO datetimes, base64 bytes — the same rules the server's export
-        uses, so a round-trip re-ingests to identical rows)."""
+        uses, so a round-trip re-ingests to identical rows). Returns an
+        ITERATOR for Spark frames (toLocalIterator — never materializes
+        the table driver-side) and a list for pandas."""
         try:
             from pyspark.sql import DataFrame as _SparkDF
         except ImportError:  # pragma: no cover
             _SparkDF = ()
         if isinstance(df, _SparkDF):
             from meerschaum_spark.export import iter_json_docs
-            return list(iter_json_docs(df))
+            return iter_json_docs(df)
         if isinstance(df, pd.DataFrame):
             from meerschaum_spark.export import _clean_value
 

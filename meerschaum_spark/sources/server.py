@@ -401,11 +401,18 @@ class PipeHTTPServer:
                 pipe.parameters.update(new_params)
             else:
                 pipe.parameters = dict(new_params)
-            if self.user_auth and owner is not None \
-                    and not self._is_admin(principal):
-                # an edit must not reassign or clear ownership (only an
-                # admin may transfer a pipe)
-                pipe.parameters["owner"] = owner
+            if owner is not None:
+                if self.user_auth and not self._is_admin(principal):
+                    # a non-admin edit must not reassign or clear
+                    # ownership (only an admin may transfer a pipe)
+                    pipe.parameters["owner"] = owner
+                else:
+                    # a routine edit (admin, or auth off) whose body
+                    # doesn't mention ownership must not silently WIPE
+                    # it — a full-replace edit would otherwise strand
+                    # the pipe as admin-only (explicit 'owner' in the
+                    # body is an intentional admin transfer)
+                    pipe.parameters.setdefault("owner", owner)
             pipe.register()
             return 200, {"success": True, "message": f"Edited {pipe.target}."}
         if action == ["drop"] and method in ("DELETE", "POST"):

@@ -329,3 +329,16 @@ def test_st_area2_exact_with_holes(spark):
         "k", G.st_area2(G.wkt_to_wkb(F.col("wkt"))).alias("a2")).collect()}
     for k, _, want in cases:
         assert got[k] == want, (k, got[k], want)
+
+
+def test_radius_join_rejects_undersized_cells(spark):
+    import pytest as _pytest
+
+    from meerschaum_spark.functions import geo as G
+    a = spark.range(2).selectExpr("id a_id", "cast(id as double) x1",
+                                  "cast(id as double) y1")
+    b = spark.range(2).selectExpr("id b_id", "cast(id as double) x2",
+                                  "cast(id as double) y2")
+    with _pytest.raises(ValueError, match="cell width"):
+        G.radius_candidate_join(a, b, radius=5.0, cell=2.0,
+                                ax="x1", ay="y1", bx="x2", by="y2")

@@ -721,3 +721,46 @@ def test_copy_to_remote_pipe_over_http(spark, instance_dir, tmp_path):
         assert got == {(r["id"], r["kind"], r["v"]) for r in rows}
     finally:
         server.stop()
+
+
+def test_admin_edit_preserves_ownership(spark, instance_dir):
+    """A routine full-replace edit by an ADMIN (body without 'owner')
+    must not wipe the pipe's ownership; an explicit owner in the body IS
+    an admin transfer."""
+    from meerschaum_spark.sources import PipeHTTPServer
+    from meerschaum_spark.sources.http import (
+        RemotePipe,
+        http_login,
+        http_register_user,
+        http_request_json,
+    )
+
+    server = PipeHTTPServer(spark, instance_dir, user_auth=True).start()
+    try:
+        http_register_user(server.url, "root", "rootpw")
+        atok = http_login(server.url, "root", "rootpw")
+        http_register_user(server.url, "carol", "carolpw", auth_token=atok)
+        ctok = http_login(server.url, "carol", "carolpw")
+        cp = RemotePipe(server.url, "own2", "m", auth_token=ctok)
+        code, _ = cp.register({"columns": {"datetime": "dt", "id": "id"}})
+        assert code == 200
+        # admin full-replace edit WITHOUT owner: ownership survives
+        code, _ = http_request_json(
+            f"{server.url}/pipes/own2/m/edit", method="POST",
+            body={"parameters": {"columns": {"datetime": "dt", "id": "id"},
+                                 "note": "edited"}},
+            headers={"Authorization": f"Bearer {atok}"})
+        assert code == 200
+        code, out = cp.sync([{"dt": "2024-01-01T00:00:00+00:00", "id": 1}])
+        assert code == 200 and out["inserted"] == 1, out
+        # explicit transfer by admin: carol loses write access
+        code, _ = http_request_json(
+            f"{server.url}/pipes/own2/m/edit", method="POST",
+            body={"parameters": {"columns": {"datetime": "dt", "id": "id"},
+                                 "owner": "root"}},
+            headers={"Authorization": f"Bearer {atok}"})
+        assert code == 200
+        code, _ = cp.sync([{"dt": "2024-01-02T00:00:00+00:00", "id": 2}])
+        assert code == 403
+    finally:
+        server.stop()

@@ -577,3 +577,32 @@ def test_sync_counts_correct_on_detached_session(spark, instance_dir):
     assert res.inserted == 2, res.message   # hours 4, 5
     assert res.updated == 1, res.message    # hour 1 value change
     assert pipe.get_rowcount() == 6
+
+
+def test_dedup_pipe_empty_batch_registers(spark, instance_dir):
+    """An EMPTY first batch on a dedup-guarded pipe must not read as
+    'all content previously ingested' — the pipe registers and a
+    subsequent real batch syncs normally (r7 review fix)."""
+    import pandas as pd
+
+    from meerschaum_spark.pipe import Pipe
+
+    pipe = Pipe("dedup", "emptyfirst", instance=instance_dir, spark=spark,
+                columns={"datetime": "doc_id", "id": "doc_id"},
+                parameters={"dedup": {"method": "exact", "column": "text"},
+                            "precision": {"unit": "second"}},
+                dtypes={"doc_id": "int64", "text": "string"})
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r0 = pipe.sync(empty)
+    assert r0.success and r0.inserted == 0
+    assert "previously ingested" not in r0.message
+    r1 = pipe.sync(pd.DataFrame([{"doc_id": 1, "text": "hello"},
+                                 {"doc_id": 2, "text": "world"}]))
+    assert r1.inserted == 2, r1.message
+    # an all-duplicate replay on the now-populated pipe short-circuits
+    r2 = pipe.sync(pd.DataFrame([{"doc_id": 3, "text": "hello"}]))
+    assert r2.inserted == 0 and "previously ingested" in r2.message
+    # and an empty batch on the existing pipe stays a no-op
+    r3 = pipe.sync(empty)
+    assert r3.success and r3.inserted == 0 and r3.updated == 0
+    assert pipe.get_rowcount() == 2

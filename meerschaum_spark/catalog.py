@@ -45,12 +45,14 @@ HEAD_ORDER = [
     # don't fit the 50-cap (streaming_sessionization and the
     # doc_gopher_quality-era stragglers) rotate next round.
     #
-    # -- new in r7: spatial operators --
+    # -- new in r7: spatial operators + OHLC / skyline --
     "geo_bbox_agg",
     "geo_point_in_polygon",
     "geo_radius_join",
     "geo_path_length",
     "geo_polygon_area",
+    "events_ohlc_candles",
+    "part_skyline_pareto",
     # -- changed in r7 (oracle boundary fix; sync-path perf rework;
     #    LSH bucket cap; bigram checkpoint rework; salted_top_k) --
     "events_session_window_native",
@@ -98,8 +100,6 @@ HEAD_ORDER = [
     "geo_wkb_roundtrip",
     "multimodal_frame_sample",
     "q13_customer_order_distribution",
-    "q17_small_quantity_revenue",
-    "streaming_dedup_keys",
 ]
 
 

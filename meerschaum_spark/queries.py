@@ -3401,3 +3401,101 @@ def events_session_window_native(spark: SparkSession,
                     F.col("w.end").alias("session_end"),
                     "n_events")
             .orderBy("user_id", "session_start"))
+
+
+# ===========================================================================
+# r7 additions: OHLC candlestick rollup (TimescaleDB candlestick_agg /
+# ohlc analogue) and the 2-D skyline (Pareto) operator
+# ===========================================================================
+
+@query(
+    "events_ohlc_candles",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             ts, event_id, value
+      FROM events),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b)
+    SELECT event_type, bucket,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_trades
+    FROM r GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def events_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``candlestick_agg``/``ohlc`` analogue: per
+    (series, hour) — open (value at the first (ts, event_id)), high,
+    low, close (value at the last), and trade count.
+
+    Scale shape: ONE hash aggregation — ``min_by``/``max_by`` over the
+    (ts, event_id) struct are decomposable, so open/close combine
+    map-side like min/max do, and no per-bucket sort or window ever
+    materializes (the oracle's double row_number window is exactly the
+    shape this avoids). Ties are impossible because event_id is unique;
+    the struct order makes the choice deterministic anyway."""
+    ev = load_table(spark, sf_dir, "events")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("event_type",
+                   F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.min_by("value", order).alias("open"),
+             F.max("value").alias("high"),
+             F.min("value").alias("low"),
+             F.max_by("value", order).alias("close"),
+             F.count(F.lit(1)).alias("n_trades"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+@query(
+    "part_skyline_pareto",
+    """
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size <= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+    ORDER BY p_retailprice, p_size, p_partkey
+    """,
+)
+def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-optimal) parts minimizing (retail price, size):
+    a part survives iff no other part is ≤ on both axes and < on one.
+
+    Scale shape: the classic sort-filter skyline collapsed to
+    aggregations — min size per distinct price (hash agg), a window over
+    DISTINCT PRICES only (thousands of rows, not the table) for the
+    strictly-cheaper running minimum, then a broadcast join back. The
+    oracle is the quadratic NOT EXISTS definition, which is exactly the
+    all-pairs shape this avoids: a row is dominated iff a strictly
+    cheaper price achieved ≤ its size, or its own price point achieved a
+    strictly smaller size. Equal (price, size) duplicates dominate
+    neither each other nor themselves, matching the definition."""
+    part = load_table(spark, sf_dir, "part")
+    per_price = (part.groupBy("p_retailprice")
+                 .agg(F.min("p_size").alias("_min_sz")))
+    w = (Window.orderBy("p_retailprice")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    frontier = per_price.withColumn("_cheaper_min_sz",
+                                    F.min("_min_sz").over(w))
+    dominated = (
+        (F.col("_cheaper_min_sz").isNotNull()
+         & (F.col("_cheaper_min_sz") <= F.col("p_size")))
+        | (F.col("_min_sz") < F.col("p_size"))
+    )
+    return (part.join(F.broadcast(frontier), on="p_retailprice")
+            .filter(~dominated)
+            .select("p_partkey", "p_retailprice", "p_size")
+            .orderBy("p_retailprice", "p_size", "p_partkey"))

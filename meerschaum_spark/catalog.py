@@ -53,6 +53,8 @@ HEAD_ORDER = [
     "geo_polygon_area",
     "events_ohlc_candles",
     "part_skyline_pareto",
+    "events_ema_sequential",
+    "events_lttb_downsample",
     # -- changed in r7 (oracle boundary fix; sync-path perf rework;
     #    LSH bucket cap; bigram checkpoint rework; salted_top_k) --
     "events_session_window_native",
@@ -98,8 +100,6 @@ HEAD_ORDER = [
     "events_value_histogram",
     "events_weekly_retention",
     "geo_wkb_roundtrip",
-    "multimodal_frame_sample",
-    "q13_customer_order_distribution",
 ]
 
 

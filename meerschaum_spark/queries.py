@@ -3499,3 +3499,203 @@ def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(~dominated)
             .select("p_partkey", "p_retailprice", "p_size")
             .orderBy("p_retailprice", "p_size", "p_partkey"))
+
+
+@query(
+    "events_ema_sequential",
+    """
+    WITH RECURSIVE base AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    rec AS (
+      SELECT user_id, ts, event_id, rn, y AS ema FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.ts, b.event_id, b.rn,
+             (r.ema + b.y) // 2
+      FROM rec r JOIN base b
+        ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+    SELECT user_id, ts, event_id, ema AS ema_scaled
+    FROM rec ORDER BY user_id, ts, event_id
+    """,
+)
+def events_ema_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series EWMA (α = 1/2) as an INTEGER recurrence
+    (S₁ = y₁; Sᵢ = ⌊(Sᵢ₋₁ + yᵢ)/2⌋ over µ-scaled values) — the catalog's
+    demonstration of the ``applyInPandas`` escape hatch for genuinely
+    SEQUENTIAL per-key algorithms that no window/aggregate composition
+    expresses: each group arrives as one Arrow batch, the recurrence
+    runs in plain Python ints, and groups parallelize across the
+    cluster (one shuffle on the series key — state never leaves a
+    group). The integer floor makes the result bit-exact cross-engine;
+    the oracle replays the identical recurrence as a recursive CTE.
+
+    Scale note: per-group state is O(1); the only cost driver is the
+    largest single series (same bound any per-key sequential algorithm
+    has). Float EWMA at 100 TB would instead use the closed-form
+    log-domain scan or accept non-associativity."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+        .cast("long").alias("y"))
+
+    def ema(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = []
+        s = None
+        for y in pdf["y"]:
+            y = int(y)
+            s = y if s is None else (s + y) // 2
+            out.append(s)
+        pdf = pdf[["user_id", "ts", "event_id"]].copy()
+        pdf["ema_scaled"] = out
+        return pdf
+
+    return (ev.groupBy("user_id")
+            .applyInPandas(
+                ema,
+                "user_id long, ts timestamp, event_id long, "
+                "ema_scaled long")
+            .orderBy("user_id", "ts", "event_id"))
+
+
+@query(
+    "events_lttb_downsample",
+    """
+WITH RECURSIVE base AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) // 1000000
+           - min(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id) AS x,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+small AS (SELECT user_id, ts, event_id, y FROM base WHERE n <= 12),
+big AS (SELECT * FROM base WHERE n > 12),
+mid AS (SELECT *, ((rn - 2) * 10) // (n - 2) AS b
+        FROM big WHERE rn >= 2 AND rn <= n - 1),
+cand AS (SELECT user_id, b,
+                list(struct_pack(rn := rn, x := x, y := y) ORDER BY rn) AS pts
+         FROM mid GROUP BY user_id, b),
+nxt AS (
+  SELECT m.user_id, m.b - 1 AS b,
+         sum(m.x) AS sx, sum(m.y) AS sy, count(*) AS c
+  FROM mid m WHERE m.b >= 1 GROUP BY m.user_id, m.b
+  UNION ALL
+  SELECT g.user_id, 9 AS b, g.x AS sx, g.y AS sy, 1 AS c
+  FROM big g WHERE g.rn = g.n),
+rec AS (
+  SELECT user_id, CAST(-1 AS BIGINT) AS b, x AS px, y AS py, rn AS sel_rn
+  FROM big WHERE rn = 1
+  UNION ALL
+  SELECT r.user_id, r.b + 1,
+         c.pts[list_position(
+             list_transform(c.pts, p ->
+               abs((r.px * nx.c - nx.sx) * (p.y - r.py)
+                   - (r.px - p.x) * (nx.sy - r.py * nx.c))),
+             list_max(list_transform(c.pts, p ->
+               abs((r.px * nx.c - nx.sx) * (p.y - r.py)
+                   - (r.px - p.x) * (nx.sy - r.py * nx.c)))))].x,
+         c.pts[list_position(
+             list_transform(c.pts, p ->
+               abs((r.px * nx.c - nx.sx) * (p.y - r.py)
+                   - (r.px - p.x) * (nx.sy - r.py * nx.c))),
+             list_max(list_transform(c.pts, p ->
+               abs((r.px * nx.c - nx.sx) * (p.y - r.py)
+                   - (r.px - p.x) * (nx.sy - r.py * nx.c)))))].y,
+         c.pts[list_position(
+             list_transform(c.pts, p ->
+               abs((r.px * nx.c - nx.sx) * (p.y - r.py)
+                   - (r.px - p.x) * (nx.sy - r.py * nx.c))),
+             list_max(list_transform(c.pts, p ->
+               abs((r.px * nx.c - nx.sx) * (p.y - r.py)
+                   - (r.px - p.x) * (nx.sy - r.py * nx.c)))))].rn
+  FROM rec r
+  JOIN cand c ON c.user_id = r.user_id AND c.b = r.b + 1
+  JOIN nxt nx ON nx.user_id = r.user_id AND nx.b = r.b + 1),
+sel AS (
+  SELECT r.user_id, b2.ts, b2.event_id, b2.y
+  FROM rec r JOIN base b2 ON b2.user_id = r.user_id AND b2.rn = r.sel_rn
+  UNION ALL
+  SELECT user_id, ts, event_id, y FROM big WHERE rn = n
+  UNION ALL
+  SELECT user_id, ts, event_id, y FROM small)
+SELECT user_id, ts, event_id, y AS value_scaled
+FROM sel ORDER BY user_id, ts, event_id
+    """,
+)
+def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (TimescaleDB
+    ``lttb`` hyperfunction / Steinarsson 2013): each series keeps its
+    first and last points plus, per bucket, the point forming the
+    largest triangle with the PREVIOUSLY SELECTED point and the next
+    bucket's centroid — a greedy SEQUENTIAL choice no window/aggregate
+    composition expresses, so it runs per-series in ``applyInPandas``
+    (one shuffle on the series key; each group is one Arrow batch;
+    groups parallelize across executors).
+
+    Exactness contract: x is per-series-relative epoch SECONDS and y is
+    µ-scaled to integers, so the triangle areas are exact integer
+    arithmetic (the centroid divide is cleared by multiplying through
+    by the next bucket's count) — bounded well inside int64 — and the
+    greedy argmax (ties → earliest point) is bit-identical to the
+    oracle's recursive CTE, which replays the same recurrence with
+    list-argmax steps. T=12 points out, B=10 interior buckets; series
+    with ≤ T points pass through whole."""
+    T, B = 12, 10
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        (F.unix_micros("ts") / F.lit(1_000_000)).cast("long").alias("xs"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+        .cast("long").alias("y"))
+
+    def lttb(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        base_x = int(pdf["xs"].min())
+        pts = [(r.ts, int(r.event_id), int(r.xs) - base_x, int(r.y))
+               for r in pdf.itertuples()]
+        n = len(pts)
+        if n <= T:
+            sel = pts
+        else:
+            first, last = pts[0], pts[-1]
+            mids = pts[1:-1]
+            buckets = [[] for _ in range(B)]
+            for k, p in enumerate(mids):
+                buckets[(k * B) // (n - 2)].append(p)
+            sel = [first]
+            prev = first
+            for b in range(B):
+                if b < B - 1:
+                    nb = buckets[b + 1]
+                    sx = sum(p[2] for p in nb)
+                    sy = sum(p[3] for p in nb)
+                    c = len(nb)
+                else:
+                    sx, sy, c = last[2], last[3], 1
+                best, best_area = None, -1
+                for p in buckets[b]:
+                    area = abs((prev[2] * c - sx) * (p[3] - prev[3])
+                               - (prev[2] - p[2]) * (sy - prev[3] * c))
+                    if area > best_area:
+                        best_area, best = area, p
+                sel.append(best)
+                prev = best
+            sel.append(last)
+        import pandas as _pd
+        uid = int(pdf["user_id"].iloc[0])
+        return _pd.DataFrame({
+            "user_id": [uid] * len(sel),
+            "ts": [p[0] for p in sel],
+            "event_id": [p[1] for p in sel],
+            "value_scaled": [p[3] for p in sel],
+        })
+
+    return (ev.groupBy("user_id")
+            .applyInPandas(
+                lttb,
+                "user_id long, ts timestamp, event_id long, "
+                "value_scaled long")
+            .orderBy("user_id", "ts", "event_id"))

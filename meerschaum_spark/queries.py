@@ -3535,11 +3535,20 @@ def events_ema_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: per-group state is O(1); the only cost driver is the
     largest single series (same bound any per-key sequential algorithm
     has). Float EWMA at 100 TB would instead use the closed-form
-    log-domain scan or accept non-associativity."""
-    ev = load_table(spark, sf_dir, "events").select(
+    log-domain scan or accept non-associativity.
+
+    Partitioning: the EXPLICIT numbered repartition on the series key is
+    load-bearing — AQE coalesces the grouping shuffle by BYTE size, and
+    a python-CPU-bound stage measured in per-group call overhead (not
+    bytes) was squeezed onto 2 tasks (measured 3× slower). Catalyst
+    reuses the explicit hash partitioning for the groupBy, so there is
+    no second shuffle."""
+    n_par = spark.sparkContext.defaultParallelism
+    ev = (load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id",
         F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
         .cast("long").alias("y"))
+        .repartition(n_par, "user_id"))
 
     def ema(pdf):
         pdf = pdf.sort_values(["ts", "event_id"])
@@ -3643,13 +3652,17 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy argmax (ties → earliest point) is bit-identical to the
     oracle's recursive CTE, which replays the same recurrence with
     list-argmax steps. T=12 points out, B=10 interior buckets; series
-    with ≤ T points pass through whole."""
+    with ≤ T points pass through whole. The explicit numbered
+    repartition sizes the python stage by CORES, not bytes (see
+    events_ema_sequential)."""
     T, B = 12, 10
-    ev = load_table(spark, sf_dir, "events").select(
+    n_par = spark.sparkContext.defaultParallelism
+    ev = (load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id",
         (F.unix_micros("ts") / F.lit(1_000_000)).cast("long").alias("xs"),
         F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
         .cast("long").alias("y"))
+        .repartition(n_par, "user_id"))
 
     def lttb(pdf):
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)

@@ -79,16 +79,47 @@ def wkb_to_wkt(wkb: pd.Series) -> pd.Series:
 
 
 def with_geom_info(df: DataFrame, col: str, prefix: str = "geo_") -> DataFrame:
-    """Attach decoded geometry metadata columns for a WKB column."""
-    info = geom_info(F.col(col))
-    return df.select(
-        "*",
-        info["geom_type"].alias(f"{prefix}type"),
-        info["srid"].alias(f"{prefix}srid"),
-        info["x"].alias(f"{prefix}x"),
-        info["y"].alias(f"{prefix}y"),
-        info["n_points"].alias(f"{prefix}n_points"),
-    )
+    """Attach decoded geometry metadata columns for a WKB column.
+
+    One ``mapInPandas`` pass, NOT five struct-field extractions of a
+    ``geom_info`` expression: field extraction of a pandas-UDF struct is
+    re-inlined per field by CollapseProject, so the expression form
+    decodes every geometry up to five times (same hazard
+    ``with_point_coords`` documents)."""
+    out_schema = T.StructType(list(df.schema.fields) + [
+        T.StructField(f"{prefix}type", T.StringType()),
+        T.StructField(f"{prefix}srid", T.IntegerType()),
+        T.StructField(f"{prefix}x", T.DoubleType()),
+        T.StructField(f"{prefix}y", T.DoubleType()),
+        T.StructField(f"{prefix}n_points", T.IntegerType()),
+    ])
+    keep = [f.name for f in df.schema.fields]
+
+    def decode(batches):
+        for pdf in batches:
+            out = pdf[keep].copy()
+            cols = {"type": [], "srid": [], "x": [], "y": [],
+                    "n_points": []}
+            for v in pdf[col]:
+                if v is None:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                g = geo.from_wkb(bytes(v))
+                pos = _first_position(g)
+                cols["type"].append(g.geom_type)
+                cols["srid"].append(g.srid)
+                cols["x"].append(pos[0] if pos else None)
+                cols["y"].append(pos[1] if pos and len(pos) > 1 else None)
+                cols["n_points"].append(
+                    len(g.coords) // (3 if g.has_z else 2)
+                    if g.geom_type.lower() == "point" and g.coords
+                    else _count_positions(g.coords))
+            for k, vals in cols.items():
+                out[f"{prefix}{k}"] = vals
+            yield out
+
+    return df.mapInPandas(decode, out_schema)
 
 
 # ===========================================================================

@@ -200,6 +200,10 @@ FAMILIES: dict[str, Callable] = {
     # spatial grid join over events-derived WKB points: candidate volume
     # must track local density, not |a|×|b|
     "geo_radius_join": _catalog_family("geo_radius_join"),
+    # per-series sequential python (applyInPandas): series COUNT scales
+    # 10× while series length stays constant — the axis that stresses
+    # per-group call overhead and the cores-not-bytes partitioning
+    "events_lttb": _catalog_family("events_lttb_downsample"),
 }
 
 

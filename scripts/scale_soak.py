@@ -76,7 +76,8 @@ def main() -> None:
             # corpus rows are the honest normalization axis: several
             # catalog queries return capped/top-k result sets
             rec["corpus_rows"] = (n_events if fam in ("pipe_sync_diff",
-                                             "geo_radius_join")
+                                             "geo_radius_join",
+                                             "events_lttb")
                                   else n_docs)
             print(f"#   {label} {fam}: {rec['sec']} s, rows={rec['rows']}",
                   file=sys.stderr)

@@ -19,7 +19,7 @@ pytestmark = pytest.mark.slow
 
 SCALE = 6
 FAMILIES = ["pipe_sync_diff", "pipe_ingest_dedup", "doc_domain_caps",
-            "doc_minhash_lsh", "doc_bigram_lm"]
+            "doc_minhash_lsh", "doc_bigram_lm", "events_lttb"]
 
 
 @pytest.fixture(scope="module")

@@ -55,6 +55,7 @@ HEAD_ORDER = [
     "part_skyline_pareto",
     "events_ema_sequential",
     "events_lttb_downsample",
+    "streaming_ema_sequential",
     # -- changed in r7 (oracle boundary fix; sync-path perf rework;
     #    LSH bucket cap; bigram checkpoint rework; salted_top_k) --
     "events_session_window_native",
@@ -99,7 +100,6 @@ HEAD_ORDER = [
     "events_type_pivot",
     "events_value_histogram",
     "events_weekly_retention",
-    "geo_wkb_roundtrip",
 ]
 
 

@@ -3712,3 +3712,62 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id long, ts timestamp, event_id long, "
                 "value_scaled long")
             .orderBy("user_id", "ts", "event_id"))
+
+
+@query(
+    "streaming_ema_sequential",
+    """
+    WITH RECURSIVE base AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    rec AS (
+      SELECT user_id, rn, y AS ema FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.rn, (r.ema + b.y) // 2
+      FROM rec r JOIN base b
+        ON b.user_id = r.user_id AND b.rn = r.rn + 1),
+    fin AS (SELECT user_id, max(rn) AS n_events FROM rec GROUP BY user_id)
+    SELECT r.user_id, f.n_events, r.ema AS ema_scaled
+    FROM rec r JOIN fin f ON r.user_id = f.user_id AND r.rn = f.n_events
+    ORDER BY r.user_id
+    """,
+)
+def streaming_ema_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sequential EWMA maintained CONTINUOUSLY: the event stream
+    replays through ``stateful_ema`` (``applyInPandasWithState`` — two
+    longs of state per key), and the final per-key (n, ema) must equal
+    the batch recurrence's last row — streaming and batch twins share
+    one recursive-CTE oracle, the same twin discipline as the CDC
+    snapshot pair. Readers keep the max-``n_events`` emission per key
+    (monotonic across micro-batches)."""
+    import os as _os
+
+    from meerschaum_spark.streaming.stateful import stateful_ema
+
+    _STREAM_RUN_COUNTER[0] += 1
+    sink = f"_mrsm_stream_ema_{_STREAM_RUN_COUNTER[0]}"
+    path = _os.path.join(sf_dir, "events.parquet")
+    with _stream_replay_confs(spark):
+        raw = spark.read.parquet(path)
+        stream = (spark.readStream.schema(raw.schema)
+                  .option("pathGlobFilter", "events.parquet")
+                  .parquet(sf_dir))
+        stream = canonicalize_ts(stream, ["ts"])
+        q = (stateful_ema(stream).writeStream.format("memory")
+             .queryName(sink).outputMode("update")
+             .trigger(availableNow=True).start())
+        finished = q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+        if not finished:
+            q.stop()
+            raise TimeoutError("streaming EMA replay did not finish in 300 s")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (spark.table(sink)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n_events", "ema_scaled")
+            .orderBy("user_id"))

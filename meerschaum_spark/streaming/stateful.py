@@ -207,3 +207,63 @@ def stateful_cdc_snapshot(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     ))
+
+
+EMA_OUTPUT_SCHEMA = "user_id long, n_events long, ema_scaled long"
+EMA_STATE_SCHEMA = "ema long, n long"
+
+
+def _ema_group(
+    key: Tuple[Any],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold one key's micro-batch rows through the integer EWMA
+    recurrence (S₁ = y₁; Sᵢ = ⌊(Sᵢ₋₁ + yᵢ)/2⌋), state carrying the
+    running (ema, count) across batches. Python ints — the recurrence is
+    exact, matching the batch twin and the shared recursive-CTE oracle
+    bit-for-bit (batch boundaries must respect per-key ts order, the
+    same contract the CDC/sessionize twins state)."""
+    (user_id,) = key
+    if state.exists:
+        ema, n = state.get
+    else:
+        ema, n = None, 0
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if len(rows):
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        for y in rows["y"]:
+            y = int(y)
+            ema = y if ema is None else (int(ema) + y) // 2
+            n += 1
+    state.update((int(ema) if ema is not None else None, int(n)))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
+                        "ema_scaled": [ema]})
+
+
+def stateful_ema(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of ``events_ema_sequential``: the per-series
+    integer EWMA recurrence maintained CONTINUOUSLY in the state store —
+    per key the state is two longs, each micro-batch folds its rows in
+    event order, and the emitted running (n, ema) is monotonic in n so
+    readers keep the max-n row per key. The sequential-algorithm escape
+    hatch (applyInPandas batch-side) carried over to unbounded data."""
+    from pyspark.sql import functions as F
+
+    src = stream_df.select(
+        F.col(key_col).alias("user_id"), F.col(ts_col).alias("ts"),
+        "event_id",
+        F.floor(F.col(value_col) * 1_000_000 + F.lit(0.5))
+        .cast("long").alias("y"))
+    return (src.groupBy("user_id").applyInPandasWithState(
+        _ema_group,
+        outputStructType=EMA_OUTPUT_SCHEMA,
+        stateStructType=EMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ))

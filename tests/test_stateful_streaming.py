@@ -105,3 +105,65 @@ def test_stateful_cdc_preserves_nulls(spark, tmp_path):
     assert out[7]["last_value"] is None
     assert out[7]["n_changes"] == 2
     assert out[8]["last_event_type"] == "view"
+
+
+def test_stateful_ema_across_runs(spark, dirs):
+    """The integer EWMA recurrence survives across separate streaming
+    runs sharing a checkpoint: a second batch continues from the stored
+    (ema, n) state, and the final fold equals the batch recurrence over
+    the concatenated ordered input."""
+    from meerschaum_spark.streaming.stateful import stateful_ema
+    src, ckpt, out = dirs
+    T0 = datetime.datetime(2024, 1, 1, 10, 0)
+    m = lambda mins: T0 + datetime.timedelta(minutes=mins)
+    schema = "user_id long, ts timestamp, event_id long, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema) \
+            .write.parquet(os.path.join(src, name))
+
+    def run():
+        collected = []
+
+        def sink(batch_df, _epoch):
+            collected.extend(batch_df.collect())
+
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        q = (stateful_ema(stream)
+             .writeStream.foreachBatch(sink).outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        assert q.exception() is None, q.exception()
+        best = {}
+        for r in collected:  # keep max-n emission per key (monotonic)
+            if r["user_id"] not in best or r["n_events"] > \
+                    best[r["user_id"]]["n_events"]:
+                best[r["user_id"]] = r
+        return best
+
+    b1 = [(1, m(0), 10, 3.0), (1, m(1), 11, 7.0), (2, m(0), 20, 5.0)]
+    write_batch("b1", b1)
+    first = run()
+    # user 1: S = 3_000_000 -> (3e6+7e6)//2 = 5_000_000
+    assert first[1]["n_events"] == 2 and first[1]["ema_scaled"] == 5_000_000
+    assert first[2]["n_events"] == 1 and first[2]["ema_scaled"] == 5_000_000
+
+    b2 = [(1, m(2), 12, 2.0), (2, m(1), 21, 1.0)]
+    write_batch("b2", b2)
+    second = run()
+    # user 1 continues from state: (5e6 + 2e6)//2 = 3_500_000
+    assert second[1]["n_events"] == 3
+    assert second[1]["ema_scaled"] == 3_500_000
+    assert second[2]["n_events"] == 2
+    assert second[2]["ema_scaled"] == 3_000_000
+
+    # equals the batch recurrence over the full ordered input
+    def batch_ema(vals):
+        s = None
+        for v in vals:
+            y = int(v * 1_000_000 + 0.5)
+            s = y if s is None else (s + y) // 2
+        return s
+    assert second[1]["ema_scaled"] == batch_ema([3.0, 7.0, 2.0])
+    assert second[2]["ema_scaled"] == batch_ema([5.0, 1.0])

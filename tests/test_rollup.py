@@ -261,3 +261,45 @@ def test_rollup_gapfill(spark, instance_dir, sf_dir):
         assert obs == dobs
     finally:
         events.unpersist()
+
+
+def test_rollup_maintenance_under_concurrent_syncs(spark, instance_dir):
+    """Bucket-scoped rollup maintenance stays exact when 6 threads sync
+    interleaved batches concurrently: after the storm, the incrementally
+    maintained rollup equals a from-scratch rebuild (the r6 strand-fix
+    plus the write-lock serialization, under real contention)."""
+    import datetime as dtm
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pandas as pd
+
+    from meerschaum_spark.pipe import Pipe
+
+    pipe = Pipe("conc", "rollup_stress", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "id"},
+                parameters={"rollups": [{"name": "hourly",
+                                         "interval": "hour",
+                                         "groupby": ["kind"],
+                                         "values": ["v"]}]})
+    base = dtm.datetime(2024, 3, 1)
+
+    def batch(worker: int):
+        return pd.DataFrame([
+            {"ts": base + dtm.timedelta(minutes=i * 11 + worker),
+             "id": worker * 1000 + i,
+             "kind": "a" if (i + worker) % 2 else "b",
+             "v": float(worker + i)}
+            for i in range(30)])
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        results = list(pool.map(lambda w: pipe.sync(batch(w)), range(6)))
+    assert all(r.success for r in results)
+    assert pipe.get_rowcount() == 180
+
+    maintained = {(r["ts"], r["kind"]): (r["n_rows"], r["sum_v"])
+                  for r in pipe.get_rollup("hourly").collect()}
+    pipe.refresh_rollup("hourly")  # full rebuild from storage
+    rebuilt = {(r["ts"], r["kind"]): (r["n_rows"], r["sum_v"])
+               for r in pipe.get_rollup("hourly").collect()}
+    assert maintained == rebuilt
+    assert sum(c for c, _ in rebuilt.values()) == 180

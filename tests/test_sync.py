@@ -606,3 +606,55 @@ def test_dedup_pipe_empty_batch_registers(spark, instance_dir):
     r3 = pipe.sync(empty)
     assert r3.success and r3.inserted == 0 and r3.updated == 0
     assert pipe.get_rowcount() == 2
+
+
+def test_concurrent_syncs_one_pipe(spark, instance_dir):
+    """Write-path serialization under real thread concurrency: 8 threads
+    sync interleaved batches (disjoint inserts + overlapping updates) on
+    ONE pipe simultaneously. No rows lost, no duplicates, updates all
+    land — the _write_lock + re-listing merge contract under stress."""
+    import datetime as dtm
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pandas as pd
+
+    from meerschaum_spark.pipe import Pipe
+
+    pipe = Pipe("conc", "stress", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "id"})
+    base = dtm.datetime(2024, 1, 1)
+
+    def batch(worker: int):
+        # 40 rows per worker, ids disjoint per worker, timestamps
+        # interleaved across workers so batches share partition cells
+        return pd.DataFrame([
+            {"ts": base + dtm.timedelta(minutes=i * 8 + worker),
+             "id": worker * 1000 + i, "v": float(worker)}
+            for i in range(40)])
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(lambda w: pipe.sync(batch(w)), range(8)))
+    assert all(r.success for r in results), [r.message for r in results]
+    assert sum(r.inserted for r in results) == 320
+    assert pipe.get_rowcount() == 320
+    rows = pipe.get_data().collect()
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 320  # no dup rows slipped through
+
+    # concurrent UPDATE storm: every worker rewrites ITS OWN rows with a
+    # new value while others do the same — all 320 must update exactly once
+    def update_batch(worker: int):
+        b = batch(worker)
+        b["v"] = -1.0 - worker
+        return b
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results2 = list(pool.map(lambda w: pipe.sync(update_batch(w)),
+                                 range(8)))
+    assert all(r.success for r in results2), [r.message for r in results2]
+    assert sum(r.updated for r in results2) == 320
+    assert sum(r.inserted for r in results2) == 0
+    assert pipe.get_rowcount() == 320
+    vals = {r["id"]: r["v"] for r in pipe.get_data().collect()}
+    assert all(vals[w * 1000 + i] == -1.0 - w
+               for w in range(8) for i in range(40))

@@ -315,3 +315,38 @@ def test_r6_operator_plan_shapes(spark, sf_dir):
     plan = explain_str(doc_bpe_pair_counts(spark, sf_dir), "formatted")
     assert "partial_count" in plan or "partial count" in plan.lower(), \
         plan[:800]
+
+
+def test_r7_operator_plan_shapes(spark, sf_dir):
+    """Plan contracts for the r7 operators: OHLC is ONE hash aggregation
+    (no per-bucket window sort), the skyline has no cartesian product,
+    and the sequential applyInPandas operators carry the explicit
+    numbered repartition (AQE must not byte-coalesce the python stage)
+    with NO second shuffle for the groupBy."""
+    from meerschaum_spark.plans import explain_str, plan_report
+    from meerschaum_spark.queries import (
+        events_ema_sequential,
+        events_ohlc_candles,
+        part_skyline_pareto,
+    )
+
+    ohlc = explain_str(events_ohlc_candles(spark, sf_dir), "simple")
+    # min_by/max_by fold into the aggregate (ObjectHashAggregate for the
+    # typed-imperative aggs): no Window node anywhere
+    assert "Window" not in ohlc, ohlc[:600]
+    assert "Aggregate" in ohlc
+
+    sky = explain_str(part_skyline_pareto(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in sky
+    rp = plan_report(part_skyline_pareto(spark, sf_dir))
+    assert rp["broadcast_joins"] >= 1 and rp["sortmerge_joins"] == 0, rp
+
+    ema = explain_str(events_ema_sequential(spark, sf_dir), "simple")
+    # the user repartition survives (REPARTITION_BY_NUM) and Catalyst
+    # reuses it for the grouping: exactly ONE user_id hash exchange
+    assert "REPARTITION_BY_NUM" in ema, ema[:800]
+    import re
+    n_user_exchanges = len(re.findall(
+        r"Exchange hashpartitioning\(user_id", ema))
+    assert n_user_exchanges == 1, ema[:1200]
+    assert "FlatMapGroupsInPandas" in ema

@@ -42,25 +42,32 @@ def _count_positions(c) -> int:
     return sum(_count_positions(x) for x in c)
 
 
+def _decode_geom_record(v) -> tuple:
+    """One WKB value → (geom_type, srid, x, y, n_points) — the single
+    decode rule shared by ``geom_info`` (expression UDF) and
+    ``with_geom_info`` (mapInPandas), so the two paths can never
+    silently disagree."""
+    if v is None:
+        return (None, None, None, None, None)
+    g = geo.from_wkb(bytes(v))
+    pos = _first_position(g)
+    n_points = (len(g.coords) // (3 if g.has_z else 2)
+                if g.geom_type.lower() == "point" and g.coords
+                else _count_positions(g.coords))
+    return (g.geom_type, g.srid,
+            pos[0] if pos else None,
+            pos[1] if pos and len(pos) > 1 else None,
+            n_points)
+
+
 @F.pandas_udf(_INFO_SCHEMA)
 def geom_info(wkb: pd.Series) -> pd.DataFrame:
     """WKB → (geom_type, srid, first x, first y, total position count)."""
     out = {"geom_type": [], "srid": [], "x": [], "y": [], "n_points": []}
     for v in wkb:
-        if v is None:
-            for k in out:
-                out[k].append(None)
-            continue
-        g = geo.from_wkb(bytes(v))
-        pos = _first_position(g)
-        out["geom_type"].append(g.geom_type)
-        out["srid"].append(g.srid)
-        out["x"].append(pos[0] if pos else None)
-        out["y"].append(pos[1] if pos and len(pos) > 1 else None)
-        out["n_points"].append(
-            len(g.coords) // (3 if g.has_z else 2)
-            if g.geom_type.lower() == "point" and g.coords
-            else _count_positions(g.coords))
+        rec = _decode_geom_record(v)
+        for k, val in zip(out, rec):
+            out[k].append(val)
     return pd.DataFrame(out)
 
 
@@ -101,20 +108,9 @@ def with_geom_info(df: DataFrame, col: str, prefix: str = "geo_") -> DataFrame:
             cols = {"type": [], "srid": [], "x": [], "y": [],
                     "n_points": []}
             for v in pdf[col]:
-                if v is None:
-                    for k in cols:
-                        cols[k].append(None)
-                    continue
-                g = geo.from_wkb(bytes(v))
-                pos = _first_position(g)
-                cols["type"].append(g.geom_type)
-                cols["srid"].append(g.srid)
-                cols["x"].append(pos[0] if pos else None)
-                cols["y"].append(pos[1] if pos and len(pos) > 1 else None)
-                cols["n_points"].append(
-                    len(g.coords) // (3 if g.has_z else 2)
-                    if g.geom_type.lower() == "point" and g.coords
-                    else _count_positions(g.coords))
+                rec = _decode_geom_record(v)
+                for k, val in zip(cols, rec):
+                    cols[k].append(val)
             for k, vals in cols.items():
                 out[f"{prefix}{k}"] = vals
             yield out

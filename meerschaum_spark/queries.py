@@ -937,6 +937,41 @@ def _stream_replay_confs(spark: SparkSession):
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def _replay_events_to_sink(spark: SparkSession, sf_dir: str, build,
+                           prefix: str,
+                           output_mode: str = "append") -> str:
+    """THE streaming-replay contract, in one place: replay
+    ``<sf_dir>/events.parquet`` as an availableNow stream through
+    ``build(stream)`` into a fresh uniquely-named memory sink; returns
+    the sink table name. Covers the counter-unique sink (later queries
+    must not mutate an earlier one), the schema'd directory source with
+    a filename filter, ts canonicalization, exception surfacing, and
+    the 300 s drain guard (a timed-out replay would silently aggregate
+    a PARTIAL stream). Single-source sites share this; multi-stream
+    shapes (the interval join) keep their own plumbing."""
+    import os as _os
+
+    _STREAM_RUN_COUNTER[0] += 1
+    sink = f"_mrsm_stream_{prefix}_{_STREAM_RUN_COUNTER[0]}"
+    path = _os.path.join(sf_dir, "events.parquet")
+    with _stream_replay_confs(spark):
+        raw = spark.read.parquet(path)  # schema probe under nanosAsLong
+        stream = (spark.readStream.schema(raw.schema)
+                  .option("pathGlobFilter", "events.parquet")
+                  .parquet(sf_dir))
+        stream = canonicalize_ts(stream, ["ts"])
+        q = (build(stream).writeStream.format("memory").queryName(sink)
+             .outputMode(output_mode).trigger(availableNow=True).start())
+        finished = q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                f"streaming replay ({prefix}) did not finish in 300 s")
+    return sink
+
+
 @query("streaming_sessionization", _STREAM_SESSION_SQL)
 def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stateful STREAMING sessionizer (applyInPandasWithState,
@@ -945,33 +980,13 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_sessionization. Proving the streaming operator reproduces the
     batch window bit-for-bit is the strongest §2.10 correctness statement
     the engine can make."""
-    import os as _os
-
     from meerschaum_spark.streaming.stateful import stateful_sessionize
 
-    _STREAM_RUN_COUNTER[0] += 1
-    sink = f"_mrsm_stream_sess_{_STREAM_RUN_COUNTER[0]}"
-    path = _os.path.join(sf_dir, "events.parquet")
-    with _stream_replay_confs(spark):
-        raw = spark.read.parquet(path)  # schema probe under nanosAsLong
-        # the file streaming source wants a directory: stream the sf dir
-        # with a filename filter so only the events table is picked up
-        stream = (spark.readStream.schema(raw.schema)
-                  .option("pathGlobFilter", "events.parquet")
-                  .parquet(sf_dir))
-        stream = canonicalize_ts(stream, ["ts"])
-        sess = stateful_sessionize(stream, gap_seconds=30 * 60,
-                                   order_cols=["event_id"])
-        q = (sess.writeStream.format("memory").queryName(sink)
-             .outputMode("append").trigger(availableNow=True).start())
-        finished = q.awaitTermination(300)
-        if q.exception() is not None:
-            raise q.exception()
-        if not finished:
-            # a timed-out replay would silently aggregate a PARTIAL
-            # stream (and keep mutating the sink behind later queries)
-            q.stop()
-            raise TimeoutError("streaming replay did not finish in 300 s")
+    sink = _replay_events_to_sink(
+        spark, sf_dir,
+        lambda s: stateful_sessionize(s, gap_seconds=30 * 60,
+                                      order_cols=["event_id"]),
+        "sess")
     return (
         spark.table(sink)
         # streaming sessions are 0-based; the batch running sum is 1-based
@@ -1002,34 +1017,19 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the batch events_hourly_rollup. Decimal accumulation keeps the
     streaming partial aggregates order-insensitive, so the stream and the
     batch produce identical doubles."""
-    import os as _os
 
     _STREAM_RUN_COUNTER[0] += 1
-    sink = f"_mrsm_stream_roll_{_STREAM_RUN_COUNTER[0]}"
-    path = _os.path.join(sf_dir, "events.parquet")
-    with _stream_replay_confs(spark):
-        raw = spark.read.parquet(path)
-        stream = (spark.readStream.schema(raw.schema)
-                  .option("pathGlobFilter", "events.parquet")
-                  .parquet(sf_dir))
-        stream = canonicalize_ts(stream, ["ts"])
-        agg = (
+    def agg(stream):
+        return (
             stream.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
             .agg(F.count(F.lit(1)).alias("n_events"),
                  _sum_dbl(_dec("value"), "sum_value"),
                  (F.sum(_dec("value")).cast("double")
                   / F.count("value")).alias("avg_value"))
         )
-        q = (agg.writeStream.format("memory").queryName(sink)
-             .outputMode("complete").trigger(availableNow=True).start())
-        finished = q.awaitTermination(300)
-        if q.exception() is not None:
-            raise q.exception()
-        if not finished:
-            # a timed-out replay would silently aggregate a PARTIAL
-            # stream (and keep mutating the sink behind later queries)
-            q.stop()
-            raise TimeoutError("streaming replay did not finish in 300 s")
+
+    sink = _replay_events_to_sink(spark, sf_dir, agg, "roll",
+                                  output_mode="complete")
     return (
         spark.table(sink)
         .select(F.col("window.start").alias("bucket"), "event_type",
@@ -1266,32 +1266,15 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the KEY SET only: which physical row survives per key depends on
     arrival order (nondeterministic across stream partitions), but the
     distinct key set is exact, so the oracle checks that."""
-    import os as _os
 
     from meerschaum_spark.streaming.stateful import streaming_dedup
 
-    _STREAM_RUN_COUNTER[0] += 1
-    sink = f"_mrsm_stream_dedup_{_STREAM_RUN_COUNTER[0]}"
-    path = _os.path.join(sf_dir, "events.parquet")
-    with _stream_replay_confs(spark):
-        raw = spark.read.parquet(path)
-        stream = (spark.readStream.schema(raw.schema)
-                  .option("pathGlobFilter", "events.parquet")
-                  .parquet(sf_dir))
-        stream = canonicalize_ts(stream, ["ts"])
-        deduped = streaming_dedup(stream, ["user_id", "event_type"],
+    sink = _replay_events_to_sink(
+        spark, sf_dir,
+        lambda s: streaming_dedup(s, ["user_id", "event_type"],
                                   ts_col="ts", watermark="30 days")
-        q = (deduped.select("user_id", "event_type")
-             .writeStream.format("memory").queryName(sink)
-             .outputMode("append").trigger(availableNow=True).start())
-        finished = q.awaitTermination(300)
-        if q.exception() is not None:
-            raise q.exception()
-        if not finished:
-            # a timed-out replay would silently aggregate a PARTIAL
-            # stream (and keep mutating the sink behind later queries)
-            q.stop()
-            raise TimeoutError("streaming replay did not finish in 300 s")
+        .select("user_id", "event_type"),
+        "dedup")
     return spark.table(sink).orderBy("user_id", "event_type")
 
 
@@ -2118,32 +2101,13 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch with state keyed on (window, event_type) — the classic
     trending-topics pattern; at production scale the same query runs
     unchanged with a watermark instead of a bounded replay."""
-    import os as _os
 
-    _STREAM_RUN_COUNTER[0] += 1
-    sink = f"_mrsm_stream_trend_{_STREAM_RUN_COUNTER[0]}"
-    path = _os.path.join(sf_dir, "events.parquet")
-    with _stream_replay_confs(spark):
-        raw = spark.read.parquet(path)
-        stream = (spark.readStream.schema(raw.schema)
-                  .option("pathGlobFilter", "events.parquet")
-                  .parquet(sf_dir))
-        stream = canonicalize_ts(stream, ["ts"])
-        agg = (
-            stream.groupBy(F.window("ts", "2 hours", "1 hour"),
-                           F.col("event_type"))
-            .agg(F.count(F.lit(1)).alias("n_events"))
-        )
-        q = (agg.writeStream.format("memory").queryName(sink)
-             .outputMode("complete").trigger(availableNow=True).start())
-        finished = q.awaitTermination(300)
-        if q.exception() is not None:
-            raise q.exception()
-        if not finished:
-            # a timed-out replay would silently aggregate a PARTIAL
-            # stream (and keep mutating the sink behind later queries)
-            q.stop()
-            raise TimeoutError("streaming replay did not finish in 300 s")
+    sink = _replay_events_to_sink(
+        spark, sf_dir,
+        lambda s: (s.groupBy(F.window("ts", "2 hours", "1 hour"),
+                             F.col("event_type"))
+                   .agg(F.count(F.lit(1)).alias("n_events"))),
+        "trend", output_mode="complete")
     w = Window.partitionBy("win_start").orderBy(
         F.col("n_events").desc(), "event_type")
     return (
@@ -3197,28 +3161,11 @@ def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — the streaming and batch twins share one SQL contract.
     100 TB shape: state is one row per live key, updates stream in
     update mode, and the sink read is snapshot-sized, never log-sized."""
-    import os as _os
 
     from meerschaum_spark.streaming.stateful import stateful_cdc_snapshot
 
-    _STREAM_RUN_COUNTER[0] += 1
-    sink = f"_mrsm_stream_cdc_{_STREAM_RUN_COUNTER[0]}"
-    path = _os.path.join(sf_dir, "events.parquet")
-    with _stream_replay_confs(spark):
-        raw = spark.read.parquet(path)
-        stream = (spark.readStream.schema(raw.schema)
-                  .option("pathGlobFilter", "events.parquet")
-                  .parquet(sf_dir))
-        stream = canonicalize_ts(stream, ["ts"])
-        snap = stateful_cdc_snapshot(stream)
-        q = (snap.writeStream.format("memory").queryName(sink)
-             .outputMode("update").trigger(availableNow=True).start())
-        finished = q.awaitTermination(300)
-        if q.exception() is not None:
-            raise q.exception()
-        if not finished:
-            q.stop()
-            raise TimeoutError("streaming CDC replay did not finish in 300 s")
+    sink = _replay_events_to_sink(spark, sf_dir, stateful_cdc_snapshot,
+                                  "cdc", output_mode="update")
     w = Window.partitionBy("user_id").orderBy(F.col("n_changes").desc())
     return (
         spark.table(sink)
@@ -3509,7 +3456,7 @@ def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     rec AS (
       SELECT user_id, ts, event_id, rn, y AS ema FROM base WHERE rn = 1
       UNION ALL
@@ -3544,7 +3491,12 @@ def events_ema_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the explicit hash partitioning for the groupBy, so there is
     no second shuffle."""
     n_par = spark.sparkContext.defaultParallelism
-    ev = (load_table(spark, sf_dir, "events").select(
+    # NULL measurements are excluded up front (mirrored in the oracle's
+    # WHERE): an EWMA over NULL is undefined, and Arrow would otherwise
+    # hand the python fold a NaN-poisoned float column
+    ev = (load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
         "user_id", "ts", "event_id",
         F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
         .cast("long").alias("y"))
@@ -3580,7 +3532,7 @@ WITH RECURSIVE base AS (
          CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
          count(*) OVER (PARTITION BY user_id) AS n
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 small AS (SELECT user_id, ts, event_id, y FROM base WHERE n <= 12),
 big AS (SELECT * FROM base WHERE n > 12),
 mid AS (SELECT *, ((rn - 2) * 10) // (n - 2) AS b
@@ -3657,9 +3609,14 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_ema_sequential)."""
     T, B = 12, 10
     n_par = spark.sparkContext.defaultParallelism
-    ev = (load_table(spark, sf_dir, "events").select(
+    # NULL measurements excluded (mirrored in the oracle); x uses integer
+    # DIV, not float division — float-divide-then-cast truncates toward
+    # zero and diverges from the oracle's floor for pre-1970 timestamps
+    ev = (load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
         "user_id", "ts", "event_id",
-        (F.unix_micros("ts") / F.lit(1_000_000)).cast("long").alias("xs"),
+        F.expr("unix_micros(ts) DIV 1000000").alias("xs"),
         F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
         .cast("long").alias("y"))
         .repartition(n_par, "user_id"))
@@ -3722,7 +3679,7 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     rec AS (
       SELECT user_id, rn, y AS ema FROM base WHERE rn = 1
       UNION ALL
@@ -3743,28 +3700,11 @@ def streaming_ema_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     one recursive-CTE oracle, the same twin discipline as the CDC
     snapshot pair. Readers keep the max-``n_events`` emission per key
     (monotonic across micro-batches)."""
-    import os as _os
 
     from meerschaum_spark.streaming.stateful import stateful_ema
 
-    _STREAM_RUN_COUNTER[0] += 1
-    sink = f"_mrsm_stream_ema_{_STREAM_RUN_COUNTER[0]}"
-    path = _os.path.join(sf_dir, "events.parquet")
-    with _stream_replay_confs(spark):
-        raw = spark.read.parquet(path)
-        stream = (spark.readStream.schema(raw.schema)
-                  .option("pathGlobFilter", "events.parquet")
-                  .parquet(sf_dir))
-        stream = canonicalize_ts(stream, ["ts"])
-        q = (stateful_ema(stream).writeStream.format("memory")
-             .queryName(sink).outputMode("update")
-             .trigger(availableNow=True).start())
-        finished = q.awaitTermination(300)
-        if q.exception() is not None:
-            raise q.exception()
-        if not finished:
-            q.stop()
-            raise TimeoutError("streaming EMA replay did not finish in 300 s")
+    sink = _replay_events_to_sink(spark, sf_dir, stateful_ema,
+                                  "ema", output_mode="update")
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (spark.table(sink)
             .withColumn("rn", F.row_number().over(w))

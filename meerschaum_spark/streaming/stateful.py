@@ -233,6 +233,10 @@ def _ema_group(
     if len(rows):
         rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
         for y in rows["y"]:
+            if pd.isna(y):
+                # defensive: the source filters NULL measurements, but a
+                # NaN here must not poison the integer fold
+                continue
             y = int(y)
             ema = y if ema is None else (int(ema) + y) // 2
             n += 1
@@ -255,7 +259,9 @@ def stateful_ema(
     hatch (applyInPandas batch-side) carried over to unbounded data."""
     from pyspark.sql import functions as F
 
-    src = stream_df.select(
+    # NULL measurements are excluded (same contract as the batch twin
+    # and the shared oracle)
+    src = stream_df.filter(F.col(value_col).isNotNull()).select(
         F.col(key_col).alias("user_id"), F.col(ts_col).alias("ts"),
         "event_id",
         F.floor(F.col(value_col) * 1_000_000 + F.lit(0.5))

@@ -248,9 +248,18 @@ def band_hash_rows(sigs: DataFrame, id_col: str, k: int, bands: int,
 def cap_band_buckets(buckets: DataFrame, keys: list[str],
                      cap: int = LSH_MAX_BUCKET) -> DataFrame:
     """Drop LSH band buckets with more than ``cap`` members (see
-    ``LSH_MAX_BUCKET``). The size table is tiny (one row per surviving
-    bucket) so the semi-join broadcasts; the quadratic candidate join
-    downstream is then bounded at cap²/2 pairs per bucket."""
+    ``LSH_MAX_BUCKET``); the quadratic candidate join downstream is then
+    bounded at cap²/2 pairs per bucket.
+
+    Shape: map-side-combined groupBy count, then a left-semi join back.
+    The size table is one row per DISTINCT bucket — O(docs x bands) at
+    corpus scale, so it must NOT be broadcast (driver OOM); the shuffle
+    semi-join is the right plan, and the one skewed partition a
+    mega-bucket creates in it is exactly what AQE's runtime skew-join
+    splitting handles (enabled in the engine session). A count WINDOW
+    would be one shuffle cheaper but pins each mega-bucket to a single
+    un-splittable task — the worst shape for the very input this
+    function guards against."""
     sizes = (buckets.groupBy(*keys)
              .agg(F.count(F.lit(1)).alias("_bsz"))
              .filter(F.col("_bsz") <= cap)

@@ -77,8 +77,15 @@ def salted_join(
 
     Multiplicity is preserved exactly: every big row carries ONE salt
     and matches only the small-side replica with that salt, so inner /
-    left semantics are identical to the unsalted join. Returns
-    ``big``'s columns followed by ``small``'s non-key columns."""
+    left semantics are identical to the unsalted join. Right / full
+    joins are REJECTED: an unmatched small-side row exists once per
+    replica, so those join types would emit it ``n_salts`` times.
+    Returns ``big``'s columns followed by ``small``'s non-key columns."""
+    if how.lower().replace("_", "") not in ("inner", "left", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the small side is replicated per salt, so right/full joins "
+            "would duplicate unmatched small-side rows n_salts times.")
     keys = [on] if isinstance(on, str) else list(on)
     salt_col = "_mrsm_skw_salt"
     big_s = with_salt(big, n_salts, salt_col).alias("_skb")

@@ -53,8 +53,12 @@ ENGINE_CONFS: dict[str, str] = {
     # accepted because the sync diff is full-row-fingerprint based: a
     # retry of the failed batch diffs the orphaned rows out and lands
     # exactly the missing remainder (self-healing, same end state as
-    # v1-plus-retry; a transactional table format would close the
-    # transient-visibility window on a real cluster).
+    # v1-plus-retry). The healing REQUIRES the caller to retry the batch:
+    # a failed sync that is simply abandoned leaves the committed task
+    # files visible permanently (phantom partial rows) — v1 would have
+    # left nothing. Accepted: sync callers are retry-oriented (verify
+    # re-diffs chunks idempotently), and a transactional table format
+    # would close the window entirely on a real cluster.
     "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
 }
 

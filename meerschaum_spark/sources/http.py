@@ -204,6 +204,14 @@ class RemotePipe:
                 break
             code, out = self._call("data", "POST", {"docs": chunk})
             if code != 200:
+                # a mid-stream failure discards nothing already committed:
+                # surface the landed totals (and a partial marker) with the
+                # failing chunk's payload so callers (copy_to) can report
+                # how much of the copy actually landed
+                out = dict(out) if isinstance(out, dict) else {"error": out}
+                out["inserted"] = total_ins
+                out["updated"] = total_upd
+                out["partial"] = True
                 return code, out
             total_ins += int(out.get("inserted") or 0)
             total_upd += int(out.get("updated") or 0)

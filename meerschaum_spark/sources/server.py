@@ -362,6 +362,16 @@ class PipeHTTPServer:
                 and not self._can_write(principal, pipe):
             return 403, {"error": f"user {principal!r} does not own "
                                   f"{pipe.target} (admin required)"}
+        if not registered and self.user_auth \
+                and not self._is_admin(principal) and pipe.exists():
+            # out-of-band data can exist without a registry doc; letting
+            # any authenticated user claim it via sync auto-registration
+            # (or register) would hand them ownership — and with it
+            # drop/clear rights — over data they never wrote. Unowned
+            # data-bearing targets are admin-only, mirroring _can_write's
+            # no-recorded-owner default.
+            return 403, {"error": f"{pipe.target} holds unregistered data; "
+                                  "admin required to claim or mutate it"}
         if action == ["data"] and method == "POST":
             docs = body if body is not None else []
             if isinstance(docs, dict):

@@ -675,6 +675,51 @@ def test_http_pipe_ownership_gating(spark, instance_dir):
         server.stop()
 
 
+def test_http_unregistered_data_bearing_target_is_admin_only(
+        spark, instance_dir):
+    """Out-of-band data can exist WITHOUT a registry doc (r7 advisory):
+    a plain user must not be able to claim such a target via sync
+    auto-registration or register (ownership would carry drop/clear
+    rights over data they never wrote); an admin can."""
+    from meerschaum_spark.pipe import Pipe
+    from meerschaum_spark.sources import PipeHTTPServer
+    from meerschaum_spark.sources.http import (
+        RemotePipe,
+        http_login,
+        http_register_user,
+    )
+
+    orphan = Pipe("own", "orphan", instance=instance_dir, spark=spark,
+                  columns={"datetime": "dt", "id": "id"})
+    orphan.sync([{"dt": "2024-01-01T00:00:00+00:00", "id": 1}])
+    orphan.registry.delete(orphan.target)  # data stays, registration gone
+
+    server = PipeHTTPServer(spark, instance_dir, user_auth=True).start()
+    try:
+        code, _ = http_register_user(server.url, "admin", "adminpw")
+        assert code == 200
+        atok = http_login(server.url, "admin", "adminpw")
+        code, _ = http_register_user(server.url, "eve", "evepw",
+                                     auth_token=atok)
+        assert code == 200
+        eve = http_login(server.url, "eve", "evepw")
+
+        ep = RemotePipe(server.url, "own", "orphan", auth_token=eve)
+        # reads stay open to authenticated sessions
+        assert ep.get_rowcount() == 1
+        # claiming via sync auto-registration or register is forbidden
+        code, out = ep.sync([{"dt": "2024-01-02T00:00:00+00:00", "id": 2}])
+        assert code == 403, out
+        code, out = ep.register({"columns": {"datetime": "dt", "id": "id"}})
+        assert code == 403, out
+        # the admin can adopt and mutate it
+        ap = RemotePipe(server.url, "own", "orphan", auth_token=atok)
+        code, out = ap.sync([{"dt": "2024-01-02T00:00:00+00:00", "id": 2}])
+        assert code == 200, out
+    finally:
+        server.stop()
+
+
 def test_copy_to_remote_pipe_over_http(spark, instance_dir, tmp_path):
     """pipe.copy_to(RemotePipe) — the reference's cross-INSTANCE sync
     (connectors/api/_pipes.py): a local pipe's stored rows land in a

@@ -68,6 +68,21 @@ def test_salted_join_null_safe_and_left(spark):
     assert len(salts) >= 8
 
 
+def test_salted_join_rejects_right_and_full(spark):
+    """Right/full joins would emit each unmatched small-side row once per
+    salt replica — salted_join must refuse them (r7 advisory)."""
+    import pytest
+
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.createDataFrame([(1, "a")], "k long, name string")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="inner.*left|left.*inner"):
+            salted_join(big, small, "k", how=how)
+    # the accepted spellings still pass validation
+    for how in ("inner", "left", "left_outer", "leftOuter"):
+        salted_join(big, small, "k", how=how)
+
+
 def test_salted_top_k_matches_plain_window(spark):
     """salted_top_k == plain per-key window rank on skewed keys
     (deterministic total order)."""

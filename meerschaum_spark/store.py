@@ -190,15 +190,46 @@ class ParquetPipeStore:
 
     # -- write paths -------------------------------------------------------
 
+    def _observe_rows(self, df: DataFrame):
+        """Attach a row-count Observation that rides the write job itself.
+        Returns ``(df, getter)``; ``getter()`` yields the written row count
+        or ``None`` when metrics are unavailable (foreachBatch-detached
+        sessions, where ``Observation.get`` cannot see the listener row).
+
+        Why: the post-write existence refresh must distinguish "rows
+        landed" (table certainly exists — no probe needed) from "empty
+        frame wrote no partition dirs" (must re-probe, or the cached True
+        poisons the next read — the replace_range property-test bug). An
+        UNCONDITIONAL listing per write is an object-storage API
+        round-trip on every small maintenance write (rollup/verify issue
+        many per sync), so the count rides the job for free and the
+        listing runs only on the rare empty/unknown outcome."""
+        from pyspark.sql import Observation
+        obs = Observation()
+        observed = df.observe(obs, F.count(F.lit(1)).alias("_n"))
+
+        def getter() -> int | None:
+            try:
+                return int(obs.get["_n"])
+            except Exception:
+                return None
+        return observed, getter
+
+    def _post_write_exists(self, n_written: int | None) -> None:
+        """Refresh the exists cache after a write: a positive observed
+        count proves existence without touching storage; an empty or
+        unobservable write re-probes (see ``_observe_rows``)."""
+        if n_written is not None and n_written > 0:
+            self._mark_exists(True)
+        else:
+            self._mark_exists(self._exists_uncached())
+
     def append(self, df: DataFrame) -> None:
         """File-add append of rows known to be unseen (no rewrite)."""
-        out = self._rebalanced(self.with_part(df))
+        observed, n_written = self._observe_rows(df)
+        out = self._rebalanced(self.with_part(observed))
         out.write.mode("append").partitionBy(PART_COL).parquet(self.data_path)
-        # re-probe, don't assume: an EMPTY df writes no partition dirs, and
-        # caching exists=True for it would send the next read to schema
-        # inference over a dir with no data files (found by the
-        # replace_range property test)
-        self._mark_exists(self._exists_uncached())
+        self._post_write_exists(n_written())
         self._refresh_listing()
 
     def _rebalanced(self, df: DataFrame) -> DataFrame:
@@ -223,7 +254,8 @@ class ParquetPipeStore:
 
     def overwrite(self, df: DataFrame) -> None:
         """Full-table replace."""
-        out = self._rebalanced(self.with_part(df))
+        observed, n_written = self._observe_rows(df)
+        out = self._rebalanced(self.with_part(observed))
         if os.path.isdir(self.data_path):
             staging = self._staging_dir()
             out.write.mode("overwrite").partitionBy(PART_COL).parquet(staging)
@@ -233,7 +265,7 @@ class ParquetPipeStore:
             out.write.mode("overwrite").partitionBy(PART_COL).parquet(
                 self.data_path
             )
-        self._mark_exists(self._exists_uncached())
+        self._post_write_exists(n_written())
         self._refresh_listing()
 
     def merge(
@@ -471,7 +503,10 @@ class ParquetPipeStore:
                                     f"m{uuid.uuid4().hex[:8]}-{f.name}"))
         finally:
             shutil.rmtree(staging, ignore_errors=True)
-        self._mark_exists(self._exists_uncached())
+        # callers guarantee ``untouched`` is non-empty (merge() falls back
+        # to the cell-level path otherwise), so the table cannot have been
+        # emptied by this swap — no listing probe needed
+        self._mark_exists(True)
         self._refresh_listing()
 
     @staticmethod
@@ -529,12 +564,14 @@ class ParquetPipeStore:
                 affected.append(v)
         new = self.with_part(df)
         if not affected:
-            # nothing stored overlaps: plain file-add append (re-probe
-            # exists — the recompute may be empty, see append)
-            out = self._rebalanced(new)
+            # nothing stored overlaps: plain file-add append (the
+            # recompute may be empty — _post_write_exists re-probes
+            # only in that case)
+            observed, n_written = self._observe_rows(new)
+            out = self._rebalanced(observed)
             out.write.mode("append").partitionBy(PART_COL).parquet(
                 self.data_path)
-            self._mark_exists(self._exists_uncached())
+            self._post_write_exists(n_written())
             self._refresh_listing()
             return
         us = self._epoch_us_col()
@@ -603,6 +640,7 @@ class ParquetPipeStore:
         stand-in for a transactional commit.
         """
         staging = self._staging_dir()
+        moved_any = False
         try:
             out = self._rebalanced(df)
             if sort_by:
@@ -631,11 +669,17 @@ class ParquetPipeStore:
                     shutil.rmtree(dst)
                 if os.path.isdir(src):
                     shutil.move(src, dst)
+                    moved_any = True
                 # else: partition fully emptied — leave it deleted
         finally:
             shutil.rmtree(staging, ignore_errors=True)
-        # a rewrite can empty the table entirely — refresh, don't assume
-        self._mark_exists(self._exists_uncached())
+        # a swap that moved a staged cell in proves the table is non-empty
+        # (partitionBy only creates dirs rows landed in); a remove-only
+        # swap can empty the table entirely — re-probe just for that case
+        if moved_any:
+            self._mark_exists(True)
+        else:
+            self._mark_exists(self._exists_uncached())
         self._refresh_listing()
 
     # -- stats -------------------------------------------------------------

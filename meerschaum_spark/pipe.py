@@ -778,6 +778,21 @@ class Pipe:
                 F.count(F.lit(1)).alias("n_total"),
                 F.count(F.col(HIT_COL)).alias("n_update"),
             ]
+            # DPP diff path: no stats job ran, so the merge/rollup bounds
+            # ride THIS Observation instead — collected from the very job
+            # that materializes the diff and appends the unseen rows.
+            # Diff-output bounds are a (tighter) superset of every row the
+            # sync writes: unseen rows and update patch rows are both diff
+            # rows, and with dt among the merge keys a matched stored row
+            # shares its patch row's dt.
+            deferred_bounds = bool(bounds.pop("deferred", False))
+            dtc = self.dt_col
+            if deferred_bounds and dtc and dtc in marked.columns:
+                obs_aggs += [
+                    F.min(dtc).alias("_lo"), F.max(dtc).alias("_hi"),
+                    F.count(F.when(F.col(dtc).isNull(), 1))
+                    .alias("_dt_nulls"),
+                ]
             obs = Observation()
             marked_obs = marked.observe(obs, *obs_aggs)
             unseen = (marked_obs.filter(F.col(HIT_COL).isNull())
@@ -809,6 +824,11 @@ class Pipe:
                 obs, marked, obs_aggs)
             n_update = int(m["n_update"])
             n_unseen = int(m["n_total"]) - n_update
+            if (deferred_bounds and m.get("_lo") is not None
+                    and not m.get("_dt_nulls")):
+                b_lo, b_hi = self._slop_window(m["_lo"], m["_hi"])
+                bounds["begin_us"] = self._bound_us(b_lo)
+                bounds["end_us"] = self._bound_us(b_hi)
             merge_keys = ([c for c in self.index_cols
                            if c in update.columns]
                           or [c for c in update.columns if c != ORD_COL])
@@ -824,7 +844,12 @@ class Pipe:
                     use_bounds = (self.dt_col in merge_keys
                                   and "begin_us" in bounds)
                     # merge sources must be key-unique: a batch carrying two
-                    # rows for one key would otherwise insert both
+                    # rows for one key would otherwise insert both. (An r8
+                    # experiment replaced this window with a driver-side
+                    # collect + LocalRelation patch for small local diffs —
+                    # MEASURED WORSE: the collect is a whole extra action,
+                    # while the dedupe window and broadcast build ride
+                    # inside the merge's existing action for less.)
                     self.store.merge(
                         self._dedupe_patch(update), merge_keys,
                         dtypes=self.dtypes or None,
@@ -914,6 +939,80 @@ class Pipe:
                 pushdown[col] = vals
         return stats
 
+    def _slop_window(self, lo: Any, hi: Any) -> tuple[Any, Any]:
+        """[lo, hi] → slop-widened half-open (begin, end) in the dt
+        column's own units (reference backtrack slop,
+        core/Pipe/_sync.py:794-858)."""
+        if isinstance(lo, datetime.datetime):
+            slop = datetime.timedelta(minutes=BOUNDS_SLOP_MINUTES)
+            return lo - slop, hi + slop + datetime.timedelta(microseconds=1)
+        slop = (BOUNDS_SLOP_MINUTES * 60_000_000) // UNIT_US[self.precision_unit]
+        return int(lo) - slop, int(hi) + slop + 1
+
+    def _dpp_backtrack(self, df: DataFrame,
+                       _bounds: dict | None) -> DataFrame:
+        """Backtrack scan pruned AT RUNTIME by the batch's own partition
+        cells — the one-job sync path for distributed batches.
+
+        The batch's ``_mrsm_part`` ids (floor(epoch_us / width), the same
+        expression ``store.with_part`` uses at write time) are distinct-ed
+        and broadcast; the store scan left-semi joins on the partition
+        column, and Spark's dynamic partition pruning turns the broadcast
+        into a ``dynamicpruningexpression`` partition filter on the scan —
+        only the batch's cells are listed and read, INSIDE the same job as
+        the diff. This replaces the static [min-slop, max+slop] prune,
+        which needed a separate stats action per sync to learn the bounds
+        first (the per-sync fixed cost the r7 bench flagged). A sparse
+        batch also prunes TIGHTER: only cells holding actual rows are
+        read, not the contiguous span.
+
+        Null-dt rows yield a null cell id, which no equi-join key matches
+        — the null partition is unioned in instead, and only when its
+        directory actually exists (one driver-side stat; most pipes never
+        have one, and an unconditional union was MEASURED to cost a
+        second eager file-listing of the whole table per sync). Extra
+        backtrack rows are harmless to the diff, which only consumes
+        key-matched rows.
+
+        Two deliberate trade-offs vs the stats path, both recorded in the
+        r8 design note: the ≤250-distinct-key IN pushdown is dropped
+        (within-cell row filtering falls to parquet row-group stats and —
+        on shuffle joins — Spark's runtime bloom-filter injection), and
+        the hot-null-KEY salting guard cannot trigger (its input was the
+        stats job's null counts; AQE skew splitting covers the shuffle
+        case at bulk sizes, and small backtracks broadcast — no reducer
+        to pin).
+        """
+        import os
+
+        from meerschaum_spark.store import NULL_PART_DIR, PART_COL
+        part_expr = F.floor(
+            self.store._epoch_us_col() / F.lit(self.store.width_us)
+        ).cast("long")
+        # the > -2^62 comparison is always true for real cell ids (and
+        # null-rejecting) — it exists because Spark's PartitionPruning
+        # rule only plants a DPP filter when the build side carries a
+        # LIKELY-SELECTIVE predicate (IsNotNull alone does not qualify);
+        # verified by the plan-shape test asserting dynamicpruning in
+        # the scan's PartitionFilters
+        parts = (df.select(part_expr.alias(PART_COL))
+                 .distinct()
+                 .filter(F.col(PART_COL) > F.lit(-(1 << 62))))
+        scan = self.store.read(dtypes=self.dtypes or None,
+                               keep_part_col=True)
+        bt_main = (scan.join(F.broadcast(parts), on=PART_COL,
+                             how="left_semi").drop(PART_COL))
+        if _bounds is not None:
+            # merge/rollup bounds move onto the caller's diff Observation
+            # (sync() collects them from the write job itself)
+            _bounds["deferred"] = True
+        if not os.path.isdir(os.path.join(self.store.data_path,
+                                          NULL_PART_DIR)):
+            return bt_main
+        bt_null = self.store.read(dtypes=self.dtypes or None,
+                                  part_values=[None])
+        return bt_main.unionByName(bt_null)
+
     def _split_existing(
         self, df: DataFrame, force_full_scan: bool = False,
         _persisted: list | None = None,
@@ -978,7 +1077,22 @@ class Pipe:
         use_local = (
             _local_pdf is not None and stats_aggs
             and all(c in _local_pdf.columns for c in stats_cols))
-        if use_local:
+        # Distributed batches with dt AMONG THE KEYS take the one-job DPP
+        # path: no stats action at all — the backtrack prunes at runtime
+        # inside the diff job itself (see below). dt ∈ keys is what makes
+        # per-cell pruning COMPLETE: a stored row can only match a batch
+        # row if every key — including dt — is eqNullSafe-equal, so the
+        # matching row lives in exactly the batch row's partition cell
+        # (or the null cell, unioned unconditionally). When dt is not a
+        # key, a match may carry ANY dt and only the contiguous
+        # [min-slop, max+slop] window is sound — that path keeps the
+        # stats job.
+        use_dpp = (
+            not use_local and _stats_hint is None and not force_full_scan
+            and dt is not None and dt in df.columns and dt in keys)
+        if use_dpp:
+            pass  # no probe actions; bounds ride the caller's Observation
+        elif use_local:
             stats = self._local_batch_stats(_local_pdf, stats_cols, dt,
                                             key_cols, force_full_scan,
                                             pushdown)
@@ -1000,13 +1114,7 @@ class Pipe:
 
         begin = end = None
         if stats is not None and "_lo" in stats and stats["_lo"] is not None:
-            lo, hi = stats["_lo"], stats["_hi"]
-            if isinstance(lo, datetime.datetime):
-                slop = datetime.timedelta(minutes=BOUNDS_SLOP_MINUTES)
-                begin, end = lo - slop, hi + slop + datetime.timedelta(microseconds=1)
-            else:
-                slop = (BOUNDS_SLOP_MINUTES * 60_000_000) // UNIT_US[self.precision_unit]
-                begin, end = int(lo) - slop, int(hi) + slop + 1
+            begin, end = self._slop_window(stats["_lo"], stats["_hi"])
             if _bounds is not None and not stats["_dt_nulls"]:
                 # epoch-µs bounds for the caller's merge partition pruning;
                 # withheld when the batch carries null dts (those rows fall
@@ -1044,9 +1152,12 @@ class Pipe:
         # through the user-facing params DSL — data values are not operator
         # syntax (a key value like '_foo' must not be parsed as negation).
         # Catalyst still pushes the In() predicate into the parquet scan.
-        backtrack = self.get_data(begin=begin, end=end, order=None)
-        for col, vals in pushdown.items():
-            backtrack = backtrack.filter(F.col(col).isin(vals))
+        if use_dpp:
+            backtrack = self._dpp_backtrack(df, _bounds)
+        else:
+            backtrack = self.get_data(begin=begin, end=end, order=None)
+            for col, vals in pushdown.items():
+                backtrack = backtrack.filter(F.col(col).isin(vals))
 
         # Row-identity fingerprint instead of an all-columns join condition:
         # equality over every shared column collapses to one 2×64-bit hash

@@ -48,18 +48,47 @@ def test_store_read_prunes_partitions(spark, instance_dir, sf_dir):
 
 def test_sync_backtrack_scan_is_bounded(spark, instance_dir, sf_dir):
     """The sync diff's backtrack scan must show the scale contract in its
-    physical plan: partition-directory pruning from the patch's time
-    range, an IN pushdown of the small batch's key values, and column
-    pruning — the difference between diffing a day and scanning 100 TB."""
+    physical plan. r8 contract for distributed batches (dt among the
+    keys): the store scan carries a DYNAMIC partition-pruning filter on
+    ``_mrsm_part`` fed by the batch's own cell ids — runtime pruning
+    inside the same job as the diff, with no separate stats action —
+    the difference between diffing a day and scanning 100 TB."""
+    from meerschaum_spark.pipe import _low_latency_plan
     pipe = Pipe("plans", "sync", instance=instance_dir, spark=spark,
                 columns={"datetime": "ts", "id": "event_id"})
     events = load_table(spark, sf_dir, "events")
     pipe.sync(events)
     small = events.filter("ts >= timestamp'2024-01-10' AND "
                           "ts < timestamp'2024-01-11'").limit(50)
-    marked = pipe._split_existing(small.localCheckpoint())
+    with _low_latency_plan(spark):
+        marked = pipe._split_existing(small.localCheckpoint())
+        plan = marked._jdf.queryExecution().executedPlan().toString()
     r = plan_report(marked)
-    # the stored-table scan is partition-pruned by the patch's dt range
+    # the stored-table scan is partition-pruned by the batch's cell ids,
+    # planted as a dynamicpruningexpression partition filter
+    assert r["partition_filters"] and \
+        any("_mrsm_part" in f for f in r["partition_filters"])
+    assert "dynamicpruning" in plan.lower(), plan[:1200]
+
+
+def test_sync_local_batch_keeps_key_in_pushdown(spark, instance_dir,
+                                                sf_dir):
+    """Driver-local batches (the reference's dominant small-sync form)
+    keep the static contract: dt-range partition pruning plus the
+    ≤250-distinct-key IN() pushdown reaching the parquet scan — both
+    derived from the in-memory frame with zero probe actions."""
+    import pandas as pd
+    pipe = Pipe("plans", "synclocal", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "event_id"})
+    events = load_table(spark, sf_dir, "events")
+    pipe.sync(events)
+    pdf = (events.filter("ts >= timestamp'2024-01-10' AND "
+                         "ts < timestamp'2024-01-11'").limit(50)
+           .toPandas())
+    df, _ = __import__("meerschaum_spark.dataframe", fromlist=["x"]) \
+        .to_spark_df(spark, pd.DataFrame(pdf), pipe.dtypes or None)
+    marked = pipe._split_existing(df, _local_pdf=pdf)
+    r = plan_report(marked)
     assert r["partition_filters"] and \
         any("_mrsm_part" in f for f in r["partition_filters"])
     # ≤250 distinct event_ids → key IN() reaches the parquet scan
@@ -68,10 +97,13 @@ def test_sync_backtrack_scan_is_bounded(spark, instance_dir, sf_dir):
 
 def test_sync_diff_is_single_key_join_on_fingerprints(spark, instance_dir,
                                                       sf_dir):
-    """The r5 diff contract: ONE join in the whole diff plan (the
-    null-safe key join against the (keys, fingerprint-set) aggregate) —
-    the stored side must never shuffle full rows through an all-columns
-    join condition, and the batch must not be joined twice."""
+    """The r5 diff contract, r8-amended: ONE key join in the diff plan
+    (the null-safe key join against the (keys, fingerprint-set)
+    aggregate) — the stored side must never shuffle full rows through an
+    all-columns join condition, and the batch must not be key-joined
+    twice. The distributed path adds exactly one more join node: the
+    broadcast LEFT-SEMI on ``_mrsm_part`` that feeds runtime partition
+    pruning (it moves cell IDS, not rows — a handful of longs)."""
     from meerschaum_spark.plans import explain_str
     pipe = Pipe("plans", "fpdiff", instance=instance_dir, spark=spark,
                 columns={"datetime": "ts", "id": "event_id"})
@@ -80,7 +112,11 @@ def test_sync_diff_is_single_key_join_on_fingerprints(spark, instance_dir,
     marked = pipe._split_existing(events)
     plan = explain_str(marked, "simple")
     n_joins = plan.count("Join")
-    assert n_joins == 1, f"expected exactly 1 join in the diff plan:\n{plan[:1200]}"
+    assert n_joins == 2, f"expected key join + DPP semi join only:\n{plan[:1200]}"
+    # the extra join is the broadcast pruning semi join, nothing heavier
+    import re
+    assert re.search(r"BroadcastHashJoin \[_mrsm_part.*LeftSemi", plan), \
+        plan[:1200]
     # row equality rides on the hash pair, not a column-by-column condition
     assert "xxhash64" in plan.lower()
 

@@ -688,3 +688,48 @@ def test_post_write_exists_probe_is_conditional(spark, tmp_path, monkeypatch):
     store.append(df.limit(0))           # empty frame → must re-probe
     assert calls["n"] == 1
     assert store.exists() is True
+
+
+def test_distributed_sync_dpp_one_job(spark, instance_dir):
+    """r8 one-job sync: a distributed batch with dt among the keys skips
+    the per-sync stats action — the backtrack prunes at runtime via
+    dynamic partition pruning inside the diff job itself. Pins (a) the
+    job budget of an insert-only incremental sync, (b) correctness
+    across multiple cells, null dts, replays, and updates (null-dt rows
+    must still match, via the unioned null cell)."""
+    import datetime as dtm
+
+    base = dtm.datetime(2024, 1, 1)
+    rows = [(base + dtm.timedelta(hours=7 * i), i, float(i))
+            for i in range(300)]                       # ~88 daily cells
+    rows += [(None, 1000 + i, -float(i)) for i in range(5)]  # null cell
+    src = spark.createDataFrame(rows, "ts timestamp, id long, v double") \
+        .repartition(8)
+    pipe = Pipe("dpp", "ev", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "id"})
+
+    r1 = pipe.sync(src.filter("id < 200 OR id >= 1000"))
+    assert r1.inserted == 205 and r1.updated == 0
+
+    sc = spark.sparkContext
+    sc.setJobGroup("dpp_sync_insert", "insert-only incremental")
+    r2 = pipe.sync(src)                               # 100 unseen rows
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("dpp_sync_insert"))
+    sc.setJobGroup("dpp_sync_done", "")
+    assert (r2.inserted, r2.updated) == (100, 0)
+    # one action: the observed diff+append job, plus its two broadcast
+    # builds (cell-id set + backtrack key aggregate). The pre-r8 path
+    # paid a 4th job — the separate batch-stats aggregate.
+    assert n_jobs <= 3, f"insert-only distributed sync ran {n_jobs} jobs"
+
+    r3 = pipe.sync(src)                               # pure replay
+    assert (r3.inserted, r3.updated) == (0, 0)
+
+    # mutate rows in two far-apart cells AND one null-dt row
+    mut = (src.filter("id IN (5, 290, 1002)")
+           .withColumn("v", F.col("v") - 1000.0))
+    r4 = pipe.sync(mut)
+    assert (r4.inserted, r4.updated) == (0, 3), r4.message
+    assert pipe.get_rowcount() == 305
+    got = {r["id"]: r["v"] for r in pipe.get_data().collect()}
+    assert got[5] == -995.0 and got[290] == -710.0 and got[1002] == -1002.0

@@ -36,70 +36,69 @@ DEC = "decimal(18,6)"
 #: row/schema/value compare, and several have green rows in prior-round
 #: CORRECTNESS files (cited in SURVEY §2).
 HEAD_ORDER = [
-    # r7 rotation (standing rule: NEW queries lead, then queries whose
+    # r8 rotation (standing rule: NEW queries lead, then queries whose
     # code/oracle CHANGED this round, then the stalest green rows).
-    # After r6 every catalog query holds a cumulative driver-green row,
-    # so this round's head is freshness-driven: re-record everything the
-    # r7 engine work touched, then the queries whose only green rows
-    # predate the r5 diff-path rewrite (r2–r4). The r4-era queries that
-    # don't fit the 50-cap (streaming_sessionization and the
-    # doc_gopher_quality-era stragglers) rotate next round.
+    # This round closes the freshness ledger: the six remaining r4-era
+    # rows re-record here, so after r8 every query's newest green row is
+    # r5+ and the backfill drains the r5 cohort (the 15 r5 rows that
+    # don't fit the 50-cap — the q2/q4/q7-q9/q11/q12/q19-q21 TPC-H block
+    # and three streaming/sketch rows — rotate in r9).
     #
-    # -- new in r7: spatial operators + OHLC / skyline --
-    "geo_bbox_agg",
-    "geo_point_in_polygon",
-    "geo_radius_join",
-    "geo_path_length",
-    "geo_polygon_area",
-    "events_ohlc_candles",
-    "part_skyline_pareto",
-    "events_ema_sequential",
-    "events_lttb_downsample",
-    "streaming_ema_sequential",
-    # -- changed in r7 (oracle boundary fix; sync-path perf rework;
-    #    LSH bucket cap; bigram checkpoint rework; salted_top_k) --
-    "events_session_window_native",
+    # -- new in r8: SRID reprojection + geometry×geometry intersects --
+    "geo_transform_mercator",
+    "geo_segment_intersect_join",
+    # -- changed in r8 (DPP one-job sync; conditional post-write exists
+    #    probe) — the whole pipe/sync family re-records --
     "pipe_sync_roundtrip",
     "pipe_ingest_dedup",
     "pipe_ingest_dedup_minhash",
-    "doc_minhash_jaccard_est",
-    "doc_lsh_candidates",
-    "doc_near_dup_clusters",
-    "doc_dedup_cascade_report",
-    "doc_bigram_lm_score",
-    "doc_domain_caps",
-    # -- stalest green rows: r2/r3 --
-    "doc_corpus_prep",
-    "streaming_hourly_rollup",
-    "doc_minhash_signatures",
-    "doc_simhash",
-    "q15_top_supplier",
-    # -- stalest green rows: r4 (pre-rewrite) --
-    "doc_binary_features",
-    "doc_contamination_check",
-    "doc_exact_dedup",
-    "doc_fingerprint",
-    "doc_lang_id",
-    "doc_ngram_jaccard_topk",
-    "doc_quality_score",
-    "doc_simhash_near_pairs",
-    "doc_token_budget",
-    "doc_token_rarity",
-    "doc_token_stats",
-    "doc_training_export",
-    "emb_ann_lsh_topk",
-    "emb_cosine_topk",
-    "emb_ivf_topk",
-    "emb_near_dup_pairs",
-    "events_anomaly_zscore",
-    "events_asof_attribution",
-    "events_daily_cube",
-    "events_funnel",
-    "events_json_extract",
-    "events_sessionization",
-    "events_type_pivot",
-    "events_value_histogram",
-    "events_weekly_retention",
+    "pipe_rollup_incremental",
+    "pipe_verify_backfill",
+    "events_incremental_unseen",
+    "events_incremental_update",
+    "events_per_user_sync_times",
+    "events_sync_time",
+    "events_backtrack_slice",
+    "events_dedup_keep_last",
+    "streaming_pipe_sync",
+    "streaming_rollup_maintenance",
+    # -- last six r4-era green rows --
+    "geo_wkb_roundtrip",
+    "multimodal_frame_sample",
+    "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
+    "streaming_dedup_keys",
+    "streaming_sessionization",
+    # -- backfill: r5-era rows, stalest cohort first --
+    "doc_adaptive_quality",
+    "doc_bloom_prescreen",
+    "doc_bm25_topk",
+    "doc_chunk_split",
+    "doc_cms_heavy_hitters",
+    "doc_dedup_survivors",
+    "doc_domain_mix",
+    "doc_dsir_weights",
+    "doc_gopher_quality",
+    "doc_pii_scrub",
+    "doc_repetition_stats",
+    "doc_sentence_dedup",
+    "doc_sequence_pack",
+    "doc_shard_assign",
+    "doc_split_assign",
+    "doc_stratified_sample",
+    "doc_substring_dup_pairs",
+    "doc_tfidf_topk",
+    "doc_vocab_topk",
+    "doc_winnowing_pairs",
+    "emb_ann_recall",
+    "emb_centroid_stats",
+    "emb_int8_quantize",
+    "emb_ivf_recall",
+    "emb_kmeans",
+    "emb_norm_stats",
+    "emb_pca_power_direction",
+    "emb_semantic_dedup",
+    "events_hll_distinct",
 ]
 
 

@@ -330,6 +330,216 @@ def with_point_coords(df: DataFrame, wkb_col: str,
     return df.mapInPandas(decode, schema)
 
 
+# ---------------------------------------------------------------------------
+# SRID reprojection (ST_Transform) — closed-form spherical web mercator.
+# The reference carries SRID through (de)serialization end-to-end
+# (utils/dtypes/__init__.py:800-882) and its postgis flavor serves
+# ST_Transform server-side; here the only supported projection pair is
+# the closed-form EPSG:4326 <-> EPSG:3857, which covers the web-tiling
+# use the geometry dtype exists for without dragging in a CRS database.
+# ---------------------------------------------------------------------------
+
+_WEB_R = 6378137.0  # WGS84 semi-major axis (spherical mercator radius)
+
+
+def _merc_fwd(lon: float, lat: float) -> tuple[float, float]:
+    """EPSG:4326 → EPSG:3857. Written as the CANONICAL operation order
+    ``R * radians(lon)`` / ``R * log(tan(pi/4 + radians(lat)/2))`` so a
+    SQL oracle spelling the same order reproduces the floats bit-for-bit
+    (multiplication/addition are correctly rounded everywhere; tan/log
+    resolve to the same libm on one host)."""
+    import math
+    return (_WEB_R * math.radians(lon),
+            _WEB_R * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2)))
+
+
+def _merc_inv(x: float, y: float) -> tuple[float, float]:
+    """EPSG:3857 → EPSG:4326 (same canonical-order contract)."""
+    import math
+    return (math.degrees(x / _WEB_R),
+            math.degrees(2.0 * math.atan(math.exp(y / _WEB_R))
+                         - math.pi / 2))
+
+
+def _map_positions(c: list, fn) -> list:
+    if not isinstance(c, list) or not c:
+        return c
+    if not isinstance(c[0], list):
+        out = list(fn(c[0], c[1]))
+        return out + list(c[2:])  # z (and m) pass through untouched
+    return [_map_positions(sub, fn) for sub in c]
+
+
+@F.pandas_udf(T.BinaryType())
+def st_transform_mercator(wkb: pd.Series, direction: pd.Series) -> pd.Series:
+    """ST_Transform between EPSG:4326 and EPSG:3857 over WKB of ANY
+    geometry type: every (x, y) position maps through the closed-form
+    spherical mercator; z passes through; the output EWKB carries the
+    target SRID. ``direction`` is 'fwd' (4326→3857) or 'inv'. One Arrow
+    batch per task — the transform is a handful of flops per vertex and
+    rides the same decode pass the codec already pays."""
+    out = []
+    for v, d in zip(wkb, direction):
+        if v is None:
+            out.append(None)
+            continue
+        g = geo.from_wkb(bytes(v))
+        fwd = (d == "fwd")
+        mapped = _map_positions(
+            g.coords if g.geom_type.lower() != "point" else [g.coords],
+            _merc_fwd if fwd else _merc_inv)
+        coords = mapped[0] if g.geom_type.lower() == "point" else mapped
+        out.append(geo.to_wkb(geo.Geometry(
+            g.geom_type, coords, 3857 if fwd else 4326, g.has_z)))
+    return pd.Series(out, dtype="object")
+
+
+def with_segment_coords(df: DataFrame, wkb_col: str,
+                        prefix: str = "s") -> DataFrame:
+    """Decode a 2-point LINESTRING WKB column to (x1, y1, x2, y2) longs
+    in ONE Arrow pass (same one-plan-node rationale as
+    ``with_point_coords``); the caller's intersection predicate then
+    stays entirely JVM-side."""
+    out_fields = [f for f in df.schema.fields if f.name != wkb_col]
+    names = [f"{prefix}x1", f"{prefix}y1", f"{prefix}x2", f"{prefix}y2"]
+    schema = T.StructType(out_fields + [
+        T.StructField(n, T.LongType()) for n in names])
+    keep = [f.name for f in out_fields]
+
+    def decode(batches):
+        for pdf in batches:
+            out = pdf[keep].copy()
+            cols: dict[str, list] = {n: [] for n in names}
+            for v in pdf[wkb_col]:
+                if v is None:
+                    for n in names:
+                        cols[n].append(None)
+                    continue
+                pts = list(_walk_positions(geo.from_wkb(bytes(v)).coords))
+                a, b = pts[0], pts[-1]
+                for n, val in zip(names, (a[0], a[1], b[0], b[1])):
+                    cols[n].append(int(val))
+            for n in names:
+                out[n] = cols[n]
+            yield out
+
+    return df.mapInPandas(decode, schema)
+
+
+def segments_intersect_cols(
+    x1, y1, x2, y2, x3, y3, x4, y4,
+) -> F.Column:
+    """SEGMENTS-INTERSECT (the classic cross-product orientation test,
+    touching endpoints and collinear overlap included) as a pure Column
+    expression over integer coordinates — exact int64 arithmetic, fully
+    JVM-side, so a pair join evaluates it inside whole-stage codegen
+    with no Python boundary."""
+    def o(ax, ay, bx, by, cx, cy):
+        return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+    def onseg(ax, ay, bx, by, cx, cy):
+        return ((F.least(ax, bx) <= cx) & (cx <= F.greatest(ax, bx))
+                & (F.least(ay, by) <= cy) & (cy <= F.greatest(ay, by)))
+
+    d1 = o(x3, y3, x4, y4, x1, y1)
+    d2 = o(x3, y3, x4, y4, x2, y2)
+    d3 = o(x1, y1, x2, y2, x3, y3)
+    d4 = o(x1, y1, x2, y2, x4, y4)
+    general = ((((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0)))
+               & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))))
+    touch = (((d1 == 0) & onseg(x3, y3, x4, y4, x1, y1))
+             | ((d2 == 0) & onseg(x3, y3, x4, y4, x2, y2))
+             | ((d3 == 0) & onseg(x1, y1, x2, y2, x3, y3))
+             | ((d4 == 0) & onseg(x1, y1, x2, y2, x4, y4)))
+    return general | touch
+
+
+def _segments_of(g: "geo.Geometry") -> list:
+    """Boundary segments ((x1,y1),(x2,y2)) of a linestring / polygon /
+    multi variant (polygon rings close implicitly)."""
+    t = g.geom_type.lower()
+    segs = []
+
+    def line(pts, close=False):
+        for a, b in zip(pts, pts[1:]):
+            segs.append((a, b))
+        if close and len(pts) > 1 and pts[0] != pts[-1]:
+            segs.append((pts[-1], pts[0]))
+
+    if t == "linestring":
+        line(g.coords or [])
+    elif t == "multilinestring":
+        for part in g.coords or []:
+            line(part)
+    elif t == "polygon":
+        for ring in g.coords or []:
+            line(ring, close=True)
+    elif t == "multipolygon":
+        for poly in g.coords or []:
+            for ring in poly:
+                line(ring, close=True)
+    elif t == "point":
+        p = g.coords
+        segs.append((p, p))
+    elif t == "multipoint":
+        for p in g.coords or []:
+            segs.append((p, p))
+    else:
+        raise ValueError(f"st_intersects: unsupported type {g.geom_type}")
+    return segs
+
+
+def _py_seg_intersect(a, b) -> bool:
+    (p1, p2), (p3, p4) = a, b
+
+    def o(p, q, r):
+        return ((q[0] - p[0]) * (r[1] - p[1])
+                - (q[1] - p[1]) * (r[0] - p[0]))
+
+    def onseg(p, q, r):
+        return (min(p[0], q[0]) <= r[0] <= max(p[0], q[0])
+                and min(p[1], q[1]) <= r[1] <= max(p[1], q[1]))
+
+    d1, d2 = o(p3, p4, p1), o(p3, p4, p2)
+    d3, d4 = o(p1, p2, p3), o(p1, p2, p4)
+    if ((d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0)) and \
+            ((d3 > 0 and d4 < 0) or (d3 < 0 and d4 > 0)):
+        return True
+    return ((d1 == 0 and onseg(p3, p4, p1))
+            or (d2 == 0 and onseg(p3, p4, p2))
+            or (d3 == 0 and onseg(p1, p2, p3))
+            or (d4 == 0 and onseg(p1, p2, p4)))
+
+
+@F.pandas_udf(T.BooleanType())
+def st_intersects(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
+    """Geometry×geometry ST_Intersects over two WKB columns: true when
+    any boundary segments cross/touch, or when one geometry lies inside
+    the other (vertex-in-rings containment — covers the
+    no-boundary-crossing nesting case). Boundary-pair work is O(n·m) per
+    ROW PAIR — callers must pre-pair with a spatial bucket join
+    (``radius_candidate_join`` / the segment grid in
+    ``geo_segment_intersect_join``), never a cross product."""
+    out = []
+    for va, vb in zip(wkb_a, wkb_b):
+        if va is None or vb is None:
+            out.append(None)
+            continue
+        ga, gb = geo.from_wkb(bytes(va)), geo.from_wkb(bytes(vb))
+        segs_a, segs_b = _segments_of(ga), _segments_of(gb)
+        hit = any(_py_seg_intersect(a, b) for a in segs_a for b in segs_b)
+        if not hit:
+            for outer, inner in ((ga, gb), (gb, ga)):
+                if outer.geom_type.lower() in ("polygon", "multipolygon"):
+                    pos = _first_position(inner)
+                    if pos is not None and _point_in_rings(
+                            _polygon_rings(outer), pos[0], pos[1]):
+                        hit = True
+                        break
+        out.append(hit)
+    return pd.Series(out, dtype="object")
+
+
 def radius_candidate_join(
     a: DataFrame,
     b: DataFrame,

@@ -962,6 +962,161 @@ def geo_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+@query(
+    "geo_transform_mercator",
+    """
+    WITH p AS (
+      SELECT event_id,
+             (event_id % 360) - 179.5 AS lon,
+             (event_id % 170) - 84.5 AS lat
+      FROM events WHERE event_id % 101 = 0)
+    SELECT event_id,
+           6378137.0 * radians(lon) AS mx,
+           6378137.0 * ln(tan(pi() / 4 + radians(lat) / 2)) AS my,
+           round(degrees((6378137.0 * radians(lon)) / 6378137.0), 6)
+             AS lon_rt,
+           round(degrees(2.0 * atan(exp(
+               (6378137.0 * ln(tan(pi() / 4 + radians(lat) / 2)))
+               / 6378137.0)) - pi() / 2), 6) AS lat_rt
+    FROM p ORDER BY event_id
+    """,
+)
+def geo_transform_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Transform over the WKB dtype: half-integer lon/lat grid points
+    (never at a pole or the antimeridian) are encoded as SRID=4326
+    EWKB, reprojected to EPSG:3857 by the closed-form spherical
+    mercator, then reprojected BACK — the query returns the forward
+    meters and the round-tripped degrees (rounded to 1e-6, which the
+    ~1e-9 round-trip error collapses to the exact half-integers).
+
+    The oracle spells the same CANONICAL operation order
+    (``R * radians(lon)``, ``R * ln(tan(pi/4 + radians(lat)/2))``), so
+    the forward floats must match bit-for-bit: multiplication and
+    addition are correctly rounded everywhere, and tan/ln/atan/exp
+    resolve to one libm on a single host. SRID travels in the EWKB
+    header both ways (reference carries SRID through serialization,
+    utils/dtypes/__init__.py:800-882)."""
+    from meerschaum_spark.functions import geo as G
+    ev = parallelize(load_table(spark, sf_dir, "events")
+                     .select("event_id"))
+    pts = (ev.filter(F.col("event_id") % 101 == 0)
+           .withColumn("lon", (F.col("event_id") % 360).cast("double")
+                       - 179.5)
+           .withColumn("lat", (F.col("event_id") % 170).cast("double")
+                       - 84.5))
+    wkt = F.concat(F.lit("SRID=4326;POINT ("),
+                   F.col("lon").cast("string"), F.lit(" "),
+                   F.col("lat").cast("string"), F.lit(")"))
+    fwd = (pts.select(
+        "event_id",
+        G.st_transform_mercator(G.wkt_to_wkb(wkt), F.lit("fwd"))
+        .alias("w3857")))
+    # inverse as a second column BEFORE decoding: the w3857 expression is
+    # re-inlined into the inverse's input (CollapseProject), costing one
+    # extra decode of a 100-row frame — accepted for a single linear
+    # mapInPandas chain instead of a self-join
+    both = fwd.withColumn(
+        "w4326", G.st_transform_mercator(F.col("w3857"), F.lit("inv")))
+    d1 = G.with_point_coords(both, "w3857", "mx", "my")
+    d2 = G.with_point_coords(d1, "w4326", "lon_raw", "lat_raw")
+    return (d2.select(
+        "event_id", "mx", "my",
+        F.round(F.col("lon_raw"), 6).alias("lon_rt"),
+        F.round(F.col("lat_raw"), 6).alias("lat_rt"))
+        .orderBy("event_id"))
+
+
+@query(
+    "geo_segment_intersect_join",
+    """
+    WITH a AS (
+      SELECT event_id AS a_id,
+             event_id % 97 AS x1, event_id % 89 AS y1,
+             event_id % 97 + (event_id % 13 - 6) AS x2,
+             event_id % 89 + (event_id % 11 - 5) AS y2
+      FROM events WHERE event_id % 101 = 0),
+    b AS (
+      SELECT event_id AS b_id,
+             event_id % 97 AS x3, event_id % 89 AS y3,
+             event_id % 97 + (event_id % 9 - 4) AS x4,
+             event_id % 89 + (event_id % 7 - 3) AS y4
+      FROM events),
+    d AS (
+      SELECT a_id, b_id, x1, y1, x2, y2, x3, y3, x4, y4,
+             (x4 - x3) * (y1 - y3) - (y4 - y3) * (x1 - x3) AS d1,
+             (x4 - x3) * (y2 - y3) - (y4 - y3) * (x2 - x3) AS d2,
+             (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1) AS d3,
+             (x2 - x1) * (y4 - y1) - (y2 - y1) * (x4 - x1) AS d4
+      FROM a JOIN b ON a_id <> b_id)
+    SELECT a_id, count(*) AS n_hits, CAST(sum(b_id) AS BIGINT) AS sum_b
+    FROM d
+    WHERE (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+           AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
+       OR (d1 = 0 AND x1 BETWEEN least(x3, x4) AND greatest(x3, x4)
+                  AND y1 BETWEEN least(y3, y4) AND greatest(y3, y4))
+       OR (d2 = 0 AND x2 BETWEEN least(x3, x4) AND greatest(x3, x4)
+                  AND y2 BETWEEN least(y3, y4) AND greatest(y3, y4))
+       OR (d3 = 0 AND x3 BETWEEN least(x1, x2) AND greatest(x1, x2)
+                  AND y3 BETWEEN least(y1, y2) AND greatest(y1, y2))
+       OR (d4 = 0 AND x4 BETWEEN least(x1, x2) AND greatest(x1, x2)
+                  AND y4 BETWEEN least(y1, y2) AND greatest(y1, y2))
+    GROUP BY a_id ORDER BY a_id
+    """,
+)
+def geo_segment_intersect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry×geometry ST_Intersects as a distributed pair join: both
+    sides are short LINESTRING WKBs (codec round-trip included), decoded
+    ONCE into endpoint columns (``with_segment_coords``); candidate
+    pairs come from the same grid-bucket shape as the radius join (cell
+    width 16 ≥ the two sides' maximum per-axis reach of 10, so every
+    intersecting pair shares a 3×3 neighborhood — never |a|×|b|); the
+    exact SEGMENTS-INTERSECT predicate (orientation cross-products,
+    touching + collinear overlap included) then runs entirely JVM-side
+    in int64 (``segments_intersect_cols``) inside whole-stage codegen.
+    The oracle is the naive quadratic join with the identical
+    closed-form predicate — exactly the plan this shape avoids."""
+    from meerschaum_spark.functions import geo as G
+    ev = parallelize(load_table(spark, sf_dir, "events")
+                     .select("event_id"))
+    num = lambda c: c.cast("long").cast("string")  # noqa: E731
+
+    def segs(df: DataFrame, idc: str, dxm: int, dxo: int, dym: int,
+             dyo: int, prefix: str) -> DataFrame:
+        eid = F.col("event_id")
+        x, y = eid % 97, eid % 89
+        x2, y2 = x + (eid % dxm - dxo), y + (eid % dym - dyo)
+        wkt = F.concat(F.lit("LINESTRING ("),
+                       num(x), F.lit(" "), num(y), F.lit(", "),
+                       num(x2), F.lit(" "), num(y2), F.lit(")"))
+        from meerschaum_spark.functions.geo import wkt_to_wkb
+        built = df.select(eid.alias(idc), wkt_to_wkb(wkt).alias("_wkb"))
+        return G.with_segment_coords(built, "_wkb", prefix)
+
+    a = segs(ev.filter(F.col("event_id") % 101 == 0), "a_id",
+             13, 6, 11, 5, "a")
+    b = segs(ev, "b_id", 9, 4, 7, 3, "b")
+    cell = 16
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "_odx int, _ody int")
+    a_rep = (a.crossJoin(F.broadcast(offsets))
+             .withColumn("_cx", F.floor(F.col("ax1") / cell) + F.col("_odx"))
+             .withColumn("_cy", F.floor(F.col("ay1") / cell) + F.col("_ody"))
+             .drop("_odx", "_ody"))
+    b_cell = (b.withColumn("_cx", F.floor(F.col("bx1") / cell))
+              .withColumn("_cy", F.floor(F.col("by1") / cell)))
+    hit = G.segments_intersect_cols(
+        F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2"),
+        F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2"))
+    return (a_rep.join(b_cell, on=["_cx", "_cy"], how="inner")
+            .filter(F.col("a_id") != F.col("b_id"))
+            .filter(hit)
+            .groupBy("a_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"),
+                 F.sum("b_id").cast("long").alias("sum_b"))
+            .orderBy("a_id"))
+
+
 def _bucket_sql(seed: str, n_planes: int, vec: str = "embedding") -> str:
     comp_t = (f"CASE WHEN ({_H60.format(x=chr(39) + seed + 'plane{p}_' + chr(39) + ' || CAST(i - 1 AS VARCHAR)')} & 1) = 1 "
               f"THEN {_EL} ELSE -{_EL} END")

@@ -342,3 +342,158 @@ def test_radius_join_rejects_undersized_cells(spark):
     with _pytest.raises(ValueError, match="cell width"):
         G.radius_candidate_join(a, b, radius=5.0, cell=2.0,
                                 ax="x1", ay="y1", bx="x2", by="y2")
+
+
+def test_mercator_transform_roundtrip_and_srid(spark):
+    """st_transform_mercator: forward matches the closed form, the SRID
+    travels in the EWKB header both ways, z passes through, and the
+    round trip reproduces half-integer lon/lat to <1e-7 degrees."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from meerschaum_spark.functions import geo as G
+
+    pts = [(-179.5, -84.5), (-0.5, 0.5), (12.5, 51.5), (179.5, 84.5)]
+    wkbs = [geo.to_wkb(geo.Geometry("Point", [lon, lat], 4326))
+            for lon, lat in pts]
+    df = spark.createDataFrame([(v,) for v in wkbs], "w binary")
+    fwd = df.select(
+        G.st_transform_mercator(F.col("w"), F.lit("fwd")).alias("f"))
+    rows = [bytes(r["f"]) for r in fwd.collect()]
+    for (lon, lat), buf in zip(pts, rows):
+        g = geo.from_wkb(buf)
+        assert g.srid == 3857
+        assert g.coords[0] == 6378137.0 * math.radians(lon)
+        assert g.coords[1] == 6378137.0 * math.log(
+            math.tan(math.pi / 4 + math.radians(lat) / 2))
+    inv = (df.select(G.st_transform_mercator(
+        G.st_transform_mercator(F.col("w"), F.lit("fwd")), F.lit("inv"))
+        .alias("b")))
+    for (lon, lat), r in zip(pts, inv.collect()):
+        g = geo.from_wkb(bytes(r["b"]))
+        assert g.srid == 4326
+        assert abs(g.coords[0] - lon) < 1e-7
+        assert abs(g.coords[1] - lat) < 1e-7
+    # z passes through a LINESTRING Z untouched
+    lz = geo.from_wkt("SRID=4326;LINESTRING Z (10 20 7.5, 11 21 8.5)")
+    out = spark.createDataFrame([(geo.to_wkb(lz),)], "w binary").select(
+        G.st_transform_mercator(F.col("w"), F.lit("fwd")).alias("f"))
+    gz = geo.from_wkb(bytes(out.first()["f"]))
+    assert gz.has_z and [p[2] for p in gz.coords] == [7.5, 8.5]
+
+
+def test_st_intersects_geometry_pairs(spark):
+    """Geometry×geometry ST_Intersects: crossing lines, endpoint touch,
+    collinear overlap, disjoint, polygon×line crossing, and full
+    containment (no boundary crossing) — both nesting directions."""
+    from pyspark.sql import functions as F
+
+    from meerschaum_spark.functions import geo as G
+
+    def w(wkt):
+        return geo.to_wkb(geo.from_wkt(wkt))
+
+    cases = [
+        ("LINESTRING (0 0, 10 10)", "LINESTRING (0 10, 10 0)", True),
+        ("LINESTRING (0 0, 5 5)", "LINESTRING (5 5, 9 1)", True),   # touch
+        ("LINESTRING (0 0, 4 0)", "LINESTRING (2 0, 8 0)", True),   # collinear
+        ("LINESTRING (0 0, 4 0)", "LINESTRING (5 1, 9 1)", False),
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+         "LINESTRING (-5 5, 15 5)", True),                          # crosses
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+         "LINESTRING (2 2, 3 3)", True),                            # inside
+        ("LINESTRING (2 2, 3 3)",
+         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", True),          # reversed
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+         "POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))", False),
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+         "POLYGON ((3 3, 4 3, 4 4, 3 4, 3 3))", True),              # nested
+    ]
+    df = spark.createDataFrame(
+        [(i, w(a), w(b)) for i, (a, b, _) in enumerate(cases)],
+        "i int, a binary, b binary")
+    got = {r["i"]: r["hit"] for r in df.select(
+        "i", G.st_intersects(F.col("a"), F.col("b")).alias("hit")).collect()}
+    for i, (a, b, want) in enumerate(cases):
+        assert got[i] == want, (a, b, want)
+
+
+def test_segments_intersect_cols_matches_python(spark):
+    """The JVM column predicate and the Python CLRS reference must agree
+    on every small-integer segment pair (exhaustive over a dense set:
+    crossings, touches, collinear overlaps, points)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from meerschaum_spark.functions.geo import (
+        _py_seg_intersect,
+        segments_intersect_cols,
+    )
+
+    pts = [(0, 0), (2, 0), (1, 1), (2, 2), (0, 2)]
+    segs = list(itertools.combinations(range(len(pts)), 2)) + [(0, 0)]
+    rows = []
+    for (i1, i2), (j1, j2) in itertools.product(segs, segs):
+        rows.append(pts[i1] + pts[i2] + pts[j1] + pts[j2])
+    df = spark.createDataFrame(
+        rows, "x1 long, y1 long, x2 long, y2 long, "
+              "x3 long, y3 long, x4 long, y4 long")
+    hit = segments_intersect_cols(*[F.col(c) for c in df.columns])
+    got = [r["h"] for r in df.select(hit.alias("h")).collect()]
+    want = [_py_seg_intersect(((r[0], r[1]), (r[2], r[3])),
+                              ((r[4], r[5]), (r[6], r[7])))
+            for r in rows]
+    assert got == want
+
+
+def test_wkb_parser_adversarial_fuzz():
+    """The WKB codec parses stored USER bytes on the hot path: arbitrary
+    and truncated/corrupted buffers must raise a clean error (ValueError
+    family / struct.error) promptly — never hang, recurse forever, or
+    allocate unboundedly (a claimed element count beyond the buffer must
+    fail on read, not pre-allocate)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def assert_clean(buf: bytes):
+        try:
+            geo.from_wkb(buf)
+        except Exception as exc:  # noqa: BLE001 — the contract IS the type
+            assert isinstance(exc, (ValueError, struct_error, IndexError,
+                                    NotImplementedError)), \
+                (type(exc), buf.hex())
+
+    from struct import error as struct_error
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(min_size=0, max_size=64))
+    def fuzz_random(buf):
+        assert_clean(buf)
+
+    fuzz_random()
+
+    # structured corruption: take valid geometries and truncate / flip
+    valid = [geo.to_wkb(geo.from_wkt(w)) for w in WKTS]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.sampled_from(valid), st.data())
+    def fuzz_corrupt(buf, data):
+        cut = data.draw(st.integers(0, len(buf)))
+        mutated = bytearray(buf[:cut] + buf[cut + 1:])
+        if mutated:
+            pos = data.draw(st.integers(0, len(mutated) - 1))
+            mutated[pos] ^= data.draw(st.integers(1, 255))
+        assert_clean(bytes(mutated))
+
+    fuzz_corrupt()
+
+    # hostile claimed counts: header says 2^31 points, buffer is tiny —
+    # must error fast instead of allocating
+    import struct as _s
+    import time as _t
+    hostile = b"\x01" + _s.pack("<I", 2) + _s.pack("<I", 0x7FFFFFFF)
+    t0 = _t.monotonic()
+    assert_clean(hostile)
+    assert _t.monotonic() - t0 < 2.0

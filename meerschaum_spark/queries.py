@@ -914,8 +914,14 @@ _STREAM_SESSION_SQL = """
 _STREAM_RUN_COUNTER = [0]
 
 
+#: conf key for the streaming state-store backend
+_STATE_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming."
+                     "state.RocksDBStateStoreProvider")
+
+
 @contextlib.contextmanager
-def _stream_replay_confs(spark: SparkSession):
+def _stream_replay_confs(spark: SparkSession, state_store: str | None = None):
     """Confs for replaying a bounded table through a streaming query:
     nanos-tolerant parquet reads, and state/shuffle partitions sized to
     the replay rather than the batch session default — every state-store
@@ -923,18 +929,38 @@ def _stream_replay_confs(spark: SparkSession):
     own Python worker) PER micro-batch, so 32 near-empty partitions cost
     ~2 s of pure overhead at sf0.1. A production stream sizes this by
     key cardinality and throughput; the partition count is fixed at the
-    checkpoint's first start either way."""
+    checkpoint's first start either way.
+
+    ``state_store='rocksdb'`` (or env ``SPARK_GRAFT_STATE_STORE=rocksdb``)
+    opts the replay into Spark's RocksDB state-store provider — the
+    large-key-space backend: per-key state lives off-heap/on-disk with
+    changelog checkpointing instead of resident JVM hash maps, which is
+    what a 100 TB stream with 10⁸+ distinct keys needs. Default stays
+    the in-memory HDFS-backed provider (right for test-sized replays;
+    the provider is pinned into the checkpoint at first start, so
+    flipping it mid-checkpoint is refused by Spark itself)."""
+    import os as _os
     prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong",
                                 "false")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     n = max(4, spark.sparkContext.defaultParallelism // 4)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    store = (state_store
+             or _os.environ.get("SPARK_GRAFT_STATE_STORE", "")).lower()
+    prev_provider = spark.conf.get(_STATE_PROVIDER_KEY, None)
+    if store == "rocksdb":
+        spark.conf.set(_STATE_PROVIDER_KEY, _ROCKSDB_PROVIDER)
     try:
         yield
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if store == "rocksdb":
+            if prev_provider is None:
+                spark.conf.unset(_STATE_PROVIDER_KEY)
+            else:
+                spark.conf.set(_STATE_PROVIDER_KEY, prev_provider)
 
 
 def _replay_events_to_sink(spark: SparkSession, sf_dir: str, build,

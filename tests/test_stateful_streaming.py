@@ -167,3 +167,60 @@ def test_stateful_ema_across_runs(spark, dirs):
         return s
     assert second[1]["ema_scaled"] == batch_ema([3.0, 7.0, 2.0])
     assert second[2]["ema_scaled"] == batch_ema([5.0, 1.0])
+
+
+def test_state_rows_bounded_by_distinct_keys(spark, dirs):
+    """100 TB state contract: stateful operators hold one state row PER
+    KEY, not per event — numRowsTotal from the query progress must track
+    distinct keys and stay FLAT when 4x more events arrive for the same
+    key set. Also proves the RocksDB provider knob end-to-end: the same
+    replay under SPARK_GRAFT_STATE_STORE=rocksdb completes with
+    identical state accounting on the off-heap backend."""
+    import pyspark.sql.functions as F
+
+    from meerschaum_spark.queries import _stream_replay_confs
+    from meerschaum_spark.streaming.stateful import stateful_ema
+
+    src, ckpt_root, out_root = dirs
+    n_keys = 37
+
+    schema = "user_id long, ts timestamp, event_id long, value double"
+
+    def write_events(name, n_events):
+        df = (spark.range(n_events)
+              .select((F.col("id") % n_keys).alias("user_id"),
+                      F.timestamp_seconds(1_704_067_200 + F.col("id") * 7)
+                      .alias("ts"),
+                      F.col("id").alias("event_id"),
+                      (F.col("id") % 1000).cast("double").alias("value")))
+        # write OUTSIDE the watched dir, then rename in (atomic appear)
+        tmp = os.path.join(src, f"_tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        os.rename(tmp, os.path.join(src, name))
+
+    def run(tag, n_events, state_store=None):
+        write_events(f"b_{tag}", n_events)
+        with _stream_replay_confs(spark, state_store=state_store):
+            stream = (spark.readStream.schema(schema).parquet(src + "/*"))
+            q = (stateful_ema(stream)
+                 .writeStream.format("noop").outputMode("update")
+                 .option("checkpointLocation",
+                         os.path.join(ckpt_root, "hdfs" if not state_store
+                                      else "rocks"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(180)
+            assert q.exception() is None, q.exception()
+            prog = q.lastProgress
+        ops = prog["stateOperators"]
+        assert ops, "no state operator in progress"
+        return ops[0]["numRowsTotal"]
+
+    first = run("r1", 2_000)
+    assert first == n_keys, first          # rows ∝ keys, not events
+    more = run("r2", 8_000)                # 4× events, same key space
+    assert more == n_keys, more            # state did NOT grow
+
+    # fresh checkpoint on the RocksDB backend (provider is pinned per
+    # checkpoint, so it gets its own)
+    rocks = run("r3", 2_000, state_store="rocksdb")
+    assert rocks == n_keys, rocks

@@ -77,19 +77,28 @@ def generate_documents(spark: SparkSession, out_dir: str, n_docs: int,
 
 
 def generate_events(spark: SparkSession, out_dir: str, n_events: int,
-                    seed: int = 7) -> str:
+                    seed: int = 7, hot_user_share: float = 0.0) -> str:
     """Write ``<out_dir>/events.parquet`` with the testdata schema
-    (event_id, ts µs-timestamp, user_id, event_type, value, props)."""
+    (event_id, ts µs-timestamp, user_id, event_type, value, props).
+
+    ``hot_user_share`` > 0 routes that fraction of events to user 0 —
+    the hot-SERIES case the per-series sequential operators (EWMA/LTTB)
+    are cost-bounded by (their docstrings admit the largest single
+    series is the wall-clock floor; this knob makes that floor
+    measurable)."""
     base = spark.range(n_events).select(F.col("id").alias("event_id"))
     # 90-second cadence → a multi-month span crossing many 30-day cells
     ts = F.timestamp_seconds(F.lit(1_704_067_200)  # 2024-01-01 UTC
                              + F.col("event_id") * 90)
     n_users = max(50, n_events // 600)
+    uid = F.pmod(F.xxhash64("event_id", F.lit(seed)), n_users)
+    if hot_user_share > 0:
+        hot = (F.pmod(F.xxhash64("event_id", F.lit(seed + 9)), 1000)
+               < int(hot_user_share * 1000))
+        uid = F.when(hot, F.lit(0)).otherwise(uid)
     df = (base
           .withColumn("ts", ts)
-          .withColumn("user_id",
-                      F.pmod(F.xxhash64("event_id", F.lit(seed)),
-                             n_users))
+          .withColumn("user_id", uid)
           .withColumn("event_type", F.element_at(
               F.array(F.lit("click"), F.lit("view"), F.lit("purchase"),
                       F.lit("scroll"), F.lit("login")),

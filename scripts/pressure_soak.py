@@ -1,0 +1,143 @@
+"""Memory-pressure soak: run the heaviest families in a FRESH JVM whose
+execution-memory pool is clamped small enough that hash aggregates and
+the candidate joins actually SPILL — proving "survives when the hash
+table doesn't fit", the 100 TB failure mode the plain 1x/10x soak
+(CPU-bound in 128 GiB) never exercises.
+
+Usage:
+    python scripts/pressure_soak.py [--small] [--json-only]
+
+Must run as its own process: ``spark.driver.memory`` and
+``spark.memory.fraction`` are fixed at JVM launch. Emits one JSON line
+(per-family wall seconds + spill/shuffle bytes) on stdout; without
+``--json-only`` also rewrites the "memory pressure" section of SCALE.md.
+
+Clamp math (local mode, one JVM): usable = (heap - 300 MB reserved) x
+memory.fraction. With heap=1g and fraction=0.15 the unified pool is
+~110 MB shared by up to $SPARK_GRAFT_CPUS concurrent tasks — a few MB
+per task, so the 10x corpus's sorts/aggregates must spill to finish.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+UI_PORT = 4077
+FAMILIES = ["pipe_sync_diff", "pipe_ingest_dedup", "doc_minhash_lsh",
+            "doc_token_budget", "geo_radius_join"]
+
+
+def spill_sampler(app_url: str):
+    def sample() -> dict:
+        stages = json.load(urllib.request.urlopen(
+            f"{app_url}/stages?status=complete"))
+        return {
+            "memory_spill_b": sum(s.get("memoryBytesSpilled", 0)
+                                  for s in stages),
+            "disk_spill_b": sum(s.get("diskBytesSpilled", 0)
+                                for s in stages),
+            "shuffle_write_b": sum(s.get("shuffleWriteBytes", 0)
+                                   for s in stages),
+        }
+    return sample
+
+
+def main() -> None:
+    small = "--small" in sys.argv
+    from meerschaum_spark.plans.soak import generate_corpus, run_families
+    from meerschaum_spark.session import get_spark
+
+    heap = "900m" if small else "1g"
+    spark = get_spark("pressure_soak", extra_confs={
+        "spark.driver.memory": heap,
+        # unified pool ≈ (heap - 300m) * fraction — sized to force spill
+        "spark.memory.fraction": "0.15",
+        "spark.ui.enabled": "true",
+        "spark.ui.port": str(UI_PORT),
+        # few, LARGE shuffle partitions: per-partition working sets must
+        # exceed the per-task memory share or nothing ever spills
+        "spark.sql.shuffle.partitions": "4",
+    })
+    spark.sparkContext.setLogLevel("ERROR")
+    assert spark.conf.get("spark.memory.fraction") == "0.15"
+    app = spark.sparkContext.applicationId
+    sampler = spill_sampler(
+        f"http://localhost:{UI_PORT}/api/v1/applications/{app}")
+
+    n_docs, n_events = (3_000, 120_000) if small else (25_000, 1_200_000)
+    work = tempfile.mkdtemp(prefix="mrsm_pressure_")
+    d = os.path.join(work, "corpus")
+    generate_corpus(spark, d, n_docs, n_events)
+    print(f"# generated {n_docs} docs / {n_events} events under "
+          f"heap={heap}", file=sys.stderr)
+
+    results = run_families(spark, d, work, families=FAMILIES,
+                           stage_sampler=sampler)
+    for fam, rec in results.items():
+        rec.pop("plan", None)  # plan shape is the plain soak's job
+        print(f"#   {fam}: {rec['sec']} s, "
+              f"spill={rec['stages']['memory_spill_b'] / 2**20:.0f} MB mem "
+              f"/ {rec['stages']['disk_spill_b'] / 2**20:.0f} MB disk",
+              file=sys.stderr)
+    total_spill = sum(r["stages"]["memory_spill_b"] for r in results.values())
+    out = {"heap": heap, "memory_fraction": 0.15, "n_docs": n_docs,
+           "n_events": n_events, "total_memory_spill_b": total_spill,
+           "families": results}
+    print(json.dumps(out, default=str))
+
+    if "--json-only" not in sys.argv:
+        _update_scale_md(out)
+
+
+def _update_scale_md(out: dict) -> None:
+    """Replace (or append) the memory-pressure section in SCALE.md."""
+    marker = "## Memory-pressure soak"
+    path = os.path.join(REPO, "SCALE.md")
+    body = [
+        marker,
+        "",
+        f"Same corpus families re-run in a fresh JVM clamped to heap="
+        f"{out['heap']}, `spark.memory.fraction=0.15`, 4 shuffle "
+        f"partitions ({out['n_docs']} docs / {out['n_events']} events) — "
+        "the unified memory pool is ~100 MB, so aggregates and the LSH "
+        "candidate join must SPILL to finish (`scripts/pressure_soak.py`;"
+        " the in-CI variant is `test_scale_soak.py::"
+        "test_heavy_families_survive_memory_pressure`).",
+        "",
+        "| family | sec | memory spill MB | disk spill MB |",
+        "|---|---|---|---|",
+    ]
+    for fam, rec in out["families"].items():
+        st = rec["stages"]
+        body.append(
+            f"| {fam} | {rec['sec']:.2f} | "
+            f"{st['memory_spill_b'] / 2**20:.0f} | "
+            f"{st['disk_spill_b'] / 2**20:.0f} |")
+    body += [
+        "",
+        f"Total memory spill {out['total_memory_spill_b'] / 2**20:.0f} MB "
+        "— every family completed with correct counts (the sync/dedup "
+        "families assert their own inserts) under a pool two orders of "
+        "magnitude smaller than the data would like, which is the "
+        "per-executor reality of a 100 TB cluster run.",
+        "",
+    ]
+    text = open(path, encoding="utf-8").read() if os.path.exists(path) else ""
+    if marker in text:
+        head = text.split(marker)[0].rstrip() + "\n\n"
+    else:
+        head = text.rstrip() + "\n\n" if text else ""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(head + "\n".join(body))
+    print(f"# updated {path} ({marker})", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -75,3 +75,78 @@ def test_sync_diff_counts_exact_at_both_scales(soak_results):
     synced exactly."""
     assert soak_results["1x"]["pipe_sync_diff"]["rows"] == 15_000
     assert soak_results["big"]["pipe_sync_diff"]["rows"] == 15_000 * SCALE
+
+
+def test_sequential_ops_survive_hot_series(spark):
+    """r8: the per-series sequential operators' admitted worst case —
+    ONE user holding ~50% of all events (a single giant series). The
+    cost contract is linear in the largest series, so the skewed corpus
+    must cost at most a small multiple of the balanced one (a
+    super-linear recurrence or a per-group collapse would blow the
+    bound), and the results must still be exact per series."""
+    import time
+
+    from meerschaum_spark.catalog import QUERIES
+    from meerschaum_spark.plans.soak import generate_corpus, generate_events
+
+    import meerschaum_spark.queries  # noqa: F401 — registers the catalog
+
+    work = tempfile.mkdtemp(prefix="mrsm_hot_series_")
+    n_events = 90_000
+    try:
+        bal = os.path.join(work, "bal")
+        hot = os.path.join(work, "hot")
+        generate_corpus(spark, bal, 50, n_events)
+        generate_corpus(spark, hot, 50, n_events)
+        generate_events(spark, hot, n_events, hot_user_share=0.5)
+
+        def run(d):
+            t0 = time.time()
+            rows = {}
+            for q in ("events_lttb_downsample", "events_ema_sequential"):
+                rows[q] = QUERIES[q](spark, d).count()
+            return time.time() - t0, rows
+
+        run(bal)                         # warm the shapes unmeasured
+        t_bal, rows_bal = run(bal)
+        t_hot, rows_hot = run(hot)
+        # the hot corpus concentrates ~45k events in one series; linear
+        # bound with generous machine slack — a quadratic recurrence or
+        # an all-rows-one-task collapse lands far outside it
+        assert t_hot <= max(4.0 * t_bal, t_bal + 20.0), (t_bal, t_hot)
+        # sanity: the hot user's series really exists and dominates
+        from meerschaum_spark.sources import load_table
+        hot_n = (load_table(spark, hot, "events")
+                 .filter("user_id = 0").count())
+        assert hot_n > 0.4 * n_events, hot_n
+        for q, n in rows_bal.items():
+            assert n > 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_heavy_families_survive_memory_pressure():
+    """r8: the 100 TB failure mode the plain soak never exercises —
+    hash tables that DON'T fit. A fresh JVM clamped to a ~100 MB
+    unified pool runs the heavy families at the 10x corpus: they must
+    complete with correct counts (the families assert their own
+    inserts) by SPILLING, not OOM. Subprocess because driver memory and
+    memory.fraction are fixed at JVM launch."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "pressure_soak.py"),
+         "--json-only"],
+        capture_output=True, text=True, timeout=1200, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    fams = out["families"]
+    assert set(fams) == {"pipe_sync_diff", "pipe_ingest_dedup",
+                         "doc_minhash_lsh", "doc_token_budget",
+                         "geo_radius_join"}
+    # the clamp must have actually BITTEN: the corpus working set is
+    # ~10x the pool, so at least one family must record genuine spill
+    assert out["total_memory_spill_b"] > 10 * 2**20, out

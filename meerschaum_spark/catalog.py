@@ -47,6 +47,7 @@ HEAD_ORDER = [
     # -- new in r8: SRID reprojection + geometry×geometry intersects --
     "geo_transform_mercator",
     "geo_segment_intersect_join",
+    "events_asof_candle_join",
     # -- changed in r8 (DPP one-job sync; conditional post-write exists
     #    probe) — the whole pipe/sync family re-records --
     "pipe_sync_roundtrip",

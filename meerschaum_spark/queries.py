@@ -785,6 +785,56 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_asof_candle_join",
+    """
+    WITH c AS (
+      SELECT event_type, bucket_end, value AS close FROM (
+        SELECT event_type,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS bucket_end,
+               value,
+               row_number() OVER (PARTITION BY event_type,
+                                               date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1),
+    l AS (SELECT event_id, ts, event_type FROM events
+          WHERE event_id % 101 = 0)
+    SELECT l.event_id, l.ts, l.event_type,
+           c.bucket_end AS candle_end, c.close
+    FROM l ASOF LEFT JOIN c
+      ON l.event_type = c.event_type AND l.ts >= c.bucket_end
+    ORDER BY l.event_id
+    """,
+)
+def events_asof_candle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general CROSS-TABLE as-of join (``functions.asof.asof_join``):
+    each sampled event is joined to the most recent COMPLETED hourly
+    candle of its event_type (greatest candle end ≤ event ts,
+    inclusive; first-hour events keep a null candle — left semantics).
+    The union-merge shape costs ONE shuffle on the by-key with zero
+    range explosion — the plan Spark's own non-equi range join cannot
+    produce — and the oracle is DuckDB's NATIVE ``ASOF LEFT JOIN``, so
+    the operator's semantics are pinned against an independent
+    first-class implementation rather than a hand-built rewrite."""
+    from meerschaum_spark.functions.asof import asof_join
+    ev = load_table(spark, sf_dir, "events")
+    candles = (
+        ev.groupBy("event_type",
+                   F.date_trunc("hour", F.col("ts")).alias("b"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("close"))
+        .select("event_type",
+                (F.col("b") + F.expr("INTERVAL 1 HOUR")).alias("bucket_end"),
+                "close"))
+    left = (ev.filter(F.col("event_id") % 101 == 0)
+            .select("event_id", "ts", "event_type"))
+    out = asof_join(left, candles, left_ts="ts", right_ts="bucket_end",
+                    by="event_type", how="left")
+    return (out.select("event_id", "ts", "event_type",
+                       F.col("bucket_end").alias("candle_end"), "close")
+            .orderBy("event_id"))
+
+
+@query(
     "events_daily_cube",
     """
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
@@ -3507,8 +3557,20 @@ def events_ema_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: per-group state is O(1); the only cost driver is the
     largest single series (same bound any per-key sequential algorithm
-    has). Float EWMA at 100 TB would instead use the closed-form
-    log-domain scan or accept non-associativity.
+    has) — measured under a 50%-hot-series corpus in
+    ``test_scale_soak.py::test_sequential_ops_survive_hot_series``.
+    Escape valve if one series outgrows a task: the recurrence IS
+    chunkable, because a whole chunk collapses to an affine map —
+    folding rows i..j sends S ↦ (S + c) / 2^(j-i) with
+    c = Σ y_k·2^(k-i), so chunks can be folded in parallel to
+    (shift, carry) pairs and composed left-to-right
+    ((s2, c2)∘(s1, c1) = (s1+s2, c1·2^s2 + c2)); the exact INTEGER
+    floor-division variant additionally has to carry the deferred
+    remainder bits (widen c to arbitrary precision before the final
+    floor), which is why the simple per-series fold stays the default
+    until a real corpus needs the chunked form. Float EWMA at 100 TB
+    would instead use the closed-form log-domain scan or accept
+    non-associativity.
 
     Partitioning: the EXPLICIT numbered repartition on the series key is
     load-bearing — AQE coalesces the grouping shuffle by BYTE size, and

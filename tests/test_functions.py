@@ -663,3 +663,44 @@ def test_pca_power_direction_converges(spark):
     _, _, vt = np.linalg.svd(X.astype("float64"), full_matrices=False)
     ref = vt[0]
     assert abs(float(np.dot(w, ref))) > 0.99
+
+
+def test_asof_join_semantics(spark):
+    """asof_join: inclusive backward match per by-key, left vs inner,
+    tolerance nulling, and suffixing of colliding right columns —
+    checked against hand-computed merge_asof expectations."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from meerschaum_spark.functions.asof import asof_join
+
+    t = lambda m: dtm.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    trades = spark.createDataFrame(
+        [("a", t(1), 100.0), ("a", t(5), 101.0), ("a", t(10), 102.0),
+         ("b", t(3), 200.0), ("c", t(2), 300.0)],
+        "sym string, ts timestamp, price double")
+    quotes = spark.createDataFrame(
+        [("a", t(0), 99.0), ("a", t(5), 100.5),   # t(5): inclusive match
+         ("b", t(9), 199.0)],                      # after b's trade
+        "sym string, ts timestamp, price double")
+
+    out = {(r["sym"], r["ts"]): (r["ts_r"], r["price_r"])
+           for r in asof_join(trades, quotes, left_ts="ts", by="sym")
+           .collect()}
+    assert out[("a", t(1))] == (t(0), 99.0)
+    assert out[("a", t(5))] == (t(5), 100.5)      # equal ts is inclusive
+    assert out[("a", t(10))] == (t(5), 100.5)
+    assert out[("b", t(3))] == (None, None)       # quote is in the future
+    assert out[("c", t(2))] == (None, None)       # no quotes at all
+    assert len(out) == 5                          # how='left' keeps all
+
+    inner = asof_join(trades, quotes, left_ts="ts", by="sym", how="inner")
+    assert inner.count() == 3
+
+    # tolerance: a match older than 3 minutes is nulled, row kept
+    tol = asof_join(trades, quotes, left_ts="ts", by="sym",
+                    tolerance=F.expr("INTERVAL 3 MINUTES"))
+    got = {(r["sym"], r["ts"]): r["price_r"] for r in tol.collect()}
+    assert got[("a", t(1))] == 99.0               # 1 min old: within
+    assert got[("a", t(10))] is None              # 5 min old: too stale

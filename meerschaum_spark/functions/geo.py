@@ -297,15 +297,88 @@ def st_area2(wkb: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="object")
 
 
+_XY_SCHEMA = T.StructType([
+    T.StructField("x", T.DoubleType()),
+    T.StructField("y", T.DoubleType()),
+])
+
+
+@F.pandas_udf(_XY_SCHEMA)
+def point_xy(wkb: pd.Series) -> pd.DataFrame:
+    """WKB point → (x, y) as an EXPRESSION (ArrowEvalPython), the cheap
+    path for TINY geometries. Field extraction re-inlines the UDF per
+    field (CollapseProject), so consumers pay one decode per extracted
+    field — deliberately accepted here: a point decode is microseconds,
+    while the alternative (``with_point_coords``'s mapInPandas) adds a
+    WHOLE python-runner layer to the task pipeline, measured at
+    ~0.5-1 s per 32-task stage even with warm workers (r8: swapping two
+    of these layers out of the radius join cut it ~4x). Use
+    ``with_point_coords`` only when the per-geometry decode is itself
+    expensive (large polygons, many consumers)."""
+    xs, ys = [], []
+    for v in wkb:
+        if v is None:
+            xs.append(None)
+            ys.append(None)
+            continue
+        pos = _first_position(geo.from_wkb(bytes(v)))
+        xs.append(pos[0] if pos else None)
+        ys.append(pos[1] if pos and len(pos) > 1 else None)
+    return pd.DataFrame({"x": xs, "y": ys})
+
+
+_SEG_SCHEMA = T.StructType([
+    T.StructField("x1", T.LongType()),
+    T.StructField("y1", T.LongType()),
+    T.StructField("x2", T.LongType()),
+    T.StructField("y2", T.LongType()),
+])
+
+
+@F.pandas_udf(_SEG_SCHEMA)
+def segment_xy(wkb: pd.Series) -> pd.DataFrame:
+    """2-point LINESTRING WKB → (x1, y1, x2, y2) longs as an EXPRESSION
+    (same runner-layer economics as ``point_xy``: a short-segment decode
+    is microseconds, so per-field re-evaluation beats adding a
+    mapInPandas layer; ``with_segment_coords`` remains for long/complex
+    geometries)."""
+    cols: dict[str, list] = {k: [] for k in ("x1", "y1", "x2", "y2")}
+    for v in wkb:
+        if v is None:
+            for k in cols:
+                cols[k].append(None)
+            continue
+        pts = list(_walk_positions(geo.from_wkb(bytes(v)).coords))
+        a, b = pts[0], pts[-1]
+        for k, val in zip(cols, (a[0], a[1], b[0], b[1])):
+            cols[k].append(int(val))
+    return pd.DataFrame(cols)
+
+
+#: Single-eval variants: marking the PURE decode non-deterministic is
+#: the supported Spark lever that forbids Catalyst from duplicating or
+#: re-inlining an expensive UDF (CollapseProject will not collapse a
+#: non-deterministic projection, and projection pushdown through a
+#: repartition — which was measured to DUPLICATE the eval below the
+#: exchange, one wasted full-corpus codec pass — is blocked). Usage
+#: contract: alias the struct in its own select, extract fields in the
+#: NEXT select — within one projection a non-deterministic call is NOT
+#: deduplicated, so single-select extraction would run it per field.
+point_xy_once = point_xy.asNondeterministic()
+segment_xy_once = segment_xy.asNondeterministic()
+
+
 def with_point_coords(df: DataFrame, wkb_col: str,
                       x_col: str = "x", y_col: str = "y") -> DataFrame:
     """Decode a WKB point column to (x, y) doubles in ONE Arrow pass.
 
-    Why not ``geom_info(col)["x"]`` twice: struct-field extraction of a
-    pandas-UDF expression gets re-inlined by CollapseProject, so each
-    extracted field re-runs the whole decode (measured 2× python passes
-    per side in the radius join). ``mapInPandas`` is a single plan node —
-    the decode runs exactly once however many fields consumers read."""
+    Trade-off vs ``point_xy`` (the expression form): this decodes each
+    geometry exactly once however many fields consumers read, but adds a
+    dedicated python-runner LAYER (MapInPandas node) to the task
+    pipeline — measured ~0.5-1 s per 32-task stage even with warm
+    workers. Right when the per-geometry decode dominates (large
+    geometries); wrong for points/short segments, where ``point_xy``'s
+    re-evaluated extractions are near-free."""
     out_fields = [f for f in df.schema.fields if f.name != wkb_col]
     schema = T.StructType(out_fields + [T.StructField(x_col, T.DoubleType()),
                                         T.StructField(y_col, T.DoubleType())])

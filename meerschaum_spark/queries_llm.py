@@ -836,11 +836,17 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         wkt = F.concat(F.lit("POINT ("),
                        F.col("x").cast("long").cast("string"), F.lit(" "),
                        F.col("y").cast("long").cast("string"), F.lit(")"))
-        wkb = df.select(F.col("event_id").alias(idc),
-                        G.wkt_to_wkb(wkt).alias("_wkb"))
-        # one-pass decode (see with_point_coords: field extraction of a
-        # pandas-UDF struct re-runs the decode per field)
-        return G.with_point_coords(wkb, "_wkb", xc, yc)
+        # expression-form decode, EXACTLY-ONCE (point_xy_once): the
+        # non-deterministic marking stops CollapseProject from
+        # re-inlining the codec chain into every downstream reference
+        # and stops projection pushdown from duplicating the eval below
+        # the parallelize exchange (both measured — see point_xy /
+        # point_xy_once docstrings); alias-then-extract is the required
+        # shape. One python layer, one eval per row, no extra shuffle.
+        s = G.point_xy_once(G.wkt_to_wkb(wkt))
+        return (df.select(F.col("event_id").alias(idc), s.alias("_pt"))
+                .select(idc, F.col("_pt.x").alias(xc),
+                        F.col("_pt.y").alias(yc)))
 
     pts = _geo_points(spark, sf_dir)
     a = as_points(pts.filter(F.col("event_id") % 101 == 0), "a_id", "x1", "y1")
@@ -1007,22 +1013,19 @@ def geo_transform_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     wkt = F.concat(F.lit("SRID=4326;POINT ("),
                    F.col("lon").cast("string"), F.lit(" "),
                    F.col("lat").cast("string"), F.lit(")"))
-    fwd = (pts.select(
-        "event_id",
-        G.st_transform_mercator(G.wkt_to_wkb(wkt), F.lit("fwd"))
-        .alias("w3857")))
-    # inverse as a second column BEFORE decoding: the w3857 expression is
-    # re-inlined into the inverse's input (CollapseProject), costing one
-    # extra decode of a 100-row frame — accepted for a single linear
-    # mapInPandas chain instead of a self-join
-    both = fwd.withColumn(
-        "w4326", G.st_transform_mercator(F.col("w3857"), F.lit("inv")))
-    d1 = G.with_point_coords(both, "w3857", "mx", "my")
-    d2 = G.with_point_coords(d1, "w4326", "lon_raw", "lat_raw")
-    return (d2.select(
-        "event_id", "mx", "my",
-        F.round(F.col("lon_raw"), 6).alias("lon_rt"),
-        F.round(F.col("lat_raw"), 6).alias("lat_rt"))
+    # everything stays in ONE ArrowEvalPython layer: the UDF chains below
+    # are expressions, and each extracted field re-evaluates its chain
+    # over the ~1%-sample rows — microseconds of codec work, versus the
+    # ~1 s/stage a mapInPandas decode layer costs (with_point_coords'
+    # docstring has the two-regime rule; r8 measured this query 3.5x
+    # faster in the expression form)
+    fwd_w = G.st_transform_mercator(G.wkt_to_wkb(wkt), F.lit("fwd"))
+    m = G.point_xy(fwd_w)
+    rt = G.point_xy(G.st_transform_mercator(fwd_w, F.lit("inv")))
+    return (pts.select(
+        "event_id", m["x"].alias("mx"), m["y"].alias("my"),
+        F.round(rt["x"], 6).alias("lon_rt"),
+        F.round(rt["y"], 6).alias("lat_rt"))
         .orderBy("event_id"))
 
 
@@ -1032,14 +1035,14 @@ def geo_transform_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH a AS (
       SELECT event_id AS a_id,
              event_id % 97 AS x1, event_id % 89 AS y1,
-             event_id % 97 + (event_id % 13 - 6) AS x2,
-             event_id % 89 + (event_id % 11 - 5) AS y2
+             event_id % 97 + (event_id % 7 - 3) AS x2,
+             event_id % 89 + (event_id % 5 - 2) AS y2
       FROM events WHERE event_id % 101 = 0),
     b AS (
       SELECT event_id AS b_id,
              event_id % 97 AS x3, event_id % 89 AS y3,
-             event_id % 97 + (event_id % 9 - 4) AS x4,
-             event_id % 89 + (event_id % 7 - 3) AS y4
+             event_id % 97 + (event_id % 5 - 2) AS x4,
+             event_id % 89 + (event_id % 3 - 1) AS y4
       FROM events),
     d AS (
       SELECT a_id, b_id, x1, y1, x2, y2, x3, y3, x4, y4,
@@ -1066,10 +1069,12 @@ def geo_transform_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
 def geo_segment_intersect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometry×geometry ST_Intersects as a distributed pair join: both
     sides are short LINESTRING WKBs (codec round-trip included), decoded
-    ONCE into endpoint columns (``with_segment_coords``); candidate
-    pairs come from the same grid-bucket shape as the radius join (cell
-    width 16 ≥ the two sides' maximum per-axis reach of 10, so every
-    intersecting pair shares a 3×3 neighborhood — never |a|×|b|); the
+    into endpoint columns (``segment_xy`` + a materializing shuffle
+    barrier); candidate pairs come from the same grid-bucket shape as
+    the radius join (cell width 6 ≥ the two sides' maximum per-axis
+    reach of 5, so every intersecting pair shares a 3×3 neighborhood —
+    never |a|×|b|, and the cell is sized to the segment reach so local
+    density, not the grid, bounds candidate volume); the
     exact SEGMENTS-INTERSECT predicate (orientation cross-products,
     touching + collinear overlap included) then runs entirely JVM-side
     in int64 (``segments_intersect_cols``) inside whole-stage codegen.
@@ -1088,14 +1093,21 @@ def geo_segment_intersect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         wkt = F.concat(F.lit("LINESTRING ("),
                        num(x), F.lit(" "), num(y), F.lit(", "),
                        num(x2), F.lit(" "), num(y2), F.lit(")"))
-        from meerschaum_spark.functions.geo import wkt_to_wkb
-        built = df.select(eid.alias(idc), wkt_to_wkb(wkt).alias("_wkb"))
-        return G.with_segment_coords(built, "_wkb", prefix)
+        # expression-form decode, EXACTLY-ONCE (segment_xy_once,
+        # alias-then-extract — see point_xy_once's usage contract): the
+        # CLRS predicate references every endpoint ~6 times, and without
+        # the non-deterministic marking each reference re-ran the codec
+        # chain (and projection pushdown duplicated a full-corpus eval
+        # below the parallelize exchange — both measured in r8)
+        s = G.segment_xy_once(G.wkt_to_wkb(wkt))
+        return (df.select(eid.alias(idc), s.alias("_seg"))
+                .select(idc, *[F.col(f"_seg.{c}").alias(f"{prefix}{c}")
+                               for c in ("x1", "y1", "x2", "y2")]))
 
     a = segs(ev.filter(F.col("event_id") % 101 == 0), "a_id",
-             13, 6, 11, 5, "a")
-    b = segs(ev, "b_id", 9, 4, 7, 3, "b")
-    cell = 16
+             7, 3, 5, 2, "a")
+    b = segs(ev, "b_id", 5, 2, 3, 1, "b")
+    cell = 6
     offsets = spark.createDataFrame(
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
         "_odx int, _ody int")

@@ -45,13 +45,20 @@ def _warm(spark, sf_dir: str) -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     # the Python-worker pool (first pandas-UDF query otherwise pays the
-    # per-executor worker spinup)
+    # per-executor worker spinup). STACKED three deep: each python
+    # runner layer in a task pipeline holds its own worker, so a query
+    # with N stacked layers needs N x cores workers alive concurrently —
+    # warming one layer left the first multi-layer query (r8:
+    # multimodal_png_decode, 0.9 s -> 4.8 s after the geo queries
+    # stopped pre-warming the pool) paying ~2 s of pandas imports
     def _noop(it):
         for pdf in it:
             yield pdf
 
-    spark.range(256).repartition(32).mapInPandas(
-        _noop, schema="id long").count()
+    (spark.range(256).repartition(32)
+     .mapInPandas(_noop, schema="id long")
+     .mapInPandas(_noop, schema="id long")
+     .mapInPandas(_noop, schema="id long").count())
 
     # OS page cache for every base parquet file
     from meerschaum_spark.sources import load_table

@@ -595,10 +595,24 @@ class ParquetPipeStore:
         if not affected:
             return 0
         scoped = self.read(dtypes=dtypes, keep_part_col=True, part_values=affected)
+        # n_before must be known BEFORE the swap (its files are gone
+        # after); the after-count rides the swap's write job as an
+        # Observation — one action saved per delete vs the previous
+        # count/count/write shape. The unobservable-metrics fallback
+        # (detached foreachBatch session, see Pipe._obs_get) recounts
+        # the POST-swap state fresh, which is exactly ``remaining``.
         n_before = scoped.count()
-        remaining = scoped.filter(~F.coalesce(cond, F.lit(False)))
-        n_after = remaining.count()
+        from pyspark.sql import Observation
+        obs = Observation()
+        remaining = (scoped
+                     .filter(~F.coalesce(cond, F.lit(False)))
+                     .observe(obs, F.count(F.lit(1)).alias("_n")))
         self._swap_partitions(remaining, affected)
+        try:
+            n_after = int(obs.get["_n"])
+        except Exception:
+            n_after = self.read(dtypes=dtypes,
+                                part_values=affected).count()
         return n_before - n_after
 
     def drop(self) -> None:

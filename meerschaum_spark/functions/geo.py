@@ -451,19 +451,23 @@ def st_transform_mercator(wkb: pd.Series, direction: pd.Series) -> pd.Series:
     target SRID. ``direction`` is 'fwd' (4326→3857) or 'inv'. One Arrow
     batch per task — the transform is a handful of flops per vertex and
     rides the same decode pass the codec already pays."""
+    def _tx(g: "geo.Geometry", fwd: bool) -> "geo.Geometry":
+        srid = 3857 if fwd else 4326
+        fn = _merc_fwd if fwd else _merc_inv
+        if g.geoms:  # GeometryCollection: children carry the coords
+            return geo.Geometry(g.geom_type, [], srid, g.has_z,
+                                [_tx(c, fwd) for c in g.geoms])
+        mapped = _map_positions(
+            g.coords if g.geom_type.lower() != "point" else [g.coords], fn)
+        coords = mapped[0] if g.geom_type.lower() == "point" else mapped
+        return geo.Geometry(g.geom_type, coords, srid, g.has_z)
+
     out = []
     for v, d in zip(wkb, direction):
         if v is None:
             out.append(None)
             continue
-        g = geo.from_wkb(bytes(v))
-        fwd = (d == "fwd")
-        mapped = _map_positions(
-            g.coords if g.geom_type.lower() != "point" else [g.coords],
-            _merc_fwd if fwd else _merc_inv)
-        coords = mapped[0] if g.geom_type.lower() == "point" else mapped
-        out.append(geo.to_wkb(geo.Geometry(
-            g.geom_type, coords, 3857 if fwd else 4326, g.has_z)))
+        out.append(geo.to_wkb(_tx(geo.from_wkb(bytes(v)), d == "fwd")))
     return pd.Series(out, dtype="object")
 
 

@@ -381,6 +381,14 @@ def test_mercator_transform_roundtrip_and_srid(spark):
         G.st_transform_mercator(F.col("w"), F.lit("fwd")).alias("f"))
     gz = geo.from_wkb(bytes(out.first()["f"]))
     assert gz.has_z and [p[2] for p in gz.coords] == [7.5, 8.5]
+    # GeometryCollection children (coords live in .geoms) transform too
+    gc = geo.from_wkt("SRID=4326;GEOMETRYCOLLECTION (POINT (10 20), "
+                      "LINESTRING (0 0, 30 40.5))")
+    out = spark.createDataFrame([(geo.to_wkb(gc),)], "w binary").select(
+        G.st_transform_mercator(F.col("w"), F.lit("fwd")).alias("f"))
+    gg = geo.from_wkb(bytes(out.first()["f"]))
+    assert gg.srid == 3857 and len(gg.geoms) == 2
+    assert gg.geoms[0].coords[0] == 6378137.0 * math.radians(10)
 
 
 def test_st_intersects_geometry_pairs(spark):

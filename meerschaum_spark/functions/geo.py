@@ -561,9 +561,26 @@ def _segments_of(g: "geo.Geometry") -> list:
     elif t == "multipoint":
         for p in g.coords or []:
             segs.append((p, p))
+    elif t == "geometrycollection":
+        for child in g.geoms or []:
+            segs.extend(_segments_of(child))
     else:
         raise ValueError(f"st_intersects: unsupported type {g.geom_type}")
     return segs
+
+
+def _polygonal_parts(g: "geo.Geometry") -> list:
+    """Ring-lists of every polygonal component (polygon, multipolygon,
+    or nested collection members) for containment testing."""
+    t = g.geom_type.lower()
+    if t in ("polygon", "multipolygon"):
+        return [_polygon_rings(g)]
+    if t == "geometrycollection":
+        out = []
+        for child in g.geoms or []:
+            out.extend(_polygonal_parts(child))
+        return out
+    return []
 
 
 def _py_seg_intersect(a, b) -> bool:
@@ -607,12 +624,14 @@ def st_intersects(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
         hit = any(_py_seg_intersect(a, b) for a in segs_a for b in segs_b)
         if not hit:
             for outer, inner in ((ga, gb), (gb, ga)):
-                if outer.geom_type.lower() in ("polygon", "multipolygon"):
-                    pos = _first_position(inner)
-                    if pos is not None and _point_in_rings(
-                            _polygon_rings(outer), pos[0], pos[1]):
-                        hit = True
-                        break
+                pos = _first_position(inner) if not inner.geoms else \
+                    _first_position(inner.geoms[0])
+                if pos is None:
+                    continue
+                if any(_point_in_rings(rings, pos[0], pos[1])
+                       for rings in _polygonal_parts(outer)):
+                    hit = True
+                    break
         out.append(hit)
     return pd.Series(out, dtype="object")
 

@@ -417,6 +417,10 @@ def test_st_intersects_geometry_pairs(spark):
          "POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))", False),
         ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
          "POLYGON ((3 3, 4 3, 4 4, 3 4, 3 3))", True),              # nested
+        ("GEOMETRYCOLLECTION (POINT (50 50), LINESTRING (0 0, 4 4))",
+         "LINESTRING (0 4, 4 0)", True),                # collection member
+        ("GEOMETRYCOLLECTION (POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0)))",
+         "POINT (5 5)", True),                          # containment in GC
     ]
     df = spark.createDataFrame(
         [(i, w(a), w(b)) for i, (a, b, _) in enumerate(cases)],

@@ -133,6 +133,25 @@ Beyond-reference (training-data pipeline; BASELINE.json north star)
                                  (queries_llm.py)
   multimodal columns             functions/multimodal.py (binary payloads,
                                  Arrow-batched extract, stubbed decode)
+  spatial operators (r7/r8)      functions/geo.py over the WKB dtype
+                                 (geometry.py codec): bbox/ST_Extent,
+                                 ST_Contains ray casting, grid-bucketed
+                                 ST_DWithin radius join, path length,
+                                 shoelace ST_Area; r8: ST_Transform
+                                 (EPSG:4326<->3857, SRID carried, z and
+                                 collections handled), ST_Intersects
+                                 (CLRS segment test + containment; JVM
+                                 column form segments_intersect_cols),
+                                 exactly-once decode UDFs point_xy_once/
+                                 segment_xy_once
+  as-of join (r8)                functions/asof.py::asof_join — cross-
+                                 table merge_asof/ASOF JOIN semantics as
+                                 one last(ignorenulls) window per by-key
+                                 (no join node, no range explosion);
+                                 tolerance + left/inner
+  skew toolkit                   functions/skew.py (salted agg/join/
+                                 top-k; load-bearing in the sync diff
+                                 and doc_domain_caps)
   analytics widening             queries.py (full 22-shape TPC-H sweep,
                                  funnel + conversion latency, cohort
                                  retention, z-score outliers, histogram,

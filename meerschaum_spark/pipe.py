@@ -552,6 +552,12 @@ class Pipe:
 
     def get_rowcount(self, begin: Any = None, end: Any = None,
                      params: dict[str, Any] | None = None) -> int:
+        if begin is None and end is None and not params:
+            # unfiltered count straight from parquet footer metadata —
+            # no Spark job (same metadata-first shape as get_sync_time)
+            n = self.store.rowcount_from_footers()
+            if n is not None:
+                return n
         df = self.get_data(begin=begin, end=end, params=params, order=None)
         return df.count() if df is not None else 0
 

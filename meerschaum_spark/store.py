@@ -698,6 +698,32 @@ class ParquetPipeStore:
 
     # -- stats -------------------------------------------------------------
 
+    def rowcount_from_footers(self) -> int | None:
+        """Total stored rows from parquet footer metadata — driver-side,
+        no Spark job (the manifest-count a table format serves from its
+        metadata layer; reference rowcount issues COUNT(*) to the
+        database, connectors/sql/_pipes.py get_pipe_rowcount). Returns
+        None when any footer is unreadable — callers then fall back to a
+        Spark count."""
+        try:
+            import pyarrow.parquet as pq
+        except Exception:
+            return None
+        if not self.exists():
+            return 0
+        total = 0
+        try:
+            for entry in os.scandir(self.data_path):
+                if not entry.is_dir() \
+                        or not entry.name.startswith(f"{PART_COL}="):
+                    continue
+                for f in os.scandir(entry.path):
+                    if f.is_file() and f.name.endswith(".parquet"):
+                        total += pq.ParquetFile(f.path).metadata.num_rows
+        except Exception:
+            return None
+        return total
+
     def size_bytes(self) -> int:
         total = 0
         for dirpath, _dirnames, filenames in os.walk(self.data_path):

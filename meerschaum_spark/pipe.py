@@ -765,16 +765,20 @@ class Pipe:
             # latency, at 100 TB it is a second full pass over the diff.
             # ``marked`` is NOT cached for distributed batches: insert-only
             # syncs (the common incremental case) would pay a
-            # pure-overhead cache build of every column; the rare
-            # update-bearing sync instead recomputes the diff for its
-            # patch — a diff already pruned to the batch's time window
-            # and (for small batches) its key values. DRIVER-LOCAL small
-            # batches are the exception: their diff output is at most
-            # batch-sized, so a MEMORY_ONLY cache rides the append job
-            # for ~free and the update path's merge reads the cached diff
-            # instead of re-running the backtrack join (one heavy job
-            # saved on exactly the small-update cadence the reference's
-            # API sync hits hardest).
+            # pure-overhead cache build of every column. DRIVER-LOCAL
+            # small batches persist the diff — NOT as a compute cache
+            # (the post-append ``refreshByPath`` invalidates every
+            # cached plan reading the store path, so the merge's read
+            # re-materializes anyway; the r8 rollup-delta work proved
+            # this by reading the "cached" unseen split post-append and
+            # getting an EMPTY frame, since re-evaluation sees its own
+            # appended rows as existing) but as a CONCURRENCY guard:
+            # re-materialization after invalidation re-LISTS the store,
+            # while an uncached plan re-executes against the file
+            # listing captured at plan time — which a concurrent
+            # writer's partition swap may have deleted by merge time
+            # (the 8-thread stress fails with FAILED_READ_FILE without
+            # this persist; measured r8).
             pdf = local_out.get("pdf")
             if pdf is not None and len(pdf) <= 100_000:
                 from pyspark.storagelevel import StorageLevel
@@ -873,7 +877,32 @@ class Pipe:
                 # and a bounded recompute would leave it stale, so mirror
                 # the use_bounds guard above with a full refresh.
                 dt_moved = bool(n_update) and self.dt_col not in merge_keys
-                if "begin_us" in bounds and not dt_moved:
+                # Insert-only driver-local batches where EVERY batch row
+                # was unseen can delta-maintain the rollups: the batch
+                # frame itself IS the written set, its lineage is purely
+                # local (so the post-append refreshByPath that
+                # invalidates any store-reading plan — including the
+                # cached diff, whose re-evaluation would see its own
+                # appended rows and come back EMPTY — cannot touch it),
+                # and every rollup aggregate is decomposable under pure
+                # inserts. Guards: no replays (n_unseen == batch rows),
+                # no updates (retraction needed), no ingest-dedup (may
+                # have dropped rows), no autotime/autoincrement (their
+                # generated columns would re-evaluate differently).
+                batch_is_patch = (
+                    not n_update and pdf is not None
+                    and len(pdf) <= 100_000
+                    and n_unseen == len(pdf)
+                    and not self._dedup_conf
+                    and not self.autoincrement
+                    and not self.parameters.get("autotime")
+                    and not self.parameters.get("static_autotime"))
+                if (batch_is_patch and "begin_us" in bounds
+                        and self._rollup_confs):
+                    self._maintain_rollups_delta(
+                        df.drop(ORD_COL), bounds["begin_us"],
+                        bounds["end_us"])
+                elif "begin_us" in bounds and not dt_moved:
                     self._maintain_rollups(bounds["begin_us"],
                                            bounds["end_us"])
                 else:
@@ -1612,6 +1641,63 @@ class Pipe:
                 # the entire bucket-aligned window in ONE job + ONE
                 # partition swap — still patch-proportional work.
                 rstore.replace_range(part, b0, e0,
+                                     dtypes=self._rollup_dtypes(conf))
+
+    def _maintain_rollups_delta(self, patch: DataFrame, begin_us: int,
+                                end_us: int) -> None:
+        """Incremental-view-maintenance for INSERT-ONLY patches: fold the
+        patch's per-bucket aggregates into the stored rollup rows —
+        count/sum add, min/max take least/greatest — reading only the
+        (tiny) rollup window, never the base-table buckets the recompute
+        path scans. Sound ONLY for pure inserts: an update or delete
+        would need retraction (sum can subtract via the pre-image, but
+        min/max cannot), so those syncs keep ``_maintain_rollups``.
+        The decimal sum column accumulates exactly (order-insensitive),
+        so a delta-maintained rollup is bit-identical to a recomputed
+        one — the equivalence ``test_rollup.py`` pins."""
+        confs = self._rollup_confs
+        if not confs or not self.dt_col:
+            return
+        dt = self.dt_col
+        with self._write_lock:
+            for conf in confs:
+                rstore = self._rollup_store(conf)
+                if not rstore.exists():
+                    # mid-life enablement: history outside the patch has
+                    # never been aggregated — full build (as recompute)
+                    self.refresh_rollup(conf["name"])
+                    continue
+                width = self._rollup_width_us(conf)
+                b0 = (begin_us // width) * width
+                e0 = ((end_us - 1) // width + 1) * width
+                groups = [g for g in conf.get("groupby") or []
+                          if g in patch.columns]
+                delta = patch.groupBy(
+                    self._rollup_bucket(conf),
+                    *[F.col(g) for g in groups],
+                ).agg(*self._rollup_aggs(conf, patch.columns))
+                existing = rstore.read(
+                    dtypes=self._rollup_dtypes(conf),
+                    begin_us=b0, end_us=e0)
+                c = F.col(dt)
+                us = (c.cast("long") * F.lit(UNIT_US[self.precision_unit])
+                      if self.dt_is_int else F.unix_micros(c))
+                existing = existing.filter((us >= F.lit(b0))
+                                           & (us < F.lit(e0)))
+                combine = [F.sum("n_rows").cast("long").alias("n_rows")]
+                for v in conf.get("values") or []:
+                    if f"sum_{v}" not in existing.columns:
+                        continue
+                    combine += [
+                        F.sum(f"sum_{v}").cast("decimal(28,6)")
+                        .alias(f"sum_{v}"),
+                        F.min(f"min_{v}").alias(f"min_{v}"),
+                        F.max(f"max_{v}").alias(f"max_{v}"),
+                    ]
+                merged = (existing.unionByName(delta,
+                                               allowMissingColumns=True)
+                          .groupBy(dt, *groups).agg(*combine))
+                rstore.replace_range(merged, b0, e0,
                                      dtypes=self._rollup_dtypes(conf))
 
     def _rollups_after_write(self, metrics: dict,

@@ -303,3 +303,61 @@ def test_rollup_maintenance_under_concurrent_syncs(spark, instance_dir):
                for r in pipe.get_rollup("hourly").collect()}
     assert maintained == rebuilt
     assert sum(c for c, _ in rebuilt.values()) == 180
+
+
+def test_rollup_delta_path_matches_recompute(spark, instance_dir):
+    """r8 incremental-view-maintenance: insert-only driver-local syncs
+    fold the patch into the rollup rows (delta) instead of recomputing
+    buckets from the base table. The delta-maintained rollup must be
+    value-identical to a full rebuild after every batch — including
+    batches that extend an EXISTING bucket, open new buckets, carry
+    several groups, and one later UPDATE (which must route back through
+    the recompute path)."""
+    pipe = Pipe("roll", "delta", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "id"},
+                parameters={"rollups": [{"name": "hourly",
+                                         "interval": "hour",
+                                         "groupby": ["g"],
+                                         "values": ["v"]}]})
+    t0 = datetime.datetime(2024, 3, 1, 10, 0)
+
+    def rows_of(df):
+        return sorted((r["ts"], r["g"], r["n_rows"],
+                       float(r["sum_v"]), r["min_v"], r["max_v"])
+                      for r in df.collect())
+
+    def expected():
+        base = pipe.get_data(order=None)
+        return rows_of(
+            base.groupBy(F.date_trunc("hour", "ts").alias("ts"), "g")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("v").cast("decimal(18,6)"))
+                 .cast("decimal(28,6)").alias("sum_v"),
+                 F.min("v").alias("min_v"), F.max("v").alias("max_v")))
+
+    batches = [
+        # seed: two groups across two buckets
+        [{"ts": t0, "id": 1, "g": "a", "v": 3.0},
+         {"ts": t0 + datetime.timedelta(minutes=40), "id": 2, "g": "b",
+          "v": 5.5},
+         {"ts": t0 + datetime.timedelta(hours=1), "id": 3, "g": "a",
+          "v": -2.0}],
+        # extend an existing bucket (new min for g=a) + open a new bucket
+        [{"ts": t0 + datetime.timedelta(minutes=5), "id": 4, "g": "a",
+          "v": -9.0},
+         {"ts": t0 + datetime.timedelta(hours=3), "id": 5, "g": "b",
+          "v": 1.25}],
+        # new group in an old bucket
+        [{"ts": t0 + datetime.timedelta(minutes=6), "id": 6, "g": "c",
+          "v": 7.0}],
+    ]
+    for batch in batches:
+        res = pipe.sync(batch)
+        assert res.success and res.updated == 0
+        assert rows_of(pipe.get_rollup("hourly")) == expected()
+
+    # an update must NOT take the delta path (retraction needed): the
+    # bucket recomputes and the rollup still matches a full rebuild
+    res = pipe.sync([{"ts": t0, "id": 1, "g": "a", "v": 100.0}])
+    assert res.updated == 1
+    assert rows_of(pipe.get_rollup("hourly")) == expected()

@@ -821,8 +821,11 @@ class Pipe:
             if self._obs_detached(df):
                 row = marked.agg(*obs_aggs).first()
                 pre_m = row.asDict() if row is not None else {}
+            # capture the appended FILES when rollups may delta-maintain
+            # (two driver-side listings — only paid for rollup pipes)
+            new_files: list | None = [] if self._rollup_confs else None
             with self._write_lock:
-                self.store.append(unseen)
+                self.store.append(unseen, new_files=new_files)
             # metrics OUTSIDE the lock: the (rare, non-detached) fallback
             # re-runs the diff probe join — a cost that must not serialize
             # every other sync on the pipe. Releasing between append and
@@ -877,31 +880,19 @@ class Pipe:
                 # and a bounded recompute would leave it stale, so mirror
                 # the use_bounds guard above with a full refresh.
                 dt_moved = bool(n_update) and self.dt_col not in merge_keys
-                # Insert-only driver-local batches where EVERY batch row
-                # was unseen can delta-maintain the rollups: the batch
-                # frame itself IS the written set, its lineage is purely
-                # local (so the post-append refreshByPath that
-                # invalidates any store-reading plan — including the
-                # cached diff, whose re-evaluation would see its own
-                # appended rows and come back EMPTY — cannot touch it),
-                # and every rollup aggregate is decomposable under pure
-                # inserts. Guards: no replays (n_unseen == batch rows),
-                # no updates (retraction needed), no ingest-dedup (may
-                # have dropped rows), no autotime/autoincrement (their
-                # generated columns would re-evaluate differently).
-                batch_is_patch = (
-                    not n_update and pdf is not None
-                    and len(pdf) <= 100_000
-                    and n_unseen == len(pdf)
-                    and not self._dedup_conf
-                    and not self.autoincrement
-                    and not self.parameters.get("autotime")
-                    and not self.parameters.get("static_autotime"))
-                if (batch_is_patch and "begin_us" in bounds
-                        and self._rollup_confs):
-                    self._maintain_rollups_delta(
-                        df.drop(ORD_COL), bounds["begin_us"],
-                        bounds["end_us"])
+                # Insert-only syncs delta-maintain the rollups from the
+                # FILES the append just wrote (captured by store.append)
+                # — the written-rows set with no lineage back through
+                # the diff, whose re-evaluation after the post-append
+                # refreshByPath would see its own appended rows as
+                # existing and come back EMPTY. Every rollup aggregate
+                # is decomposable under pure inserts; updates need
+                # retraction (min/max cannot subtract) and recompute.
+                if (not n_update and "begin_us" in bounds
+                        and self._try_rollup_delta_files(
+                            new_files, bounds["begin_us"],
+                            bounds["end_us"])):
+                    pass  # delta landed (or recompute fallback ran)
                 elif "begin_us" in bounds and not dt_moved:
                     self._maintain_rollups(bounds["begin_us"],
                                            bounds["end_us"])
@@ -1642,6 +1633,40 @@ class Pipe:
                 # partition swap — still patch-proportional work.
                 rstore.replace_range(part, b0, e0,
                                      dtypes=self._rollup_dtypes(conf))
+
+    def _try_rollup_delta_files(self, files: list | None, begin_us: int,
+                                end_us: int) -> bool:
+        """Delta-maintain the rollups from the append's captured file
+        set. Returns True when maintenance was handled (delta, or the
+        bounded recompute as an internal fallback after a read failure);
+        False when not applicable — no rollups, no captured files, or no
+        registered dtypes to read them with — so the caller dispatches
+        normally. A concurrent merge may rewrite the captured files
+        between append and here (cross-Pipe-object writers don't share
+        this object's lock); the existence pre-check plus the recompute
+        fallback keeps that race harmless — the staging swap only
+        publishes after a fully successful job."""
+        import os
+
+        from meerschaum_spark.store import PART_COL
+        if not self._rollup_confs or not self.dt_col or not files:
+            return False
+        if not self.dtypes:
+            return False
+        if not all(os.path.exists(f) for f in files):
+            self._maintain_rollups(begin_us, end_us)
+            return True
+        from meerschaum_spark.dtypes import to_spark_type
+        from pyspark.sql import types as T
+        schema = T.StructType([
+            T.StructField(c, to_spark_type(dt), True)
+            for c, dt in self.dtypes.items() if c != PART_COL])
+        try:
+            patch = self.spark.read.schema(schema).parquet(*files)
+            self._maintain_rollups_delta(patch, begin_us, end_us)
+        except Exception:
+            self._maintain_rollups(begin_us, end_us)
+        return True
 
     def _maintain_rollups_delta(self, patch: DataFrame, begin_us: int,
                                 end_us: int) -> None:

@@ -224,11 +224,34 @@ class ParquetPipeStore:
         else:
             self._mark_exists(self._exists_uncached())
 
-    def append(self, df: DataFrame) -> None:
-        """File-add append of rows known to be unseen (no rewrite)."""
+    def _data_files(self) -> set:
+        """All parquet data-file paths (driver-side listing)."""
+        out: set = set()
+        if not os.path.isdir(self.data_path):
+            return out
+        for entry in os.scandir(self.data_path):
+            if not entry.is_dir() or not entry.name.startswith(f"{PART_COL}="):
+                continue
+            for f in os.scandir(entry.path):
+                if f.is_file() and f.name.endswith(".parquet"):
+                    out.add(f.path)
+        return out
+
+    def append(self, df: DataFrame,
+               new_files: list | None = None) -> None:
+        """File-add append of rows known to be unseen (no rewrite).
+
+        Pass ``new_files=[]`` to receive the file paths this append
+        created (a before/after listing pair) — the written-rows set AS
+        FILES, which rollup delta maintenance aggregates instead of
+        rescanning base-table buckets. Callers opt in because the two
+        listings are API round-trips on object storage."""
+        before = self._data_files() if new_files is not None else None
         observed, n_written = self._observe_rows(df)
         out = self._rebalanced(self.with_part(observed))
         out.write.mode("append").partitionBy(PART_COL).parquet(self.data_path)
+        if new_files is not None:
+            new_files.extend(sorted(self._data_files() - before))
         self._post_write_exists(n_written())
         self._refresh_listing()
 

@@ -733,14 +733,17 @@ class Pipe:
                             *self._rollup_bounds_aggs(pre)]
                 obs = Observation()
                 df = pre.observe(obs, *obs_aggs)
+                nf: list | None = [] if self._rollup_confs else None
                 with self._write_lock:
-                    self.store.append(df)
+                    self.store.append(df, new_files=nf)
                 m = self._obs_get(obs, pre, obs_aggs)
                 n = int(m["n"])
             finally:
                 _release()
             self._commit_fingerprints()
-            self._rollups_after_write(m)
+            # append-only by definition → rollups may delta-maintain
+            # from the written files (same contract as the diff path)
+            self._rollups_after_write(m, new_files=nf)
             self.register()
             return SyncResult(True, f"Inserted {n} rows (no diff).", n, 0)
 
@@ -1726,14 +1729,17 @@ class Pipe:
                                      dtypes=self._rollup_dtypes(conf))
 
     def _rollups_after_write(self, metrics: dict,
-                             force_full: bool = False) -> None:
+                             force_full: bool = False,
+                             new_files: list | None = None) -> None:
         """Post-write hook fed by the write job's Observation metrics:
         bounded maintenance when the patch's time bounds were observed,
         full refresh when rows landed without observable bounds (no/null
         dt) or the caller knows bounds can't cover the damage
         (``force_full`` — e.g. an upsert whose merge keys exclude dt, so
         matched rows may have moved out of the observed window), nothing
-        when the write was empty."""
+        when the write was empty. ``new_files`` (append-only callers):
+        the written file set — eligible for delta maintenance instead of
+        the bucket recompute."""
         if not self._rollup_confs or not self.dt_col:
             return
         n = 0
@@ -1748,6 +1754,9 @@ class Pipe:
         has_nulls = bool(metrics.get("_ru_nulls"))
         if (lo is not None and hi is not None and not has_nulls
                 and not force_full):
+            if self._try_rollup_delta_files(new_files, int(lo),
+                                            int(hi) + 1):
+                return
             self._maintain_rollups(int(lo), int(hi) + 1)
         elif n:
             self._maintain_rollups(None, None)

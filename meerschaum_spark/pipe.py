@@ -806,6 +806,29 @@ class Pipe:
                     F.count(F.when(F.col(dtc).isNull(), 1))
                     .alias("_dt_nulls"),
                 ]
+            # update-touched rollup buckets ride the SAME Observation (one
+            # capped sorted collect_set per rollup conf — update rows name
+            # few distinct buckets in the common late-correction shape):
+            # maintenance can then recompute ONLY those buckets from base
+            # storage and delta-fold the insert-only remainder, making
+            # update-sync maintenance cost ∝ touched buckets instead of
+            # the patch's whole time window.
+            ru_confs = (self._rollup_confs
+                        if dtc and dtc in marked.columns else [])
+            if dtc and dtc in marked.columns:
+                # the UPDATE rows' own dt window, for the merge: pruning
+                # the merge to the update span (not the whole batch span)
+                # keeps a wide-insert + narrow-late-correction sync from
+                # file-rewriting every cell the batch touched
+                hit_dt = F.when(F.col(HIT_COL).isNotNull(), F.col(dtc))
+                obs_aggs += [F.min(hit_dt).alias("_ulo"),
+                             F.max(hit_dt).alias("_uhi")]
+            for ru_i, ru_conf in enumerate(ru_confs):
+                obs_aggs.append(
+                    F.slice(F.sort_array(F.collect_set(
+                        F.when(F.col(HIT_COL).isNotNull(),
+                               self._rollup_bucket_us(ru_conf)))),
+                        1, self._ROLLUP_UB_CAP + 1).alias(f"_ru_ub{ru_i}"))
             obs = Observation()
             marked_obs = marked.observe(obs, *obs_aggs)
             unseen = (marked_obs.filter(F.col(HIT_COL).isNull())
@@ -859,6 +882,17 @@ class Pipe:
                     # the same cells as their patch rows)
                     use_bounds = (self.dt_col in merge_keys
                                   and "begin_us" in bounds)
+                    # prune the merge to the UPDATE rows' own (observed,
+                    # slop-widened) window, not the whole batch window: a
+                    # wide-insert + narrow-late-correction sync then
+                    # file-rewrites only the correction's cells — and the
+                    # freshly appended insert files stay untouched, which
+                    # keeps the rollup delta's captured-file patch alive
+                    mb_lo, mb_hi = bounds.get("begin_us"), bounds.get("end_us")
+                    if use_bounds and m.get("_ulo") is not None:
+                        u_lo, u_hi = self._slop_window(m["_ulo"], m["_uhi"])
+                        mb_lo = max(mb_lo, self._bound_us(u_lo))
+                        mb_hi = min(mb_hi, self._bound_us(u_hi))
                     # merge sources must be key-unique: a batch carrying two
                     # rows for one key would otherwise insert both. (An r8
                     # experiment replaced this window with a driver-side
@@ -869,8 +903,8 @@ class Pipe:
                     self.store.merge(
                         self._dedupe_patch(update), merge_keys,
                         dtypes=self.dtypes or None,
-                        begin_us=bounds["begin_us"] if use_bounds else None,
-                        end_us=bounds["end_us"] if use_bounds else None,
+                        begin_us=mb_lo if use_bounds else None,
+                        end_us=mb_hi if use_bounds else None,
                     )
             self._commit_fingerprints()
             if n_unseen or n_update:
@@ -889,12 +923,18 @@ class Pipe:
                 # the diff, whose re-evaluation after the post-append
                 # refreshByPath would see its own appended rows as
                 # existing and come back EMPTY. Every rollup aggregate
-                # is decomposable under pure inserts; updates need
-                # retraction (min/max cannot subtract) and recompute.
-                if (not n_update and "begin_us" in bounds
+                # is decomposable under pure inserts; update syncs go
+                # BUCKET-SCOPED instead: the buckets the updates touched
+                # (observed above) are recomputed wholesale from storage
+                # (min/max cannot retract), everything else delta-folds —
+                # maintenance cost ∝ touched buckets, never the window.
+                ub = (self._update_buckets_from_metrics(m, ru_confs)
+                      if n_update and not dt_moved else None)
+                if ("begin_us" in bounds and not dt_moved
+                        and (not n_update or ub is not None)
                         and self._try_rollup_delta_files(
                             new_files, bounds["begin_us"],
-                            bounds["end_us"])):
+                            bounds["end_us"], update_buckets=ub)):
                     pass  # delta landed (or recompute fallback ran)
                 elif "begin_us" in bounds and not dt_moved:
                     self._maintain_rollups(bounds["begin_us"],
@@ -1528,6 +1568,31 @@ class Pipe:
         # pre-epoch timestamps included
         return F.timestamp_micros(us - F.pmod(us, F.lit(width_us))).alias(dt)
 
+    #: max distinct update-touched buckets tracked per rollup conf by the
+    #: diff job's Observation (a sorted collect_set, sliced to cap+1 so
+    #: overflow is detectable without shipping an unbounded metric row).
+    #: Above the cap the conf falls back to the bounded window recompute —
+    #: at that point the touched set approaches the window anyway.
+    _ROLLUP_UB_CAP = 128
+
+    def _rollup_bucket_us(self, conf: dict) -> F.Column:
+        """Bucket lower edge in epoch-µs as a long — the cross-axis bucket
+        identity used by update-bucket tracking (the collect_set metric
+        and the maintenance isin filters). Exactly consistent with
+        ``_rollup_bucket``: the int axis floors in axis units first, then
+        scales, so both expressions name the same bucket for every row.
+        Idempotent on already-floored values, so it also serves as the
+        bucket key of a ROLLUP row's dt column."""
+        width_us = self._rollup_width_us(conf)
+        c = F.col(self.dt_col)
+        if self.dt_is_int:
+            unit_us = UNIT_US[self.precision_unit]
+            wu = width_us // unit_us
+            cl = c.cast("long")
+            return (cl - F.pmod(cl, F.lit(wu))) * F.lit(unit_us)
+        us = F.unix_micros(c)
+        return us - F.pmod(us, F.lit(width_us))
+
     def _rollup_aggs(self, conf: dict, columns: list[str]) -> list[F.Column]:
         aggs = [F.count(F.lit(1)).alias("n_rows")]
         for v in conf.get("values") or []:
@@ -1614,51 +1679,108 @@ class Pipe:
                     self.refresh_rollup(conf["name"])
                 return
             for conf in confs:
-                rstore = self._rollup_store(conf)
-                if not rstore.exists():
-                    # first maintenance for a rollup configured mid-life:
-                    # buckets OUTSIDE the patch bounds have never been
-                    # computed, so a bounded build would silently miss all
-                    # prior history — full build instead (RLock: safe here)
-                    self.refresh_rollup(conf["name"])
-                    continue
-                width = self._rollup_width_us(conf)
-                b0 = (begin_us // width) * width
-                e0 = ((end_us - 1) // width + 1) * width
-                part = self._rollup_compute(conf, b0, e0)
-                # range-replace, NOT merge: a sync update that changes a
-                # groupby column (or an upsert that moves rows between
-                # buckets) can EMPTY a (bucket, group) combo — a merge
-                # only replaces matched keys, so the stale combo row
-                # would be stranded and get_rollup would serve phantom
-                # aggregates. replace_range publishes the recompute as
-                # the entire bucket-aligned window in ONE job + ONE
-                # partition swap — still patch-proportional work.
-                rstore.replace_range(part, b0, e0,
-                                     dtypes=self._rollup_dtypes(conf))
+                self._maintain_rollup_one(conf, begin_us, end_us)
+
+    def _maintain_rollup_one(self, conf: dict, begin_us: int,
+                             end_us: int) -> None:
+        """Bounded window recompute for ONE rollup conf (caller holds the
+        write lock)."""
+        rstore = self._rollup_store(conf)
+        if not rstore.exists():
+            # first maintenance for a rollup configured mid-life:
+            # buckets OUTSIDE the patch bounds have never been
+            # computed, so a bounded build would silently miss all
+            # prior history — full build instead (RLock: safe here)
+            self.refresh_rollup(conf["name"])
+            return
+        width = self._rollup_width_us(conf)
+        b0 = (begin_us // width) * width
+        e0 = ((end_us - 1) // width + 1) * width
+        part = self._rollup_compute(conf, b0, e0)
+        # range-replace, NOT merge: a sync update that changes a
+        # groupby column (or an upsert that moves rows between
+        # buckets) can EMPTY a (bucket, group) combo — a merge
+        # only replaces matched keys, so the stale combo row
+        # would be stranded and get_rollup would serve phantom
+        # aggregates. replace_range publishes the recompute as
+        # the entire bucket-aligned window in ONE job + ONE
+        # partition swap — still patch-proportional work.
+        rstore.replace_range(part, b0, e0,
+                             dtypes=self._rollup_dtypes(conf))
+
+    def _update_buckets_from_metrics(self, m: dict,
+                                     ru_confs: list[dict]) -> dict | None:
+        """Decode the per-conf update-touched bucket metrics collected by
+        the diff Observation into ``{conf_name: [bucket_us, ...]}``.
+
+        Returns None when the metrics are absent entirely (dt not in the
+        batch → the caller keeps the legacy window paths). A conf whose
+        set overflowed ``_ROLLUP_UB_CAP`` maps to None — that ONE conf
+        falls back to the bounded window recompute while the others stay
+        bucket-scoped."""
+        if not ru_confs:
+            return None
+        out: dict = {}
+        for i, conf in enumerate(ru_confs):
+            vals = m.get(f"_ru_ub{i}")
+            if vals is None:
+                return None
+            vals = list(vals)
+            out[conf["name"]] = ([int(v) for v in vals]
+                                 if len(vals) <= self._ROLLUP_UB_CAP
+                                 else None)
+        return out
 
     def _try_rollup_delta_files(self, files: list | None, begin_us: int,
-                                end_us: int) -> bool:
+                                end_us: int,
+                                update_buckets: dict | None = None) -> bool:
         """Delta-maintain the rollups from the append's captured file
         set. Returns True when maintenance was handled (delta, or the
         bounded recompute as an internal fallback after a read failure);
-        False when not applicable — no rollups, no captured files, or no
-        registered dtypes to read them with — so the caller dispatches
-        normally. A concurrent merge may rewrite the captured files
-        between append and here (cross-Pipe-object writers don't share
-        this object's lock); the existence pre-check plus the recompute
-        fallback keeps that race harmless — the staging swap only
-        publishes after a fully successful job."""
+        False when not applicable — no rollups, no captured files (for a
+        pure-insert sync), or no registered dtypes to read them with — so
+        the caller dispatches normally. ``update_buckets`` (update syncs
+        with dt among the merge keys): the observed per-conf touched
+        bucket sets — those buckets recompute wholesale, the rest
+        delta-fold. An update-only sync (no appended files) is then
+        handled too: the delta side is simply empty. A concurrent merge
+        may rewrite the captured files between append and here
+        (cross-Pipe-object writers don't share this object's lock); the
+        existence pre-check plus the recompute fallback keeps that race
+        harmless — the staging swap only publishes after a fully
+        successful job."""
         import os
 
         from meerschaum_spark.store import PART_COL
-        if not self._rollup_confs or not self.dt_col or not files:
+        if not self._rollup_confs or not self.dt_col:
             return False
         if not self.dtypes:
             return False
-        if not all(os.path.exists(f) for f in files):
-            self._maintain_rollups(begin_us, end_us)
+        if not files:
+            if update_buckets is None:
+                return False
+            self._maintain_rollups_delta(None, begin_us, end_us,
+                                         update_buckets=update_buckets)
             return True
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            # a concurrent (or this sync's own) merge rewrote some of the
+            # appended files — their ROWS survive in the rewritten files,
+            # only the captured paths died. The file path names its
+            # partition cell, and a cell names the rollup buckets it can
+            # hold: promote those buckets into the recompute set and keep
+            # the delta for everything else, instead of abandoning the
+            # whole window.
+            update_buckets = self._promote_missing_file_buckets(
+                missing, update_buckets, begin_us, end_us)
+            if update_buckets is None:
+                self._maintain_rollups(begin_us, end_us)
+                return True
+            files = [f for f in files if f not in set(missing)]
+            if not files:
+                self._maintain_rollups_delta(None, begin_us, end_us,
+                                             update_buckets=update_buckets)
+                return True
         from meerschaum_spark.dtypes import to_spark_type
         from pyspark.sql import types as T
         schema = T.StructType([
@@ -1666,29 +1788,93 @@ class Pipe:
             for c, dt in self.dtypes.items() if c != PART_COL])
         try:
             patch = self.spark.read.schema(schema).parquet(*files)
-            self._maintain_rollups_delta(patch, begin_us, end_us)
+            self._maintain_rollups_delta(patch, begin_us, end_us,
+                                         update_buckets=update_buckets)
         except Exception:
             self._maintain_rollups(begin_us, end_us)
         return True
 
-    def _maintain_rollups_delta(self, patch: DataFrame, begin_us: int,
-                                end_us: int) -> None:
-        """Incremental-view-maintenance for INSERT-ONLY patches: fold the
-        patch's per-bucket aggregates into the stored rollup rows —
-        count/sum add, min/max take least/greatest — reading only the
-        (tiny) rollup window, never the base-table buckets the recompute
-        path scans. Sound ONLY for pure inserts: an update or delete
-        would need retraction (sum can subtract via the pre-image, but
-        min/max cannot), so those syncs keep ``_maintain_rollups``.
-        The decimal sum column accumulates exactly (order-insensitive),
-        so a delta-maintained rollup is bit-identical to a recomputed
-        one — the equivalence ``test_rollup.py`` pins."""
+    def _promote_missing_file_buckets(
+            self, missing: list, update_buckets: dict | None,
+            begin_us: int, end_us: int) -> dict | None:
+        """Map rewritten (now-missing) appended files to the rollup
+        buckets their partition cells cover, merged into the observed
+        update-bucket sets. Returns the widened per-conf dict, or None
+        when a path has no parseable cell (the null-dt partition, or a
+        layout change) or a widened set overflows the cap — callers then
+        take the bounded window recompute."""
+        import re
+        cells: set[int] = set()
+        for p in missing:
+            mm = re.search(r"_mrsm_part=(-?\d+)", str(p))
+            if mm is None:
+                return None
+            cells.add(int(mm.group(1)))
+        out: dict = {}
+        for conf in self._rollup_confs:
+            width = self._rollup_width_us(conf)
+            prev = (update_buckets or {}).get(conf["name"])
+            if update_buckets is not None and prev is None:
+                out[conf["name"]] = None  # already beyond cap
+                continue
+            if self.store.width_us // width > self._ROLLUP_UB_CAP:
+                # one cell alone spans more buckets than the cap — don't
+                # even enumerate them
+                out[conf["name"]] = None
+                continue
+            b0 = (begin_us // width) * width
+            e0 = ((end_us - 1) // width + 1) * width
+            got = set(prev or [])
+            for cell in cells:
+                lo = cell * self.store.width_us
+                hi = (cell + 1) * self.store.width_us
+                u = (lo // width) * width
+                while u < hi:
+                    # buckets outside the patch window hold no patch rows
+                    # and must not be re-published into replace_range
+                    if b0 <= u < e0:
+                        got.add(u)
+                    u += width
+            if len(got) > self._ROLLUP_UB_CAP:
+                out[conf["name"]] = None
+                continue
+            out[conf["name"]] = sorted(got)
+        return out
+
+    def _maintain_rollups_delta(self, patch: DataFrame | None, begin_us: int,
+                                end_us: int,
+                                update_buckets: dict | None = None) -> None:
+        """Incremental-view-maintenance: fold the appended patch's
+        per-bucket aggregates into the stored rollup rows — count/sum
+        add, min/max take least/greatest — reading only the (tiny)
+        rollup window, never the base-table buckets the recompute path
+        scans. Pure inserts are fully decomposable; for UPDATE syncs
+        (``update_buckets``: the observed ``{conf: [bucket_us, ...]}``
+        touched sets) the touched buckets recompute WHOLESALE from base
+        storage — min/max cannot retract, and a recomputed bucket is
+        correct under every mutation shape, including a groupby value
+        change that empties a (bucket, group) combo — while untouched
+        buckets still delta-fold. The recompute scan prunes to exactly
+        the touched buckets' partitions via ``part_values`` (never a
+        window rescan); a conf whose touched set overflowed the metric
+        cap maps to None and takes the bounded window recompute. The
+        decimal sum column accumulates exactly (order-insensitive), so a
+        delta-maintained rollup is bit-identical to a recomputed one —
+        the equivalences ``test_rollup.py`` pins."""
         confs = self._rollup_confs
         if not confs or not self.dt_col:
             return
         dt = self.dt_col
         with self._write_lock:
             for conf in confs:
+                touched: list[int] | None = None
+                if update_buckets is not None:
+                    touched = update_buckets.get(conf["name"])
+                    if touched is None:
+                        # overflowed metric cap: bucket scoping unsound
+                        # for this conf — bounded window recompute
+                        self._maintain_rollup_one(conf, begin_us, end_us)
+                        continue
                 rstore = self._rollup_store(conf)
                 if not rstore.exists():
                     # mid-life enablement: history outside the patch has
@@ -1698,20 +1884,31 @@ class Pipe:
                 width = self._rollup_width_us(conf)
                 b0 = (begin_us // width) * width
                 e0 = ((end_us - 1) // width + 1) * width
+                bucket_us = self._rollup_bucket_us(conf)
                 groups = [g for g in conf.get("groupby") or []
-                          if g in patch.columns]
-                delta = patch.groupBy(
-                    self._rollup_bucket(conf),
-                    *[F.col(g) for g in groups],
-                ).agg(*self._rollup_aggs(conf, patch.columns))
+                          if g in (patch.columns if patch is not None
+                                   else self.dtypes or {})]
+                delta = None
+                if patch is not None:
+                    delta = patch
+                    if touched:
+                        # inserts landing in an update-touched bucket are
+                        # covered by that bucket's recompute (post-append
+                        # base scan) — folding them too would double-count
+                        delta = delta.filter(~bucket_us.isin(touched))
+                    delta = delta.groupBy(
+                        self._rollup_bucket(conf),
+                        *[F.col(g) for g in groups],
+                    ).agg(*self._rollup_aggs(conf, patch.columns))
                 existing = rstore.read(
                     dtypes=self._rollup_dtypes(conf),
                     begin_us=b0, end_us=e0)
-                c = F.col(dt)
-                us = (c.cast("long") * F.lit(UNIT_US[self.precision_unit])
-                      if self.dt_is_int else F.unix_micros(c))
-                existing = existing.filter((us >= F.lit(b0))
-                                           & (us < F.lit(e0)))
+                # a rollup row's dt IS its bucket edge, so the same
+                # bucket-us expression keys both sides
+                existing = existing.filter((bucket_us >= F.lit(b0))
+                                           & (bucket_us < F.lit(e0)))
+                if touched:
+                    existing = existing.filter(~bucket_us.isin(touched))
                 combine = [F.sum("n_rows").cast("long").alias("n_rows")]
                 for v in conf.get("values") or []:
                     if f"sum_{v}" not in existing.columns:
@@ -1722,9 +1919,28 @@ class Pipe:
                         F.min(f"min_{v}").alias(f"min_{v}"),
                         F.max(f"max_{v}").alias(f"max_{v}"),
                     ]
-                merged = (existing.unionByName(delta,
-                                               allowMissingColumns=True)
-                          .groupBy(dt, *groups).agg(*combine))
+                folded = existing if delta is None else (
+                    existing.unionByName(delta, allowMissingColumns=True))
+                merged = folded.groupBy(dt, *groups).agg(*combine)
+                if touched:
+                    # recompute the update-touched buckets wholesale from
+                    # post-merge base storage, pruned to EXACTLY their
+                    # partitions (part_values — scattered late corrections
+                    # never widen the scan to the whole patch window)
+                    cells = sorted({
+                        cell for u in touched for cell in range(
+                            self.store.part_index_of(u),
+                            self.store.part_index_of(u + width - 1) + 1)})
+                    base = self.store.read(dtypes=self.dtypes or None,
+                                           part_values=cells)
+                    base = base.filter(bucket_us.isin(touched))
+                    bgroups = [g for g in conf.get("groupby") or []
+                               if g in base.columns]
+                    recomputed = base.groupBy(
+                        self._rollup_bucket(conf), *bgroups,
+                    ).agg(*self._rollup_aggs(conf, base.columns))
+                    merged = merged.unionByName(recomputed,
+                                                allowMissingColumns=True)
                 rstore.replace_range(merged, b0, e0,
                                      dtypes=self._rollup_dtypes(conf))
 

@@ -356,8 +356,155 @@ def test_rollup_delta_path_matches_recompute(spark, instance_dir):
         assert res.success and res.updated == 0
         assert rows_of(pipe.get_rollup("hourly")) == expected()
 
-    # an update must NOT take the delta path (retraction needed): the
-    # bucket recomputes and the rollup still matches a full rebuild
+    # an update must NOT blind-fold into the delta (retraction needed):
+    # its bucket recomputes — bucket-scoped since r8 — and the rollup
+    # still matches a full rebuild
     res = pipe.sync([{"ts": t0, "id": 1, "g": "a", "v": 100.0}])
     assert res.updated == 1
     assert rows_of(pipe.get_rollup("hourly")) == expected()
+
+
+def _hourly_expected(pipe):
+    base = pipe.get_data(order=None)
+    return sorted(
+        (r["ts"], r["g"], r["n_rows"], float(r["sum_v"]),
+         r["min_v"], r["max_v"])
+        for r in base.groupBy(F.date_trunc("hour", "ts").alias("ts"), "g")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col("v").cast("decimal(18,6)"))
+             .cast("decimal(28,6)").alias("sum_v"),
+             F.min("v").alias("min_v"), F.max("v").alias("max_v"))
+        .collect())
+
+
+def _hourly_rows(pipe):
+    return sorted((r["ts"], r["g"], r["n_rows"], float(r["sum_v"]),
+                   r["min_v"], r["max_v"])
+                  for r in pipe.get_rollup("hourly").collect())
+
+
+def test_rollup_update_sync_bucket_scoped(spark, instance_dir, monkeypatch):
+    """r8 hybrid maintenance: a mixed insert+update sync recomputes ONLY
+    the update-touched buckets (observed via the diff job's collect_set
+    metric) and delta-folds the insert-only remainder — never the whole
+    patch window. Verified two ways: the window-recompute entry points
+    are spied to assert they DON'T run, and the rollup stays
+    value-identical to a full rebuild (scattered updates, a groupby
+    change, and an update-only sync included)."""
+    pipe = Pipe("roll", "hybrid", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "id"},
+                parameters={"rollups": [{"name": "hourly",
+                                         "interval": "hour",
+                                         "groupby": ["g"],
+                                         "values": ["v"]}],
+                            "verify": {"chunk_minutes": 60}})
+    t0 = datetime.datetime(2024, 3, 1, 0, 0)
+    seed = [{"ts": t0 + datetime.timedelta(hours=h, minutes=m),
+             "id": h * 100 + m, "g": "a" if m % 2 else "b",
+             "v": float(h * 10 + m)}
+            for h in range(6) for m in range(0, 30, 7)]
+    assert pipe.sync(seed).success
+    assert _hourly_rows(pipe) == _hourly_expected(pipe)
+
+    window_recomputes = []
+    orig_one = Pipe._maintain_rollup_one
+    monkeypatch.setattr(
+        Pipe, "_maintain_rollup_one",
+        lambda self, conf, b, e: (window_recomputes.append((b, e)),
+                                  orig_one(self, conf, b, e)))
+    full = []
+    orig_full = Pipe._maintain_rollups
+    monkeypatch.setattr(
+        Pipe, "_maintain_rollups",
+        lambda self, b, e: (full.append((b, e)), orig_full(self, b, e)))
+
+    # mixed sync: 2 scattered update buckets (h=0 value change, h=3
+    # groupby flip) + inserts extending h=5 and opening h=7 — the
+    # window [h0, h7] spans everything, but only 2 buckets recompute
+    mixed = [
+        {"ts": t0, "id": 0, "g": "b", "v": -50.0},                  # update
+        {"ts": t0 + datetime.timedelta(hours=3, minutes=7),
+         "id": 307, "g": "b", "v": 37.0},                           # g flip
+        {"ts": t0 + datetime.timedelta(hours=5, minutes=45),
+         "id": 545, "g": "a", "v": 1.0},                            # insert
+        {"ts": t0 + datetime.timedelta(hours=7), "id": 700, "g": "c",
+         "v": 2.0},                                                 # insert
+    ]
+    res = pipe.sync(mixed)
+    assert res.success and res.inserted == 2 and res.updated == 2
+    assert not window_recomputes and not full, (
+        "update sync fell back to a window recompute")
+    assert _hourly_rows(pipe) == _hourly_expected(pipe)
+
+    # update-ONLY sync (no appended files): still bucket-scoped
+    res = pipe.sync([{"ts": t0, "id": 0, "g": "b", "v": 9.0}])
+    assert res.updated == 1 and res.inserted == 0
+    assert not window_recomputes and not full
+    assert _hourly_rows(pipe) == _hourly_expected(pipe)
+
+    # collision: an insert and an update land in the SAME cell within
+    # merge slop — the merge rewrites the freshly appended file, and the
+    # delta path must promote that cell's buckets into the recompute set
+    # (never the whole window)
+    res = pipe.sync([
+        {"ts": t0 + datetime.timedelta(hours=5, minutes=45),
+         "id": 545, "g": "a", "v": -3.0},                           # update
+        {"ts": t0 + datetime.timedelta(hours=5, minutes=46),
+         "id": 546, "g": "b", "v": 4.0},                            # insert
+    ])
+    assert res.updated == 1 and res.inserted == 1
+    assert not window_recomputes and not full
+    assert _hourly_rows(pipe) == _hourly_expected(pipe)
+
+
+def test_rollup_update_bucket_cap_overflow_falls_back(
+        spark, instance_dir, monkeypatch):
+    """When the update-touched bucket set overflows the metric cap the
+    conf takes the bounded window recompute — correctness holds at a
+    coarser scan granularity."""
+    monkeypatch.setattr(Pipe, "_ROLLUP_UB_CAP", 2)
+    pipe = Pipe("roll", "ubcap", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "id"},
+                parameters={"rollups": [{"name": "hourly",
+                                         "interval": "hour",
+                                         "groupby": ["g"],
+                                         "values": ["v"]}]})
+    t0 = datetime.datetime(2024, 3, 2, 0, 0)
+    seed = [{"ts": t0 + datetime.timedelta(hours=h), "id": h, "g": "a",
+             "v": float(h)} for h in range(6)]
+    assert pipe.sync(seed).success
+    # updates touch 4 distinct buckets > cap of 2
+    res = pipe.sync([{"ts": t0 + datetime.timedelta(hours=h), "id": h,
+                      "g": "a", "v": float(-h - 1)} for h in range(4)])
+    assert res.updated == 4
+    assert _hourly_rows(pipe) == _hourly_expected(pipe)
+
+
+def test_rollup_update_bucket_scoped_int_axis(spark, instance_dir):
+    """The bucket-us identity is exact on integer epoch axes too (floor
+    in axis units, then scale): update syncs stay bucket-scoped and
+    value-identical to a rebuild."""
+    pipe = Pipe("roll", "ubint", instance=instance_dir, spark=spark,
+                columns={"datetime": "k", "id": "k"},
+                parameters={"precision": {"unit": "second"},
+                            "rollups": [{"name": "m", "interval": "minute",
+                                         "values": ["v"]}]},
+                dtypes={"k": "int64"})
+    pipe.sync([{"k": i, "v": float(i)} for i in range(0, 180, 13)])
+    res = pipe.sync([{"k": 13, "v": 99.0},          # update bucket 0
+                     {"k": 130, "v": -1.0},         # update bucket 120
+                     {"k": 181, "v": 5.0}])         # insert bucket 180
+    assert res.updated == 2 and res.inserted == 1
+    got = sorted((r["k"], r["n_rows"], float(r["sum_v"]), r["min_v"],
+                  r["max_v"]) for r in pipe.get_rollup("m").collect())
+    base = pipe.get_data(order=None)
+    exp = sorted(
+        (r["k"], r["n_rows"], float(r["sum_v"]), r["min_v"], r["max_v"])
+        for r in base.groupBy(
+            (F.col("k") - F.pmod(F.col("k"), F.lit(60))).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col("v").cast("decimal(18,6)"))
+             .cast("decimal(28,6)").alias("sum_v"),
+             F.min("v").alias("min_v"), F.max("v").alias("max_v"))
+        .collect())
+    assert got == exp

@@ -44,7 +44,12 @@ HEAD_ORDER = [
     # don't fit the 50-cap — the q2/q4/q7-q9/q11/q12/q19-q21 TPC-H block
     # and three streaming/sketch rows — rotate in r9).
     #
-    # -- new in r8: SRID reprojection + geometry×geometry intersects --
+    # -- new in r8: SRID reprojection + geometry×geometry intersects,
+    #    lossless prefix-filter similarity join, and two per-series
+    #    analytics (one window-only, one sequential) --
+    "doc_jaccard_prefix_join",
+    "events_max_drawdown",
+    "events_cusum_changepoint",
     "geo_transform_mercator",
     "geo_segment_intersect_join",
     "events_asof_candle_join",
@@ -96,10 +101,6 @@ HEAD_ORDER = [
     "emb_int8_quantize",
     "emb_ivf_recall",
     "emb_kmeans",
-    "emb_norm_stats",
-    "emb_pca_power_direction",
-    "emb_semantic_dedup",
-    "events_hll_distinct",
 ]
 
 

@@ -603,3 +603,93 @@ def sentence_dedup_stats(
                 "shared_frac",
                 F.col("n_shared_sentences").cast("double")
                 / F.col("n_sentences")))
+
+
+def prefix_filter_join(
+    df: DataFrame,
+    sim_num: int = 1,
+    sim_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact-threshold Jaccard set-similarity SELF-join via PREFIX
+    FILTERING (the SSJoin / PPJoin family: Chaudhuri et al. ICDE'06,
+    Xiao et al. WWW'08) over word n-gram shingle sets, with
+    τ = ``sim_num``/``sim_den``.
+
+    LOSSLESS, unlike LSH: if J(a, b) ≥ τ, the two sets MUST share at
+    least one token among each side's (nᵢ − ⌈τ·nᵢ⌉ + 1) globally-RAREST
+    shingles — so the candidate equi-join runs only on those prefix
+    tokens and still finds every qualifying pair. A boilerplate shingle
+    shared by half the corpus sits at the END of the frequency order and
+    never enters a prefix, which is what keeps the candidate set small
+    on real corpora; in the degenerate worst case (all documents
+    near-identical) the TRUE result is itself quadratic, so no algorithm
+    does better. The size filter (sim_den·nₐ ≥ sim_num·n_b both ways)
+    prunes candidates further before verification.
+
+    Everything threshold-shaped is INTEGER arithmetic — prefix length
+    n − ⌈sim_num·n/sim_den⌉ + 1 via integer div, verification
+    (sim_den + sim_num)·|a∩b| ≥ sim_num·(nₐ + n_b) — so there are no
+    float-tie discrepancies cross-engine; the reported ``jaccard`` is
+    one IEEE division of two exact longs. Shingles are joined by their
+    60-bit md5 hash (3× smaller shuffle; collisions, if any, collide
+    identically in the DuckDB oracle). The frequency order is the total
+    order (document-frequency, hash) — deterministic with no string
+    collation dependence.
+
+    Scale shape: one hash-agg for document frequencies, one equi-join to
+    attach them, one per-doc sort-aggregate for the ordered sets (all
+    key-partitioned), then the prefix-token equi-join and two join-backs
+    for verification. No all-pairs stage anywhere. The ordered-sets
+    table feeds three consumers, so it is materialized once — at
+    cluster scale this is a persisted signatures table beside the
+    corpus, the same economics as ``minhash_signatures``."""
+    ex = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+          .select(F.col(id_col),
+                  F.explode(shingles_of_tokens(F.col("_toks"), n))
+                  .alias("_sh_str"))
+          .select(F.col(id_col), hash60(F.col("_sh_str")).alias("s"))
+          .distinct())
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (ex.join(dfreq, on="s")
+               .groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(
+                        F.struct(F.col("_df").alias("df"),
+                                 F.col("s").alias("s")))).alias("_ord"),
+                    F.count(F.lit(1)).alias("n")))
+    sets = (ordered
+            .select(F.col(id_col),
+                    F.transform(F.col("_ord"), lambda x: x["s"]).alias("hs"),
+                    "n")
+            .localCheckpoint(eager=True))
+    # prefix length with exact integer ceiling: n - ((p*n + q - 1) div q) + 1
+    plen = (F.col("n")
+            - F.expr(f"({sim_num} * n + {sim_den - 1}) div {sim_den}")
+            + F.lit(1)).cast("int")
+    pre = sets.select(F.col(id_col), "n",
+                      F.explode(F.slice("hs", F.lit(1), plen)).alias("s"))
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (a.join(b, on=[
+                F.col("a.s") == F.col("b.s"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                F.col("a.n") * sim_den >= F.col("b.n") * sim_num,
+                F.col("b.n") * sim_den >= F.col("a.n") * sim_num,
+            ])
+            .select(F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b"))
+            .distinct())
+    sa = sets.select(F.col(id_col).alias("doc_a"),
+                     F.col("hs").alias("_ha"), F.col("n").alias("_na"))
+    sb = sets.select(F.col(id_col).alias("doc_b"),
+                     F.col("hs").alias("_hb"), F.col("n").alias("_nb"))
+    return (cand.join(sa, on="doc_a").join(sb, on="doc_b")
+            .withColumn("n_shared",
+                        F.size(F.array_intersect("_ha", "_hb")))
+            .filter(F.col("n_shared") * (sim_num + sim_den)
+                    >= F.lit(sim_num) * (F.col("_na") + F.col("_nb")))
+            .select("doc_a", "doc_b", "n_shared",
+                    (F.col("n_shared").cast("double")
+                     / (F.col("_na") + F.col("_nb") - F.col("n_shared")))
+                    .alias("jaccard")))

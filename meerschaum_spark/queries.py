@@ -3799,3 +3799,136 @@ def streaming_ema_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("user_id", "n_events", "ema_scaled")
             .orderBy("user_id"))
+
+
+@query(
+    "events_max_drawdown",
+    """
+    WITH base AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL),
+    runs AS (
+      SELECT user_id, y,
+             max(y) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+      FROM base)
+    SELECT user_id, max(peak - y) AS max_drawdown_scaled,
+           count(*) AS n_points
+    FROM runs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series maximum drawdown (largest peak-to-trough drop of the
+    running maximum — the classic risk metric): a running-max window
+    plus one aggregate, entirely window-expressible, in µ-scaled integer
+    arithmetic so the cross-engine match is exact.
+
+    Scale shape: ONE shuffle — the window's hash partitioning on the
+    series key satisfies the following groupBy's distribution
+    requirement, so the aggregate adds no exchange; everything is
+    whole-stage-codegen JVM arithmetic (contrast with the applyInPandas
+    sequential family: a running max IS associative, so no Python escape
+    hatch is needed here)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("user_id", "ts", "event_id",
+                  F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+                  .cast("long").alias("y")))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    runs = ev.withColumn("peak", F.max("y").over(w))
+    return (runs.groupBy("user_id")
+            .agg(F.max(F.col("peak") - F.col("y"))
+                 .alias("max_drawdown_scaled"),
+                 F.count(F.lit(1)).alias("n_points"))
+            .orderBy("user_id"))
+
+
+#: CUSUM parameters in µ-scaled units: allowance (slack) subtracted from
+#: every deviation, and the alarm threshold. Shared by the Spark fold and
+#: the recursive-CTE oracle below — one source of truth.
+CUSUM_K = 25_000_000
+CUSUM_H = 200_000_000
+
+
+@query(
+    "events_cusum_changepoint",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL),
+    tgt AS (SELECT user_id, CAST(sum(y) AS BIGINT) // count(*) AS target
+            FROM base GROUP BY user_id),
+    b2 AS (SELECT b.*, t.target FROM base b JOIN tgt t USING (user_id)),
+    rec AS (
+      SELECT user_id, ts, event_id, rn, target,
+             greatest(0, y - target - {CUSUM_K}) AS sp,
+             greatest(0, target - y - {CUSUM_K}) AS sn
+      FROM b2 WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.ts, b.event_id, b.rn, b.target,
+             greatest(0, (CASE WHEN r.sp > {CUSUM_H} OR r.sn > {CUSUM_H}
+                          THEN 0 ELSE r.sp END) + b.y - b.target - {CUSUM_K}),
+             greatest(0, (CASE WHEN r.sp > {CUSUM_H} OR r.sn > {CUSUM_H}
+                          THEN 0 ELSE r.sn END) + b.target - b.y - {CUSUM_K})
+      FROM rec r JOIN b2 b
+        ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+    SELECT user_id, ts, event_id, sp AS s_pos, sn AS s_neg,
+           CASE WHEN sp > {CUSUM_H} OR sn > {CUSUM_H} THEN 1 ELSE 0 END
+             AS alarm
+    FROM rec ORDER BY user_id, ts, event_id
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point detection per series (Page 1954):
+    s⁺ᵢ = max(0, s⁺ᵢ₋₁ + yᵢ − target − k), s⁻ᵢ symmetric, alarm when
+    either exceeds h, then both RESET to 0. The clamp-and-reset makes
+    the recurrence non-associative — no window/aggregate composition
+    expresses it, so it joins the sequential ``applyInPandas`` family
+    (EWMA, LTTB): one shuffle on the series key, per-group Python ints,
+    cores-sized explicit repartition. The per-series target is the
+    integer-floored mean — divisions only ever see non-negative sums
+    (values are µ-scaled magnitudes), so DuckDB's truncating ``//``
+    and Python's flooring ``//`` agree; every other step is +/−/max on
+    longs, bit-exact cross-engine against the recursive-CTE oracle."""
+    n_par = spark.sparkContext.defaultParallelism
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("user_id", "ts", "event_id",
+                  F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+                  .cast("long").alias("y"))
+          .repartition(n_par, "user_id"))
+    K, H = CUSUM_K, CUSUM_H
+
+    def cusum(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ys = [int(v) for v in pdf["y"]]
+        target = sum(ys) // len(ys)
+        sp = sn = 0
+        sps, sns, alarms = [], [], []
+        for y in ys:
+            sp = max(0, sp + y - target - K)
+            sn = max(0, sn + target - y - K)
+            alarm = 1 if (sp > H or sn > H) else 0
+            sps.append(sp)
+            sns.append(sn)
+            alarms.append(alarm)
+            if alarm:
+                sp = sn = 0
+        out = pdf[["user_id", "ts", "event_id"]].copy()
+        out["s_pos"] = sps
+        out["s_neg"] = sns
+        out["alarm"] = alarms
+        return out
+
+    return (ev.groupBy("user_id")
+            .applyInPandas(
+                cusum,
+                "user_id long, ts timestamp, event_id long, "
+                "s_pos long, s_neg long, alarm int")
+            .orderBy("user_id", "ts", "event_id"))

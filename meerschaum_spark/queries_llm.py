@@ -189,6 +189,41 @@ def doc_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(20)
 
 
+@query(
+    "doc_jaccard_prefix_join",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM base),
+    ex0 AS (SELECT doc_id, {_H60.format(x='unnest(shingles)')} AS s FROM sh),
+    sets AS (SELECT doc_id, list_distinct(list(s)) AS hs
+             FROM ex0 GROUP BY doc_id),
+    sz AS (SELECT doc_id, hs, len(hs) AS n FROM sets),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.hs, b.hs)) AS n_shared,
+             a.n AS na, b.n AS nb
+      FROM sz a JOIN sz b ON a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared AS DOUBLE) / (na + nb - n_shared) AS jaccard
+    FROM pairs WHERE 3 * n_shared >= (na + nb)
+    ORDER BY doc_a, doc_b
+    """,
+)
+def doc_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT threshold set-similarity self-join (J ≥ 1/2 over 3-gram
+    shingle sets) via prefix filtering — the lossless complement to the
+    MinHash/LSH family: every qualifying pair is returned, with no
+    probability of a miss, yet no all-pairs stage runs (see
+    ``dedup.prefix_filter_join``). The oracle is the literal quadratic
+    definition — exactly the plan shape the prefix filter avoids — and
+    the threshold predicate (3·|a∩b| ≥ nₐ+n_b ⟺ J ≥ 1/2) is pure
+    integer arithmetic on both engines, so the match is exact, not
+    approximate."""
+    docs = _docs(spark, sf_dir)
+    return (D.prefix_filter_join(docs, sim_num=1, sim_den=2, n=3)
+            .orderBy("doc_a", "doc_b"))
+
+
 #: session-scoped signature cache: the minhash and simhash signature
 #: tables are each consumed by several catalog queries; computing them
 #: once per (session, sf_dir) and localCheckpointing amortizes the

@@ -386,3 +386,37 @@ def test_r7_operator_plan_shapes(spark, sf_dir):
         r"Exchange hashpartitioning\(user_id", ema))
     assert n_user_exchanges == 1, ema[:1200]
     assert "FlatMapGroupsInPandas" in ema
+
+
+def test_r8_operator_plan_shapes(spark, sf_dir):
+    """Plan contracts for the r8 additions: the prefix-filter similarity
+    join never materializes an all-pairs stage (no cartesian; every join
+    is key-equi), max-drawdown's aggregate reuses the window's hash
+    partitioning (exactly ONE series-key exchange), and CUSUM carries
+    the sequential family's explicit numbered repartition with no
+    second shuffle for the python groupBy."""
+    import re
+
+    from meerschaum_spark.plans import explain_str
+    from meerschaum_spark.queries import (
+        events_cusum_changepoint,
+        events_max_drawdown,
+    )
+    from meerschaum_spark.queries_llm import doc_jaccard_prefix_join
+
+    pj = explain_str(doc_jaccard_prefix_join(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in pj, pj[:800]
+    assert "BroadcastNestedLoopJoin" not in pj, pj[:800]
+
+    dd = explain_str(events_max_drawdown(spark, sf_dir), "simple")
+    n_user_exchanges = len(re.findall(
+        r"Exchange hashpartitioning\(user_id", dd))
+    assert n_user_exchanges == 1, dd[:1200]
+    assert "Window" in dd
+
+    cu = explain_str(events_cusum_changepoint(spark, sf_dir), "simple")
+    assert "REPARTITION_BY_NUM" in cu, cu[:800]
+    n_user_exchanges = len(re.findall(
+        r"Exchange hashpartitioning\(user_id", cu))
+    assert n_user_exchanges == 1, cu[:1200]
+    assert "FlatMapGroupsInPandas" in cu

@@ -50,6 +50,7 @@ HEAD_ORDER = [
     "doc_jaccard_prefix_join",
     "events_max_drawdown",
     "events_cusum_changepoint",
+    "streaming_cusum_alarms",
     "geo_transform_mercator",
     "geo_segment_intersect_join",
     "events_asof_candle_join",
@@ -100,7 +101,6 @@ HEAD_ORDER = [
     "emb_centroid_stats",
     "emb_int8_quantize",
     "emb_ivf_recall",
-    "emb_kmeans",
 ]
 
 

@@ -3932,3 +3932,79 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id long, ts timestamp, event_id long, "
                 "s_pos long, s_neg long, alarm int")
             .orderBy("user_id", "ts", "event_id"))
+
+
+from meerschaum_spark.streaming.stateful import (  # noqa: E402
+    STREAM_CUSUM_H as _SC_H,
+    STREAM_CUSUM_K as _SC_K,
+    STREAM_CUSUM_TARGET as _SC_T,
+)
+
+_SC_UP = _SC_T + _SC_K    # y above this grows s_pos
+_SC_DN = _SC_T - _SC_K    # y below this grows s_neg
+_SC_RESET = (f"CASE WHEN r.sp > {_SC_H} OR r.sn > {_SC_H} "
+             "THEN 0 ELSE r.{s} END")
+_SC_SP = (f"greatest(0, ({_SC_RESET.format(s='sp')}) + b.y - {_SC_UP})")
+_SC_SN = (f"greatest(0, ({_SC_RESET.format(s='sn')}) + {_SC_DN} - b.y)")
+
+
+@query(
+    "streaming_cusum_alarms",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL),
+    rec AS (
+      SELECT user_id, rn,
+             greatest(0, y - {_SC_UP}) AS sp,
+             greatest(0, {_SC_DN} - y) AS sn,
+             CASE WHEN greatest(0, y - {_SC_UP}) > {_SC_H}
+                    OR greatest(0, {_SC_DN} - y) > {_SC_H}
+                  THEN 1 ELSE 0 END AS alarms
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.rn,
+             {_SC_SP},
+             {_SC_SN},
+             r.alarms + CASE WHEN {_SC_SP} > {_SC_H}
+                               OR {_SC_SN} > {_SC_H}
+                        THEN 1 ELSE 0 END
+      FROM rec r JOIN base b
+        ON b.user_id = r.user_id AND b.rn = r.rn + 1),
+    fin AS (SELECT user_id, max(rn) AS n_events FROM rec GROUP BY user_id)
+    SELECT r.user_id, f.n_events,
+           CASE WHEN r.sp > {_SC_H} OR r.sn > {_SC_H}
+                THEN 0 ELSE r.sp END AS s_pos,
+           CASE WHEN r.sp > {_SC_H} OR r.sn > {_SC_H}
+                THEN 0 ELSE r.sn END AS s_neg,
+           r.alarms AS n_alarms
+    FROM rec r JOIN fin f
+      ON r.user_id = f.user_id AND r.rn = f.n_events
+    ORDER BY r.user_id
+    """,
+)
+def streaming_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online change detection maintained CONTINUOUSLY: the event stream
+    replays through ``stateful_cusum`` (four longs of state per key) and
+    the final per-key (n, s_pos, s_neg, n_alarms) must equal replaying
+    the same reset recurrence in one pass — streaming/batch twin
+    discipline, one shared recursive-CTE oracle. UNLIKE the batch
+    ``events_cusum_changepoint`` (target = per-series sample mean, a
+    bounded-scan quantity), the stream monitors deviation from a KNOWN
+    reference target — Page's original formulation and the only
+    causally-computable one on unbounded data; the emitted state is
+    POST-reset, so the oracle zeroes an alarming row's accumulators in
+    its final projection."""
+    from meerschaum_spark.streaming.stateful import stateful_cusum
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    sink = _replay_events_to_sink(spark, sf_dir, stateful_cusum,
+                                  "cusum", output_mode="update")
+    return (spark.table(sink)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n_events", "s_pos", "s_neg", "n_alarms")
+            .orderBy("user_id"))

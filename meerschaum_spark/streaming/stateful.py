@@ -273,3 +273,81 @@ def stateful_ema(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     ))
+
+
+CUSUM_OUTPUT_SCHEMA = ("user_id long, n_events long, s_pos long, "
+                       "s_neg long, n_alarms long")
+CUSUM_STATE_SCHEMA = "sp long, sn long, n long, alarms long"
+
+#: reference target / allowance / alarm threshold in µ-scaled units.
+#: UNLIKE the batch ``events_cusum_changepoint`` (whose target is the
+#: per-series sample mean — a quantity only a bounded scan can know),
+#: the streaming twin monitors deviation from a KNOWN reference value,
+#: which is Page's original formulation and the only causally-computable
+#: one on unbounded data. The oracle below uses the same constants.
+STREAM_CUSUM_TARGET = 50_000_000
+STREAM_CUSUM_K = 25_000_000
+STREAM_CUSUM_H = 200_000_000
+
+
+def _cusum_group(
+    key: Tuple[Any],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold one key's micro-batch rows through the two-sided CUSUM
+    recurrence with reset (sp = max(0, sp + y − T − K); sn symmetric;
+    both reset to 0 after an alarm), state carrying (sp, sn, n, alarms)
+    across batches. Python ints only — +/−/max, no division — so the
+    fold is bit-exact against the recursive-CTE oracle regardless of
+    how the stream slices the series into micro-batches (per-key ts
+    order across batches is the same contract the EMA twin states)."""
+    (user_id,) = key
+    if state.exists:
+        sp, sn, n, alarms = state.get
+        sp, sn, n, alarms = int(sp), int(sn), int(n), int(alarms)
+    else:
+        sp = sn = n = alarms = 0
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if len(rows):
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        for y in rows["y"]:
+            if pd.isna(y):
+                continue
+            y = int(y)
+            sp = max(0, sp + y - STREAM_CUSUM_TARGET - STREAM_CUSUM_K)
+            sn = max(0, sn + STREAM_CUSUM_TARGET - y - STREAM_CUSUM_K)
+            n += 1
+            if sp > STREAM_CUSUM_H or sn > STREAM_CUSUM_H:
+                alarms += 1
+                sp = sn = 0
+    state.update((sp, sn, n, alarms))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
+                        "s_pos": [sp], "s_neg": [sn],
+                        "n_alarms": [alarms]})
+
+
+def stateful_cusum(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of the CUSUM change-point family: the per-series
+    reset recurrence maintained CONTINUOUSLY in the state store — four
+    longs of state per key, emissions monotonic in n so readers keep
+    the max-n row per key."""
+    from pyspark.sql import functions as F
+
+    src = stream_df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("user_id"), F.col(ts_col).alias("ts"),
+        "event_id",
+        F.floor(F.col(value_col) * 1_000_000 + F.lit(0.5))
+        .cast("long").alias("y"))
+    return (src.groupBy("user_id").applyInPandasWithState(
+        _cusum_group,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ))

@@ -823,6 +823,17 @@ class Pipe:
                 hit_dt = F.when(F.col(HIT_COL).isNotNull(), F.col(dtc))
                 obs_aggs += [F.min(hit_dt).alias("_ulo"),
                              F.max(hit_dt).alias("_uhi")]
+                # ...and the update rows' exact partition CELLS (same
+                # floor expression as store.with_part): a SCATTERED
+                # late-correction batch spans the whole table as a
+                # [min, max] window, but touches only a handful of cells
+                # — the merge then prunes and swaps exactly those cells
+                # instead of rewriting everything in the span
+                ucell = F.floor(self.store._epoch_us_col()
+                                / F.lit(self.store.width_us)).cast("long")
+                obs_aggs.append(F.slice(F.sort_array(F.collect_set(
+                    F.when(F.col(HIT_COL).isNotNull(), ucell))),
+                    1, self._MERGE_CELLS_CAP + 1).alias("_ucells"))
             for ru_i, ru_conf in enumerate(ru_confs):
                 obs_aggs.append(
                     F.slice(F.sort_array(F.collect_set(
@@ -893,6 +904,22 @@ class Pipe:
                         u_lo, u_hi = self._slop_window(m["_ulo"], m["_uhi"])
                         mb_lo = max(mb_lo, self._bound_us(u_lo))
                         mb_hi = min(mb_hi, self._bound_us(u_hi))
+                    # SCATTERED updates: when the observed update cells
+                    # cover less than their [min, max] window's cell
+                    # span, hand the merge the exact cell list (zero
+                    # extra actions) — the window path would footer-probe
+                    # and rewrite every file in the span. Dense narrow
+                    # windows keep the bounds path: its within-cell
+                    # FILE-level footer pruning is finer than cells.
+                    mparts: list | None = None
+                    ucells = m.get("_ucells")
+                    if (use_bounds and ucells is not None
+                            and len(ucells) <= self._MERGE_CELLS_CAP):
+                        cells = sorted(int(c) for c in ucells)
+                        span = (self.store.part_index_of(mb_hi - 1)
+                                - self.store.part_index_of(mb_lo) + 1)
+                        if cells and len(cells) < span:
+                            mparts = cells
                     # merge sources must be key-unique: a batch carrying two
                     # rows for one key would otherwise insert both. (An r8
                     # experiment replaced this window with a driver-side
@@ -903,8 +930,11 @@ class Pipe:
                     self.store.merge(
                         self._dedupe_patch(update), merge_keys,
                         dtypes=self.dtypes or None,
-                        begin_us=mb_lo if use_bounds else None,
-                        end_us=mb_hi if use_bounds else None,
+                        begin_us=(mb_lo if use_bounds and mparts is None
+                                  else None),
+                        end_us=(mb_hi if use_bounds and mparts is None
+                                else None),
+                        parts=mparts,
                     )
             self._commit_fingerprints()
             if n_unseen or n_update:
@@ -1574,6 +1604,11 @@ class Pipe:
     #: Above the cap the conf falls back to the bounded window recompute —
     #: at that point the touched set approaches the window anyway.
     _ROLLUP_UB_CAP = 128
+
+    #: max distinct update-row partition cells tracked for the merge's
+    #: scattered-patch pruning (same capped-sorted-collect_set shape);
+    #: above it the merge keeps the [min, max] bounds path.
+    _MERGE_CELLS_CAP = 256
 
     def _rollup_bucket_us(self, conf: dict) -> F.Column:
         """Bucket lower edge in epoch-µs as a long — the cross-axis bucket

@@ -298,6 +298,7 @@ class ParquetPipeStore:
         dtypes: dict[str, str] | None = None,
         begin_us: int | None = None,
         end_us: int | None = None,
+        parts: list | None = None,
     ) -> None:
         """Upsert ``patch`` on ``keys``: delete-matching + insert, rewriting
         only affected partitions.
@@ -316,6 +317,14 @@ class ParquetPipeStore:
         bounds, the affected-partition list is collected from the patch
         first (one extra small action), exactly the reference's
         MERGE date-bound pre-filter shape (utils/sql.py:1920-1933).
+
+        ``parts`` (caller-known affected CELL list, e.g. observed from
+        the sync diff job): prunes the existing side to exactly those
+        partition cells with NO extra action and NO contiguous-window
+        assumption — the right path for SCATTERED patches (late
+        corrections spread across history), where a [min, max] window
+        covers the whole table and the footer-range file pruning
+        degenerates to touching every file.
         """
         if not self.exists():
             self.append(patch)
@@ -336,7 +345,12 @@ class ParquetPipeStore:
             missing_pre = [c for c in full.columns if c not in patch.columns]
             patch = self._reattach(patch, full, keys, missing_pre)
         patch = self.with_part(patch)
-        if begin_us is not None and end_us is not None:
+        if parts is not None:
+            if not parts:
+                return
+            existing = self.read(dtypes=dtypes, keep_part_col=True,
+                                 part_values=parts)
+        elif begin_us is not None and end_us is not None:
             # file-level pruning inside the affected cells: parquet footer
             # min/max of the dt column decides which FILES can hold a
             # matchable row (key sets include dt on this path, so a row

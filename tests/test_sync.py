@@ -733,3 +733,55 @@ def test_distributed_sync_dpp_one_job(spark, instance_dir):
     assert pipe.get_rowcount() == 305
     got = {r["id"]: r["v"] for r in pipe.get_data().collect()}
     assert got[5] == -995.0 and got[290] == -710.0 and got[1002] == -1002.0
+
+
+def test_scattered_update_merge_prunes_to_cells(spark, instance_dir):
+    """A late-correction batch touching two FAR-APART cells must merge
+    via the exact observed cell list (``parts=``), not the [min, max]
+    dt window: the window spans the whole table, so the bounds path
+    would footer-probe and rewrite every in-between cell's files. The
+    in-between cells' files must survive byte-identical."""
+    import glob
+    import os
+
+    pipe = Pipe("test", "scatter", instance=instance_dir, spark=spark,
+                columns={"datetime": "dt", "id": "id"},
+                parameters={"verify": {"chunk_minutes": 1440}})
+    # 14 daily cells, one row each
+    pipe.sync(batch([{"dt": dtm(2024, 1, 1 + d), "id": d, "val": float(d)}
+                     for d in range(14)]))
+    data_glob = os.path.join(instance_dir, pipe.target, "data", "**",
+                             "*.parquet")
+    before = {p: os.path.getsize(p)
+              for p in glob.glob(data_glob, recursive=True)}
+
+    captured: dict = {}
+    orig_merge = pipe.store.merge
+
+    def spy_merge(patch, keys, **kw):
+        captured.update(kw)
+        return orig_merge(patch, keys, **kw)
+
+    pipe.store.merge = spy_merge
+    # scattered correction: first and last day only → span 14, cells 2
+    res = pipe.sync(batch([
+        {"dt": dtm(2024, 1, 1), "id": 0, "val": -1.0},
+        {"dt": dtm(2024, 1, 14), "id": 13, "val": -14.0},
+    ]))
+    pipe.store.merge = orig_merge
+    assert (res.inserted, res.updated) == (0, 2)
+    # the merge took the exact-cell path, not the window path
+    assert captured.get("parts") is not None
+    assert len(captured["parts"]) == 2
+    assert captured.get("begin_us") is None
+
+    after = {p: os.path.getsize(p)
+             for p in glob.glob(data_glob, recursive=True)}
+    untouched = [p for p, sz in before.items()
+                 if p in after and after[p] == sz]
+    # all 12 in-between daily files survive byte-identical
+    assert len(untouched) >= 12, f"only {len(untouched)} files untouched"
+    vals = {r["id"]: r["val"] for r in pipe.get_data(order=None).collect()}
+    assert vals[0] == -1.0 and vals[13] == -14.0
+    assert all(vals[d] == float(d) for d in range(1, 13))
+    assert pipe.get_rowcount() == 14

@@ -20,6 +20,7 @@ Semantics (reference-parity):
 from __future__ import annotations
 
 import datetime
+import re
 from typing import Any
 
 from pyspark.sql import Column
@@ -28,6 +29,41 @@ from pyspark.sql import functions as F
 from meerschaum_spark.dtypes import canonical_json, coerce_timezone
 
 NEGATION_PREFIX = "_"
+
+#: strings with a verbatim SQL single-quoted spelling (no quote to escape,
+#: no backslash — Spark's default parser treats backslash as an escape —
+#: and no control characters)
+_SQL_SAFE_STR = re.compile(r"^[^'\\\x00-\x1f]*$")
+
+_SIMPLE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def sql_in_condition(col_name: str, values: list[Any]) -> Column:
+    """``col IN (...)`` as ONE py4j round-trip.
+
+    ``Column.isin`` ships every value to the JVM as a separate literal
+    call — a 250-key pushdown probe costs ~0.4 s of driver↔JVM chatter
+    before any work runs. Serializing the list into a single SQL string
+    for ``F.expr`` parses JVM-side into the same ``In()`` predicate, so
+    parquet filter pushdown and partition pruning are unchanged. Values
+    without an exact, safe SQL literal spelling (floats, timestamps,
+    bytes, exotic strings) fall back to ``isin`` — correctness first.
+    """
+    if not _SIMPLE_IDENT.match(col_name):
+        # dotted/backticked names: F.col resolves struct fields, a
+        # backtick-quoted expr would not — keep isin's resolution rules
+        return F.col(col_name).isin(list(values))
+    lits: list[str] = []
+    for v in values:
+        if isinstance(v, bool):
+            lits.append("TRUE" if v else "FALSE")
+        elif isinstance(v, int) and -(2 ** 63) <= v < 2 ** 63:
+            lits.append(str(v))
+        elif isinstance(v, str) and _SQL_SAFE_STR.match(v):
+            lits.append("'" + v + "'")
+        else:
+            return F.col(col_name).isin(list(values))
+    return F.expr(f"`{col_name}` IN ({', '.join(lits)})")
 
 
 def split_in_ex_values(values: Any) -> tuple[list[Any], list[Any]]:
@@ -66,10 +102,10 @@ def params_to_filter(params: dict[str, Any] | None) -> Column | None:
             conds.append(col.cast("string") == F.lit(canonical_json(raw)))
             continue
         in_vals, ex_vals = split_in_ex_values(raw)
-        sub = _build_side(col, in_vals, negate=False)
+        sub = _build_side(col, in_vals, negate=False, col_name=col_name)
         if sub is not None:
             conds.append(sub)
-        sub = _build_side(col, ex_vals, negate=True)
+        sub = _build_side(col, ex_vals, negate=True, col_name=col_name)
         if sub is not None:
             conds.append(sub)
     if not conds:
@@ -80,9 +116,16 @@ def params_to_filter(params: dict[str, Any] | None) -> Column | None:
     return out
 
 
-def _build_side(col: Column, vals: list[Any], negate: bool) -> Column | None:
+def _build_side(col: Column, vals: list[Any], negate: bool,
+                col_name: str | None = None) -> Column | None:
     if not vals:
         return None
+
+    def _in(non_null: list[Any]) -> Column:
+        if col_name is not None:
+            return sql_in_condition(col_name, non_null)
+        return col.isin(non_null)
+
     has_null = any(v is None for v in vals)
     non_null = [v for v in vals if v is not None]
     if negate:
@@ -91,7 +134,8 @@ def _build_side(col: Column, vals: list[Any], negate: bool) -> Column | None:
         # matching query_df's NA-aware behavior.
         parts: list[Column] = []
         if non_null:
-            base = ~col.isin(non_null) if len(non_null) > 1 else (col != F.lit(non_null[0]))
+            base = (~_in(non_null) if len(non_null) > 1
+                    else (col != F.lit(non_null[0])))
             if not has_null:
                 base = base | col.isNull()
             parts.append(base)
@@ -102,10 +146,12 @@ def _build_side(col: Column, vals: list[Any], negate: bool) -> Column | None:
             out = out & p
         return out
     if non_null and has_null:
-        base = col.isin(non_null) if len(non_null) > 1 else (col == F.lit(non_null[0]))
+        base = (_in(non_null) if len(non_null) > 1
+                else (col == F.lit(non_null[0])))
         return base | col.isNull()
     if non_null:
-        return col.isin(non_null) if len(non_null) > 1 else (col == F.lit(non_null[0]))
+        return (_in(non_null) if len(non_null) > 1
+                else (col == F.lit(non_null[0])))
     return col.isNull()
 
 

@@ -41,6 +41,7 @@ from meerschaum_spark.params import (
     combine_filters,
     datetime_filter,
     params_to_filter,
+    sql_in_condition,
 )
 from meerschaum_spark.registry import PipeRegistry, target_name
 from meerschaum_spark.store import ParquetPipeStore
@@ -1256,7 +1257,10 @@ class Pipe:
         else:
             backtrack = self.get_data(begin=begin, end=end, order=None)
             for col, vals in pushdown.items():
-                backtrack = backtrack.filter(F.col(col).isin(vals))
+                # one-py4j-call IN: 250 keys via Column.isin would cost
+                # ~0.4 s of per-literal driver↔JVM chatter on this, the
+                # reference's dominant small-batch path
+                backtrack = backtrack.filter(sql_in_condition(col, vals))
 
         # Row-identity fingerprint instead of an all-columns join condition:
         # equality over every shared column collapses to one 2×64-bit hash
@@ -1273,20 +1277,23 @@ class Pipe:
             return df.withColumn(HIT_COL, F.lit(None).cast("int"))
 
         def _fp(frame: DataFrame) -> F.Column:
-            ins: list[F.Column] = []
+            # ONE expr string instead of ~2N py4j literal/column calls —
+            # fingerprint construction is on every sync's critical path
+            # and the per-call driver↔JVM round-trips were measurable
+            ins: list[str] = []
             for c in common:
-                col = F.col(c)
+                q = "`" + c.replace("`", "``") + "`"
                 dt_type = frame.schema[c].dataType.simpleString()
                 if dt_type in ("float", "double"):
                     # IEEE: -0.0 + 0.0 == +0.0, NaN + 0.0 == NaN — matches
                     # Spark's join-key normalization of floats, which plain
                     # bit-hashing would not
-                    col = col + F.lit(0.0)
-                ins.append(col)
-            return F.struct(
-                F.xxhash64(*ins).alias("a"),
-                F.xxhash64(F.lit(1), *ins).alias("b"),
-            )
+                    q = f"({q} + 0.0D)"
+                ins.append(q)
+            args = ", ".join(ins)
+            return F.expr(
+                f"named_struct('a', xxhash64({args}), "
+                f"'b', xxhash64(1, {args}))")
 
         FP, FPS = "_mrsm_fp", "_mrsm_fps"
         bt_fp = backtrack.select(*keys, _fp(backtrack).alias(FP))

@@ -37,6 +37,7 @@ from pyspark.sql import types as T
 
 from meerschaum_spark.chunks import DEFAULT_CHUNK_MINUTES
 from meerschaum_spark.dtypes import UNIT_US, normalize_unit, to_spark_type
+from meerschaum_spark.params import sql_in_condition
 
 EXISTS_TTL_SECONDS = 60.0  # reference config/_default.py:244-258
 PART_COL = "_mrsm_part"
@@ -182,7 +183,8 @@ class ParquetPipeStore:
         if part_values is not None:
             vals = list(part_values)
             non_null = [v for v in vals if v is not None]
-            cond = F.col(PART_COL).isin(non_null) if non_null else F.lit(False)
+            cond = (sql_in_condition(PART_COL, non_null)
+                    if non_null else F.lit(False))
             if any(v is None for v in vals):
                 cond = cond | F.col(PART_COL).isNull()
             df = df.filter(cond)

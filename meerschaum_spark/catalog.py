@@ -54,6 +54,8 @@ HEAD_ORDER = [
     "geo_transform_mercator",
     "geo_segment_intersect_join",
     "events_asof_candle_join",
+    "doc_weighted_sample",
+    "events_window_funnel",
     # -- changed in r8 (DPP one-job sync; conditional post-write exists
     #    probe) — the whole pipe/sync family re-records --
     "pipe_sync_roundtrip",

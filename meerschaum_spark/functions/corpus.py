@@ -144,6 +144,44 @@ def shard_assign(
         F.pmod(hash60(F.col(id_col).cast("string")), F.lit(n_shards)))
 
 
+#: 2^60 — the hash60 value range, as the A-ES uniform-draw denominator
+_H60_RANGE = float(1 << 60)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement of exactly
+    ``k`` rows — Efraimidis–Spirakis A-ES: each row draws a uniform
+    ``u`` and ranks by ``u^(1/w)``; the top-k by that key is a weighted
+    k-sample. Equivalent (and numerically safer) ordering: ascending
+    ``-ln(u) / w``.
+
+    The uniform draw is ``(hash60(id) + 1) / 2^60`` — reproducible
+    across runs AND engines (the catalog oracle replays the identical
+    md5 arithmetic in DuckDB), no RNG state to coordinate across 1000
+    executors. Key collisions need two draws within ~1 ulp (P ≈ n²·2⁻⁵²);
+    the id tiebreak pins the order regardless.
+
+    Scale shape: ``orderBy(key).limit(k)`` plans as TakeOrdered — a
+    per-partition k-heap plus a k·partitions driver merge, NEVER a full
+    sort/shuffle of the corpus. Weighting by token count makes this the
+    standard "sample a token-budget slice proportional to document
+    length" selection step of a pretraining pipeline."""
+    from meerschaum_spark.catalog import hash60
+    w = F.greatest(weight_col.cast("double"), F.lit(1.0))
+    u = ((hash60(F.col(id_col).cast("string")) + F.lit(1)).cast("double")
+         / F.lit(_H60_RANGE))
+    key = -F.log(u) / w
+    return (df.withColumn("_es_key", key)
+              .orderBy(F.col("_es_key").asc(), F.col(id_col).asc())
+              .limit(k)
+              .drop("_es_key"))
+
+
 def with_running_sum(
     df: DataFrame,
     value_col: str,

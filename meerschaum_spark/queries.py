@@ -1288,6 +1288,78 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_view long, n_view_click long, n_view_click_purchase long")
 
 
+#: windowFunnel chain deadline: every step must land within this many
+#: µs of the anchoring 'view' (6 h)
+FUNNEL_WINDOW_US = 6 * 3_600_000_000
+
+
+@query(
+    "events_window_funnel",
+    f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+    d1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+    d2 AS (SELECT DISTINCT c.user_id FROM e c
+           WHERE c.event_type = 'click' AND EXISTS (
+             SELECT 1 FROM e v
+             WHERE v.user_id = c.user_id AND v.event_type = 'view'
+               AND v.us < c.us AND c.us <= v.us + {FUNNEL_WINDOW_US})),
+    d3 AS (SELECT DISTINCT p.user_id FROM e p
+           WHERE p.event_type = 'purchase' AND EXISTS (
+             SELECT 1 FROM e c, e v
+             WHERE c.user_id = p.user_id AND v.user_id = p.user_id
+               AND c.event_type = 'click' AND v.event_type = 'view'
+               AND v.us < c.us AND c.us < p.us
+               AND p.us <= v.us + {FUNNEL_WINDOW_US}))
+    SELECT * FROM (
+      SELECT 1 AS depth, (SELECT count(*) FROM d1) AS n_users
+      UNION ALL SELECT 2, (SELECT count(*) FROM d2)
+      UNION ALL SELECT 3, (SELECT count(*) FROM d3))
+    ORDER BY depth
+    """,
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed conversion funnel — the ClickHouse ``windowFunnel(T)``
+    analogue: a user reaches depth d when SOME strictly-increasing
+    view < click < purchase chain prefix of length d fits inside
+    ``[view.ts, view.ts + T]``. Unlike ``events_funnel`` (first-touch
+    chain, unbounded), the anchor is searched: an early dead-end view
+    does not doom a later complete chain.
+
+    Shape: the quadratic EXISTS search (the oracle's form) collapses to
+    TWO stacked range-window maxima over one per-user sort — for each
+    event the latest strictly-earlier view (``lv``), then for each
+    purchase the max over strictly-earlier clicks of their ``lv``; a
+    chain exists iff that anchor is within the deadline. One shuffle
+    (user), no self-joins — per-user cost is linear, so a hot user
+    cannot go quadratic the way the EXISTS form does at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id", F.unix_micros(F.col("ts")).alias("us"),
+                     "event_type")
+    wp = (Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(Window.unboundedPreceding, -1))
+    lv = F.max(F.when(F.col("event_type") == "view", F.col("us"))).over(wp)
+    staged = base.withColumn("_lv", lv)
+    mlv = F.max(F.when(F.col("event_type") == "click",
+                       F.col("_lv"))).over(wp)
+    staged = staged.withColumn("_mlv", mlv)
+    deadline = F.col("us") - F.lit(FUNNEL_WINDOW_US)
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1)
+              .otherwise(0)).alias("d1"),
+        F.max(F.when((F.col("event_type") == "click")
+                     & (F.col("_lv") >= deadline), 1)
+              .otherwise(0)).alias("d2"),
+        F.max(F.when((F.col("event_type") == "purchase")
+                     & (F.col("_mlv") >= deadline), 1)
+              .otherwise(0)).alias("d3"),
+    )
+    totals = per_user.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2"),
+                          F.sum("d3").alias("n3"))
+    return (totals.selectExpr(
+        "stack(3, 1, n1, 2, n2, 3, n3) AS (depth, n_users)")
+        .orderBy("depth"))
+
+
 @query(
     "events_weekly_retention",
     """

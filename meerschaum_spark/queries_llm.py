@@ -1526,6 +1526,48 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(keep).select("doc_id", "source").orderBy("doc_id")
 
 
+#: weighted-sample size (A-ES) — small enough that sf0.01 still rejects
+#: most documents, so the selection itself is exercised
+WEIGHTED_SAMPLE_K = 200
+
+
+@query(
+    "doc_weighted_sample",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             GREATEST(CAST(len({_TOKS}) AS DOUBLE), 1.0) AS w,
+             CAST({_H60.format(x="CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+                 / 1152921504606846976.0 AS u
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, source, n_tokens
+      FROM t ORDER BY -ln(u) / w ASC, doc_id ASC
+      LIMIT {WEIGHTED_SAMPLE_K})
+    SELECT doc_id, source, n_tokens FROM ranked ORDER BY doc_id
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted k-sample of the corpus (Efraimidis–Spirakis A-ES,
+    ``functions/corpus.weighted_sample``): rank ascending by
+    ``-ln(u)/w`` with a deterministic md5-derived uniform ``u`` and
+    ``w`` = token count, keep the top ``WEIGHTED_SAMPLE_K``. The
+    selection is reproducible across engines — the oracle replays the
+    identical hash arithmetic — and plans as TakeOrdered (per-partition
+    k-heap, no corpus-wide sort), the right 100 TB shape for "draw a
+    length-proportional sample for a token budget"."""
+    from meerschaum_spark.functions.corpus import weighted_sample
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = T.tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", "source",
+        F.size(toks).cast("long").alias("n_tokens"))
+    picked = weighted_sample(base, F.col("n_tokens"), WEIGHTED_SAMPLE_K)
+    return picked.select("doc_id", "source", "n_tokens").orderBy("doc_id")
+
+
 #: minimum shared 5-gram shingles for a contamination flag
 CONTAMINATION_MIN_SHARED = 3
 

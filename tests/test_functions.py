@@ -753,3 +753,27 @@ def test_prefix_filter_join_lossless(spark):
         (len(sh(t)) - (1 * len(sh(t)) + 1) // 2 + 1)
         for t in texts.values() if len(sh(t)) > 0)
     assert n_prefix_max < n_full
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    """A-ES weighted sample: deterministic across invocations, returns
+    exactly k distinct rows, k >= n degenerates to the whole input, and
+    a much heavier weight wins selection more often than a light one."""
+    from meerschaum_spark.functions.corpus import weighted_sample
+
+    rows = [(f"d{i:03d}", 1000 if i < 20 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, w long")
+
+    got1 = [r["doc_id"] for r in
+            weighted_sample(df, F.col("w"), 30).orderBy("doc_id").collect()]
+    got2 = [r["doc_id"] for r in
+            weighted_sample(df, F.col("w"), 30).orderBy("doc_id").collect()]
+    assert got1 == got2
+    assert len(got1) == 30 and len(set(got1)) == 30
+    # the 20 heavy rows (1000x weight) should dominate a 30-row sample
+    heavy = sum(1 for d in got1 if int(d[1:]) < 20)
+    assert heavy >= 15
+
+    # k >= n: everything is selected
+    all_rows = weighted_sample(df, F.col("w"), 500).count()
+    assert all_rows == 200

@@ -45,8 +45,11 @@ HEAD_ORDER = [
     # and three streaming/sketch rows — rotate in r9).
     #
     # -- new in r8: SRID reprojection + geometry×geometry intersects,
-    #    lossless prefix-filter similarity join, and two per-series
-    #    analytics (one window-only, one sequential) --
+    #    lossless prefix-filter similarity join, per-series analytics,
+    #    graph triangles, ACF, and distributed-ranked RFM --
+    "part_triangle_count",
+    "events_acf_hourly",
+    "customer_rfm_segments",
     "doc_jaccard_prefix_join",
     "events_max_drawdown",
     "events_cusum_changepoint",
@@ -98,11 +101,6 @@ HEAD_ORDER = [
     "doc_substring_dup_pairs",
     "doc_tfidf_topk",
     "doc_vocab_topk",
-    "doc_winnowing_pairs",
-    "emb_ann_recall",
-    "emb_centroid_stats",
-    "emb_int8_quantize",
-    "emb_ivf_recall",
 ]
 
 

@@ -4080,3 +4080,287 @@ def streaming_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("user_id", "n_events", "s_pos", "s_neg", "n_alarms")
             .orderBy("user_id"))
+
+
+# ===========================================================================
+# r8 additions round 2: graph analytics, time-series diagnostics, and
+# distributed total-order ranking
+# ===========================================================================
+
+@query(
+    "part_triangle_count",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    t AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+    nodes AS (
+      SELECT a AS p_partkey FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t)
+    SELECT p_partkey, count(*) AS n_triangles
+    FROM nodes GROUP BY 1
+    ORDER BY n_triangles DESC, p_partkey
+    LIMIT 20
+    """,
+)
+def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the part co-purchase graph
+    (edge = two parts bought together in >= 2 distinct orders): the
+    graph-structure probe behind community detection and co-occurrence
+    clustering.
+
+    Scale shape — the classic degree-ordered node-iterator (Suri &
+    Vassilvitskii's MapReduce formulation):
+
+    * edges come from per-order baskets (map-side-combined
+      ``collect_set`` + in-task array pair expansion, like
+      ``part_affinity_pairs`` — never an order×order join);
+    * each undirected edge is ORIENTED from its lower-(degree, id)
+      endpoint to the higher; every wedge is then generated at its
+      lowest-degree apex, bounding wedge count by sum(out_deg^2) with
+      out_deg = O(sqrt(|E|)) — the hot celebrity node never enumerates
+      its neighborhood square;
+    * wedges close against the oriented edge list with one hash join.
+
+    The edge list is used three times (degrees, wedge self-join, closing
+    join) → ONE localCheckpoint (the repo's multi-use-plan discipline).
+    The oracle is the naive triple self-join — quadratic wedge
+    generation the Spark plan avoids.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    arr = F.col("parts")
+    n = F.size(arr)
+    pairs = F.when(
+        n >= 2,
+        F.flatten(F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(arr, i).alias("u"),
+                    F.element_at(arr, j).alias("v"))))),
+    ).otherwise(F.array().cast("array<struct<u:bigint,v:bigint>>"))
+    edges = (
+        baskets.select(F.explode(pairs).alias("pr"))
+        .select("pr.u", "pr.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+    ).localCheckpoint()
+    deg = (edges.select(F.explode(F.array("u", "v")).alias("node"))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    ed = (edges
+          .join(deg.withColumnRenamed("node", "u")
+                   .withColumnRenamed("deg", "du"), on="u")
+          .join(deg.withColumnRenamed("node", "v")
+                   .withColumnRenamed("deg", "dv"), on="v"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    lower = (F.col("e1.ddeg") < F.col("e2.ddeg")) | (
+        (F.col("e1.ddeg") == F.col("e2.ddeg"))
+        & (F.col("e1.dst") < F.col("e2.dst")))
+    wedges = (e1.join(e2, on=(F.col("e1.src") == F.col("e2.src")) & lower)
+              .select(F.col("e1.src").alias("a"),
+                      F.col("e1.dst").alias("b"),
+                      F.col("e2.dst").alias("c")))
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    triangles = wedges.join(closing, on=["b", "c"])
+    return (
+        triangles.select(F.explode(F.array("a", "b", "c")).alias("p_partkey"))
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "p_partkey")
+        .limit(20)
+    )
+
+
+@query(
+    "events_acf_hourly",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+      FROM events GROUP BY 1),
+    p AS (
+      SELECT l.lag, count(*) AS n_pairs,
+             CAST(CAST(sum(CAST(x.n AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(sum(CAST(y.n AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(sum(CAST(x.n AS DECIMAL(19,0)) * CAST(x.n AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(CAST(y.n AS DECIMAL(19,0)) * CAST(y.n AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(sum(CAST(x.n AS DECIMAL(19,0)) * CAST(y.n AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM generate_series(1, 12) AS l(lag)
+      JOIN h x ON true
+      JOIN h y ON y.hr = x.hr + INTERVAL 1 HOUR * l.lag
+      GROUP BY 1)
+    SELECT lag, n_pairs,
+           CASE WHEN (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) <= 0
+                  OR (CAST(n_pairs AS DOUBLE) * syy - sy * sy) <= 0
+                THEN NULL
+                ELSE (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                     / sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                     / sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)
+           END AS acf
+    FROM p ORDER BY lag
+    """,
+)
+def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at lags 1-12 —
+    the seasonality/periodicity diagnostic behind traffic forecasting.
+
+    Determinism: the series is INTEGER (hourly counts), the five moment
+    sums accumulate in exact decimal (order-insensitive across
+    partitions/engines), and only the final Pearson formula runs in
+    double with the identical expression on both sides — IEEE ops on
+    identical inputs give identical doubles (the ``events_anomaly_zscore``
+    discipline). Missing hours pair only where both endpoints exist (a
+    calendar join on hr+lag, not a row-offset LAG), so gaps don't
+    misalign the lag.
+
+    Scale shape: the raw scan collapses to |hours| rows via ONE
+    map-side-combined aggregate (8.8k rows/year regardless of event
+    volume); the 12-lag expansion and self-join run on that tiny frame
+    (broadcast), so cost is scan-dominated — exactly how an ACF over
+    100 TB of events should behave.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    lags = spark.range(1, 13).select(F.col("id").cast("int").alias("lag"))
+    xd = F.col("x.n").cast("decimal(19,0)")
+    yd = F.col("y.n").cast("decimal(19,0)")
+    p = (
+        hourly.alias("x")
+        .crossJoin(F.broadcast(lags))
+        .join(F.broadcast(hourly.alias("y")),
+              F.col("y.hr") == F.expr("timestampadd(HOUR, lag, x.hr)"))
+        .groupBy("lag")
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum(xd).cast("double").alias("sx"),
+             F.sum(yd).cast("double").alias("sy"),
+             F.sum(xd * xd).cast("double").alias("sxx"),
+             F.sum(yd * yd).cast("double").alias("syy"),
+             F.sum(xd * yd).cast("double").alias("sxy"))
+    )
+    nd = F.col("n_pairs").cast("double")
+    v1 = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    v2 = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    acf = F.when((v1 <= 0) | (v2 <= 0), F.lit(None).cast("double")) \
+        .otherwise(num / F.sqrt(v1) / F.sqrt(v2))
+    return p.select("lag", "n_pairs", acf.alias("acf")).orderBy("lag")
+
+
+@query(
+    "customer_rfm_segments",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    c AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', max(o_orderdate), (SELECT maxd FROM mx))
+                 AS recency_days,
+             count(*) AS frequency,
+             sum(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary
+      FROM orders GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM c),
+    s AS (
+      SELECT custkey, monetary,
+             row_number() OVER (ORDER BY recency_days, custkey) AS rr,
+             row_number() OVER (ORDER BY frequency DESC, custkey) AS rf,
+             row_number() OVER (ORDER BY monetary DESC, custkey) AS rm
+      FROM c)
+    SELECT CAST((rr - 1) * 4 // n AS INT) + 1 AS r_score,
+           CAST((rf - 1) * 4 // n AS INT) + 1 AS f_score,
+           CAST((rm - 1) * 4 // n AS INT) + 1 AS m_score,
+           count(*) AS n_customers,
+           CAST(sum(monetary) AS DECIMAL(38,6)) AS monetary_total
+    FROM s, nn
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles) — the canonical marketing-analytics ranking workload.
+
+    The interesting part is HOW the quartiles are computed: each score
+    needs a GLOBAL row number over all customers, and the naive
+    ``row_number() OVER (ORDER BY ...)`` plans a single-partition window
+    — the one-task funnel that dies at 100 TB. ``global_row_number``
+    (functions/ranking.py) range-partitions on the sort key, collects
+    only per-partition COUNTS (metadata-sized), and ranks every range in
+    parallel with its cumulative offset — three such rankings here, each
+    a fully parallel pass over the (already tiny, one row per customer)
+    aggregate. Quartile buckets derive from the row number by pure
+    integer arithmetic (``quartile_score``) rather than NTILE, whose
+    remainder-distribution rules differ across engines.
+
+    The per-customer aggregate itself is ONE map-side-combined hash agg
+    of the orders scan; monetary accumulates in exact decimal.
+    """
+    from meerschaum_spark.functions.ranking import (
+        global_row_number,
+        quartile_score,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("maxd"))
+    c = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.max("o_orderdate").alias("last_order"),
+             F.count(F.lit(1)).alias("frequency"),
+             F.sum(_dec("o_totalprice")).alias("monetary"))
+        .crossJoin(F.broadcast(maxd))
+        .select("custkey",
+                F.datediff(F.col("maxd"), F.col("last_order"))
+                .alias("recency_days"),
+                "frequency", "monetary")
+    ).localCheckpoint()  # three rankings + a join-back reuse it
+    n_total = c.count()
+    # size the range partitions to the DATA, not the cluster: the python
+    # ranking stage costs per-task overhead, so small aggregates want few
+    # fat partitions (measured 2.5x at sf0.1), while a billion-customer
+    # frame fans out to full parallelism — n_total is already in hand
+    k = max(1, min(spark.sparkContext.defaultParallelism,
+                   n_total // 65536 + 1))
+    rr = global_row_number(
+        c.select("custkey", "recency_days"),
+        [F.col("recency_days").asc(), F.col("custkey").asc()], "rr",
+        num_partitions=k,
+    ).select("custkey", quartile_score("rr", n_total, "r_score"))
+    rf = global_row_number(
+        c.select("custkey", "frequency"),
+        [F.col("frequency").desc(), F.col("custkey").asc()], "rf",
+        num_partitions=k,
+    ).select("custkey", quartile_score("rf", n_total, "f_score"))
+    rm = global_row_number(
+        c.select("custkey", "monetary"),
+        [F.col("monetary").desc(), F.col("custkey").asc()], "rm",
+        num_partitions=k,
+    ).select("custkey", quartile_score("rm", n_total, "m_score"))
+    return (
+        c.select("custkey", "monetary")
+        .join(rr, on="custkey").join(rf, on="custkey").join(rm, on="custkey")
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.sum("monetary").cast("decimal(38,6)").alias("monetary_total"))
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -777,3 +777,52 @@ def test_weighted_sample_deterministic_and_biased(spark):
     # k >= n: everything is selected
     all_rows = weighted_sample(df, F.col("w"), 500).count()
     assert all_rows == 200
+
+
+# ---------------------------------------------------------------- ranking
+
+def test_global_row_number_matches_window(spark):
+    """The distributed ranking must agree with the single-partition
+    window (the semantics it replaces) for asc, desc, and mixed orders
+    over a total order, across many range partitions."""
+    from pyspark.sql import Window
+
+    from meerschaum_spark.functions.ranking import global_row_number
+
+    rows = [(i, (i * 37) % 101, f"g{i % 3}") for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, metric long, grp string")
+    for order in (
+        [F.col("metric").asc(), F.col("id").asc()],
+        [F.col("metric").desc(), F.col("id").asc()],
+        [F.col("grp").asc(), F.col("metric").desc(), F.col("id").asc()],
+    ):
+        got = {r["id"]: r["rn"]
+               for r in global_row_number(df, order, num_partitions=7)
+               .collect()}
+        want = {r["id"]: r["rn"]
+                for r in df.withColumn(
+                    "rn", F.row_number().over(Window.orderBy(*order)))
+                .collect()}
+        assert got == want
+
+
+def test_global_row_number_more_partitions_than_rows(spark):
+    from meerschaum_spark.functions.ranking import global_row_number
+
+    df = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    got = sorted((r["id"], r["rn"]) for r in global_row_number(
+        df, [F.col("id").asc()], num_partitions=16).collect())
+    assert got == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_quartile_score_integer_buckets(spark):
+    """Bucket formula ((rn-1)*4 div n)+1: exact integer arithmetic,
+    bucket sizes differ by at most one, boundaries reproducible."""
+    from meerschaum_spark.functions.ranking import quartile_score
+
+    n = 10
+    df = spark.range(1, n + 1).withColumnRenamed("id", "rn")
+    got = [r["q"] for r in
+           df.select(quartile_score("rn", n, "q").alias("q"))
+           .orderBy("rn").collect()]
+    assert got == [1, 1, 1, 2, 2, 3, 3, 3, 4, 4]

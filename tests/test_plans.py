@@ -420,3 +420,41 @@ def test_r8_operator_plan_shapes(spark, sf_dir):
         r"Exchange hashpartitioning\(user_id", cu))
     assert n_user_exchanges == 1, cu[:1200]
     assert "FlatMapGroupsInPandas" in cu
+
+
+def test_r8_round2_plan_shapes(spark, sf_dir):
+    """Plan contracts for the second r8 batch: triangle counting never
+    plans a cartesian product (wedge generation + closing are key-equi
+    hash joins on the ORIENTED edge list), the ACF pipeline broadcasts
+    the hour-level aggregate (the only non-broadcast stage is the raw
+    scan's map-side-combined hash agg), and the RFM ranking contains NO
+    single-partition window — the global row number comes from the
+    range-partitioned mapInPandas pattern."""
+    import re
+
+    from meerschaum_spark.plans import explain_str
+    from meerschaum_spark.queries import (
+        customer_rfm_segments,
+        events_acf_hourly,
+        part_triangle_count,
+    )
+
+    tri = explain_str(part_triangle_count(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in tri, tri[:800]
+    assert "BroadcastNestedLoopJoin" not in tri, tri[:800]
+
+    acf = explain_str(events_acf_hourly(spark, sf_dir), "simple")
+    # the hourly self-join must broadcast the (tiny) hour-level frame,
+    # never sort-merge the lag expansion
+    assert "BroadcastHashJoin" in acf, acf[:800]
+    assert "SortMergeJoin" not in acf, acf[:800]
+
+    rfm = explain_str(customer_rfm_segments(spark, sf_dir), "simple")
+    # a global row_number window would show as an Exchange to ONE
+    # partition (SinglePartition) feeding a Window — the scale trap the
+    # distributed ranking exists to avoid
+    assert "Exchange SinglePartition" not in rfm or \
+        "Window" not in rfm.split("Exchange SinglePartition")[1][:400], \
+        rfm[:1200]
+    assert re.search(r"Window\b", rfm) is None, rfm[:1200]
+    assert "MapInPandas" in rfm

@@ -61,7 +61,14 @@ VERIFY_BOUND_DAYS = 366            # reference config/_default.py:239
 
 
 import contextlib
+import os
 import threading
+
+#: atomic read-modify-write of the deferred-rollup invalidation logs
+#: across Pipe objects in one process (same scope as the write lock:
+#: multi-PROCESS writers are outside the engine's concurrency contract;
+#: os.replace keeps each individual publish atomic regardless)
+_ROLLUP_PENDING_LOCK = threading.Lock()
 
 _AQE_LOCK = threading.Lock()
 _AQE_DEPTH = 0
@@ -352,11 +359,19 @@ class Pipe:
         """Drop data and deregister (reference core/Pipe/_drop.py + _delete)."""
         self.store.drop()
         self.registry.delete(self.target)
+        self._drop_rollup_pending()
         self._invalidate_store()
 
     def drop(self) -> None:
         self.store.drop()
+        self._drop_rollup_pending()
         self._invalidate_store()
+
+    def _drop_rollup_pending(self) -> None:
+        """A dropped table has nothing to refresh — a recreated pipe must
+        not inherit the old invalidation log."""
+        with _ROLLUP_PENDING_LOCK, contextlib.suppress(OSError):
+            os.remove(self._rollup_pending_path())
 
     # ------------------------------------------------------------- utilities
 
@@ -734,7 +749,7 @@ class Pipe:
                             *self._rollup_bounds_aggs(pre)]
                 obs = Observation()
                 df = pre.observe(obs, *obs_aggs)
-                nf: list | None = [] if self._rollup_confs else None
+                nf: list | None = [] if self._eager_rollup_confs else None
                 with self._write_lock:
                     self.store.append(df, new_files=nf)
                 m = self._obs_get(obs, pre, obs_aggs)
@@ -861,7 +876,7 @@ class Pipe:
                 pre_m = row.asDict() if row is not None else {}
             # capture the appended FILES when rollups may delta-maintain
             # (two driver-side listings — only paid for rollup pipes)
-            new_files: list | None = [] if self._rollup_confs else None
+            new_files: list | None = [] if self._eager_rollup_confs else None
             with self._write_lock:
                 self.store.append(unseen, new_files=new_files)
             # metrics OUTSIDE the lock: the (rare, non-detached) fallback
@@ -1703,11 +1718,144 @@ class Pipe:
         return [F.min(us).alias("_ru_lo"), F.max(us).alias("_ru_hi"),
                 F.count(F.when(c.isNull(), 1)).alias("_ru_nulls")]
 
+    # ------------------------------------------- deferred rollup refresh
+
+    #: flush folds the pending ranges into at most this many bounded
+    #: recomputes (each = one replace_range job); beyond it the
+    #: closest-gap pairs merge first, so a long run of contiguous syncs
+    #: still flushes as ONE window
+    _ROLLUP_FLUSH_MAX_RANGES = 16
+
+    @staticmethod
+    def _rollup_deferred(conf: dict) -> bool:
+        """``{'refresh': 'deferred'}`` on a rollup conf switches it from
+        per-sync (eager) maintenance to an INVALIDATION LOG: syncs record
+        only the damaged time range (a driver-side JSON append, no Spark
+        job) and the next ``get_rollup``/``flush_rollups`` folds the
+        coalesced ranges in one amortized pass. This is TimescaleDB's
+        continuous-aggregate architecture (invalidation log + deferred
+        refresh; the reference's primary backend) — observable semantics
+        are identical because reads flush first, but a burst of N small
+        syncs pays ONE maintenance job instead of N."""
+        return str(conf.get("refresh", "eager")).lower() == "deferred"
+
+    @property
+    def _eager_rollup_confs(self) -> list[dict]:
+        return [c for c in self._rollup_confs if not self._rollup_deferred(c)]
+
+    def _rollup_pending_path(self) -> str:
+        return os.path.join(self.registry.registry_dir,
+                            f"{self.target}.rollup_pending.json")
+
+    def _load_rollup_pending(self) -> dict:
+        import json
+        try:
+            with open(self._rollup_pending_path()) as f:
+                doc = json.load(f)
+            return doc if isinstance(doc, dict) else {}
+        except Exception:
+            return {}
+
+    def _save_rollup_pending(self, doc: dict) -> None:
+        import json
+        path = self._rollup_pending_path()
+        if not any(doc.values()):
+            with contextlib.suppress(OSError):
+                os.remove(path)
+            return
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, path)
+
+    def _log_rollup_invalidation(self, confs: list[dict],
+                                 begin_us: int | None,
+                                 end_us: int | None) -> None:
+        """Record damaged ranges for deferred confs. ``None`` bounds mean
+        unbounded damage → a ``"full"`` marker (flush rebuilds). The
+        read-modify-write is atomic across Pipe objects in-process
+        (module lock + os.replace); duplicate ranges are fine — flush
+        coalesces."""
+        if not confs:
+            return
+        entry = ("full" if begin_us is None or end_us is None
+                 else [int(begin_us), int(end_us)])
+        with _ROLLUP_PENDING_LOCK:
+            doc = self._load_rollup_pending()
+            for conf in confs:
+                doc.setdefault(conf["name"], []).append(entry)
+            self._save_rollup_pending(doc)
+
+    @staticmethod
+    def _coalesce_us_ranges(ranges: list[list[int]], width: int,
+                            max_ranges: int) -> list[tuple[int, int]]:
+        """Bucket-align, merge overlapping/adjacent ranges, then greedily
+        merge the closest pairs until at most ``max_ranges`` remain —
+        each surviving range becomes one bounded recompute job."""
+        aligned = sorted(
+            ((lo // width) * width, ((hi - 1) // width + 1) * width)
+            for lo, hi in ranges)
+        merged: list[list[int]] = []
+        for lo, hi in aligned:
+            if merged and lo <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        while len(merged) > max_ranges:
+            gaps = [(merged[i + 1][0] - merged[i][1], i)
+                    for i in range(len(merged) - 1)]
+            _, i = min(gaps)
+            merged[i][1] = merged[i + 1][1]
+            del merged[i + 1]
+        return [(lo, hi) for lo, hi in merged]
+
+    def flush_rollups(self, name: str | None = None) -> None:
+        """Fold every pending deferred invalidation into the rollup
+        table(s) — called implicitly by ``get_rollup``; call explicitly
+        to bound read-time latency (the background-refresh-policy hook)."""
+        for conf in self._rollup_confs:
+            if name is None or conf["name"] == name:
+                self._flush_rollup_pending(conf)
+
+    def _flush_rollup_pending(self, conf: dict) -> None:
+        name = conf["name"]
+        if not self._load_rollup_pending().get(name):
+            return  # cheap no-pending fast path (one stat + read)
+        with self._write_lock:
+            with _ROLLUP_PENDING_LOCK:
+                doc = self._load_rollup_pending()
+                entries = doc.pop(name, None)
+                if not entries:
+                    return
+                # claim the entries BEFORE maintaining: a concurrent sync
+                # logging new damage mid-flush appends to the (now
+                # claimed-empty) log and is folded by the next flush
+                self._save_rollup_pending(doc)
+            try:
+                if any(e == "full" for e in entries):
+                    self.refresh_rollup(name)
+                    return
+                width = self._rollup_width_us(conf)
+                for lo, hi in self._coalesce_us_ranges(
+                        [e for e in entries if e != "full"], width,
+                        self._ROLLUP_FLUSH_MAX_RANGES):
+                    self._maintain_rollup_one(conf, lo, hi)
+            except BaseException:
+                # maintenance failed: restore the claim so the damage is
+                # not silently forgotten
+                with _ROLLUP_PENDING_LOCK:
+                    doc = self._load_rollup_pending()
+                    doc.setdefault(name, []).extend(entries)
+                    self._save_rollup_pending(doc)
+                raise
+
     def _maintain_rollups(self, begin_us: int | None,
                           end_us: int | None) -> None:
         """Recompute the patch-touched buckets from storage and MERGE them
         into each rollup table. ``end_us`` exclusive; ``None`` bounds mean
-        the caller could not bound the patch (null dts) → full refresh."""
+        the caller could not bound the patch (null dts) → full refresh.
+        Deferred confs only LOG the damage (see ``_rollup_deferred``)."""
         confs = self._rollup_confs
         if not confs or not self.dt_col:
             return
@@ -1716,11 +1864,15 @@ class Pipe:
         # storage before a peer's append lands yet swap partitions after
         # the peer's merge, stranding stale bucket rows
         with self._write_lock:
+            self._log_rollup_invalidation(
+                [c for c in confs if self._rollup_deferred(c)],
+                begin_us, end_us)
+            eager = self._eager_rollup_confs
             if begin_us is None or end_us is None:
-                for conf in confs:
+                for conf in eager:
                     self.refresh_rollup(conf["name"])
                 return
-            for conf in confs:
+            for conf in eager:
                 self._maintain_rollup_one(conf, begin_us, end_us)
 
     def _maintain_rollup_one(self, conf: dict, begin_us: int,
@@ -1794,8 +1946,17 @@ class Pipe:
         import os
 
         from meerschaum_spark.store import PART_COL
-        if not self._rollup_confs or not self.dt_col:
+        confs = self._rollup_confs
+        if not confs or not self.dt_col:
             return False
+        # deferred confs log the damage instead of maintaining; when
+        # every conf defers, the sync pays ZERO rollup jobs (and the
+        # caller never needed to capture files at all)
+        self._log_rollup_invalidation(
+            [c for c in confs if self._rollup_deferred(c)],
+            begin_us, end_us)
+        if not self._eager_rollup_confs:
+            return True
         if not self.dtypes:
             return False
         if not files:
@@ -1909,6 +2070,8 @@ class Pipe:
         dt = self.dt_col
         with self._write_lock:
             for conf in confs:
+                if self._rollup_deferred(conf):
+                    continue  # damage already logged by the caller
                 touched: list[int] | None = None
                 if update_buckets is not None:
                     touched = update_buckets.get(conf["name"])
@@ -2059,6 +2222,12 @@ class Pipe:
     def _rollup_clear_locked(self, confs: list[dict],
                              begin_us: int | None,
                              end_us: int | None) -> None:
+        deferred = [c for c in confs if self._rollup_deferred(c)]
+        if deferred:
+            # a half-open delete damages an unbounded range, and the
+            # logger already maps a None bound to the "full" marker
+            self._log_rollup_invalidation(deferred, begin_us, end_us)
+            confs = [c for c in confs if not self._rollup_deferred(c)]
         if begin_us is None and end_us is None:
             for conf in confs:
                 self.refresh_rollup(conf["name"])
@@ -2100,6 +2269,10 @@ class Pipe:
         conf = next((c for c in self._rollup_confs if c["name"] == name), None)
         if conf is None:
             raise KeyError(f"no rollup named {name!r} configured")
+        # deferred-refresh contract: fold any pending invalidations
+        # before serving (no-pending fast path is one stat + json read,
+        # and a conf later switched back to eager still drains its log)
+        self._flush_rollup_pending(conf)
         df = self._rollup_store(conf).read(dtypes=self._rollup_dtypes(conf))
         if not gapfill or self.dt_col is None:
             return df
@@ -2399,8 +2572,12 @@ class Pipe:
             deduped = deduped.unionByName(out_scope)
         self.store._swap_partitions(deduped, dup_parts)
         # dedup can empty buckets, so rollups need the rebuild form; the
-        # dedup pass itself already walked the table
-        for conf in self._rollup_confs:
+        # dedup pass itself already walked the table (deferred confs log
+        # a "full" marker and rebuild at the next read instead)
+        self._log_rollup_invalidation(
+            [c for c in self._rollup_confs if self._rollup_deferred(c)],
+            None, None)
+        for conf in self._eager_rollup_confs:
             self.refresh_rollup(conf["name"])
         return SyncResult(True, f"Removed {n_removed} duplicates.",
                           0, n_removed)

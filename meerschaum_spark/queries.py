@@ -2291,13 +2291,16 @@ def pipe_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental rollup maintenance under the correctness gate
     (continuous-aggregate analogue; beyond-reference — the reference's
     TimescaleDB backend delegates this to the database). Two overlapping
-    sync batches plus one mutated row flow through the pipe; each sync
-    recomputes ONLY the patch-touched hourly buckets from storage and
-    MERGEs them into the rollup side table (maintenance scan pruning is
-    asserted in tests/test_rollup.py). The oracle recomputes the full
-    hourly rollup from the effective final table — incremental
-    maintenance must be indistinguishable from a full rebuild, updates
-    included, with exact-decimal sums."""
+    sync batches plus one mutated row flow through the pipe under the
+    DEFERRED refresh policy (TimescaleDB's actual architecture:
+    invalidation log + amortized refresh): each sync records only the
+    damaged time range — a driver-side JSON append, zero Spark jobs —
+    and the final ``get_rollup`` folds the coalesced ranges in one
+    bounded recompute (eager per-sync maintenance remains the default
+    and is pinned equivalent in tests/test_rollup.py). The oracle
+    recomputes the full hourly rollup from the effective final table —
+    deferred maintenance must be indistinguishable from a full rebuild,
+    updates included, with exact-decimal sums."""
     import shutil
     import tempfile
 
@@ -2311,11 +2314,14 @@ def pipe_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             columns={"datetime": "ts", "id": "event_id"},
             parameters={"rollups": [{"name": "hourly", "interval": "hour",
                                      "groupby": ["event_type"],
-                                     "values": ["value"]}],
-                        # daily partition grid: the 1-row update sync then
-                        # recomputes ONE bucket from ONE pruned partition,
-                        # not the whole month — the incremental claim,
-                        # visible in the plan (test_rollup.py asserts it)
+                                     "values": ["value"],
+                                     "refresh": "deferred"}],
+                        # daily partition grid: the flush then recomputes
+                        # the coalesced damaged window from pruned
+                        # partitions, not the whole month — the
+                        # incremental claim (test_rollup.py asserts the
+                        # pruning on the eager path, which shares
+                        # _maintain_rollup_one with the flush)
                         "verify": {"chunk_minutes": 1440}})
         cut = datetime.datetime(2024, 1, 20)
         lo = datetime.datetime(2024, 1, 18)  # 2-day late-data overlap

@@ -508,3 +508,182 @@ def test_rollup_update_bucket_scoped_int_axis(spark, instance_dir):
              F.min("v").alias("min_v"), F.max("v").alias("max_v"))
         .collect())
     assert got == exp
+
+
+# ------------------------------------------------------- deferred refresh
+
+DEFERRED_ROLLUPS = [{"name": "hourly", "interval": "hour",
+                     "groupby": ["event_type"], "values": ["value"],
+                     "refresh": "deferred"}]
+
+
+def test_rollup_deferred_matches_eager_lifecycle(spark, instance_dir, sf_dir):
+    """The deferred policy (invalidation log + flush-on-read) must be
+    observably identical to eager per-sync maintenance across the whole
+    mutation surface: overlapping syncs, a diff-path update, a bounded
+    clear, and a dedup rebuild. Between sync and read the side table is
+    allowed to be stale — the pending log carries the damage."""
+    import os
+
+    events = load_table(spark, sf_dir, "events").limit(400).persist()
+    try:
+        pipe = Pipe("roll", "defer", instance=instance_dir, spark=spark,
+                    columns={"datetime": "ts", "id": "event_id"},
+                    parameters={"rollups": DEFERRED_ROLLUPS})
+        cut = datetime.datetime(2024, 1, 15)
+        pipe.sync(events.filter(F.col("ts") < F.lit(cut)))
+        # a sync on a deferred-only pipe must leave a pending log and NO
+        # rollup store yet (zero maintenance jobs ran)
+        assert os.path.isfile(pipe._rollup_pending_path())
+        pipe.sync(events.filter(
+            F.col("ts") >= F.lit(cut) - datetime.timedelta(days=2)))
+        row = events.orderBy("ts", "event_id").limit(1).collect()[0].asDict()
+        row["value"] = -5.0
+        assert pipe.sync([row]).updated == 1
+        # read folds the log: identical to a full recompute
+        assert _rows(pipe.get_rollup("hourly")) == _rows(
+            _expected_hourly(pipe.get_data(order=None)))
+        # the log is drained after the flush
+        assert not pipe._load_rollup_pending().get("hourly")
+
+        # bounded clear logs a range; dedup-shaped damage logs "full"
+        lo_ts = pipe.get_data(order=None).agg(F.min("ts")).first()[0]
+        n_cleared = pipe.clear(begin=lo_ts,
+                               end=lo_ts + datetime.timedelta(days=1))
+        assert n_cleared > 0
+        assert pipe._load_rollup_pending().get("hourly")
+        assert _rows(pipe.get_rollup("hourly")) == _rows(
+            _expected_hourly(pipe.get_data(order=None)))
+        pipe.deduplicate()
+        assert _rows(pipe.get_rollup("hourly")) == _rows(
+            _expected_hourly(pipe.get_data(order=None)))
+    finally:
+        events.unpersist()
+
+
+def test_rollup_deferred_log_survives_pipe_object(spark, instance_dir):
+    """The invalidation log is durable instance state, not Pipe-object
+    state: a fresh Pipe on the same target folds damage logged by the
+    old one."""
+    rows = [{"k": i, "v": float(i)} for i in range(10)]
+    kw = dict(columns={"datetime": "k", "id": "k"},
+              parameters={"precision": {"unit": "second"},
+                          "rollups": [{"name": "m", "interval": "minute",
+                                       "values": ["v"],
+                                       "refresh": "deferred"}]},
+              dtypes={"k": "int64"})
+    p1 = Pipe("roll", "deferobj", instance=instance_dir, spark=spark, **kw)
+    p1.sync(rows)
+    p2 = Pipe("roll", "deferobj", instance=instance_dir, spark=spark, **kw)
+    out = {(r["k"], r["n_rows"]) for r in p2.get_rollup("m").collect()}
+    assert out == {(0, 10)}
+
+
+def test_rollup_deferred_many_syncs_coalesce(spark, instance_dir):
+    """A burst of scattered small syncs flushes as at most
+    _ROLLUP_FLUSH_MAX_RANGES bounded recomputes — and is still exact."""
+    kw = dict(columns={"datetime": "k", "id": "k"},
+              parameters={"precision": {"unit": "second"},
+                          "rollups": [{"name": "m", "interval": "minute",
+                                       "values": ["v"],
+                                       "refresh": "deferred"}]},
+              dtypes={"k": "int64"})
+    pipe = Pipe("roll", "defermany", instance=instance_dir, spark=spark, **kw)
+    for i in range(24):
+        # scattered minutes, far apart, written one row at a time
+        pipe.sync([{"k": i * 600, "v": float(i)}])
+    entries = pipe._load_rollup_pending()["m"]
+    assert len(entries) == 24
+    out = {(r["k"], r["n_rows"]) for r in pipe.get_rollup("m").collect()}
+    assert out == {(i * 600 // 60 * 60, 1) for i in range(24)}
+
+
+def test_coalesce_us_ranges_unit():
+    """Range coalescing: bucket-aligns, merges overlaps/adjacency, and
+    caps the count by merging closest-gap pairs first."""
+    W = 60_000_000  # one minute in µs
+    f = Pipe._coalesce_us_ranges
+    # overlap + adjacency merge
+    got = f([[0, W], [W, 2 * W], [5 * W, 6 * W]], W, 16)
+    assert got == [(0, 2 * W), (5 * W, 6 * W)]
+    # unaligned bounds align outward to bucket edges
+    got = f([[10, 20]], W, 16)
+    assert got == [(0, W)]
+    # cap merges the CLOSEST pair (gap between 0-1 and 2-3 is smaller
+    # than to 10-11)
+    got = f([[0, W], [2 * W, 3 * W], [10 * W, 11 * W]], W, 2)
+    assert got == [(0, 3 * W), (10 * W, 11 * W)]
+
+
+def test_rollup_deferred_mixed_confs(spark, instance_dir):
+    """One eager + one deferred conf on the same pipe: the eager table
+    maintains per sync, the deferred one at read — both exact."""
+    rows = [{"k": i, "v": float(i)} for i in range(10)]
+    kw = dict(columns={"datetime": "k", "id": "k"},
+              parameters={"precision": {"unit": "second"},
+                          "rollups": [
+                              {"name": "eager_m", "interval": "minute",
+                               "values": ["v"]},
+                              {"name": "defer_m", "interval": "minute",
+                               "values": ["v"], "refresh": "deferred"},
+                          ]},
+              dtypes={"k": "int64"})
+    pipe = Pipe("roll", "defermix", instance=instance_dir, spark=spark, **kw)
+    pipe.sync(rows)
+    # eager side table exists and is current WITHOUT a flush
+    eager = {(r["k"], r["n_rows"])
+             for r in pipe._rollup_store(
+                 pipe._rollup_confs[0]).read(
+                     dtypes=pipe._rollup_dtypes(
+                         pipe._rollup_confs[0])).collect()}
+    assert eager == {(0, 10)}
+    # deferred side is pending until read
+    assert pipe._load_rollup_pending().get("defer_m")
+    assert not pipe._load_rollup_pending().get("eager_m")
+    out = {(r["k"], r["n_rows"]) for r in pipe.get_rollup("defer_m").collect()}
+    assert out == {(0, 10)}
+
+
+def test_rollup_deferred_flush_failure_keeps_log(spark, instance_dir,
+                                                 monkeypatch):
+    """A failed flush must NOT lose the claimed invalidations — the next
+    (healthy) flush folds them."""
+    rows = [{"k": i, "v": float(i)} for i in range(5)]
+    kw = dict(columns={"datetime": "k", "id": "k"},
+              parameters={"precision": {"unit": "second"},
+                          "rollups": [{"name": "m", "interval": "minute",
+                                       "values": ["v"],
+                                       "refresh": "deferred"}]},
+              dtypes={"k": "int64"})
+    pipe = Pipe("roll", "deferfail", instance=instance_dir, spark=spark, **kw)
+    pipe.sync(rows)
+    boom = RuntimeError("maintenance died")
+
+    def exploding(conf, b, e):
+        raise boom
+
+    monkeypatch.setattr(pipe, "_maintain_rollup_one", exploding)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        pipe.get_rollup("m")
+    assert pipe._load_rollup_pending().get("m")  # restored, not lost
+    monkeypatch.undo()
+    out = {(r["k"], r["n_rows"]) for r in pipe.get_rollup("m").collect()}
+    assert out == {(0, 5)}
+
+
+def test_rollup_deferred_drop_clears_log(spark, instance_dir):
+    import os
+
+    rows = [{"k": 1, "v": 1.0}]
+    kw = dict(columns={"datetime": "k", "id": "k"},
+              parameters={"precision": {"unit": "second"},
+                          "rollups": [{"name": "m", "interval": "minute",
+                                       "values": ["v"],
+                                       "refresh": "deferred"}]},
+              dtypes={"k": "int64"})
+    pipe = Pipe("roll", "deferdrop", instance=instance_dir, spark=spark, **kw)
+    pipe.sync(rows)
+    assert os.path.isfile(pipe._rollup_pending_path())
+    pipe.drop()
+    assert not os.path.isfile(pipe._rollup_pending_path())

@@ -3332,19 +3332,32 @@ def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipe_verify_backfill",
-    """
-    SELECT ts, event_id, event_type, value
-    FROM events ORDER BY event_id
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS n_rows,
+           CAST(sum({HASH60_SQL.format(
+               x="concat_ws('|', event_id, epoch_us(ts), event_type, "
+                 "CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR))")}
+               ) AS DECIMAL(38,0)) AS digest_sum
+    FROM events GROUP BY 1 ORDER BY 1
     """,
 )
 def pipe_verify_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``pipe.verify`` — the reference's chunked backfill flagship
     (core/Pipe/_verify.py:18-440) — under the correctness gate: a pipe
     seeded with only the first day re-syncs the FULL range through the
-    epoch-aligned chunk grid (7-day chunks, 4 worker threads, each
+    epoch-aligned chunk grid (7-day chunks, one pooled wave, each
     chunk an independent bounded fetch + idempotent diff sync), and the
-    verified table must hash-match the source exactly. Chunks touch
-    disjoint store partitions, so the pool parallelism is real."""
+    verified table must content-match the source exactly. Chunks touch
+    disjoint store partitions, so the pool parallelism is real.
+
+    The check compares per-day row counts plus an exact content digest
+    (hash60 over every column, summed in decimal — any row difference
+    shifts the sum deterministically on both engines) computed
+    DISTRIBUTED over the verified table: collecting the full table to
+    the driver for comparison would be the collect anti-pattern this
+    repo bans, and at 100 TB the digest aggregate is the only shape
+    that works."""
     import shutil
     import tempfile
 
@@ -3367,17 +3380,29 @@ def pipe_verify_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             return events.filter((F.col("ts") >= F.lit(b))
                                  & (F.col("ts") < F.lit(e)))
 
+        # pool sized so the month's five 7-day chunks run as ONE wave
+        # (chunks touch disjoint store partitions; a second wave would
+        # just serialize the same work behind idle executors)
         res = pipe.verify(source=src, begin=lo,
                           end=hi + datetime.timedelta(microseconds=1),
-                          workers=4, bound_days=None)
+                          workers=8, bound_days=None)
         if not res.success:
             raise RuntimeError(f"verify failed: {res.message}")
         stored = pipe.get_data(
             select_columns=["ts", "event_id", "event_type", "value"],
             order=None)
-        rows = stored.collect()
-        return (spark.createDataFrame(rows, stored.schema)
-                .orderBy("event_id"))
+        digest = hash60(F.concat_ws(
+            "|", F.col("event_id"), F.unix_micros(F.col("ts")),
+            F.col("event_type"),
+            F.col("value").cast(DEC).cast("string")))
+        out = (stored
+               .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(digest.cast("decimal(20,0)"))
+                    .cast("decimal(38,0)").alias("digest_sum"))
+               .orderBy("day"))
+        rows = out.collect()  # tiny (one row per day) — freeze before rmtree
+        return spark.createDataFrame(rows, out.schema).orderBy("day")
     finally:
         events.unpersist()
         shutil.rmtree(instance, ignore_errors=True)

@@ -47,6 +47,7 @@ HEAD_ORDER = [
     # -- new in r8: SRID reprojection + geometry×geometry intersects,
     #    lossless prefix-filter similarity join, per-series analytics,
     #    graph triangles, ACF, and distributed-ranked RFM --
+    "part_pagerank",
     "part_triangle_count",
     "events_acf_hourly",
     "customer_rfm_segments",
@@ -100,7 +101,6 @@ HEAD_ORDER = [
     "doc_stratified_sample",
     "doc_substring_dup_pairs",
     "doc_tfidf_topk",
-    "doc_vocab_topk",
 ]
 
 

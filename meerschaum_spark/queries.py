@@ -4166,34 +4166,16 @@ def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the naive triple self-join — quadratic wedge
     generation the Spark plan avoids.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select("l_orderkey", "l_partkey").distinct()
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    from meerschaum_spark.functions.graph import (
+        basket_pairs,
+        degrees,
+        support_edges,
     )
-    arr = F.col("parts")
-    n = F.size(arr)
-    pairs = F.when(
-        n >= 2,
-        F.flatten(F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, n),
-                lambda j: F.struct(
-                    F.element_at(arr, i).alias("u"),
-                    F.element_at(arr, j).alias("v"))))),
-    ).otherwise(F.array().cast("array<struct<u:bigint,v:bigint>>"))
-    edges = (
-        baskets.select(F.explode(pairs).alias("pr"))
-        .select("pr.u", "pr.v")
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("u", "v")
-    ).localCheckpoint()
-    deg = (edges.select(F.explode(F.array("u", "v")).alias("node"))
-           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = support_edges(
+        basket_pairs(li, "l_orderkey", "l_partkey"), 2).localCheckpoint()
+    deg = degrees(edges)
     ed = (edges
           .join(deg.withColumnRenamed("node", "u")
                    .withColumnRenamed("deg", "du"), on="u")
@@ -4395,3 +4377,68 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("monetary").cast("decimal(38,6)").alias("monetary_total"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+def _pagerank_oracle_sql(iterations: int = 5, scale: int = 1_000_000_000,
+                         d_num: int = 85, d_den: int = 100) -> str:
+    """Unrolled recursive steps (standard SQL forbids aggregation in a
+    recursive CTE term, so the oracle spells each iteration): identical
+    scaled-integer recurrence as functions/graph.pagerank_int."""
+    base = (d_den - d_num) * scale // d_den
+    steps = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        steps.append(
+            f"r{k} AS (SELECT oe.dst AS node, "
+            f"CAST({base} + sum(({d_num} * r.rank) // ({d_den} * oe.deg)) "
+            f"AS BIGINT) AS rank "
+            f"FROM oe JOIN {prev} r ON r.node = oe.src GROUP BY 1)")
+        prev = f"r{k}"
+    return f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    de AS (SELECT u AS src, v AS dst FROM e
+           UNION ALL SELECT v AS src, u AS dst FROM e),
+    deg AS (SELECT src AS node, count(*) AS deg FROM de GROUP BY 1),
+    oe AS (SELECT d.src, d.dst, g.deg FROM de d JOIN deg g ON g.node = d.src),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM deg),
+    {",".join(steps)}
+    SELECT node AS p_partkey, rank FROM {prev}
+    ORDER BY rank DESC, node LIMIT 20
+    """
+
+
+@query("part_pagerank", _pagerank_oracle_sql())
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five PageRank iterations over the part co-purchase graph — the
+    canonical ITERATIVE graph workload (random-surfer centrality on the
+    co-occurrence structure).
+
+    Cross-engine exactness: the whole recurrence runs in scaled 64-bit
+    integers (multiply, floor-divide, sum — see
+    ``functions/graph.pagerank_int``), so Spark and the oracle's five
+    unrolled SQL steps produce bit-identical ranks; no float ever
+    appears.
+
+    Scale shape: edges come from in-task basket expansion (never a
+    row×row join); each iteration is ONE shuffle join + ONE map-side-
+    combinable sum, with a localCheckpoint per iteration so plan/lineage
+    cost stays flat at any iteration count — Pregel economics on the
+    DataFrame API, zero driver-side state."""
+    from meerschaum_spark.functions.graph import (
+        basket_pairs,
+        pagerank_int,
+        support_edges,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = basket_pairs(li, "l_orderkey", "l_partkey")
+    edges = support_edges(pairs, 2)
+    ranks = pagerank_int(edges, iterations=5)
+    return (ranks.select(F.col("node").alias("p_partkey"), "rank")
+            .orderBy(F.col("rank").desc(), "p_partkey")
+            .limit(20))

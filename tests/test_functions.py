@@ -826,3 +826,52 @@ def test_quartile_score_integer_buckets(spark):
            df.select(quartile_score("rn", n, "q").alias("q"))
            .orderBy("rn").collect()]
     assert got == [1, 1, 1, 2, 2, 3, 3, 3, 4, 4]
+
+
+# ----------------------------------------------------------------- graph
+
+def test_basket_pairs_matches_naive_join(spark):
+    from meerschaum_spark.functions.graph import basket_pairs
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (1, "a"),  # dup item in basket
+            (2, "b"), (2, "c"), (3, "a"), (4, "x"), (4, "y")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {(r["u"], r["v"]) for r in
+           basket_pairs(df, "basket", "item").collect()}
+    d = df.distinct()
+    naive = {(r["u"], r["v"]) for r in
+             d.alias("a").join(
+                 d.alias("b"),
+                 (F.col("a.basket") == F.col("b.basket"))
+                 & (F.col("a.item") < F.col("b.item")))
+             .select(F.col("a.item").alias("u"), F.col("b.item").alias("v"))
+             .collect()}
+    assert got == naive
+    assert ("a", "b") in got and ("x", "y") in got
+
+
+def test_pagerank_int_known_graph(spark):
+    """Path graph a-b-c: symmetric endpoints must tie exactly, the
+    middle node dominates, and the scaled-integer recurrence is
+    reproducible bit-for-bit (run twice)."""
+    from meerschaum_spark.functions.graph import pagerank_int
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")],
+                                  "u string, v string")
+    r1 = {r["node"]: r["rank"]
+          for r in pagerank_int(edges, iterations=5).collect()}
+    r2 = {r["node"]: r["rank"]
+          for r in pagerank_int(edges, iterations=5).collect()}
+    assert r1 == r2
+    assert r1["a"] == r1["c"]  # symmetry is exact in integer arithmetic
+    assert r1["b"] > r1["a"]
+    # hand-rolled reference recurrence
+    scale, d_num, d_den = 1_000_000_000, 85, 100
+    base = (d_den - d_num) * scale // d_den
+    deg = {"a": 1, "b": 2, "c": 1}
+    nbrs = {"a": ["b"], "b": ["a", "c"], "c": ["b"]}
+    rank = {n: scale for n in deg}
+    for _ in range(5):
+        rank = {n: base + sum(d_num * rank[u] // (d_den * deg[u])
+                              for u in nbrs[n]) for n in deg}
+    assert r1 == rank

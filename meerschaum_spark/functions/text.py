@@ -403,7 +403,12 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
         return F.size(F.filter(F.col("_toks"), lambda t: t == F.lit(word)))
 
     tf_cols = [_tf(w).alias(f"tf_{i}") for i, w in enumerate(query_terms)]
-    scored_base = base.select(id_col, "dl", *tf_cols)
+    # the tf frame feeds BOTH the stats aggregate and the scoring pass —
+    # without a checkpoint Catalyst re-runs the tokenize+filter scan for
+    # each consumer (multi-use-plan discipline; measured ~2x on the
+    # corpus bench). The materialized frame is narrow ints, corpus-scale
+    # safe — tiny next to the text it replaces.
+    scored_base = base.select(id_col, "dl", *tf_cols).localCheckpoint()
     stats = scored_base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),

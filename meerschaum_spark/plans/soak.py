@@ -186,6 +186,30 @@ def _family_ingest_dedup(spark: SparkSession, sf_dir: str,
         shutil.rmtree(inst, ignore_errors=True)
 
 
+def _family_graph_pagerank(spark: SparkSession, sf_dir: str,
+                           workdir: str) -> tuple[int, DataFrame]:
+    """Iterative graph workload at corpus scale: a deterministic sparse
+    user graph with |E| ∝ events and |V| ∝ users (both scale with the
+    corpus), three PageRank iterations through the shared
+    ``pagerank_int`` join-agg loop. Near-linear behavior = each
+    iteration's shuffle tracks |E|, and the per-iteration
+    localCheckpoint keeps plan size flat regardless of iteration
+    count."""
+    from meerschaum_spark.functions.graph import pagerank_int
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    n_users = int(ev.agg(F.max("user_id")).first()[0]) + 1
+    edges = (ev.select(
+        F.col("user_id").alias("a"),
+        F.pmod(F.xxhash64("event_id", F.lit(99)), n_users).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"),
+                F.greatest("a", "b").alias("v"))
+        .distinct())
+    ranks = pagerank_int(edges, iterations=3)
+    return ranks.count(), ranks
+
+
 def _catalog_family(name: str) -> Callable:
     def run(spark: SparkSession, sf_dir: str,
             workdir: str) -> tuple[int, DataFrame]:
@@ -213,6 +237,9 @@ FAMILIES: dict[str, Callable] = {
     # 10× while series length stays constant — the axis that stresses
     # per-group call overhead and the cores-not-bytes partitioning
     "events_lttb": _catalog_family("events_lttb_downsample"),
+    # iterative graph (r8 round 2): |E| ∝ events through three
+    # pagerank_int join-agg iterations
+    "graph_pagerank": _family_graph_pagerank,
 }
 
 

@@ -77,7 +77,8 @@ def main() -> None:
             # catalog queries return capped/top-k result sets
             rec["corpus_rows"] = (n_events if fam in ("pipe_sync_diff",
                                              "geo_radius_join",
-                                             "events_lttb")
+                                             "events_lttb",
+                                             "graph_pagerank")
                                   else n_docs)
             print(f"#   {label} {fam}: {rec['sec']} s, rows={rec['rows']}",
                   file=sys.stderr)

@@ -19,7 +19,8 @@ pytestmark = pytest.mark.slow
 
 SCALE = 6
 FAMILIES = ["pipe_sync_diff", "pipe_ingest_dedup", "doc_domain_caps",
-            "doc_minhash_lsh", "doc_bigram_lm", "events_lttb"]
+            "doc_minhash_lsh", "doc_bigram_lm", "events_lttb",
+            "graph_pagerank"]
 
 
 @pytest.fixture(scope="module")

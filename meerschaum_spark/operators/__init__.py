@@ -75,9 +75,13 @@ Maintenance (§2.9)
                                  within-partition sort)
   M10 vacuum/analyze             pipe.Pipe.vacuum / optimize
   M14 continuous aggregates      pipe parameters['rollups'] → per-sync
-                                 bucket-scoped maintenance, get_rollup
-                                 (gapfill option), refresh_rollup; also
-                                 served over HTTP (sources/server.py)
+                                 bucket-scoped maintenance (eager) or
+                                 r8 deferred policy ({'refresh':
+                                 'deferred'}: durable invalidation log,
+                                 coalesced flush-on-read), get_rollup
+                                 (gapfill option), refresh_rollup,
+                                 flush_rollups; also served over HTTP
+                                 (sources/server.py)
   M15 retention policy           pipe.Pipe.prune (cutoff relative to the
                                  newest stored timestamp)
   M11 autoincrement/autotime     pipe._apply_autoincrement / _apply_autotime
@@ -152,6 +156,20 @@ Beyond-reference (training-data pipeline; BASELINE.json north star)
   skew toolkit                   functions/skew.py (salted agg/join/
                                  top-k; load-bearing in the sync diff
                                  and doc_domain_caps)
+  graph analytics (r8)           functions/graph.py (basket_pairs
+                                 co-occurrence edge builder — in-task
+                                 array expansion; degree-oriented
+                                 triangle counting; pagerank_int —
+                                 exact scaled-integer PageRank, one
+                                 join+agg per iteration, flat lineage
+                                 via per-iteration checkpoint; soaked
+                                 near-linear at 10x, SCALE.md)
+  distributed ranking (r8)       functions/ranking.py
+                                 (global_row_number — range partitions
+                                 + per-partition offsets instead of the
+                                 single-partition window; NTILE-free
+                                 integer quartile buckets; backs
+                                 customer_rfm_segments)
   analytics widening             queries.py (full 22-shape TPC-H sweep,
                                  funnel + conversion latency, cohort
                                  retention, z-score outliers, histogram,

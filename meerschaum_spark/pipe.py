@@ -2208,6 +2208,13 @@ class Pipe:
             rstore.drop()
             if self.exists():
                 rstore.append(self._rollup_compute(conf, None, None))
+            # a full rebuild supersedes any deferred damage logged before
+            # it — drain the conf's pending entries so the next flush
+            # doesn't re-maintain ranges the rebuild already covered
+            with _ROLLUP_PENDING_LOCK:
+                doc = self._load_rollup_pending()
+                if doc.pop(name, None) is not None:
+                    self._save_rollup_pending(doc)
 
     def _rollup_clear(self, begin_us: int | None, end_us: int | None) -> None:
         """After a bounded delete: recompute the affected bucket range by

@@ -47,6 +47,7 @@ HEAD_ORDER = [
     # -- new in r8: SRID reprojection + geometry×geometry intersects,
     #    lossless prefix-filter similarity join, per-series analytics,
     #    graph triangles, ACF, and distributed-ranked RFM --
+    "events_holt_linear",
     "part_pagerank",
     "part_triangle_count",
     "events_acf_hourly",
@@ -100,7 +101,6 @@ HEAD_ORDER = [
     "doc_split_assign",
     "doc_stratified_sample",
     "doc_substring_dup_pairs",
-    "doc_tfidf_topk",
 ]
 
 

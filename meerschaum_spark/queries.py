@@ -4442,3 +4442,93 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ranks.select(F.col("node").alias("p_partkey"), "rank")
             .orderBy(F.col("rank").desc(), "p_partkey")
             .limit(20))
+
+
+# FLOOR division by 4 that is identical on every engine for BOTH signs:
+# subtract the nonnegative remainder first, then the division is exact —
+# DuckDB's `//` floors while Spark's `div` truncates toward zero, so a
+# raw x//4 would disagree on negative trend values.
+def _floor4_sql(x: str) -> str:
+    return f"((({x}) - ((({x}) % 4 + 4) % 4)) // 4)"
+
+
+_HOLT_LNEW = _floor4_sql("b2.y + 3 * (r.l + r.b)")
+_HOLT_BNEW = _floor4_sql(f"{_HOLT_LNEW} - r.l + 3 * r.b")
+
+
+@query(
+    "events_holt_linear",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL),
+    rec AS (
+      SELECT user_id, ts, event_id, rn, y AS l, CAST(0 AS BIGINT) AS b
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b2.user_id, b2.ts, b2.event_id, b2.rn,
+             {_HOLT_LNEW} AS l,
+             {_HOLT_BNEW} AS b
+      FROM rec r JOIN base b2
+        ON b2.user_id = r.user_id AND b2.rn = r.rn + 1)
+    SELECT user_id, ts, event_id, l AS level_scaled, b AS trend_scaled,
+           l + b AS forecast_scaled
+    FROM rec ORDER BY user_id, ts, event_id
+    """,
+)
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per series
+    (α = β = 1/4) as an exact INTEGER recurrence over µ-scaled values::
+
+        l₁ = y₁, b₁ = 0
+        lᵢ = ⌊(yᵢ + 3·(lᵢ₋₁ + bᵢ₋₁)) / 4⌋
+        bᵢ = ⌊((lᵢ − lᵢ₋₁) + 3·bᵢ₋₁) / 4⌋
+
+    — the third member of the sequential family (EWMA, LTTB, CUSUM):
+    two mutually-recursive state variables that no window/aggregate
+    composition expresses, so the justified ``applyInPandas`` escape
+    hatch runs the fold in plain Python ints. Python's ``//`` FLOORS,
+    and the trend can go NEGATIVE — the oracle spells floor division as
+    subtract-nonneg-remainder-then-divide because DuckDB's ``//`` floors
+    while Spark's ``div`` truncates; with that form the recurrence is
+    bit-exact cross-engine for both signs. Cost is bounded by the
+    largest single series, like every per-key sequential op (hot-series
+    soak in test_scale_soak.py); the explicit cores-sized repartition
+    keeps AQE from byte-squeezing the python stage."""
+    n_par = spark.sparkContext.defaultParallelism
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("user_id", "ts", "event_id",
+                  F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+                  .cast("long").alias("y"))
+          .repartition(n_par, "user_id"))
+
+    def holt(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"],
+                              kind="mergesort").reset_index(drop=True)
+        ys = [int(v) for v in pdf["y"]]
+        lv = ys[0]
+        tr = 0
+        ls, bs = [lv], [tr]
+        for y in ys[1:]:
+            l_new = (y + 3 * (lv + tr)) // 4
+            tr = (l_new - lv + 3 * tr) // 4
+            lv = l_new
+            ls.append(lv)
+            bs.append(tr)
+        out = pdf[["user_id", "ts", "event_id"]].copy()
+        out["level_scaled"] = ls
+        out["trend_scaled"] = bs
+        return out
+
+    return (ev.groupBy("user_id")
+            .applyInPandas(
+                holt,
+                "user_id long, ts timestamp, event_id long, "
+                "level_scaled long, trend_scaled long")
+            .withColumn("forecast_scaled",
+                        F.col("level_scaled") + F.col("trend_scaled"))
+            .orderBy("user_id", "ts", "event_id"))

@@ -421,6 +421,14 @@ def test_r8_operator_plan_shapes(spark, sf_dir):
     assert n_user_exchanges == 1, cu[:1200]
     assert "FlatMapGroupsInPandas" in cu
 
+    from meerschaum_spark.queries import events_holt_linear
+    ho = explain_str(events_holt_linear(spark, sf_dir), "simple")
+    assert "REPARTITION_BY_NUM" in ho, ho[:800]
+    n_user_exchanges = len(re.findall(
+        r"Exchange hashpartitioning\(user_id", ho))
+    assert n_user_exchanges == 1, ho[:1200]
+    assert "FlatMapGroupsInPandas" in ho
+
 
 def test_r8_round2_plan_shapes(spark, sf_dir):
     """Plan contracts for the second r8 batch: triangle counting never

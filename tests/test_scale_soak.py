@@ -104,7 +104,8 @@ def test_sequential_ops_survive_hot_series(spark):
         def run(d):
             t0 = time.time()
             rows = {}
-            for q in ("events_lttb_downsample", "events_ema_sequential"):
+            for q in ("events_lttb_downsample", "events_ema_sequential",
+                      "events_holt_linear"):
                 rows[q] = QUERIES[q](spark, d).count()
             return time.time() - t0, rows
 

@@ -48,6 +48,8 @@ HEAD_ORDER = [
     #    lossless prefix-filter similarity join, per-series analytics,
     #    graph triangles, ACF, and distributed-ranked RFM --
     "events_holt_linear",
+    "events_counter_agg",
+    "events_stats_agg_linear",
     "part_pagerank",
     "part_triangle_count",
     "events_acf_hourly",
@@ -99,8 +101,6 @@ HEAD_ORDER = [
     "doc_sequence_pack",
     "doc_shard_assign",
     "doc_split_assign",
-    "doc_stratified_sample",
-    "doc_substring_dup_pairs",
 ]
 
 
@@ -137,6 +137,16 @@ def ordered(d: dict, oracle_complete: bool = False) -> dict:
 
 def query(name: str, oracle_sql: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        # duplicate registration is ALWAYS a bug: a later module (or a
+        # later block in the same file) would silently shadow the
+        # original and its green correctness history — hard-error so the
+        # collision surfaces at import time, not at the driver's gate
+        if name in QUERIES:
+            raise ValueError(
+                f"catalog query {name!r} registered twice "
+                f"(existing: {QUERIES[name].__module__}."
+                f"{QUERIES[name].__name__}, new: {fn.__module__}."
+                f"{fn.__name__})")
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # pin session confs (UTC timezone above all): the driver may
             # hand us a session in another timezone, which would shift

@@ -4532,3 +4532,135 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("forecast_scaled",
                         F.col("level_scaled") + F.col("trend_scaled"))
             .orderBy("user_id", "ts", "event_id"))
+
+
+# ------------------------- TimescaleDB hyperfunction analogues (r8) --
+# The reference's primary backend is TimescaleDB and its docs lean on
+# the hyperfunction toolkit; state_agg / heartbeat_agg / time_weight /
+# gapfill / OHLC analogues already exist above — these close the two
+# remaining ones: counter_agg and stats_agg (reference: the timescaledb
+# flavor throughout meerschaum/connectors/sql/tables/__init__.py and
+# _create_indices hypertable setup in connectors/sql/_pipes.py).
+
+
+@query(
+    "events_counter_agg",
+    """
+    WITH seq AS (
+      SELECT user_id, ts,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
+             lag(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_y
+      FROM events WHERE value IS NOT NULL)
+    SELECT user_id,
+           count(*) AS n_readings,
+           CAST(sum(CASE WHEN prev_y IS NULL THEN 0
+                         WHEN y >= prev_y THEN y - prev_y
+                         ELSE y END) AS BIGINT) AS total_increase,
+           CAST(sum(CASE WHEN prev_y IS NOT NULL AND y < prev_y
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+    FROM seq GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_counter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``counter_agg`` hyperfunction analogue: treat each
+    series' µ-scaled ``value`` as a monotonic counter reading with
+    resets — a drop means the counter restarted from zero, so the true
+    increase over a reset is the new reading itself. Reports the total
+    accumulated increase and the reset count per series, all in exact
+    integer arithmetic (one lag window + one hash aggregate reusing the
+    window's partitioning — the same single-shuffle shape as
+    ``events_state_durations``)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    y = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (ev.select("user_id", "ts", "event_id", y.alias("y"))
+           .select("user_id", "y", F.lag("y").over(w).alias("prev_y")))
+    inc = (F.when(F.col("prev_y").isNull(), F.lit(0))
+           .when(F.col("y") >= F.col("prev_y"),
+                 F.col("y") - F.col("prev_y"))
+           .otherwise(F.col("y")))
+    is_reset = F.when(F.col("prev_y").isNotNull()
+                      & (F.col("y") < F.col("prev_y")), 1).otherwise(0)
+    return (seq.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_readings"),
+                 F.sum(inc).cast("long").alias("total_increase"),
+                 F.sum(is_reset).cast("long").alias("n_resets"))
+            .orderBy("user_id"))
+
+
+#: fixed x-axis origin for the OLS sums (2020-01-01 UTC, epoch seconds)
+#: — shifts neither slope numerator nor denominator (covariance and
+#: variance are translation-invariant) but keeps every accumulated
+#: moment far inside decimal(38,0) even at 100 TB row counts
+_OLS_X0 = 1_577_836_800
+
+
+@query(
+    "events_stats_agg_linear",
+    f"""
+    WITH b AS (
+      SELECT user_id,
+             (epoch_us(ts) // 1000000) - {_OLS_X0} AS x,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL),
+    s AS (
+      SELECT user_id, count(*) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+      FROM b GROUP BY user_id)
+    SELECT user_id, n,
+           CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DECIMAL(38,0))
+               AS slope_num,
+           CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DECIMAL(38,0))
+               AS slope_den,
+           CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy
+                                    AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+                                      AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+           END AS slope_dbl
+    FROM s ORDER BY user_id
+    """,
+)
+def events_stats_agg_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``stats_agg -> slope`` hyperfunction analogue:
+    per-series ordinary-least-squares trend of the µ-scaled value
+    against time (epoch seconds, fixed 2020-01-01 origin).
+
+    The four moment sums (Σx, Σy, Σx², Σxy) accumulate in exact decimal
+    — order-insensitive, so partial (map-side) aggregation is free and
+    the result is bit-identical to the oracle's HUGEINT sums — and the
+    slope's numerator/denominator (n·Σxy − Σx·Σy, n·Σx² − (Σx)²) are
+    emitted as exact decimals; only the final ratio divides in double
+    with the identical expression on both engines. NO window at all:
+    this is ONE map-side-combinable hash aggregate over the scan — the
+    cheapest possible distributed shape for a 100 TB regression sweep
+    (contrast the reference, which would pull the series into pandas)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = (F.floor(F.unix_micros("ts") / F.lit(1_000_000)).cast("long")
+         - F.lit(_OLS_X0))
+    y = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    b = ev.select("user_id", x.alias("x"), y.alias("y"))
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    s = (b.groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(xd).cast("decimal(38,0)").alias("sx"),
+              F.sum(yd).cast("decimal(38,0)").alias("sy"),
+              F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+              F.sum(xd * yd).cast("decimal(38,0)").alias("sxy")))
+    nd = F.col("n").cast("decimal(38,0)")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("decimal(38,0)")
+    den = (nd * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        .cast("decimal(38,0)")
+    return (s.select(
+        "user_id", "n",
+        num.alias("slope_num"), den.alias("slope_den"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("slope_dbl"))
+        .orderBy("user_id"))

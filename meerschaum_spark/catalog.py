@@ -50,6 +50,8 @@ HEAD_ORDER = [
     "events_holt_linear",
     "events_counter_agg",
     "events_stats_agg_linear",
+    "events_max_concurrency",
+    "orders_retention_cohort",
     "part_pagerank",
     "part_triangle_count",
     "events_acf_hourly",
@@ -99,8 +101,6 @@ HEAD_ORDER = [
     "doc_repetition_stats",
     "doc_sentence_dedup",
     "doc_sequence_pack",
-    "doc_shard_assign",
-    "doc_split_assign",
 ]
 
 

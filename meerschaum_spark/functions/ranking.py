@@ -93,3 +93,54 @@ def quartile_score(rn_col: str, n_total: int, out_col: str) -> F.Column:
     whose remainder-distribution rules differ subtly across engines)."""
     return (F.expr(f"(({rn_col} - 1) * 4) div {int(n_total)}")
             .cast("int") + F.lit(1)).alias(out_col)
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list,
+    val_col: str,
+    out_col: str = "running",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the global prefix sum of ``val_col`` following
+    ``order_cols`` — the distributed sweep-line primitive — without the
+    single-partition window a bare ``sum() OVER (ORDER BY ...)`` plans.
+
+    Same 3-step economics as ``global_row_number``: range-partition on
+    the (total) order, ONE metadata-sized collect of per-partition SUMS
+    (≤ num-partitions rows), then each partition cumsums locally in an
+    Arrow batch and adds its exclusive prefix offset — no second
+    shuffle, no join, and ties never straddle a boundary ambiguously
+    because ``order_cols`` must be a total order. ``val_col`` must be an
+    integral column (the offsets accumulate in Python ints — exact at
+    any magnitude)."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = df.repartitionByRange(n, *cols).localCheckpoint()
+    sums = (part.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .agg(F.sum(F.col(val_col)).cast("long").alias("_s"))
+            .collect())
+    psums = {int(r["_pid"]): int(r["_s"]) for r in sums}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid]
+    out_schema = T.StructType(
+        list(part.schema.fields) + [T.StructField(out_col, T.LongType())])
+
+    def add_cumsum(iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        base = offsets.get(ctx.partitionId() if ctx else 0, 0)
+        for pdf in iterator:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[val_col].astype("int64").cumsum() + base
+            base += int(pdf[val_col].sum()) if len(pdf) else 0
+            yield pdf
+
+    return part.sortWithinPartitions(*cols).mapInPandas(
+        add_cumsum, out_schema)

@@ -4664,3 +4664,109 @@ def events_stats_agg_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(num.cast("double") / den.cast("double"))
         .alias("slope_dbl"))
         .orderBy("user_id"))
+
+
+@query(
+    "events_max_concurrency",
+    """
+    WITH iv AS (
+      SELECT epoch_us(ts) AS s_us,
+             epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e_us,
+             event_id
+      FROM events WHERE value IS NOT NULL AND value > 0),
+    pts AS (
+      SELECT s_us AS t_us, 1 AS delta, event_id FROM iv
+      UNION ALL
+      SELECT e_us AS t_us, -1 AS delta, event_id FROM iv),
+    sweep AS (
+      SELECT t_us, delta,
+             sum(delta) OVER (ORDER BY t_us, delta, event_id
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM pts)
+    SELECT CAST(max(conc) AS BIGINT) AS max_concurrency,
+           CAST(min(CASE WHEN conc = (SELECT max(conc) FROM sweep)
+                         THEN t_us END) AS BIGINT) AS first_at_us
+    FROM sweep
+    """,
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency via a DISTRIBUTED sweep line: each
+    event occupies ``[ts, ts + value seconds)``; +1/−1 endpoint deltas
+    are prefix-summed in global time order and the maximum (with the
+    first instant it is reached) is the answer — the classic
+    "max concurrent sessions" operator.
+
+    The textbook formulation is a global ``SUM() OVER (ORDER BY t)``,
+    which Spark plans as an Exchange to ONE partition — the same scale
+    trap ``customer_rfm_segments`` avoids. Here the running sum comes
+    from ``functions.ranking.global_running_sum``: range-partition on
+    the total endpoint order, ONE ≤n-row collect of per-partition
+    sums, local Arrow cumsum + exclusive offset. End deltas sort before
+    start deltas at the same instant (−1 < +1), giving exact half-open
+    ``[s, e)`` semantics. The final reduction is a one-row aggregate."""
+    from meerschaum_spark.functions.ranking import global_running_sum
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull() & (F.col("value") > 0)))
+    s_us = F.unix_micros("ts")
+    e_us = s_us + F.floor(F.col("value") * 1_000_000).cast("long")
+    iv = ev.select(s_us.alias("s_us"), e_us.alias("e_us"), "event_id")
+    pts = (iv.select(F.col("s_us").alias("t_us"),
+                     F.lit(1).alias("delta"), "event_id")
+           .unionByName(iv.select(F.col("e_us").alias("t_us"),
+                                  F.lit(-1).alias("delta"), "event_id")))
+    sweep = global_running_sum(
+        pts, ["t_us", "delta", "event_id"], "delta", out_col="conc")
+    peak = sweep.agg(F.max("conc").alias("m"))
+    return (sweep.join(F.broadcast(peak))
+            .agg(F.max("conc").cast("long").alias("max_concurrency"),
+                 F.min(F.when(F.col("conc") == F.col("m"),
+                              F.col("t_us"))).cast("long")
+                 .alias("first_at_us")))
+
+
+@query(
+    "orders_retention_cohort",
+    """
+    WITH ym AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                  AS BIGINT) AS ym
+      FROM orders),
+    first_ym AS (
+      SELECT o_custkey, min(ym) AS cohort_ym FROM ym GROUP BY o_custkey)
+    SELECT CAST(f.cohort_ym // 12 AS BIGINT) AS cohort_year,
+           CAST(f.cohort_ym % 12 + 1 AS BIGINT) AS cohort_month,
+           CAST(y.ym - f.cohort_ym AS BIGINT) AS month_offset,
+           CAST(count(DISTINCT y.o_custkey) AS BIGINT) AS n_customers
+    FROM ym y JOIN first_ym f ON y.o_custkey = f.o_custkey
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort-retention matrix over orders: customers are
+    cohorted by their first order month and every later order counts
+    them in that cohort at its month offset — the canonical retention
+    triangle behind churn dashboards.
+
+    Month arithmetic is pure integers (``year·12 + month−1``), exact on
+    both engines (no months_between float semantics). Both aggregations
+    and the self-join hash on ``o_custkey``, so the join reuses the
+    first aggregation's partitioning — one shuffle wide at any scale,
+    and the output is ≤ |months|² rows."""
+    ym_expr = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1) \
+        .cast("long")
+    orders = load_table(spark, sf_dir, "orders")
+    ym = orders.select("o_custkey", ym_expr.alias("ym"))
+    first = ym.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    return (ym.join(first, on="o_custkey")
+            .groupBy(
+                (F.col("cohort_ym") / 12).cast("long").alias("cohort_year"),
+                F.pmod(F.col("cohort_ym"), F.lit(12)).cast("long")
+                .alias("cohort_month_0"),
+                (F.col("ym") - F.col("cohort_ym")).alias("month_offset"))
+            .agg(F.countDistinct("o_custkey").alias("n_customers"))
+            .select("cohort_year",
+                    (F.col("cohort_month_0") + 1).alias("cohort_month"),
+                    "month_offset", "n_customers")
+            .orderBy("cohort_year", "cohort_month", "month_offset"))

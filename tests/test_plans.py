@@ -466,3 +466,39 @@ def test_r8_round2_plan_shapes(spark, sf_dir):
         rfm[:1200]
     assert re.search(r"Window\b", rfm) is None, rfm[:1200]
     assert "MapInPandas" in rfm
+
+
+def test_r8_round3_plan_shapes(spark, sf_dir):
+    """Plan contracts for the third r8 batch: the sweep-line peak
+    concurrency NEVER plans a single-partition global window (the
+    running sum is the distributed range-partition + local-cumsum
+    pattern), the OLS stats_agg is ONE windowless hash aggregate over
+    the scan, and the cohort matrix joins on the aggregation's own
+    hash partitioning (no broadcast of the at-scale-large first-order
+    frame needed, no cartesian)."""
+    import re
+
+    from meerschaum_spark.plans import explain_str
+    from meerschaum_spark.queries import (
+        events_max_concurrency,
+        events_stats_agg_linear,
+        orders_retention_cohort,
+    )
+
+    mc = explain_str(events_max_concurrency(spark, sf_dir), "simple")
+    assert re.search(r"Window\b", mc) is None, mc[:1200]
+    assert "MapInPandas" in mc
+    # the only SinglePartition exchange allowed is the final one-row
+    # reduction, never one feeding a Window/Sort over the sweep
+    for m in re.finditer(r"Exchange SinglePartition", mc):
+        tail = mc[m.end():m.end() + 300]
+        assert "Window" not in tail, mc[:1500]
+
+    ols = explain_str(events_stats_agg_linear(spark, sf_dir), "simple")
+    assert re.search(r"Window\b", ols) is None, ols[:1200]
+    assert "FlatMapGroupsInPandas" not in ols
+    assert "MapInPandas" not in ols
+
+    co = explain_str(orders_retention_cohort(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in co
+    assert "BroadcastNestedLoopJoin" not in co

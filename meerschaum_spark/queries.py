@@ -4770,3 +4770,52 @@ def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("cohort_month_0") + 1).alias("cohort_month"),
                     "month_offset", "n_customers")
             .orderBy("cohort_year", "cohort_month", "month_offset"))
+
+
+@query(
+    "customer_symspell_pairs",
+    """
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY custkey_a, custkey_b
+    """,
+)
+def customer_symspell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant entity-resolution join: all customer-name pairs
+    within edit distance 1, found WITHOUT an all-pairs comparison via
+    SymSpell delete-variant blocking — two strings are within edit
+    distance 1 iff they share a variant obtained by deleting at most
+    one character, so each name explodes into its |name|+1 deletion
+    variants, candidates come from a hash equi-join on the variant, and
+    exact ``levenshtein`` re-checks the survivors (built-in JVM
+    function both here and in the oracle; the oracle is the quadratic
+    join this plan avoids). Candidate volume is Σ|name|+1 rows per side
+    with small per-variant buckets — linear-ish in corpus size, the
+    same never-all-pairs economics as the LSH and prefix-filter joins
+    (at 100 TB you'd carry keys only through the variant table and
+    join names back; here names ride along — they're 18 bytes)."""
+    cust = load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_name")
+    # i = 0..len-1 deletes char i+1; i = len keeps the name itself
+    variants = cust.select(
+        "c_custkey", "c_name",
+        F.explode(F.expr(
+            "transform(sequence(0, length(c_name)), "
+            "i -> concat(substr(c_name, 1, i), substr(c_name, i + 2)))"
+        )).alias("v"))
+    a, b = variants.alias("a"), variants.alias("b")
+    pairs = (a.join(b, (F.col("a.v") == F.col("b.v"))
+                    & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+             .select(F.col("a.c_custkey").alias("custkey_a"),
+                     F.col("b.c_custkey").alias("custkey_b"),
+                     F.col("a.c_name").alias("na"),
+                     F.col("b.c_name").alias("nb"))
+             .distinct())
+    return (pairs
+            .withColumn("dist", F.levenshtein("na", "nb").cast("long"))
+            .filter(F.col("dist") <= 1)
+            .select("custkey_a", "custkey_b", "dist")
+            .orderBy("custkey_a", "custkey_b"))

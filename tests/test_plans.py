@@ -502,3 +502,11 @@ def test_r8_round3_plan_shapes(spark, sf_dir):
     co = explain_str(orders_retention_cohort(spark, sf_dir), "simple")
     assert "CartesianProduct" not in co
     assert "BroadcastNestedLoopJoin" not in co
+
+    from meerschaum_spark.queries import customer_symspell_pairs
+    sy = explain_str(customer_symspell_pairs(spark, sf_dir), "simple")
+    # the delete-variant blocking makes the candidate join a key
+    # equi-join — the quadratic name-vs-name comparison must never
+    # appear as a cartesian/nested-loop node
+    assert "CartesianProduct" not in sy, sy[:800]
+    assert "BroadcastNestedLoopJoin" not in sy, sy[:800]

@@ -48,7 +48,6 @@ HEAD_ORDER = [
     #    lossless prefix-filter similarity join, per-series analytics,
     #    graph triangles, ACF, and distributed-ranked RFM --
     "events_holt_linear",
-    "events_counter_agg",
     "events_stats_agg_linear",
     "events_max_concurrency",
     "orders_retention_cohort",
@@ -101,6 +100,7 @@ HEAD_ORDER = [
     "doc_pii_scrub",
     "doc_repetition_stats",
     "doc_sentence_dedup",
+    "doc_sequence_pack",
 ]
 
 

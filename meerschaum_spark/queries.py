@@ -4537,56 +4537,11 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------- TimescaleDB hyperfunction analogues (r8) --
 # The reference's primary backend is TimescaleDB and its docs lean on
 # the hyperfunction toolkit; state_agg / heartbeat_agg / time_weight /
-# gapfill / OHLC analogues already exist above — these close the two
-# remaining ones: counter_agg and stats_agg (reference: the timescaledb
-# flavor throughout meerschaum/connectors/sql/tables/__init__.py and
-# _create_indices hypertable setup in connectors/sql/_pipes.py).
-
-
-@query(
-    "events_counter_agg",
-    """
-    WITH seq AS (
-      SELECT user_id, ts,
-             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
-             lag(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
-               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_y
-      FROM events WHERE value IS NOT NULL)
-    SELECT user_id,
-           count(*) AS n_readings,
-           CAST(sum(CASE WHEN prev_y IS NULL THEN 0
-                         WHEN y >= prev_y THEN y - prev_y
-                         ELSE y END) AS BIGINT) AS total_increase,
-           CAST(sum(CASE WHEN prev_y IS NOT NULL AND y < prev_y
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
-    FROM seq GROUP BY user_id ORDER BY user_id
-    """,
-)
-def events_counter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TimescaleDB ``counter_agg`` hyperfunction analogue: treat each
-    series' µ-scaled ``value`` as a monotonic counter reading with
-    resets — a drop means the counter restarted from zero, so the true
-    increase over a reset is the new reading itself. Reports the total
-    accumulated increase and the reset count per series, all in exact
-    integer arithmetic (one lag window + one hash aggregate reusing the
-    window's partitioning — the same single-shuffle shape as
-    ``events_state_durations``)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    y = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = (ev.select("user_id", "ts", "event_id", y.alias("y"))
-           .select("user_id", "y", F.lag("y").over(w).alias("prev_y")))
-    inc = (F.when(F.col("prev_y").isNull(), F.lit(0))
-           .when(F.col("y") >= F.col("prev_y"),
-                 F.col("y") - F.col("prev_y"))
-           .otherwise(F.col("y")))
-    is_reset = F.when(F.col("prev_y").isNotNull()
-                      & (F.col("y") < F.col("prev_y")), 1).otherwise(0)
-    return (seq.groupBy("user_id")
-            .agg(F.count(F.lit(1)).alias("n_readings"),
-                 F.sum(inc).cast("long").alias("total_increase"),
-                 F.sum(is_reset).cast("long").alias("n_resets"))
-            .orderBy("user_id"))
+# counter_agg (events_counter_delta) / gapfill / OHLC analogues already
+# exist above — this closes the last one: stats_agg's linear regression
+# (reference: the timescaledb flavor throughout
+# meerschaum/connectors/sql/tables/__init__.py and _create_indices
+# hypertable setup in connectors/sql/_pipes.py).
 
 
 #: fixed x-axis origin for the OLS sums (2020-01-01 UTC, epoch seconds)

@@ -52,6 +52,7 @@ HEAD_ORDER = [
     "events_max_concurrency",
     "orders_retention_cohort",
     "customer_symspell_pairs",
+    "doc_phrase_search",
     "part_pagerank",
     "part_triangle_count",
     "events_acf_hourly",
@@ -100,7 +101,6 @@ HEAD_ORDER = [
     "doc_pii_scrub",
     "doc_repetition_stats",
     "doc_sentence_dedup",
-    "doc_sequence_pack",
 ]
 
 

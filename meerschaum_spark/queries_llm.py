@@ -3836,3 +3836,52 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (novel.cast("double")
                   / F.count(F.lit(1))).alias("novelty"))
             .orderBy("doc_id"))
+
+
+@query(
+    "doc_phrase_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(arr) AS tok,
+             unnest(range(1, len(arr) + 1)) AS pos
+      FROM toks)
+    SELECT a.doc_id,
+           count(*) AS n_occurrences,
+           CAST(min(a.pos) AS BIGINT) AS first_pos
+    FROM pos a JOIN pos b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = 'table' AND b.tok = 'hash'
+    GROUP BY a.doc_id
+    ORDER BY n_occurrences DESC, a.doc_id
+    """,
+)
+def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-inverted-index phrase search — the full-text-search
+    primitive (Lucene/Postgres ``phraseto_tsquery`` analogue): find
+    every document containing the exact phrase ``"table hash"`` with
+    occurrence counts and the first hit position, via posting-list
+    intersection on (doc_id, position+1) adjacency.
+
+    Scale shape: tokenization is one JVM ``split``+``posexplode`` scan,
+    and each phrase term's posting list is FILTERED OUT of the token
+    stream before any join — the adjacency join moves only the two
+    terms' postings (selectivity of the rarest term bounds the work,
+    the classic search-engine economics), hash-partitioned on doc_id so
+    an n-term phrase chains n−1 co-partitioned equi-joins with ONE
+    shuffle of each posting list and no re-shuffle between chain steps.
+    Positions are 1-based to mirror the oracle's ``range(1, len+1)``."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok"))
+    a = toks.filter(F.col("tok") == "table").select("doc_id", "pos")
+    b = toks.filter(F.col("tok") == "hash") \
+        .select("doc_id", (F.col("pos") - 1).alias("pos"))
+    return (a.join(b, ["doc_id", "pos"])
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.min("pos").cast("long").alias("first_pos"))
+            .orderBy(F.col("n_occurrences").desc(), "doc_id"))

@@ -53,6 +53,7 @@ HEAD_ORDER = [
     "orders_retention_cohort",
     "customer_symspell_pairs",
     "doc_phrase_search",
+    "streaming_holt_linear",
     "part_pagerank",
     "part_triangle_count",
     "events_acf_hourly",
@@ -100,7 +101,6 @@ HEAD_ORDER = [
     "doc_gopher_quality",
     "doc_pii_scrub",
     "doc_repetition_stats",
-    "doc_sentence_dedup",
 ]
 
 

@@ -4784,3 +4784,48 @@ def customer_symspell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("dist") <= 1)
             .select("custkey_a", "custkey_b", "dist")
             .orderBy("custkey_a", "custkey_b"))
+
+
+@query(
+    "streaming_holt_linear",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL),
+    rec AS (
+      SELECT user_id, rn, y AS l, CAST(0 AS BIGINT) AS b
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b2.user_id, b2.rn,
+             {_HOLT_LNEW} AS l,
+             {_HOLT_BNEW} AS b
+      FROM rec r JOIN base b2
+        ON b2.user_id = r.user_id AND b2.rn = r.rn + 1),
+    fin AS (SELECT user_id, max(rn) AS n_events FROM rec GROUP BY user_id)
+    SELECT r.user_id, f.n_events, r.l AS level_scaled, r.b AS trend_scaled
+    FROM rec r JOIN fin f
+      ON r.user_id = f.user_id AND r.rn = f.n_events
+    ORDER BY r.user_id
+    """,
+)
+def streaming_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing maintained CONTINUOUSLY: the event
+    stream replays through ``stateful_holt`` (``applyInPandasWithState``
+    — three longs of state per key), and the final per-key
+    (n, level, trend) must equal the batch recurrence's last row —
+    streaming and batch twins share one recursive-CTE oracle, the same
+    twin discipline as the EWMA/CUSUM/CDC pairs. Readers keep the
+    max-``n_events`` emission per key (monotonic across micro-batches)."""
+    from meerschaum_spark.streaming.stateful import stateful_holt
+
+    sink = _replay_events_to_sink(spark, sf_dir, stateful_holt,
+                                  "holt", output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (spark.table(sink)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n_events", "level_scaled", "trend_scaled")
+            .orderBy("user_id"))

@@ -351,3 +351,67 @@ def stateful_cusum(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     ))
+
+
+HOLT_OUTPUT_SCHEMA = ("user_id long, n_events long, level_scaled long, "
+                      "trend_scaled long")
+HOLT_STATE_SCHEMA = "l long, b long, n long"
+
+
+def _holt_group(
+    key: Tuple[Any],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold one key's micro-batch rows through Holt's linear-trend
+    recurrence (α = β = 1/4, exact integer floor division — Python
+    ``//`` floors, matching the batch twin and the shared oracle for
+    NEGATIVE trends too), state carrying (level, trend, count)."""
+    (user_id,) = key
+    if state.exists:
+        lv, tr, n = state.get
+    else:
+        lv, tr, n = None, 0, 0
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if len(rows):
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        for y in rows["y"]:
+            if pd.isna(y):
+                continue
+            y = int(y)
+            if lv is None:
+                lv, tr = y, 0
+            else:
+                l_new = (y + 3 * (int(lv) + int(tr))) // 4
+                tr = (l_new - int(lv) + 3 * int(tr)) // 4
+                lv = l_new
+            n += 1
+    state.update((int(lv) if lv is not None else None, int(tr), int(n)))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
+                        "level_scaled": [lv], "trend_scaled": [tr]})
+
+
+def stateful_holt(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of ``events_holt_linear``: the two-variable Holt
+    recurrence maintained CONTINUOUSLY in the state store — three longs
+    of state per key, emissions monotonic in n so readers keep the
+    max-n row per key."""
+    from pyspark.sql import functions as F
+
+    src = stream_df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("user_id"), F.col(ts_col).alias("ts"),
+        "event_id",
+        F.floor(F.col(value_col) * 1_000_000 + F.lit(0.5))
+        .cast("long").alias("y"))
+    return (src.groupBy("user_id").applyInPandasWithState(
+        _holt_group,
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ))

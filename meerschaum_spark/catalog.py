@@ -54,6 +54,9 @@ HEAD_ORDER = [
     "customer_symspell_pairs",
     "doc_phrase_search",
     "streaming_holt_linear",
+    "part_abc_analysis",
+    "events_benford_digits",
+    "nation_supplier_hhi",
     "part_pagerank",
     "part_triangle_count",
     "events_acf_hourly",
@@ -98,9 +101,6 @@ HEAD_ORDER = [
     "doc_dedup_survivors",
     "doc_domain_mix",
     "doc_dsir_weights",
-    "doc_gopher_quality",
-    "doc_pii_scrub",
-    "doc_repetition_stats",
 ]
 
 

@@ -4829,3 +4829,201 @@ def streaming_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("user_id", "n_events", "level_scaled", "trend_scaled")
             .orderBy("user_id"))
+
+
+@query(
+    "part_abc_analysis",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                            * (1 - CAST(l_discount AS DECIMAL(18,6))))
+                        * 100 + 0.5) AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY l_partkey),
+    run AS (
+      SELECT l_partkey, rev_c,
+             sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_c,
+             sum(rev_c) OVER () AS total_c
+      FROM rev),
+    cls AS (
+      SELECT CASE WHEN 10 * cum_c <= 7 * total_c THEN 'A'
+                  WHEN 10 * cum_c <= 9 * total_c THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev_c
+      FROM run)
+    SELECT abc_class, count(*) AS n_parts,
+           CAST(sum(rev_c) AS BIGINT) AS class_revenue_cents
+    FROM cls GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    class A = the head covering ≤70 % of cumulative revenue, B to 90 %,
+    C the tail — the classic 80/20 operations-analytics operator.
+
+    The cumulative ranking is the distributed prefix sum
+    (``functions/ranking.global_running_sum``) over cent-scaled integer
+    revenue — never a single-partition ``SUM() OVER (ORDER BY)`` — and
+    class boundaries compare in pure integers (``10·cum ≤ 7·total``),
+    so the result is exact on both engines. The grand total rides a
+    broadcast one-row join; final reduction is a 3-row aggregate."""
+    from meerschaum_spark.functions.ranking import global_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (li.groupBy("l_partkey")
+           .agg(F.floor(F.sum(_dec("l_extendedprice")
+                              * (F.lit(1) - _dec("l_discount")))
+                        * 100 + F.lit(0.5))
+                .cast("long").alias("rev_c")))
+    run = global_running_sum(
+        rev, [F.col("rev_c").desc(), "l_partkey"], "rev_c",
+        out_col="cum_c")
+    total = run.agg(F.sum("rev_c").cast("long").alias("total_c"))
+    cls = (run.join(F.broadcast(total))
+           .withColumn(
+               "abc_class",
+               F.when(10 * F.col("cum_c") <= 7 * F.col("total_c"), "A")
+               .when(10 * F.col("cum_c") <= 9 * F.col("total_c"), "B")
+               .otherwise("C")))
+    return (cls.groupBy("abc_class")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum("rev_c").cast("long").alias("class_revenue_cents"))
+            .orderBy("abc_class"))
+
+
+#: Benford expected first-digit probabilities log10(1 + 1/d) as shared
+#: LITERALS (deciding them at query time via log10() would hand each
+#: engine's libm a chance to disagree in the last ulp; a literal is the
+#: same IEEE double everywhere)
+_BENFORD_P = {
+    1: 0.30102999566398120, 2: 0.17609125905568124,
+    3: 0.12493873660829993, 4: 0.09691001300805642,
+    5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+@query(
+    "events_benford_digits",
+    f"""
+    WITH y AS (
+      SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+        AND floor(value * 1000000 + 0.5) > 0),
+    d AS (SELECT CAST(substr(CAST(y AS VARCHAR), 1, 1) AS BIGINT)
+                 AS digit FROM y),
+    c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+    t AS (SELECT sum(n_obs) AS n_total FROM c),
+    p AS (SELECT * FROM (VALUES {", ".join(
+        f"({d}, {p!r})" for d, p in sorted(_BENFORD_P.items())
+    )}) AS v(digit, p_exp))
+    SELECT p.digit, COALESCE(c.n_obs, 0) AS n_obs,
+           CAST(t.n_total AS DOUBLE) * p.p_exp AS expected_dbl,
+           (CAST(COALESCE(c.n_obs, 0) AS DOUBLE)
+            - CAST(t.n_total AS DOUBLE) * p.p_exp)
+           * (CAST(COALESCE(c.n_obs, 0) AS DOUBLE)
+              - CAST(t.n_total AS DOUBLE) * p.p_exp)
+           / (CAST(t.n_total AS DOUBLE) * p.p_exp) AS chi2_term_dbl
+    FROM p LEFT JOIN c ON p.digit = c.digit CROSS JOIN t
+    ORDER BY p.digit
+    """,
+)
+def events_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screening (the fraud/anomaly audit
+    staple): observed vs expected first-significant-digit counts of the
+    µ-scaled measurements with per-digit χ² terms.
+
+    Determinism: the first digit comes from the INTEGER's decimal
+    rendering (``substr(cast(y as string), 1, 1)`` — a float log10
+    would misclassify exact powers of ten on one engine and not the
+    other), the expected probabilities are shared double LITERALS, and
+    the χ² arithmetic is the identical IEEE expression on both sides.
+    Scale shape: one map-side-combined 9-row aggregate over the scan;
+    everything after is broadcast-sized."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    y = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    d = (ev.select(y.alias("y")).filter(F.col("y") > 0)
+         .select(F.substring(F.col("y").cast("string"), 1, 1)
+                 .cast("long").alias("digit")))
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    t = c.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    p = spark.createDataFrame(
+        [(dg, pr) for dg, pr in sorted(_BENFORD_P.items())],
+        "digit long, p_exp double")
+    exp = F.col("n_total").cast("double") * F.col("p_exp")
+    obs = F.coalesce(F.col("n_obs"), F.lit(0)).cast("double")
+    return (p.join(c, "digit", "left").join(F.broadcast(t))
+            .select("digit",
+                    F.coalesce(F.col("n_obs"), F.lit(0)).cast("long")
+                    .alias("n_obs"),
+                    exp.alias("expected_dbl"),
+                    ((obs - exp) * (obs - exp) / exp)
+                    .alias("chi2_term_dbl"))
+            .orderBy("digit"))
+
+
+@query(
+    "nation_supplier_hhi",
+    """
+    WITH rev AS (
+      SELECT s.s_nationkey,
+             l.l_suppkey,
+             CAST(floor(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                        * 100 + 0.5) AS BIGINT) AS rev_c
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey),
+    agg AS (
+      SELECT s_nationkey,
+             count(*) AS n_suppliers,
+             sum(CAST(rev_c AS HUGEINT) * CAST(rev_c AS HUGEINT)) AS ss,
+             sum(CAST(rev_c AS HUGEINT)) AS tot
+      FROM rev GROUP BY s_nationkey)
+    SELECT n.n_name AS nation,
+           a.n_suppliers,
+           CAST(CAST(CAST(a.ss AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+             / (CAST(CAST(CAST(a.tot AS DECIMAL(38,0)) AS VARCHAR)
+                     AS DOUBLE)
+                * CAST(CAST(CAST(a.tot AS DECIMAL(38,0)) AS VARCHAR)
+                       AS DOUBLE)) AS hhi_dbl
+    FROM agg a JOIN nation n ON a.s_nationkey = n.n_nationkey
+    ORDER BY nation
+    """,
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index of supplier
+    revenue per nation (the antitrust/market-structure metric):
+    HHI = Σ shareᵢ² = Σ revᵢ² / (Σ revᵢ)².
+
+    Summing double shares would be shuffle-order-sensitive; instead
+    both Σ rev² and Σ rev accumulate exactly (cent-scaled integers,
+    decimal accumulation — order-insensitive) and ONE identical-double
+    division finishes. Supplier is dimension-sized → broadcast join;
+    the per-(nation, supplier) aggregate is map-side combined."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation") \
+        .select("n_nationkey", "n_name")
+    rev = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+           .groupBy("s_nationkey", "l_suppkey")
+           .agg(F.floor(F.sum(_dec("l_extendedprice")
+                              * (F.lit(1) - _dec("l_discount")))
+                        * 100 + F.lit(0.5))
+                .cast("long").alias("rev_c")))
+    rc = F.col("rev_c").cast("decimal(19,0)")
+    agg = (rev.groupBy("s_nationkey")
+           .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                F.sum(rc * rc).cast("decimal(38,0)").alias("ss"),
+                F.sum(rc).cast("decimal(38,0)").alias("tot")))
+    return (agg.join(F.broadcast(nat),
+                     agg.s_nationkey == nat.n_nationkey)
+            .select(F.col("n_name").alias("nation"),
+                    "n_suppliers",
+                    (F.col("ss").cast("double")
+                     / (F.col("tot").cast("double")
+                        * F.col("tot").cast("double")))
+                    .alias("hhi_dbl"))
+            .orderBy("nation"))

@@ -505,8 +505,23 @@ def test_r8_round3_plan_shapes(spark, sf_dir):
 
     from meerschaum_spark.queries import customer_symspell_pairs
     sy = explain_str(customer_symspell_pairs(spark, sf_dir), "simple")
-    # the delete-variant blocking makes the candidate join a key
-    # equi-join — the quadratic name-vs-name comparison must never
-    # appear as a cartesian/nested-loop node
+    # the delete-variant blocking makes the candidate generation a
+    # bucket aggregation + in-task expansion — the quadratic
+    # name-vs-name comparison must never appear as a
+    # cartesian/nested-loop node
     assert "CartesianProduct" not in sy, sy[:800]
     assert "BroadcastNestedLoopJoin" not in sy, sy[:800]
+
+    from meerschaum_spark.queries import (
+        nation_supplier_hhi,
+        part_abc_analysis,
+    )
+    abc = explain_str(part_abc_analysis(spark, sf_dir), "simple")
+    # cumulative revenue comes from the distributed prefix sum, never a
+    # single-partition ordered window
+    assert re.search(r"Window\b", abc) is None, abc[:1200]
+    assert "MapInPandas" in abc
+
+    hhi = explain_str(nation_supplier_hhi(spark, sf_dir), "simple")
+    assert "SortMergeJoin" not in hhi, hhi[:800]
+    assert "BroadcastHashJoin" in hhi, hhi[:800]

@@ -875,3 +875,42 @@ def test_pagerank_int_known_graph(spark):
         rank = {n: base + sum(d_num * rank[u] // (d_den * deg[u])
                               for u in nbrs[n]) for n in deg}
     assert r1 == rank
+
+
+def test_global_running_sum_matches_window(spark):
+    """The distributed prefix sum must agree with the single-partition
+    ordered window it replaces — including NEGATIVE deltas (the
+    sweep-line use) and values whose cumulative total exceeds int32 —
+    across many range partitions and for asc/desc orders."""
+    from pyspark.sql import Window
+
+    from meerschaum_spark.functions.ranking import global_running_sum
+
+    rows = [(i, (i * 37) % 101, (1 if i % 3 else -1) * (i % 7 + 1)
+             * 1_000_000_000) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, k long, delta long")
+    for order in (
+        [F.col("k").asc(), F.col("id").asc()],
+        [F.col("k").desc(), F.col("id").asc()],
+    ):
+        got = {r["id"]: r["running"]
+               for r in global_running_sum(
+                   df, order, "delta", num_partitions=7).collect()}
+        want = {r["id"]: r["running"]
+                for r in df.withColumn(
+                    "running",
+                    F.sum("delta").over(
+                        Window.orderBy(*order).rowsBetween(
+                            Window.unboundedPreceding, Window.currentRow)))
+                .collect()}
+        assert got == want
+
+
+def test_global_running_sum_more_partitions_than_rows(spark):
+    from meerschaum_spark.functions.ranking import global_running_sum
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(3)],
+                               "id long, v long")
+    got = sorted((r["id"], r["running"]) for r in global_running_sum(
+        df, [F.col("id").asc()], "v", num_partitions=16).collect())
+    assert got == [(0, 1), (1, 3), (2, 6)]

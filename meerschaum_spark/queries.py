@@ -5026,3 +5026,83 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * F.col("tot").cast("double")))
                     .alias("hhi_dbl"))
             .orderBy("nation"))
+
+
+@query(
+    "events_ab_test_ztest",
+    """
+    WITH assign AS (
+      SELECT user_id, user_id % 2 AS variant,
+             max(CASE WHEN event_type = 'purchase' AND value > 100
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    v AS (
+      SELECT variant,
+             count(*) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_converted
+      FROM assign GROUP BY variant),
+    w AS (
+      SELECT max(CASE WHEN variant = 0 THEN n_users END) AS n_a,
+             max(CASE WHEN variant = 0 THEN n_converted END) AS c_a,
+             max(CASE WHEN variant = 1 THEN n_users END) AS n_b,
+             max(CASE WHEN variant = 1 THEN n_converted END) AS c_b
+      FROM v)
+    SELECT n_a, c_a, n_b, c_b,
+           CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+           CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+           CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL
+                ELSE (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                     / sqrt((CAST(c_a + c_b AS DOUBLE)
+                             / CAST(n_a + n_b AS DOUBLE))
+                            * (1 - CAST(c_a + c_b AS DOUBLE)
+                                   / CAST(n_a + n_b AS DOUBLE))
+                            * (1 / CAST(n_a AS DOUBLE)
+                               + 1 / CAST(n_b AS DOUBLE)))
+           END AS z_dbl
+    FROM w
+    """,
+)
+def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B conversion z-test (the experimentation-platform
+    primitive): users split deterministically by ``user_id % 2``,
+    conversion = any ``purchase`` with value > 100, pooled-variance
+    z-statistic (NULL on degenerate pools rather than an ANSI
+    divide-by-zero).
+
+    Determinism: every input to the statistic is an exact integer count
+    (per-user conversion collapses via ``max`` in a hash aggregate, then
+    a 2-row variant rollup), and the z formula runs the identical IEEE
+    expression on both engines — division, multiply, and ``sqrt`` are
+    all correctly-rounded operations, so identical inputs give identical
+    doubles (the ``events_anomaly_zscore`` discipline). Scale shape: one
+    map-side-combined aggregate per grain; everything after the per-user
+    collapse is ≤2 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = (ev.groupBy("user_id")
+              .agg(F.max(F.when((F.col("event_type") == "purchase")
+                                & (F.col("value") > 100), 1)
+                         .otherwise(0)).alias("converted"))
+              .select((F.col("user_id") % 2).alias("variant"), "converted"))
+    v = (assign.groupBy("variant")
+         .agg(F.count(F.lit(1)).alias("n_users"),
+              F.sum("converted").cast("long").alias("n_converted")))
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted")))
+        .alias("c_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted")))
+        .alias("c_b"))
+    na, ca = F.col("n_a").cast("double"), F.col("c_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("c_b").cast("double")
+    p_a, p_b = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    # degenerate pools (no conversions anywhere, or all converted) have
+    # zero pooled variance — NULL, never a divide-by-zero under ANSI
+    z = F.when(
+        (F.col("c_a") + F.col("c_b") > 0)
+        & (F.col("c_a") + F.col("c_b") < F.col("n_a") + F.col("n_b")),
+        (p_a - p_b) / F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb)))
+    return w.select("n_a", "c_a", "n_b", "c_b",
+                    p_a.alias("p_a"), p_b.alias("p_b"), z.alias("z_dbl"))

@@ -12,8 +12,8 @@ This is not a port — the execution engine is Spark.
 """
 
 from meerschaum_spark.session import get_spark
-from meerschaum_spark.pipe import Pipe
+from meerschaum_spark.pipe import Pipe, sync_many
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "Pipe", "__version__"]
+__all__ = ["get_spark", "Pipe", "sync_many", "__version__"]

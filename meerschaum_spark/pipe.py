@@ -2892,3 +2892,42 @@ class Pipe:
                 stats["max"] = row[f"_max_{c}"]
             out[c] = stats
         return out
+
+
+def sync_many(jobs, workers: int = 4) -> list[SyncResult]:
+    """Sync several pipes CONCURRENTLY on one shared Spark driver —
+    the fleet-ingestion amortizer.
+
+    ``jobs``: iterable of ``(pipe, data)`` or ``(pipe, data, kwargs)``;
+    returns one ``SyncResult`` per job in input order (a raised
+    exception becomes a failed result, never kills sibling jobs).
+
+    Why this exists: a single sync's latency floor is driver-side plan
+    construction/analysis (~0.35-0.4 s per action, cProfile r8) — work
+    the JVM does on the calling thread while executors idle. Running N
+    pipes' syncs on a thread pool overlaps that fixed cost: the JVM
+    analyzes pipe B's plans while pipe A's jobs execute, so fleet
+    throughput scales with ``workers`` until the executors saturate.
+    Correctness is unchanged — each pipe's own write lock already
+    serializes committer-sensitive store mutations, so two jobs naming
+    the SAME pipe simply queue on its lock (the supported, if
+    pointless, case), and distinct pipes share no mutable state. The
+    same economics as ``Pipe.verify``'s pooled chunk workers, lifted
+    across pipes. (The reference runs one OS process per pipe job —
+    meerschaum/utils/jobs — paying a full interpreter + connection per
+    pipe; one shared driver amortizes instead.)"""
+    jobs = list(jobs)
+
+    def run(job) -> SyncResult:
+        pipe, data = job[0], job[1]
+        kwargs = job[2] if len(job) > 2 else {}
+        try:
+            return pipe.sync(data, **kwargs)
+        except Exception as exc:  # isolate: one bad frame ≠ fleet failure
+            return SyncResult(False, f"{type(exc).__name__}: {exc}")
+
+    if workers <= 1 or len(jobs) <= 1:
+        return [run(j) for j in jobs]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(run, jobs))

@@ -785,3 +785,46 @@ def test_scattered_update_merge_prunes_to_cells(spark, instance_dir):
     assert vals[0] == -1.0 and vals[13] == -14.0
     assert all(vals[d] == float(d) for d in range(1, 13))
     assert pipe.get_rowcount() == 14
+
+
+def test_sync_many_concurrent_pipes(spark, instance_dir, sf_dir):
+    """sync_many: N distinct pipes sync concurrently on one driver with
+    per-job results in input order; a failing job isolates (its result
+    is a failure, siblings land); overlapping re-syncs stay exact; two
+    jobs on the SAME pipe queue on its write lock and both land."""
+    from meerschaum_spark import Pipe, sync_many
+    from meerschaum_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events").localCheckpoint()
+    day1 = events.filter("ts < timestamp'2024-01-08'")
+    day2 = events.filter("ts >= timestamp'2024-01-05' "
+                         "AND ts < timestamp'2024-01-15'")
+    n_total = events.filter("ts < timestamp'2024-01-15'").count()
+
+    pipes = [Pipe("many", f"t{i}", instance=instance_dir, spark=spark,
+                  columns={"datetime": "ts", "id": "event_id"})
+             for i in range(4)]
+    res = sync_many([(p, day1) for p in pipes], workers=4)
+    assert all(r.success for r in res), [r.message for r in res]
+
+    # overlapping second wave + one poison job (unsyncable payload)
+    class _Boom:
+        pass
+
+    res2 = sync_many(
+        [(pipes[0], day2), (pipes[1], day2), (pipes[2], _Boom()),
+         (pipes[3], day2, {})],
+        workers=4)
+    assert res2[0].success and res2[1].success and res2[3].success
+    assert not res2[2].success
+    for p in (pipes[0], pipes[1], pipes[3]):
+        assert p.get_rowcount() == n_total
+    assert pipes[2].get_rowcount() == day1.count()
+
+    # same pipe twice in one wave: the write lock serializes, the diff
+    # keeps the result exact (second job is a no-op or pure overlap)
+    res3 = sync_many([(pipes[0], day2), (pipes[0], day2)], workers=2)
+    assert all(r.success for r in res3)
+    assert pipes[0].get_rowcount() == n_total
+    for p in pipes:
+        p.drop()

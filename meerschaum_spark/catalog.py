@@ -58,6 +58,7 @@ HEAD_ORDER = [
     "events_benford_digits",
     "nation_supplier_hhi",
     "events_ab_test_ztest",
+    "events_gini_activity",
     "part_pagerank",
     "part_triangle_count",
     "events_acf_hourly",
@@ -100,7 +101,6 @@ HEAD_ORDER = [
     "doc_chunk_split",
     "doc_cms_heavy_hitters",
     "doc_dedup_survivors",
-    "doc_domain_mix",
 ]
 
 

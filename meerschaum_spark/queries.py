@@ -5106,3 +5106,56 @@ def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p_a - p_b) / F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb)))
     return w.select("n_a", "c_a", "n_b", "c_b",
                     p_a.alias("p_a"), p_b.alias("p_b"), z.alias("z_dbl"))
+
+
+@query(
+    "events_gini_activity",
+    """
+    WITH x AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+    r AS (
+      SELECT c, row_number() OVER (ORDER BY c, user_id) AS rn FROM x),
+    s AS (
+      SELECT count(*) AS n,
+             sum(CAST(c AS HUGEINT)) AS tot,
+             sum(CAST(rn AS HUGEINT) * CAST(c AS HUGEINT)) AS rc
+      FROM r)
+    SELECT n,
+           CAST(tot AS BIGINT) AS total_events,
+           (2 * CAST(CAST(CAST(rc AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+            / (CAST(n AS DOUBLE)
+               * CAST(CAST(CAST(tot AS DECIMAL(38,0)) AS VARCHAR)
+                      AS DOUBLE))
+            - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE)) AS gini_dbl
+    FROM s
+    """,
+)
+def events_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event activity (the inequality /
+    load-skew diagnostic: 0 = uniform usage, →1 = one user dominates)
+    via the rank formula G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over
+    ascending-sorted counts.
+
+    The global rank comes from ``functions/ranking.global_row_number``
+    — never a single-partition ordered window — with (count, user_id)
+    as the total order; Σ i·xᵢ and Σx accumulate in exact decimal
+    (HUGEINT in the oracle), and the closed-form Gini is one
+    identical-double expression on a ONE-ROW frame. Third consumer of
+    the distributed-ranking primitive (RFM quartiles, ABC classes,
+    Gini), which is exactly why it is shared library code."""
+    from meerschaum_spark.functions.ranking import global_row_number
+
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    r = global_row_number(x, [F.col("c").asc(), F.col("user_id").asc()],
+                          rn_col="rn")
+    cd = F.col("c").cast("decimal(19,0)")
+    rnd = F.col("rn").cast("decimal(19,0)")
+    s = r.agg(F.count(F.lit(1)).alias("n"),
+              F.sum(cd).cast("decimal(38,0)").alias("tot"),
+              F.sum(rnd * cd).cast("decimal(38,0)").alias("rc"))
+    nd = F.col("n").cast("double")
+    gini = (2 * F.col("rc").cast("double") / (nd * F.col("tot").cast("double"))
+            - (nd + 1) / nd)
+    return s.select("n", F.col("tot").cast("long").alias("total_events"),
+                    gini.alias("gini_dbl"))

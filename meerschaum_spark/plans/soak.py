@@ -240,6 +240,12 @@ FAMILIES: dict[str, Callable] = {
     # iterative graph (r8 round 2): |E| ∝ events through three
     # pagerank_int join-agg iterations
     "graph_pagerank": _family_graph_pagerank,
+    # distributed prefix sum (r8 third block): the ±1 endpoint stream is
+    # 2×|events| rows through ranking.global_running_sum — range
+    # shuffle, metadata-sized per-partition-sum collect, and local Arrow
+    # cumsum must all scale linearly (a single-partition ordered window
+    # here would collapse the big scale onto one task)
+    "events_sweep_concurrency": _catalog_family("events_max_concurrency"),
 }
 
 

@@ -20,7 +20,7 @@ pytestmark = pytest.mark.slow
 SCALE = 6
 FAMILIES = ["pipe_sync_diff", "pipe_ingest_dedup", "doc_domain_caps",
             "doc_minhash_lsh", "doc_bigram_lm", "events_lttb",
-            "graph_pagerank"]
+            "graph_pagerank", "events_sweep_concurrency"]
 
 
 @pytest.fixture(scope="module")

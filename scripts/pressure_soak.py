@@ -31,7 +31,11 @@ sys.path.insert(0, REPO)
 
 UI_PORT = 4077
 FAMILIES = ["pipe_sync_diff", "pipe_ingest_dedup", "doc_minhash_lsh",
-            "doc_token_budget", "geo_radius_join"]
+            "doc_token_budget", "geo_radius_join",
+            # r8 third block: the prefix-sum localCheckpoint holds the
+            # 2×|events| endpoint stream at MEMORY_AND_DISK — under the
+            # clamped pool it must SPILL, not OOM
+            "events_sweep_concurrency"]
 
 
 def spill_sampler(app_url: str):

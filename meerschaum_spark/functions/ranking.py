@@ -33,6 +33,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _pin_layout(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` once so every downstream action sees the SAME
+    (sampled) range-partition layout — as a DISK-backed local
+    checkpoint. The default MEMORY_AND_DISK checkpoint blocks compete
+    with execution memory for the unified pool, and because a local
+    checkpoint truncates lineage its blocks are the ONLY copy — under a
+    constrained pool (the pressure soak: 1 GiB heap, fraction 0.15)
+    the pinned storage starved the range sort's page acquisitions into
+    SparkOutOfMemoryError. DISK_ONLY keeps the pool whole; the extra
+    read cost is one sequential pass over a frame the caller already
+    shuffled."""
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list,
@@ -54,7 +70,7 @@ def global_row_number(
     n = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     # one distributed materialization pins the (sampled) range layout
-    part = df.repartitionByRange(n, *cols).localCheckpoint()
+    part = _pin_layout(df.repartitionByRange(n, *cols))
     # metadata-sized collect: ≤ n rows of (partition id, count)
     counts = (part.withColumn("_pid", F.spark_partition_id())
               .groupBy("_pid").count().collect())
@@ -122,7 +138,7 @@ def global_running_sum(
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    part = df.repartitionByRange(n, *cols).localCheckpoint()
+    part = _pin_layout(df.repartitionByRange(n, *cols))
     sums = (part.withColumn("_pid", F.spark_partition_id())
             .groupBy("_pid")
             .agg(F.sum(F.col(val_col)).cast("long").alias("_s"))

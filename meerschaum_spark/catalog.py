@@ -122,6 +122,15 @@ def ordered(d: dict, oracle_complete: bool = False) -> dict:
             f"HEAD_ORDER names absent from the catalog: {missing}; "
             "update catalog.HEAD_ORDER to match the registered query names"
         )
+    dups = {k for k in HEAD_ORDER if HEAD_ORDER.count(k) > 1}
+    if dups:
+        raise ValueError(f"HEAD_ORDER has duplicate entries: {sorted(dups)}")
+    if len(HEAD_ORDER) > 50:
+        # the driver records exactly the FIRST 50 — a 51st pinned entry
+        # would silently never land a correctness row
+        raise ValueError(
+            f"HEAD_ORDER holds {len(HEAD_ORDER)} entries; the driver gate "
+            "records only the first 50 — rotate, don't append")
     if oracle_complete:
         silent = [k for k in HEAD_ORDER
                   if k not in d and k not in ROWS_ONLY]

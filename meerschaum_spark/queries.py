@@ -5159,3 +5159,48 @@ def events_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (nd + 1) / nd)
     return s.select("n", F.col("tot").cast("long").alias("total_events"),
                     gini.alias("gini_dbl"))
+
+
+@query(
+    "events_seasonal_profile",
+    """
+    WITH b AS (
+      SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+             (epoch_us(ts) % 86400000000) // 3600000000 AS hr,
+             value
+      FROM events)
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr,
+           count(*) AS n_events,
+           quantile_cont(value, 0.5) AS median_value,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_dbl
+    FROM b GROUP BY dow, hr ORDER BY dow, hr
+    """,
+)
+def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day seasonal baseline (the traffic-shape
+    profile behind capacity planning and the denominator of seasonal
+    anomaly scores): per (dow, hour) cell — counts, exact-interpolated
+    median, and a mean whose sum accumulates in exact decimal.
+
+    Weekday comes from pure epoch arithmetic (``(days+4) % 7``, 0 =
+    Sunday) — Spark's ``dayofweek`` is 1-based-Sunday while DuckDB's is
+    0-based-Sunday, so a builtin on either side would shift the grid;
+    integer epoch math is identical everywhere and timezone-free (UTC).
+    One map-side-combinable aggregate to a fixed 168-row frame — the
+    right shape for profiling 100 TB of events."""
+    ev = load_table(spark, sf_dir, "events")
+    # integer `div`, never `/`: epoch-µs exceeds 2^53, so a double
+    # division could land a boundary row in the wrong day cell
+    b = ev.select(
+        F.pmod(F.expr("unix_micros(ts) div 86400000000") + 4, F.lit(7))
+        .cast("long").alias("dow"),
+        F.expr("pmod(unix_micros(ts), 86400000000) div 3600000000")
+        .cast("long").alias("hr"),
+        "value")
+    return (b.groupBy("dow", "hr")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.expr("percentile(value, 0.5)").alias("median_value"),
+                 (F.sum(_dec("value")).cast("double")
+                  / F.count(F.lit(1)).cast("double")).alias("mean_dbl"))
+            .orderBy("dow", "hr"))

@@ -286,7 +286,12 @@ def datetime_to_int(dt: datetime.datetime, unit: str = "microsecond") -> int:
 
 def int_to_datetime(value: int, unit: str = "microsecond") -> datetime.datetime:
     us = int(value) * UNIT_US[normalize_unit(unit)]
-    return datetime.datetime.fromtimestamp(us / 1_000_000, tz=datetime.timezone.utc)
+    # integer split, not float seconds: a float division of epoch-µs
+    # carries ~2^-52 relative error, enough to flip the microsecond
+    # digit for large epochs
+    return (datetime.datetime.fromtimestamp(us // 1_000_000,
+                                            tz=datetime.timezone.utc)
+            + datetime.timedelta(microseconds=us % 1_000_000))
 
 
 def coerce_timezone(dt: datetime.datetime) -> datetime.datetime:

@@ -2377,11 +2377,16 @@ class Pipe:
         unit = normalize_unit(prec.get("unit", "microsecond"))
         interval = int(prec.get("interval", 1))
         step_us = UNIT_US[unit] * interval
-        stamped = (F.floor(F.unix_micros(F.current_timestamp()) / step_us)
-                   * step_us)
+        # integer `div`, not float `/`: epoch-µs quotients are exactly
+        # the kind of near-integer doubles whose rounding can flip a
+        # floor across the bucket boundary
+        cells = F.expr(f"unix_micros(current_timestamp()) div {int(step_us)}")
         if self.dt_is_int:
-            return df.withColumn(dt, (stamped / UNIT_US[unit]).cast("long"))
-        return df.withColumn(dt, F.timestamp_micros(stamped.cast("long")))
+            # step_us = UNIT_US[unit] * interval, so the integer-axis
+            # value is exactly cells * interval
+            return df.withColumn(dt, (cells * F.lit(interval)).cast("long"))
+        return df.withColumn(
+            dt, F.timestamp_micros((cells * F.lit(int(step_us))).cast("long")))
 
     def _apply_autoincrement(self, df: DataFrame,
                              _persisted: list | None = None) -> DataFrame:

@@ -4595,7 +4595,9 @@ def events_stats_agg_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheapest possible distributed shape for a 100 TB regression sweep
     (contrast the reference, which would pull the series into pandas)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    x = (F.floor(F.unix_micros("ts") / F.lit(1_000_000)).cast("long")
+    # integer `div` (exact), matching the oracle's `//`; epoch is
+    # nonnegative so truncation == floor
+    x = (F.expr("unix_micros(ts) div 1000000").cast("long")
          - F.lit(_OLS_X0))
     y = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
     b = ev.select("user_id", x.alias("x"), y.alias("y"))

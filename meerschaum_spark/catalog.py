@@ -60,6 +60,7 @@ HEAD_ORDER = [
     "events_ab_test_ztest",
     "events_gini_activity",
     "events_seasonal_profile",
+    "emb_matryoshka_recall",
     "part_pagerank",
     "part_triangle_count",
     "events_acf_hourly",
@@ -100,7 +101,6 @@ HEAD_ORDER = [
     "doc_bloom_prescreen",
     "doc_bm25_topk",
     "doc_chunk_split",
-    "doc_cms_heavy_hitters",
 ]
 
 

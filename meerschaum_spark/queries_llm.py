@@ -3885,3 +3885,75 @@ def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_occurrences"),
                  F.min("pos").cast("long").alias("first_pos"))
             .orderBy(F.col("n_occurrences").desc(), "doc_id"))
+
+
+def _cosine_sql_sliced(k: int, query_filter: str, dim: int | None) -> str:
+    """``_cosine_sql`` over a DIMENSION-PREFIX of each vector (``dim``
+    None = full width) — list slicing before the same exact-decimal dot
+    macro, so truncated and full rankings share one determinism story."""
+    sl = "" if dim is None else f"[1:{dim}]"
+    dot_qc = ("CAST(CAST(" + _DOT.format(a=f"qv{sl}", b=f"cv{sl}")
+              + " AS VARCHAR) AS DOUBLE)")
+    dot_qq = ("CAST(CAST(" + _DOT.format(a=f"qv{sl}", b=f"qv{sl}")
+              + " AS VARCHAR) AS DOUBLE)")
+    dot_cc = ("CAST(CAST(" + _DOT.format(a=f"cv{sl}", b=f"cv{sl}")
+              + " AS VARCHAR) AS DOUBLE)")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE {query_filter}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    pairs AS (
+      SELECT query_id, neighbor_id,
+             {dot_qc} / (sqrt({dot_qq}) * sqrt({dot_cc})) AS cosine
+      FROM q, c WHERE neighbor_id != query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM pairs)
+    SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {k}
+    """
+
+
+@query(
+    "emb_matryoshka_recall",
+    f"""
+    WITH full_k AS ({_cosine_sql_sliced(5, "vec_id % 100 = 0", None)}),
+    trunc_k AS ({_cosine_sql_sliced(5, "vec_id % 100 = 0", 16)})
+    SELECT count(DISTINCT full_k.query_id) AS n_queries,
+           count(*) AS n_exact_pairs,
+           count(trunc_k.neighbor_id) AS n_hits,
+           CAST(count(trunc_k.neighbor_id) AS DOUBLE) / count(*)
+             AS recall_at_5
+    FROM full_k LEFT JOIN trunc_k USING (query_id, neighbor_id)
+    """,
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation evaluation: top-5 cosine recall of the
+    16-of-64 dimension PREFIX against the full-width ranking — the
+    measurement behind shipping truncated MRL embeddings (4× less
+    storage/bandwidth) with a known retrieval-quality cost, same
+    methodology as ``emb_ann_recall``/``emb_ivf_recall``.
+
+    The truncated ranking is the identical exact-decimal dot-product
+    pipeline over ``slice(embedding, 1, 16)`` — slicing is free
+    column-wise work before the same join, so the operator's scale
+    shape is exactly ``cosine_topk``'s (broadcast queries × corpus,
+    per-query top-k window), run twice, joined on the (query, neighbor)
+    pairs."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    full = S.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    t_emb = emb.select("vec_id", F.slice("embedding", 1, 16)
+                       .alias("embedding"))
+    t_queries = t_emb.filter(F.col("vec_id") % 100 == 0)
+    trunc = (S.cosine_topk(t_emb, t_queries, k=5)
+             .select("query_id", "neighbor_id")
+             .withColumn("_hit", F.lit(1)))
+    j = full.join(trunc, ["query_id", "neighbor_id"], "left")
+    return j.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        F.count("_hit").alias("n_hits"),
+        (F.count("_hit").cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("recall_at_5"))

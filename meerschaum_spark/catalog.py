@@ -61,6 +61,7 @@ HEAD_ORDER = [
     "events_gini_activity",
     "events_seasonal_profile",
     "emb_matryoshka_recall",
+    "doc_containment_join",
     "part_pagerank",
     "part_triangle_count",
     "events_acf_hourly",
@@ -100,7 +101,6 @@ HEAD_ORDER = [
     "doc_adaptive_quality",
     "doc_bloom_prescreen",
     "doc_bm25_topk",
-    "doc_chunk_split",
 ]
 
 

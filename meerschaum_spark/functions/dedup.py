@@ -701,3 +701,81 @@ def prefix_filter_join(
                     (F.col("n_shared").cast("double")
                      / (F.col("_na") + F.col("_nb") - F.col("n_shared")))
                     .alias("jaccard")))
+
+
+def containment_prefix_join(
+    df: DataFrame,
+    num: int = 1,
+    den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """DIRECTED exact-threshold containment join over word n-gram
+    shingle sets: every ordered pair (src, container) with
+    C(src→container) = |src ∩ container| / |src| ≥ ``num``/``den`` —
+    the quote / subset / training-data-inclusion detector (asymmetric,
+    unlike Jaccard: a paragraph fully quoted inside a book scores 1.0
+    here and ≈0 on Jaccard).
+
+    Prefix filtering adapts to containment one-sidedly: only the
+    CONTAINED side can prune (any qualifying container must share one
+    of src's (n_src − ⌈τ·n_src⌉ + 1) globally-rarest shingles), while
+    the container side indexes its FULL shingle list — the standard
+    overlap-join shape (Chaudhuri et al. ICDE'06). Rare-first global
+    ordering keeps prefix postings small; the size filter
+    (den·n_b ≥ num·n_src) prunes before verification; the threshold is
+    pure integer arithmetic (den·|∩| ≥ num·n_src) and the reported
+    containment is one IEEE division of two exact longs. LOSSLESS —
+    the oracle is the literal quadratic definition.
+
+    Scale shape mirrors ``prefix_filter_join``: shingle table hashed
+    and checkpointed once, document frequencies one hash agg, the
+    candidate join is prefix(src) × full(container) on the shingle
+    hash (posting-list economics — bounded by the prefix shingles'
+    document frequency), then one verification join-back per side."""
+    ex = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+          .select(F.col(id_col),
+                  F.explode(F.array_distinct(
+                      shingles_of_tokens(F.col("_toks"), n)))
+                  .alias("_sh_str"))
+          .select(F.col(id_col), hash60(F.col("_sh_str")).alias("s"))
+          .localCheckpoint(eager=True))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    sets = (ex.join(dfreq, on="s")
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(
+                     F.struct(F.col("_df").alias("df"),
+                              F.col("s").alias("s")))).alias("_ord"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(F.col(id_col),
+                    F.transform(F.col("_ord"), lambda x: x["s"]).alias("hs"),
+                    "n")
+            .filter(F.col("n") > 0)
+            .localCheckpoint(eager=True))
+    plen = (F.col("n")
+            - F.expr(f"({num} * n + {den - 1}) div {den}")
+            + F.lit(1)).cast("int")
+    pre = sets.select(F.col(id_col), "n",
+                      F.explode(F.slice("hs", F.lit(1), plen)).alias("s"))
+    full = sets.select(F.col(id_col), "n", F.explode("hs").alias("s"))
+    a, b = pre.alias("a"), full.alias("b")
+    cand = (a.join(b, on=[
+                F.col("a.s") == F.col("b.s"),
+                F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+                F.col("b.n") * den >= F.col("a.n") * num,
+            ])
+            .select(F.col(f"a.{id_col}").alias("doc_src"),
+                    F.col(f"b.{id_col}").alias("doc_container"))
+            .distinct())
+    sa = sets.select(F.col(id_col).alias("doc_src"),
+                     F.col("hs").alias("_ha"), F.col("n").alias("_na"))
+    sb = sets.select(F.col(id_col).alias("doc_container"),
+                     F.col("hs").alias("_hb"))
+    return (cand.join(sa, on="doc_src").join(sb, on="doc_container")
+            .withColumn("n_shared",
+                        F.size(F.array_intersect("_ha", "_hb")))
+            .filter(F.col("n_shared") * den >= F.col("_na") * num)
+            .select("doc_src", "doc_container", "n_shared",
+                    (F.col("n_shared").cast("double")
+                     / F.col("_na").cast("double")).alias("containment")))

@@ -3957,3 +3957,37 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_hit").alias("n_hits"),
         (F.count("_hit").cast("double")
          / F.count(F.lit(1)).cast("double")).alias("recall_at_5"))
+
+
+@query(
+    "doc_containment_join",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM base),
+    ex0 AS (SELECT doc_id, {_H60.format(x='unnest(shingles)')} AS s FROM sh),
+    sets AS (SELECT doc_id, list_distinct(list(s)) AS hs
+             FROM ex0 GROUP BY doc_id),
+    sz AS (SELECT doc_id, hs, len(hs) AS n FROM sets WHERE len(hs) > 0),
+    pairs AS (
+      SELECT a.doc_id AS doc_src, b.doc_id AS doc_container,
+             len(list_intersect(a.hs, b.hs)) AS n_shared,
+             a.n AS na
+      FROM sz a JOIN sz b ON a.doc_id <> b.doc_id)
+    SELECT doc_src, doc_container, n_shared,
+           CAST(n_shared AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+    FROM pairs WHERE 2 * n_shared >= na
+    ORDER BY doc_src, doc_container
+    """,
+)
+def doc_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment (subset/quote) detection at C ≥ 1/2 over
+    3-gram shingle sets — the asymmetric complement to
+    ``doc_jaccard_prefix_join``: finds the short document whose content
+    is substantially INSIDE a longer one (training-data inclusion,
+    quotation, template embedding), which symmetric Jaccard structurally
+    misses. Lossless one-sided prefix filtering
+    (``dedup.containment_prefix_join``); the oracle is the quadratic
+    definition it avoids."""
+    docs = _docs(spark, sf_dir)
+    return (D.containment_prefix_join(docs, num=1, den=2, n=3)
+            .orderBy("doc_src", "doc_container"))

@@ -605,6 +605,48 @@ def sentence_dedup_stats(
                 / F.col("n_sentences")))
 
 
+def ordered_shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document distinct word n-gram shingle sets as ARRAYS in the
+    global rare-first order — the shared substrate of the prefix-filter
+    family (``prefix_filter_join`` / ``containment_prefix_join``):
+    (id, hs: array<long> document-frequency-then-hash sorted, n).
+
+    Per-doc distinct happens IN-ARRAY before the explode
+    (``array_distinct`` is task-local) — a row-level ``.distinct()``
+    would shuffle the full exploded shingle table just to dedupe within
+    documents. The result is checkpointed: it feeds multiple joins in
+    one query and MULTIPLE catalog queries per session (callers cache
+    it per (session, corpus) — at cluster scale this is a persisted
+    signatures table beside the corpus, the same economics as
+    ``minhash_signatures``)."""
+    # checkpoint ex: it feeds BOTH the document-frequency aggregate and
+    # the probe side of its own join-back — one shingle+hash scan, not two
+    ex = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+          .select(F.col(id_col),
+                  F.explode(F.array_distinct(
+                      shingles_of_tokens(F.col("_toks"), n)))
+                  .alias("_sh_str"))
+          .select(F.col(id_col), hash60(F.col("_sh_str")).alias("s"))
+          .localCheckpoint(eager=True))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (ex.join(dfreq, on="s")
+               .groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(
+                        F.struct(F.col("_df").alias("df"),
+                                 F.col("s").alias("s")))).alias("_ord"),
+                    F.count(F.lit(1)).alias("n")))
+    return (ordered
+            .select(F.col(id_col),
+                    F.transform(F.col("_ord"), lambda x: x["s"]).alias("hs"),
+                    "n")
+            .localCheckpoint(eager=True))
+
+
 def prefix_filter_join(
     df: DataFrame,
     sim_num: int = 1,
@@ -612,6 +654,7 @@ def prefix_filter_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-threshold Jaccard set-similarity SELF-join via PREFIX
     FILTERING (the SSJoin / PPJoin family: Chaudhuri et al. ICDE'06,
@@ -646,32 +689,8 @@ def prefix_filter_join(
     table feeds three consumers, so it is materialized once — at
     cluster scale this is a persisted signatures table beside the
     corpus, the same economics as ``minhash_signatures``."""
-    # per-doc distinct happens IN-ARRAY before the explode (array_distinct
-    # is task-local) — a row-level .distinct() here would shuffle the
-    # full exploded shingle table just to dedupe within documents. The
-    # resulting table feeds BOTH the document-frequency aggregate and
-    # the probe side of its own join-back — checkpoint so the
-    # shingle+hash scan runs once (same persisted-shingle-table
-    # economics as `sets` below).
-    ex = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-          .select(F.col(id_col),
-                  F.explode(F.array_distinct(
-                      shingles_of_tokens(F.col("_toks"), n)))
-                  .alias("_sh_str"))
-          .select(F.col(id_col), hash60(F.col("_sh_str")).alias("s"))
-          .localCheckpoint(eager=True))
-    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
-    ordered = (ex.join(dfreq, on="s")
-               .groupBy(id_col)
-               .agg(F.array_sort(F.collect_list(
-                        F.struct(F.col("_df").alias("df"),
-                                 F.col("s").alias("s")))).alias("_ord"),
-                    F.count(F.lit(1)).alias("n")))
-    sets = (ordered
-            .select(F.col(id_col),
-                    F.transform(F.col("_ord"), lambda x: x["s"]).alias("hs"),
-                    "n")
-            .localCheckpoint(eager=True))
+    if sets is None:
+        sets = ordered_shingle_sets(df, text_col, id_col, n)
     # prefix length with exact integer ceiling: n - ((p*n + q - 1) div q) + 1
     plen = (F.col("n")
             - F.expr(f"({sim_num} * n + {sim_den - 1}) div {sim_den}")
@@ -710,6 +729,7 @@ def containment_prefix_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """DIRECTED exact-threshold containment join over word n-gram
     shingle sets: every ordered pair (src, container) with
@@ -734,25 +754,8 @@ def containment_prefix_join(
     candidate join is prefix(src) × full(container) on the shingle
     hash (posting-list economics — bounded by the prefix shingles'
     document frequency), then one verification join-back per side."""
-    ex = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-          .select(F.col(id_col),
-                  F.explode(F.array_distinct(
-                      shingles_of_tokens(F.col("_toks"), n)))
-                  .alias("_sh_str"))
-          .select(F.col(id_col), hash60(F.col("_sh_str")).alias("s"))
-          .localCheckpoint(eager=True))
-    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
-    sets = (ex.join(dfreq, on="s")
-            .groupBy(id_col)
-            .agg(F.array_sort(F.collect_list(
-                     F.struct(F.col("_df").alias("df"),
-                              F.col("s").alias("s")))).alias("_ord"),
-                 F.count(F.lit(1)).alias("n"))
-            .select(F.col(id_col),
-                    F.transform(F.col("_ord"), lambda x: x["s"]).alias("hs"),
-                    "n")
-            .filter(F.col("n") > 0)
-            .localCheckpoint(eager=True))
+    if sets is None:
+        sets = ordered_shingle_sets(df, text_col, id_col, n)
     plen = (F.col("n")
             - F.expr(f"({num} * n + {den - 1}) div {den}")
             + F.lit(1)).cast("int")

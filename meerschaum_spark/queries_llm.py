@@ -189,6 +189,16 @@ def doc_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(20)
 
 
+def _prefix_sets(spark: SparkSession, sf_dir: str):
+    """Session-cached rare-first ordered shingle-set table shared by the
+    prefix-filter family (Jaccard + containment joins) — the persisted
+    signatures-table economics, via the same cache as the minhash and
+    simhash signatures."""
+    return _cached_sigs(
+        "prefix_sets3", spark, sf_dir,
+        lambda: D.ordered_shingle_sets(_docs(spark, sf_dir), n=3))
+
+
 @query(
     "doc_jaccard_prefix_join",
     f"""
@@ -220,7 +230,8 @@ def doc_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic on both engines, so the match is exact, not
     approximate."""
     docs = _docs(spark, sf_dir)
-    return (D.prefix_filter_join(docs, sim_num=1, sim_den=2, n=3)
+    return (D.prefix_filter_join(docs, sim_num=1, sim_den=2, n=3,
+                                 sets=_prefix_sets(spark, sf_dir))
             .orderBy("doc_a", "doc_b"))
 
 
@@ -3989,5 +4000,6 @@ def doc_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``dedup.containment_prefix_join``); the oracle is the quadratic
     definition it avoids."""
     docs = _docs(spark, sf_dir)
-    return (D.containment_prefix_join(docs, num=1, den=2, n=3)
+    return (D.containment_prefix_join(docs, num=1, den=2, n=3,
+                                      sets=_prefix_sets(spark, sf_dir))
             .orderBy("doc_src", "doc_container"))

@@ -914,3 +914,41 @@ def test_global_running_sum_more_partitions_than_rows(spark):
     got = sorted((r["id"], r["running"]) for r in global_running_sum(
         df, [F.col("id").asc()], "v", num_partitions=16).collect())
     assert got == [(0, 1), (1, 3), (2, 6)]
+
+
+def test_containment_prefix_join_lossless(spark):
+    """The directed containment join is EXACT against the quadratic
+    brute-force definition — including the asymmetric case Jaccard
+    misses (a short doc fully inside a long one scores 1.0 as src,
+    far less as container)."""
+    import itertools
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "alpha beta gamma delta epsilon",                   # prefix of 1
+        3: "one two three four five six seven eight",
+        4: "zero one two three four five six seven eight nine ten",
+        5: "completely different words entirely unrelated here today",
+        6: "short text",                                       # < 3 tokens
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+    got = {(r["doc_src"], r["doc_container"]): r["n_shared"]
+           for r in D.containment_prefix_join(docs, num=1, den=2).collect()}
+
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    expected = {}
+    for a, b in itertools.permutations(sorted(texts), 2):
+        sa, sb = sh(texts[a]), sh(texts[b])
+        if not sa:
+            continue
+        shared = len(sa & sb)
+        if 2 * shared >= len(sa):
+            expected[(a, b)] = shared
+    assert got == expected, (got, expected)
+    # the planted subset is caught in the subset DIRECTION only
+    assert (2, 1) in got and (1, 2) not in got
+

@@ -62,6 +62,7 @@ HEAD_ORDER = [
     "events_seasonal_profile",
     "emb_matryoshka_recall",
     "doc_containment_join",
+    "part_assoc_rules",
     "part_pagerank",
     "part_triangle_count",
     "events_acf_hourly",
@@ -100,7 +101,6 @@ HEAD_ORDER = [
     # -- backfill: r5-era rows, stalest cohort first --
     "doc_adaptive_quality",
     "doc_bloom_prescreen",
-    "doc_bm25_topk",
 ]
 
 

@@ -5206,3 +5206,79 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.sum(_dec("value")).cast("double")
                   / F.count(F.lit(1)).cast("double")).alias("mean_dbl"))
             .orderBy("dow", "hr"))
+
+
+@query(
+    "part_assoc_rules",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+    item AS (SELECT p_brand, count(*) AS n_item FROM ob GROUP BY p_brand),
+    pair AS (
+      SELECT a.p_brand AS antecedent, b.p_brand AS consequent,
+             count(*) AS n_both
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+      GROUP BY 1, 2 HAVING count(*) >= 25)
+    SELECT p.antecedent, p.consequent, p.n_both,
+           ia.n_item AS n_antecedent,
+           CAST(p.n_both AS DOUBLE) / CAST(ia.n_item AS DOUBLE)
+             AS confidence_dbl,
+           (CAST(p.n_both AS DOUBLE) / CAST(ia.n_item AS DOUBLE))
+             / (CAST(ic.n_item AS DOUBLE) / CAST(n.n_orders AS DOUBLE))
+             AS lift_dbl
+    FROM pair p
+    JOIN item ia ON p.antecedent = ia.p_brand
+    JOIN item ic ON p.consequent = ic.p_brand
+    CROSS JOIN n
+    ORDER BY lift_dbl DESC, antecedent, consequent
+    LIMIT 40
+    """,
+)
+def part_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (the Apriori/FP-growth output stage): directed
+    brand rules A → B with support, confidence = P(B|A), and lift =
+    confidence / P(B), min-support cut, top by lift — completing the
+    market-basket family over ``part_affinity_pairs``' basket builder.
+
+    Scale shape: directed pair counts come from the shared
+    ``graph.basket_pairs`` in-task expansion (both orientations of each
+    unordered pair — never an order-to-order join); item supports and
+    the basket count are map-side-combined aggregates; the rule-metric
+    joins run on the tiny |brands|²-bounded frame with the item table
+    broadcast. Counts are exact integers; confidence and lift are the
+    identical IEEE expressions on both engines."""
+    from meerschaum_spark.functions.graph import basket_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                  F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_orderkey", "p_brand").distinct()
+          .localCheckpoint(eager=True))
+    n_orders = ob.select("l_orderkey").distinct().count()
+    item = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_item"))
+    und = basket_pairs(ob, "l_orderkey", "p_brand",
+                       out_a="ba", out_b="bb")
+    both = und.unionByName(und.select(F.col("bb").alias("ba"),
+                                      F.col("ba").alias("bb")))
+    pair = (both.groupBy(F.col("ba").alias("antecedent"),
+                         F.col("bb").alias("consequent"))
+            .agg(F.count(F.lit(1)).alias("n_both"))
+            .filter(F.col("n_both") >= 25))
+    ia = item.select(F.col("p_brand").alias("antecedent"),
+                     F.col("n_item").alias("n_antecedent"))
+    ic = item.select(F.col("p_brand").alias("consequent"),
+                     F.col("n_item").alias("n_consequent"))
+    conf = (F.col("n_both").cast("double")
+            / F.col("n_antecedent").cast("double"))
+    lift = conf / (F.col("n_consequent").cast("double")
+                   / F.lit(float(n_orders)))
+    return (pair.join(F.broadcast(ia), "antecedent")
+            .join(F.broadcast(ic), "consequent")
+            .select("antecedent", "consequent", "n_both", "n_antecedent",
+                    conf.alias("confidence_dbl"), lift.alias("lift_dbl"))
+            .orderBy(F.col("lift_dbl").desc(), "antecedent", "consequent")
+            .limit(40))

@@ -264,3 +264,38 @@ def test_canonicalize_ts_branches(spark):
         datetime.datetime(2024, 6, 1, 1, 2, 3)
     # absent column is a no-op, not an error
     assert canonicalize_ts(ltz, ["nope"]).columns == ["ts"]
+
+
+def test_catalog_guards():
+    """The catalog's import-time safety rails: duplicate @query names
+    hard-error (a later module would silently shadow the original's
+    green correctness history — this caught two real collisions in r8),
+    and ordered() rejects HEAD_ORDER dups / >50 entries (the driver
+    records exactly the first 50, so a 51st pinned entry would silently
+    never land a row)."""
+    import pytest
+
+    from meerschaum_spark import catalog
+    from meerschaum_spark.catalog import QUERIES, ordered, query
+
+    import meerschaum_spark.queries  # noqa: F401 — populate the registry
+
+    existing = next(iter(QUERIES))
+    with pytest.raises(ValueError, match="registered twice"):
+        @query(existing)
+        def _dup(spark, sf_dir):  # pragma: no cover
+            return None
+
+    orig = catalog.HEAD_ORDER
+    try:
+        catalog.HEAD_ORDER = [existing, existing]
+        with pytest.raises(ValueError, match="duplicate"):
+            ordered(dict(QUERIES))
+        catalog.HEAD_ORDER = list(QUERIES)[:51]
+        with pytest.raises(ValueError, match="first 50"):
+            ordered(dict(QUERIES))
+        catalog.HEAD_ORDER = ["no_such_query"]
+        with pytest.raises(KeyError):
+            ordered(dict(QUERIES))
+    finally:
+        catalog.HEAD_ORDER = orig

@@ -525,3 +525,11 @@ def test_r8_round3_plan_shapes(spark, sf_dir):
     hhi = explain_str(nation_supplier_hhi(spark, sf_dir), "simple")
     assert "SortMergeJoin" not in hhi, hhi[:800]
     assert "BroadcastHashJoin" in hhi, hhi[:800]
+
+    from meerschaum_spark.queries import part_assoc_rules
+    ar = explain_str(part_assoc_rules(spark, sf_dir), "simple")
+    # pair counts come from the in-task basket expansion, never an
+    # order-to-order join; the rule-metric joins broadcast the tiny
+    # item-support table
+    assert "CartesianProduct" not in ar, ar[:800]
+    assert "BroadcastNestedLoopJoin" not in ar, ar[:800]

@@ -36,71 +36,65 @@ DEC = "decimal(18,6)"
 #: row/schema/value compare, and several have green rows in prior-round
 #: CORRECTNESS files (cited in SURVEY §2).
 HEAD_ORDER = [
-    # r8 rotation (standing rule: NEW queries lead, then queries whose
+    # r9 rotation (standing rule: NEW queries lead, then queries whose
     # code/oracle CHANGED this round, then the stalest green rows).
-    # This round closes the freshness ledger: the six remaining r4-era
-    # rows re-record here, so after r8 every query's newest green row is
-    # r5+ and the backfill drains the r5 cohort (the 15 r5 rows that
-    # don't fit the 50-cap — the q2/q4/q7-q9/q11/q12/q19-q21 TPC-H block
-    # and three streaming/sketch rows — rotate in r9).
+    # This round drains the ENTIRE remaining r5-era cohort (42 rows by
+    # the CORRECTNESS_r0* histogram): after r9 every catalog query's
+    # newest green row is r6+.
     #
-    # -- new in r8: SRID reprojection + geometry×geometry intersects,
-    #    lossless prefix-filter similarity join, per-series analytics,
-    #    graph triangles, ACF, and distributed-ranked RFM --
-    "events_holt_linear",
+    # -- new in r9 --
+    "doc_bpe_train_rounds",
+    "doc_substring_dup_spans",
+    # -- changed in r9: the three r8 driver-red hash-only rows, made
+    #    engine-version-insensitive (pure integer/epoch arithmetic; no
+    #    double→decimal render, no timestamp date_diff, no decimal→
+    #    double output) — two have never held a green driver row --
     "events_stats_agg_linear",
-    "events_max_concurrency",
-    "orders_retention_cohort",
-    "customer_symspell_pairs",
-    "doc_phrase_search",
-    "streaming_holt_linear",
-    "part_abc_analysis",
-    "events_benford_digits",
-    "nation_supplier_hhi",
-    "events_ab_test_ztest",
-    "events_gini_activity",
-    "events_seasonal_profile",
-    "emb_matryoshka_recall",
-    "doc_containment_join",
-    "part_assoc_rules",
-    "part_pagerank",
-    "part_triangle_count",
-    "events_acf_hourly",
     "customer_rfm_segments",
-    "doc_jaccard_prefix_join",
-    "events_max_drawdown",
-    "events_cusum_changepoint",
-    "streaming_cusum_alarms",
-    "geo_transform_mercator",
-    "geo_segment_intersect_join",
-    "events_asof_candle_join",
-    "doc_weighted_sample",
-    "events_window_funnel",
-    # -- changed in r8 (DPP one-job sync; conditional post-write exists
-    #    probe) — the whole pipe/sync family re-records --
-    "pipe_sync_roundtrip",
-    "pipe_ingest_dedup",
-    "pipe_ingest_dedup_minhash",
-    "pipe_rollup_incremental",
     "pipe_verify_backfill",
-    "events_incremental_unseen",
-    "events_incremental_update",
-    "events_per_user_sync_times",
-    "events_sync_time",
-    "events_backtrack_slice",
-    "events_dedup_keep_last",
-    "streaming_pipe_sync",
-    "streaming_rollup_maintenance",
-    # -- last six r4-era green rows --
-    "geo_wkb_roundtrip",
-    "multimodal_frame_sample",
-    "q13_customer_order_distribution",
-    "q17_small_quantity_revenue",
-    "streaming_dedup_keys",
-    "streaming_sessionization",
-    # -- backfill: r5-era rows, stalest cohort first --
-    "doc_adaptive_quality",
-    "doc_bloom_prescreen",
+    # -- backfill: the full r5-era cohort (newest green row = r5) --
+    "q2_min_cost_supplier",
+    "q4_priority_late_exists",
+    "q7_nation_trade_flow",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_ship_delay_classes",
+    "q19_disjunctive_pushdown",
+    "q20_excess_share_suppliers",
+    "q21_waiting_suppliers",
+    "events_hll_distinct",
+    "events_kmv_intersection",
+    "events_rolling_7d",
+    "part_affinity_pairs",
+    "streaming_interval_join",
+    "streaming_topk_trending",
+    "doc_bm25_topk",
+    "doc_chunk_split",
+    "doc_cms_heavy_hitters",
+    "doc_dedup_survivors",
+    "doc_domain_mix",
+    "doc_dsir_weights",
+    "doc_gopher_quality",
+    "doc_pii_scrub",
+    "doc_repetition_stats",
+    "doc_sentence_dedup",
+    "doc_sequence_pack",
+    "doc_shard_assign",
+    "doc_split_assign",
+    "doc_stratified_sample",
+    "doc_substring_dup_pairs",
+    "doc_tfidf_topk",
+    "doc_vocab_topk",
+    "doc_winnowing_pairs",
+    "emb_ann_recall",
+    "emb_centroid_stats",
+    "emb_int8_quantize",
+    "emb_ivf_recall",
+    "emb_kmeans",
+    "emb_norm_stats",
+    "emb_pca_power_direction",
+    "emb_semantic_dedup",
 ]
 
 

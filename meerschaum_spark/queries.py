@@ -3333,11 +3333,11 @@ def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pipe_verify_backfill",
     f"""
-    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num,
            count(*) AS n_rows,
            CAST(sum({HASH60_SQL.format(
                x="concat_ws('|', event_id, epoch_us(ts), event_type, "
-                 "CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR))")}
+                 "CAST(floor(value * 1000000 + 0.5) AS BIGINT))")}
                ) AS DECIMAL(38,0)) AS digest_sum
     FROM events GROUP BY 1 ORDER BY 1
     """,
@@ -3357,7 +3357,12 @@ def pipe_verify_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTRIBUTED over the verified table: collecting the full table to
     the driver for comparison would be the collect anti-pattern this
     repo bans, and at 100 TB the digest aggregate is the only shape
-    that works."""
+    that works. Every hashed component is an integer or raw string:
+    days are epoch-µs integer days and the double renders through
+    ``floor(x·10⁶+0.5)`` (one IEEE expression, bit-identical on both
+    engines) — the r8 form's ``CAST(value AS DECIMAL(18,6))`` rendering
+    sat on an engine-version-sensitive rounding boundary and went
+    driver-red."""
     import shutil
     import tempfile
 
@@ -3394,15 +3399,17 @@ def pipe_verify_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         digest = hash60(F.concat_ws(
             "|", F.col("event_id"), F.unix_micros(F.col("ts")),
             F.col("event_type"),
-            F.col("value").cast(DEC).cast("string")))
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")))
         out = (stored
-               .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+               # epoch is nonnegative: truncating div == oracle floor //
+               .groupBy(F.expr("unix_micros(ts) div 86400000000")
+                        .cast("long").alias("day_num"))
                .agg(F.count(F.lit(1)).alias("n_rows"),
                     F.sum(digest.cast("decimal(20,0)"))
                     .cast("decimal(38,0)").alias("digest_sum"))
-               .orderBy("day"))
+               .orderBy("day_num"))
         rows = out.collect()  # tiny (one row per day) — freeze before rmtree
-        return spark.createDataFrame(rows, out.schema).orderBy("day")
+        return spark.createDataFrame(rows, out.schema).orderBy("day_num")
     finally:
         events.unpersist()
         shutil.rmtree(instance, ignore_errors=True)
@@ -4289,23 +4296,24 @@ def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
     c AS (
       SELECT o_custkey AS custkey,
-             date_diff('day', max(o_orderdate), (SELECT maxd FROM mx))
-                 AS recency_days,
+             (epoch_us((SELECT maxd FROM mx)) - epoch_us(max(o_orderdate)))
+                 // 86400000000 AS recency_days,
              count(*) AS frequency,
-             sum(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
       FROM orders GROUP BY 1),
     nn AS (SELECT count(*) AS n FROM c),
     s AS (
-      SELECT custkey, monetary,
+      SELECT custkey, monetary_cents,
              row_number() OVER (ORDER BY recency_days, custkey) AS rr,
              row_number() OVER (ORDER BY frequency DESC, custkey) AS rf,
-             row_number() OVER (ORDER BY monetary DESC, custkey) AS rm
+             row_number() OVER (ORDER BY monetary_cents DESC, custkey) AS rm
       FROM c)
     SELECT CAST((rr - 1) * 4 // n AS INT) + 1 AS r_score,
            CAST((rf - 1) * 4 // n AS INT) + 1 AS f_score,
            CAST((rm - 1) * 4 // n AS INT) + 1 AS m_score,
            count(*) AS n_customers,
-           CAST(sum(monetary) AS DECIMAL(38,6)) AS monetary_total
+           CAST(sum(monetary_cents) AS BIGINT) AS monetary_total_cents
     FROM s, nn
     GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """,
@@ -4327,7 +4335,12 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     remainder-distribution rules differ across engines.
 
     The per-customer aggregate itself is ONE map-side-combined hash agg
-    of the orders scan; monetary accumulates in exact decimal.
+    of the orders scan. Every emitted value is pure integer arithmetic:
+    recency in epoch-µs integer days (no datediff — its
+    timestamp-argument semantics are engine-version-sensitive), monetary
+    in exact integer cents (``floor(x·100+0.5)`` is one IEEE double
+    expression, bit-identical everywhere, where a double→decimal cast's
+    rounding path is not — the r8 driver red sat on that boundary).
     """
     from meerschaum_spark.functions.ranking import (
         global_row_number,
@@ -4336,16 +4349,21 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     maxd = orders.agg(F.max("o_orderdate").alias("maxd"))
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     c = (
         orders.groupBy(F.col("o_custkey").alias("custkey"))
         .agg(F.max("o_orderdate").alias("last_order"),
              F.count(F.lit(1)).alias("frequency"),
-             F.sum(_dec("o_totalprice")).alias("monetary"))
+             F.sum(cents).alias("monetary_cents"))
         .crossJoin(F.broadcast(maxd))
         .select("custkey",
-                F.datediff(F.col("maxd"), F.col("last_order"))
-                .alias("recency_days"),
-                "frequency", "monetary")
+                # nonnegative (maxd >= last_order), so truncating `div`
+                # == the oracle's floor `//`; NTZ→TIMESTAMP cast is
+                # value-preserving under the pinned UTC session tz
+                F.expr("(unix_micros(cast(maxd as timestamp)) "
+                       "- unix_micros(cast(last_order as timestamp))) "
+                       "div 86400000000").alias("recency_days"),
+                "frequency", "monetary_cents")
     ).localCheckpoint()  # three rankings + a join-back reuse it
     n_total = c.count()
     # size the range partitions to the DATA, not the cluster: the python
@@ -4365,16 +4383,17 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_partitions=k,
     ).select("custkey", quartile_score("rf", n_total, "f_score"))
     rm = global_row_number(
-        c.select("custkey", "monetary"),
-        [F.col("monetary").desc(), F.col("custkey").asc()], "rm",
+        c.select("custkey", "monetary_cents"),
+        [F.col("monetary_cents").desc(), F.col("custkey").asc()], "rm",
         num_partitions=k,
     ).select("custkey", quartile_score("rm", n_total, "m_score"))
     return (
-        c.select("custkey", "monetary")
+        c.select("custkey", "monetary_cents")
         .join(rr, on="custkey").join(rf, on="custkey").join(rm, on="custkey")
         .groupBy("r_score", "f_score", "m_score")
         .agg(F.count(F.lit(1)).alias("n_customers"),
-             F.sum("monetary").cast("decimal(38,6)").alias("monetary_total"))
+             F.sum("monetary_cents").cast("long")
+             .alias("monetary_total_cents"))
         .orderBy("r_score", "f_score", "m_score")
     )
 
@@ -4570,13 +4589,7 @@ _OLS_X0 = 1_577_836_800
            CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DECIMAL(38,0))
                AS slope_num,
            CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DECIMAL(38,0))
-               AS slope_den,
-           CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx = 0 THEN NULL
-                ELSE CAST(CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy
-                                    AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
-                     / CAST(CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
-                                      AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
-           END AS slope_dbl
+               AS slope_den
     FROM s ORDER BY user_id
     """,
 )
@@ -4589,8 +4602,10 @@ def events_stats_agg_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     — order-insensitive, so partial (map-side) aggregation is free and
     the result is bit-identical to the oracle's HUGEINT sums — and the
     slope's numerator/denominator (n·Σxy − Σx·Σy, n·Σx² − (Σx)²) are
-    emitted as exact decimals; only the final ratio divides in double
-    with the identical expression on both engines. NO window at all:
+    emitted as exact decimals that fully determine the slope (the
+    consumer divides; emitting the double ratio put a decimal→double
+    conversion boundary in the hash path — the r8 driver red — for a
+    value the exact pair already carries). NO window at all:
     this is ONE map-side-combinable hash aggregate over the scan — the
     cheapest possible distributed shape for a 100 TB regression sweep
     (contrast the reference, which would pull the series into pandas)."""
@@ -4616,10 +4631,7 @@ def events_stats_agg_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
     return (s.select(
         "user_id", "n",
-        num.alias("slope_num"), den.alias("slope_den"),
-        F.when(den == 0, F.lit(None).cast("double"))
-        .otherwise(num.cast("double") / den.cast("double"))
-        .alias("slope_dbl"))
+        num.alias("slope_num"), den.alias("slope_den"))
         .orderBy("user_id"))
 
 

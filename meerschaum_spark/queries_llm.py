@@ -4003,3 +4003,242 @@ def doc_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (D.containment_prefix_join(docs, num=1, den=2, n=3,
                                       sets=_prefix_sets(spark, sf_dir))
             .orderBy("doc_src", "doc_container"))
+
+
+# ===========================================================================
+# r9: multi-round BPE training + maximal substring-duplicate spans
+# ===========================================================================
+
+#: merge rounds for the iterated BPE trainer (each round = one corpus
+#: count + one argmax + one map-only merge)
+BPE_TRAIN_ROUNDS = 4
+
+
+def _bpe_train_oracle_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    """Unrolled BPE training rounds (standard SQL forbids aggregates in
+    recursive CTE terms, so — like the PageRank oracle — each round is
+    spelled explicitly). Greedy left-to-right merging is the
+    gaps-and-islands parity selection: adjacent match positions can only
+    collide when the winner pair is (x, x), and there the 1st, 3rd, …
+    match of each consecutive run merges — exactly the sequential fold
+    the Spark side runs."""
+    parts = [
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),",
+        "r1 AS (SELECT doc_id,"
+        " unnest(generate_series(1, len(toks))) AS pos,"
+        " unnest(toks) AS sym FROM t WHERE len(toks) >= 1)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+, cnt{k} AS (
+    SELECT a.sym AS s1, b.sym AS s2, count(*) AS n
+    FROM r{k} a, r{k} b
+    WHERE b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    GROUP BY 1, 2),
+w{k} AS (SELECT s1, s2, n FROM cnt{k} ORDER BY n DESC, s1, s2 LIMIT 1)""")
+        if k == rounds:
+            break
+        parts.append(f"""
+, m{k} AS (
+    SELECT a.doc_id, a.pos
+    FROM r{k} a, r{k} b, w{k} w
+    WHERE b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      AND a.sym = w.s1 AND b.sym = w.s2),
+i{k} AS (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+    FROM m{k}),
+s{k} AS (
+    SELECT doc_id, pos FROM (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY doc_id, g ORDER BY pos) AS rn
+      FROM i{k}) WHERE rn % 2 = 1),
+n{k} AS (
+    SELECT r.doc_id, r.pos,
+           CASE WHEN sl.pos IS NOT NULL
+                THEN (SELECT s1 || ' ' || s2 FROM w{k})
+                ELSE r.sym END AS sym
+    FROM r{k} r
+    LEFT JOIN s{k} sl ON sl.doc_id = r.doc_id AND sl.pos = r.pos
+    LEFT JOIN s{k} dp ON dp.doc_id = r.doc_id AND dp.pos = r.pos - 1
+    WHERE dp.pos IS NULL),
+r{k + 1} AS (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos, sym
+    FROM n{k})""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {k} AS round, s1 AS pair_left, s2 AS pair_right, "
+        f"CAST(n AS BIGINT) AS n_occurrences FROM w{k}"
+        for k in range(1, rounds + 1))
+    parts.append(f"\nSELECT * FROM (\n    {unions}\n) ORDER BY round")
+    return "\n".join(parts)
+
+
+@query("doc_bpe_train_rounds", _bpe_train_oracle_sql())
+def doc_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE training (Sennrich et al. 2016) — the full merge
+    LOOP, extending ``doc_bpe_pair_counts``'s single count step: each
+    round counts adjacent symbol pairs corpus-wide, picks the most
+    frequent (ties broken lexicographically on the pair), and greedily
+    merges every non-overlapping occurrence left-to-right; merged
+    symbols participate as ordinary symbols in later rounds. Returns
+    the merge table (round, winner pair, its pre-merge adjacency
+    count).
+
+    100 TB shape, per round: the count is ONE map-side-combinable hash
+    aggregate (only (pair, partial-count) rows shuffle — raw text never
+    moves); the argmax is a TakeOrdered top-1; the merge is a MAP-ONLY
+    fold over each token array (``F.aggregate``, JVM-side, no Python).
+    The winner collect is one row per round — metadata-sized, the same
+    contract as the PQ codebooks — and a per-round localCheckpoint
+    keeps the fold lineage flat, the PageRank iteration discipline.
+    Greedy overlap semantics cost nothing extra: after a merge the
+    accumulator's tail is the merged symbol, which can never equal the
+    winner's left element (it strictly contains a separator the raw
+    winner lacks in round 1, and symbol equality is exact thereafter),
+    so the fold IS the left-to-right scan."""
+    docs = _docs(spark, sf_dir)
+    cur = (docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+           .filter(F.size("toks") >= 1)
+           .localCheckpoint())
+    out_rows = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        pairs = cur.select(F.explode(F.expr(
+            "zip_with(slice(toks, 1, size(toks) - 1),"
+            "         slice(toks, 2, size(toks) - 1),"
+            "         (a, b) -> struct(a AS s1, b AS s2))")).alias("p"))
+        win = (pairs.groupBy(F.col("p.s1").alias("s1"),
+                             F.col("p.s2").alias("s2"))
+               .agg(F.count(F.lit(1)).alias("n"))
+               .orderBy(F.col("n").desc(), "s1", "s2")
+               .limit(1).collect())
+        if not win:
+            break
+        s1, s2, n = win[0]["s1"], win[0]["s2"], win[0]["n"]
+        out_rows.append((rnd, s1, s2, int(n)))
+        if rnd == BPE_TRAIN_ROUNDS:
+            break
+        a_lit, b_lit = F.lit(s1), F.lit(s2)
+        m_lit = F.lit(f"{s1} {s2}")
+        folded = F.aggregate(
+            F.col("toks"),
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == a_lit) & (x == b_lit),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                         F.array(m_lit)),
+            ).otherwise(F.concat(acc, F.array(x))))
+        cur = cur.select("doc_id", folded.alias("toks")).localCheckpoint()
+    schema = ("round int, pair_left string, pair_right string, "
+              "n_occurrences long")
+    return spark.createDataFrame(out_rows, schema).orderBy("round")
+
+
+#: result cap for the maximal-span report (deterministic full ordering)
+SPAN_LIMIT = 50
+
+
+def _substr_pos_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached POSITIONAL (doc_id, pos, wh) rolling-window table —
+    the span operator needs offsets, which the distinct-hash table
+    (``_substr_windows``) deliberately drops."""
+    from meerschaum_spark.catalog import hash60
+
+    def build():
+        docs = _docs(spark, sf_dir)
+        t = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        pw = (t.filter(F.size("toks") >= SUBSTR_WINDOW)
+              .select("doc_id", F.explode(F.transform(
+                  F.sequence(F.lit(1),
+                             F.size("toks") - F.lit(SUBSTR_WINDOW - 1)),
+                  lambda i: F.struct(
+                      i.alias("pos"),
+                      hash60(F.array_join(
+                          F.slice(F.col("toks"), i, SUBSTR_WINDOW),
+                          " ")).alias("wh")))).alias("pw")))
+        return pw.select("doc_id", F.col("pw.pos").alias("pos"),
+                         F.col("pw.wh").alias("wh"))
+    return _cached_sigs("substr_pos_windows", spark, sf_dir, build)
+
+
+@query(
+    "doc_substring_dup_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    p AS (SELECT doc_id,
+                 unnest(generate_series(1, len(toks) - {SUBSTR_WINDOW - 1}))
+                     AS pos,
+                 toks
+          FROM t WHERE len(toks) >= {SUBSTR_WINDOW}),
+    w AS (SELECT doc_id, pos,
+                 {_H60.format(
+                     x=f"array_to_string(toks[pos:pos+{SUBSTR_WINDOW - 1}],"
+                       " ' ')")} AS wh
+          FROM p),
+    dfreq AS (SELECT wh, count(*) AS wdf
+              FROM (SELECT DISTINCT doc_id, wh FROM w) GROUP BY wh),
+    kw AS (SELECT w.doc_id, w.pos, w.wh FROM w
+           JOIN dfreq ON w.wh = dfreq.wh
+           WHERE dfreq.wdf BETWEEN 2 AND {SUBSTR_MAX_DF}),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS a_pos, b.pos AS b_pos
+          FROM kw a JOIN kw b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+    isl AS (SELECT doc_a, doc_b, a_pos, b_pos,
+                   a_pos - row_number() OVER (
+                     PARTITION BY doc_a, doc_b, a_pos - b_pos
+                     ORDER BY a_pos) AS g
+            FROM m),
+    sp AS (SELECT doc_a, doc_b,
+                  CAST(min(a_pos) AS BIGINT) AS a_start,
+                  CAST(min(b_pos) AS BIGINT) AS b_start,
+                  CAST(count(*) + {SUBSTR_WINDOW - 1} AS BIGINT)
+                      AS span_tokens
+           FROM isl GROUP BY doc_a, doc_b, a_pos - b_pos, g)
+    SELECT doc_a, doc_b, a_start, b_start, span_tokens FROM sp
+    ORDER BY span_tokens DESC, doc_a, doc_b, a_start, b_start
+    LIMIT {SPAN_LIMIT}
+    """,
+)
+def doc_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL exact-duplicate spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") — extends
+    ``doc_substring_dup_pairs``'s fixed 16-token window hits by chaining
+    ADJACENT shared windows into maximal runs: matched window offsets
+    (a_pos, b_pos) lie on the diagonal a_pos − b_pos, and a maximal
+    duplicated span is a maximal run of consecutive offsets on one
+    diagonal — length ``run + 15`` tokens. The oracle computes the same
+    islands independently, so the gate verifies maximality (a
+    non-maximal split or an over-chained gap changes (start, length)
+    rows on both engines differently).
+
+    Scale shape: the window join carries (doc_id, pos, hash) only and
+    is doc-frequency-capped like the pair operator (windows in 2..50
+    docs — singletons can't pair, hotter ones are boilerplate); the
+    chaining window partitions by (doc_a, doc_b, diagonal) — fine-
+    grained keys, never a global sort. Positions make the window table
+    ~L rows per doc (vs distinct hashes), the price of span offsets."""
+    pw = _substr_pos_windows(spark, sf_dir)
+    dfreq = (_substr_windows(spark, sf_dir)
+             .groupBy("wh").agg(F.count(F.lit(1)).alias("wdf"))
+             .filter(F.col("wdf").between(2, SUBSTR_MAX_DF)))
+    kw = pw.join(dfreq.select("wh"), on="wh", how="left_semi")
+    a, b = kw.alias("a"), kw.alias("b")
+    m = (a.join(b, (F.col("a.wh") == F.col("b.wh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+         .select(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"),
+                 F.col("a.pos").alias("a_pos"),
+                 F.col("b.pos").alias("b_pos")))
+    diag = F.col("a_pos") - F.col("b_pos")
+    win = Window.partitionBy("doc_a", "doc_b", diag).orderBy("a_pos")
+    isl = m.withColumn("g", F.col("a_pos") - F.row_number().over(win))
+    sp = (isl.groupBy("doc_a", "doc_b", diag.alias("_diag"), "g")
+          .agg(F.min("a_pos").cast("long").alias("a_start"),
+               F.min("b_pos").cast("long").alias("b_start"),
+               (F.count(F.lit(1)) + F.lit(SUBSTR_WINDOW - 1))
+               .cast("long").alias("span_tokens")))
+    return (sp.select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+            .orderBy(F.col("span_tokens").desc(),
+                     "doc_a", "doc_b", "a_start", "b_start")
+            .limit(SPAN_LIMIT))

@@ -1,0 +1,180 @@
+"""Gate-fidelity lint: flag oracle constructs whose cross-engine result
+is sensitive to the DuckDB *version* the driver happens to run.
+
+Background (r8 post-mortem): three catalog queries went driver-red
+hash-only while passing the local full-precision gate byte-for-byte and
+staying bit-stable across repeated local runs — same seed-42 data, same
+code, session tz pinned by the ``@query`` wrapper. The local gate runs
+builder-side DuckDB on both ends of its compare, so it is structurally
+blind to divergence that only appears under the driver's (different)
+DuckDB build. The divergence mechanisms are real and locally
+demonstrable on synthetic values (see test_boundary_mechanism below);
+the r8 reds each sat on one of them:
+
+- ``events_stats_agg_linear``: ``CAST(decimal(38,0) AS VARCHAR) AS
+  DOUBLE`` on >2^53 magnitudes divided in double — Java
+  ``BigDecimal.doubleValue`` vs strtod can double-round differently.
+- ``customer_rfm_segments``: ``date_diff('day', ts, ts)`` on raw
+  timestamps (semantics changed across DuckDB releases) plus a
+  double→decimal(18,6) cast in the rank key.
+- ``pipe_verify_backfill``: a per-row double→decimal(18,6)→VARCHAR
+  render inside a hashed digest.
+
+All three were rewritten to pure integer/epoch arithmetic in r9. This
+lint keeps the catalog free of the motifs so the reds cannot recur.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def oracles() -> dict[str, str]:
+    import meerschaum_spark.queries  # noqa: F401
+    import meerschaum_spark.queries_llm  # noqa: F401
+    from meerschaum_spark.catalog import ORACLE
+
+    return dict(ORACLE)
+
+
+def test_no_timestamp_date_diff(oracles):
+    """``date_diff('day', a, b)`` on raw TIMESTAMP arguments counts
+    boundary crossings in some DuckDB versions and complete days in
+    others. Only DATE-typed arguments (literal or CAST(… AS DATE)) are
+    version-stable."""
+    # capture the first token after the comma (a lookahead would
+    # backtrack through \s* and false-positive on DATE/CAST args)
+    raw = re.compile(r"date_diff\('day',\s*([A-Za-z_]+)", re.I)
+    bad = {
+        n for n, sql in oracles.items()
+        if any(m.group(1).upper() not in ("DATE", "CAST")
+               for m in raw.finditer(sql))
+    }
+    assert not bad, (
+        f"oracle(s) use date_diff('day', …) on non-DATE args: {sorted(bad)} "
+        "— cast both arguments to DATE or use epoch-µs integer division"
+    )
+
+
+def test_no_per_row_decimal_render_in_digests(oracles):
+    """``CAST(x AS DECIMAL(p,s)) … AS VARCHAR`` renders a double through
+    an engine-version-sensitive rounding path; inside a hashed digest a
+    single 1-ulp flip shifts the hash. Digest inputs must be integers
+    (``CAST(floor(x * 10^s + 0.5) AS BIGINT)`` is one IEEE double
+    expression, bit-identical everywhere) or raw strings."""
+    # scale >= 1 (a fractional render): scale-0 decimal→VARCHAR is the
+    # exact-integer-digits bridge and is version-stable. Exclude
+    # occurrences immediately re-cast to DOUBLE — that is the
+    # varchar-double bridge audited by the frozen inventory below.
+    motif = re.compile(
+        r"CAST\([^()]*\bAS\s+DECIMAL\(\d+,\s*[1-9]\d*\)\)\s*"
+        r"AS\s+VARCHAR\s*\)(?!\s*AS\s+DOUBLE)",
+        re.I,
+    )
+    bad = {n for n, sql in oracles.items() if motif.search(sql)}
+    assert not bad, (
+        f"oracle(s) render a decimal cast to VARCHAR per-row: {sorted(bad)}"
+    )
+
+
+def test_varchar_double_inventory_frozen(oracles):
+    """The ``CAST(… AS VARCHAR) AS DOUBLE`` bridge (exact decimal →
+    rendered digits → strtod) is the catalog's canonical way to surface
+    an exact decimal sum as a double, and it is version-stable **only
+    below 2^53** where the varchar and direct conversion agree exactly.
+    Freeze the set of queries using it so any NEW query consciously
+    opts in (add it here with a magnitude argument) instead of
+    inheriting the >2^53 trap that made events_stats_agg_linear
+    driver-red in r8."""
+    motif = re.compile(r"AS\s+VARCHAR\s*\)\s*AS\s+DOUBLE", re.I)
+    users = {n for n, sql in oracles.items() if motif.search(sql)}
+    # every current user surfaces an aggregate bounded far below 2^53 at
+    # gate scale (sf0.01 sums ≤ ~1e12; dot products ≤ ~1e6)
+    frozen = users - _VARCHAR_DOUBLE_ALLOWED
+    assert not frozen, (
+        "new oracle(s) adopt CAST(… AS VARCHAR) AS DOUBLE: "
+        f"{sorted(frozen)} — verify the decimal magnitude stays < 2^53 "
+        "at gate scale, then add to _VARCHAR_DOUBLE_ALLOWED"
+    )
+
+
+# literal (not derived from the live catalog — that would be vacuous):
+# the r9 audit of all 46 users, each surfacing an aggregate bounded far
+# below 2^53 at gate scale (sf0.01 decimal sums ≤ ~1e12; unit-norm dot
+# products ≤ ~1e6; counts/squares in hhi/gini ≤ ~1e13)
+_VARCHAR_DOUBLE_ALLOWED = frozenset({
+    "emb_ann_lsh_topk", "emb_ann_recall", "emb_centroid_stats",
+    "emb_cosine_topk", "emb_ivf_recall", "emb_ivf_topk",
+    "emb_jl_distortion", "emb_kmeans", "emb_matryoshka_recall",
+    "emb_near_dup_clusters", "emb_near_dup_pairs", "emb_semantic_dedup",
+    "events_acf_hourly", "events_anomaly_zscore", "events_counter_delta",
+    "events_daily_cube", "events_gapfill_interp", "events_gapfill_locf",
+    "events_gini_activity", "events_hourly_rollup", "events_json_extract",
+    "events_seasonal_profile", "events_time_weighted_avg",
+    "nation_supplier_hhi", "pipe_rollup_incremental",
+    "q10_returned_items", "q11_important_stock", "q14_promo_share",
+    "q15_top_supplier", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_disjunctive_pushdown",
+    "q1_pricing_summary", "q20_excess_share_suppliers",
+    "q22_idle_customers", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q5_region_revenue", "q6_revenue_forecast", "q7_nation_trade_flow",
+    "q9_product_profit", "streaming_hourly_rollup",
+    "streaming_interval_join", "streaming_pipe_sync",
+    "streaming_rollup_maintenance", "top_brands_by_revenue",
+})
+
+
+def test_money_columns_are_two_decimal():
+    """The catalog's ``CAST(<double col> AS DECIMAL(18,6))`` aggregates
+    are version-stable only because the source doubles carry ≤2 decimal
+    digits (the 6th-decimal rounding then has a ~1e-5 margin on both
+    engines). If a driver data regeneration ever ships full-precision
+    doubles, this fails loudly BEFORE the driver gate does."""
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    probes = {
+        "events.value": "value",
+        "orders.o_totalprice": "o_totalprice",
+        "lineitem.l_extendedprice": "l_extendedprice",
+        "lineitem.l_discount": "l_discount",
+        "lineitem.l_tax": "l_tax",
+        "lineitem.l_quantity": "l_quantity",
+        "customer.c_acctbal": "c_acctbal",
+    }
+    for label, col in probes.items():
+        table = label.split(".")[0]
+        off = con.execute(
+            f"SELECT max(abs({col} * 100 - round({col} * 100))) "
+            f"FROM read_parquet('/root/testdata/sf0.01/{table}.parquet') "
+            f"WHERE {col} IS NOT NULL"
+        ).fetchone()[0]
+        assert off is not None and off < 1e-6, (
+            f"{label} carries more than 2 decimal digits (max offset "
+            f"{off}) — every CAST(… AS DECIMAL) oracle over it is now "
+            "on an engine-version-sensitive rounding boundary"
+        )
+
+
+def test_boundary_mechanism():
+    """Demonstrate the divergence mechanism the lint guards against:
+    double→decimal(18,6) rounding on 6th-decimal boundary values differs
+    between DuckDB (exact binary expansion / round-down here) and Spark
+    (shortest-repr string, HALF_UP) — measured locally in r9, five of
+    five probe values flipped. The r8 data could not hit it (2-decimal
+    money values), which is why the local gate stayed green while the
+    driver's different DuckDB build found divergence elsewhere; the fix
+    is to keep such casts out of hashed/per-row paths entirely."""
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    v = 2.0000005  # double is 2.00000049999…: exact expansion < half
+    duck = con.execute(f"SELECT CAST({v!r} AS DECIMAL(18,6))").fetchone()[0]
+    # Spark renders via shortest repr "2.0000005" then HALF_UP → 2.000001
+    assert str(duck) in {"2.000000", "2.000001"}
+    # the two legal answers differ — the motif is inherently bistable
+    assert str(duck) == "2.000000", (
+        "local DuckDB changed its double→decimal rounding path; "
+        "re-audit every CAST(double AS DECIMAL) oracle"
+    )

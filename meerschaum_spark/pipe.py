@@ -799,14 +799,26 @@ class Pipe:
             # (the 8-thread stress fails with FAILED_READ_FILE without
             # this persist; measured r8).
             pdf = local_out.get("pdf")
-            if pdf is not None and len(pdf) <= 100_000:
+            # FUSED driver-local small-batch path: evaluate the diff ONCE
+            # (a batch-bounded collect), split driver-side, and hand the
+            # write stages LocalRelations. The default path below pays the
+            # diff evaluation inside the append action AND — because the
+            # post-append refreshByPath invalidates the persisted diff —
+            # AGAIN inside the merge; a 1-row late correction then scans
+            # the backtrack window twice plus two broadcast builds. Fusing
+            # trades those re-evaluations for one collect whose size the
+            # cap bounds (the diff output is at most the batch), skips the
+            # append action entirely on pure-update batches, and computes
+            # every Observation metric in plain Python. (The r8
+            # LocalRelation-merge-patch experiment that measured WORSE kept
+            # the append's in-action diff evaluation — the collect was
+            # additive there; here it is the only evaluation.)
+            fused = (pdf is not None
+                     and len(pdf) <= self._LOCAL_FUSED_ROWS)
+            if not fused and pdf is not None and len(pdf) <= 100_000:
                 from pyspark.storagelevel import StorageLevel
                 marked = marked.persist(StorageLevel.MEMORY_ONLY)
                 _persisted.append(marked)
-            obs_aggs = [
-                F.count(F.lit(1)).alias("n_total"),
-                F.count(F.col(HIT_COL)).alias("n_update"),
-            ]
             # DPP diff path: no stats job ran, so the merge/rollup bounds
             # ride THIS Observation instead — collected from the very job
             # that materializes the diff and appends the unseen rows.
@@ -816,6 +828,25 @@ class Pipe:
             # shares its patch row's dt.
             deferred_bounds = bool(bounds.pop("deferred", False))
             dtc = self.dt_col
+            ru_confs = (self._rollup_confs
+                        if dtc and dtc in marked.columns else [])
+            new_files: list | None = [] if self._eager_rollup_confs else None
+            if fused:
+                m, update = self._fused_local_diff(marked, ru_confs,
+                                                   new_files)
+                n_update = int(m["n_update"])
+                n_unseen = int(m["n_total"]) - n_update
+                if (deferred_bounds and m.get("_lo") is not None
+                        and not m.get("_dt_nulls")):
+                    b_lo, b_hi = self._slop_window(m["_lo"], m["_hi"])
+                    bounds["begin_us"] = self._bound_us(b_lo)
+                    bounds["end_us"] = self._bound_us(b_hi)
+                return self._finish_diff_sync(m, update, bounds, ru_confs,
+                                              new_files)
+            obs_aggs = [
+                F.count(F.lit(1)).alias("n_total"),
+                F.count(F.col(HIT_COL)).alias("n_update"),
+            ]
             if deferred_bounds and dtc and dtc in marked.columns:
                 obs_aggs += [
                     F.min(dtc).alias("_lo"), F.max(dtc).alias("_hi"),
@@ -829,8 +860,6 @@ class Pipe:
             # storage and delta-fold the insert-only remainder, making
             # update-sync maintenance cost ∝ touched buckets instead of
             # the patch's whole time window.
-            ru_confs = (self._rollup_confs
-                        if dtc and dtc in marked.columns else [])
             if dtc and dtc in marked.columns:
                 # the UPDATE rows' own dt window, for the merge: pruning
                 # the merge to the update span (not the whole batch span)
@@ -876,7 +905,6 @@ class Pipe:
                 pre_m = row.asDict() if row is not None else {}
             # capture the appended FILES when rollups may delta-maintain
             # (two driver-side listings — only paid for rollup pipes)
-            new_files: list | None = [] if self._eager_rollup_confs else None
             with self._write_lock:
                 self.store.append(unseen, new_files=new_files)
             # metrics OUTSIDE the lock: the (rare, non-detached) fallback
@@ -888,110 +916,202 @@ class Pipe:
             # per-merge.
             m = pre_m if pre_m is not None else self._obs_get(
                 obs, marked, obs_aggs)
-            n_update = int(m["n_update"])
-            n_unseen = int(m["n_total"]) - n_update
             if (deferred_bounds and m.get("_lo") is not None
                     and not m.get("_dt_nulls")):
                 b_lo, b_hi = self._slop_window(m["_lo"], m["_hi"])
                 bounds["begin_us"] = self._bound_us(b_lo)
                 bounds["end_us"] = self._bound_us(b_hi)
-            merge_keys = ([c for c in self.index_cols
-                           if c in update.columns]
-                          or [c for c in update.columns if c != ORD_COL])
-            with self._write_lock:
-                if n_update:
-                    # merge AFTER append: store.merge re-lists files, so rows
-                    # the append just wrote are retained through the rewrite
-                    # pass the diff's time bounds so the merge prunes the
-                    # existing side statically and runs as ONE action (the
-                    # bounds path is only sound when the partition-driving
-                    # dt is itself a merge key — matched rows then live in
-                    # the same cells as their patch rows)
-                    use_bounds = (self.dt_col in merge_keys
-                                  and "begin_us" in bounds)
-                    # prune the merge to the UPDATE rows' own (observed,
-                    # slop-widened) window, not the whole batch window: a
-                    # wide-insert + narrow-late-correction sync then
-                    # file-rewrites only the correction's cells — and the
-                    # freshly appended insert files stay untouched, which
-                    # keeps the rollup delta's captured-file patch alive
-                    mb_lo, mb_hi = bounds.get("begin_us"), bounds.get("end_us")
-                    if use_bounds and m.get("_ulo") is not None:
-                        u_lo, u_hi = self._slop_window(m["_ulo"], m["_uhi"])
-                        mb_lo = max(mb_lo, self._bound_us(u_lo))
-                        mb_hi = min(mb_hi, self._bound_us(u_hi))
-                    # SCATTERED updates: when the observed update cells
-                    # cover less than their [min, max] window's cell
-                    # span, hand the merge the exact cell list (zero
-                    # extra actions) — the window path would footer-probe
-                    # and rewrite every file in the span. Dense narrow
-                    # windows keep the bounds path: its within-cell
-                    # FILE-level footer pruning is finer than cells.
-                    mparts: list | None = None
-                    ucells = m.get("_ucells")
-                    if (use_bounds and ucells is not None
-                            and len(ucells) <= self._MERGE_CELLS_CAP):
-                        cells = sorted(int(c) for c in ucells)
-                        span = (self.store.part_index_of(mb_hi - 1)
-                                - self.store.part_index_of(mb_lo) + 1)
-                        if cells and len(cells) < span:
-                            mparts = cells
-                    # merge sources must be key-unique: a batch carrying two
-                    # rows for one key would otherwise insert both. (An r8
-                    # experiment replaced this window with a driver-side
-                    # collect + LocalRelation patch for small local diffs —
-                    # MEASURED WORSE: the collect is a whole extra action,
-                    # while the dedupe window and broadcast build ride
-                    # inside the merge's existing action for less.)
-                    self.store.merge(
-                        self._dedupe_patch(update), merge_keys,
-                        dtypes=self.dtypes or None,
-                        begin_us=(mb_lo if use_bounds and mparts is None
-                                  else None),
-                        end_us=(mb_hi if use_bounds and mparts is None
-                                else None),
-                        parts=mparts,
-                    )
-            self._commit_fingerprints()
-            if n_unseen or n_update:
-                # the diff's stats bounds (slop-widened superset of the
-                # written rows' time range) drive bucket-scoped rollup
-                # maintenance; a bound-less write (null dts) falls back to
-                # a full refresh inside the helper. When updates landed
-                # and dt is NOT a merge key, a matched row's dt may have
-                # CHANGED — its old bucket lies outside the patch bounds
-                # and a bounded recompute would leave it stale, so mirror
-                # the use_bounds guard above with a full refresh.
-                dt_moved = bool(n_update) and self.dt_col not in merge_keys
-                # Insert-only syncs delta-maintain the rollups from the
-                # FILES the append just wrote (captured by store.append)
-                # — the written-rows set with no lineage back through
-                # the diff, whose re-evaluation after the post-append
-                # refreshByPath would see its own appended rows as
-                # existing and come back EMPTY. Every rollup aggregate
-                # is decomposable under pure inserts; update syncs go
-                # BUCKET-SCOPED instead: the buckets the updates touched
-                # (observed above) are recomputed wholesale from storage
-                # (min/max cannot retract), everything else delta-folds —
-                # maintenance cost ∝ touched buckets, never the window.
-                ub = (self._update_buckets_from_metrics(m, ru_confs)
-                      if n_update and not dt_moved else None)
-                if ("begin_us" in bounds and not dt_moved
-                        and (not n_update or ub is not None)
-                        and self._try_rollup_delta_files(
-                            new_files, bounds["begin_us"],
-                            bounds["end_us"], update_buckets=ub)):
-                    pass  # delta landed (or recompute fallback ran)
-                elif "begin_us" in bounds and not dt_moved:
-                    self._maintain_rollups(bounds["begin_us"],
-                                           bounds["end_us"])
-                else:
-                    self._maintain_rollups(None, None)
-            self.register()
-            return SyncResult(
-                True, f"Inserted {n_unseen}, updated {n_update} rows.",
-                n_unseen, n_update,
-            )
+            return self._finish_diff_sync(m, update, bounds, ru_confs,
+                                          new_files)
+
+    def _finish_diff_sync(self, m: dict, update: DataFrame, bounds: dict,
+                          ru_confs: list, new_files: list | None,
+                          ) -> "SyncResult":
+        """Shared diff-sync tail (fused-local and observed paths): bounded
+        merge of the update patch, fingerprint commit, rollup
+        maintenance, registration. ``update`` must still carry ORD_COL
+        (patch dedupe orders by it) and ``m`` the diff metrics
+        (n_total/n_update plus the optional _ulo/_uhi/_ucells/_ru_ub*)."""
+        n_update = int(m["n_update"])
+        n_unseen = int(m["n_total"]) - n_update
+        merge_keys = ([c for c in self.index_cols
+                       if c in update.columns]
+                      or [c for c in update.columns if c != ORD_COL])
+        with self._write_lock:
+            if n_update:
+                # merge AFTER append: store.merge re-lists files, so rows
+                # the append just wrote are retained through the rewrite
+                # pass the diff's time bounds so the merge prunes the
+                # existing side statically and runs as ONE action (the
+                # bounds path is only sound when the partition-driving
+                # dt is itself a merge key — matched rows then live in
+                # the same cells as their patch rows)
+                use_bounds = (self.dt_col in merge_keys
+                              and "begin_us" in bounds)
+                # prune the merge to the UPDATE rows' own (observed,
+                # slop-widened) window, not the whole batch window: a
+                # wide-insert + narrow-late-correction sync then
+                # file-rewrites only the correction's cells — and the
+                # freshly appended insert files stay untouched, which
+                # keeps the rollup delta's captured-file patch alive
+                mb_lo, mb_hi = bounds.get("begin_us"), bounds.get("end_us")
+                if use_bounds and m.get("_ulo") is not None:
+                    u_lo, u_hi = self._slop_window(m["_ulo"], m["_uhi"])
+                    mb_lo = max(mb_lo, self._bound_us(u_lo))
+                    mb_hi = min(mb_hi, self._bound_us(u_hi))
+                # SCATTERED updates: when the observed update cells
+                # cover less than their [min, max] window's cell
+                # span, hand the merge the exact cell list (zero
+                # extra actions) — the window path would footer-probe
+                # and rewrite every file in the span. Dense narrow
+                # windows keep the bounds path: its within-cell
+                # FILE-level footer pruning is finer than cells.
+                mparts: list | None = None
+                ucells = m.get("_ucells")
+                if (use_bounds and ucells is not None
+                        and len(ucells) <= self._MERGE_CELLS_CAP):
+                    cells = sorted(int(c) for c in ucells)
+                    span = (self.store.part_index_of(mb_hi - 1)
+                            - self.store.part_index_of(mb_lo) + 1)
+                    if cells and len(cells) < span:
+                        mparts = cells
+                # merge sources must be key-unique: a batch carrying two
+                # rows for one key would otherwise insert both. (An r8
+                # experiment replaced this window with a driver-side
+                # collect + LocalRelation patch for small local diffs —
+                # MEASURED WORSE: the collect is a whole extra action,
+                # while the dedupe window and broadcast build ride
+                # inside the merge's existing action for less.)
+                self.store.merge(
+                    self._dedupe_patch(update), merge_keys,
+                    dtypes=self.dtypes or None,
+                    begin_us=(mb_lo if use_bounds and mparts is None
+                              else None),
+                    end_us=(mb_hi if use_bounds and mparts is None
+                            else None),
+                    parts=mparts,
+                )
+        self._commit_fingerprints()
+        if n_unseen or n_update:
+            # the diff's stats bounds (slop-widened superset of the
+            # written rows' time range) drive bucket-scoped rollup
+            # maintenance; a bound-less write (null dts) falls back to
+            # a full refresh inside the helper. When updates landed
+            # and dt is NOT a merge key, a matched row's dt may have
+            # CHANGED — its old bucket lies outside the patch bounds
+            # and a bounded recompute would leave it stale, so mirror
+            # the use_bounds guard above with a full refresh.
+            dt_moved = bool(n_update) and self.dt_col not in merge_keys
+            # Insert-only syncs delta-maintain the rollups from the
+            # FILES the append just wrote (captured by store.append)
+            # — the written-rows set with no lineage back through
+            # the diff, whose re-evaluation after the post-append
+            # refreshByPath would see its own appended rows as
+            # existing and come back EMPTY. Every rollup aggregate
+            # is decomposable under pure inserts; update syncs go
+            # BUCKET-SCOPED instead: the buckets the updates touched
+            # (observed above) are recomputed wholesale from storage
+            # (min/max cannot retract), everything else delta-folds —
+            # maintenance cost ∝ touched buckets, never the window.
+            ub = (self._update_buckets_from_metrics(m, ru_confs)
+                  if n_update and not dt_moved else None)
+            if ("begin_us" in bounds and not dt_moved
+                    and (not n_update or ub is not None)
+                    and self._try_rollup_delta_files(
+                        new_files, bounds["begin_us"],
+                        bounds["end_us"], update_buckets=ub)):
+                pass  # delta landed (or recompute fallback ran)
+            elif "begin_us" in bounds and not dt_moved:
+                self._maintain_rollups(bounds["begin_us"],
+                                       bounds["end_us"])
+            else:
+                self._maintain_rollups(None, None)
+        self.register()
+        return SyncResult(
+            True, f"Inserted {n_unseen}, updated {n_update} rows.",
+            n_unseen, n_update,
+        )
+
+    #: driver-local batches at or below this row count take the fused
+    #: diff path (one collect evaluates the diff; LocalRelation writes).
+    #: The collect moves at most this many diff rows — comfortably under
+    #: the ≤250-key pushdown collect's own payload class — while larger
+    #: local batches keep the in-action Observation path whose write job
+    #: materializes the batch without a driver round-trip.
+    _LOCAL_FUSED_ROWS = 8192
+
+    def _fused_local_diff(self, marked: DataFrame, ru_confs: list,
+                          new_files: list | None,
+                          ) -> tuple[dict, DataFrame]:
+        """Evaluate a driver-local small batch's diff ONCE: collect the
+        ``marked`` frame (bounded by ``_LOCAL_FUSED_ROWS`` — the diff
+        output is at most the batch), split driver-side, append the
+        unseen rows as a LocalRelation, and return the Observation-shaped
+        metrics plus the update patch as a LocalRelation.
+
+        What this buys on the reference's dominant dict/list small-batch
+        cadence: the default path evaluates the diff inside the append's
+        write job AND re-evaluates it inside the merge (the post-append
+        ``refreshByPath`` invalidates the persisted diff), so a 1-row
+        late correction scans the pruned backtrack window twice and
+        builds two broadcasts. Here the window is scanned exactly once;
+        a pure-update batch skips the append action entirely; and the
+        LocalRelation patch frees the merge's probe side from any
+        lineage back through the diff. Collect + append run under ONE
+        write-lock hold, so the view the diff saw cannot be invalidated
+        by a concurrent writer between decision and write (the observed
+        path gets the same guarantee from evaluating the diff inside the
+        locked append job)."""
+        from pyspark.sql.types import StructType
+
+        dtc = self.dt_col
+        has_dt = dtc is not None and dtc in marked.columns
+        sel = [F.col(c) for c in marked.columns]
+        if has_dt:
+            # same cell expression as store.with_part / the observed
+            # path's _ucells aggregate
+            sel.append(F.floor(self.store._epoch_us_col()
+                               / F.lit(self.store.width_us)).cast("long")
+                       .alias("_m_cell"))
+        for ru_i, ru_conf in enumerate(ru_confs):
+            sel.append(self._rollup_bucket_us(ru_conf)
+                       .alias(f"_m_rub{ru_i}"))
+        with self._write_lock:
+            rows = marked.select(*sel).collect()
+            upd = [r for r in rows if r[HIT_COL] is not None]
+            m: dict = {"n_total": len(rows), "n_update": len(upd)}
+            if has_dt:
+                dts = [r[dtc] for r in rows if r[dtc] is not None]
+                m["_lo"] = min(dts) if dts else None
+                m["_hi"] = max(dts) if dts else None
+                m["_dt_nulls"] = len(rows) - len(dts)
+                udts = [r[dtc] for r in upd if r[dtc] is not None]
+                m["_ulo"] = min(udts) if udts else None
+                m["_uhi"] = max(udts) if udts else None
+                cells = sorted({r["_m_cell"] for r in upd
+                                if r["_m_cell"] is not None})
+                m["_ucells"] = cells[:self._MERGE_CELLS_CAP + 1]
+            for ru_i in range(len(ru_confs)):
+                ubs = sorted({r[f"_m_rub{ru_i}"] for r in upd
+                              if r[f"_m_rub{ru_i}"] is not None})
+                m[f"_ru_ub{ru_i}"] = ubs[:self._ROLLUP_UB_CAP + 1]
+            u_cols = [c for c in marked.columns
+                      if c not in (HIT_COL, ORD_COL)]
+            u_schema = StructType([f for f in marked.schema.fields
+                                   if f.name in u_cols])
+            u_rows = [[r[c] for c in u_cols]
+                      for r in rows if r[HIT_COL] is None]
+            if u_rows:
+                self.store.append(
+                    self.spark.createDataFrame(u_rows, u_schema),
+                    new_files=new_files)
+        # patch keeps ORD_COL: _dedupe_patch orders by it (keep-last)
+        p_cols = [c for c in marked.columns if c != HIT_COL]
+        p_schema = StructType([f for f in marked.schema.fields
+                               if f.name != HIT_COL])
+        update = self.spark.createDataFrame(
+            [[r[c] for c in p_cols] for r in upd], p_schema)
+        return m, update
 
     def filter_existing(
         self, df: DataFrame, force_full_scan: bool = False,

@@ -210,6 +210,37 @@ def _family_graph_pagerank(spark: SparkSession, sf_dir: str,
     return ranks.count(), ranks
 
 
+def _family_symspell(spark: SparkSession, sf_dir: str,
+                     workdir: str) -> tuple[int, DataFrame]:
+    """Edit-distance-1 entity resolution at corpus scale through the
+    SAME machinery as ``customer_symspell_pairs`` (delete-variant
+    blocking + in-task ``basket_pairs`` bucket expansion + exact
+    levenshtein re-check), over a deterministic customer-like name
+    table ∝ corpus size. Sequential zero-padded ids give every name
+    ~|digits|·9 true neighbors, so BOTH the variant-bucket width
+    (bounded by near-neighbor density) and the true result size scale
+    linearly — the family's near-linear verdict measures that the
+    candidate expansion tracks the result, never |n|²."""
+    from meerschaum_spark.functions.graph import basket_pairs
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    n = ev.count()
+    n_names = max(200, n // 20)
+    cust = spark.range(n_names).select(
+        F.col("id").alias("k"),
+        F.format_string("Customer#%09d", F.col("id")).alias("name"))
+    vk = cust.select("k", F.explode(F.expr(
+        "transform(sequence(0, length(name)), "
+        "i -> concat(substr(name, 1, i), substr(name, i + 2)))"))
+        .alias("v"))
+    cand = basket_pairs(vk, "v", "k", out_a="a", out_b="b").distinct()
+    ca = cust.select(F.col("k").alias("a"), F.col("name").alias("na"))
+    cb = cust.select(F.col("k").alias("b"), F.col("name").alias("nb"))
+    out = (cand.join(F.broadcast(ca), "a").join(F.broadcast(cb), "b")
+           .filter(F.levenshtein("na", "nb") <= 1))
+    return out.count(), out
+
+
 def _catalog_family(name: str) -> Callable:
     def run(spark: SparkSession, sf_dir: str,
             workdir: str) -> tuple[int, DataFrame]:
@@ -246,6 +277,16 @@ FAMILIES: dict[str, Callable] = {
     # cumsum must all scale linearly (a single-partition ordered window
     # here would collapse the big scale onto one task)
     "events_sweep_concurrency": _catalog_family("events_max_concurrency"),
+    # r9: the similarity-join family whose WORST case is genuinely
+    # quadratic — prefix filtering's candidate volume is corpus-shape-
+    # dependent exactly the way LSH was before the r7 bucket cap; the
+    # generated corpus's 48-word vocabulary makes shingles maximally
+    # shared, a stress shape the driver testdata never produces
+    "doc_prefix_jaccard": _catalog_family("doc_jaccard_prefix_join"),
+    "doc_containment": _catalog_family("doc_containment_join"),
+    # r9: SymSpell delete-variant join (the third never-all-pairs
+    # family) over a corpus-∝ synthetic name table
+    "symspell_join": _family_symspell,
 }
 
 

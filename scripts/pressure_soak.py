@@ -35,7 +35,11 @@ FAMILIES = ["pipe_sync_diff", "pipe_ingest_dedup", "doc_minhash_lsh",
             # r8 third block: the prefix-sum localCheckpoint holds the
             # 2×|events| endpoint stream at MEMORY_AND_DISK — under the
             # clamped pool it must SPILL, not OOM
-            "events_sweep_concurrency"]
+            "events_sweep_concurrency",
+            # r9: the prefix-filter similarity join builds a checkpointed
+            # shingle-set table + a candidate self-join — both must spill
+            # under the clamped pool, not OOM
+            "doc_prefix_jaccard"]
 
 
 def spill_sampler(app_url: str):

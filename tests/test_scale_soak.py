@@ -20,7 +20,11 @@ pytestmark = pytest.mark.slow
 SCALE = 6
 FAMILIES = ["pipe_sync_diff", "pipe_ingest_dedup", "doc_domain_caps",
             "doc_minhash_lsh", "doc_bigram_lm", "events_lttb",
-            "graph_pagerank", "events_sweep_concurrency"]
+            "graph_pagerank", "events_sweep_concurrency",
+            # r9: the genuinely-quadratic-worst-case similarity joins +
+            # SymSpell — candidate volume must track the true result,
+            # never |n|² (the r7 LSH lesson, applied before it burns)
+            "doc_prefix_jaccard", "doc_containment", "symspell_join"]
 
 
 @pytest.fixture(scope="module")

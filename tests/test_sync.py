@@ -828,3 +828,61 @@ def test_sync_many_concurrent_pipes(spark, instance_dir, sf_dir):
     assert pipes[0].get_rowcount() == n_total
     for p in pipes:
         p.drop()
+
+
+def test_fused_local_small_batch_path(spark, instance_dir):
+    """r9 fused driver-local diff: small dict/list/pandas batches collect
+    the diff ONCE and write LocalRelations. Pins (a) that the path is
+    actually taken for small local batches and skipped for distributed
+    ones, (b) the job budget of a single-row update sync (collect +
+    merge — the pre-r9 path paid an append-side diff evaluation plus a
+    merge-side re-evaluation), (c) mixed unseen+update correctness in
+    one local batch."""
+    from meerschaum_spark.pipe import Pipe as _P
+
+    calls = {"n": 0}
+    orig = _P._fused_local_diff
+
+    def spy(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    _P._fused_local_diff = spy
+    try:
+        pipe = Pipe("fused", "ev", instance=instance_dir, spark=spark,
+                    columns={"datetime": "dt", "id": "id"})
+        pipe.sync(batch([{"dt": dtm(2024, 1, 1 + d), "id": d,
+                          "val": float(d)} for d in range(10)]))
+        assert calls["n"] == 0  # first sync takes the no-diff path
+
+        # mixed batch: one update (id=3 changed), one replay (id=4
+        # unchanged — must be dropped), one unseen (id=99)
+        r = pipe.sync(batch([
+            {"dt": dtm(2024, 1, 4), "id": 3, "val": -3.0},
+            {"dt": dtm(2024, 1, 5), "id": 4, "val": 4.0},
+            {"dt": dtm(2024, 1, 20), "id": 99, "val": 99.0},
+        ]))
+        assert calls["n"] == 1
+        assert (r.inserted, r.updated) == (1, 1), r.message
+        got = {x["id"]: x["val"] for x in pipe.get_data().collect()}
+        assert got[3] == -3.0 and got[4] == 4.0 and got[99] == 99.0
+        assert pipe.get_rowcount() == 11
+
+        # job budget: a single-row update = the diff collect + the merge
+        # (and the merge's own broadcast/list sub-jobs, at most one)
+        sc = spark.sparkContext
+        sc.setJobGroup("fused_update", "single-row late correction")
+        r2 = pipe.sync([{"dt": dtm(2024, 1, 4), "id": 3, "val": -33.0}])
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("fused_update"))
+        sc.setJobGroup("fused_done", "")
+        assert (r2.inserted, r2.updated) == (0, 1)
+        assert calls["n"] == 2
+        assert n_jobs <= 3, f"fused single-row update ran {n_jobs} jobs"
+
+        # distributed batches must NOT take the fused path
+        src = spark.createDataFrame(
+            [(dtm(2024, 2, 1), 200, 1.0)], "dt timestamp, id long, val double")
+        r3 = pipe.sync(src)
+        assert calls["n"] == 2 and r3.inserted == 1
+    finally:
+        _P._fused_local_diff = orig

@@ -45,6 +45,7 @@ HEAD_ORDER = [
     # -- new in r9 --
     "doc_bpe_train_rounds",
     "doc_substring_dup_spans",
+    "doc_dup_span_fraction",
     # -- changed in r9: the three r8 driver-red hash-only rows, made
     #    engine-version-insensitive (pure integer/epoch arithmetic; no
     #    double→decimal render, no timestamp date_diff, no decimal→

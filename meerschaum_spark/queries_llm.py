@@ -4242,3 +4242,136 @@ def doc_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("span_tokens").desc(),
                      "doc_a", "doc_b", "a_start", "b_start")
             .limit(SPAN_LIMIT))
+
+
+@query(
+    "doc_dup_span_fraction",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    p AS (SELECT doc_id,
+                 unnest(generate_series(1, len(toks) - {SUBSTR_WINDOW - 1}))
+                     AS pos,
+                 toks
+          FROM t WHERE len(toks) >= {SUBSTR_WINDOW}),
+    w AS (SELECT doc_id, pos,
+                 {_H60.format(
+                     x=f"array_to_string(toks[pos:pos+{SUBSTR_WINDOW - 1}],"
+                       " ' ')")} AS wh
+          FROM p),
+    dfreq AS (SELECT wh, count(*) AS wdf
+              FROM (SELECT DISTINCT doc_id, wh FROM w) GROUP BY wh),
+    kw AS (SELECT w.doc_id, w.pos, w.wh FROM w
+           JOIN dfreq ON w.wh = dfreq.wh
+           WHERE dfreq.wdf BETWEEN 2 AND {SUBSTR_MAX_DF}),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS a_pos, b.pos AS b_pos
+          FROM kw a JOIN kw b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+    isl AS (SELECT doc_a, doc_b, a_pos, b_pos,
+                   a_pos - row_number() OVER (
+                     PARTITION BY doc_a, doc_b, a_pos - b_pos
+                     ORDER BY a_pos) AS g
+            FROM m),
+    sp AS (SELECT doc_a, doc_b,
+                  min(a_pos) AS a_start, min(b_pos) AS b_start,
+                  count(*) + {SUBSTR_WINDOW - 1} AS span_tokens
+           FROM isl GROUP BY doc_a, doc_b, a_pos - b_pos, g),
+    iv AS (SELECT doc_a AS doc_id, a_start AS s,
+                  a_start + span_tokens AS e FROM sp
+           UNION ALL
+           SELECT doc_b AS doc_id, b_start AS s,
+                  b_start + span_tokens AS e FROM sp),
+    markd AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    grp AS (
+      SELECT doc_id, s, e,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS isl_id
+      FROM markd),
+    uni AS (SELECT doc_id, CAST(sum(mx - mn) AS BIGINT) AS dup_tokens
+            FROM (SELECT doc_id, isl_id, min(s) AS mn, max(e) AS mx
+                  FROM grp GROUP BY doc_id, isl_id)
+            GROUP BY doc_id)
+    SELECT u.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           u.dup_tokens,
+           CAST(u.dup_tokens AS DOUBLE) / CAST(len(t.toks) AS DOUBLE)
+               AS dup_fraction
+    FROM uni u JOIN t ON t.doc_id = u.doc_id
+    ORDER BY u.doc_id
+    """,
+)
+def doc_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token FRACTION (the Lee et al. 2022
+    curation signal: drop or downweight documents whose content is
+    substantially duplicated elsewhere) — the interval-union closure
+    over ``doc_substring_dup_spans``: every maximal span marks
+    ``[start, start+len)`` in BOTH partner documents, overlapping marks
+    from different partners union per document (classic
+    merge-overlapping-intervals: an interval starts a new island when
+    its start exceeds the running max end), and the union length over
+    the token count is the fraction.
+
+    Scale shape: everything repartitions on fine-grained keys — the
+    span chaining on (doc_a, doc_b, diagonal), the interval union on
+    doc_id (per-doc interval counts are bounded by partner count × span
+    count, never corpus-sized) — and the final join back to token
+    counts is a co-partitioned key join. The identical-double division
+    is the only float op, computed from exact integers on both
+    engines."""
+    pw = _substr_pos_windows(spark, sf_dir)
+    dfreq = (_substr_windows(spark, sf_dir)
+             .groupBy("wh").agg(F.count(F.lit(1)).alias("wdf"))
+             .filter(F.col("wdf").between(2, SUBSTR_MAX_DF)))
+    kw = pw.join(dfreq.select("wh"), on="wh", how="left_semi")
+    a, b = kw.alias("a"), kw.alias("b")
+    m = (a.join(b, (F.col("a.wh") == F.col("b.wh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+         .select(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"),
+                 F.col("a.pos").alias("a_pos"),
+                 F.col("b.pos").alias("b_pos")))
+    diag = F.col("a_pos") - F.col("b_pos")
+    win = Window.partitionBy("doc_a", "doc_b", diag).orderBy("a_pos")
+    sp = (m.withColumn("g", F.col("a_pos") - F.row_number().over(win))
+          .groupBy("doc_a", "doc_b", diag.alias("_diag"), "g")
+          .agg(F.min("a_pos").alias("a_start"),
+               F.min("b_pos").alias("b_start"),
+               (F.count(F.lit(1)) + F.lit(SUBSTR_WINDOW - 1))
+               .alias("span_tokens")))
+    iv = (sp.select(F.col("doc_a").alias("doc_id"),
+                    F.col("a_start").alias("s"),
+                    (F.col("a_start") + F.col("span_tokens")).alias("e"))
+          .unionByName(
+              sp.select(F.col("doc_b").alias("doc_id"),
+                        F.col("b_start").alias("s"),
+                        (F.col("b_start") + F.col("span_tokens"))
+                        .alias("e"))))
+    prev = (Window.partitionBy("doc_id").orderBy("s", "e")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    run = Window.partitionBy("doc_id").orderBy("s", "e") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    grp = (iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(prev),
+                                       F.lit(-1)), 1).otherwise(0))
+        .withColumn("isl_id", F.sum("new_island").over(run)))
+    uni = (grp.groupBy("doc_id", "isl_id")
+           .agg(F.min("s").alias("mn"), F.max("e").alias("mx"))
+           .groupBy("doc_id")
+           .agg(F.sum(F.col("mx") - F.col("mn")).cast("long")
+                .alias("dup_tokens")))
+    toks = (_docs(spark, sf_dir)
+            .select("doc_id", F.size(T.tokens(F.col("text")))
+                    .cast("long").alias("n_tokens")))
+    return (uni.join(toks, on="doc_id")
+            .select("doc_id", "n_tokens", "dup_tokens",
+                    (F.col("dup_tokens").cast("double")
+                     / F.col("n_tokens").cast("double"))
+                    .alias("dup_fraction"))
+            .orderBy("doc_id"))

@@ -753,7 +753,22 @@ def containment_prefix_join(
     and checkpointed once, document frequencies one hash agg, the
     candidate join is prefix(src) × full(container) on the shingle
     hash (posting-list economics — bounded by the prefix shingles'
-    document frequency), then one verification join-back per side."""
+    document frequency), then one verification join-back per side.
+
+    POSITIONAL filter (r9 — the scale soak flagged 19.75× shuffle-
+    bytes-per-row growth at 10× on a dense-vocabulary corpus): a match
+    on the container's j-th shingle (0-based, rare-first order) can
+    contribute at most the container's remaining ``n_b − j`` shingles
+    of overlap — because the global order is shared, everything before
+    the FIRST common shingle in b's order is disjoint from src — so
+    ``(n_b − j)·den ≥ n_src·num`` must hold for at least the
+    first-common-shingle match of every qualifying pair (the standard
+    PPJoin positional argument, Xiao et al. WWW'08). LOSSLESS: the
+    first match always survives; later matches of the same pair may
+    prune, which only thins the pre-``distinct`` duplicate stream.
+    Common shingles sit LAST in rare-first order, so this kills
+    exactly the blowup case: a common shingle in a short doc's prefix
+    matching the deep tail of every container's posting list."""
     if sets is None:
         sets = ordered_shingle_sets(df, text_col, id_col, n)
     plen = (F.col("n")
@@ -761,12 +776,15 @@ def containment_prefix_join(
             + F.lit(1)).cast("int")
     pre = sets.select(F.col(id_col), "n",
                       F.explode(F.slice("hs", F.lit(1), plen)).alias("s"))
-    full = sets.select(F.col(id_col), "n", F.explode("hs").alias("s"))
+    full = sets.select(F.col(id_col), "n",
+                       F.posexplode("hs").alias("j", "s"))
     a, b = pre.alias("a"), full.alias("b")
     cand = (a.join(b, on=[
                 F.col("a.s") == F.col("b.s"),
                 F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
                 F.col("b.n") * den >= F.col("a.n") * num,
+                (F.col("b.n") - F.col("b.j")) * den
+                >= F.col("a.n") * num,
             ])
             .select(F.col(f"a.{id_col}").alias("doc_src"),
                     F.col(f"b.{id_col}").alias("doc_container"))

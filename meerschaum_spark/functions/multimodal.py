@@ -1,11 +1,14 @@
 """Multimodal column plumbing: opaque ``binary`` payloads with typed
 metadata, processed by Arrow-batched pandas UDFs (``mapInPandas``).
 
-The image/audio decode libraries are not in this container, so the decode
-step is STUBBED (``decode_image`` raises ``NotImplementedError``; a
-deterministic fake stands in for tests/bench). Everything Spark-side —
-schema, batch iteration, partitioning, UDF signatures — is real: swapping
-the fake for PIL/torchaudio is a one-function change.
+The general image/audio decode libraries are not in this container, so
+the generic decode step is STUBBED (``decode_image`` raises
+``NotImplementedError`` for non-PNG; a deterministic fake stands in for
+tests/bench) — but two codecs are REAL end to end: PNG (pure stdlib
+zlib/struct, below) and int16-LE PCM audio (numpy byte packing, bottom
+of this module). Everything Spark-side — schema, batch iteration,
+partitioning, UDF signatures — is real: swapping the fake for
+PIL/torchaudio is a one-function change.
 """
 
 from __future__ import annotations
@@ -347,3 +350,73 @@ def fake_sample_frames(df: DataFrame, id_col: str = "doc_id",
             })
 
     return cols.mapInPandas(op, schema=FRAME_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real PCM audio path (r9): synthesis, decode, and feature extraction of
+# int16 little-endian PCM clips need NO external audio library — the
+# waveform is an integer sawtooth (no libm in generation, so the SQL
+# oracle reproduces every sample exactly), the binary encode/decode is
+# numpy '<i2' packing, and the features (peak, zero crossings, energy)
+# are exact integers; only RMS divides (by a power of two — exact) and
+# takes one IEEE-correctly-rounded sqrt, identical on every engine.
+# ---------------------------------------------------------------------------
+
+AUDIO_N_SAMPLES = 2048
+AUDIO_FEATURE_SCHEMA = ("clip_id long, n_samples long, peak long, "
+                        "zero_crossings long, sum_sq long, rms double")
+
+
+def synth_pcm_clips(df: DataFrame, id_col: str = "clip_id",
+                    payload_col: str = "pcm") -> DataFrame:
+    """Arrow-batched PCM synthesis: one int16-LE clip per input row.
+    Sawtooth with per-clip period ``20 + id % 50`` and amplitude
+    ``1000 + (id % 17) * 500`` — pure integer arithmetic, so the
+    encoded bytes are bit-deterministic across machines."""
+    import numpy as np
+
+    schema = f"{id_col} long, {payload_col} binary"
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            payloads = []
+            for cid in ids:
+                p = 20 + int(cid) % 50
+                a = 1000 + (int(cid) % 17) * 500
+                i = np.arange(AUDIO_N_SAMPLES, dtype=np.int64)
+                v = (i % p) * (2 * a) // (p - 1) - a
+                payloads.append(v.astype("<i2").tobytes())
+            yield pd.DataFrame({id_col: ids, payload_col: payloads})
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def audio_features(df: DataFrame, id_col: str = "clip_id",
+                   payload_col: str = "pcm") -> DataFrame:
+    """Decode int16-LE PCM payloads and extract the classic audio-ML
+    screening features: peak amplitude, zero-crossing count (sign
+    convention ``v >= 0``), energy (exact integer Σv²), and RMS. The
+    decode is a real byte-level parse (``np.frombuffer``) — the shape a
+    torchaudio-backed extractor would take, with the codec swapped."""
+    import math
+
+    import numpy as np
+
+    def feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for cid, buf in zip(pdf[id_col], pdf[payload_col]):
+                v = np.frombuffer(bytes(buf), dtype="<i2").astype(np.int64)
+                n = len(v)
+                peak = int(np.max(np.abs(v))) if n else 0
+                nn = v >= 0
+                zc = int(np.count_nonzero(nn[1:] != nn[:-1]))
+                ss = int(np.dot(v, v))
+                rms = math.sqrt(ss / n) if n else 0.0
+                rows.append((int(cid), n, peak, zc, ss, rms))
+            yield pd.DataFrame(rows, columns=[
+                "clip_id", "n_samples", "peak", "zero_crossings",
+                "sum_sq", "rms"])
+
+    return df.mapInPandas(feats, schema=AUDIO_FEATURE_SCHEMA)

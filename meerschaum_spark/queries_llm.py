@@ -4375,3 +4375,58 @@ def doc_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.col("n_tokens").cast("double"))
                     .alias("dup_fraction"))
             .orderBy("doc_id"))
+
+
+@query(
+    "multimodal_audio_features",
+    f"""
+    WITH clips AS (SELECT DISTINCT user_id AS clip_id FROM events
+                   WHERE user_id IS NOT NULL),
+    par AS (SELECT clip_id,
+                   20 + clip_id % 50 AS p,
+                   1000 + (clip_id % 17) * 500 AS a
+            FROM clips),
+    s AS (SELECT clip_id, p, a,
+                 unnest(generate_series(0, {M.AUDIO_N_SAMPLES - 1})) AS i
+          FROM par),
+    w AS (SELECT clip_id, i,
+                 ((i % p) * (2 * a)) // (p - 1) - a AS v
+          FROM s),
+    z AS (SELECT clip_id, v,
+                 CASE WHEN (v >= 0) !=
+                      (lead(v) OVER (PARTITION BY clip_id ORDER BY i) >= 0)
+                      THEN 1 ELSE 0 END AS c
+          FROM w)
+    SELECT clip_id,
+           CAST({M.AUDIO_N_SAMPLES} AS BIGINT) AS n_samples,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           CAST(sum(c) AS BIGINT) AS zero_crossings,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           sqrt(CAST(sum(v * v) AS DOUBLE) / {M.AUDIO_N_SAMPLES}.0) AS rms
+    FROM z GROUP BY clip_id ORDER BY clip_id
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction over opaque PCM ``binary``
+    payloads — the multimodal plumbing item upgraded from stub to
+    working codec for raw PCM (the one audio format that needs no
+    external library): per-user int16-LE clips are synthesized by one
+    Arrow-batched pandas UDF, round-trip through a genuine byte-level
+    decode (``np.frombuffer``), and yield the classic screening
+    features — peak, zero-crossing count, exact integer energy, RMS.
+
+    Cross-engine exactness discipline: the waveform is an integer
+    sawtooth (generation has no libm call to diverge on), features are
+    exact integers, and RMS is one power-of-two-exact division plus one
+    IEEE-correctly-rounded sqrt — so the oracle regenerates every
+    sample in SQL and hash-matches. Scale shape: synthesis and
+    extraction are MAP-ONLY pandas stages over the clip table (the
+    id-distinct is the only shuffle); at 100 TB each clip row carries
+    its payload through one python runner layer, partitioned by
+    ``parallelize`` so per-core batches stay full."""
+    ev = load_table(spark, sf_dir, "events")
+    clips = parallelize(
+        ev.filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").alias("clip_id")).distinct())
+    pcm = M.synth_pcm_clips(clips)
+    return M.audio_features(pcm).orderBy("clip_id")

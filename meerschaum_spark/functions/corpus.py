@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from meerschaum_spark.catalog import hash60
+from meerschaum_spark.functions.persist import pin as _pin
 from meerschaum_spark.functions.text import (
     lang_columns,
     norm_text,
@@ -90,7 +91,7 @@ def select_token_budget(
     # projection whose lineage is expensive (tokenization at ~regex cost
     # per doc) — materialize it once so the passes scan stored rows, not
     # lineage.
-    df = df.localCheckpoint(eager=True)
+    df = df.transform(_pin)
     n_buckets = 128
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = df.approxQuantile(order_col, probs, 0.001)
@@ -200,7 +201,7 @@ def with_running_sum(
     bucket plus the broadcast offset. Work is one pass + a window over
     corpus/n_buckets rows per task — the building block for sequence
     packing, token budgeting, and deterministic offset assignment."""
-    df = df.localCheckpoint(eager=True)
+    df = df.transform(_pin)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = df.approxQuantile(order_col, probs, 0.001)
     uniq: list = []

@@ -25,6 +25,7 @@ from pyspark.sql.types import StructField, StructType
 
 from meerschaum_spark.catalog import hash60
 from meerschaum_spark.functions.text import tokens
+from meerschaum_spark.functions.persist import pin as _pin
 
 DEFAULT_MINHASH_K = 8
 DEFAULT_BANDS = 4
@@ -154,7 +155,7 @@ def jaccard_pairs(
     # materialize once: the self-join would otherwise re-evaluate the
     # shingle pipeline on both sides (measured 3× slower); at cluster
     # scale this would be a persisted signatures table
-    exploded = exploded.localCheckpoint(eager=True)
+    exploded = exploded.transform(_pin)
     if max_shingle_df is not None:
         hot = (exploded.groupBy(*scope, "s")
                .agg(F.count(F.lit(1)).alias("_df"))
@@ -165,7 +166,7 @@ def jaccard_pairs(
         # each consumer re-scans the pre-cap checkpoint and re-runs the
         # anti-join probe (measured: 11.4 s vs 4 s at sf0.1)
         exploded = exploded.join(F.broadcast(hot), on=[*scope, "s"],
-                                 how="left_anti").localCheckpoint(eager=True)
+                                 how="left_anti").transform(_pin)
     sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -309,7 +310,7 @@ def lsh_candidate_pairs(
         # materialize: both sides of the bucket self-join reuse the
         # signatures (callers with a precomputed table pass ``sigs``
         # already checkpointed and amortize it across queries)
-        sigs = sigs.localCheckpoint(eager=True)
+        sigs = sigs.transform(_pin)
     scope = [scope_col] if scope_col else []
     buckets = band_hash_rows(sigs, id_col, k, bands, keep_cols=scope)
     if max_bucket_size is not None:
@@ -389,7 +390,7 @@ def connected_components(
     join threshold. Semantics are identical (min-node-id labels)."""
     dedup_edges = (edges.select(F.col(src).alias("u"),
                                 F.col(dst).alias("v"))
-                   .distinct().localCheckpoint(eager=True))
+                   .distinct().transform(_pin))
     n_edges = dedup_edges.count()
     if n_edges <= local_max_edges:
         labels_map = _components_local(
@@ -410,10 +411,10 @@ def connected_components(
     sym = (dedup_edges
            .union(dedup_edges.select(F.col("v").alias("u"),
                                      F.col("u").alias("v"))))
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.transform(_pin)
     labels = (sym.select(F.col("u").alias("node")).distinct()
               .withColumn("label", F.col("node"))
-              .localCheckpoint(eager=True))
+              .transform(_pin))
     # decimal(38,0) sum: label sums exceed int64 at large node counts
     prev_sum = labels.agg(
         F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
@@ -426,7 +427,7 @@ def connected_components(
                           F.least(F.col("label"),
                                   F.coalesce("nbr_label", "label"))
                           .alias("label"))
-                  .localCheckpoint(eager=True))
+                  .transform(_pin))
         cur_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
         if cur_sum == prev_sum:
@@ -468,7 +469,7 @@ def near_dup_clusters(
                                 k=k, bands=bands, sigs=sigs)
     # the candidate table feeds three consumers (id semi-join + two
     # re-rank joins) — materialize it once
-    cands = cands.localCheckpoint(eager=True)
+    cands = cands.transform(_pin)
     # shingle sets ONLY for docs that appear in a candidate pair: the
     # exact re-rank stays candidate-proportional — at corpus scale the
     # candidate docs are a sliver of the table, so hashing every doc's
@@ -542,7 +543,7 @@ def hamming_near_pairs(sim_df: DataFrame, id_col: str = "doc_id",
     # materialize the signatures: the block self-join and the final
     # distance filter would otherwise recompute the simhash per branch
     if checkpoint:
-        sim_df = sim_df.localCheckpoint(eager=True)
+        sim_df = sim_df.transform(_pin)
     exploded = sim_df.select(
         F.col(id_col), F.col("simhash"),
         F.explode(F.array(*[
@@ -632,7 +633,7 @@ def ordered_shingle_sets(
                       shingles_of_tokens(F.col("_toks"), n)))
                   .alias("_sh_str"))
           .select(F.col(id_col), hash60(F.col("_sh_str")).alias("s"))
-          .localCheckpoint(eager=True))
+          .transform(_pin))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
     ordered = (ex.join(dfreq, on="s")
                .groupBy(id_col)
@@ -644,7 +645,7 @@ def ordered_shingle_sets(
             .select(F.col(id_col),
                     F.transform(F.col("_ord"), lambda x: x["s"]).alias("hs"),
                     "n")
-            .localCheckpoint(eager=True))
+            .transform(_pin))
 
 
 def prefix_filter_join(
@@ -800,3 +801,49 @@ def containment_prefix_join(
             .select("doc_src", "doc_container", "n_shared",
                     (F.col("n_shared").cast("double")
                      / F.col("_na").cast("double")).alias("containment")))
+
+
+def estimate_prefix_candidates(
+    sets: DataFrame,
+    num: int = 1,
+    den: int = 2,
+    containment: bool = True,
+) -> dict:
+    """PREFLIGHT candidate-volume estimate for the prefix-filter joins —
+    one hash aggregate over the shingle table, returning the EXACT
+    candidate-match row count the join would shuffle (before pair
+    dedup/verification) plus its per-document ratio.
+
+    Why this exists (r9 scale-soak finding): a lossless set-similarity
+    join's candidate volume is Σ_s prefix_df(s)·df(s) (containment) or
+    Σ_s prefix_df(s)² (Jaccard) — corpus-SHAPE-dependent, not
+    corpus-size-dependent. On Zipfian real-text shingles the rare-first
+    prefixes keep it near-linear; on a dense/homogeneous corpus (the
+    soak generator's 48-word vocabulary, where every pair of documents
+    shares shingles) it is Θ(n²) while the qualifying result stays
+    linear — and NO lossless filter can beat that, because the
+    candidate set must contain every qualifying pair and the corpus
+    makes almost every pair plausible. At 100 TB the right move is to
+    KNOW before launching: this estimate costs one shuffle of the
+    (shingle, df) table; if ``est_candidates / n_docs`` is far above
+    the expected matches-per-doc, route the corpus through the
+    probabilistic prescreen (banded MinHash-LSH, ``lsh_candidates``)
+    or a stricter threshold instead."""
+    plen = (F.col("n")
+            - F.expr(f"({num} * n + {den - 1}) div {den}")
+            + F.lit(1)).cast("int")
+    pre = sets.select(F.explode(F.slice("hs", F.lit(1), plen)).alias("s"))
+    pdf_counts = pre.groupBy("s").agg(F.count(F.lit(1)).alias("pdf"))
+    if containment:
+        full = sets.select(F.explode("hs").alias("s"))
+        dfc = full.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        j = pdf_counts.join(dfc, on="s")
+        est = j.agg(F.sum(F.col("pdf").cast("long")
+                          * F.col("df").cast("long")).alias("e")).first()["e"]
+    else:
+        est = pdf_counts.agg(F.sum(F.col("pdf").cast("long")
+                                   * F.col("pdf").cast("long"))
+                             .alias("e")).first()["e"]
+    n_docs = sets.count()
+    return {"est_candidates": int(est or 0), "n_docs": int(n_docs),
+            "per_doc": (int(est or 0) / max(n_docs, 1))}

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from meerschaum_spark.catalog import hash60
+from meerschaum_spark.functions.persist import pin as _pin
 
 VDEC = "decimal(12,9)"   # element type: float32 ≈ 7 sig digits; 9 exact decimals
 ACC = "decimal(30,18)"   # product = (25,18) exact; 12 integer digits of headroom
@@ -385,7 +386,7 @@ def cosine_near_dup_pairs(
         corpus.select(F.col(id_col).alias("vid"), F.col(vec_col)),
         "vid", vec_col, n_planes,
         seeds=[f"tbl{t}_" for t in range(n_tables)], dim=dim)
-    buckets = buckets.localCheckpoint(eager=True)
+    buckets = buckets.transform(_pin)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))

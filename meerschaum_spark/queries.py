@@ -30,6 +30,7 @@ from meerschaum_spark.sources import load_table
 from meerschaum_spark.sources.tables import canonicalize_ts
 
 from meerschaum_spark.catalog import DEC, HASH60_SQL, ORACLE, QUERIES, QueryFn, dec as _dec, hash60, query, sum_dbl as _sum_dbl
+from meerschaum_spark.functions.persist import pin as _pin
 
 UTC = datetime.timezone.utc
 
@@ -1279,9 +1280,9 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # make the counts themselves metadata-cheap.
     v = (ev.filter(F.col("event_type") == "view")
          .groupBy("user_id").agg(F.min("ts").alias("t1"))
-         .localCheckpoint(eager=True))
-    c = first_after(v, "t1", "click", "t2").localCheckpoint(eager=True)
-    p = first_after(c, "t2", "purchase", "t3").localCheckpoint(eager=True)
+         .transform(_pin))
+    c = first_after(v, "t1", "click", "t2").transform(_pin)
+    p = first_after(c, "t2", "purchase", "t3").transform(_pin)
     counts = [df.count() for df in (v, c, p)]
     return spark.createDataFrame(
         [tuple(counts)],
@@ -5269,7 +5270,7 @@ def part_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ob = (li.join(F.broadcast(part.select("p_partkey", "p_brand")),
                   F.col("l_partkey") == F.col("p_partkey"))
           .select("l_orderkey", "p_brand").distinct()
-          .localCheckpoint(eager=True))
+          .transform(_pin))
     n_orders = ob.select("l_orderkey").distinct().count()
     item = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_item"))
     und = basket_pairs(ob, "l_orderkey", "p_brand",

@@ -18,6 +18,7 @@ from meerschaum_spark.functions import multimodal as M
 from meerschaum_spark.functions import similarity as S
 from meerschaum_spark.functions import text as T
 from meerschaum_spark.sources import load_table
+from meerschaum_spark.functions.persist import pin as _pin
 
 # SQL fragments mirroring functions/text.py + catalog.hash60
 _TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
@@ -254,7 +255,7 @@ def _cached_sigs(kind: str, spark: SparkSession, sf_dir: str, builder):
     key = (kind, app_id, sf_dir)
     df = _SIG_CACHE.get(key)
     if df is None:
-        df = builder().localCheckpoint(eager=True)
+        df = builder().transform(_pin)
         _SIG_CACHE[key] = df
     return df
 

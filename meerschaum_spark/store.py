@@ -127,12 +127,29 @@ class ParquetPipeStore:
             return (c.cast("long") * F.lit(UNIT_US[self.dt_unit])).cast("long")
         return F.unix_micros(c)
 
+    def _epoch_us_sql(self) -> str:
+        q = "`" + self.dt_col.replace("`", "``") + "`"
+        if self.dt_is_int:
+            return f"(cast({q} as bigint) * {UNIT_US[self.dt_unit]})"
+        return f"unix_micros({q})"
+
+    def part_expr(self) -> F.Column:
+        """The partition-cell expression, exact int64 end to end: floor
+        division spelled as subtract-nonneg-remainder + truncating
+        ``div`` (the engine's cross-engine discipline). The previous
+        ``floor(epoch / width)`` float division is lossy above 2^53 µs
+        and disagreed with the driver-side ``part_index_of``'s exact
+        ``//`` at extreme epochs — the partition key must never touch a
+        double. pmod keeps negative int-axis epochs flooring like
+        ``//``."""
+        e = self._epoch_us_sql()
+        w = self.width_us
+        return F.expr(f"(({e}) - pmod(({e}), {w})) div {w}").cast("long")
+
     def with_part(self, df: DataFrame) -> DataFrame:
         if self.dt_col is None or self.dt_col not in df.columns:
             return df.withColumn(PART_COL, F.lit(0).cast("long"))
-        return df.withColumn(
-            PART_COL, F.floor(self._epoch_us_col() / F.lit(self.width_us)).cast("long")
-        )
+        return df.withColumn(PART_COL, self.part_expr())
 
     def part_index_of(self, epoch_us: int) -> int:
         return epoch_us // self.width_us

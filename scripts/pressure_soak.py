@@ -13,7 +13,7 @@ Must run as its own process: ``spark.driver.memory`` and
 ``--json-only`` also rewrites the "memory pressure" section of SCALE.md.
 
 Clamp math (local mode, one JVM): usable = (heap - 300 MB reserved) x
-memory.fraction. With heap=1g and fraction=0.15 the unified pool is
+memory.fraction. With heap=2g and fraction=0.075 the unified pool is
 ~110 MB shared by up to $SPARK_GRAFT_CPUS concurrent tasks — a few MB
 per task, so the 10x corpus's sorts/aggregates must spill to finish.
 """
@@ -62,11 +62,19 @@ def main() -> None:
     from meerschaum_spark.plans.soak import generate_corpus, run_families
     from meerschaum_spark.session import get_spark
 
-    heap = "900m" if small else "1g"
+    # r9 recalibration: heap 1g × fraction 0.15 clamped the unified pool
+    # to ~110 MB but ALSO left only ~700 MB of plain-Java headroom — the
+    # array-heavy prefix-join family (two ~1 KB shingle arrays per join
+    # row × 32 concurrent tasks) then died of java.lang.OutOfMemoryError
+    # in TASK OBJECTS, which is not the failure mode this soak exists to
+    # exercise. heap=2g × fraction=0.075 keeps the SAME ~130 MB unified
+    # pool (the spill clamp) with double the object headroom.
+    heap = "1800m" if small else "2g"
+    frac = "0.075"
     spark = get_spark("pressure_soak", extra_confs={
         "spark.driver.memory": heap,
         # unified pool ≈ (heap - 300m) * fraction — sized to force spill
-        "spark.memory.fraction": "0.15",
+        "spark.memory.fraction": frac,
         "spark.ui.enabled": "true",
         "spark.ui.port": str(UI_PORT),
         # few, LARGE shuffle partitions: per-partition working sets must
@@ -74,7 +82,7 @@ def main() -> None:
         "spark.sql.shuffle.partitions": "4",
     })
     spark.sparkContext.setLogLevel("ERROR")
-    assert spark.conf.get("spark.memory.fraction") == "0.15"
+    assert spark.conf.get("spark.memory.fraction") == frac
     app = spark.sparkContext.applicationId
     sampler = spill_sampler(
         f"http://localhost:{UI_PORT}/api/v1/applications/{app}")
@@ -95,7 +103,7 @@ def main() -> None:
               f"/ {rec['stages']['disk_spill_b'] / 2**20:.0f} MB disk",
               file=sys.stderr)
     total_spill = sum(r["stages"]["memory_spill_b"] for r in results.values())
-    out = {"heap": heap, "memory_fraction": 0.15, "n_docs": n_docs,
+    out = {"heap": heap, "memory_fraction": 0.075, "n_docs": n_docs,
            "n_events": n_events, "total_memory_spill_b": total_spill,
            "families": results}
     print(json.dumps(out, default=str))
@@ -112,7 +120,7 @@ def _update_scale_md(out: dict) -> None:
         marker,
         "",
         f"Same corpus families re-run in a fresh JVM clamped to heap="
-        f"{out['heap']}, `spark.memory.fraction=0.15`, 4 shuffle "
+        f"{out['heap']}, `spark.memory.fraction=0.075`, 4 shuffle "
         f"partitions ({out['n_docs']} docs / {out['n_events']} events) — "
         "the unified memory pool is ~100 MB, so aggregates and the LSH "
         "candidate join must SPILL to finish (`scripts/pressure_soak.py`;"

@@ -136,6 +136,29 @@ def main() -> None:
         "so gate results are bit-identical. Post-fix the family measures "
         "3.5 s at 10× (table above).",
         "",
+        "**r9 finding — `doc_containment` reads CHECK, and that verdict "
+        "is the honest one.** Direct candidate accounting (not wall "
+        "time): at 10× docs the containment join's candidate matches "
+        "grow ~130× (14.2M from 110k) against a 10× true result — and "
+        "the cause is NOT a hot-shingle tail (max shingle DF is 47 at "
+        "10×; an LSH-style DF cap is a no-op) but UNIFORM density: the "
+        "generator's 48-word vocabulary makes every document pair share "
+        "prefix shingles, so Σ prefix_df·df is Θ(n²) while qualifying "
+        "pairs stay linear. No lossless filter can beat that — the "
+        "candidate set must contain every qualifying pair, and this "
+        "corpus makes almost every pair plausible. What r9 shipped: "
+        "(a) the PPJoin positional filter (container-side "
+        "`(n_b−j)·den ≥ n_src·num`), lossless, −20% candidates here and "
+        "much more on Zipfian corpora; (b) "
+        "`dedup.estimate_prefix_candidates` — a one-aggregate PREFLIGHT "
+        "that returns the exact candidate volume the join would "
+        "shuffle, so a 100 TB caller routes dense corpora through the "
+        "banded-LSH prescreen instead of launching a quadratic join "
+        "blind. Real-text 3-gram shingle DFs are Zipfian (driver "
+        "testdata: max DF 7 at 500 docs), where rare-first prefixes "
+        "keep the volume near-linear — `doc_prefix_jaccard` "
+        "(both-sides-pruned) stays NEAR-LINEAR even on this corpus.",
+        "",
         "Raw measurements:",
         "```json",
         json.dumps(results, indent=1, default=str),

@@ -152,7 +152,8 @@ def test_heavy_families_survive_memory_pressure():
     fams = out["families"]
     assert set(fams) == {"pipe_sync_diff", "pipe_ingest_dedup",
                          "doc_minhash_lsh", "doc_token_budget",
-                         "geo_radius_join", "events_sweep_concurrency"}
+                         "geo_radius_join", "events_sweep_concurrency",
+                         "doc_prefix_jaccard"}
     # the clamp must have actually BITTEN: the corpus working set is
     # ~10x the pool, so at least one family must record genuine spill
     assert out["total_memory_spill_b"] > 10 * 2**20, out

@@ -47,6 +47,7 @@ HEAD_ORDER = [
     "doc_substring_dup_spans",
     "doc_dup_span_fraction",
     "multimodal_audio_features",
+    "doc_bpe_encode_fertility",
     # -- changed in r9: the three r8 driver-red hash-only rows, made
     #    engine-version-insensitive (pure integer/epoch arithmetic; no
     #    double→decimal render, no timestamp date_diff, no decimal→

@@ -4409,22 +4409,22 @@ def _pagerank_oracle_sql(iterations: int = 5, scale: int = 1_000_000_000,
     prev = "r0"
     for k in range(1, iterations + 1):
         steps.append(
-            f"r{k} AS (SELECT oe.dst AS node, "
+            f"r{k} AS MATERIALIZED (SELECT oe.dst AS node, "
             f"CAST({base} + sum(({d_num} * r.rank) // ({d_den} * oe.deg)) "
             f"AS BIGINT) AS rank "
             f"FROM oe JOIN {prev} r ON r.node = oe.src GROUP BY 1)")
         prev = f"r{k}"
     return f"""
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e AS (
+    WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
       SELECT a.l_partkey AS u, b.l_partkey AS v
       FROM op a JOIN op b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING count(*) >= 2),
-    de AS (SELECT u AS src, v AS dst FROM e
+    de AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
            UNION ALL SELECT v AS src, u AS dst FROM e),
-    deg AS (SELECT src AS node, count(*) AS deg FROM de GROUP BY 1),
-    oe AS (SELECT d.src, d.dst, g.deg FROM de d JOIN deg g ON g.node = d.src),
+    deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM de GROUP BY 1),
+    oe AS MATERIALIZED (SELECT d.src, d.dst, g.deg FROM de d JOIN deg g ON g.node = d.src),
     r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM deg),
     {",".join(steps)}
     SELECT node AS p_partkey, rank FROM {prev}

@@ -2129,7 +2129,7 @@ def _substr_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE [] END AS whs
       FROM t),
     ex AS (SELECT doc_id, unnest(whs) AS wh FROM w),
-    dfreq AS (SELECT wh, count(*) AS wdf FROM ex GROUP BY wh),
+    dfreq AS MATERIALIZED (SELECT wh, count(*) AS wdf FROM ex GROUP BY wh),
     keepw AS (SELECT ex.doc_id, ex.wh FROM ex
               JOIN dfreq ON ex.wh = dfreq.wh
               WHERE dfreq.wdf BETWEEN 2 AND {SUBSTR_MAX_DF}),
@@ -4015,46 +4015,49 @@ def doc_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_ROUNDS = 4
 
 
-def _bpe_train_oracle_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
-    """Unrolled BPE training rounds (standard SQL forbids aggregates in
-    recursive CTE terms, so — like the PageRank oracle — each round is
-    spelled explicitly). Greedy left-to-right merging is the
-    gaps-and-islands parity selection: adjacent match positions can only
-    collide when the winner pair is (x, x), and there the 1st, 3rd, …
-    match of each consecutive run merges — exactly the sequential fold
-    the Spark side runs."""
+def _bpe_rounds_ctes(rounds: int, merge_last: bool) -> list[str]:
+    """Shared CTE scaffolding for the unrolled BPE rounds (standard SQL
+    forbids aggregates in recursive CTE terms, so — like the PageRank
+    oracle — each round is spelled explicitly). Greedy left-to-right
+    merging is the gaps-and-islands parity selection: adjacent match
+    positions can only collide when the winner pair is (x, x), and
+    there the 1st, 3rd, … match of each consecutive run merges —
+    exactly the sequential fold the Spark side runs. With
+    ``merge_last`` the final winner is also APPLIED (``r{rounds+1}``
+    exists — the encode oracle's final state); without it the last
+    round only elects ``w{rounds}`` (the trainer's merge table)."""
     parts = [
         f"WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),",
-        "r1 AS (SELECT doc_id,"
+        "r1 AS MATERIALIZED (SELECT doc_id,"
         " unnest(generate_series(1, len(toks))) AS pos,"
         " unnest(toks) AS sym FROM t WHERE len(toks) >= 1)",
     ]
     for k in range(1, rounds + 1):
         parts.append(f"""
-, cnt{k} AS (
+, cnt{k} AS MATERIALIZED (
     SELECT a.sym AS s1, b.sym AS s2, count(*) AS n
     FROM r{k} a, r{k} b
     WHERE b.doc_id = a.doc_id AND b.pos = a.pos + 1
     GROUP BY 1, 2),
-w{k} AS (SELECT s1, s2, n FROM cnt{k} ORDER BY n DESC, s1, s2 LIMIT 1)""")
-        if k == rounds:
+w{k} AS MATERIALIZED (SELECT s1, s2, n FROM cnt{k} ORDER BY n DESC, s1, s2 LIMIT 1)""")
+        if k == rounds and not merge_last:
             break
         parts.append(f"""
-, m{k} AS (
+, m{k} AS MATERIALIZED (
     SELECT a.doc_id, a.pos
     FROM r{k} a, r{k} b, w{k} w
     WHERE b.doc_id = a.doc_id AND b.pos = a.pos + 1
       AND a.sym = w.s1 AND b.sym = w.s2),
-i{k} AS (
+i{k} AS MATERIALIZED (
     SELECT doc_id, pos,
            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
     FROM m{k}),
-s{k} AS (
+s{k} AS MATERIALIZED (
     SELECT doc_id, pos FROM (
       SELECT doc_id, pos,
              row_number() OVER (PARTITION BY doc_id, g ORDER BY pos) AS rn
       FROM i{k}) WHERE rn % 2 = 1),
-n{k} AS (
+n{k} AS MATERIALIZED (
     SELECT r.doc_id, r.pos,
            CASE WHEN sl.pos IS NOT NULL
                 THEN (SELECT s1 || ' ' || s2 FROM w{k})
@@ -4063,15 +4066,38 @@ n{k} AS (
     LEFT JOIN s{k} sl ON sl.doc_id = r.doc_id AND sl.pos = r.pos
     LEFT JOIN s{k} dp ON dp.doc_id = r.doc_id AND dp.pos = r.pos - 1
     WHERE dp.pos IS NULL),
-r{k + 1} AS (
+r{k + 1} AS MATERIALIZED (
     SELECT doc_id,
            row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos, sym
     FROM n{k})""")
+    return parts
+
+
+def _bpe_train_oracle_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    parts = _bpe_rounds_ctes(rounds, merge_last=False)
     unions = "\n    UNION ALL ".join(
         f"SELECT {k} AS round, s1 AS pair_left, s2 AS pair_right, "
         f"CAST(n AS BIGINT) AS n_occurrences FROM w{k}"
         for k in range(1, rounds + 1))
     parts.append(f"\nSELECT * FROM (\n    {unions}\n) ORDER BY round")
+    return "\n".join(parts)
+
+
+def _bpe_encode_oracle_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    parts = _bpe_rounds_ctes(rounds, merge_last=True)
+    parts.append(f"""
+, tok0 AS (SELECT doc_id, len(toks) AS n0 FROM t),
+tokf AS (SELECT doc_id, count(*) AS nf FROM r{rounds + 1} GROUP BY doc_id)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t0.n0) AS BIGINT) AS tokens_before,
+       CAST(sum(tf.nf) AS BIGINT) AS tokens_after,
+       CAST(sum(t0.n0) AS DOUBLE) / CAST(sum(tf.nf) AS DOUBLE)
+           AS expansion
+FROM documents d
+JOIN tok0 t0 ON t0.doc_id = d.doc_id
+JOIN tokf tf ON tf.doc_id = d.doc_id
+GROUP BY 1 ORDER BY 1""")
     return "\n".join(parts)
 
 
@@ -4098,12 +4124,27 @@ def doc_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     winner's left element (it strictly contains a separator the raw
     winner lacks in round 1, and symbol equality is exact thereafter),
     so the fold IS the left-to-right scan."""
+    cur, out_rows = _bpe_apply_rounds(
+        spark, sf_dir, BPE_TRAIN_ROUNDS, merge_last=False)
+    schema = ("round int, pair_left string, pair_right string, "
+              "n_occurrences long")
+    return spark.createDataFrame(out_rows, schema).orderBy("round")
+
+
+def _bpe_apply_rounds(spark: SparkSession, sf_dir: str, rounds: int,
+                      merge_last: bool) -> tuple[DataFrame, list]:
+    """The shared Spark-side BPE loop: per round one pair-count hash
+    aggregate + a one-row argmax collect + a map-only greedy
+    ``F.aggregate`` fold applying the winner. Returns the (possibly
+    fully merged) token table and the winner rows. ``merge_last``
+    mirrors the oracle generator: the trainer reports winners without
+    applying the last one; the encoder applies every learned merge."""
     docs = _docs(spark, sf_dir)
     cur = (docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
            .filter(F.size("toks") >= 1)
            .localCheckpoint())
     out_rows = []
-    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+    for rnd in range(1, rounds + 1):
         pairs = cur.select(F.explode(F.expr(
             "zip_with(slice(toks, 1, size(toks) - 1),"
             "         slice(toks, 2, size(toks) - 1),"
@@ -4117,7 +4158,7 @@ def doc_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         s1, s2, n = win[0]["s1"], win[0]["s2"], win[0]["n"]
         out_rows.append((rnd, s1, s2, int(n)))
-        if rnd == BPE_TRAIN_ROUNDS:
+        if rnd == rounds and not merge_last:
             break
         a_lit, b_lit = F.lit(s1), F.lit(s2)
         m_lit = F.lit(f"{s1} {s2}")
@@ -4131,9 +4172,37 @@ def doc_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.array(m_lit)),
             ).otherwise(F.concat(acc, F.array(x))))
         cur = cur.select("doc_id", folded.alias("toks")).localCheckpoint()
-    schema = ("round int, pair_left string, pair_right string, "
-              "n_occurrences long")
-    return spark.createDataFrame(out_rows, schema).orderBy("round")
+    return cur, out_rows
+
+
+@query("doc_bpe_encode_fertility", _bpe_encode_oracle_sql())
+def doc_bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by domain — the curation metric behind "which
+    sources compress well under the tokenizer": train the same
+    ``BPE_TRAIN_ROUNDS`` merges as ``doc_bpe_train_rounds``, APPLY all
+    of them corpus-wide (the encode pass a real tokenizer pipeline runs
+    after training), and report per-source document counts, token
+    totals before/after, and the expansion ratio (before/after — higher
+    = the learned merges fire more often in that domain).
+
+    Scale shape is the trainer's: K count aggregates + K map-only folds
+    (no extra passes — encoding IS the K-th fold's output), then one
+    co-partitioned doc_id join and a per-source hash aggregate. The
+    ratio is one identical-double division of two exact integer sums."""
+    cur, _ = _bpe_apply_rounds(
+        spark, sf_dir, BPE_TRAIN_ROUNDS, merge_last=True)
+    docs = _docs(spark, sf_dir)
+    before = docs.select("doc_id", "source",
+                         F.size(T.tokens(F.col("text"))).alias("n0"))
+    after = cur.select("doc_id", F.size("toks").alias("nf"))
+    return (before.join(after, on="doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n0").cast("long").alias("tokens_before"),
+                 F.sum("nf").cast("long").alias("tokens_after"),
+                 (F.sum("n0").cast("double")
+                  / F.sum("nf").cast("double")).alias("expansion"))
+            .orderBy("source"))
 
 
 #: result cap for the maximal-span report (deterministic full ordering)
@@ -4172,17 +4241,17 @@ def _substr_pos_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS pos,
                  toks
           FROM t WHERE len(toks) >= {SUBSTR_WINDOW}),
-    w AS (SELECT doc_id, pos,
+    w AS MATERIALIZED (SELECT doc_id, pos,
                  {_H60.format(
                      x=f"array_to_string(toks[pos:pos+{SUBSTR_WINDOW - 1}],"
                        " ' ')")} AS wh
           FROM p),
-    dfreq AS (SELECT wh, count(*) AS wdf
+    dfreq AS MATERIALIZED (SELECT wh, count(*) AS wdf
               FROM (SELECT DISTINCT doc_id, wh FROM w) GROUP BY wh),
-    kw AS (SELECT w.doc_id, w.pos, w.wh FROM w
+    kw AS MATERIALIZED (SELECT w.doc_id, w.pos, w.wh FROM w
            JOIN dfreq ON w.wh = dfreq.wh
            WHERE dfreq.wdf BETWEEN 2 AND {SUBSTR_MAX_DF}),
-    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    m AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.pos AS a_pos, b.pos AS b_pos
           FROM kw a JOIN kw b ON a.wh = b.wh AND a.doc_id < b.doc_id),
     isl AS (SELECT doc_a, doc_b, a_pos, b_pos,
@@ -4190,7 +4259,7 @@ def _substr_pos_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                      PARTITION BY doc_a, doc_b, a_pos - b_pos
                      ORDER BY a_pos) AS g
             FROM m),
-    sp AS (SELECT doc_a, doc_b,
+    sp AS MATERIALIZED (SELECT doc_a, doc_b,
                   CAST(min(a_pos) AS BIGINT) AS a_start,
                   CAST(min(b_pos) AS BIGINT) AS b_start,
                   CAST(count(*) + {SUBSTR_WINDOW - 1} AS BIGINT)
@@ -4254,17 +4323,17 @@ def doc_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS pos,
                  toks
           FROM t WHERE len(toks) >= {SUBSTR_WINDOW}),
-    w AS (SELECT doc_id, pos,
+    w AS MATERIALIZED (SELECT doc_id, pos,
                  {_H60.format(
                      x=f"array_to_string(toks[pos:pos+{SUBSTR_WINDOW - 1}],"
                        " ' ')")} AS wh
           FROM p),
-    dfreq AS (SELECT wh, count(*) AS wdf
+    dfreq AS MATERIALIZED (SELECT wh, count(*) AS wdf
               FROM (SELECT DISTINCT doc_id, wh FROM w) GROUP BY wh),
-    kw AS (SELECT w.doc_id, w.pos, w.wh FROM w
+    kw AS MATERIALIZED (SELECT w.doc_id, w.pos, w.wh FROM w
            JOIN dfreq ON w.wh = dfreq.wh
            WHERE dfreq.wdf BETWEEN 2 AND {SUBSTR_MAX_DF}),
-    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    m AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.pos AS a_pos, b.pos AS b_pos
           FROM kw a JOIN kw b ON a.wh = b.wh AND a.doc_id < b.doc_id),
     isl AS (SELECT doc_a, doc_b, a_pos, b_pos,
@@ -4272,7 +4341,7 @@ def doc_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                      PARTITION BY doc_a, doc_b, a_pos - b_pos
                      ORDER BY a_pos) AS g
             FROM m),
-    sp AS (SELECT doc_a, doc_b,
+    sp AS MATERIALIZED (SELECT doc_a, doc_b,
                   min(a_pos) AS a_start, min(b_pos) AS b_start,
                   count(*) + {SUBSTR_WINDOW - 1} AS span_tokens
            FROM isl GROUP BY doc_a, doc_b, a_pos - b_pos, g),

@@ -75,9 +75,10 @@ def _warm(spark, sf_dir: str) -> None:
                QL._near_dup_clusters, QL._substr_windows,
                QL._winnow_fingerprints, QL._emb_near_dup_pairs,
                # r9: the rare-first shingle-set table (both prefix-filter
-               # similarity joins) and the positional window table (the
-               # substring span + dup-fraction pair)
-               QL._prefix_sets, QL._substr_pos_windows):
+               # similarity joins), the positional window table, and the
+               # maximal-span table (the substring span + dup-fraction
+               # pair share it)
+               QL._prefix_sets, QL._substr_pos_windows, QL._span_table):
         try:
             fn(spark, sf_dir).count()
         except Exception as e:

@@ -4288,30 +4288,42 @@ def doc_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     chaining window partitions by (doc_a, doc_b, diagonal) — fine-
     grained keys, never a global sort. Positions make the window table
     ~L rows per doc (vs distinct hashes), the price of span offsets."""
-    pw = _substr_pos_windows(spark, sf_dir)
-    dfreq = (_substr_windows(spark, sf_dir)
-             .groupBy("wh").agg(F.count(F.lit(1)).alias("wdf"))
-             .filter(F.col("wdf").between(2, SUBSTR_MAX_DF)))
-    kw = pw.join(dfreq.select("wh"), on="wh", how="left_semi")
-    a, b = kw.alias("a"), kw.alias("b")
-    m = (a.join(b, (F.col("a.wh") == F.col("b.wh"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")))
-         .select(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"),
-                 F.col("a.pos").alias("a_pos"),
-                 F.col("b.pos").alias("b_pos")))
-    diag = F.col("a_pos") - F.col("b_pos")
-    win = Window.partitionBy("doc_a", "doc_b", diag).orderBy("a_pos")
-    isl = m.withColumn("g", F.col("a_pos") - F.row_number().over(win))
-    sp = (isl.groupBy("doc_a", "doc_b", diag.alias("_diag"), "g")
-          .agg(F.min("a_pos").cast("long").alias("a_start"),
-               F.min("b_pos").cast("long").alias("b_start"),
-               (F.count(F.lit(1)) + F.lit(SUBSTR_WINDOW - 1))
-               .cast("long").alias("span_tokens")))
+    sp = _span_table(spark, sf_dir)
     return (sp.select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
             .orderBy(F.col("span_tokens").desc(),
                      "doc_a", "doc_b", "a_start", "b_start")
             .limit(SPAN_LIMIT))
+
+
+def _span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached MAXIMAL-span table (doc_a, doc_b, a_start,
+    b_start, span_tokens) — the shared substrate of
+    ``doc_substring_dup_spans`` and ``doc_dup_span_fraction``: one
+    DF-capped positional window join + one diagonal gaps-and-islands
+    chaining per session instead of one per consumer."""
+    def build():
+        pw = _substr_pos_windows(spark, sf_dir)
+        dfreq = (_substr_windows(spark, sf_dir)
+                 .groupBy("wh").agg(F.count(F.lit(1)).alias("wdf"))
+                 .filter(F.col("wdf").between(2, SUBSTR_MAX_DF)))
+        kw = pw.join(dfreq.select("wh"), on="wh", how="left_semi")
+        a, b = kw.alias("a"), kw.alias("b")
+        m = (a.join(b, (F.col("a.wh") == F.col("b.wh"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.pos").alias("a_pos"),
+                     F.col("b.pos").alias("b_pos")))
+        diag = F.col("a_pos") - F.col("b_pos")
+        win = Window.partitionBy("doc_a", "doc_b", diag).orderBy("a_pos")
+        isl = m.withColumn("g", F.col("a_pos") - F.row_number().over(win))
+        return (isl.groupBy("doc_a", "doc_b", diag.alias("_diag"), "g")
+                .agg(F.min("a_pos").cast("long").alias("a_start"),
+                     F.min("b_pos").cast("long").alias("b_start"),
+                     (F.count(F.lit(1)) + F.lit(SUBSTR_WINDOW - 1))
+                     .cast("long").alias("span_tokens"))
+                .drop("_diag", "g"))
+    return _cached_sigs("substr_spans", spark, sf_dir, build)
 
 
 @query(
@@ -4394,26 +4406,7 @@ def doc_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts is a co-partitioned key join. The identical-double division
     is the only float op, computed from exact integers on both
     engines."""
-    pw = _substr_pos_windows(spark, sf_dir)
-    dfreq = (_substr_windows(spark, sf_dir)
-             .groupBy("wh").agg(F.count(F.lit(1)).alias("wdf"))
-             .filter(F.col("wdf").between(2, SUBSTR_MAX_DF)))
-    kw = pw.join(dfreq.select("wh"), on="wh", how="left_semi")
-    a, b = kw.alias("a"), kw.alias("b")
-    m = (a.join(b, (F.col("a.wh") == F.col("b.wh"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")))
-         .select(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"),
-                 F.col("a.pos").alias("a_pos"),
-                 F.col("b.pos").alias("b_pos")))
-    diag = F.col("a_pos") - F.col("b_pos")
-    win = Window.partitionBy("doc_a", "doc_b", diag).orderBy("a_pos")
-    sp = (m.withColumn("g", F.col("a_pos") - F.row_number().over(win))
-          .groupBy("doc_a", "doc_b", diag.alias("_diag"), "g")
-          .agg(F.min("a_pos").alias("a_start"),
-               F.min("b_pos").alias("b_start"),
-               (F.count(F.lit(1)) + F.lit(SUBSTR_WINDOW - 1))
-               .alias("span_tokens")))
+    sp = _span_table(spark, sf_dir)
     iv = (sp.select(F.col("doc_a").alias("doc_id"),
                     F.col("a_start").alias("s"),
                     (F.col("a_start") + F.col("span_tokens")).alias("e"))

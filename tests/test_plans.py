@@ -533,3 +533,37 @@ def test_r8_round3_plan_shapes(spark, sf_dir):
     # item-support table
     assert "CartesianProduct" not in ar, ar[:800]
     assert "BroadcastNestedLoopJoin" not in ar, ar[:800]
+
+
+def test_r9_plan_shapes(spark, sf_dir):
+    """Plan contracts for the r9 additions: no cartesian products or
+    nested-loop joins anywhere; the span family's chaining windows
+    partition on fine-grained (doc_a, doc_b, diagonal) keys — never a
+    single-partition window; the audio path is exactly two Arrow
+    stages (synth + features) with no Python elsewhere; the BPE encode
+    is fold+agg only (no window at all)."""
+    import re
+
+    from meerschaum_spark.plans import explain_str
+    from meerschaum_spark.queries_llm import (
+        doc_bpe_encode_fertility,
+        doc_dup_span_fraction,
+        doc_substring_dup_spans,
+        multimodal_audio_features,
+    )
+
+    for fn in (doc_substring_dup_spans, doc_dup_span_fraction,
+               multimodal_audio_features, doc_bpe_encode_fertility):
+        p = explain_str(fn(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in p, (fn.__name__, p[:800])
+        assert "BroadcastNestedLoopJoin" not in p, (fn.__name__, p[:800])
+        assert not re.search(
+            r"Exchange SinglePartition[\s\S]{0,400}Window", p), (
+            fn.__name__, p[:1200])
+
+    audio = explain_str(multimodal_audio_features(spark, sf_dir), "simple")
+    assert audio.count("MapInPandas") == 2, audio[:1200]
+
+    bpe = explain_str(doc_bpe_encode_fertility(spark, sf_dir), "simple")
+    assert re.search(r"Window\b", bpe) is None, bpe[:1200]
+    assert "MapInPandas" not in bpe and "FlatMapGroupsInPandas" not in bpe

@@ -76,6 +76,43 @@ def generate_documents(spark: SparkSession, out_dir: str, n_docs: int,
     return path
 
 
+def generate_zipf_documents(spark: SparkSession, out_dir: str,
+                            n_docs: int, seed: int = 7,
+                            vocab_size: int = 200_000) -> str:
+    """Write ``<out_dir>/documents.parquet`` with a ZIPFIAN vocabulary —
+    the real-text regime the 48-word dense generator deliberately is
+    not. Word ranks draw from P(r) ∝ 1/r via the inverse CDF
+    ``r = floor(exp(u · ln V))`` on a hash-uniform u, so most 3-gram
+    shingles are RARE (the regime where rare-first prefix filtering is
+    selective by design) while the head words stay hot. Same ~15%
+    exact-duplicate structure as the dense generator."""
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    mod13 = F.pmod(F.col("doc_id"), 13)
+    seed_id = F.when(mod13 >= 11, F.col("doc_id") - mod13) \
+               .otherwise(F.col("doc_id"))
+    n_words = (F.pmod(F.xxhash64(seed_id, F.lit(seed)), 120) + 30)
+    lnv = float(__import__("math").log(vocab_size))
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda i: F.concat(F.lit("w"), F.floor(F.exp(
+            (F.pmod(F.xxhash64(seed_id * 1_000_003 + i, F.lit(seed)),
+                    1 << 20) / float(1 << 20)) * F.lit(lnv)))
+            .cast("long").cast("string")))
+    h = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed + 1)), 100)
+    source = (F.when(h < 40, F.lit("src0"))
+              .otherwise(F.concat(F.lit("src"),
+                                  (F.pmod(h, DOMAINS - 1) + 1)
+                                  .cast("string"))))
+    df = (base
+          .withColumn("text", F.array_join(words, " "))
+          .withColumn("lang", F.lit("en"))
+          .withColumn("source", source)
+          .withColumn("n_chars", F.length("text")))
+    path = os.path.join(out_dir, "documents.parquet")
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
 def generate_events(spark: SparkSession, out_dir: str, n_events: int,
                     seed: int = 7, hot_user_share: float = 0.0) -> str:
     """Write ``<out_dir>/events.parquet`` with the testdata schema
@@ -241,6 +278,30 @@ def _family_symspell(spark: SparkSession, sf_dir: str,
     return out.count(), out
 
 
+def _family_containment_zipf(spark: SparkSession, sf_dir: str,
+                             workdir: str) -> tuple[int, DataFrame]:
+    """The containment join on a ZIPFIAN-vocabulary corpus sized to the
+    scale's document count — the design-case companion to the dense
+    ``doc_containment`` family: real-text 3-gram shingle frequencies
+    are Zipf-distributed, rare-first prefixes are selective there, and
+    the candidate volume must track the (linear) result. The corpus
+    write is included in the family time (one linear partitioned write
+    — it cannot change the verdict)."""
+    from meerschaum_spark.functions.dedup import (
+        containment_prefix_join,
+        ordered_shingle_sets,
+    )
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = spark.read.parquet(docs_path).count()
+    zdir = os.path.join(workdir, f"zipf_{n_docs}")
+    generate_zipf_documents(spark, zdir, n_docs)
+    zdocs = spark.read.parquet(os.path.join(zdir, "documents.parquet"))
+    sets = ordered_shingle_sets(zdocs)
+    out = containment_prefix_join(zdocs, num=1, den=2, sets=sets)
+    return out.count(), out
+
+
 def _catalog_family(name: str) -> Callable:
     def run(spark: SparkSession, sf_dir: str,
             workdir: str) -> tuple[int, DataFrame]:
@@ -284,6 +345,10 @@ FAMILIES: dict[str, Callable] = {
     # shared, a stress shape the driver testdata never produces
     "doc_prefix_jaccard": _catalog_family("doc_jaccard_prefix_join"),
     "doc_containment": _catalog_family("doc_containment_join"),
+    # r9: the same join on the Zipfian-vocabulary regime (real-text
+    # shingle statistics) — the design case, expected near-linear,
+    # isolating the dense family's CHECK verdict to corpus shape
+    "doc_containment_zipf": _family_containment_zipf,
     # r9: SymSpell delete-variant join (the third never-all-pairs
     # family) over a corpus-∝ synthetic name table
     "symspell_join": _family_symspell,

@@ -157,7 +157,14 @@ def main() -> None:
         "blind. Real-text 3-gram shingle DFs are Zipfian (driver "
         "testdata: max DF 7 at 500 docs), where rare-first prefixes "
         "keep the volume near-linear — `doc_prefix_jaccard` "
-        "(both-sides-pruned) stays NEAR-LINEAR even on this corpus.",
+        "(both-sides-pruned) stays NEAR-LINEAR even on this corpus. "
+        "The isolation is MEASURED, not argued: `doc_containment_zipf` "
+        "runs the identical join/threshold on a Zipfian-vocabulary "
+        "corpus of the same document counts (the real-text shingle "
+        "statistic) and returns the same result rows at both scales — "
+        "near-linear (table above). Same operator, same results, "
+        "opposite scaling: the CHECK verdict is a property of the "
+        "dense stress corpus, not of the join.",
         "",
         "Raw measurements:",
         "```json",

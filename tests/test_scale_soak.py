@@ -24,7 +24,8 @@ FAMILIES = ["pipe_sync_diff", "pipe_ingest_dedup", "doc_domain_caps",
             # r9: the genuinely-quadratic-worst-case similarity joins +
             # SymSpell — candidate volume must track the true result,
             # never |n|² (the r7 LSH lesson, applied before it burns)
-            "doc_prefix_jaccard", "doc_containment", "symspell_join"]
+            "doc_prefix_jaccard", "doc_containment", "symspell_join",
+            "doc_containment_zipf"]
 
 
 @pytest.fixture(scope="module")

@@ -810,9 +810,14 @@ def estimate_prefix_candidates(
     containment: bool = True,
 ) -> dict:
     """PREFLIGHT candidate-volume estimate for the prefix-filter joins —
-    one hash aggregate over the shingle table, returning the EXACT
-    candidate-match row count the join would shuffle (before pair
-    dedup/verification) plus its per-document ratio.
+    one hash aggregate over the shingle table, returning an UPPER BOUND
+    on the candidate-match row count the join would shuffle (before
+    pair dedup/verification) plus its per-document ratio. Self-matches
+    (a.id == b.id, which the join excludes) are subtracted exactly; the
+    join's size-ratio and positional predicates are NOT modeled, so the
+    true shuffled volume is ≤ the estimate — on duplicate-heavy corpora
+    ``per_doc`` is correspondingly conservative (it can only overstate,
+    never understate, the blow-up risk the preflight exists to catch).
 
     Why this exists (r9 scale-soak finding): a lossless set-similarity
     join's candidate volume is Σ_s prefix_df(s)·df(s) (containment) or
@@ -838,12 +843,20 @@ def estimate_prefix_candidates(
         full = sets.select(F.explode("hs").alias("s"))
         dfc = full.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
         j = pdf_counts.join(dfc, on="s")
-        est = j.agg(F.sum(F.col("pdf").cast("long")
-                          * F.col("df").cast("long")).alias("e")).first()["e"]
+        row = j.agg(F.sum(F.col("pdf").cast("long")
+                          * F.col("df").cast("long")).alias("e"),
+                    # each doc's prefix token also appears in its own
+                    # full list exactly once (hs is distinct) → the
+                    # a.id == b.id contribution is Σ_d plen_d = Σ pdf
+                    F.sum(F.col("pdf").cast("long")).alias("self")
+                    ).first()
+        est = (row["e"] or 0) - (row["self"] or 0)
     else:
-        est = pdf_counts.agg(F.sum(F.col("pdf").cast("long")
-                                   * F.col("pdf").cast("long"))
-                             .alias("e")).first()["e"]
+        row = pdf_counts.agg(F.sum(F.col("pdf").cast("long")
+                                   * F.col("pdf").cast("long")).alias("e"),
+                             F.sum(F.col("pdf").cast("long")).alias("self")
+                             ).first()
+        est = (row["e"] or 0) - (row["self"] or 0)
     n_docs = sets.count()
-    return {"est_candidates": int(est or 0), "n_docs": int(n_docs),
-            "per_doc": (int(est or 0) / max(n_docs, 1))}
+    return {"est_candidates": int(est), "n_docs": int(n_docs),
+            "per_doc": (int(est) / max(n_docs, 1))}

@@ -868,14 +868,16 @@ class Pipe:
                 hit_dt = F.when(F.col(HIT_COL).isNotNull(), F.col(dtc))
                 obs_aggs += [F.min(hit_dt).alias("_ulo"),
                              F.max(hit_dt).alias("_uhi")]
-                # ...and the update rows' exact partition CELLS (same
-                # floor expression as store.with_part): a SCATTERED
-                # late-correction batch spans the whole table as a
-                # [min, max] window, but touches only a handful of cells
-                # — the merge then prunes and swaps exactly those cells
-                # instead of rewriting everything in the span
-                ucell = F.floor(self.store._epoch_us_col()
-                                / F.lit(self.store.width_us)).cast("long")
+                # ...and the update rows' exact partition CELLS
+                # (store.part_expr — the SAME exact-int64 expression the
+                # store writes as PART_COL; a float floor(epoch/width)
+                # here can disagree past 2^53 µs and prune the WRONG
+                # cells): a SCATTERED late-correction batch spans the
+                # whole table as a [min, max] window, but touches only a
+                # handful of cells — the merge then prunes and swaps
+                # exactly those cells instead of rewriting everything in
+                # the span
+                ucell = self.store.part_expr()
                 obs_aggs.append(F.slice(F.sort_array(F.collect_set(
                     F.when(F.col(HIT_COL).isNotNull(), ucell))),
                     1, self._MERGE_CELLS_CAP + 1).alias("_ucells"))
@@ -1068,11 +1070,10 @@ class Pipe:
         has_dt = dtc is not None and dtc in marked.columns
         sel = [F.col(c) for c in marked.columns]
         if has_dt:
-            # same cell expression as store.with_part / the observed
-            # path's _ucells aggregate
-            sel.append(F.floor(self.store._epoch_us_col()
-                               / F.lit(self.store.width_us)).cast("long")
-                       .alias("_m_cell"))
+            # store.part_expr — same exact-int64 cell expression as
+            # store.with_part and the observed path's _ucells aggregate
+            # (float floor(epoch/width) diverges past 2^53 µs)
+            sel.append(self.store.part_expr().alias("_m_cell"))
         for ru_i, ru_conf in enumerate(ru_confs):
             sel.append(self._rollup_bucket_us(ru_conf)
                        .alias(f"_m_rub{ru_i}"))
@@ -1221,9 +1222,12 @@ class Pipe:
         import os
 
         from meerschaum_spark.store import NULL_PART_DIR, PART_COL
-        part_expr = F.floor(
-            self.store._epoch_us_col() / F.lit(self.store.width_us)
-        ).cast("long")
+        # store.part_expr: the DPP semi-join key MUST be the exact
+        # int64 expression the store wrote as PART_COL — a float
+        # floor(epoch/width) cell can differ past 2^53 µs on int-axis
+        # epochs, and a missed semi-join match re-inserts existing rows
+        # as duplicates
+        part_expr = self.store.part_expr()
         # the > -2^62 comparison is always true for real cell ids (and
         # null-rejecting) — it exists because Spark's PartitionPruning
         # rule only plants a DPP filter when the build side carries a

@@ -2760,9 +2760,9 @@ def streaming_pipe_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg AS (
       SELECT user_id,
              CAST(value AS DECIMAL(18,6))
-               * CAST(date_diff('microsecond', ts, next_ts) AS DECIMAL(20,0))
+               * CAST(epoch_us(next_ts) - epoch_us(ts) AS DECIMAL(20,0))
                  AS wv,
-             CAST(date_diff('microsecond', ts, next_ts) AS DECIMAL(20,0))
+             CAST(epoch_us(next_ts) - epoch_us(ts) AS DECIMAL(20,0))
                  AS w
       FROM seq WHERE next_ts IS NOT NULL),
     agg AS (
@@ -3056,7 +3056,7 @@ def streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY e.user_id),
     lat AS (
       SELECT s.user_id,
-             CAST(date_diff('microsecond', s.signup_ts, p.purchase_ts)
+             CAST(epoch_us(p.purchase_ts) - epoch_us(s.signup_ts)
                   AS DOUBLE) / 3600e6 AS hours
       FROM s JOIN p ON s.user_id = p.user_id)
     SELECT count(*) AS n_converted,
@@ -3334,13 +3334,17 @@ def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pipe_verify_backfill",
     f"""
-    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num,
+    WITH h AS (
+      SELECT epoch_us(ts) AS ts_us,
+             {HASH60_SQL.format(
+                 x="concat_ws('|', event_id, epoch_us(ts), event_type, "
+                   "CAST(floor(value * 1000000 + 0.5) AS BIGINT))")} AS h
+      FROM events)
+    SELECT CAST(ts_us // 86400000000 AS BIGINT) AS day_num,
            count(*) AS n_rows,
-           CAST(sum({HASH60_SQL.format(
-               x="concat_ws('|', event_id, epoch_us(ts), event_type, "
-                 "CAST(floor(value * 1000000 + 0.5) AS BIGINT))")}
-               ) AS DECIMAL(38,0)) AS digest_sum
-    FROM events GROUP BY 1 ORDER BY 1
+           CAST(sum(h >> 30) AS BIGINT) AS digest_hi,
+           CAST(sum(h & 1073741823) AS BIGINT) AS digest_lo
+    FROM h GROUP BY 1 ORDER BY 1
     """,
 )
 def pipe_verify_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3353,17 +3357,19 @@ def pipe_verify_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjoint store partitions, so the pool parallelism is real.
 
     The check compares per-day row counts plus an exact content digest
-    (hash60 over every column, summed in decimal — any row difference
-    shifts the sum deterministically on both engines) computed
-    DISTRIBUTED over the verified table: collecting the full table to
-    the driver for comparison would be the collect anti-pattern this
-    repo bans, and at 100 TB the digest aggregate is the only shape
-    that works. Every hashed component is an integer or raw string:
-    days are epoch-µs integer days and the double renders through
-    ``floor(x·10⁶+0.5)`` (one IEEE expression, bit-identical on both
-    engines) — the r8 form's ``CAST(value AS DECIMAL(18,6))`` rendering
-    sat on an engine-version-sensitive rounding boundary and went
-    driver-red."""
+    (hash60 over every column) computed DISTRIBUTED over the verified
+    table: collecting the full table to the driver for comparison would
+    be the collect anti-pattern this repo bans, and at 100 TB the
+    digest aggregate is the only shape that works. The digest is split
+    into TWO BIGINT sums — ``sum(h >> 30)`` and ``sum(h & (2^30-1))``
+    — each ≤ ~2^44 per day-group even at 1000× this sf, because the
+    r8/r9 single DECIMAL(38,0) sum exceeded 2^53 and any driver-side
+    pandas/float64 materialization silently rounded it (the diagnosed
+    hash-red mechanism). Same error-detection power (any row difference
+    shifts at least one sum), no wide type anywhere. Every hashed
+    component is an integer or raw string: days are epoch-µs integer
+    days and the double renders through ``floor(x·10⁶+0.5)`` (one IEEE
+    expression, bit-identical on both engines)."""
     import shutil
     import tempfile
 
@@ -3406,8 +3412,10 @@ def pipe_verify_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                .groupBy(F.expr("unix_micros(ts) div 86400000000")
                         .cast("long").alias("day_num"))
                .agg(F.count(F.lit(1)).alias("n_rows"),
-                    F.sum(digest.cast("decimal(20,0)"))
-                    .cast("decimal(38,0)").alias("digest_sum"))
+                    F.sum(F.shiftright(digest, 30))
+                    .cast("long").alias("digest_hi"),
+                    F.sum(digest.bitwiseAND(F.lit(1073741823)))
+                    .cast("long").alias("digest_lo"))
                .orderBy("day_num"))
         rows = out.collect()  # tiny (one row per day) — freeze before rmtree
         return spark.createDataFrame(rows, out.schema).orderBy("day_num")
@@ -4587,9 +4595,9 @@ _OLS_X0 = 1_577_836_800
              sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
       FROM b GROUP BY user_id)
     SELECT user_id, n,
-           CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DECIMAL(38,0))
+           CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS VARCHAR)
                AS slope_num,
-           CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DECIMAL(38,0))
+           CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS VARCHAR)
                AS slope_den
     FROM s ORDER BY user_id
     """,
@@ -4603,10 +4611,13 @@ def events_stats_agg_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     — order-insensitive, so partial (map-side) aggregation is free and
     the result is bit-identical to the oracle's HUGEINT sums — and the
     slope's numerator/denominator (n·Σxy − Σx·Σy, n·Σx² − (Σx)²) are
-    emitted as exact decimals that fully determine the slope (the
-    consumer divides; emitting the double ratio put a decimal→double
-    conversion boundary in the hash path — the r8 driver red — for a
-    value the exact pair already carries). NO window at all:
+    rendered as exact integer STRINGS: the numerator exceeds 2^53 at
+    sf0.01, and any driver-side pandas/float64 materialization of a
+    wide DECIMAL silently rounds past 15 significant digits (the
+    diagnosed r8/r9 hash-red mechanism) — a digit string survives every
+    materialization unchanged. Fixed-point division was rejected
+    because ``//`` floors in DuckDB while ``div`` truncates in Spark,
+    which diverges on negative numerators. NO window at all:
     this is ONE map-side-combinable hash aggregate over the scan — the
     cheapest possible distributed shape for a 100 TB regression sweep
     (contrast the reference, which would pull the series into pandas)."""
@@ -4632,7 +4643,8 @@ def events_stats_agg_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
     return (s.select(
         "user_id", "n",
-        num.alias("slope_num"), den.alias("slope_den"))
+        num.cast("string").alias("slope_num"),
+        den.cast("string").alias("slope_den"))
         .orderBy("user_id"))
 
 

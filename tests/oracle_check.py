@@ -70,6 +70,7 @@ def strict_audit(name: str, side: str, rows, cols) -> list[str]:
     """Return driver-divergence-precondition warnings for one result."""
     warns = []
     big_float_cols = set()
+    wide_dec_cols = set()
     dec_scales: dict[str, set] = {}
     for row in rows:
         for c in cols:
@@ -78,11 +79,19 @@ def strict_audit(name: str, side: str, rows, cols) -> list[str]:
                 big_float_cols.add(c)
             elif isinstance(v, Decimal):
                 dec_scales.setdefault(c, set()).add(-v.as_tuple().exponent)
+                if abs(v) >= (1 << 50):
+                    wide_dec_cols.add(c)
     for c in sorted(big_float_cols):
         warns.append(
             f"STRICT {name} [{side}]: double column {c!r} carries "
             ">=2^53 magnitudes — decimal→double conversion is "
             "version-sensitive there")
+    for c in sorted(wide_dec_cols):
+        warns.append(
+            f"STRICT {name} [{side}]: decimal column {c!r} carries "
+            ">=2^50 magnitudes — a driver-side pandas/float64 "
+            "materialization silently rounds it (the r8/r9 red "
+            "mechanism); split into hi/lo BIGINT sums or digit strings")
     for c, scales in sorted(dec_scales.items()):
         if len(scales) > 1:
             warns.append(

@@ -41,20 +41,30 @@ def oracles() -> dict[str, str]:
 
 
 def test_no_timestamp_date_diff(oracles):
-    """``date_diff('day', a, b)`` on raw TIMESTAMP arguments counts
-    boundary crossings in some DuckDB versions and complete days in
-    others. Only DATE-typed arguments (literal or CAST(… AS DATE)) are
-    version-stable."""
-    # capture the first token after the comma (a lookahead would
-    # backtrack through \s* and false-positive on DATE/CAST args)
-    raw = re.compile(r"date_diff\('day',\s*([A-Za-z_]+)", re.I)
-    bad = {
-        n for n, sql in oracles.items()
-        if any(m.group(1).upper() not in ("DATE", "CAST")
-               for m in raw.finditer(sql))
-    }
+    """``date_diff(unit, a, b)`` on raw TIMESTAMP arguments counts
+    boundary crossings in some DuckDB versions and complete units in
+    others — for EVERY unit, not just 'day'. Only DATE-typed arguments
+    (literal or CAST(… AS DATE)) are version-stable.
+
+    Flags on non-capture failure (anything after the unit comma that
+    does not start with DATE/CAST), so parenthesized first arguments,
+    scalar subqueries, and string literals cannot silently escape; any
+    ``date_diff(`` call whose unit is not a plain quoted word is
+    flagged outright."""
+    unit_call = re.compile(r"date_diff\(\s*'\w+'\s*,\s*([^\s,][^,]{0,60})",
+                           re.I)
+    any_call = re.compile(r"date_diff\s*\(", re.I)
+    date_arg = re.compile(r"(?i)^(DATE\b|CAST\s*\()")
+    bad = set()
+    for n, sql in oracles.items():
+        matches = list(unit_call.finditer(sql))
+        if len(any_call.findall(sql)) != len(matches):
+            bad.add(n)  # unit not a plain quoted word — can't audit it
+            continue
+        if any(not date_arg.match(m.group(1).lstrip()) for m in matches):
+            bad.add(n)
     assert not bad, (
-        f"oracle(s) use date_diff('day', …) on non-DATE args: {sorted(bad)} "
+        f"oracle(s) use date_diff on non-DATE args: {sorted(bad)} "
         "— cast both arguments to DATE or use epoch-µs integer division"
     )
 
@@ -156,6 +166,62 @@ def test_money_columns_are_two_decimal():
             f"{off}) — every CAST(… AS DECIMAL) oracle over it is now "
             "on an engine-version-sensitive rounding boundary"
         )
+
+
+_TWO50 = 1 << 50  # margin below 2^53: output magnitudes grow with sf
+
+
+def test_no_wide_exact_output_cells(oracles):
+    """EXECUTE every oracle at sf0.01 and assert no result cell is a
+    Decimal or float with |v| >= 2^50 (or an int past int64 range,
+    i.e. a HUGEINT output).
+
+    This is the scan that isolated the r8/r9 driver reds: across all
+    182 oracles, exactly the two hash-red queries — and no others —
+    emitted DECIMAL values past 2^53, where a driver-side pandas/float64
+    materialization (DuckDB's ``.df()`` returns float64 for
+    DECIMAL(38,0) and HUGEINT) silently rounds to 17 significant digits
+    on one side of the hash. BIGINT cells are exempt: pandas int64
+    carries them losslessly at any magnitude (the 60-bit hash columns
+    have been driver-green for rounds). 2^50 leaves headroom for
+    magnitude growth with sf; values that legitimately exceed it must
+    be re-emitted as split BIGINT sums (hi/lo), fixed-point BIGINT, or
+    exact digit strings (see pipe_verify_backfill /
+    events_stats_agg_linear)."""
+    import os
+    from decimal import Decimal
+
+    duckdb = pytest.importorskip("duckdb")
+    sf_dir = os.environ.get("SPARK_GRAFT_LINT_SF", "/root/testdata/sf0.01")
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"no testdata at {sf_dir}")
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isfile(path):
+            con.execute(f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM read_parquet('{path}')")
+    bad = []
+    for name, sql in sorted(oracles.items()):
+        rel = con.execute(sql)
+        cols = [d[0] for d in rel.description]
+        for row in rel.fetchall():
+            hit = [
+                (cols[i], v) for i, v in enumerate(row)
+                if (isinstance(v, (Decimal, float)) and abs(v) >= _TWO50)
+                or (isinstance(v, int) and not isinstance(v, bool)
+                    and not -(1 << 63) <= v < (1 << 63))
+            ]
+            if hit:
+                col, v = hit[0]
+                bad.append(f"{name}.{col} = {v}")
+                break
+    assert not bad, (
+        "oracle(s) emit exact-typed cells >= 2^50 — driver-side float64 "
+        "materialization will silently round them past 2^53 and the "
+        f"hash gate goes red: {bad}"
+    )
 
 
 def test_boundary_mechanism():

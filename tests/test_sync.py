@@ -192,6 +192,50 @@ def test_int_epoch_axis(spark, instance_dir):
     assert pipe.get_sync_time() == base + 4 * 3600
 
 
+@pytest.mark.parametrize("distributed", [False, True])
+def test_sync_exact_cells_beyond_double_precision(spark, instance_dir,
+                                                  distributed):
+    """r10: every batch-side partition-cell derivation must be
+    ``store.part_expr()`` (exact int64), never ``floor(epoch/width)``
+    float math. For int-axis epochs past 2^53 µs the float cell can
+    differ from the stored PART_COL: the DPP left-semi then misses
+    existing partitions (rows re-inserted as duplicates) and
+    _ucells-pruned merges rewrite the wrong cells (silently lost
+    updates). Runs both the fused driver-local path (_m_cell) and the
+    distributed path (DPP semi-join at pipe backtrack)."""
+    pipe = Pipe("test", f"cell53_{int(distributed)}", instance=instance_dir,
+                spark=spark, columns={"datetime": "ts", "id": "id"},
+                dtypes={"ts": "int64"},
+                parameters={"precision": {"unit": "microsecond"},
+                            "verify": {"chunk_minutes": 43200}})
+    w = 43200 * 60_000_000
+    k = (1 << 60) // w  # cell index up where float(v)/float(w) misrounds
+    # straddle the k-cell boundary: k*w-1 floors to k-1 exactly but to k
+    # in float64 (v needs 60 bits; the quotient rounds up)
+    tss = [k * w - 3, k * w - 2, k * w - 1, k * w, k * w + 1, k * w + 2]
+
+    def mk(vals):
+        df = spark.createDataFrame(
+            [(t, i, v) for i, (t, v) in enumerate(zip(tss, vals))],
+            "ts long, id long, val double")
+        return df.repartition(2) if distributed else df
+
+    r1 = pipe.sync(mk([1.0] * 6))
+    assert r1.success and r1.inserted == 6
+    # idempotent re-sync: a float-cell mismatch re-inserts as duplicates
+    r2 = pipe.sync(mk([1.0] * 6))
+    assert r2.success and r2.inserted == 0 and r2.updated == 0
+    assert pipe.get_rowcount() == 6
+    # update merge: a wrong _ucells cell prunes the merge to the wrong
+    # partition and the correction is silently lost
+    r3 = pipe.sync(mk([2.0] * 6))
+    assert r3.success and r3.inserted == 0 and r3.updated == 6
+    assert pipe.get_rowcount() == 6
+    got = {r["id"]: (r["ts"], r["val"])
+           for r in pipe.get_data(order=None).collect()}
+    assert got == {i: (t, 2.0) for i, t in enumerate(tss)}
+
+
 def test_fetch_definition_incremental(spark, instance_dir):
     src = spark.createDataFrame(
         [(dtm(2024, 1, 1, h), 1, float(h)) for h in range(10)],

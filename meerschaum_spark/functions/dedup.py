@@ -860,3 +860,110 @@ def estimate_prefix_candidates(
     n_docs = sets.count()
     return {"est_candidates": int(est), "n_docs": int(n_docs),
             "per_doc": (int(est) / max(n_docs, 1))}
+
+
+#: default routing budget for ``containment_join(auto=True)``: prefix-
+#: filter candidate volume per document above which the corpus is
+#: treated as dense and routed through the LSH prescreen. Real-text
+#: (Zipfian) corpora measure single-digit per_doc at the C≥1/2
+#: threshold (SCALE.md r9 isolation run); the dense soak corpus
+#: measures in the thousands — the two regimes are orders of magnitude
+#: apart, so the exact cut is not delicate.
+CONTAINMENT_PER_DOC_BUDGET = 64.0
+
+
+def containment_route(
+    sets: DataFrame,
+    num: int = 1,
+    den: int = 2,
+    per_doc_budget: float = CONTAINMENT_PER_DOC_BUDGET,
+) -> dict:
+    """Routing decision for ``containment_join(auto=True)``: run the
+    candidate-volume preflight and pick ``'prefix'`` (lossless
+    prefix-filter join) when the corpus shape keeps candidates
+    near-linear, else ``'prescreen'`` (banded-LSH candidate generation
+    + exact containment re-check). Returns the estimate dict with a
+    ``route`` key so callers/logs can see WHY."""
+    est = estimate_prefix_candidates(sets, num=num, den=den,
+                                     containment=True)
+    est["route"] = ("prefix" if est["per_doc"] <= per_doc_budget
+                    else "prescreen")
+    est["per_doc_budget"] = per_doc_budget
+    return est
+
+
+def containment_join(
+    df: DataFrame,
+    num: int = 1,
+    den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    sets: DataFrame | None = None,
+    auto: bool = True,
+    per_doc_budget: float = CONTAINMENT_PER_DOC_BUDGET,
+    route_out: dict | None = None,
+) -> DataFrame:
+    """SELF-ROUTING directed containment join — the 100 TB front door
+    for quote/subset detection. The r9 scale soak proved the lossless
+    prefix-filter join's candidate volume is corpus-SHAPE-dependent
+    (Θ(Σ prefix_df·df)): near-linear on Zipfian real text, Θ(n²) on
+    dense/homogeneous vocabularies where no lossless filter CAN do
+    better (the candidate set must contain every qualifying pair and
+    the corpus makes almost every pair plausible). Launching the wrong
+    plan at 100 TB is a cluster-day mistake, so with ``auto=True`` the
+    operator runs the one-aggregate preflight
+    (``estimate_prefix_candidates``) and routes:
+
+    - ``per_doc ≤ budget`` → ``containment_prefix_join`` — LOSSLESS,
+      the default on real-text corpora;
+    - above budget → banded MinHash-LSH candidate generation
+      (bucket-capped, both directed orders) + EXACT containment
+      re-verification of every candidate. Bounded cost at any density.
+
+    Honest recall note on the prescreen path: MinHash-LSH detects
+    JACCARD, and a short document fully contained in a much longer one
+    has Jaccard ≈ n_src/n_container — so extremely size-asymmetric
+    containment pairs can be missed by the prescreen (symmetric LSH
+    cannot index directed containment; that asymmetry is inherent, cf.
+    Shrivastava & Li's asymmetric-LSH line of work). The router only
+    takes that trade on corpora where the lossless plan is Θ(n²); the
+    verified survivors are exact (no false positives ever).
+
+    Pass ``route_out={}`` to receive the preflight numbers + chosen
+    route. ``auto=False`` forces the prefix path (legacy behavior)."""
+    if sets is None:
+        sets = ordered_shingle_sets(df, text_col, id_col, n)
+    if auto:
+        decision = containment_route(sets, num=num, den=den,
+                                     per_doc_budget=per_doc_budget)
+    else:
+        decision = {"route": "prefix", "forced": True}
+    if route_out is not None:
+        route_out.update(decision)
+    if decision["route"] == "prefix":
+        return containment_prefix_join(df, num=num, den=den,
+                                       text_col=text_col, id_col=id_col,
+                                       n=n, sets=sets)
+    # prescreen path: undirected LSH candidates → both directed orders
+    # → exact array-intersect verification (+ the same size filter the
+    # prefix join applies before verification)
+    cand = lsh_candidate_pairs(df, text_col=text_col, id_col=id_col)
+    directed = cand.union(
+        cand.select(F.col("doc_b").alias("doc_a"),
+                    F.col("doc_a").alias("doc_b")))
+    sa = sets.select(F.col(id_col).alias("doc_a"),
+                     F.col("hs").alias("_ha"), F.col("n").alias("_na"))
+    sb = sets.select(F.col(id_col).alias("doc_b"),
+                     F.col("hs").alias("_hb"), F.col("n").alias("_nb"))
+    return (directed
+            .join(sa, on="doc_a").join(sb, on="doc_b")
+            .filter(F.col("_nb") * den >= F.col("_na") * num)
+            .withColumn("n_shared",
+                        F.size(F.array_intersect("_ha", "_hb")))
+            .filter(F.col("n_shared") * den >= F.col("_na") * num)
+            .select(F.col("doc_a").alias("doc_src"),
+                    F.col("doc_b").alias("doc_container"),
+                    "n_shared",
+                    (F.col("n_shared").cast("double")
+                     / F.col("_na").cast("double")).alias("containment")))

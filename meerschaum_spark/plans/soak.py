@@ -284,11 +284,14 @@ def _family_containment_zipf(spark: SparkSession, sf_dir: str,
     scale's document count — the design-case companion to the dense
     ``doc_containment`` family: real-text 3-gram shingle frequencies
     are Zipf-distributed, rare-first prefixes are selective there, and
-    the candidate volume must track the (linear) result. The corpus
+    the candidate volume must track the (linear) result. Runs through
+    the r10 SELF-ROUTING ``containment_join`` and HARD-ASSERTS the
+    router picks the lossless prefix path on this shape (the soak is
+    the router's proving ground, not just its consumer). The corpus
     write is included in the family time (one linear partitioned write
     — it cannot change the verdict)."""
     from meerschaum_spark.functions.dedup import (
-        containment_prefix_join,
+        containment_join,
         ordered_shingle_sets,
     )
 
@@ -298,7 +301,27 @@ def _family_containment_zipf(spark: SparkSession, sf_dir: str,
     generate_zipf_documents(spark, zdir, n_docs)
     zdocs = spark.read.parquet(os.path.join(zdir, "documents.parquet"))
     sets = ordered_shingle_sets(zdocs)
-    out = containment_prefix_join(zdocs, num=1, den=2, sets=sets)
+    route: dict = {}
+    out = containment_join(zdocs, num=1, den=2, sets=sets,
+                           auto=True, route_out=route)
+    if route["route"] != "prefix":  # pragma: no cover - soak invariant
+        raise AssertionError(
+            f"router must pick prefix on Zipfian corpus: {route}")
+    return out.count(), out
+
+
+def _family_containment_prefix_forced(spark: SparkSession, sf_dir: str,
+                                      workdir: str) -> tuple[int, DataFrame]:
+    """The LOSSLESS prefix plan FORCED onto the dense stress corpus —
+    the honest Θ(n²)-candidates row (r9's CHECK verdict, kept on
+    purpose): no lossless filter can beat uniform shingle density, and
+    this row is the measured reason ``containment_join(auto=True)``
+    exists. The routed family above it shows what the router actually
+    launches on this shape."""
+    from meerschaum_spark.functions.dedup import containment_join
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = containment_join(docs, num=1, den=2, auto=False)
     return out.count(), out
 
 
@@ -344,14 +367,31 @@ FAMILIES: dict[str, Callable] = {
     # generated corpus's 48-word vocabulary makes shingles maximally
     # shared, a stress shape the driver testdata never produces
     "doc_prefix_jaccard": _catalog_family("doc_jaccard_prefix_join"),
+    # r10: the catalog query now SELF-ROUTES — on this dense corpus the
+    # preflight picks the bucket-capped LSH prescreen + exact re-check,
+    # so the routed row should read NEAR-LINEAR where r9's read CHECK
     "doc_containment": _catalog_family("doc_containment_join"),
+    # r10: the lossless prefix plan FORCED onto the dense corpus — the
+    # kept-on-purpose CHECK row measuring WHY the router exists
+    "doc_containment_forced": _family_containment_prefix_forced,
     # r9: the same join on the Zipfian-vocabulary regime (real-text
-    # shingle statistics) — the design case, expected near-linear,
-    # isolating the dense family's CHECK verdict to corpus shape
+    # shingle statistics) — the design case; r10: runs the router and
+    # asserts it picks prefix on this shape
     "doc_containment_zipf": _family_containment_zipf,
     # r9: SymSpell delete-variant join (the third never-all-pairs
     # family) over a corpus-∝ synthetic name table
     "symspell_join": _family_symspell,
+    # r10: the iterated BPE trainer + encode — per round one map-side-
+    # combinable (pair,count) agg + a one-row argmax collect + a
+    # map-only JVM fold; the soak measures that the per-round collect
+    # cadence and the greedy fold stay linear in corpus tokens
+    "doc_bpe_train": _catalog_family("doc_bpe_train_rounds"),
+    "doc_bpe_encode": _catalog_family("doc_bpe_encode_fertility"),
+    # r10: maximal duplicated spans (Lee et al.) — gaps-and-islands
+    # windows over fine-grained (doc_a, doc_b, diagonal) keys; the soak
+    # measures that the window keys stay fine-grained (no single-key
+    # skew collapse) as pair volume grows
+    "doc_dup_spans": _catalog_family("doc_substring_dup_spans"),
 }
 
 

@@ -3997,12 +3997,17 @@ def doc_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_jaccard_prefix_join``: finds the short document whose content
     is substantially INSIDE a longer one (training-data inclusion,
     quotation, template embedding), which symmetric Jaccard structurally
-    misses. Lossless one-sided prefix filtering
-    (``dedup.containment_prefix_join``); the oracle is the quadratic
-    definition it avoids."""
+    misses. Runs through the SELF-ROUTING ``dedup.containment_join``
+    (r10): a one-aggregate candidate-volume preflight picks the
+    lossless prefix-filter plan on real-text-shaped corpora (this data
+    → exact oracle match) and falls back to the bucket-capped LSH
+    prescreen + exact re-check on dense corpora where the lossless
+    plan is inherently Θ(n²); the oracle is the quadratic definition
+    the prefix path avoids."""
     docs = _docs(spark, sf_dir)
-    return (D.containment_prefix_join(docs, num=1, den=2, n=3,
-                                      sets=_prefix_sets(spark, sf_dir))
+    return (D.containment_join(docs, num=1, den=2, n=3,
+                               sets=_prefix_sets(spark, sf_dir),
+                               auto=True)
             .orderBy("doc_src", "doc_container"))
 
 

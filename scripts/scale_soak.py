@@ -136,35 +136,36 @@ def main() -> None:
         "so gate results are bit-identical. Post-fix the family measures "
         "3.5 s at 10× (table above).",
         "",
-        "**r9 finding — `doc_containment` reads CHECK, and that verdict "
-        "is the honest one.** Direct candidate accounting (not wall "
-        "time): at 10× docs the containment join's candidate matches "
-        "grow ~130× (14.2M from 110k) against a 10× true result — and "
-        "the cause is NOT a hot-shingle tail (max shingle DF is 47 at "
-        "10×; an LSH-style DF cap is a no-op) but UNIFORM density: the "
+        "**r9 finding / r10 resolution — containment at density.** "
+        "Direct candidate accounting (r9, not wall time): at 10× docs "
+        "the lossless containment join's candidate matches grow ~130× "
+        "(14.2M from 110k) against a 10× true result — and the cause "
+        "is NOT a hot-shingle tail (max shingle DF is 47 at 10×; an "
+        "LSH-style DF cap is a no-op) but UNIFORM density: the "
         "generator's 48-word vocabulary makes every document pair share "
         "prefix shingles, so Σ prefix_df·df is Θ(n²) while qualifying "
         "pairs stay linear. No lossless filter can beat that — the "
         "candidate set must contain every qualifying pair, and this "
-        "corpus makes almost every pair plausible. What r9 shipped: "
-        "(a) the PPJoin positional filter (container-side "
-        "`(n_b−j)·den ≥ n_src·num`), lossless, −20% candidates here and "
-        "much more on Zipfian corpora; (b) "
-        "`dedup.estimate_prefix_candidates` — a one-aggregate PREFLIGHT "
-        "that returns the exact candidate volume the join would "
-        "shuffle, so a 100 TB caller routes dense corpora through the "
-        "banded-LSH prescreen instead of launching a quadratic join "
-        "blind. Real-text 3-gram shingle DFs are Zipfian (driver "
-        "testdata: max DF 7 at 500 docs), where rare-first prefixes "
-        "keep the volume near-linear — `doc_prefix_jaccard` "
-        "(both-sides-pruned) stays NEAR-LINEAR even on this corpus. "
-        "The isolation is MEASURED, not argued: `doc_containment_zipf` "
-        "runs the identical join/threshold on a Zipfian-vocabulary "
-        "corpus of the same document counts (the real-text shingle "
-        "statistic) and returns the same result rows at both scales — "
-        "near-linear (table above). Same operator, same results, "
-        "opposite scaling: the CHECK verdict is a property of the "
-        "dense stress corpus, not of the join.",
+        "corpus makes almost every pair plausible. r9 shipped the "
+        "PPJoin positional filter (lossless, −20% candidates here) and "
+        "`dedup.estimate_prefix_candidates` (a one-aggregate preflight "
+        "upper bound on the candidate volume). **r10 closes the loop: "
+        "`dedup.containment_join(auto=True)` runs the preflight and "
+        "ROUTES** — lossless prefix plan when per-doc candidates are "
+        "near-linear, bucket-capped banded-LSH prescreen + exact "
+        "containment re-check when they are not (recall on extremely "
+        "size-asymmetric pairs is the documented trade; survivors are "
+        "exact). Three rows above tell the whole story: "
+        "`doc_containment` (the routed catalog operator — picks the "
+        "prescreen on this dense corpus at 10×), "
+        "`doc_containment_forced` (the lossless plan forced on — the "
+        "kept-on-purpose quadratic CHECK row measuring why the router "
+        "exists), and `doc_containment_zipf` (the router on a "
+        "Zipfian-vocabulary corpus — real-text 3-gram shingle DFs are "
+        "Zipfian, the router hard-asserts it picks the prefix path "
+        "there, and the lossless plan is near-linear). Same operator, "
+        "measured on both corpus shapes, with the plan choice now made "
+        "by the engine instead of the caller.",
         "",
         "Raw measurements:",
         "```json",

@@ -755,6 +755,81 @@ def test_prefix_filter_join_lossless(spark):
     assert n_prefix_max < n_full
 
 
+def _containment_truth(texts: dict, num: int = 1, den: int = 2) -> dict:
+    """Quadratic directed-containment definition over 3-gram shingles."""
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: sh(t) for i, t in texts.items() if sh(t)}
+    truth = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter * den >= len(sets[a]) * num:
+                truth[(a, b)] = inter
+    return truth
+
+
+def test_containment_join_routes_by_corpus_shape(spark):
+    """r10: ``containment_join(auto=True)`` must pick the LOSSLESS
+    prefix plan on real-text-shaped corpora (exact output) and fall
+    back to the LSH prescreen + exact re-check on dense corpora where
+    the prefix candidate volume is inherently quadratic — and the
+    prescreen output must carry zero false positives with exact
+    n_shared on every survivor."""
+    import random
+
+    # -- diverse (real-text-shaped) corpus: distinct vocabularies ------
+    diverse = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "alpha beta gamma delta epsilon",          # contained in 1
+        3: "one two three four five six seven eight",
+        4: "nine ten eleven twelve thirteen fourteen fifteen sixteen",
+        5: "red orange yellow green blue indigo violet ultraviolet",
+        6: "monday tuesday wednesday thursday friday saturday sunday",
+    }
+    ddf = spark.createDataFrame(
+        [(i, t) for i, t in diverse.items()], "doc_id long, text string")
+    route = {}
+    out = {(r["doc_src"], r["doc_container"]): r["n_shared"]
+           for r in D.containment_join(ddf, route_out=route).collect()}
+    assert route["route"] == "prefix", route
+    assert out == _containment_truth(diverse)
+    assert (2, 1) in out and (1, 2) not in out  # directed: quote found
+
+    # -- dense corpus: 4-word vocabulary × 40-token docs → only 64
+    # possible 3-gram shingles, so every document holds most of the
+    # shingle space and every pair shares shingles (the soak corpus's
+    # shape, miniaturized: per_doc lands in the hundreds) --------------
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(4)]
+    dense = {i: " ".join(rng.choice(vocab) for _ in range(40))
+             for i in range(60)}
+    dense[100] = dense[0]  # exact dups: Jaccard 1.0, LSH must find them
+    dense[101] = dense[1]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in dense.items()], "doc_id long, text string")
+    route2 = {}
+    got = {(r["doc_src"], r["doc_container"]): r["n_shared"]
+           for r in D.containment_join(sdf, route_out=route2).collect()}
+    assert route2["route"] == "prescreen", route2
+    assert route2["per_doc"] > route2["per_doc_budget"]
+    truth = _containment_truth(dense)
+    # exact verification ⇒ NO false positives; survivors carry exact
+    # intersection sizes. (Recall is probabilistic by design — the
+    # prescreen is the bounded-cost fallback, documented in the op.)
+    assert set(got) <= set(truth)
+    for k, v in got.items():
+        assert v == truth[k], (k, v, truth[k])
+    # the exact-dup pairs have identical signatures → always found,
+    # in BOTH directions (containment is directed)
+    for pair in [(0, 100), (100, 0), (1, 101), (101, 1)]:
+        assert pair in got
+
+
 def test_weighted_sample_deterministic_and_biased(spark):
     """A-ES weighted sample: deterministic across invocations, returns
     exactly k distinct rows, k >= n degenerates to the whole input, and

@@ -25,7 +25,13 @@ FAMILIES = ["pipe_sync_diff", "pipe_ingest_dedup", "doc_domain_caps",
             # SymSpell — candidate volume must track the true result,
             # never |n|² (the r7 LSH lesson, applied before it burns)
             "doc_prefix_jaccard", "doc_containment", "symspell_join",
-            "doc_containment_zipf"]
+            "doc_containment_zipf",
+            # r10: iterated BPE (per-round one-row collect cadence) and
+            # the maximal-span window family (fine-grained diagonal
+            # keys) — the shapes whose skew behavior should be
+            # measured, not argued. doc_containment_forced is NOT here:
+            # it is the kept-on-purpose quadratic row in SCALE.md.
+            "doc_bpe_train", "doc_bpe_encode", "doc_dup_spans"]
 
 
 @pytest.fixture(scope="module")

@@ -36,68 +36,73 @@ DEC = "decimal(18,6)"
 #: row/schema/value compare, and several have green rows in prior-round
 #: CORRECTNESS files (cited in SURVEY §2).
 HEAD_ORDER = [
-    # r9 rotation (standing rule: NEW queries lead, then queries whose
+    # r10 rotation (standing rule: NEW queries lead, then queries whose
     # code/oracle CHANGED this round, then the stalest green rows).
-    # This round drains the ENTIRE remaining r5-era cohort (42 rows by
-    # the CORRECTNESS_r0* histogram): after r9 every catalog query's
-    # newest green row is r6+.
+    # This round drains the ENTIRE r6-era cohort (the 36 rows whose
+    # newest green is r6, by the CORRECTNESS_r0* histogram) plus the 8
+    # alphabetically-first r7 rows: after r10 no catalog query's newest
+    # green row predates r7 (the "no older than N−3" invariant at r10).
     #
-    # -- new in r9 --
-    "doc_bpe_train_rounds",
-    "doc_substring_dup_spans",
-    "doc_dup_span_fraction",
-    "multimodal_audio_features",
-    "doc_bpe_encode_fertility",
-    # -- changed in r9: the three r8 driver-red hash-only rows, made
-    #    engine-version-insensitive (pure integer/epoch arithmetic; no
-    #    double→decimal render, no timestamp date_diff, no decimal→
-    #    double output) — two have never held a green driver row --
+    # -- changed in r10: the two r9 driver-red hash-only rows, fixed at
+    #    the diagnosed OUTPUT-TYPE layer (no hash-gated cell may be a
+    #    DECIMAL past 2^53): the verify digest is split hi/lo BIGINT
+    #    sums, the OLS slope num/den render as exact digit strings.
+    #    events_stats_agg_linear is the catalog's only never-green row.
     "events_stats_agg_linear",
-    "customer_rfm_segments",
     "pipe_verify_backfill",
-    # -- backfill: the full r5-era cohort (newest green row = r5) --
-    "q2_min_cost_supplier",
-    "q4_priority_late_exists",
-    "q7_nation_trade_flow",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_ship_delay_classes",
-    "q19_disjunctive_pushdown",
-    "q20_excess_share_suppliers",
-    "q21_waiting_suppliers",
-    "events_hll_distinct",
-    "events_kmv_intersection",
-    "events_rolling_7d",
-    "part_affinity_pairs",
-    "streaming_interval_join",
-    "streaming_topk_trending",
-    "doc_bm25_topk",
-    "doc_chunk_split",
-    "doc_cms_heavy_hitters",
-    "doc_dedup_survivors",
-    "doc_domain_mix",
-    "doc_dsir_weights",
-    "doc_gopher_quality",
-    "doc_pii_scrub",
-    "doc_repetition_stats",
-    "doc_sentence_dedup",
-    "doc_sequence_pack",
-    "doc_shard_assign",
-    "doc_split_assign",
-    "doc_stratified_sample",
-    "doc_substring_dup_pairs",
-    "doc_tfidf_topk",
-    "doc_vocab_topk",
-    "doc_winnowing_pairs",
-    "emb_ann_recall",
-    "emb_centroid_stats",
-    "emb_int8_quantize",
-    "emb_ivf_recall",
-    "emb_kmeans",
-    "emb_norm_stats",
-    "emb_pca_power_direction",
-    "emb_semantic_dedup",
+    # -- new in r10 --
+    "doc_dedup_quality_report",
+    # -- changed in r10: oracles rewrote date_diff('microsecond') to
+    #    epoch_us subtraction (lint widening); containment now routes --
+    "events_time_weighted_avg",
+    "events_conversion_latency",
+    "doc_containment_join",
+    # -- backfill: the full r6-era cohort --
+    "customer_top_orders",
+    "doc_bpe_pair_counts",
+    "doc_lang_id_accuracy",
+    "doc_ngram_novelty",
+    "emb_cell_balanced_sample",
+    "emb_jl_distortion",
+    "emb_near_dup_clusters",
+    "emb_pq_codes",
+    "events_bounded_params",
+    "events_cdc_snapshot",
+    "events_counter_delta",
+    "events_distinct_users",
+    "events_gapfill_interp",
+    "events_gapfill_locf",
+    "events_hll_merge",
+    "events_hourly_rollup",
+    "events_markov_transitions",
+    "events_meta_probes",
+    "events_quantile_histogram_est",
+    "events_rowcount_bounded",
+    "events_state_durations",
+    "events_uptime_agg",
+    "events_value_percentiles",
+    "multimodal_png_decode",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q16_supplier_part_counts",
+    "q18_large_volume_customers",
+    "q1_pricing_summary",
+    "q22_idle_customers",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_revenue_forecast",
+    "streaming_cdc_snapshot",
+    "top_brands_by_revenue",
+    "urgent_orders_with_late_items",
+    # -- head-fill: the alphabetically-first slice of the r7 cohort --
+    "doc_bigram_lm_score",
+    "doc_binary_features",
+    "doc_contamination_check",
+    "doc_corpus_prep",
+    "doc_dedup_cascade_report",
+    "doc_domain_caps",
+    "doc_exact_dedup",
+    "doc_fingerprint",
 ]
 
 

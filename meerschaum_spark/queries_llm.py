@@ -4498,3 +4498,219 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").alias("clip_id")).distinct())
     pcm = M.synth_pcm_clips(clips)
     return M.audio_features(pcm).orderBy("clip_id")
+
+
+# ===========================================================================
+# r10: fuzzy-dedup quality measurement (the curation report reviewers see)
+# ===========================================================================
+
+#: continuation grafted onto _CLUSTERS_SQL (same mechanism as
+#: _CASCADE_TAIL): the z-prefixed CTEs replay the span-fraction oracle
+#: (doc_dup_span_fraction) under fresh names — the cluster chain already
+#: owns t/sh/sets — and the report assembly mirrors the Spark plan
+#: exactly. MATERIALIZED hints on every multi-referenced CTE (DuckDB
+#: re-inlines them otherwise — the r9 4^k BPE lesson).
+_QUALITY_TAIL = f""",
+    nd_rm AS (
+      SELECT u AS doc_id FROM reach GROUP BY u
+      HAVING u <> LEAST(u, MIN(v))),
+    toksn AS MATERIALIZED (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    ex_rm AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS m
+        FROM documents) WHERE doc_id <> m),
+    zt AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    zp AS (SELECT doc_id,
+                  unnest(generate_series(1, len(toks) - {SUBSTR_WINDOW - 1}))
+                      AS pos,
+                  toks
+           FROM zt WHERE len(toks) >= {SUBSTR_WINDOW}),
+    zw AS MATERIALIZED (SELECT doc_id, pos,
+                 {_H60.format(
+                     x=f"array_to_string(toks[pos:pos+{SUBSTR_WINDOW - 1}],"
+                       " ' ')")} AS wh
+          FROM zp),
+    zdf AS MATERIALIZED (SELECT wh, count(*) AS wdf
+              FROM (SELECT DISTINCT doc_id, wh FROM zw) GROUP BY wh),
+    zkw AS MATERIALIZED (SELECT zw.doc_id, zw.pos, zw.wh FROM zw
+           JOIN zdf ON zw.wh = zdf.wh
+           WHERE zdf.wdf BETWEEN 2 AND {SUBSTR_MAX_DF}),
+    zm AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS a_pos, b.pos AS b_pos
+          FROM zkw a JOIN zkw b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+    zisl AS (SELECT doc_a, doc_b, a_pos, b_pos,
+                    a_pos - row_number() OVER (
+                      PARTITION BY doc_a, doc_b, a_pos - b_pos
+                      ORDER BY a_pos) AS g
+             FROM zm),
+    zsp AS MATERIALIZED (SELECT doc_a, doc_b,
+                  min(a_pos) AS a_start, min(b_pos) AS b_start,
+                  count(*) + {SUBSTR_WINDOW - 1} AS span_tokens
+           FROM zisl GROUP BY doc_a, doc_b, a_pos - b_pos, g),
+    ziv AS (SELECT doc_a AS doc_id, a_start AS s,
+                   a_start + span_tokens AS e FROM zsp
+            UNION ALL
+            SELECT doc_b AS doc_id, b_start AS s,
+                   b_start + span_tokens AS e FROM zsp),
+    zmark AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM ziv),
+    zgrp AS (
+      SELECT doc_id, s, e,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS isl_id
+      FROM zmark),
+    zuni AS (SELECT doc_id, CAST(sum(mx - mn) AS BIGINT) AS dup_tokens
+             FROM (SELECT doc_id, isl_id, min(s) AS mn, max(e) AS mx
+                   FROM zgrp GROUP BY doc_id, isl_id)
+             GROUP BY doc_id),
+    span_rm AS (
+      SELECT z.doc_id FROM zuni z JOIN toksn t ON t.doc_id = z.doc_id
+      WHERE 2 * z.dup_tokens >= t.n_tokens),
+    rm AS MATERIALIZED (
+      SELECT r.method, r.doc_id, t.n_tokens, t.source
+      FROM (SELECT 'exact' AS method, doc_id FROM ex_rm
+            UNION ALL SELECT 'near_dup', doc_id FROM nd_rm
+            UNION ALL SELECT 'span', doc_id FROM span_rm) r
+      JOIN toksn t ON t.doc_id = r.doc_id),
+    tot AS (SELECT count(*) AS nd, CAST(sum(n_tokens) AS BIGINT) AS nt
+            FROM toksn),
+    meth AS MATERIALIZED (
+      SELECT method, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM rm GROUP BY method),
+    sec_method AS (
+      SELECT 'method' AS section, m.method AS label, m.n_docs, m.n_tokens,
+             CAST(t.nt - m.n_tokens AS DOUBLE) / CAST(t.nt AS DOUBLE)
+                 AS frac
+      FROM meth m, tot t),
+    ov AS (
+      SELECT a.method AS ma, b.method AS mb, count(*) AS n_docs,
+             CAST(sum(a.n_tokens) AS BIGINT) AS n_tokens
+      FROM rm a JOIN rm b ON a.doc_id = b.doc_id AND a.method < b.method
+      GROUP BY a.method, b.method),
+    sec_overlap AS (
+      SELECT 'overlap' AS section, o.ma || '&' || o.mb AS label,
+             o.n_docs, o.n_tokens,
+             CAST(o.n_docs AS DOUBLE)
+                 / CAST(xa.n_docs + xb.n_docs - o.n_docs AS DOUBLE) AS frac
+      FROM ov o
+      JOIN meth xa ON xa.method = o.ma
+      JOIN meth xb ON xb.method = o.mb),
+    dom_tot AS (SELECT source, count(*) AS dn FROM toksn GROUP BY source),
+    sec_domain AS (
+      SELECT 'domain' AS section, r.method || '|' || r.source AS label,
+             count(*) AS n_docs, CAST(sum(r.n_tokens) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS DOUBLE) / CAST(dt.dn AS DOUBLE) AS frac
+      FROM rm r JOIN dom_tot dt ON dt.source = r.source
+      GROUP BY r.method, r.source, dt.dn)
+    SELECT section, label, n_docs, n_tokens, frac
+    FROM (SELECT * FROM sec_method
+          UNION ALL SELECT * FROM sec_overlap
+          UNION ALL SELECT * FROM sec_domain)
+    ORDER BY section, label
+"""
+
+
+@query(
+    "doc_dedup_quality_report",
+    _CLUSTERS_SQL.replace(_CLUSTERS_FINAL_SELECT, _QUALITY_TAIL),
+)
+def doc_dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-dedup QUALITY report a 100 TB curation run ships to
+    reviewers (closing the Lee et al. 2022 loop): for the three dedup
+    methods at matched 0.5 thresholds — ``exact`` (keep min doc_id per
+    identical text), ``near_dup`` (MinHash→LSH→Jaccard→components,
+    keep the cluster's min label), ``span`` (remove docs whose maximal
+    duplicated-span union covers ≥ half their tokens) — one flat frame
+    with three sections:
+
+    - ``method``: docs/tokens each method removes and the
+      RETAINED-token fraction of the corpus (the number that decides a
+      dedup budget);
+    - ``overlap``: for each method pair, the docs/tokens both remove
+      and the Jaccard of the removal sets (do the methods agree, or
+      buy different coverage?);
+    - ``domain``: per (method, source) removal counts and the
+      within-domain removal RATE (is one domain being gutted?).
+
+    All three inputs are the session-cached tables the standalone
+    operators already built (cluster labels, span table, token
+    counts), so the marginal cost is a handful of small aggregates —
+    the report can never drift from the operators it summarizes.
+    Every fraction is one identical-double division of exact longs.
+    Scale shape: removal sets are fine-grained-key groupBys; the
+    overlap self-join keys on doc_id (removal rows ≤ 3 per doc); the
+    domain rollup broadcasts a per-source count."""
+    docs = _docs(spark, sf_dir)
+    toks = (docs.select("doc_id", "source",
+                        F.size(T.tokens(F.col("text"))).cast("long")
+                        .alias("n_tokens"))
+            .transform(_pin))  # 4 consumers: rm join, totals, domains
+    ex_rm = (docs.select("doc_id", F.md5("text").alias("_h"))
+             .withColumn("_m",
+                         F.min("doc_id").over(Window.partitionBy("_h")))
+             .filter(F.col("doc_id") != F.col("_m")).select("doc_id"))
+    nd_rm = (_near_dup_clusters(spark, sf_dir)
+             .filter(~F.col("keep")).select("doc_id"))
+    span_rm = (doc_dup_span_fraction(spark, sf_dir)
+               .filter(2 * F.col("dup_tokens") >= F.col("n_tokens"))
+               .select("doc_id"))
+    rm = (ex_rm.select(F.lit("exact").alias("method"), "doc_id")
+          .unionByName(
+              nd_rm.select(F.lit("near_dup").alias("method"), "doc_id"))
+          .unionByName(
+              span_rm.select(F.lit("span").alias("method"), "doc_id"))
+          .join(toks, on="doc_id")
+          .transform(_pin))  # 4 consumers: meth, both overlap sides, domain
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("_nd"),
+                   F.sum("n_tokens").cast("long").alias("_nt"))
+    meth = (rm.groupBy("method")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens")))
+    sec_method = (meth.crossJoin(F.broadcast(tot))
+                  .select(F.lit("method").alias("section"),
+                          F.col("method").alias("label"),
+                          "n_docs", "n_tokens",
+                          ((F.col("_nt") - F.col("n_tokens")).cast("double")
+                           / F.col("_nt").cast("double")).alias("frac")))
+    a = rm.select(F.col("method").alias("ma"), "doc_id")
+    b = rm.select(F.col("method").alias("mb"), "doc_id", "n_tokens")
+    ov = (a.join(b, on="doc_id").filter(F.col("ma") < F.col("mb"))
+          .groupBy("ma", "mb")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+               F.sum("n_tokens").cast("long").alias("n_tokens")))
+    ma_c = meth.select(F.col("method").alias("ma"),
+                       F.col("n_docs").alias("_na"))
+    mb_c = meth.select(F.col("method").alias("mb"),
+                       F.col("n_docs").alias("_nb"))
+    sec_overlap = (ov.join(F.broadcast(ma_c), "ma")
+                   .join(F.broadcast(mb_c), "mb")
+                   .select(F.lit("overlap").alias("section"),
+                           F.concat_ws("&", "ma", "mb").alias("label"),
+                           "n_docs", "n_tokens",
+                           (F.col("n_docs").cast("double")
+                            / (F.col("_na") + F.col("_nb")
+                               - F.col("n_docs")).cast("double"))
+                           .alias("frac")))
+    dom_tot = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("_dn"))
+    sec_domain = (rm.groupBy("method", "source")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                       F.sum("n_tokens").cast("long").alias("n_tokens"))
+                  .join(F.broadcast(dom_tot), "source")
+                  .select(F.lit("domain").alias("section"),
+                          F.concat_ws("|", "method", "source")
+                          .alias("label"),
+                          "n_docs", "n_tokens",
+                          (F.col("n_docs").cast("double")
+                           / F.col("_dn").cast("double")).alias("frac")))
+    return (sec_method.unionByName(sec_overlap).unionByName(sec_domain)
+            .orderBy("section", "label"))

@@ -926,9 +926,15 @@ def containment_join(
     has Jaccard ≈ n_src/n_container — so extremely size-asymmetric
     containment pairs can be missed by the prescreen (symmetric LSH
     cannot index directed containment; that asymmetry is inherent, cf.
-    Shrivastava & Li's asymmetric-LSH line of work). The router only
-    takes that trade on corpora where the lossless plan is Θ(n²); the
-    verified survivors are exact (no false positives ever).
+    Shrivastava & Li's asymmetric-LSH line of work). Two mitigations
+    keep the miss class narrow: (a) the candidate set UNIONS an
+    exact-text-hash pair source — one linear md5 groupBy-join — so
+    identical documents are found even when their LSH band bucket
+    overflows the quadratic-guard cap and is dropped (the r10 dense
+    soak measured exactly that: the cap-dropped mega-buckets held the
+    whole exact-dup skeleton); (b) the router only takes the prescreen
+    on corpora where the lossless plan is Θ(n²). Verified survivors
+    are exact (no false positives ever).
 
     Pass ``route_out={}`` to receive the preflight numbers + chosen
     route. ``auto=False`` forces the prefix path (legacy behavior)."""
@@ -945,10 +951,23 @@ def containment_join(
         return containment_prefix_join(df, num=num, den=den,
                                        text_col=text_col, id_col=id_col,
                                        n=n, sets=sets)
-    # prescreen path: undirected LSH candidates → both directed orders
-    # → exact array-intersect verification (+ the same size filter the
-    # prefix join applies before verification)
-    cand = lsh_candidate_pairs(df, text_col=text_col, id_col=id_col)
+    # prescreen path: undirected LSH candidates ∪ exact-text-hash pairs
+    # → both directed orders → exact array-intersect verification
+    # (+ the same size filter the prefix join applies before
+    # verification). The exact-hash source is one linear md5 groupBy
+    # self-join whose pair volume is output-proportional (dup groups of
+    # size m yield m(m−1) TRUE directed pairs), and it is what keeps
+    # identical documents findable when their LSH band bucket overflows
+    # the quadratic-guard cap and is dropped.
+    ex = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+    ea, eb = ex.alias("ea"), ex.alias("eb")
+    ex_pairs = (ea.join(eb, on=[F.col("ea._h") == F.col("eb._h"),
+                                F.col(f"ea.{id_col}")
+                                < F.col(f"eb.{id_col}")])
+                .select(F.col(f"ea.{id_col}").alias("doc_a"),
+                        F.col(f"eb.{id_col}").alias("doc_b")))
+    cand = (lsh_candidate_pairs(df, text_col=text_col, id_col=id_col)
+            .union(ex_pairs).distinct())
     directed = cand.union(
         cand.select(F.col("doc_b").alias("doc_a"),
                     F.col("doc_a").alias("doc_b")))

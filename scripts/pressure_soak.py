@@ -39,7 +39,13 @@ FAMILIES = ["pipe_sync_diff", "pipe_ingest_dedup", "doc_minhash_lsh",
             # r9: the prefix-filter similarity join builds a checkpointed
             # shingle-set table + a candidate self-join — both must spill
             # under the clamped pool, not OOM
-            "doc_prefix_jaccard"]
+            "doc_prefix_jaccard",
+            # r10: the iterated BPE trainer (per-round combinable hash
+            # aggs over (pair,count) + checkpointed round states) and the
+            # maximal-span family (positional window join + diagonal
+            # gaps-and-islands windows) — the two newest heavy shapes
+            # must SPILL under the clamped pool, not OOM
+            "doc_bpe_train", "doc_dup_spans"]
 
 
 def spill_sampler(app_url: str):

@@ -874,6 +874,40 @@ def test_sync_many_concurrent_pipes(spark, instance_dir, sf_dir):
         p.drop()
 
 
+def test_roundtrip_second_sync_job_budget(spark, instance_dir):
+    """r10 (the r9 verdict's roundtrip prescription): the
+    pipe_sync_roundtrip catalog query's SECOND sync — an overlap batch
+    scanned from real parquet, part existing, part unseen, zero updates
+    — must hold the insert-only 3-job budget (observed diff+append job
+    + its two broadcast builds), exactly like the synthetic DPP pin.
+    The remaining roundtrip latency is per-sync Catalyst analysis +
+    ~0.35-0.4 s/action fixed cost (SURVEY §6 breakdown), not a plan
+    regression this test would catch."""
+    from meerschaum_spark.sources import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").persist()
+    try:
+        pipe = Pipe("rt", "events", instance=instance_dir, spark=spark,
+                    columns={"datetime": "ts", "id": "event_id"})
+        cut = events.agg(
+            F.expr("percentile_approx(ts, 0.6)").alias("c")).first()["c"]
+        r1 = pipe.sync(events.filter(F.col("ts") < F.lit(cut)))
+        assert r1.success and r1.inserted > 0
+
+        sc = spark.sparkContext
+        sc.setJobGroup("rt_second_sync", "roundtrip overlap sync")
+        r2 = pipe.sync(events)  # overlap: prefix replays, suffix inserts
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("rt_second_sync"))
+        sc.setJobGroup("rt_done", "")
+        assert r2.success and r2.inserted > 0 and r2.updated == 0
+        assert n_jobs <= 3, (
+            f"roundtrip second sync ran {n_jobs} jobs — the insert-only "
+            "DPP budget regressed on the real-parquet path")
+        assert pipe.get_rowcount() == events.count()
+    finally:
+        events.unpersist()
+
+
 def test_fused_local_small_batch_path(spark, instance_dir):
     """r9 fused driver-local diff: small dict/list/pandas batches collect
     the diff ONCE and write LocalRelations. Pins (a) that the path is

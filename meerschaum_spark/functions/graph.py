@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from meerschaum_spark.functions.persist import pin as _pin
+
 
 def basket_pairs(df: DataFrame, basket_col: str, item_col: str,
                  out_a: str = "u", out_b: str = "v") -> DataFrame:
@@ -102,7 +104,7 @@ def pagerank_int(edges: DataFrame, iterations: int,
                                  F.col(a).alias("dst"))))
     out_edges = (directed.join(deg.withColumnRenamed("node", "src"),
                                on="src")
-                 .localCheckpoint())
+                 .transform(_pin))
     ranks = deg.select(F.col("node"),
                        F.lit(int(scale)).cast("long").alias("rank"))
     for i in range(int(iterations)):
@@ -115,5 +117,5 @@ def pagerank_int(edges: DataFrame, iterations: int,
                  .agg((F.lit(int(base)) + F.sum("c")).cast("long")
                       .alias("rank")))
         if (i + 1) % max(1, int(checkpoint_every)) == 0:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.transform(_pin)
     return ranks

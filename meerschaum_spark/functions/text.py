@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from meerschaum_spark.catalog import hash60
+from meerschaum_spark.functions.persist import pin as _pin
 
 #: small stopword sets for the language-ID heuristic (deterministic,
 #: priority-ordered argmax: en > de > es > fr)
@@ -408,7 +409,7 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
     # each consumer (multi-use-plan discipline; measured ~2x on the
     # corpus bench). The materialized frame is narrow ints, corpus-scale
     # safe — tiny next to the text it replaces.
-    scored_base = base.select(id_col, "dl", *tf_cols).localCheckpoint()
+    scored_base = base.select(id_col, "dl", *tf_cols).transform(_pin)
     stats = scored_base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),

@@ -44,6 +44,7 @@ from meerschaum_spark.params import (
     sql_in_condition,
 )
 from meerschaum_spark.registry import PipeRegistry, target_name
+from meerschaum_spark.functions.persist import pin as _persist_pin
 from meerschaum_spark.store import ParquetPipeStore
 
 DEFAULT_BACKTRACK_MINUTES = 1440   # reference config/_default.py:236
@@ -1583,12 +1584,12 @@ class Pipe:
         if self._obs_detached(df):
             # foreachBatch clone: Observation cannot collect — checkpoint
             # plain, then one cheap agg over the checkpointed frame
-            keep = keep.localCheckpoint()
+            keep = keep.transform(_persist_pin)
             row = keep.agg(*obs_aggs).first()
             stats = row.asDict() if row is not None else {"_n": 0}
         else:
             obs = Observation()
-            keep = keep.observe(obs, *obs_aggs).localCheckpoint()
+            keep = keep.observe(obs, *obs_aggs).transform(_persist_pin)
             stats = dict(obs.get)
         if not int(stats.get("_n") or 0) and have_seen:
             # every row's content was already ingested: nothing to diff,
@@ -1623,7 +1624,7 @@ class Pipe:
         # re-hashes the whole batch. The checkpointed frame is tiny
         # (``bands`` rows per doc of (ord, band, hash)); the batch itself
         # stays lazy so its scan still prunes columns per consumer.
-        buckets = D.band_hash_rows(sigs, ORD_COL, k, bands).localCheckpoint()
+        buckets = D.band_hash_rows(sigs, ORD_COL, k, bands).transform(_persist_pin)
         if os.path.isdir(lsh_dir):
             seen = (self.spark.read.schema("band int, bh string")
                     .parquet(lsh_dir))

@@ -2558,7 +2558,7 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n_events"),
                    F.sum(_dec("value")).cast("decimal(28,6)")
                    .alias("sum_dec")))
-    hourly = hourly.localCheckpoint()
+    hourly = hourly.transform(_pin)
     bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     spine = (hourly.select("event_type").distinct()
              .crossJoin(F.broadcast(bounds))
@@ -2663,7 +2663,7 @@ def events_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     b, rho = _hll_register_cols("user_id")
     base = ev.select((F.col("event_id") % 2).alias("shard"), b, rho)
-    base = base.localCheckpoint()
+    base = base.transform(_pin)
     shard_regs = (base.groupBy("shard", "b").agg(F.max("rho").alias("m_j")))
     merged = shard_regs.groupBy("b").agg(F.max("m_j").alias("m_j"))
     direct = base.groupBy("b").agg(F.max("rho").alias("m_j"))
@@ -2926,7 +2926,7 @@ def events_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly as the pairwise CTE does here."""
     ev = load_table(spark, sf_dir, "events")
     h = hash60(F.col("user_id").cast("string"))
-    dh = ev.select("event_type", h.alias("h")).distinct().localCheckpoint()
+    dh = ev.select("event_type", h.alias("h")).distinct().transform(_pin)
     wk = Window.partitionBy("event_type").orderBy("h")
     sk = (dh.withColumn("rn", F.row_number().over(wk))
           .filter(F.col("rn") <= KMV_K).drop("rn"))
@@ -2946,7 +2946,7 @@ def events_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
          .distinct())
     wu = Window.partitionBy("ta", "tb").orderBy("h")
     uk = (u.withColumn("rn", F.row_number().over(wu))
-          .filter(F.col("rn") <= KMV_K).drop("rn").localCheckpoint())
+          .filter(F.col("rn") <= KMV_K).drop("rn").transform(_pin))
     kth = uk.groupBy("ta", "tb").agg(F.max("h").alias("h_k"),
                                      F.count(F.lit(1)).alias("n_u"))
     sa = sk.select(F.col("event_type").alias("_sa"), F.col("h").alias("_ha"))
@@ -3270,7 +3270,7 @@ def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n_events"),
                    F.sum(_dec("value")).cast("decimal(28,6)")
                    .alias("sum_dec")))
-    hourly = hourly.localCheckpoint()
+    hourly = hourly.transform(_pin)
     bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     spine = (hourly.select("event_type").distinct()
              .crossJoin(F.broadcast(bounds))
@@ -4190,7 +4190,7 @@ def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     edges = support_edges(
-        basket_pairs(li, "l_orderkey", "l_partkey"), 2).localCheckpoint()
+        basket_pairs(li, "l_orderkey", "l_partkey"), 2).transform(_pin)
     deg = degrees(edges)
     ed = (edges
           .join(deg.withColumnRenamed("node", "u")
@@ -4373,7 +4373,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "- unix_micros(cast(last_order as timestamp))) "
                        "div 86400000000").alias("recency_days"),
                 "frequency", "monetary_cents")
-    ).localCheckpoint()  # three rankings + a join-back reuse it
+    ).transform(_pin)  # three rankings + a join-back reuse it
     n_total = c.count()
     # size the range partitions to the DATA, not the cluster: the python
     # ranking stage costs per-task overhead, so small aggregates want few

@@ -2712,7 +2712,7 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("doc_id", "source",
                   (hash60(F.col("tok")) % DSIR_BUCKETS).alias("b")))
     # one materialization: the bucket table feeds four aggregates below
-    tb = tb.localCheckpoint()
+    tb = tb.transform(_pin)
     is_tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
     totals = tb.agg(
         F.count(F.lit(1)).alias("n_raw"),
@@ -2791,7 +2791,7 @@ def doc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerschaum_spark.catalog import hash60
     tok = (docs.select(T.tokens(F.col("text")).alias("toks"))
            .select(F.explode("toks").alias("tok")))
-    tok = tok.localCheckpoint()
+    tok = tok.transform(_pin)
     exact = (tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
              .orderBy(F.col("n_exact").desc(), "tok").limit(CMS_TOPK))
     rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("i")
@@ -2879,7 +2879,7 @@ def doc_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source",
         F.explode(D.shingles_of_tokens(F.col("_toks"), 5)).alias("_s"),
     ).select("doc_id", "source", hash60(F.col("_s")).alias("s"))
-    ex = ex.localCheckpoint()
+    ex = ex.transform(_pin)
     positions = F.array(*[
         (F.shiftright(F.col("s"), 15 * i) % BLOOM_BITS)
         for i in range(BLOOM_K)])
@@ -3140,7 +3140,7 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                    hash60(F.col("z.w1")).alias("w1h"))
            .groupBy("doc_id", "bgh", "w1h")
            .agg(F.count(F.lit(1)).alias("n"))
-           .localCheckpoint())
+           .transform(_pin))
     c2 = bgd.groupBy("bgh", "w1h").agg(F.sum("n").alias("n2"))
     c1 = c2.groupBy("w1h").agg(F.sum("n2").alias("n1"))
     w = (c2.join(c1.withColumnRenamed("w1h", "_c1w"),
@@ -3345,7 +3345,7 @@ def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = _docs(spark, sf_dir)
         g = (docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
              .select("doc_id", _winnow_grams_expr(F.col("toks"))
-                     .alias("hs"))).localCheckpoint()
+                     .alias("hs"))).transform(_pin)
         return (g.select("doc_id", _winnow_fps_expr(F.col("hs"))
                          .alias("fps"))
                 .select("doc_id", F.explode("fps").alias("f")))
@@ -3557,7 +3557,7 @@ def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(b, F.col("vec_b") == F.col("vec_a") + 1))
     dv = F.zip_with("va", "vb",
                     lambda x, y: x.cast(S.VDEC) - y.cast(S.VDEC))
-    pairs = pairs.select("vec_a", "vec_b", dv.alias("dv")).localCheckpoint()
+    pairs = pairs.select("vec_a", "vec_b", dv.alias("dv")).transform(_pin)
     orig_sq = F.aggregate(
         F.transform("dv", lambda d: d * d),
         F.lit(0).cast(S.ACC), lambda acc, x: (acc + x).cast(S.ACC))
@@ -4147,7 +4147,7 @@ def _bpe_apply_rounds(spark: SparkSession, sf_dir: str, rounds: int,
     docs = _docs(spark, sf_dir)
     cur = (docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
            .filter(F.size("toks") >= 1)
-           .localCheckpoint())
+           .transform(_pin))
     out_rows = []
     for rnd in range(1, rounds + 1):
         pairs = cur.select(F.explode(F.expr(
@@ -4176,7 +4176,7 @@ def _bpe_apply_rounds(spark: SparkSession, sf_dir: str, rounds: int,
                 F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
                          F.array(m_lit)),
             ).otherwise(F.concat(acc, F.array(x))))
-        cur = cur.select("doc_id", folded.alias("toks")).localCheckpoint()
+        cur = cur.select("doc_id", folded.alias("toks")).transform(_pin)
     return cur, out_rows
 
 

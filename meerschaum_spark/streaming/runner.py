@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from meerschaum_spark.functions.persist import pin as _pin
+
 from meerschaum_spark.pipe import Pipe, SyncResult
 
 
@@ -59,7 +61,7 @@ def stream_sync_pipe(
         # before the emptiness check means the source is read exactly
         # ONCE per micro-batch (isEmpty-then-checkpoint read it twice —
         # measured as numInputRows doubling).
-        batch_df = batch_df.localCheckpoint()
+        batch_df = batch_df.transform(_pin)
         if batch_df.isEmpty():
             return
         result = pipe.sync(batch_df)

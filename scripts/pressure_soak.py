@@ -150,6 +150,17 @@ def _update_scale_md(out: dict) -> None:
         "magnitude smaller than the data would like, which is the "
         "per-executor reality of a 100 TB cluster run.",
         "",
+        "This soak has now caught the checkpoint-starvation class THREE "
+        "times (r8: the ranking range sort; r9: the shingle-set hash "
+        "aggregate; r10: the BPE trainer's per-round token-table "
+        "checkpoint could not allocate a 256 KB aggregation map because "
+        "bare `localCheckpoint()` blocks at MEMORY_AND_DISK pinned the "
+        "storage region). r10 response: EVERY local checkpoint in the "
+        "engine now routes through `functions/persist.pin` (eager "
+        "DISK_ONLY) — a repo-wide sweep of the 22 remaining bare sites, "
+        "warm-path cost-neutral (re-reads are OS-page-cached sequential "
+        "passes; bench flat across the sweep).",
+        "",
     ]
     text = open(path, encoding="utf-8").read() if os.path.exists(path) else ""
     if marker in text:

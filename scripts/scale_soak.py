@@ -152,10 +152,17 @@ def main() -> None:
         "upper bound on the candidate volume). **r10 closes the loop: "
         "`dedup.containment_join(auto=True)` runs the preflight and "
         "ROUTES** — lossless prefix plan when per-doc candidates are "
-        "near-linear, bucket-capped banded-LSH prescreen + exact "
-        "containment re-check when they are not (recall on extremely "
-        "size-asymmetric pairs is the documented trade; survivors are "
-        "exact). Three rows above tell the whole story: "
+        "near-linear, bucket-capped banded-LSH prescreen ∪ exact-text-"
+        "hash pairs + exact containment re-check when they are not "
+        "(recall on extremely size-asymmetric non-identical pairs is "
+        "the documented trade; survivors are exact). The exact-hash "
+        "union was added after this soak's first r10 run MEASURED the "
+        "recall hole: the cap-dropped LSH mega-buckets held the whole "
+        "exact-dup skeleton and the prescreen returned 84 of 11538 "
+        "true pairs; with the union the routed row returns ALL 11538 "
+        "— row-identical to the forced lossless plan on this corpus — "
+        "at a 1.8× time ratio vs its 4.7× CHECK. Three rows above "
+        "tell the whole story: "
         "`doc_containment` (the routed catalog operator — picks the "
         "prescreen on this dense corpus at 10×), "
         "`doc_containment_forced` (the lossless plan forced on — the "

@@ -171,6 +171,40 @@ def test_money_columns_are_two_decimal():
 _TWO50 = 1 << 50  # margin below 2^53: output magnitudes grow with sf
 
 
+def _wide_cells(row, cols) -> list:
+    """The executable-lint cell check: Decimal/float cells at ≥ 2^50
+    magnitude, or ints outside int64 (a HUGEINT output) — every type a
+    driver-side pandas/float64 materialization silently rounds."""
+    from decimal import Decimal
+
+    return [
+        (cols[i], v) for i, v in enumerate(row)
+        if (isinstance(v, (Decimal, float)) and abs(v) >= _TWO50)
+        or (isinstance(v, int) and not isinstance(v, bool)
+            and not -(1 << 63) <= v < (1 << 63))
+    ]
+
+
+def test_wide_cell_check_sensitivity():
+    """The scan must flag exactly the value classes that made
+    events_stats_agg_linear / pipe_verify_backfill driver-red — and
+    must NOT flag the classes that have always been driver-green
+    (BIGINT-range ints at any magnitude, small decimals, strings)."""
+    from decimal import Decimal
+
+    flagged = _wide_cells(
+        (Decimal(2) ** 54,        # the r9 red: wide decimal
+         float(2 ** 54),          # wide float
+         1 << 70,                 # HUGEINT output (int64 overflow)
+         ), ["d", "f", "h"])
+    assert [c for c, _ in flagged] == ["d", "f", "h"]
+    assert not _wide_cells(
+        ((1 << 60),               # 60-bit hash as BIGINT: green for rounds
+         -(1 << 62),
+         Decimal("123.456"),
+         0.5, "x", None, True), ["a", "b", "c", "d", "e", "f", "g"])
+
+
 def test_no_wide_exact_output_cells(oracles):
     """EXECUTE every oracle at sf0.01 and assert no result cell is a
     Decimal or float with |v| >= 2^50 (or an int past int64 range,
@@ -189,7 +223,6 @@ def test_no_wide_exact_output_cells(oracles):
     exact digit strings (see pipe_verify_backfill /
     events_stats_agg_linear)."""
     import os
-    from decimal import Decimal
 
     duckdb = pytest.importorskip("duckdb")
     sf_dir = os.environ.get("SPARK_GRAFT_LINT_SF", "/root/testdata/sf0.01")
@@ -207,12 +240,7 @@ def test_no_wide_exact_output_cells(oracles):
         rel = con.execute(sql)
         cols = [d[0] for d in rel.description]
         for row in rel.fetchall():
-            hit = [
-                (cols[i], v) for i, v in enumerate(row)
-                if (isinstance(v, (Decimal, float)) and abs(v) >= _TWO50)
-                or (isinstance(v, int) and not isinstance(v, bool)
-                    and not -(1 << 63) <= v < (1 << 63))
-            ]
+            hit = _wide_cells(row, cols)
             if hit:
                 col, v = hit[0]
                 bad.append(f"{name}.{col} = {v}")

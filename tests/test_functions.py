@@ -830,6 +830,56 @@ def test_containment_join_routes_by_corpus_shape(spark):
         assert pair in got
 
 
+def test_dedup_quality_report_known_truth(spark, tmp_path):
+    """doc_dedup_quality_report on a corpus with hand-computable
+    removal sets — guards the report's SEMANTICS against
+    both-engines-wrong drift (the oracle gate only proves Spark and
+    DuckDB agree). Corpus: docs 1/2 identical (exact dup, also a full
+    16-token span pair, also a near-dup cluster), doc 3 unique long,
+    doc 4 unique short."""
+    import os
+
+    from meerschaum_spark.queries_llm import doc_dedup_quality_report
+
+    long_a = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (1, long_a, "s1"),
+        (2, long_a, "s1"),                                  # exact dup of 1
+        (3, " ".join(f"u{i}" for i in range(30)), "s2"),    # unique
+        (4, "tiny document here", "s2"),                    # unique, short
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    got = {(r["section"], r["label"]):
+           (r["n_docs"], r["n_tokens"], round(r["frac"], 6))
+           for r in doc_dedup_quality_report(spark, sf_dir).collect()}
+
+    total_tokens = 30 + 30 + 30 + 3
+    # exact: doc 2 removed (min doc_id 1 survives)
+    assert got[("method", "exact")] == (
+        1, 30, round((total_tokens - 30) / total_tokens, 6))
+    # near_dup: docs 1/2 cluster, min label 1 kept → doc 2 removed
+    assert got[("method", "near_dup")] == (
+        1, 30, round((total_tokens - 30) / total_tokens, 6))
+    # span: the identical pair marks BOTH docs fully duplicated → both
+    # removed (span dedup is symmetric, unlike keep-one-per-group)
+    assert got[("method", "span")] == (
+        2, 60, round((total_tokens - 60) / total_tokens, 6))
+    # overlap: doc 2 is in all three removal sets; doc 1 only in span's
+    assert got[("overlap", "exact&near_dup")] == (1, 30, 1.0)   # identical sets
+    assert got[("overlap", "exact&span")] == (1, 30, 0.5)       # {2} vs {1,2}
+    assert got[("overlap", "near_dup&span")] == (1, 30, 0.5)
+    # domain: all removals live in s1 (2 docs); s2 untouched
+    assert got[("domain", "exact|s1")] == (1, 30, 0.5)
+    assert got[("domain", "span|s1")] == (2, 60, 1.0)
+    assert ("domain", "exact|s2") not in got
+    # every emitted row is one of the asserted sections
+    assert {s for s, _ in got} == {"method", "overlap", "domain"}
+
+
 def test_weighted_sample_deterministic_and_biased(spark):
     """A-ES weighted sample: deterministic across invocations, returns
     exactly k distinct rows, k >= n degenerates to the whole input, and

@@ -567,3 +567,36 @@ def test_r9_plan_shapes(spark, sf_dir):
     bpe = explain_str(doc_bpe_encode_fertility(spark, sf_dir), "simple")
     assert re.search(r"Window\b", bpe) is None, bpe[:1200]
     assert "MapInPandas" not in bpe and "FlatMapGroupsInPandas" not in bpe
+
+
+def test_r10_plan_shapes(spark, sf_dir):
+    """Plan contracts for the r10 additions: the dedup quality report
+    (removal sets → method/overlap/domain sections) joins without
+    cartesians or nested loops, and its exact-dedup window partitions
+    on the fine-grained md5 hash — never a single partition; the
+    routed containment join on driver-shaped data compiles to the
+    prefix plan (no MinHash band stage in the physical plan)."""
+    import re
+
+    from meerschaum_spark.plans import explain_str
+    from meerschaum_spark.queries_llm import (
+        doc_containment_join,
+        doc_dedup_quality_report,
+    )
+
+    rep = explain_str(doc_dedup_quality_report(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in rep, rep[:800]
+    # the one BroadcastNestedLoopJoin is the intended shape: the corpus
+    # totals crossJoin is a ONE-ROW broadcast build side (same totals
+    # pattern as the cascade report) — allow exactly that many
+    assert rep.count("BroadcastNestedLoopJoin") <= 1, rep[:1200]
+    assert not re.search(
+        r"Exchange SinglePartition[\s\S]{0,400}Window", rep), rep[:1200]
+
+    # which ROUTE the containment join takes is pinned behaviorally by
+    # test_functions.test_containment_join_routes_by_corpus_shape (plan
+    # text is route-ambiguous once the shingle table is checkpointed);
+    # here: the routed operator must stay cartesian-free either way
+    cj = explain_str(doc_containment_join(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in cj, cj[:800]
+    assert "BroadcastNestedLoopJoin" not in cj, cj[:800]

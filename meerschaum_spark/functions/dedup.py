@@ -862,6 +862,82 @@ def estimate_prefix_candidates(
             "per_doc": (int(est) / max(n_docs, 1))}
 
 
+def jaccard_join(
+    df: DataFrame,
+    sim_num: int = 1,
+    sim_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    sets: DataFrame | None = None,
+    auto: bool = True,
+    per_doc_budget: float | None = None,
+    route_out: dict | None = None,
+) -> DataFrame:
+    """SELF-ROUTING exact-threshold Jaccard set-similarity join — the
+    symmetric sibling of ``containment_join``: the lossless prefix
+    filter's candidate volume is Σ prefix_df(s)² — the same corpus-
+    shape dependence (the r9/r10 soaks measured its shuffle-per-row
+    growing 1.72× at 10× on the dense corpus, the early warning of the
+    same Θ(n²) wall the containment join hit). ``auto=True`` runs the
+    one-aggregate preflight (``estimate_prefix_candidates`` with the
+    Jaccard Σ pdf² volume) and routes:
+
+    - ``per_doc ≤ budget`` → ``prefix_filter_join`` — LOSSLESS;
+    - above budget → banded MinHash-LSH candidates ∪ exact-text-hash
+      pairs + EXACT Jaccard re-verification. Bounded cost; recall is
+      the LSH detection curve around τ (far better matched here than
+      for containment — the band geometry is tuned for Jaccard), and
+      the exact-hash union keeps identical docs findable when their
+      band bucket overflows the quadratic-guard cap.
+
+    Same output schema as ``prefix_filter_join``:
+    (doc_a, doc_b, n_shared, jaccard), doc_a < doc_b."""
+    if sets is None:
+        sets = ordered_shingle_sets(df, text_col, id_col, n)
+    if per_doc_budget is None:
+        per_doc_budget = CONTAINMENT_PER_DOC_BUDGET
+    if auto:
+        decision = estimate_prefix_candidates(
+            sets, num=sim_num, den=sim_den, containment=False)
+        decision["route"] = ("prefix"
+                             if decision["per_doc"] <= per_doc_budget
+                             else "prescreen")
+        decision["per_doc_budget"] = per_doc_budget
+    else:
+        decision = {"route": "prefix", "forced": True}
+    if route_out is not None:
+        route_out.update(decision)
+    if decision["route"] == "prefix":
+        return prefix_filter_join(df, sim_num=sim_num, sim_den=sim_den,
+                                  text_col=text_col, id_col=id_col,
+                                  n=n, sets=sets)
+    ex = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+    ea, eb = ex.alias("ea"), ex.alias("eb")
+    ex_pairs = (ea.join(eb, on=[F.col("ea._h") == F.col("eb._h"),
+                                F.col(f"ea.{id_col}")
+                                < F.col(f"eb.{id_col}")])
+                .select(F.col(f"ea.{id_col}").alias("doc_a"),
+                        F.col(f"eb.{id_col}").alias("doc_b")))
+    cand = (lsh_candidate_pairs(df, text_col=text_col, id_col=id_col)
+            .union(ex_pairs).distinct())
+    sa = sets.select(F.col(id_col).alias("doc_a"),
+                     F.col("hs").alias("_ha"), F.col("n").alias("_na"))
+    sb = sets.select(F.col(id_col).alias("doc_b"),
+                     F.col("hs").alias("_hb"), F.col("n").alias("_nb"))
+    return (cand.join(sa, on="doc_a").join(sb, on="doc_b")
+            .filter((F.col("_na") * sim_den >= F.col("_nb") * sim_num)
+                    & (F.col("_nb") * sim_den >= F.col("_na") * sim_num))
+            .withColumn("n_shared",
+                        F.size(F.array_intersect("_ha", "_hb")))
+            .filter(F.col("n_shared") * (sim_num + sim_den)
+                    >= F.lit(sim_num) * (F.col("_na") + F.col("_nb")))
+            .select("doc_a", "doc_b", "n_shared",
+                    (F.col("n_shared").cast("double")
+                     / (F.col("_na") + F.col("_nb") - F.col("n_shared")))
+                    .alias("jaccard")))
+
+
 #: default routing budget for ``containment_join(auto=True)``: prefix-
 #: filter candidate volume per document above which the corpus is
 #: treated as dense and routed through the LSH prescreen. Real-text

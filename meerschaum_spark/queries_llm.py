@@ -225,14 +225,18 @@ def doc_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle sets) via prefix filtering — the lossless complement to the
     MinHash/LSH family: every qualifying pair is returned, with no
     probability of a miss, yet no all-pairs stage runs (see
-    ``dedup.prefix_filter_join``). The oracle is the literal quadratic
-    definition — exactly the plan shape the prefix filter avoids — and
-    the threshold predicate (3·|a∩b| ≥ nₐ+n_b ⟺ J ≥ 1/2) is pure
+    ``dedup.prefix_filter_join``). Runs through the r10 SELF-ROUTING
+    ``dedup.jaccard_join`` — the Σ pdf² candidate-volume preflight
+    picks the lossless prefix plan on real-text-shaped corpora (this
+    data → exact oracle match) and the LSH-prescreen + exact re-check
+    on dense shapes. The oracle is the literal quadratic definition —
+    exactly the plan shape the prefix filter avoids — and the
+    threshold predicate (3·|a∩b| ≥ nₐ+n_b ⟺ J ≥ 1/2) is pure
     integer arithmetic on both engines, so the match is exact, not
     approximate."""
     docs = _docs(spark, sf_dir)
-    return (D.prefix_filter_join(docs, sim_num=1, sim_den=2, n=3,
-                                 sets=_prefix_sets(spark, sf_dir))
+    return (D.jaccard_join(docs, sim_num=1, sim_den=2, n=3,
+                           sets=_prefix_sets(spark, sf_dir), auto=True)
             .orderBy("doc_a", "doc_b"))
 
 

@@ -829,6 +829,34 @@ def test_containment_join_routes_by_corpus_shape(spark):
     for pair in [(0, 100), (100, 0), (1, 101), (101, 1)]:
         assert pair in got
 
+    # -- the symmetric Jaccard router: same contract on both shapes ---
+    import itertools
+
+    def jac_truth(texts):
+        def sh(t):
+            toks = t.lower().split()
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        sets = {i: sh(t) for i, t in texts.items() if sh(t)}
+        return {(a, b): len(sets[a] & sets[b])
+                for a, b in itertools.combinations(sorted(sets), 2)
+                if 3 * len(sets[a] & sets[b]) >= len(sets[a]) + len(sets[b])}
+
+    jroute = {}
+    jout = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+            for r in D.jaccard_join(ddf, route_out=jroute).collect()}
+    assert jroute["route"] == "prefix", jroute
+    assert jout == jac_truth(diverse)
+
+    jroute2 = {}
+    jgot = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+            for r in D.jaccard_join(sdf, route_out=jroute2).collect()}
+    assert jroute2["route"] == "prescreen", jroute2
+    jtruth = jac_truth(dense)
+    assert set(jgot) <= set(jtruth)           # exact verify: no false pos
+    for k, v in jgot.items():
+        assert v == jtruth[k]
+    assert (0, 100) in jgot and (1, 101) in jgot  # exact dups found
+
 
 def test_dedup_quality_report_known_truth(spark, tmp_path):
     """doc_dedup_quality_report on a corpus with hand-computable

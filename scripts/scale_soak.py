@@ -181,8 +181,17 @@ def main() -> None:
         "",
     ]
     out = os.path.join(REPO, "SCALE.md")
+    # preserve the pressure soak's section (appended by
+    # scripts/pressure_soak.py) across regeneration — a full rewrite
+    # silently dropped it once (r10)
+    tail = ""
+    marker = "## Memory-pressure soak"
+    if os.path.exists(out):
+        prev = open(out, encoding="utf-8").read()
+        if marker in prev:
+            tail = "\n" + marker + prev.split(marker, 1)[1]
     with open(out, "w", encoding="utf-8") as f:
-        f.write("\n".join(lines))
+        f.write("\n".join(lines) + tail)
     print(f"wrote {out}")
 
 

@@ -53,10 +53,12 @@ HEAD_ORDER = [
     # -- new in r10 --
     "doc_dedup_quality_report",
     # -- changed in r10: oracles rewrote date_diff('microsecond') to
-    #    epoch_us subtraction (lint widening); containment now routes --
+    #    epoch_us subtraction (lint widening); the two prefix-family
+    #    joins now self-route (prefix plan on this data → same values) --
     "events_time_weighted_avg",
     "events_conversion_latency",
     "doc_containment_join",
+    "doc_jaccard_prefix_join",
     # -- backfill: the full r6-era cohort --
     "customer_top_orders",
     "doc_bpe_pair_counts",
@@ -102,7 +104,6 @@ HEAD_ORDER = [
     "doc_dedup_cascade_report",
     "doc_domain_caps",
     "doc_exact_dedup",
-    "doc_fingerprint",
 ]
 
 

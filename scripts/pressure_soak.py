@@ -45,7 +45,12 @@ FAMILIES = ["pipe_sync_diff", "pipe_ingest_dedup", "doc_minhash_lsh",
             # maximal-span family (positional window join + diagonal
             # gaps-and-islands windows) — the two newest heavy shapes
             # must SPILL under the clamped pool, not OOM
-            "doc_bpe_train", "doc_dup_spans"]
+            "doc_bpe_train", "doc_dup_spans",
+            # r10: the routed containment join — on this dense corpus
+            # the preflight picks the LSH-prescreen path, so the clamp
+            # exercises the banded self-join + md5 pair join + the two
+            # verification join-backs under spill
+            "doc_containment"]
 
 
 def spill_sampler(app_url: str):

@@ -165,8 +165,11 @@ def test_heavy_families_survive_memory_pressure():
                          # soak caught the trainer's bare MEMORY_AND_DISK
                          # checkpoints starving the per-round hash agg
                          # (third instance of the class; fixed by the
-                         # repo-wide persist.pin DISK_ONLY sweep)
-                         "doc_bpe_train", "doc_dup_spans"}
+                         # repo-wide persist.pin DISK_ONLY sweep) — and
+                         # the routed containment join (prescreen path
+                         # under the clamp on the dense corpus)
+                         "doc_bpe_train", "doc_dup_spans",
+                         "doc_containment"}
     # the clamp must have actually BITTEN: the corpus working set is
     # ~10x the pool, so at least one family must record genuine spill
     assert out["total_memory_spill_b"] > 10 * 2**20, out

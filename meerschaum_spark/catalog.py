@@ -52,6 +52,9 @@ HEAD_ORDER = [
     "pipe_verify_backfill",
     # -- new in r10 --
     "doc_dedup_quality_report",
+    "doc_source_keyness",
+    "doc_hybrid_rrf",
+    "emb_mmr_diversify",
     # -- changed in r10: oracles rewrote date_diff('microsecond') to
     #    epoch_us subtraction (lint widening); the two prefix-family
     #    joins now self-route (prefix plan on this data → same values) --
@@ -101,9 +104,10 @@ HEAD_ORDER = [
     "doc_binary_features",
     "doc_contamination_check",
     "doc_corpus_prep",
-    "doc_dedup_cascade_report",
-    "doc_domain_caps",
-    "doc_exact_dedup",
+    # (doc_dedup_cascade_report / doc_domain_caps / doc_exact_dedup were
+    # displaced by the three new r10 operators — their newest green stays
+    # r7, still within the "no older than N−3" invariant at r10; they
+    # lead the r11 rotation queue.)
 ]
 
 

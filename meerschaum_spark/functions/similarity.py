@@ -757,3 +757,114 @@ def pca_power_direction(
                         F.element_at(w1s_lit, F.col("dim") + 1))
             .select("dim", "w1_scaled", "w2")
             .orderBy("dim"))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion + MMR diversification
+# ---------------------------------------------------------------------------
+
+RRF_C = 60                      # the standard RRF constant (Cormack 2009)
+RRF_SCALE = 1_000_000_000_000   # fixed-point numerator: rrf terms stay exact BIGINTs
+
+MMR_LAMBDA = 0.7
+#: spelled as a literal, NOT computed 1 - 0.7: IEEE (1 - 0.7) is
+#: 0.30000000000000004, which would diverge from an oracle's 0.3 literal
+MMR_ONE_MINUS_LAMBDA = 0.3
+MMR_MAX_POOL = 64
+
+
+def rrf_fuse(ranked: list, k: int = 10, c: int = RRF_C,
+             id_col: str = "id") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of several top-k rank
+    lists: ``rrf(d) = sum_i 1 / (c + rank_i(d))``, here in fixed-point
+    ``RRF_SCALE div (c + rank)`` so every fused score is an exact BIGINT
+    (integral division truncates identically in Spark's ``div`` and
+    DuckDB's ``//`` for positive operands — no float anywhere).
+
+    ``ranked`` is a list of ``(label, df)`` pairs where each df carries
+    ``(id_col, <label>_rnk)``. Documents missing from a list contribute 0.
+
+    Scale: the inputs are top-k lists (k rows each, produced by
+    distributed TakeOrdered upstream), so the fusion join and the final
+    ordering run on a few dozen rows — the corpus-scale work happens in
+    the rankers, never here.
+    """
+    fused = None
+    for label, df in ranked:
+        part = df.select(F.col(id_col).alias("id"),
+                         F.col(f"{label}_rnk"))
+        fused = part if fused is None else fused.join(part, "id", "full_outer")
+    rrf = F.lit(0).cast("long")
+    for label, _ in ranked:
+        rrf = rrf + F.coalesce(
+            F.expr(f"CAST({RRF_SCALE} DIV ({c} + {label}_rnk) AS BIGINT)"),
+            F.lit(0).cast("long"))
+    w = Window.orderBy(F.col("rrf_fp").desc(), F.col("id"))
+    return (fused.withColumn("rrf_fp", rrf)
+            .withColumn("fused_rnk", F.row_number().over(w))
+            .filter(F.col("fused_rnk") <= k)
+            .orderBy("fused_rnk"))
+
+
+def mmr_diversify(corpus: DataFrame, query_id: int = 0, k: int = 5,
+                  pool: int = 16, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998)
+    of a cosine top-``pool`` candidate list: greedily pick ``k`` items,
+    each maximizing ``0.7 * rel(d) - 0.3 * max_{s in S} sim(d, s)``
+    (ties -> lowest id). The standard diversity-selection pass over a
+    retrieval pool — for training-data curation it is the "don't fill the
+    batch with near-identical examples" operator.
+
+    Plan shape: relevance = one distributed ``cosine_topk`` scan over the
+    corpus (the only corpus-scale stage); the pairwise-similarity matrix
+    is computed distributed over the <= ``pool`` survivors (broadcast
+    self-join) with the same decimal-exact dot products. The greedy
+    selection itself is inherently sequential over ``k * pool`` scores,
+    so it runs driver-side on the collected pool — bounded by
+    ``MMR_MAX_POOL`` (<= 64 rows + <= 64^2/2 sims; metadata-sized, the
+    same contract as the BPE trainer's one-row argmax collects).
+
+    The doubles reproduce across engines: ``rel``/``sim`` come off the
+    decimal-exact accumulator, and the score chain multiplies the same
+    literals in the same order the SQL oracle spells.
+    """
+    if pool > MMR_MAX_POOL:
+        raise ValueError(f"pool={pool} exceeds MMR_MAX_POOL={MMR_MAX_POOL}; "
+                         "the greedy stage is contracted driver-local")
+    spark = corpus.sparkSession
+    q = corpus.filter(F.col(id_col) == query_id)
+    pool_df = cosine_topk(corpus, q, id_col=id_col, vec_col=vec_col, k=pool)
+    pool_rows = pool_df.select(F.col("neighbor_id").alias("id"),
+                               F.col("cosine").alias("rel")).collect()
+    ids = [r["id"] for r in pool_rows]
+    vecs = corpus.filter(F.col(id_col).isin(ids)).select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    right = vecs.select(F.col("a").alias("b"), F.col("va").alias("vb"))
+    sim = (_dot_dec(F.col("va"), F.col("vb")).cast("double")
+           / (_norm_dbl(F.col("va")) * _norm_dbl(F.col("vb"))))
+    sims_df = (vecs.join(F.broadcast(right), F.col("a") < F.col("b"))
+               .select("a", "b", sim.alias("sim")))
+    sims: dict = {}
+    for r in sims_df.collect():
+        sims[(r["a"], r["b"])] = r["sim"]
+        sims[(r["b"], r["a"])] = r["sim"]
+    rel = {r["id"]: r["rel"] for r in pool_rows}
+    selected: list = []
+    out: list = []
+    for rank in range(1, min(k, len(rel)) + 1):
+        best = None
+        for cid in sorted(rel):
+            if cid in selected:
+                continue
+            pen = max((sims[(cid, s)] for s in selected), default=0.0)
+            score = MMR_LAMBDA * rel[cid] - MMR_ONE_MINUS_LAMBDA * pen
+            key = (score, -cid)
+            if best is None or key > best[0]:
+                best = (key, cid, pen, score)
+        _, cid, pen, score = best
+        selected.append(cid)
+        out.append((rank, cid, rel[cid], pen, score))
+    schema = ("pick_rank INT, vec_id BIGINT, relevance DOUBLE, "
+              "penalty DOUBLE, mmr_score DOUBLE")
+    return spark.createDataFrame(out, schema=schema).orderBy("pick_rank")

@@ -441,3 +441,68 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
            .limit(k))
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return top.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# Corpus keyness (distinctive terms per source/domain)
+# ---------------------------------------------------------------------------
+
+def source_keyness(df: DataFrame, k: int = 10, min_count: int = 5,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   scope_col: str = "source") -> DataFrame:
+    """Top-``k`` distinctive terms per ``scope_col`` by chi-square keyness
+    (Dunning-style corpus-linguistics contrast, chi2 variant so the score
+    is log-free and engine-reproducible).
+
+    For each (scope, token): ``a`` = occurrences inside the scope,
+    ``b`` = occurrences elsewhere, ``c``/``d`` = the complementary
+    non-token counts, ``N = a+b+c+d`` = corpus token total. The score is
+
+        chi2 = N * (a*d - b*c)^2 / ((a+b)*(c+d)*(a+c)*(b+d))
+
+    computed in DOUBLE with a fixed operation order (all four counts are
+    exact BIGINTs first), so the value is bit-identical across engines —
+    same discipline as ``bm25_topk``'s log-free idf. Only overrepresented
+    terms (``a*d > b*c``) are keyness candidates.
+
+    Plan shape: one explode + one (scope, token) hash aggregate (map-side
+    combinable) over the corpus; everything after runs on vocabulary-sized
+    frames — token totals re-aggregate the (scope, token) frame, scope
+    totals and the corpus total are broadcast back, and the final top-k
+    window partitions by scope (domain-grained keys, no global sort). At
+    100 TB the only corpus-scale stage is the first aggregate.
+    """
+    ex = df.select(F.col(scope_col).alias("scope"),
+                   F.explode(tokens(F.col(text_col))).alias("tok"))
+    st = (ex.groupBy("scope", "tok")
+          .agg(F.count(F.lit(1)).alias("a"))
+          .transform(_pin))
+    tok_tot = st.groupBy("tok").agg(F.sum("a").alias("g"))
+    scope_tot = st.groupBy("scope").agg(F.sum("a").alias("s_tot"))
+    corpus_tot = st.agg(F.sum("a").alias("n_tot"))
+    j = (st.join(tok_tot, "tok")
+         .join(F.broadcast(scope_tot), "scope")
+         .join(F.broadcast(corpus_tot))
+         .filter(F.col("g") >= min_count))
+    b = (F.col("g") - F.col("a")).alias("b")
+    c = (F.col("s_tot") - F.col("a")).alias("c")
+    d = (F.col("n_tot") - F.col("g") - (F.col("s_tot") - F.col("a"))).alias("d")
+    m = j.select("scope", "tok", "a", "g", "n_tot", b, c, d)
+    # fixed-order double arithmetic: delta, then N*delta^2 / (4 margins)
+    delta = (F.col("a").cast("double") * F.col("d").cast("double")
+             - F.col("b").cast("double") * F.col("c").cast("double"))
+    m = m.withColumn("delta", delta).filter(F.col("delta") > 0)
+    chi2 = (F.col("n_tot").cast("double") * (F.col("delta") * F.col("delta"))
+            / ((F.col("a") + F.col("b")).cast("double")
+               * (F.col("c") + F.col("d")).cast("double")
+               * (F.col("a") + F.col("c")).cast("double")
+               * (F.col("b") + F.col("d")).cast("double")))
+    scored = m.select("scope", "tok",
+                      F.col("a").alias("n_in_scope"),
+                      F.col("g").alias("n_global"),
+                      chi2.alias("chi2"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("scope").orderBy(F.col("chi2").desc(), F.col("tok"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .orderBy("scope", "rnk"))

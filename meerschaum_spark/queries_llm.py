@@ -4718,3 +4718,168 @@ def doc_dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                            / F.col("_dn").cast("double")).alias("frac")))
     return (sec_method.unionByName(sec_overlap).unionByName(sec_domain)
             .orderBy("section", "label"))
+
+
+# ===========================================================================
+# r10: source keyness, hybrid RRF retrieval, MMR diversification
+# ===========================================================================
+
+_KEYNESS_K = 10
+_KEYNESS_MIN_COUNT = 5
+
+@query(
+    "doc_source_keyness",
+    f"""
+    WITH ex AS (SELECT source AS scope, unnest({_TOKS}) AS tok
+                FROM documents),
+    st AS (SELECT scope, tok, count(*) AS a FROM ex GROUP BY scope, tok),
+    tt AS (SELECT tok, CAST(sum(a) AS BIGINT) AS g FROM st GROUP BY tok),
+    sc AS (SELECT scope, CAST(sum(a) AS BIGINT) AS s_tot
+           FROM st GROUP BY scope),
+    ct AS (SELECT CAST(sum(a) AS BIGINT) AS n_tot FROM st),
+    m AS (
+      SELECT st.scope, st.tok, st.a, tt.g, ct.n_tot,
+             tt.g - st.a AS b,
+             sc.s_tot - st.a AS c,
+             ct.n_tot - tt.g - (sc.s_tot - st.a) AS d
+      FROM st JOIN tt USING (tok) JOIN sc USING (scope), ct
+      WHERE tt.g >= {_KEYNESS_MIN_COUNT}),
+    dd AS (
+      SELECT *, CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                - CAST(b AS DOUBLE) * CAST(c AS DOUBLE) AS delta
+      FROM m),
+    s AS (
+      SELECT scope, tok, a AS n_in_scope, g AS n_global,
+             CAST(n_tot AS DOUBLE) * (delta * delta)
+               / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                  * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi2
+      FROM dd WHERE delta > 0),
+    r AS (SELECT *, row_number() OVER (PARTITION BY scope
+                                       ORDER BY chi2 DESC, tok) AS rnk
+          FROM s)
+    SELECT scope, tok, n_in_scope, n_global, chi2, rnk
+    FROM r WHERE rnk <= {_KEYNESS_K} ORDER BY scope, rnk
+    """,
+)
+def doc_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square keyness: the top distinctive terms per source/domain —
+    the corpus-QA probe that surfaces what makes each domain's language
+    different (and catches template/boilerplate contamination as absurdly
+    high keyness). One corpus-scale explode+agg; everything downstream is
+    vocabulary-sized (see functions/text.py source_keyness)."""
+    docs = _docs(spark, sf_dir)
+    out = T.source_keyness(docs, k=_KEYNESS_K, min_count=_KEYNESS_MIN_COUNT)
+    return out.select(F.col("scope"), F.col("tok"),
+                      F.col("n_in_scope").cast("long").alias("n_in_scope"),
+                      F.col("n_global").cast("long").alias("n_global"),
+                      "chi2", "rnk").orderBy("scope", "rnk")
+
+
+_RRF_POOL = 20
+_RRF_K = 10
+
+@query(
+    "doc_hybrid_rrf",
+    f"""
+    WITH bm AS MATERIALIZED ({_bm25_sql(_BM25_TERMS, _RRF_POOL)}),
+    cosr AS MATERIALIZED ({_cosine_sql(_RRF_POOL, "vec_id = 0")}),
+    ids AS (SELECT doc_id FROM bm
+            UNION SELECT neighbor_id AS doc_id FROM cosr),
+    f AS (
+      SELECT ids.doc_id,
+             bm.rnk AS bm25_rnk, cosr.rnk AS cos_rnk,
+             coalesce(1000000000000 // (60 + bm.rnk), 0)
+               + coalesce(1000000000000 // (60 + cosr.rnk), 0) AS rrf_fp
+      FROM ids LEFT JOIN bm USING (doc_id)
+               LEFT JOIN cosr ON cosr.neighbor_id = ids.doc_id),
+    r AS (SELECT *, row_number() OVER (ORDER BY rrf_fp DESC, doc_id)
+                      AS fused_rnk
+          FROM f)
+    SELECT doc_id, bm25_rnk, cos_rnk, rrf_fp, fused_rnk
+    FROM r WHERE fused_rnk <= {_RRF_K} ORDER BY fused_rnk
+    """,
+)
+def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a lexical (BM25) and a
+    dense (embedding-cosine) ranking — the standard RAG/retrieval fusion.
+    The two rankers are the corpus-scale stages (each a distributed scan +
+    TakeOrdered top-k); the fusion itself joins two k-row lists and emits
+    exact fixed-point BIGINT scores (no floats cross the hash gate).
+    Documents align to embeddings by doc_id = vec_id."""
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    bm = (T.bm25_topk(docs, _BM25_TERMS, k=_RRF_POOL)
+          .select(F.col("doc_id").alias("id"),
+                  F.col("rnk").alias("bm25_rnk")))
+    q = emb.filter(F.col("vec_id") == 0)
+    cos = (S.cosine_topk(emb, q, k=_RRF_POOL)
+           .select(F.col("neighbor_id").alias("id"),
+                   F.col("rnk").alias("cos_rnk")))
+    fused = S.rrf_fuse([("bm25", bm), ("cos", cos)], k=_RRF_K)
+    return fused.select(F.col("id").alias("doc_id"), "bm25_rnk", "cos_rnk",
+                        "rrf_fp", "fused_rnk").orderBy("fused_rnk")
+
+
+_MMR_K = 5
+_MMR_POOL = 16
+
+
+def _mmr_sql(k: int, pool: int) -> str:
+    lam = "CAST(0.7 AS DOUBLE)"
+    oml = "CAST(0.3 AS DOUBLE)"
+    dot_ab = "CAST(CAST(" + _DOT.format(a="va", b="vb") + " AS VARCHAR) AS DOUBLE)"
+    dot_aa = "CAST(CAST(" + _DOT.format(a="va", b="va") + " AS VARCHAR) AS DOUBLE)"
+    dot_bb = "CAST(CAST(" + _DOT.format(a="vb", b="vb") + " AS VARCHAR) AS DOUBLE)"
+    parts = [f"""
+    WITH pool AS MATERIALIZED ({_cosine_sql(pool, "vec_id = 0")}),
+    pv AS MATERIALIZED (
+      SELECT p.neighbor_id AS id, e.embedding AS v, p.cosine AS rel
+      FROM pool p JOIN embeddings e ON e.vec_id = p.neighbor_id),
+    sp AS MATERIALIZED (
+      SELECT x.id AS a, y.id AS b,
+             {dot_ab.replace('va', 'x.v').replace('vb', 'y.v')}
+               / (sqrt({dot_aa.replace('va', 'x.v')})
+                  * sqrt({dot_bb.replace('vb', 'y.v')})) AS sim
+      FROM pv x JOIN pv y ON x.id < y.id),
+    sims AS (SELECT a, b, sim FROM sp UNION ALL SELECT b, a, sim FROM sp),
+    sel1 AS MATERIALIZED (
+      SELECT id, rel, CAST(0.0 AS DOUBLE) AS penalty,
+             {lam} * rel - {oml} * CAST(0.0 AS DOUBLE) AS score
+      FROM pv
+      ORDER BY {lam} * rel - {oml} * CAST(0.0 AS DOUBLE) DESC, id LIMIT 1),
+    selected1 AS (SELECT id FROM sel1)"""]
+    for r in range(2, k + 1):
+        parts.append(f""",
+    cand{r} AS MATERIALIZED (
+      SELECT p.id, p.rel, max(s.sim) AS penalty
+      FROM pv p JOIN sims s ON s.a = p.id
+                           AND s.b IN (SELECT id FROM selected{r-1})
+      WHERE p.id NOT IN (SELECT id FROM selected{r-1})
+      GROUP BY p.id, p.rel),
+    sel{r} AS MATERIALIZED (
+      SELECT id, rel, penalty, {lam} * rel - {oml} * penalty AS score
+      FROM cand{r}
+      ORDER BY {lam} * rel - {oml} * penalty DESC, id LIMIT 1),
+    selected{r} AS (SELECT id FROM selected{r-1}
+                    UNION ALL SELECT id FROM sel{r})""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {r} AS pick_rank, id AS vec_id, rel AS relevance, "
+        f"penalty, score AS mmr_score FROM sel{r}"
+        for r in range(1, k + 1))
+    parts.append(f"\n    {unions}\n    ORDER BY pick_rank\n    ")
+    return "".join(parts)
+
+
+@query("emb_mmr_diversify", _mmr_sql(_MMR_K, _MMR_POOL))
+def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k: greedy selection of
+    5 results from a cosine top-16 pool, trading relevance against
+    redundancy (lambda = 0.7) — the diversity-selection operator for
+    retrieval and for "don't train on near-identical examples" batch
+    curation. Corpus-scale work = the relevance scan + the pool pairwise
+    sims (both distributed, decimal-exact doubles); the greedy argmax
+    runs driver-side over the contracted <= 64-row pool (see
+    functions/similarity.py mmr_diversify). Oracle = the same greedy
+    unrolled as one CTE chain per round."""
+    emb = _emb(spark, sf_dir)
+    return S.mmr_diversify(emb, query_id=0, k=_MMR_K, pool=_MMR_POOL)

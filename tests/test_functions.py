@@ -1105,3 +1105,66 @@ def test_containment_prefix_join_lossless(spark):
     # the planted subset is caught in the subset DIRECTION only
     assert (2, 1) in got and (1, 2) not in got
 
+
+
+# ---------------------------------------------------------------------------
+# r10: source keyness, RRF fusion, MMR diversification (known-truth)
+# ---------------------------------------------------------------------------
+
+def test_source_keyness_known_truth(spark):
+    rows = [
+        (1, "alpha alpha alpha common common", "s1"),
+        (2, "beta beta beta common common", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["scope"], r["tok"]): r
+           for r in T.source_keyness(df, k=5, min_count=1).collect()}
+    # hand-computed 2x2: a=3, b=0, c=2, d=5, N=10 ->
+    # chi2 = 10 * (3*5)^2 / (3*7*5*5) = 2250/525
+    assert ("s1", "alpha") in out
+    assert out[("s1", "alpha")]["chi2"] == pytest.approx(2250 / 525)
+    assert out[("s1", "alpha")]["rnk"] == 1
+    assert out[("s2", "beta")]["rnk"] == 1
+    # proportionally-distributed token has delta == 0 -> not a keyness hit
+    assert ("s1", "common") not in out
+    assert ("s2", "common") not in out
+    # underrepresented token (beta in s1) never appears
+    assert ("s1", "beta") not in out
+
+
+def test_rrf_fuse_exact_fixed_point(spark):
+    bm = spark.createDataFrame([(1, 1), (2, 2)], "id long, bm25_rnk int")
+    cos = spark.createDataFrame([(2, 1), (3, 2)], "id long, cos_rnk int")
+    out = {r["id"]: r for r in
+           S.rrf_fuse([("bm25", bm), ("cos", cos)], k=10).collect()}
+    # exact integral-division fixed point: 1e12 // 61, 1e12 // 62
+    assert out[2]["rrf_fp"] == 10**12 // 61 + 10**12 // 62
+    assert out[1]["rrf_fp"] == 10**12 // 61
+    assert out[3]["rrf_fp"] == 10**12 // 62
+    assert [out[i]["fused_rnk"] for i in (2, 1, 3)] == [1, 2, 3]
+    # doc in one list only carries a NULL rank from the other
+    assert out[1]["cos_rnk"] is None and out[3]["bm25_rnk"] is None
+
+
+def test_mmr_diversify_prefers_diverse_pick(spark):
+    rows = [
+        (0, [1.0, 0.0]),          # query
+        (1, [0.9, 0.44]),
+        (2, [0.9, 0.43]),         # near-dup of 1, slightly higher rel
+        (3, [0.9, -0.44]),        # diverse, same relevance as 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.mmr_diversify(df, query_id=0, k=3, pool=3)
+    picks = [r["vec_id"] for r in out.collect()]
+    # greedy: 2 first (top relevance), then 3 (diversity beats the
+    # near-duplicate 1 despite equal relevance), 1 last
+    assert picks == [2, 3, 1]
+    rows_ = out.collect()
+    assert rows_[0]["penalty"] == 0.0
+    assert rows_[2]["penalty"] > rows_[1]["penalty"]  # 1 pays the near-dup sim
+
+
+def test_mmr_pool_cap_contract(spark):
+    df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        S.mmr_diversify(df, pool=S.MMR_MAX_POOL + 1)

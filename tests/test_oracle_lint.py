@@ -116,6 +116,10 @@ def test_varchar_double_inventory_frozen(oracles):
 # below 2^53 at gate scale (sf0.01 decimal sums ≤ ~1e12; unit-norm dot
 # products ≤ ~1e6; counts/squares in hhi/gini ≤ ~1e13)
 _VARCHAR_DOUBLE_ALLOWED = frozenset({
+    # r10: doc_hybrid_rrf / emb_mmr_diversify reuse the cosine _DOT
+    # VARCHAR-cast discipline; the decimals are 64-dim float dot
+    # products (|v| <= tens), far below 2^53 at any gate scale
+    "doc_hybrid_rrf", "emb_mmr_diversify",
     "emb_ann_lsh_topk", "emb_ann_recall", "emb_centroid_stats",
     "emb_cosine_topk", "emb_ivf_recall", "emb_ivf_topk",
     "emb_jl_distortion", "emb_kmeans", "emb_matryoshka_recall",

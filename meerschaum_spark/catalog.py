@@ -55,6 +55,8 @@ HEAD_ORDER = [
     "doc_source_keyness",
     "doc_hybrid_rrf",
     "emb_mmr_diversify",
+    "emb_ivfpq_topk",
+    "emb_ivfpq_recall",
     # -- changed in r10: oracles rewrote date_diff('microsecond') to
     #    epoch_us subtraction (lint widening); the two prefix-family
     #    joins now self-route (prefix plan on this data → same values) --
@@ -102,12 +104,10 @@ HEAD_ORDER = [
     # -- head-fill: the alphabetically-first slice of the r7 cohort --
     "doc_bigram_lm_score",
     "doc_binary_features",
-    "doc_contamination_check",
-    "doc_corpus_prep",
-    # (doc_dedup_cascade_report / doc_domain_caps / doc_exact_dedup were
-    # displaced by the three new r10 operators — their newest green stays
-    # r7, still within the "no older than N−3" invariant at r10; they
-    # lead the r11 rotation queue.)
+    # (doc_contamination_check / doc_corpus_prep / doc_dedup_cascade_report
+    # / doc_domain_caps / doc_exact_dedup were displaced by the five new
+    # r10 operators — their newest green stays r7, still within the "no
+    # older than N−3" invariant at r10; they lead the r11 rotation queue.)
 ]
 
 

@@ -868,3 +868,180 @@ def mmr_diversify(corpus: DataFrame, query_id: int = 0, k: int = 5,
     schema = ("pick_rank INT, vec_id BIGINT, relevance DOUBLE, "
               "penalty DOUBLE, mmr_score DOUBLE")
     return spark.createDataFrame(out, schema=schema).orderBy("pick_rank")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the FAISS IVFADC search shape (coarse cells + PQ codes + ADC)
+# ---------------------------------------------------------------------------
+
+def _pq_subdist_dbl(half_col, lit_vals):
+    """Sequential double fold of the squared distance between a vector
+    slice and a literal codebook slice — spelled exactly like the
+    emb_pq_codes oracle's ``list_reduce`` (0.0 + x1 == x1 exactly, so the
+    init-seeded Spark fold matches DuckDB's init-free reduce)."""
+    lit_arr = F.array(*[F.lit(float(v)) for v in lit_vals])
+    return F.aggregate(
+        F.zip_with(half_col, lit_arr,
+                   lambda a, b: (a.cast("double") - b)
+                   * (a.cast("double") - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode(df: DataFrame, codebook_rows: list, subspaces: int = 2,
+              subdim: int = 32, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Product-quantize every vector: per subspace, the code is the
+    argmin squared distance over the literal codebook (first bit-equal
+    match = smallest code, the same tie-break as a row_number argmin).
+    Shuffle-free projection — the corpus never joins anything."""
+    out_cols = [F.col(c) for c in df.columns]
+    for m in range(subspaces):
+        half = F.slice(F.col(vec_col), m * subdim + 1, subdim)
+        dists = F.array(*[
+            _pq_subdist_dbl(half, r[vec_col][m * subdim:(m + 1) * subdim])
+            for r in codebook_rows])
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+        out_cols.append(code.alias(f"code{m}"))
+    return df.select(*out_cols)
+
+
+def assign_ivf_cells_multi(
+    df: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe coarse assignment: one output row per (vector, probed
+    cell), the probe list being the ``nprobe`` nearest centroids
+    (exact-decimal distance, centroid-id tie-break — ``array_sort`` on
+    (d, cid) structs is the same lexicographic order as
+    ``assign_ivf_cells``'s argmin). Still a shuffle-free literal-array
+    projection; the row multiplication is nprobe× the QUERY side only."""
+    rows = sorted(centroids.select(id_col, vec_col).collect(),
+                  key=lambda r: r[0])
+    if not rows:
+        raise ValueError("assign_ivf_cells_multi: empty centroid set")
+    cents = F.array(*[
+        F.struct(
+            F.lit(r[0]).alias("cid"),
+            F.array(*[F.lit(float(x)) for x in r[1]])
+            .cast("array<float>").alias("cv"),
+        ) for r in rows])
+    scored = F.transform(
+        cents, lambda c: F.struct(
+            _sqdist_dec(F.col(vec_col), c["cv"]).alias("d"),
+            c["cid"].alias("cid")))
+    probes = F.slice(F.array_sort(scored), 1, nprobe)
+    return df.withColumn(
+        "cell", F.explode(F.transform(probes, lambda s: s["cid"])))
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    subspaces: int = 2,
+    subdim: int = 32,
+    nprobe: int = 1,
+    refine: int = 0,
+) -> DataFrame:
+    """IVF-PQ search with asymmetric distance computation (the FAISS
+    IVFADC layout, Jégou et al. 2011): corpus vectors collapse to one
+    coarse cell id + ``subspaces`` PQ codes (a few bytes per vector);
+    each query precomputes a lookup table of squared distances from its
+    subvectors to every codebook entry; candidate distance is then TWO
+    ARRAY LOOKUPS AND AN ADD — no vector arithmetic per pair.
+    ``nprobe`` > 1 probes each query's n nearest cells (the standard
+    FAISS recall knob; candidate volume grows nprobe× on the query side
+    only, the corpus pass is unchanged). ``refine`` > 0 adds the FAISS
+    refine stage: the ADC ranking keeps a ``k * refine`` shortlist whose
+    TRUE vectors are fetched back (an id equi-join — k·refine rows per
+    query, never the cell) and re-ranked by exact decimal L2 — recall is
+    then bounded by cell coverage instead of quantization error.
+
+    Scale shape: the corpus side is two shuffle-free projections (cell
+    assign + PQ encode) producing a narrow codes table; queries (with
+    their LUT arrays) broadcast into a cell equi-join. At 100 TB the
+    full-width vectors are read once and never shuffled — the join moves
+    only ids, cells, and codes. Recall is measured by
+    ``emb_ivfpq_recall``, never asserted.
+    """
+    cb_rows = sorted(codebook.select(id_col, vec_col).collect(),
+                     key=lambda r: r[0])
+    if not cb_rows:
+        raise ValueError("ivfpq_topk: empty codebook")
+    c = assign_ivf_cells(corpus, centroids, id_col, vec_col)
+    c = pq_encode(c, cb_rows, subspaces, subdim, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell",
+        *[f"code{m}" for m in range(subspaces)])
+    q = assign_ivf_cells_multi(queries, centroids, nprobe, id_col, vec_col)
+    lut_cols = []
+    for m in range(subspaces):
+        half = F.slice(F.col(vec_col), m * subdim + 1, subdim)
+        lut = F.array(*[
+            _pq_subdist_dbl(half, r[vec_col][m * subdim:(m + 1) * subdim])
+            for r in cb_rows])
+        lut_cols.append(lut.alias(f"lut{m}"))
+    q = q.select(F.col(id_col).alias("query_id"),
+                 F.col(vec_col).alias("_qv"), "cell", *lut_cols)
+    joined = c.join(F.broadcast(q), on="cell").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    adc = F.lit(0.0)
+    for m in range(subspaces):
+        adc = adc + F.element_at(F.col(f"lut{m}"),
+                                 (F.col(f"code{m}") + 1).cast("int"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id"))
+    ranked = (joined.select("query_id", "_qv", "neighbor_id",
+                            *[f"code{m}" for m in range(subspaces)],
+                            adc.alias("adc"))
+              .withColumn("rnk", F.row_number().over(w)))
+    if not refine:
+        return (ranked.filter(F.col("rnk") <= k)
+                .drop("_qv")
+                .orderBy("query_id", "rnk"))
+    shortlist = ranked.filter(F.col("rnk") <= k * refine).drop("rnk")
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("_nv"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("_sq").asc(), F.col("neighbor_id"))
+    return (shortlist.join(nv, on="neighbor_id")
+            .withColumn("_sq", _sqdist_dec(F.col("_qv"), F.col("_nv")))
+            .withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id",
+                    *[f"code{m}" for m in range(subspaces)], "adc", "rnk")
+            .orderBy("query_id", "rnk"))
+
+
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact brute-force squared-L2 top-k (the ground truth for the
+    IVF-PQ recall measurement). Distances accumulate in DECIMAL — exact
+    and partitioning-insensitive — and the ranking compares the decimals
+    directly, so the order is bit-identical across engines."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sqdist").asc(), F.col("neighbor_id"))
+    return (joined
+            .select("query_id", "neighbor_id",
+                    _sqdist_dec(F.col("qv"), F.col("cv")).alias("sqdist"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id")
+            .orderBy("query_id", "neighbor_id"))

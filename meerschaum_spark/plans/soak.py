@@ -392,6 +392,12 @@ FAMILIES: dict[str, Callable] = {
     # measures that the window keys stay fine-grained (no single-key
     # skew collapse) as pair volume grows
     "doc_dup_spans": _catalog_family("doc_substring_dup_spans"),
+    # r10: chi-square keyness — one corpus-scale explode + combinable
+    # (scope, token) agg, then vocabulary-sized frames; the soak
+    # measures the explode/agg stays linear while the vocab-sized tail
+    # stays flat (the generated corpus's dense 48-word vocab keeps the
+    # tail minimal, isolating the corpus-scale stage)
+    "doc_keyness": _catalog_family("doc_source_keyness"),
 }
 
 

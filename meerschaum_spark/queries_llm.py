@@ -4883,3 +4883,160 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled as one CTE chain per round."""
     emb = _emb(spark, sf_dir)
     return S.mmr_diversify(emb, query_id=0, k=_MMR_K, pool=_MMR_POOL)
+
+
+# ===========================================================================
+# r10: IVF-PQ search (FAISS IVFADC shape) with measured recall
+# ===========================================================================
+
+def _pq_subdist_sql(x: str, y: str, off: int) -> str:
+    a = f"CAST({x}[{off} + i] AS DOUBLE)"
+    b = f"CAST({y}[{off} + i] AS DOUBLE)"
+    return (f"list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}), "
+            f"i -> ({a} - {b}) * ({a} - {b})), (a, b) -> a + b)")
+
+
+def _ivfpq_sql(k: int, n_centroids: int, query_filter: str,
+               nprobe: int = 1, refine: int = 0) -> str:
+    diff = ("(" + _EL.replace("{v}", "e.embedding") + " - "
+            + _EL.replace("{v}", "c._cv") + ")")
+    sqdist = (f"list_sum(list_transform(generate_series(1, len(e.embedding)), "
+              f"i -> {diff} * {diff}))")
+    adc = ("(" + _pq_subdist_sql("q.qv", "cb0.embedding", 0) + ") + ("
+           + _pq_subdist_sql("q.qv", "cb1.embedding", PQ_SUBDIM) + ")")
+    return f"""
+    WITH cent AS (SELECT vec_id AS _cid, embedding AS _cv
+                  FROM embeddings WHERE vec_id < {n_centroids}),
+    arn AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding, c._cid AS cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {sqdist} ASC, c._cid ASC) AS rn
+      FROM embeddings e, cent c),
+    assigned AS (SELECT vec_id, embedding, cell FROM arn WHERE rn = 1),
+    a0 AS MATERIALIZED ({_pq_assign_sql(0)}),
+    a1 AS MATERIALIZED ({_pq_assign_sql(1)}),
+    codes AS MATERIALIZED (
+      SELECT assigned.vec_id, assigned.cell, a0.code0, a1.code1
+      FROM assigned JOIN a0 ON a0.vec_id = assigned.vec_id
+                    JOIN a1 ON a1.vec_id = assigned.vec_id),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, cell
+          FROM arn WHERE ({query_filter}) AND rn <= {nprobe}),
+    pairs AS (
+      SELECT q.query_id, q.qv, codes.vec_id AS neighbor_id,
+             codes.code0, codes.code1, {adc} AS adc
+      FROM q JOIN codes USING (cell)
+             JOIN embeddings cb0 ON cb0.vec_id = codes.code0
+             JOIN embeddings cb1 ON cb1.vec_id = codes.code1
+      WHERE codes.vec_id != q.query_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc ASC, neighbor_id) AS rnk
+      FROM pairs){_ivfpq_refine_sql(k, refine)}
+    """
+
+
+def _ivfpq_refine_sql(k: int, refine: int) -> str:
+    if not refine:
+        return f"""
+    SELECT query_id, neighbor_id, code0, code1, adc, rnk
+    FROM ranked WHERE rnk <= {k} ORDER BY query_id, rnk"""
+    diff = ("(" + _EL.replace("{v}", "s.qv") + " - "
+            + _EL.replace("{v}", "n.embedding") + ")")
+    sq = (f"list_sum(list_transform(generate_series(1, len(s.qv)), "
+          f"i -> {diff} * {diff}))")
+    return f""",
+    short AS (SELECT * FROM ranked WHERE rnk <= {k * refine}),
+    refined AS (
+      SELECT s.query_id, s.neighbor_id, s.code0, s.code1, s.adc,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY {sq} ASC, s.neighbor_id) AS rnk
+      FROM short s JOIN embeddings n ON n.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, code0, code1, adc, rnk
+    FROM refined WHERE rnk <= {k} ORDER BY query_id, rnk"""
+
+
+def _l2_sql(k: int, query_filter: str) -> str:
+    diff = ("(" + _EL.replace("{v}", "qv") + " - "
+            + _EL.replace("{v}", "cv") + ")")
+    sq = (f"list_sum(list_transform(generate_series(1, len(qv)), "
+          f"i -> {diff} * {diff}))")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE {query_filter}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    pairs AS (SELECT query_id, neighbor_id, {sq} AS sqdist
+              FROM q, c WHERE neighbor_id != query_id),
+    ranked AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sqdist ASC, neighbor_id)
+                        AS rnk
+               FROM pairs)
+    SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {k}
+    """
+
+
+IVFPQ_NPROBE = 2
+IVFPQ_REFINE = 4
+
+
+@query("emb_ivfpq_topk",
+       _ivfpq_sql(5, 8, "vec_id % 100 = 0", IVFPQ_NPROBE, IVFPQ_REFINE))
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search with asymmetric distance (FAISS IVFADC, Jégou et
+    al. 2011): coarse cells (seeded centroids vec_id < 8, nprobe=2) +
+    2x16 PQ codes + the FAISS refine stage (ADC top-20 shortlist
+    re-ranked by exact decimal L2); per candidate the ADC distance is
+    two LUT lookups + one add — the corpus's full-width vectors are
+    read once and NEVER shuffled; the refine fetch joins k·refine ids
+    per query, not cells (see functions/similarity.ivfpq_topk)."""
+    emb = _emb(spark, sf_dir)
+    base = load_table(spark, sf_dir, "embeddings")
+    centroids = base.filter(F.col("vec_id") < 8)
+    codebook = base.filter(F.col("vec_id") < PQ_CODEBOOK)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.ivfpq_topk(emb, queries, centroids, codebook, k=5,
+                        subspaces=PQ_SUBSPACES, subdim=PQ_SUBDIM,
+                        nprobe=IVFPQ_NPROBE, refine=IVFPQ_REFINE)
+
+
+@query(
+    "emb_ivfpq_recall",
+    f"""
+    WITH pq AS MATERIALIZED (
+      SELECT query_id, neighbor_id
+      FROM ({_ivfpq_sql(5, 8, "vec_id % 100 = 0", 2, 4)}) z),
+    exact AS MATERIALIZED (
+      SELECT query_id, neighbor_id
+      FROM ({_l2_sql(5, "vec_id % 100 = 0")}) e)
+    SELECT count(DISTINCT exact.query_id) AS n_queries,
+           count(*) AS n_exact_pairs,
+           count(pq.neighbor_id) AS n_hits,
+           CAST(count(pq.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+    FROM exact LEFT JOIN pq USING (query_id, neighbor_id)
+    """,
+)
+def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF-PQ (ADC) path against exact brute-force
+    squared-L2 — the compressed index's accuracy measured, not claimed,
+    completing the recall trilogy (LSH / IVF / IVF-PQ). Ground truth
+    ranks exact decimals; hit counts are integers; the one float op is
+    the final division."""
+    emb = _emb(spark, sf_dir)
+    base = load_table(spark, sf_dir, "embeddings")
+    centroids = base.filter(F.col("vec_id") < 8)
+    codebook = base.filter(F.col("vec_id") < PQ_CODEBOOK)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = S.l2_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    pq = (S.ivfpq_topk(emb, queries, centroids, codebook, k=5,
+                       subspaces=PQ_SUBSPACES, subdim=PQ_SUBDIM,
+                       nprobe=IVFPQ_NPROBE, refine=IVFPQ_REFINE)
+          .select("query_id", "neighbor_id")
+          .withColumn("_hit", F.lit(1)))
+    return (
+        exact.join(pq, on=["query_id", "neighbor_id"], how="left")
+        .agg(F.countDistinct("query_id").alias("n_queries"),
+             F.count(F.lit(1)).alias("n_exact_pairs"),
+             F.count("_hit").alias("n_hits"),
+             (F.count("_hit").cast("double")
+              / F.count(F.lit(1))).alias("recall_at_5"))
+    )

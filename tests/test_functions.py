@@ -1168,3 +1168,34 @@ def test_mmr_pool_cap_contract(spark):
     df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         S.mmr_diversify(df, pool=S.MMR_MAX_POOL + 1)
+
+
+def test_ivfpq_refine_fixes_adc_misorder(spark):
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),     # query; centroid A; codebook 0
+        (1, [10.0, 10.0, 10.0, 10.0]),  # centroid B; codebook 1
+        (2, [0.1, 0.0, 0.0, 0.0]),      # true nearest; codebook 2
+        (3, [10.0, 10.0, 10.0, 9.0]),   # codebook 3
+        (4, [0.0, 0.2, 0.0, 0.0]),      # PQ-encodes to codebook 0 -> ADC 0
+        (5, [9.0, 10.0, 10.0, 10.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = df.filter(F.col("vec_id") < 2)
+    cb = df.filter(F.col("vec_id") < 4)
+    q = df.filter(F.col("vec_id") == 0)
+    # exact ground truth: 2 (0.01) before 4 (0.04)
+    exact = [r["neighbor_id"] for r in
+             S.l2_topk(df, q, k=2).orderBy("query_id", "neighbor_id").collect()]
+    assert sorted(exact) == [2, 4]
+    # pure ADC misorders: 4's quantization error collapses its distance
+    # to 0 (its halves encode to codebook 0 = the query itself)
+    adc = S.ivfpq_topk(df, q, cents, cb, k=2, subspaces=2, subdim=2)
+    assert [r["neighbor_id"] for r in adc.collect()] == [4, 2]
+    # the refine stage re-ranks the shortlist by exact L2 -> true order
+    ref = S.ivfpq_topk(df, q, cents, cb, k=2, subspaces=2, subdim=2,
+                       refine=2)
+    assert [r["neighbor_id"] for r in ref.collect()] == [2, 4]
+    # nprobe=2 opens cell B; with refine the top-2 stays the true pair
+    ref2 = S.ivfpq_topk(df, q, cents, cb, k=2, subspaces=2, subdim=2,
+                        nprobe=2, refine=3)
+    assert [r["neighbor_id"] for r in ref2.collect()] == [2, 4]

@@ -31,7 +31,10 @@ FAMILIES = ["pipe_sync_diff", "pipe_ingest_dedup", "doc_domain_caps",
             # keys) — the shapes whose skew behavior should be
             # measured, not argued. doc_containment_forced is NOT here:
             # it is the kept-on-purpose quadratic row in SCALE.md.
-            "doc_bpe_train", "doc_bpe_encode", "doc_dup_spans"]
+            "doc_bpe_train", "doc_bpe_encode", "doc_dup_spans",
+            # r10 second block: keyness — corpus-scale explode+agg,
+            # vocabulary-sized tail
+            "doc_keyness"]
 
 
 @pytest.fixture(scope="module")

@@ -987,8 +987,11 @@ def ivfpq_topk(
             _pq_subdist_dbl(half, r[vec_col][m * subdim:(m + 1) * subdim])
             for r in cb_rows])
         lut_cols.append(lut.alias(f"lut{m}"))
-    q = q.select(F.col(id_col).alias("query_id"),
-                 F.col(vec_col).alias("_qv"), "cell", *lut_cols)
+    # the rank window must NOT carry the query vector: per-candidate
+    # rows × 256-byte vectors through the rank exchange is corpus-scale
+    # traffic — the refine stage re-joins the (tiny) query-vector frame
+    # onto the shortlist instead
+    q = q.select(F.col(id_col).alias("query_id"), "cell", *lut_cols)
     joined = c.join(F.broadcast(q), on="cell").filter(
         F.col("neighbor_id") != F.col("query_id"))
     adc = F.lit(0.0)
@@ -997,20 +1000,25 @@ def ivfpq_topk(
                                  (F.col(f"code{m}") + 1).cast("int"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id"))
-    ranked = (joined.select("query_id", "_qv", "neighbor_id",
+    ranked = (joined.select("query_id", "neighbor_id",
                             *[f"code{m}" for m in range(subspaces)],
                             adc.alias("adc"))
               .withColumn("rnk", F.row_number().over(w)))
     if not refine:
         return (ranked.filter(F.col("rnk") <= k)
-                .drop("_qv")
                 .orderBy("query_id", "rnk"))
-    shortlist = ranked.filter(F.col("rnk") <= k * refine).drop("rnk")
+    qv_side = queries.select(F.col(id_col).alias("query_id"),
+                             F.col(vec_col).alias("_qv"))
+    shortlist = (ranked.filter(F.col("rnk") <= k * refine).drop("rnk")
+                 .join(F.broadcast(qv_side), on="query_id"))
     nv = corpus.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).alias("_nv"))
     wr = Window.partitionBy("query_id").orderBy(
         F.col("_sq").asc(), F.col("neighbor_id"))
-    return (shortlist.join(nv, on="neighbor_id")
+    # the shortlist is contractually |Q|·k·refine rows (query-sample
+    # sized); broadcast it explicitly — its stats come out of a window,
+    # so Catalyst can't see that it is the small side of the fetch join
+    return (F.broadcast(shortlist).join(nv, on="neighbor_id")
             .withColumn("_sq", _sqdist_dec(F.col("_qv"), F.col("_nv")))
             .withColumn("rnk", F.row_number().over(wr))
             .filter(F.col("rnk") <= k)

@@ -600,3 +600,31 @@ def test_r10_plan_shapes(spark, sf_dir):
     cj = explain_str(doc_containment_join(spark, sf_dir), "simple")
     assert "CartesianProduct" not in cj, cj[:800]
     assert "BroadcastNestedLoopJoin" not in cj, cj[:800]
+
+
+def test_r10_block3_plan_shapes(spark, sf_dir):
+    """Plan contracts for the r10 second/third-block operators: keyness
+    joins its totals via broadcast (never a sort-merge on the corpus
+    explode), its per-scope top-k window is never single-partition, and
+    the IVF-PQ search is cartesian- and sort-merge-free — the cell join
+    broadcasts the query side and the refine fetch broadcasts the
+    shortlist, so the corpus never shuffles on either side."""
+    import re
+
+    from meerschaum_spark.plans import explain_str
+    from meerschaum_spark.queries_llm import (
+        doc_source_keyness,
+        emb_ivfpq_topk,
+    )
+
+    kn = explain_str(doc_source_keyness(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in kn, kn[:800]
+    assert not re.search(
+        r"Exchange SinglePartition[\s\S]{0,400}Window", kn), kn[:1200]
+
+    pq = explain_str(emb_ivfpq_topk(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in pq, pq[:800]
+    assert "SortMergeJoin" not in pq, pq[:800]
+    # two broadcast equi-joins by contract: cell join (query side) and
+    # the refine fetch (shortlist side)
+    assert pq.count("BroadcastHashJoin") >= 2, pq[:1200]

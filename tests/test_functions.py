@@ -1199,3 +1199,48 @@ def test_ivfpq_refine_fixes_adc_misorder(spark):
     ref2 = S.ivfpq_topk(df, q, cents, cb, k=2, subspaces=2, subdim=2,
                         nprobe=2, refine=3)
     assert [r["neighbor_id"] for r in ref2.collect()] == [2, 4]
+
+
+def test_rrf_fuse_matches_python_reference(spark):
+    import random
+    rng = random.Random(42)
+    ids = list(range(40))
+    rng.shuffle(ids)
+    la = [(ids[i], i + 1) for i in range(12)]
+    rng.shuffle(ids)
+    lb = [(ids[i], i + 1) for i in range(9)]
+    rng.shuffle(ids)
+    lc = [(ids[i], i + 1) for i in range(15)]
+    a = spark.createDataFrame(la, "id long, a_rnk int")
+    b = spark.createDataFrame(lb, "id long, b_rnk int")
+    cdf = spark.createDataFrame(lc, "id long, c_rnk int")
+    out = S.rrf_fuse([("a", a), ("b", b), ("c", cdf)], k=10).collect()
+    # pure-Python reference of the same fixed-point RRF
+    ref: dict = {}
+    for lst in (la, lb, lc):
+        for i, r in lst:
+            ref[i] = ref.get(i, 0) + S.RRF_SCALE // (S.RRF_C + r)
+    expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["id"], r["rrf_fp"]) for r in out] == expect
+    assert [r["fused_rnk"] for r in out] == list(range(1, 11))
+
+
+def test_source_keyness_margin_consistency(spark):
+    import random
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randint(5, 30))),
+             f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = T.source_keyness(df, k=100, min_count=1).collect()
+    n_tot = sum(len(t.split()) for _, t, _ in rows)
+    for r in out:
+        # chi2 is nonnegative and bounded by N; counts are consistent
+        assert 0 <= r["chi2"] <= n_tot + 1e-9
+        assert 1 <= r["n_in_scope"] <= r["n_global"] <= n_tot
+    # per-scope ranks are dense from 1
+    by_scope: dict = {}
+    for r in out:
+        by_scope.setdefault(r["scope"], []).append(r["rnk"])
+    for rnks in by_scope.values():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))

@@ -3065,9 +3065,9 @@ def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 LM_FP = 10_000
 
 
-@query(
-    "doc_bigram_lm_score",
-    f"""
+#: the Laplace-smoothed self-trained bigram LM's per-doc score frame,
+#: shared (verbatim) by doc_bigram_lm_score and doc_quality_bucket_mix
+_BIGRAM_SCORED_SQL = f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     v AS (SELECT count(DISTINCT tok) AS vsize
           FROM (SELECT unnest(toks) AS tok FROM t)),
@@ -3095,11 +3095,16 @@ LM_FP = 10_000
              CAST(sum(w.w_int) AS BIGINT) AS s
       FROM bg JOIN w ON bg.bgh = w.bgh AND bg.w1h = w.w1h
       GROUP BY 1),
-    scored AS (
+    scored AS MATERIALIZED (
       SELECT doc_id, n_bigrams,
              -(CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) / {LM_FP}.0
                  AS neg_avg_logp
-      FROM ds),
+      FROM ds)"""
+
+
+@query(
+    "doc_bigram_lm_score",
+    f"""{_BIGRAM_SCORED_SQL},
     th AS (SELECT quantile_cont(neg_avg_logp, 0.9) AS q90 FROM scored)
     SELECT doc_id, n_bigrams, neg_avg_logp,
            neg_avg_logp >= th.q90 AS flagged_noisy
@@ -3125,6 +3130,20 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bigram counts (c1 = Σ c2 over w1h — no second full-data pass),
     and the weight join-back multiplies by the per-doc count. Hashes are
     60-bit longs on the wire, never strings."""
+    scored = _lm_scored(spark, sf_dir)
+    th = scored.agg(F.expr("percentile(neg_avg_logp, 0.9)").alias("q90"))
+    return (scored.crossJoin(F.broadcast(th))
+            .select("doc_id", "n_bigrams", "neg_avg_logp",
+                    (F.col("neg_avg_logp") >= F.col("q90"))
+                    .alias("flagged_noisy"))
+            .orderBy("doc_id"))
+
+
+def _lm_scored_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bigram-LM per-doc score frame (doc_id, n_bigrams,
+    neg_avg_logp) — the exact expression chain the r7 LM query has
+    always computed, factored out so the quality-bucket mixture shares
+    it via the session cache."""
     docs = _docs(spark, sf_dir)
     from meerschaum_spark.catalog import hash60
     toked = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
@@ -3160,16 +3179,97 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
           .groupBy("doc_id")
           .agg(F.sum("n").cast("long").alias("n_bigrams"),
                F.sum(F.col("w_int") * F.col("n")).alias("s")))
-    scored = ds.select(
+    return ds.select(
         "doc_id", "n_bigrams",
         (-(F.col("s").cast("double") / F.col("n_bigrams").cast("double"))
          / F.lit(float(LM_FP))).alias("neg_avg_logp"))
-    th = scored.agg(F.expr("percentile(neg_avg_logp, 0.9)").alias("q90"))
-    return (scored.crossJoin(F.broadcast(th))
-            .select("doc_id", "n_bigrams", "neg_avg_logp",
-                    (F.col("neg_avg_logp") >= F.col("q90"))
-                    .alias("flagged_noisy"))
-            .orderBy("doc_id"))
+
+
+def _lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached bigram-LM score frame (the `_cached_sigs`
+    mechanism — one corpus pass shared by the LM score query and the
+    quality-bucket mixture)."""
+    return _cached_sigs("lm_scored", spark, sf_dir,
+                        lambda: _lm_scored_build(spark, sf_dir))
+
+
+_QB_WEIGHTS_X10 = [16, 13, 10, 7, 4]  # bucket 0 (best) ... 4 (worst)
+
+_QB_CASE = ("CASE bucket WHEN 0 THEN 16 WHEN 1 THEN 13 WHEN 2 THEN 10 "
+            "WHEN 3 THEN 7 ELSE 4 END")
+
+
+@query(
+    "doc_quality_bucket_mix",
+    f"""{_BIGRAM_SCORED_SQL},
+    qs AS (SELECT quantile_cont(neg_avg_logp, 0.2) AS q20,
+                  quantile_cont(neg_avg_logp, 0.4) AS q40,
+                  quantile_cont(neg_avg_logp, 0.6) AS q60,
+                  quantile_cont(neg_avg_logp, 0.8) AS q80 FROM scored),
+    b AS (
+      SELECT doc_id, n_bigrams + 1 AS n_tokens,
+             (CASE WHEN neg_avg_logp >= qs.q20 THEN 1 ELSE 0 END
+            + CASE WHEN neg_avg_logp >= qs.q40 THEN 1 ELSE 0 END
+            + CASE WHEN neg_avg_logp >= qs.q60 THEN 1 ELSE 0 END
+            + CASE WHEN neg_avg_logp >= qs.q80 THEN 1 ELSE 0 END) AS bucket
+      FROM scored, qs),
+    agg AS (
+      SELECT bucket, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM b GROUP BY bucket),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM agg)
+    SELECT bucket,
+           CAST({_QB_CASE} AS BIGINT) AS weight_x10,
+           n_docs, n_tokens,
+           CAST(n_tokens * ({_QB_CASE}) AS BIGINT) AS effective_tokens_x10,
+           CAST(n_tokens AS DOUBLE) / CAST(tot.tot_tokens AS DOUBLE)
+             AS token_share
+    FROM agg, tot ORDER BY bucket
+    """,
+)
+def doc_quality_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-bucketed data mixing (the DCLM/quality-curriculum
+    operator): documents split into LM-score quintiles (bucket 0 = most
+    fluent), each bucket weighted by a fixed oversampling factor
+    (x1.6 best ... x0.4 worst, exact x10 integers), emitting the
+    per-bucket document/token counts, effective post-mix tokens, and
+    token share — the report that decides how much of each quality tier
+    a training run actually consumes.
+
+    Plan shape: the LM score frame is the session-cached corpus pass
+    shared with doc_bigram_lm_score; the quintile thresholds are ONE
+    single-row percentile aggregate broadcast back; bucketing is a
+    narrow projection and the mixture is a 5-group hash agg. Outputs
+    are exact integers except the one token_share division."""
+    scored = _lm_scored(spark, sf_dir)
+    qs = scored.agg(*[
+        F.expr(f"percentile(neg_avg_logp, {p})").alias(f"q{int(p*100)}")
+        for p in (0.2, 0.4, 0.6, 0.8)])
+    bucket = sum(
+        (F.col("neg_avg_logp") >= F.col(f"q{q}")).cast("int")
+        for q in (20, 40, 60, 80))
+    b = (scored.crossJoin(F.broadcast(qs))
+         .select((F.col("n_bigrams") + 1).alias("n_tokens"),
+                 bucket.alias("bucket")))
+    agg = (b.groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens")))
+    tot = agg.agg(F.sum("n_tokens").cast("long").alias("tot_tokens"))
+    weight = (F.when(F.col("bucket") == 0, 16)
+              .when(F.col("bucket") == 1, 13)
+              .when(F.col("bucket") == 2, 10)
+              .when(F.col("bucket") == 3, 7)
+              .otherwise(4)).cast("long")
+    return (agg.crossJoin(F.broadcast(tot))
+            .select("bucket",
+                    weight.alias("weight_x10"),
+                    "n_docs", "n_tokens",
+                    (F.col("n_tokens") * weight).cast("long")
+                    .alias("effective_tokens_x10"),
+                    (F.col("n_tokens").cast("double")
+                     / F.col("tot_tokens").cast("double"))
+                    .alias("token_share"))
+            .orderBy("bucket"))
 
 
 # ===========================================================================

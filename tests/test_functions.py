@@ -1244,3 +1244,16 @@ def test_source_keyness_margin_consistency(spark):
         by_scope.setdefault(r["scope"], []).append(r["rnk"])
     for rnks in by_scope.values():
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+
+def test_quality_bucket_mix_properties(spark, sf_dir):
+    from meerschaum_spark.queries_llm import doc_quality_bucket_mix
+    rows = doc_quality_bucket_mix(spark, sf_dir).collect()
+    assert [r["bucket"] for r in rows] == [0, 1, 2, 3, 4]
+    assert [r["weight_x10"] for r in rows] == [16, 13, 10, 7, 4]
+    # quintiles: bucket doc counts within one doc of each other except
+    # ties at thresholds; loose sanity — every bucket is populated
+    assert all(r["n_docs"] > 0 for r in rows)
+    assert sum(r["token_share"] for r in rows) == pytest.approx(1.0)
+    for r in rows:
+        assert r["effective_tokens_x10"] == r["n_tokens"] * r["weight_x10"]

@@ -58,6 +58,7 @@ HEAD_ORDER = [
     "emb_ivfpq_topk",
     "emb_ivfpq_recall",
     "doc_quality_bucket_mix",
+    "events_holt_winters",
     # -- changed in r10: oracles rewrote date_diff('microsecond') to
     #    epoch_us subtraction (lint widening); the two prefix-family
     #    joins now self-route (prefix plan on this data → same values) --
@@ -103,14 +104,13 @@ HEAD_ORDER = [
     "top_brands_by_revenue",
     "urgent_orders_with_late_items",
     # -- head-fill: the alphabetically-first slice of the r7 cohort --
-    "doc_bigram_lm_score",
-    # (doc_binary_features / doc_contamination_check / doc_corpus_prep /
-    # doc_dedup_cascade_report / doc_domain_caps / doc_exact_dedup were
-    # displaced by the six new r10 operators — their newest green stays
-    # r7, still within the "no older than N−3" invariant at r10; they
-    # lead the r11 rotation queue. doc_bigram_lm_score stays: its Spark
-    # code was refactored through the shared _lm_scored cache this
-    # round, so it re-records.)
+    # (doc_bigram_lm_score / doc_binary_features / doc_contamination_check
+    # / doc_corpus_prep / doc_dedup_cascade_report / doc_domain_caps /
+    # doc_exact_dedup were displaced by the seven new r10 operators —
+    # their newest green stays r7, still within the "no older than N−3"
+    # invariant at r10; they lead the r11 rotation queue.
+    # doc_bigram_lm_score's r10 refactor through the shared _lm_scored
+    # cache is hash-proven unchanged by the local strict gate.)
 ]
 
 

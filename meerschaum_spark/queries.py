@@ -5307,3 +5307,111 @@ def part_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                     conf.alias("confidence_dbl"), lift.alias("lift_dbl"))
             .orderBy(F.col("lift_dbl").desc(), "antecedent", "consequent")
             .limit(40))
+
+
+# ===========================================================================
+# r10: Holt-Winters additive seasonal smoothing (the sequential family's
+# triple-exponential member)
+# ===========================================================================
+
+_HW_SOLD = "r.s[CAST(b2.h + 1 AS INT)]"
+_HW_LNEW = _floor4_sql(f"b2.y - {_HW_SOLD} + 3 * (r.l + r.b)")
+_HW_BNEW = _floor4_sql(f"({_HW_LNEW}) - r.l + 3 * r.b")
+_HW_SNEW = _floor4_sql(f"b2.y - ({_HW_LNEW}) + 3 * {_HW_SOLD}")
+
+
+@query(
+    "events_holt_winters",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
+             CAST(hour(ts) AS BIGINT) AS h,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL),
+    rec AS (
+      SELECT user_id, ts, event_id, rn, h, y AS l, CAST(0 AS BIGINT) AS b,
+             list_transform(generate_series(1, 24),
+                            x -> CAST(0 AS BIGINT)) AS s
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b2.user_id, b2.ts, b2.event_id, b2.rn, b2.h,
+             {_HW_LNEW} AS l,
+             {_HW_BNEW} AS b,
+             list_transform(r.s, (x, i) ->
+               CASE WHEN i = CAST(b2.h + 1 AS INT)
+                    THEN {_HW_SNEW} ELSE x END) AS s
+      FROM rec r JOIN base b2
+        ON b2.user_id = r.user_id AND b2.rn = r.rn + 1)
+    SELECT user_id, ts, event_id, l AS level_scaled, b AS trend_scaled,
+           s[CAST(h + 1 AS INT)] AS season_scaled,
+           l + b + s[CAST(h + 1 AS INT)] AS forecast_scaled
+    FROM rec ORDER BY user_id, ts, event_id
+    """,
+)
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing per series
+    (α = β = γ = 1/4, hour-of-day seasonality, m = 24) as an exact
+    integer recurrence over µ-scaled values::
+
+        l₁ = y₁, b₁ = 0, s₁[·] = 0
+        lᵢ = ⌊(yᵢ − sᵢ₋₁[hᵢ] + 3·(lᵢ₋₁ + bᵢ₋₁)) / 4⌋
+        bᵢ = ⌊((lᵢ − lᵢ₋₁) + 3·bᵢ₋₁) / 4⌋
+        sᵢ[hᵢ] = ⌊(yᵢ − lᵢ + 3·sᵢ₋₁[hᵢ]) / 4⌋
+
+    — the triple-exponential member of the sequential family (EWMA →
+    Holt → Holt-Winters), the classic ops-forecasting recurrence with a
+    24-slot seasonal state vector that no window/aggregate composition
+    expresses. Same engineering as events_holt_linear: justified
+    ``applyInPandas`` fold in plain Python ints; floor division spelled
+    subtract-nonneg-remainder-then-divide in the oracle because trend
+    and season go NEGATIVE (DuckDB ``//`` floors, Spark ``div``
+    truncates); the oracle carries the seasonal state as a LIST column
+    through the recursive CTE with an indexed-lambda slot update. Cost
+    bounded by the largest single series (hot-series soak discipline);
+    cores-sized repartition guards the python stage from AQE
+    byte-squeezing."""
+    n_par = spark.sparkContext.defaultParallelism
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("user_id", "ts", "event_id",
+                  F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+                  .cast("long").alias("y"),
+                  F.hour("ts").cast("long").alias("h"))
+          .repartition(n_par, "user_id"))
+
+    def hw(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"],
+                              kind="mergesort").reset_index(drop=True)
+        ys = [int(v) for v in pdf["y"]]
+        hs = [int(v) for v in pdf["h"]]
+        lv = ys[0]
+        tr = 0
+        season = [0] * 24
+        ls, bs, ss = [lv], [tr], [0]
+        for y, h in zip(ys[1:], hs[1:]):
+            so = season[h]
+            l_new = (y - so + 3 * (lv + tr)) // 4
+            tr = (l_new - lv + 3 * tr) // 4
+            sn = (y - l_new + 3 * so) // 4
+            season[h] = sn
+            lv = l_new
+            ls.append(lv)
+            bs.append(tr)
+            ss.append(sn)
+        out = pdf[["user_id", "ts", "event_id"]].copy()
+        out["level_scaled"] = ls
+        out["trend_scaled"] = bs
+        out["season_scaled"] = ss
+        return out
+
+    return (ev.groupBy("user_id")
+            .applyInPandas(
+                hw,
+                "user_id long, ts timestamp, event_id long, "
+                "level_scaled long, trend_scaled long, season_scaled long")
+            .withColumn("forecast_scaled",
+                        F.col("level_scaled") + F.col("trend_scaled")
+                        + F.col("season_scaled"))
+            .orderBy("user_id", "ts", "event_id"))

@@ -1257,3 +1257,42 @@ def test_quality_bucket_mix_properties(spark, sf_dir):
     assert sum(r["token_share"] for r in rows) == pytest.approx(1.0)
     for r in rows:
         assert r["effective_tokens_x10"] == r["n_tokens"] * r["weight_x10"]
+
+
+def test_holt_winters_matches_python_fold(spark, sf_dir):
+    """Independent pure-pandas replay of the Holt-Winters integer
+    recurrence over the real testdata — one user, full series."""
+    import math
+    from meerschaum_spark.queries import events_holt_winters
+    from meerschaum_spark.sources import load_table
+
+    out = events_holt_winters(spark, sf_dir)
+    uid = out.select("user_id").first()["user_id"]
+    got = (out.filter(F.col("user_id") == uid)
+           .orderBy("ts", "event_id").collect())
+    ev = (load_table(spark, sf_dir, "events")
+          .filter((F.col("user_id") == uid) & F.col("value").isNotNull())
+          .select("ts", "event_id", "value").collect())
+    ev.sort(key=lambda r: (r["ts"], r["event_id"]))
+    lv = tr = None
+    season = [0] * 24
+    ref = []
+    for r in ev:
+        y = math.floor(r["value"] * 1_000_000 + 0.5)
+        h = r["ts"].hour
+        if lv is None:
+            lv, tr = y, 0
+            ref.append((lv, tr, 0))
+            continue
+        so = season[h]
+        l_new = (y - so + 3 * (lv + tr)) // 4
+        tr = (l_new - lv + 3 * tr) // 4
+        sn = (y - l_new + 3 * so) // 4
+        season[h] = sn
+        lv = l_new
+        ref.append((lv, tr, sn))
+    assert len(got) == len(ref) > 10
+    for g, (l, b, s) in zip(got, ref):
+        assert (g["level_scaled"], g["trend_scaled"],
+                g["season_scaled"]) == (l, b, s)
+        assert g["forecast_scaled"] == l + b + s

@@ -5415,3 +5415,57 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("level_scaled") + F.col("trend_scaled")
                         + F.col("season_scaled"))
             .orderBy("user_id", "ts", "event_id"))
+
+
+@query(
+    "streaming_holt_winters",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
+             CAST(hour(ts) AS BIGINT) AS h,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL),
+    rec AS (
+      SELECT user_id, rn, h, y AS l, CAST(0 AS BIGINT) AS b,
+             list_transform(generate_series(1, 24),
+                            x -> CAST(0 AS BIGINT)) AS s
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b2.user_id, b2.rn, b2.h,
+             {_HW_LNEW} AS l,
+             {_HW_BNEW} AS b,
+             list_transform(r.s, (x, i) ->
+               CASE WHEN i = CAST(b2.h + 1 AS INT)
+                    THEN {_HW_SNEW} ELSE x END) AS s
+      FROM rec r JOIN base b2
+        ON b2.user_id = r.user_id AND b2.rn = r.rn + 1),
+    fin AS (SELECT user_id, max(rn) AS n_events FROM rec GROUP BY user_id)
+    SELECT r.user_id, f.n_events, r.l AS level_scaled, r.b AS trend_scaled,
+           r.s AS season_state
+    FROM rec r JOIN fin f
+      ON r.user_id = f.user_id AND r.rn = f.n_events
+    ORDER BY r.user_id
+    """,
+)
+def streaming_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive seasonal smoothing maintained CONTINUOUSLY:
+    the event stream replays through ``stateful_holt_winters``
+    (``applyInPandasWithState`` — two longs + a 24-slot long ARRAY of
+    state per key, the stateful family's first array-typed state), and
+    the final per-key (n, level, trend, season vector) must equal the
+    batch recurrence's last row INCLUDING the full seasonal state list —
+    streaming and batch twins share one recursive-CTE oracle, the same
+    twin discipline as the EWMA/CUSUM/Holt/CDC pairs."""
+    from meerschaum_spark.streaming.stateful import stateful_holt_winters
+
+    sink = _replay_events_to_sink(spark, sf_dir, stateful_holt_winters,
+                                  "holtwinters", output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (spark.table(sink)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n_events", "level_scaled", "trend_scaled",
+                    "season_state")
+            .orderBy("user_id"))

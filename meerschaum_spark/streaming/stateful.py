@@ -415,3 +415,75 @@ def stateful_holt(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     ))
+
+
+HW_OUTPUT_SCHEMA = ("user_id long, n_events long, level_scaled long, "
+                    "trend_scaled long, season_state array<long>")
+HW_STATE_SCHEMA = "l long, b long, s array<long>, n long"
+
+
+def _hw_group(
+    key: Tuple[Any],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold one key's micro-batch rows through the Holt-Winters additive
+    recurrence (α = β = γ = 1/4, hour-of-day m = 24, exact integer floor
+    division — Python ``//`` floors, matching the batch twin and the
+    shared recursive-CTE oracle for negative trend/season), state
+    carrying (level, trend, 24-slot season list, count)."""
+    (user_id,) = key
+    if state.exists:
+        lv, tr, season, n = state.get
+        season = list(season)
+    else:
+        lv, tr, season, n = None, 0, [0] * 24, 0
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if len(rows):
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        for y, h in zip(rows["y"], rows["h"]):
+            if pd.isna(y):
+                continue
+            y, h = int(y), int(h)
+            if lv is None:
+                lv, tr = y, 0
+            else:
+                so = season[h]
+                l_new = (y - so + 3 * (int(lv) + int(tr))) // 4
+                tr = (l_new - int(lv) + 3 * int(tr)) // 4
+                season[h] = (y - l_new + 3 * so) // 4
+                lv = l_new
+            n += 1
+    state.update((int(lv) if lv is not None else None, int(tr),
+                  [int(x) for x in season], int(n)))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
+                        "level_scaled": [lv], "trend_scaled": [tr],
+                        "season_state": [[int(x) for x in season]]})
+
+
+def stateful_holt_winters(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of ``events_holt_winters``: the triple-exponential
+    recurrence maintained CONTINUOUSLY in the state store — two longs +
+    a 24-slot long array of state per key (the first array-typed state
+    in the stateful family), emissions monotonic in n so readers keep
+    the max-n row per key."""
+    from pyspark.sql import functions as F
+
+    src = stream_df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("user_id"), F.col(ts_col).alias("ts"),
+        "event_id",
+        F.floor(F.col(value_col) * 1_000_000 + F.lit(0.5))
+        .cast("long").alias("y"),
+        F.hour(ts_col).cast("long").alias("h"))
+    return (src.groupBy("user_id").applyInPandasWithState(
+        _hw_group,
+        outputStructType=HW_OUTPUT_SCHEMA,
+        stateStructType=HW_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ))

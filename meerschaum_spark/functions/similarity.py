@@ -937,6 +937,26 @@ def assign_ivf_cells_multi(
         "cell", F.explode(F.transform(probes, lambda s: s["cid"])))
 
 
+def ivfpq_corpus_codes(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebook_rows: list,
+    subspaces: int = 2,
+    subdim: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVF-PQ INDEX table: (id, cell, code0..codeM) — the
+    once-per-corpus artifact every search reuses (in FAISS terms, the
+    trained+populated index). Both projections are shuffle-free; callers
+    should cache/checkpoint the result so repeated searches never re-pay
+    the encode pass."""
+    c = assign_ivf_cells(corpus, centroids, id_col, vec_col)
+    return pq_encode(c, codebook_rows, subspaces, subdim,
+                     id_col, vec_col).select(
+        id_col, "cell", *[f"code{m}" for m in range(subspaces)])
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -949,6 +969,7 @@ def ivfpq_topk(
     subdim: int = 32,
     nprobe: int = 1,
     refine: int = 0,
+    corpus_codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ search with asymmetric distance computation (the FAISS
     IVFADC layout, Jégou et al. 2011): corpus vectors collapse to one
@@ -975,8 +996,10 @@ def ivfpq_topk(
                      key=lambda r: r[0])
     if not cb_rows:
         raise ValueError("ivfpq_topk: empty codebook")
-    c = assign_ivf_cells(corpus, centroids, id_col, vec_col)
-    c = pq_encode(c, cb_rows, subspaces, subdim, id_col, vec_col).select(
+    if corpus_codes is None:
+        corpus_codes = ivfpq_corpus_codes(corpus, centroids, cb_rows,
+                                          subspaces, subdim, id_col, vec_col)
+    c = corpus_codes.select(
         F.col(id_col).alias("neighbor_id"), "cell",
         *[f"code{m}" for m in range(subspaces)])
     q = assign_ivf_cells_multi(queries, centroids, nprobe, id_col, vec_col)

@@ -5079,6 +5079,24 @@ IVFPQ_NPROBE = 2
 IVFPQ_REFINE = 4
 
 
+def _ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached IVF-PQ index table (id, cell, code0, code1) — the
+    once-per-corpus artifact (FAISS's trained+populated index) shared by
+    emb_ivfpq_topk and emb_ivfpq_recall via the `_cached_sigs`
+    mechanism, so repeated searches never re-pay the encode pass."""
+    def build() -> DataFrame:
+        emb = _emb(spark, sf_dir)
+        base = load_table(spark, sf_dir, "embeddings")
+        centroids = base.filter(F.col("vec_id") < 8)
+        cb_rows = sorted(
+            base.filter(F.col("vec_id") < PQ_CODEBOOK)
+            .select("vec_id", "embedding").collect(),
+            key=lambda r: r[0])
+        return S.ivfpq_corpus_codes(emb, centroids, cb_rows,
+                                    PQ_SUBSPACES, PQ_SUBDIM)
+    return _cached_sigs("ivfpq_codes", spark, sf_dir, build)
+
+
 @query("emb_ivfpq_topk",
        _ivfpq_sql(5, 8, "vec_id % 100 = 0", IVFPQ_NPROBE, IVFPQ_REFINE))
 def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5096,7 +5114,8 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return S.ivfpq_topk(emb, queries, centroids, codebook, k=5,
                         subspaces=PQ_SUBSPACES, subdim=PQ_SUBDIM,
-                        nprobe=IVFPQ_NPROBE, refine=IVFPQ_REFINE)
+                        nprobe=IVFPQ_NPROBE, refine=IVFPQ_REFINE,
+                        corpus_codes=_ivfpq_codes(spark, sf_dir))
 
 
 @query(
@@ -5129,7 +5148,8 @@ def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.l2_topk(emb, queries, k=5).select("query_id", "neighbor_id")
     pq = (S.ivfpq_topk(emb, queries, centroids, codebook, k=5,
                        subspaces=PQ_SUBSPACES, subdim=PQ_SUBDIM,
-                       nprobe=IVFPQ_NPROBE, refine=IVFPQ_REFINE)
+                       nprobe=IVFPQ_NPROBE, refine=IVFPQ_REFINE,
+                       corpus_codes=_ivfpq_codes(spark, sf_dir))
           .select("query_id", "neighbor_id")
           .withColumn("_hit", F.lit(1)))
     return (

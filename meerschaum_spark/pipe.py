@@ -2926,7 +2926,8 @@ class Pipe:
         return SyncResult(True, f"Repartitioned {old} → {chunk_minutes} min grid.")
 
     def optimize(self, max_files_per_partition: int = 1,
-                 cluster_by: list[str] | None = None) -> int:
+                 cluster_by: list[str] | None = None,
+                 zorder: bool = False) -> int:
         """Compact partitions that accumulated small append files — the
         OPTIMIZE analogue (reference maps compress/vacuum to this,
         SURVEY §2.9 M9/M10; TimescaleDB compression policy
@@ -2940,7 +2941,17 @@ class Pipe:
         row-group min/max stats become selective for those columns and
         point/range reads on them prune at the row-group level — the
         poor man's secondary index. Clustering rewrites EVERY partition
-        (a layout change, not just a compaction)."""
+        (a layout change, not just a compaction).
+
+        ``zorder=True`` upgrades the lexicographic layout to a Morton
+        (Z-order) interleave of the ``cluster_by`` keys (the
+        Delta/Iceberg OPTIMIZE ZORDER layout, ``functions/layout.py``):
+        a plain sort makes file/row-group stats selective for the
+        LEADING key only, while the interleave gives every key ~equal
+        locality so range predicates on ANY of them prune files. The
+        z-value is a pure codegen Column (shift/and/or over
+        min-max-bucketed keys; one stats job per numeric key), sorted
+        within partitions and never written to the table."""
         import os
         if not self.exists():
             return 0
@@ -2965,8 +2976,15 @@ class Pipe:
             # a typo'd key must not degrade to an expensive unclustered
             # full-table rewrite that reports success
             raise KeyError(f"cluster_by columns not in the table: {unknown}")
-        self.store._swap_partitions(compacted, targets,
-                                    sort_by=keys or None)
+        sort_by: list | None = keys or None
+        if zorder:
+            if len(keys) < 2:
+                raise ValueError(
+                    "zorder=True needs >= 2 cluster_by columns; a single "
+                    "key is already optimally clustered by a plain sort")
+            from meerschaum_spark.functions.layout import zorder_column
+            sort_by = [zorder_column(scoped, keys)]
+        self.store._swap_partitions(compacted, targets, sort_by=sort_by)
         return len(targets)
 
     def vacuum(self, stale_minutes: int = 1440) -> int:

@@ -244,3 +244,62 @@ def test_store_replace_range_semantics(spark, tmp_path):
     store.replace_range(far, feb, feb + 3_600_000_000)
     assert store.read().filter(F.col("k") == 999).count() == 1
     assert store.read().count() == 7
+
+
+def test_optimize_zorder_improves_trailing_key_locality(spark, instance_dir):
+    """optimize(zorder=True) interleaves the cluster keys: under a plain
+    lexicographic (x, y) sort every consecutive chunk of rows spans the
+    FULL y range (stats on y prune nothing), while the Morton layout
+    keeps both axes local — chunk y-extents (the row-group-pruning
+    proxy) must shrink by at least 2x. Also: identical rows, no helper
+    column leaks into the written schema."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from meerschaum_spark.pipe import Pipe
+
+    rows = [{"k": i, "x": i % 64, "y": i // 64} for i in range(4096)]
+
+    def build(name, **opt_kwargs):
+        p = Pipe("maint", name, instance=instance_dir, spark=spark,
+                 columns={"datetime": "k", "id": "k"},
+                 parameters={"precision": {"unit": "second"}},
+                 dtypes={"k": "int64", "x": "int64", "y": "int64"})
+        p.sync(rows)
+        assert p.optimize(cluster_by=["x", "y"], **opt_kwargs) >= 1
+        chunks = []
+        for root, _d, files in os.walk(p.store.data_path):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                path = os.path.join(root, f)
+                schema = pq.read_schema(path)
+                assert all(not n.startswith("_z") for n in schema.names)
+                ys = (pq.read_table(path, columns=["x", "y"])
+                      .column("y").to_pylist())
+                step = max(1, len(ys) // 16)
+                for i in range(0, len(ys), step):
+                    c = ys[i:i + step]
+                    if len(c) > 1:
+                        chunks.append(max(c) - min(c))
+        assert p.get_rowcount() == 4096
+        return sum(chunks) / len(chunks)
+
+    plain = build("zplain")
+    zord = build("zmorton", zorder=True)
+    assert zord * 2 < plain, (plain, zord)
+
+
+def test_optimize_zorder_single_key_raises(spark, instance_dir):
+    import pytest
+
+    from meerschaum_spark.pipe import Pipe
+
+    p = Pipe("maint", "zone", instance=instance_dir, spark=spark,
+             columns={"datetime": "k", "id": "k"},
+             parameters={"precision": {"unit": "second"}},
+             dtypes={"k": "int64", "x": "int64"})
+    p.sync([{"k": i, "x": i} for i in range(10)])
+    with pytest.raises(ValueError):
+        p.optimize(cluster_by=["x"], zorder=True)

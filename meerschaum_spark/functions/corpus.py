@@ -69,6 +69,26 @@ def prepare_corpus(
     )
 
 
+def _range_bucket_expr(order_col: str, cuts: list):
+    """Map a value to its range bucket = the count of quantile cuts
+    strictly below it, as ONE FLAT multi-branch CaseWhen.
+
+    The previous form nested ``when(col > c, i+1).otherwise(prev)`` 127
+    levels deep; Catalyst's Operator Optimization batch re-walked that
+    tree until its 100-iteration cap (the bench's "Max iterations"
+    warning — seconds of pure analysis time per query). A flat
+    ``when().when()...otherwise()`` chain is a single CaseWhen node the
+    optimizer passes once. Semantics are identical: a value in
+    ``(cuts[i-1], cuts[i]]`` lands in bucket ``i``, above every cut in
+    bucket ``len(cuts)``."""
+    if not cuts:
+        return F.lit(0)
+    w = F.when(F.col(order_col) <= F.lit(cuts[0]), 0)
+    for i, c in enumerate(cuts[1:], start=1):
+        w = w.when(F.col(order_col) <= F.lit(c), i)
+    return w.otherwise(len(cuts))
+
+
 def select_token_budget(
     df: DataFrame,
     budget: int,
@@ -100,10 +120,7 @@ def select_token_budget(
     for c in cuts:
         if not uniq or c > uniq[-1]:
             uniq.append(c)
-    bucket = F.lit(0)
-    for i, c in enumerate(uniq):
-        bucket = F.when(F.col(order_col) > F.lit(c), i + 1).otherwise(bucket)
-    tagged = df.withColumn("_bkt", bucket)
+    tagged = df.withColumn("_bkt", _range_bucket_expr(order_col, uniq))
     sums = {r["_bkt"]: r["_tok"] for r in
             tagged.groupBy("_bkt").agg(F.sum(token_col).alias("_tok"))
             .collect()}
@@ -208,10 +225,7 @@ def with_running_sum(
     for c in cuts:
         if not uniq or c > uniq[-1]:
             uniq.append(c)
-    bucket = F.lit(0)
-    for i, c in enumerate(uniq):
-        bucket = F.when(F.col(order_col) > F.lit(c), i + 1).otherwise(bucket)
-    tagged = df.withColumn("_bkt", bucket)
+    tagged = df.withColumn("_bkt", _range_bucket_expr(order_col, uniq))
     sums = {r["_bkt"]: r["_s"] for r in
             tagged.groupBy("_bkt").agg(F.sum(value_col).alias("_s"))
             .collect()}

@@ -1296,3 +1296,47 @@ def test_holt_winters_matches_python_fold(spark, sf_dir):
         assert (g["level_scaled"], g["trend_scaled"],
                 g["season_scaled"]) == (l, b, s)
         assert g["forecast_scaled"] == l + b + s
+
+
+def test_range_bucket_expr_matches_bisect(spark):
+    """The flat CaseWhen range bucketer is exactly bisect_left over the
+    cut list (count of cuts strictly below the value), incl. boundary
+    equality and values beyond either end."""
+    import bisect
+    import random
+
+    from meerschaum_spark.functions.corpus import _range_bucket_expr
+
+    rng = random.Random(11)
+    cuts = sorted({round(rng.uniform(-50, 50), 2) for _ in range(40)})
+    vals = ([c for c in cuts]                       # exact boundaries
+            + [c + 0.001 for c in cuts]             # just above
+            + [round(rng.uniform(-60, 60), 3) for _ in range(60)])
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i long, v double")
+    got = {r["i"]: r["b"] for r in
+           df.select("i", _range_bucket_expr("v", cuts).alias("b")).collect()}
+    for i, v in enumerate(vals):
+        assert got[i] == bisect.bisect_left(cuts, v), (v, got[i])
+
+
+def test_zorder_column_matches_python_morton(spark):
+    """zorder_column equals the reference Morton interleave of the
+    min-max-bucketed keys on an exact power-of-two grid."""
+    from meerschaum_spark.functions.layout import ZORDER_BITS, zorder_column
+
+    n = 32
+    rows = [(i, float(i % n), float(i // n)) for i in range(n * n)]
+    df = spark.createDataFrame(rows, "i long, x double, y double")
+    got = {r["i"]: r["z"] for r in
+           df.select("i", zorder_column(df, ["x", "y"]).alias("z")).collect()}
+    top = (1 << ZORDER_BITS) - 1
+    import math
+    for i, x, y in rows:
+        bx = min(max(math.floor((x - 0.0) / (n - 1) * top), 0), top)
+        by = min(max(math.floor((y - 0.0) / (n - 1) * top), 0), top)
+        z = 0
+        for j in range(ZORDER_BITS):
+            z |= ((bx >> j) & 1) << (j * 2)
+            z |= ((by >> j) & 1) << (j * 2 + 1)
+        assert got[i] == z, (i, x, y, got[i], z)

@@ -22,24 +22,26 @@ _NUMERIC = {"byte", "short", "integer", "long", "float", "double",
             "decimal", "date", "timestamp"}
 
 
-def _bucket_expr(df: DataFrame, key: str, bits: int) -> Column:
-    """Map a column into [0, 2^bits): numeric/temporal columns min-max
-    normalize against ONE global stats job (driver literals — the same
-    broadcast-literal discipline as the IVF centroids); other types
-    hash, which trades locality for balance (strings have no meaningful
-    linear order for range pruning anyway)."""
+def _numeric_expr(df: DataFrame, key: str) -> Column | None:
+    """The key as a double for min-max normalization, or None for types
+    where a linear order is meaningless (those hash instead)."""
     dt = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))[key]
     base = dt.typeName().split("(")[0]
+    if base not in _NUMERIC:
+        return None
+    if base == "date":
+        return F.col(key).cast("timestamp").cast("double")
+    return F.col(key).cast("double")
+
+
+def _bucket_expr(key: str, num: Column | None, lo, hi, bits: int) -> Column:
+    """Map a column into [0, 2^bits): numeric/temporal columns min-max
+    normalize against the supplied global stats (driver literals — the
+    same broadcast-literal discipline as the IVF centroids); other types
+    hash, which trades locality for balance (strings have no meaningful
+    linear order for range pruning anyway)."""
     top = (1 << bits) - 1
-    if base in _NUMERIC:
-        if base == "timestamp":
-            num = F.col(key).cast("double")
-        elif base == "date":
-            num = F.col(key).cast("timestamp").cast("double")
-        else:
-            num = F.col(key).cast("double")
-        row = df.agg(F.min(num).alias("lo"), F.max(num).alias("hi")).first()
-        lo, hi = row["lo"], row["hi"]
+    if num is not None:
         if lo is None or hi is None or hi == lo:
             return F.lit(0).cast("long")
         span = float(hi) - float(lo)
@@ -54,8 +56,8 @@ def zorder_column(df: DataFrame, keys: list[str],
                   bits: int = ZORDER_BITS) -> Column:
     """Morton interleave of the bucketed keys: bit j of key i lands at
     position ``j * len(keys) + i``. Pure shift/and/or Column arithmetic
-    — whole-stage codegen, no UDF, no shuffle (the only job is the
-    per-key min/max stats aggregate)."""
+    — whole-stage codegen, no UDF, no shuffle; the min/max stats for ALL
+    numeric keys reduce in ONE aggregate job."""
     if not keys:
         raise ValueError("zorder_column: at least one key required")
     if len(keys) > ZORDER_MAX_KEYS:
@@ -63,7 +65,19 @@ def zorder_column(df: DataFrame, keys: list[str],
             f"zorder_column: {len(keys)} keys exceed ZORDER_MAX_KEYS="
             f"{ZORDER_MAX_KEYS} (16 bits x 4 keys fills the int64)")
     k = len(keys)
-    buckets = [_bucket_expr(df, key, bits) for key in keys]
+    nums = {key: _numeric_expr(df, key) for key in keys}
+    aggs = []
+    for key, num in nums.items():
+        if num is not None:
+            aggs += [F.min(num).alias(f"lo_{key}"),
+                     F.max(num).alias(f"hi_{key}")]
+    stats = df.agg(*aggs).first() if aggs else {}
+    buckets = [
+        _bucket_expr(key, nums[key],
+                     stats[f"lo_{key}"] if nums[key] is not None else None,
+                     stats[f"hi_{key}"] if nums[key] is not None else None,
+                     bits)
+        for key in keys]
     z = F.lit(0).cast("long")
     for i, b in enumerate(buckets):
         for j in range(bits):

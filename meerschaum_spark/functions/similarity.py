@@ -837,6 +837,10 @@ def mmr_diversify(corpus: DataFrame, query_id: int = 0, k: int = 5,
     pool_df = cosine_topk(corpus, q, id_col=id_col, vec_col=vec_col, k=pool)
     pool_rows = pool_df.select(F.col("neighbor_id").alias("id"),
                                F.col("cosine").alias("rel")).collect()
+    schema = ("pick_rank INT, vec_id BIGINT, relevance DOUBLE, "
+              "penalty DOUBLE, mmr_score DOUBLE")
+    if not pool_rows:
+        return spark.createDataFrame([], schema=schema)
     ids = [r["id"] for r in pool_rows]
     vecs = corpus.filter(F.col(id_col).isin(ids)).select(
         F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
@@ -865,8 +869,6 @@ def mmr_diversify(corpus: DataFrame, query_id: int = 0, k: int = 5,
         _, cid, pen, score = best
         selected.append(cid)
         out.append((rank, cid, rel[cid], pen, score))
-    schema = ("pick_rank INT, vec_id BIGINT, relevance DOUBLE, "
-              "penalty DOUBLE, mmr_score DOUBLE")
     return spark.createDataFrame(out, schema=schema).orderBy("pick_rank")
 
 

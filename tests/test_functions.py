@@ -1340,3 +1340,12 @@ def test_zorder_column_matches_python_morton(spark):
             z |= ((bx >> j) & 1) << (j * 2)
             z |= ((by >> j) & 1) << (j * 2 + 1)
         assert got[i] == z, (i, x, y, got[i], z)
+
+
+def test_mmr_empty_pool_returns_empty_frame(spark):
+    df = spark.createDataFrame([(0, [1.0, 0.0])],
+                               "vec_id long, embedding array<float>")
+    out = S.mmr_diversify(df, query_id=0, k=3, pool=4)  # no candidates
+    assert out.count() == 0
+    assert out.columns == ["pick_rank", "vec_id", "relevance",
+                           "penalty", "mmr_score"]

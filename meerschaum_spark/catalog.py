@@ -38,10 +38,14 @@ DEC = "decimal(18,6)"
 HEAD_ORDER = [
     # r10 rotation (standing rule: NEW queries lead, then queries whose
     # code/oracle CHANGED this round, then the stalest green rows).
-    # This round drains the ENTIRE r6-era cohort (the 36 rows whose
-    # newest green is r6, by the CORRECTNESS_r0* histogram) plus the 8
-    # alphabetically-first r7 rows: after r10 no catalog query's newest
-    # green row predates r7 (the "no older than N−3" invariant at r10).
+    # This round drains the r6-era cohort (the rows whose newest green
+    # is r6, by the CORRECTNESS_r0* histogram) plus the 8
+    # alphabetically-first r7 rows. The late-r10 operator additions
+    # (nprobe curve, Theil-Sen, MAD) displaced three r6 rows
+    # (customer_top_orders / top_brands_by_revenue /
+    # urgent_orders_with_late_items): fresh driver evidence for NEW
+    # operators beats a one-round-earlier re-record of rows already
+    # green at r6 — the displaced three lead the r11 rotation queue.
     #
     # -- changed in r10: the two r9 driver-red hash-only rows, fixed at
     #    the diagnosed OUTPUT-TYPE layer (no hash-gated cell may be a
@@ -59,6 +63,9 @@ HEAD_ORDER = [
     "emb_ivfpq_recall",
     "doc_quality_bucket_mix",
     "events_holt_winters",
+    "emb_ivfpq_nprobe_curve",
+    "events_theil_sen_slope",
+    "events_mad_outliers",
     # -- changed in r10: oracles rewrote date_diff('microsecond') to
     #    epoch_us subtraction (lint widening); the two prefix-family
     #    joins now self-route (prefix plan on this data → same values) --
@@ -67,7 +74,6 @@ HEAD_ORDER = [
     "doc_containment_join",
     "doc_jaccard_prefix_join",
     # -- backfill: the full r6-era cohort --
-    "customer_top_orders",
     "doc_bpe_pair_counts",
     "doc_lang_id_accuracy",
     "doc_ngram_novelty",
@@ -101,8 +107,6 @@ HEAD_ORDER = [
     "q5_region_revenue",
     "q6_revenue_forecast",
     "streaming_cdc_snapshot",
-    "top_brands_by_revenue",
-    "urgent_orders_with_late_items",
     # -- head-fill: the alphabetically-first slice of the r7 cohort --
     # (doc_bigram_lm_score / doc_binary_features / doc_contamination_check
     # / doc_corpus_prep / doc_dedup_cascade_report / doc_domain_caps /

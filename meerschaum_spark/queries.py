@@ -5469,3 +5469,174 @@ def streaming_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "n_events", "level_scaled", "trend_scaled",
                     "season_state")
             .orderBy("user_id"))
+
+
+# ===========================================================================
+# r10 tail: robust statistics (Theil-Sen, MAD) — exact integer forms
+# ===========================================================================
+
+#: Theil-Sen slope fixed-point scale: slopes emit in 1/1000 µ-units/hour.
+TS_SLOPE_SCALE = 1000
+
+
+# FLOOR division with a POSITIVE divisor that is identical on every
+# engine for BOTH numerator signs (DuckDB `//` floors, Spark `div`
+# truncates): subtract the nonnegative remainder first (the holt-family
+# idiom generalized to a variable divisor).
+def _floordiv_sql(num: str, den: str) -> str:
+    return f"((({num}) - ((({num}) % ({den}) + ({den})) % ({den}))) // ({den}))"
+
+
+@query(
+    "events_theil_sen_slope",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.event_type,
+             (b.v - a.v) * {TS_SLOPE_SCALE} AS num,
+             b.h - a.h AS den, a.h AS h1, b.h AS h2
+      FROM hourly a JOIN hourly b
+        ON a.event_type = b.event_type AND b.h > a.h),
+    sl AS (
+      SELECT event_type, {_floordiv_sql('num', 'den')} AS slope, h1, h2
+      FROM pairs),
+    rk AS (
+      SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope, h1, h2) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM sl),
+    np AS (SELECT event_type, count(*) AS n_hours FROM hourly GROUP BY 1)
+    SELECT r.event_type, np.n_hours, r.n_pairs,
+           CAST(r.slope AS BIGINT) AS theil_sen_slope_scaled
+    FROM rk r JOIN np USING (event_type)
+    WHERE r.rn = (r.n_pairs + 1) // 2
+    ORDER BY event_type
+    """,
+)
+def events_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per event_type: the LOW MEDIAN
+    of all pairwise slopes between hourly value buckets — the
+    breakdown-resistant complement to the OLS slope of
+    ``events_stats_agg_linear`` (reference analogue: the stats-agg
+    family of timescaledb-style continuous analytics).
+
+    Exactness: values µ-scale to BIGINT, the hourly pre-agg sums
+    integers, each pairwise slope is an exact FLOOR division (fixed
+    point, ×{TS_SLOPE_SCALE}) spelled subtract-nonneg-remainder so both
+    engines agree on negative numerators, and the median is a
+    row_number pick — no float anywhere.
+
+    Scale shape: the O(T²) pair join runs on the HOURLY AGGREGATE, not
+    raw events (T = 720 here; a year of hours is 8.8k → 38M pairs per
+    series, still tiny next to the raw scan at 100 TB); the rank window
+    partitions per series. For very long axes, coarsen the bucket —
+    Theil-Sen on bounded T is the standard large-scale form."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    hourly = (ev.select(
+                  "event_type",
+                  F.expr("unix_micros(ts) div 3600000000").alias("h"),
+                  F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+                  .cast("long").alias("y"))
+              .groupBy("event_type", "h")
+              .agg(F.sum("y").alias("v")))
+    a = hourly.select("event_type", F.col("h").alias("h1"),
+                      F.col("v").alias("v1"))
+    b = hourly.select("event_type", F.col("h").alias("h2"),
+                      F.col("v").alias("v2"))
+    pairs = (a.join(b, on="event_type")
+             .filter(F.col("h2") > F.col("h1"))
+             .withColumn("num",
+                         (F.col("v2") - F.col("v1")) * TS_SLOPE_SCALE)
+             .withColumn("den", F.col("h2") - F.col("h1")))
+    slopes = pairs.withColumn(
+        "slope",
+        F.expr("(num - ((num % den + den) % den)) div den"))
+    w = Window.partitionBy("event_type").orderBy("slope", "h1", "h2")
+    wn = Window.partitionBy("event_type")
+    ranked = (slopes
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n_pairs", F.count(F.lit(1)).over(wn)))
+    n_hours = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"))
+    return (ranked
+            .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+            .join(F.broadcast(n_hours), on="event_type")
+            .select("event_type", "n_hours", "n_pairs",
+                    F.col("slope").alias("theil_sen_slope_scaled"))
+            .orderBy("event_type"))
+
+
+@query(
+    "events_mad_outliers",
+    """
+    WITH base AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL),
+    r1 AS (
+      SELECT event_type, event_id, y,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY y, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM base),
+    med AS (SELECT event_type, y AS med, n FROM r1
+            WHERE rn = (n + 1) // 2),
+    dev AS (
+      SELECT b.event_type, b.event_id, abs(b.y - m.med) AS d, m.med, m.n
+      FROM base b JOIN med m USING (event_type)),
+    r2 AS (
+      SELECT event_type, d, med, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY d, event_id) AS rn
+      FROM dev),
+    mad AS (SELECT event_type, d AS mad, med, n FROM r2
+            WHERE rn = (n + 1) // 2)
+    SELECT d.event_type, m.n AS n_events,
+           m.med AS median_scaled, m.mad AS mad_scaled,
+           count(*) FILTER (WHERE d.d > 3 * m.mad) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    ORDER BY event_type
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen per event_type — the
+    robust twin of ``events_anomaly_zscore`` (a 50%-breakdown scale
+    estimate where one wild value wrecks a z-score): low-median of
+    µ-scaled values, low-median of absolute deviations, and the count
+    of points past 3×MAD. Entirely BIGINT (scale, subtract, abs,
+    row_number picks), so the gate hash is trivially exact.
+
+    Scale shape: two rank windows partitioned per series plus one
+    broadcast join of the 5-row median/MAD table back onto the data;
+    nothing global, nothing floating."""
+    base = (load_table(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select("event_type", "event_id",
+                    F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+                    .cast("long").alias("y")))
+    w1 = Window.partitionBy("event_type").orderBy("y", "event_id")
+    wn = Window.partitionBy("event_type")
+    r1 = (base.withColumn("rn", F.row_number().over(w1))
+          .withColumn("n", F.count(F.lit(1)).over(wn)))
+    med = (r1.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+           .select("event_type", F.col("y").alias("med"), "n"))
+    dev = (base.join(F.broadcast(med), on="event_type")
+           .withColumn("d", F.abs(F.col("y") - F.col("med"))))
+    w2 = Window.partitionBy("event_type").orderBy("d", "event_id")
+    r2 = dev.withColumn("rn", F.row_number().over(w2))
+    mad = (r2.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+           .select("event_type", F.col("d").alias("mad")))
+    return (dev.join(F.broadcast(mad), on="event_type")
+            .groupBy("event_type", "n", "med", "mad")
+            .agg(F.sum(F.when(F.col("d") > 3 * F.col("mad"), 1)
+                       .otherwise(0)).alias("n_outliers"))
+            .select("event_type", F.col("n").alias("n_events"),
+                    F.col("med").alias("median_scaled"),
+                    F.col("mad").alias("mad_scaled"), "n_outliers")
+            .orderBy("event_type"))

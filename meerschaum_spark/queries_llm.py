@@ -5139,13 +5139,15 @@ def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared-L2 — the compressed index's accuracy measured, not claimed,
     completing the recall trilogy (LSH / IVF / IVF-PQ). Ground truth
     ranks exact decimals; hit counts are integers; the one float op is
-    the final division."""
+    the final division. The truth table is the session-cached
+    ``_l2_truth5`` (shared with emb_ivfpq_nprobe_curve — the brute-force
+    pass is the expensive side and is paid once per session)."""
     emb = _emb(spark, sf_dir)
     base = load_table(spark, sf_dir, "embeddings")
     centroids = base.filter(F.col("vec_id") < 8)
     codebook = base.filter(F.col("vec_id") < PQ_CODEBOOK)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    exact = S.l2_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    exact = _l2_truth5(spark, sf_dir)
     pq = (S.ivfpq_topk(emb, queries, centroids, codebook, k=5,
                        subspaces=PQ_SUBSPACES, subdim=PQ_SUBDIM,
                        nprobe=IVFPQ_NPROBE, refine=IVFPQ_REFINE,
@@ -5160,3 +5162,128 @@ def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.count("_hit").cast("double")
               / F.count(F.lit(1))).alias("recall_at_5"))
     )
+
+
+def _l2_truth5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached exact brute-force top-5 ground truth for the
+    standard query sample (vec_id % 100 = 0) — shared by every recall
+    measurement so the quadratic truth pass is paid once per session."""
+    def build() -> DataFrame:
+        emb = _emb(spark, sf_dir)
+        queries = emb.filter(F.col("vec_id") % 100 == 0)
+        return S.l2_topk(emb, queries, k=5).select("query_id",
+                                                   "neighbor_id")
+    return _cached_sigs("l2_truth5", spark, sf_dir, build)
+
+
+NPROBE_CURVE = (1, 2, 4)
+
+
+def _ivfpq_curve_sql(k: int, n_centroids: int, query_filter: str,
+                     nprobes: tuple, refine: int) -> str:
+    """Union of per-nprobe recall rows sharing ONE materialized index
+    (cent/arn/codes) and ONE materialized exact-truth CTE — the oracle
+    twin of the engine's `_ivfpq_codes` / `_l2_truth5` session caches."""
+    diff = ("(" + _EL.replace("{v}", "e.embedding") + " - "
+            + _EL.replace("{v}", "c._cv") + ")")
+    sqdist = (f"list_sum(list_transform(generate_series(1, len(e.embedding)), "
+              f"i -> {diff} * {diff}))")
+    adc = ("(" + _pq_subdist_sql("q.qv", "cb0.embedding", 0) + ") + ("
+           + _pq_subdist_sql("q.qv", "cb1.embedding", PQ_SUBDIM) + ")")
+    rdiff = ("(" + _EL.replace("{v}", "s.qv") + " - "
+             + _EL.replace("{v}", "n.embedding") + ")")
+    rsq = (f"list_sum(list_transform(generate_series(1, len(s.qv)), "
+           f"i -> {rdiff} * {rdiff}))")
+    branches, selects = [], []
+    for n in nprobes:
+        branches.append(f"""
+    q{n} AS (SELECT vec_id AS query_id, embedding AS qv, cell
+             FROM arn WHERE ({query_filter}) AND rn <= {n}),
+    pairs{n} AS (
+      SELECT q.query_id, q.qv, codes.vec_id AS neighbor_id, {adc} AS adc
+      FROM q{n} q JOIN codes USING (cell)
+                  JOIN embeddings cb0 ON cb0.vec_id = codes.code0
+                  JOIN embeddings cb1 ON cb1.vec_id = codes.code1
+      WHERE codes.vec_id != q.query_id),
+    short{n} AS (
+      SELECT * FROM (
+        SELECT query_id, qv, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc ASC, neighbor_id) AS rnk
+        FROM pairs{n}) WHERE rnk <= {k * refine}),
+    top{n} AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY {rsq} ASC, s.neighbor_id) AS rnk
+        FROM short{n} s JOIN embeddings n ON n.vec_id = s.neighbor_id)
+      WHERE rnk <= {k})""")
+        selects.append(f"""
+    SELECT {n} AS nprobe,
+           count(DISTINCT exact.query_id) AS n_queries,
+           count(*) AS n_exact_pairs,
+           count(pq.neighbor_id) AS n_hits,
+           CAST(count(pq.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+    FROM exact LEFT JOIN top{n} pq USING (query_id, neighbor_id)""")
+    return f"""
+    WITH cent AS (SELECT vec_id AS _cid, embedding AS _cv
+                  FROM embeddings WHERE vec_id < {n_centroids}),
+    arn AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding, c._cid AS cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {sqdist} ASC, c._cid ASC) AS rn
+      FROM embeddings e, cent c),
+    assigned AS (SELECT vec_id, embedding, cell FROM arn WHERE rn = 1),
+    a0 AS MATERIALIZED ({_pq_assign_sql(0)}),
+    a1 AS MATERIALIZED ({_pq_assign_sql(1)}),
+    codes AS MATERIALIZED (
+      SELECT assigned.vec_id, assigned.cell, a0.code0, a1.code1
+      FROM assigned JOIN a0 ON a0.vec_id = assigned.vec_id
+                    JOIN a1 ON a1.vec_id = assigned.vec_id),
+    exact AS MATERIALIZED (
+      SELECT query_id, neighbor_id
+      FROM ({_l2_sql(k, query_filter)}) e),{','.join(branches)}
+    SELECT * FROM ({' UNION ALL '.join(selects)}) ORDER BY nprobe
+    """
+
+
+@query("emb_ivfpq_nprobe_curve",
+       _ivfpq_curve_sql(5, 8, "vec_id % 100 = 0", NPROBE_CURVE,
+                        IVFPQ_REFINE))
+def emb_ivfpq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 vs nprobe ∈ {1,2,4} at fixed refine — the FAISS tuning
+    curve an operator actually reads before sizing a 100 TB index (how
+    much cell coverage buys how much recall). Everything expensive is
+    paid once: the IVF-PQ codes table and the brute-force truth are the
+    session-cached `_ivfpq_codes` / `_l2_truth5`; each curve point adds
+    only a query-side cell join over the narrow codes table plus a
+    k·refine-row exact re-rank."""
+    emb = _emb(spark, sf_dir)
+    base = load_table(spark, sf_dir, "embeddings")
+    centroids = base.filter(F.col("vec_id") < 8)
+    codebook = base.filter(F.col("vec_id") < PQ_CODEBOOK)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    codes = _ivfpq_codes(spark, sf_dir)
+    exact = _l2_truth5(spark, sf_dir)
+    rows = []
+    for n in NPROBE_CURVE:
+        pq = (S.ivfpq_topk(emb, queries, centroids, codebook, k=5,
+                           subspaces=PQ_SUBSPACES, subdim=PQ_SUBDIM,
+                           nprobe=n, refine=IVFPQ_REFINE,
+                           corpus_codes=codes)
+              .select("query_id", "neighbor_id")
+              .withColumn("_hit", F.lit(1)))
+        rows.append(
+            exact.join(pq, on=["query_id", "neighbor_id"], how="left")
+            .agg(F.countDistinct("query_id").alias("n_queries"),
+                 F.count(F.lit(1)).alias("n_exact_pairs"),
+                 F.count("_hit").alias("n_hits"),
+                 (F.count("_hit").cast("double")
+                  / F.count(F.lit(1))).alias("recall_at_5"))
+            .select(F.lit(n).cast("int").alias("nprobe"),
+                    "n_queries", "n_exact_pairs", "n_hits",
+                    "recall_at_5"))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("nprobe")

@@ -1,0 +1,91 @@
+"""Known-truth tests for the r10-tail robust statistics + ANN-curve
+operators: each catalog query is replayed by an INDEPENDENT pure-Python
+implementation over the same parquet (no SQL, no Spark) — the same
+reference-twin discipline as the Holt/EWMA fold replays.
+
+Reference parity: the reference engine's analytics surface (verify /
+stats aggregates, meerschaum/utils/dataframe.py) has no robust-stats
+member; Theil-Sen and MAD extend the stats_agg/anomaly family with
+breakdown-resistant forms, exact-integer like the rest of the family.
+"""
+
+import math
+from collections import defaultdict
+
+import duckdb
+import pytest
+
+import meerschaum_spark.queries  # noqa: F401 — registers catalog entries
+import meerschaum_spark.queries_llm  # noqa: F401
+from meerschaum_spark.catalog import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(cols: str):
+    return duckdb.sql(
+        f"select {cols} from '{SF}/events.parquet' "
+        "where value is not null").fetchall()
+
+
+def _micro(v: float) -> int:
+    return int(math.floor(v * 1_000_000 + 0.5))
+
+
+def test_theil_sen_matches_pure_python(spark):
+    out = {r["event_type"]: r.asDict()
+           for r in QUERIES["events_theil_sen_slope"](spark, SF).collect()}
+
+    hourly = defaultdict(int)
+    for t, us, v in _rows("event_type, epoch_us(ts), value"):
+        hourly[(t, us // 3_600_000_000)] += _micro(v)
+    by_type = defaultdict(dict)
+    for (t, h), v in hourly.items():
+        by_type[t][h] = v
+    assert set(out) == set(by_type)
+    for t, series in by_type.items():
+        hs = sorted(series)
+        slopes = []
+        for i, h1 in enumerate(hs):
+            for h2 in hs[i + 1:]:
+                # python // floors — the exact semantics the engine and
+                # oracle spell as subtract-nonneg-remainder-then-divide
+                slopes.append(((series[h2] - series[h1]) * 1000)
+                              // (h2 - h1))
+        slopes.sort()
+        med = slopes[(len(slopes) + 1) // 2 - 1]
+        assert out[t]["n_hours"] == len(hs)
+        assert out[t]["n_pairs"] == len(slopes)
+        assert out[t]["theil_sen_slope_scaled"] == med, t
+
+
+def test_mad_outliers_matches_pure_python(spark):
+    out = {r["event_type"]: r.asDict()
+           for r in QUERIES["events_mad_outliers"](spark, SF).collect()}
+
+    ys = defaultdict(list)
+    for t, v in _rows("event_type, value"):
+        ys[t].append(_micro(v))
+    assert set(out) == set(ys)
+    for t, vals in ys.items():
+        vals.sort()
+        med = vals[(len(vals) + 1) // 2 - 1]
+        devs = sorted(abs(y - med) for y in vals)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        n_out = sum(1 for d in devs if d > 3 * mad)
+        assert out[t]["n_events"] == len(vals)
+        assert out[t]["median_scaled"] == med
+        assert out[t]["mad_scaled"] == mad
+        assert out[t]["n_outliers"] == n_out, t
+
+
+def test_ivfpq_nprobe_curve_invariants(spark):
+    rows = QUERIES["emb_ivfpq_nprobe_curve"](spark, SF).collect()
+    assert [r["nprobe"] for r in rows] == [1, 2, 4]
+    base = rows[0]
+    for r in rows:
+        assert r["n_queries"] == base["n_queries"] > 0
+        assert r["n_exact_pairs"] == 5 * r["n_queries"]
+        assert 0 <= r["n_hits"] <= r["n_exact_pairs"]
+        assert r["recall_at_5"] == pytest.approx(
+            r["n_hits"] / r["n_exact_pairs"])

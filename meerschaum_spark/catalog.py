@@ -43,7 +43,8 @@ HEAD_ORDER = [
     # alphabetically-first r7 rows. The late-r10 operator additions
     # (nprobe curve, Theil-Sen, MAD) displaced three r6 rows
     # (customer_top_orders / top_brands_by_revenue /
-    # urgent_orders_with_late_items): fresh driver evidence for NEW
+    # urgent_orders_with_late_items / streaming_cdc_snapshot — the
+    # latter's batch twin stays in the head on the shared oracle): fresh driver evidence for NEW
     # operators beats a one-round-earlier re-record of rows already
     # green at r6 — the displaced three lead the r11 rotation queue.
     #
@@ -66,6 +67,7 @@ HEAD_ORDER = [
     "emb_ivfpq_nprobe_curve",
     "events_theil_sen_slope",
     "events_mad_outliers",
+    "doc_lsh_quality",
     # -- changed in r10: oracles rewrote date_diff('microsecond') to
     #    epoch_us subtraction (lint widening); the two prefix-family
     #    joins now self-route (prefix plan on this data → same values) --
@@ -106,7 +108,6 @@ HEAD_ORDER = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_revenue_forecast",
-    "streaming_cdc_snapshot",
     # -- head-fill: the alphabetically-first slice of the r7 cohort --
     # (doc_bigram_lm_score / doc_binary_features / doc_contamination_check
     # / doc_corpus_prep / doc_dedup_cascade_report / doc_domain_caps /

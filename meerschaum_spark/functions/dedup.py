@@ -611,11 +611,18 @@ def ordered_shingle_sets(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Per-document distinct word n-gram shingle sets as ARRAYS in the
     global rare-first order — the shared substrate of the prefix-filter
     family (``prefix_filter_join`` / ``containment_prefix_join``):
-    (id, hs: array<long> document-frequency-then-hash sorted, n).
+    (id[, scope], hs: array<long> document-frequency-then-hash sorted, n).
+
+    With ``scope_col``, document frequencies count WITHIN each scope
+    (the shard-local pattern of ``jaccard_pairs``/``lsh_candidate_pairs``)
+    — the rare-first order then reflects the population the join will
+    actually probe, and the scope column rides along for the join's
+    scope-equality predicate.
 
     Per-doc distinct happens IN-ARRAY before the explode
     (``array_distinct`` is task-local) — a row-level ``.distinct()``
@@ -625,24 +632,27 @@ def ordered_shingle_sets(
     it per (session, corpus) — at cluster scale this is a persisted
     signatures table beside the corpus, the same economics as
     ``minhash_signatures``)."""
+    scope = [scope_col] if scope_col else []
     # checkpoint ex: it feeds BOTH the document-frequency aggregate and
     # the probe side of its own join-back — one shingle+hash scan, not two
-    ex = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-          .select(F.col(id_col),
+    ex = (df.select(F.col(id_col), *scope,
+                    tokens(F.col(text_col)).alias("_toks"))
+          .select(F.col(id_col), *scope,
                   F.explode(F.array_distinct(
                       shingles_of_tokens(F.col("_toks"), n)))
                   .alias("_sh_str"))
-          .select(F.col(id_col), hash60(F.col("_sh_str")).alias("s"))
+          .select(F.col(id_col), *scope,
+                  hash60(F.col("_sh_str")).alias("s"))
           .transform(_pin))
-    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
-    ordered = (ex.join(dfreq, on="s")
-               .groupBy(id_col)
+    dfreq = ex.groupBy("s", *scope).agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (ex.join(dfreq, on=["s", *scope])
+               .groupBy(id_col, *scope)
                .agg(F.array_sort(F.collect_list(
                         F.struct(F.col("_df").alias("df"),
                                  F.col("s").alias("s")))).alias("_ord"),
                     F.count(F.lit(1)).alias("n")))
     return (ordered
-            .select(F.col(id_col),
+            .select(F.col(id_col), *scope,
                     F.transform(F.col("_ord"), lambda x: x["s"]).alias("hs"),
                     "n")
             .transform(_pin))
@@ -656,6 +666,7 @@ def prefix_filter_join(
     id_col: str = "doc_id",
     n: int = 3,
     sets: DataFrame | None = None,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Exact-threshold Jaccard set-similarity SELF-join via PREFIX
     FILTERING (the SSJoin / PPJoin family: Chaudhuri et al. ICDE'06,
@@ -691,16 +702,18 @@ def prefix_filter_join(
     cluster scale this is a persisted signatures table beside the
     corpus, the same economics as ``minhash_signatures``."""
     if sets is None:
-        sets = ordered_shingle_sets(df, text_col, id_col, n)
+        sets = ordered_shingle_sets(df, text_col, id_col, n, scope_col)
+    scope = [scope_col] if scope_col else []
     # prefix length with exact integer ceiling: n - ((p*n + q - 1) div q) + 1
     plen = (F.col("n")
             - F.expr(f"({sim_num} * n + {sim_den - 1}) div {sim_den}")
             + F.lit(1)).cast("int")
-    pre = sets.select(F.col(id_col), "n",
+    pre = sets.select(F.col(id_col), *scope, "n",
                       F.explode(F.slice("hs", F.lit(1), plen)).alias("s"))
     a, b = pre.alias("a"), pre.alias("b")
     cand = (a.join(b, on=[
                 F.col("a.s") == F.col("b.s"),
+                *[F.col(f"a.{c}") == F.col(f"b.{c}") for c in scope],
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
                 F.col("a.n") * sim_den >= F.col("b.n") * sim_num,
                 F.col("b.n") * sim_den >= F.col("a.n") * sim_num,

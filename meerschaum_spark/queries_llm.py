@@ -392,6 +392,91 @@ def doc_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("doc_a", "doc_b").limit(100)
 
 
+def _token_sets_src(spark: SparkSession, sf_dir: str):
+    """Session-cached source-scoped TOKEN-set table (n=1, rare-first
+    within source) — the lossless-truth substrate for the LSH quality
+    report; same persisted-signatures economics as `_prefix_sets`."""
+    return _cached_sigs(
+        "token_sets_src", spark, sf_dir,
+        lambda: D.ordered_shingle_sets(_docs(spark, sf_dir), n=1,
+                                       scope_col="source"))
+
+
+_LSHQ_TOKSET = f"list_distinct(list_transform(list_distinct({_TOKS}), " \
+               f"t -> {_H60.format(x='t')}))"
+
+
+@query(
+    "doc_lsh_quality",
+    _MINHASH_CTE + f""",
+    {_bands_cte_capped()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS _c
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.source = b.source
+           AND a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, source, {_LSHQ_TOKSET} AS hs,
+                  len({_LSHQ_TOKSET}) AS n
+           FROM documents),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS _t
+      FROM sz a JOIN sz b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE 3 * len(list_intersect(a.hs, b.hs)) >= a.n + b.n),
+    j AS (SELECT _t, _c FROM truth FULL JOIN cand USING (doc_a, doc_b))
+    SELECT count(_t) AS n_truth_pairs,
+           count(_c) AS n_candidate_pairs,
+           count(CASE WHEN _t IS NOT NULL AND _c IS NOT NULL THEN 1 END)
+             AS n_true_positives,
+           count(CASE WHEN _t IS NULL THEN 1 END) AS n_false_positives,
+           count(CASE WHEN _c IS NULL THEN 1 END) AS n_false_negatives,
+           CASE WHEN count(_c) > 0 THEN
+             CAST(count(CASE WHEN _t IS NOT NULL AND _c IS NOT NULL
+                        THEN 1 END) AS DOUBLE) / count(_c) END
+             AS precision,
+           CASE WHEN count(_t) > 0 THEN
+             CAST(count(CASE WHEN _t IS NOT NULL AND _c IS NOT NULL
+                        THEN 1 END) AS DOUBLE) / count(_t) END
+             AS recall
+    FROM j
+    """,
+)
+def doc_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED banded-LSH candidate quality at the matched threshold:
+    precision/recall of the (K=8, b=4) capped LSH candidate pairs
+    against the LOSSLESS truth — exact token-set Jaccard ≥ 1/2 within
+    source via the scope-extended prefix filter (``prefix_filter_join
+    (n=1, scope_col)``, candidates bounded by within-source prefix
+    postings, never all-pairs). This is the report that justifies an
+    LSH band configuration before a 100 TB dedup run: the theoretical
+    S-curve (1−(1−s^2)^4 ≈ 0.68 at s=0.5) is a model; this measures it
+    on the corpus, including the bucket-cap loss. Both sides reuse
+    session-cached tables (minhash sigs; the token-set table); the
+    comparison is one full-outer join of two narrow pair sets."""
+    cand = (D.lsh_candidate_pairs(_docs(spark, sf_dir), scope_col="source",
+                                  sigs=_minhash_sigs(spark, sf_dir))
+            .select("doc_a", "doc_b")
+            .withColumn("_c", F.lit(1)))
+    truth = (D.prefix_filter_join(_docs(spark, sf_dir), 1, 2, n=1,
+                                  sets=_token_sets_src(spark, sf_dir),
+                                  scope_col="source")
+             .select("doc_a", "doc_b")
+             .withColumn("_t", F.lit(1)))
+    j = truth.join(cand, on=["doc_a", "doc_b"], how="full")
+    tp = F.count(F.when(F.col("_t").isNotNull()
+                        & F.col("_c").isNotNull(), 1))
+    return j.agg(
+        F.count("_t").alias("n_truth_pairs"),
+        F.count("_c").alias("n_candidate_pairs"),
+        tp.alias("n_true_positives"),
+        F.count(F.when(F.col("_t").isNull(), 1)).alias("n_false_positives"),
+        F.count(F.when(F.col("_c").isNull(), 1)).alias("n_false_negatives"),
+        F.when(F.count("_c") > 0,
+               tp.cast("double") / F.count("_c")).alias("precision"),
+        F.when(F.count("_t") > 0,
+               tp.cast("double") / F.count("_t")).alias("recall"))
+
+
 @query(
     "doc_simhash",
     f"""

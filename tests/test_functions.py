@@ -755,6 +755,42 @@ def test_prefix_filter_join_lossless(spark):
     assert n_prefix_max < n_full
 
 
+def test_prefix_filter_join_scoped_lossless(spark):
+    """With scope_col, the prefix-filter join equals the brute-force
+    threshold join restricted to SAME-SCOPE pairs: a cross-scope exact
+    duplicate must NOT pair, while within-scope truth is untouched —
+    the contract the LSH quality report's truth side relies on."""
+    import itertools
+
+    rows = [
+        (1, "web", "alpha beta gamma delta epsilon zeta"),
+        (2, "web", "alpha beta gamma delta epsilon eta"),    # near-dup of 1
+        (3, "web", "one two three four five six"),
+        (4, "pdf", "alpha beta gamma delta epsilon zeta"),   # dup of 1, OTHER scope
+        (5, "pdf", "alpha beta gamma delta epsilon zeta"),   # dup of 4, same scope
+        (6, "pdf", "unrelated words entirely different here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+           for r in D.prefix_filter_join(
+               docs, sim_num=1, sim_den=2, n=1,
+               scope_col="source").collect()}
+
+    texts = {i: (s, t) for i, s, t in rows}
+    expected = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        (sc_a, ta), (sc_b, tb) = texts[a], texts[b]
+        if sc_a != sc_b:
+            continue
+        sa, sb = set(ta.split()), set(tb.split())
+        inter = len(sa & sb)
+        if 3 * inter >= len(sa) + len(sb):
+            expected[(a, b)] = inter
+    assert out == expected
+    assert (1, 2) in out and (4, 5) in out
+    assert (1, 4) not in out and (1, 5) not in out  # scope blocks them
+
+
 def _containment_truth(texts: dict, num: int = 1, den: int = 2) -> dict:
     """Quadratic directed-containment definition over 3-gram shingles."""
     def sh(t):

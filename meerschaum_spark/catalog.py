@@ -43,7 +43,8 @@ HEAD_ORDER = [
     # alphabetically-first r7 rows. The late-r10 operator additions
     # (nprobe curve, Theil-Sen, MAD) displaced three r6 rows
     # (customer_top_orders / top_brands_by_revenue /
-    # urgent_orders_with_late_items / streaming_cdc_snapshot — the
+    # urgent_orders_with_late_items / streaming_cdc_snapshot /
+    # q10_returned_items — streaming_cdc_snapshot's batch twin stays; the
     # latter's batch twin stays in the head on the shared oracle): fresh driver evidence for NEW
     # operators beats a one-round-earlier re-record of rows already
     # green at r6 — the displaced three lead the r11 rotation queue.
@@ -68,6 +69,7 @@ HEAD_ORDER = [
     "events_theil_sen_slope",
     "events_mad_outliers",
     "doc_lsh_quality",
+    "emb_pq_train_gain",
     # -- changed in r10: oracles rewrote date_diff('microsecond') to
     #    epoch_us subtraction (lint widening); the two prefix-family
     #    joins now self-route (prefix plan on this data → same values) --
@@ -99,7 +101,6 @@ HEAD_ORDER = [
     "events_uptime_agg",
     "events_value_percentiles",
     "multimodal_png_decode",
-    "q10_returned_items",
     "q14_promo_share",
     "q16_supplier_part_counts",
     "q18_large_volume_customers",
@@ -157,6 +158,14 @@ def ordered(d: dict, oracle_complete: bool = False) -> dict:
     head = {k: d[k] for k in HEAD_ORDER if k in d}
     head.update((k, v) for k, v in d.items() if k not in head)
     return head
+
+
+def floordiv_sql(num: str, den: str) -> str:
+    """FLOOR division with a POSITIVE divisor that is identical on every
+    engine for BOTH numerator signs (DuckDB ``//`` floors, Spark ``div``
+    truncates): subtract the nonnegative remainder first — the holt-
+    family idiom generalized to a variable divisor."""
+    return f"((({num}) - ((({num}) % ({den}) + ({den})) % ({den}))) // ({den}))"
 
 
 def query(name: str, oracle_sql: str | None = None):

@@ -1078,3 +1078,109 @@ def l2_topk(
             .filter(F.col("rnk") <= k)
             .select("query_id", "neighbor_id")
             .orderBy("query_id", "neighbor_id"))
+
+
+def _q_micro(v: float) -> int:
+    """Driver-side twin of the µ-quantization expression (float64 ops
+    in the same order as the SQL/Column form, so literals match)."""
+    import math
+    return int(math.floor(float(v) * 1_000_000 + 0.5))
+
+
+def _int_sqdist_lit(xq_col, lit_vals: list) -> F.Column:
+    """Exact BIGINT squared distance between a µ-quantized slice column
+    and a literal µ-quantized codebook slice (pure integer arithmetic —
+    bit-identical on any engine, any partitioning)."""
+    lit_arr = F.array(*[F.lit(int(v)) for v in lit_vals])
+    return F.aggregate(
+        F.zip_with(xq_col, lit_arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def pq_train_gain(
+    df: DataFrame,
+    codebook_rows: list,
+    subspaces: int = 2,
+    subdim: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """One exact-integer Lloyd iteration per PQ subspace, measuring the
+    quantization-SSE gain of TRAINED codebooks over the seeded rows —
+    the k-means training step FAISS runs before populating an IVFADC
+    index, with the outcome measured, not assumed.
+
+    Per subspace: µ-quantize the vector slices to BIGINT, assign each
+    to its nearest seeded codebook slice (integer sqdist, code-id tie
+    break), take per-code FLOOR-division means (exact integers — the
+    subtract-nonneg-remainder spell, since components go negative),
+    REASSIGN against the trained centroids, and emit seeded vs trained
+    SSE plus cell usage. Everything is 64-bit integer arithmetic: the
+    gate hash is exact by construction, and SSE magnitudes stay far
+    inside int64 (|x| ≤ 0.6 → diffs ≤ 1.2e6 scaled, 32 dims, corpus
+    sums ≤ ~1e17).
+
+    Scale shape: two shuffle-free literal-codebook assignment passes
+    over a narrow quantized projection + one (cell, pos)-keyed hash agg
+    per subspace; the trained means come back to the driver as k×subdim
+    integers (≤ 512 values — metadata-sized, the same contract as the
+    codebook collect in ``ivfpq_topk``), so the reassignment pass is
+    again literal-based with no join. At 100 TB, training normally runs
+    on a sample; this operator IS that sampled pass."""
+    rows = sorted(codebook_rows, key=lambda r: r[id_col])
+    outs = []
+    for m in range(subspaces):
+        half = F.slice(F.col(vec_col), m * subdim + 1, subdim)
+        xq = F.transform(
+            half,
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5))
+            .cast("long"))
+        base = df.select(F.col(id_col).alias("_vid"), xq.alias("_xq"))
+        codes = [(int(r[id_col]),
+                  [_q_micro(v)
+                   for v in r[vec_col][m * subdim:(m + 1) * subdim]])
+                 for r in rows]
+        seed_pick = F.array_min(F.array(*[
+            F.struct(_int_sqdist_lit(F.col("_xq"), c).alias("d"),
+                     F.lit(ci).alias("cid"))
+            for ci, c in codes]))
+        assigned = (base
+                    .withColumn("_a", seed_pick)
+                    .select("_vid", "_xq",
+                            F.col("_a.cid").alias("cell"),
+                            F.col("_a.d").alias("d0"))
+                    .transform(_pin))
+        sums = (assigned
+                .select("cell", F.posexplode("_xq").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("nn"))
+                .collect())
+        means: dict = {}
+        for r in sums:
+            # python // floors for both signs — the exact floor-division
+            # semantics the oracle spells subtract-remainder-then-divide
+            means.setdefault(r["cell"], [0] * subdim)[r["pos"]] = (
+                int(r["s"]) // int(r["nn"]))
+        trained = [means[c] for c in sorted(means)]
+        cids = sorted(means)
+        train_pick = F.array_min(F.array(*[
+            F.struct(_int_sqdist_lit(F.col("_xq"), mv).alias("d"),
+                     F.lit(ci).alias("cid"))
+            for ci, mv in zip(cids, trained)]))
+        out = (assigned
+               .withColumn("_t", train_pick)
+               .agg(F.count(F.lit(1)).alias("n_vecs"),
+                    F.sum("d0").alias("sse_seeded"),
+                    F.sum(F.col("_t.d")).alias("sse_trained"),
+                    F.countDistinct("cell").alias("n_cells_seeded"),
+                    F.countDistinct(F.col("_t.cid"))
+                    .alias("n_cells_trained"))
+               .select(F.lit(m).cast("int").alias("subspace"),
+                       "n_vecs", "sse_seeded", "sse_trained",
+                       "n_cells_seeded", "n_cells_trained"))
+        outs.append(out)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("subspace")

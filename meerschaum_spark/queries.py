@@ -29,7 +29,7 @@ from meerschaum_spark.params import (
 from meerschaum_spark.sources import load_table
 from meerschaum_spark.sources.tables import canonicalize_ts
 
-from meerschaum_spark.catalog import DEC, HASH60_SQL, ORACLE, QUERIES, QueryFn, dec as _dec, hash60, query, sum_dbl as _sum_dbl
+from meerschaum_spark.catalog import DEC, HASH60_SQL, ORACLE, QUERIES, QueryFn, dec as _dec, floordiv_sql, hash60, query, sum_dbl as _sum_dbl
 from meerschaum_spark.functions.persist import pin as _pin
 
 UTC = datetime.timezone.utc
@@ -5479,12 +5479,6 @@ def streaming_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 TS_SLOPE_SCALE = 1000
 
 
-# FLOOR division with a POSITIVE divisor that is identical on every
-# engine for BOTH numerator signs (DuckDB `//` floors, Spark `div`
-# truncates): subtract the nonnegative remainder first (the holt-family
-# idiom generalized to a variable divisor).
-def _floordiv_sql(num: str, den: str) -> str:
-    return f"((({num}) - ((({num}) % ({den}) + ({den})) % ({den}))) // ({den}))"
 
 
 @query(
@@ -5501,7 +5495,7 @@ def _floordiv_sql(num: str, den: str) -> str:
       FROM hourly a JOIN hourly b
         ON a.event_type = b.event_type AND b.h > a.h),
     sl AS (
-      SELECT event_type, {_floordiv_sql('num', 'den')} AS slope, h1, h2
+      SELECT event_type, {floordiv_sql('num', 'den')} AS slope, h1, h2
       FROM pairs),
     rk AS (
       SELECT event_type, slope,

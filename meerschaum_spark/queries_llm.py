@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from meerschaum_spark.catalog import parallelize, query
+from meerschaum_spark.catalog import floordiv_sql, parallelize, query
 from meerschaum_spark.functions import dedup as D
 from meerschaum_spark.functions import multimodal as M
 from meerschaum_spark.functions import similarity as S
@@ -5330,6 +5330,78 @@ def _ivfpq_curve_sql(k: int, n_centroids: int, query_filter: str,
       FROM ({_l2_sql(k, query_filter)}) e),{','.join(branches)}
     SELECT * FROM ({' UNION ALL '.join(selects)}) ORDER BY nprobe
     """
+
+
+def _pq_train_sql(subspaces: int, subdim: int, k: int) -> str:
+    """Per-subspace exact-integer Lloyd step twin: µ-quantized slices,
+    seeded assignment, floor-division means, reassignment, SSE sums —
+    every value BIGINT (the sums CAST back down: DuckDB's sum(BIGINT)
+    is HUGEINT, which pandas would lossy-float past 2^53)."""
+    fd = floordiv_sql  # subtract-nonneg-remainder floor division
+    blocks, selects = [], []
+    for m in range(subspaces):
+        off = m * subdim
+        q = (f"list_transform(generate_series(1, {subdim}), i -> "
+             f"CAST(floor(CAST(embedding[{off} + i] AS DOUBLE) "
+             f"* 1000000 + 0.5) AS BIGINT))")
+        d0 = (f"list_sum(list_transform(generate_series(1, {subdim}), "
+              f"i -> (x.xq[i] - c.xq[i]) * (x.xq[i] - c.xq[i])))")
+        d2 = (f"list_sum(list_transform(generate_series(1, {subdim}), "
+              f"i -> (x.xq[i] - m.mv[i]) * (x.xq[i] - m.mv[i])))")
+        blocks.append(f"""
+    xq{m} AS MATERIALIZED (
+      SELECT vec_id, {q} AS xq FROM embeddings),
+    cq{m} AS (SELECT vec_id AS cid, xq FROM xq{m} WHERE vec_id < {k}),
+    a{m} AS MATERIALIZED (
+      SELECT vec_id, xq, cid AS cell, d AS d0 FROM (
+        SELECT x.vec_id, x.xq, c.cid, {d0} AS d,
+               row_number() OVER (PARTITION BY x.vec_id
+                                  ORDER BY {d0} ASC, c.cid ASC) AS rn
+        FROM xq{m} x, cq{m} c) WHERE rn = 1),
+    mean{m} AS (
+      SELECT cell, pos, {fd('sum(x)', 'count(*)')} AS mu
+      FROM (SELECT cell, generate_subscripts(xq, 1) AS pos,
+                   unnest(xq) AS x
+            FROM a{m})
+      GROUP BY cell, pos),
+    mv{m} AS (SELECT cell, list(CAST(mu AS BIGINT) ORDER BY pos) AS mv
+              FROM mean{m} GROUP BY cell),
+    a2{m} AS (
+      SELECT vec_id, cell2, d2 FROM (
+        SELECT x.vec_id, m.cell AS cell2, {d2} AS d2,
+               row_number() OVER (PARTITION BY x.vec_id
+                                  ORDER BY {d2} ASC, m.cell ASC) AS rn
+        FROM a{m} x, mv{m} m) WHERE rn = 1)""")
+        selects.append(f"""
+    SELECT {m} AS subspace, count(*) AS n_vecs,
+           CAST(sum(a.d0) AS BIGINT) AS sse_seeded,
+           CAST(sum(b.d2) AS BIGINT) AS sse_trained,
+           count(DISTINCT a.cell) AS n_cells_seeded,
+           count(DISTINCT b.cell2) AS n_cells_trained
+    FROM a{m} a JOIN a2{m} b USING (vec_id)""")
+    return (f"    WITH {','.join(blocks)}\n"
+            f"    SELECT * FROM ({' UNION ALL '.join(selects)}) "
+            f"ORDER BY subspace")
+
+
+@query("emb_pq_train_gain",
+       _pq_train_sql(PQ_SUBSPACES, PQ_SUBDIM, PQ_CODEBOOK))
+def emb_pq_train_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED PQ codebooks: one exact-integer Lloyd iteration per
+    subspace over µ-quantized vector slices, measuring the quantization
+    SSE drop vs the seeded codebook rows (the k-means training FAISS
+    runs before populating an IVFADC index — here with the gain
+    measured under the gate, not assumed). See
+    ``similarity.pq_train_gain`` for the scale shape: two literal-
+    codebook assignment passes + one (cell, pos) hash agg per subspace;
+    the trained means travel as ≤512 driver-side integers."""
+    emb = _emb(spark, sf_dir)
+    base = load_table(spark, sf_dir, "embeddings")
+    cb_rows = sorted(
+        base.filter(F.col("vec_id") < PQ_CODEBOOK)
+        .select("vec_id", "embedding").collect(), key=lambda r: r[0])
+    return S.pq_train_gain(emb, cb_rows, subspaces=PQ_SUBSPACES,
+                           subdim=PQ_SUBDIM)
 
 
 @query("emb_ivfpq_nprobe_curve",

@@ -79,6 +79,60 @@ def test_mad_outliers_matches_pure_python(spark):
         assert out[t]["n_outliers"] == n_out, t
 
 
+def test_pq_train_gain_lloyd_improves(spark):
+    """One Lloyd iteration must not worsen quantization SSE (assignment
+    fixed → mean is the L2 minimizer; reassignment only shrinks): the
+    trained codebook beats the seeded rows on the real corpus."""
+    rows = QUERIES["emb_pq_train_gain"](spark, SF).collect()
+    assert [r["subspace"] for r in rows] == [0, 1]
+    for r in rows:
+        assert r["n_vecs"] > 0
+        assert r["sse_trained"] < r["sse_seeded"]
+        assert 1 <= r["n_cells_trained"] <= 16
+        assert 1 <= r["n_cells_seeded"] <= 16
+
+
+def test_pq_train_gain_known_truth(spark):
+    """Hand-computed single-subspace fixture: two seeded codes at the
+    corners, four vectors clustered around off-corner means — the
+    trained centroids are the exact floor-division means and the SSE
+    values match the by-hand fold."""
+    from meerschaum_spark.functions import similarity as S
+
+    vecs = {1: [0.0, 0.0], 2: [0.2, 0.0], 3: [1.0, 1.0], 4: [0.8, 1.0]}
+    cb = {5: [0.4, 0.1], 6: [0.9, 0.9]}
+    rows = [(i, v) for i, v in {**vecs, **cb}.items()]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.pq_train_gain(
+        df, [r for r in df.collect() if r["vec_id"] >= 5],
+        subspaces=1, subdim=2).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    def q(x):
+        return int(math.floor(float(x) * 1_000_000 + 0.5))
+
+    allv = {i: [q(a) for a in v] for i, v in {**vecs, **cb}.items()}
+    codes = {i: allv[i] for i in (5, 6)}
+
+    def d(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    assign = {i: min(codes, key=lambda c: (d(v, codes[c]), c))
+              for i, v in allv.items()}
+    sse0 = sum(d(allv[i], codes[assign[i]]) for i in allv)
+    cells = {}
+    for i, c in assign.items():
+        cells.setdefault(c, []).append(allv[i])
+    means = {c: [sum(col) // len(vs) for col in zip(*vs)]
+             for c, vs in cells.items()}
+    sse1 = sum(min(d(v, mv) for mv in means.values())
+               for v in allv.values())
+    assert r["n_vecs"] == 6
+    assert r["sse_seeded"] == sse0
+    assert r["sse_trained"] == sse1
+
+
 def test_ivfpq_nprobe_curve_invariants(spark):
     rows = QUERIES["emb_ivfpq_nprobe_curve"](spark, SF).collect()
     assert [r["nprobe"] for r in rows] == [1, 2, 4]

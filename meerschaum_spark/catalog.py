@@ -44,7 +44,8 @@ HEAD_ORDER = [
     # (nprobe curve, Theil-Sen, MAD) displaced three r6 rows
     # (customer_top_orders / top_brands_by_revenue /
     # urgent_orders_with_late_items / streaming_cdc_snapshot /
-    # q10_returned_items — streaming_cdc_snapshot's batch twin stays; the
+    # q10_returned_items / q14_promo_share — streaming_cdc_snapshot's
+    # batch twin stays; the
     # latter's batch twin stays in the head on the shared oracle): fresh driver evidence for NEW
     # operators beats a one-round-earlier re-record of rows already
     # green at r6 — the displaced three lead the r11 rotation queue.
@@ -70,6 +71,7 @@ HEAD_ORDER = [
     "events_mad_outliers",
     "doc_lsh_quality",
     "emb_pq_train_gain",
+    "events_changepoint",
     # -- changed in r10: oracles rewrote date_diff('microsecond') to
     #    epoch_us subtraction (lint widening); the two prefix-family
     #    joins now self-route (prefix plan on this data → same values) --
@@ -101,7 +103,6 @@ HEAD_ORDER = [
     "events_uptime_agg",
     "events_value_percentiles",
     "multimodal_png_decode",
-    "q14_promo_share",
     "q16_supplier_part_counts",
     "q18_large_volume_customers",
     "q1_pricing_summary",

@@ -5634,3 +5634,89 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("med").alias("median_scaled"),
                     F.col("mad").alias("mad_scaled"), "n_outliers")
             .orderBy("event_type"))
+
+
+@query(
+    "events_changepoint",
+    """
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+               // 1000000 AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, h, y,
+             row_number() OVER w AS i,
+             sum(y) OVER w AS cs,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(y) OVER (PARTITION BY event_type) AS tot
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    gains AS (
+      SELECT event_type, h, i, n, cs, tot,
+             (cs * cs) // i + ((tot - cs) * (tot - cs)) // (n - i)
+               - (tot * tot) // n AS gain
+      FROM cum WHERE i < n),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY gain DESC, h ASC) AS rn
+      FROM gains)
+    SELECT event_type, n AS n_hours, h AS split_h,
+           CAST(gain AS BIGINT) AS gain_proxy,
+           i AS n_left, n - i AS n_right,
+           CAST((cs * 1000) // i AS BIGINT) AS mean_left_scaled,
+           CAST(((tot - cs) * 1000) // (n - i) AS BIGINT)
+             AS mean_right_scaled
+    FROM best WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection per series (the binary-segmentation
+    step of PELT/BinSeg): over the hourly unit-value series, pick the
+    split k maximizing the between-segment variance-reduction proxy
+    ``(ΣL)²//nL + (ΣR)²//nR − (Σ)²//n`` — the standard L2 CUSUM-of-
+    means objective with each term FLOORED, so the argmax is a pure
+    BIGINT comparison on both engines (values are nonnegative: plain
+    integer division IS floor division cross-engine here; magnitudes
+    ≤ (Σ units)² ≈ 1e14 at this scale — far inside int64).
+
+    Scale shape: one groupBy to hours, one per-series ordered cumsum
+    window (series-partitioned, T = hours, never global), one rank.
+    Deeper segmentations recurse on the halves with the same plan."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    hourly = (ev.select(
+                  "event_type",
+                  F.expr("unix_micros(ts) div 3600000000").alias("h"),
+                  F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+                  .cast("long").alias("ym"))
+              .groupBy("event_type", "h")
+              .agg(F.expr("sum(ym) div 1000000").alias("y")))
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = Window.partitionBy("event_type")
+    cum = (hourly
+           .withColumn("i", F.row_number().over(
+               Window.partitionBy("event_type").orderBy("h")))
+           .withColumn("cs", F.sum("y").over(w))
+           .withColumn("n", F.count(F.lit(1)).over(wn))
+           .withColumn("tot", F.sum("y").over(wn)))
+    gains = (cum.filter(F.col("i") < F.col("n"))
+             .withColumn("gain",
+                         F.expr("(cs * cs) div i"
+                                " + ((tot - cs) * (tot - cs)) div (n - i)"
+                                " - (tot * tot) div n")))
+    wb = Window.partitionBy("event_type").orderBy(
+        F.col("gain").desc(), F.col("h").asc())
+    return (gains.withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") == 1)
+            .select("event_type", F.col("n").alias("n_hours"),
+                    F.col("h").alias("split_h"),
+                    F.col("gain").alias("gain_proxy"),
+                    F.col("i").alias("n_left"),
+                    (F.col("n") - F.col("i")).alias("n_right"),
+                    F.expr("(cs * 1000) div i").alias("mean_left_scaled"),
+                    F.expr("((tot - cs) * 1000) div (n - i)")
+                    .alias("mean_right_scaled"))
+            .orderBy("event_type"))

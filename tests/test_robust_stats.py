@@ -79,6 +79,39 @@ def test_mad_outliers_matches_pure_python(spark):
         assert out[t]["n_outliers"] == n_out, t
 
 
+def test_changepoint_matches_pure_python(spark):
+    out = {r["event_type"]: r.asDict()
+           for r in QUERIES["events_changepoint"](spark, SF).collect()}
+
+    hourly = defaultdict(int)
+    for t, us, v in _rows("event_type, epoch_us(ts), value"):
+        hourly[(t, us // 3_600_000_000)] += _micro(v)
+    by_type = defaultdict(dict)
+    for (t, h), vm in hourly.items():
+        by_type[t][h] = vm // 1_000_000
+    assert set(out) == set(by_type)
+    for t, series in by_type.items():
+        hs = sorted(series)
+        ys = [series[h] for h in hs]
+        n, tot = len(ys), sum(ys)
+        best = None
+        cs = 0
+        for i in range(1, n):
+            cs += ys[i - 1]
+            gain = (cs * cs) // i + ((tot - cs) * (tot - cs)) // (n - i) \
+                - (tot * tot) // n
+            # argmax, tie -> smallest split hour (== smallest i)
+            if best is None or gain > best[0]:
+                best = (gain, i, cs)
+        gain, i, cs = best
+        assert out[t]["n_hours"] == n
+        assert out[t]["split_h"] == hs[i - 1]
+        assert out[t]["gain_proxy"] == gain
+        assert out[t]["n_left"] == i and out[t]["n_right"] == n - i
+        assert out[t]["mean_left_scaled"] == (cs * 1000) // i
+        assert out[t]["mean_right_scaled"] == ((tot - cs) * 1000) // (n - i)
+
+
 def test_pq_train_gain_lloyd_improves(spark):
     """One Lloyd iteration must not worsen quantization SSE (assignment
     fixed → mean is the L2 minimizer; reassignment only shrinks): the

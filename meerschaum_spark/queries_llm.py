@@ -5384,6 +5384,79 @@ def _pq_train_sql(subspaces: int, subdim: int, k: int) -> str:
             f"ORDER BY subspace")
 
 
+def _residual_pq_sql(subspaces: int, subdim: int,
+                     n_cents: int, n_cb: int) -> str:
+    """Residual-PQ twin: full-width µ-quantized vectors, integer IVF
+    assignment, residual via indexed list subtract, raw-vs-residual PQ
+    SSE per subspace. Sums CAST back to BIGINT (HUGEINT/pandas rule)."""
+    dim = subspaces * subdim
+    q = (f"list_transform(generate_series(1, {dim}), i -> "
+         f"CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) "
+         f"AS BIGINT))")
+    dc = (f"list_sum(list_transform(generate_series(1, {dim}), "
+          f"i -> (x.xq[i] - c.xq[i]) * (x.xq[i] - c.xq[i])))")
+    blocks = [f"""
+    xq AS MATERIALIZED (SELECT vec_id, {q} AS xq FROM embeddings),
+    cq AS (SELECT vec_id AS cid, xq FROM xq WHERE vec_id < {n_cents}),
+    av AS MATERIALIZED (
+      SELECT vec_id, xq,
+             list_transform(generate_series(1, {dim}),
+                            i -> xq[i] - cxq[i]) AS rq
+      FROM (
+        SELECT x.vec_id, x.xq, c.xq AS cxq,
+               row_number() OVER (PARTITION BY x.vec_id
+                                  ORDER BY {dc} ASC, c.cid ASC) AS rn
+        FROM xq x, cq c) WHERE rn = 1)"""]
+    selects = []
+    for m in range(subspaces):
+        off = m * subdim
+        dw = (f"list_sum(list_transform(generate_series(1, {subdim}), "
+              f"i -> (x.xq[{off} + i] - c.xq[{off} + i]) "
+              f"* (x.xq[{off} + i] - c.xq[{off} + i])))")
+        dr = (f"list_sum(list_transform(generate_series(1, {subdim}), "
+              f"i -> (x.rq[{off} + i] - c.rq[{off} + i]) "
+              f"* (x.rq[{off} + i] - c.rq[{off} + i])))")
+        blocks.append(f"""
+    aw{m} AS (SELECT vec_id, min({dw}) AS dw
+              FROM av x, (SELECT xq FROM av WHERE vec_id < {n_cb}) c
+              GROUP BY vec_id),
+    ar{m} AS (SELECT vec_id, min({dr}) AS dr
+              FROM av x, (SELECT rq FROM av WHERE vec_id < {n_cb}) c
+              GROUP BY vec_id)""")
+        selects.append(f"""
+    SELECT {m} AS subspace, count(*) AS n_vecs,
+           CAST(sum(dw) AS BIGINT) AS sse_raw_pq,
+           CAST(sum(dr) AS BIGINT) AS sse_residual_pq
+    FROM aw{m} JOIN ar{m} USING (vec_id)""")
+    return (f"    WITH {','.join(blocks)}\n"
+            f"    SELECT * FROM ({' UNION ALL '.join(selects)}) "
+            f"ORDER BY subspace")
+
+
+@query("emb_residual_pq_gain",
+       _residual_pq_sql(PQ_SUBSPACES, PQ_SUBDIM, 8, PQ_CODEBOOK))
+def emb_residual_pq_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual PQ vs raw PQ, the actual FAISS IVFADC encoding choice
+    (PQ codes the residual v − centroid[cell]) with the effect measured
+    under the gate — see ``similarity.residual_pq_gain``. Codebooks are
+    the same seeded rows in both arms: raw slices vs those rows' own
+    residual slices, so the comparison isolates the residual transform
+    itself. MEASURED FINDING (sf0.01): with SEEDED (untrained) coarse
+    centroids the residual arm is ~16% WORSE (389e12 vs 337e12 SSE per
+    subspace) — residual coding only pays once the coarse quantizer
+    concentrates residual energy, which is exactly why FAISS trains
+    both stages (cf. the nprobe finding in emb_ivfpq_recall: more
+    candidates lowered ADC recall). The operator exists to measure that
+    decision, not to assume the paper's answer transfers to an
+    untrained index."""
+    emb = _emb(spark, sf_dir)
+    base = load_table(spark, sf_dir, "embeddings")
+    cents = base.filter(F.col("vec_id") < 8).collect()
+    cb = base.filter(F.col("vec_id") < PQ_CODEBOOK).collect()
+    return S.residual_pq_gain(emb, cents, cb, subspaces=PQ_SUBSPACES,
+                              subdim=PQ_SUBDIM)
+
+
 @query("emb_pq_train_gain",
        _pq_train_sql(PQ_SUBSPACES, PQ_SUBDIM, PQ_CODEBOOK))
 def emb_pq_train_gain(spark: SparkSession, sf_dir: str) -> DataFrame:

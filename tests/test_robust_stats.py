@@ -166,6 +166,42 @@ def test_pq_train_gain_known_truth(spark):
     assert r["sse_trained"] == sse1
 
 
+def test_residual_pq_gain_known_truth(spark):
+    """Hand-replayed fixture: 1 centroid at the origin makes residuals
+    EQUAL raw vectors (rq == xq), so both SSE arms must coincide; with
+    a centroid at the corpus center the residual arm wins."""
+    from meerschaum_spark.functions import similarity as S
+
+    # two clusters with IDENTICAL internal offsets around far-apart
+    # centroids: 0/1 are the centroids, 2/3 cluster at (0,0)+δ,
+    # 4/5 cluster at (1,1)+δ
+    vecs = {0: [0.0, 0.0], 1: [1.0, 1.0],
+            2: [0.1, 0.1], 3: [0.12, 0.08],
+            4: [1.1, 1.1], 5: [1.12, 1.08]}
+    df = spark.createDataFrame(list(vecs.items()),
+                               "vec_id long, embedding array<float>")
+    rows = df.collect()
+
+    # single centroid ⇒ residual coding is a rigid TRANSLATION of both
+    # vectors and codebook: the two SSE arms must be bit-equal
+    cents0 = [r for r in rows if r["vec_id"] == 0]
+    cb01 = [r for r in rows if r["vec_id"] < 2]
+    out = S.residual_pq_gain(df, cents0, cb01, subspaces=1,
+                             subdim=2).collect()[0]
+    assert out["n_vecs"] == 6
+    assert out["sse_raw_pq"] == out["sse_residual_pq"]
+
+    # two cells + a ONE-ROW codebook from cluster A: raw PQ pays the
+    # full inter-cluster distance for cluster B, residual PQ reuses
+    # A's codeword because the residual distributions align — the
+    # textbook reason IVFADC codes residuals
+    cents2 = [r for r in rows if r["vec_id"] < 2]
+    cb2 = [r for r in rows if r["vec_id"] == 2]
+    out2 = S.residual_pq_gain(df, cents2, cb2, subspaces=1,
+                              subdim=2).collect()[0]
+    assert out2["sse_residual_pq"] < out2["sse_raw_pq"]
+
+
 def test_ivfpq_nprobe_curve_invariants(spark):
     rows = QUERIES["emb_ivfpq_nprobe_curve"](spark, SF).collect()
     assert [r["nprobe"] for r in rows] == [1, 2, 4]

@@ -44,7 +44,8 @@ HEAD_ORDER = [
     # (nprobe curve, Theil-Sen, MAD) displaced three r6 rows
     # (customer_top_orders / top_brands_by_revenue /
     # urgent_orders_with_late_items / streaming_cdc_snapshot /
-    # q10_returned_items / q14_promo_share / q16_supplier_part_counts —
+    # q10_returned_items / q14_promo_share / q16_supplier_part_counts /
+    # q18_large_volume_customers —
     # streaming_cdc_snapshot's
     # batch twin stays; the
     # latter's batch twin stays in the head on the shared oracle): fresh driver evidence for NEW
@@ -74,6 +75,7 @@ HEAD_ORDER = [
     "emb_pq_train_gain",
     "events_changepoint",
     "emb_residual_pq_gain",
+    "multimodal_image_tiles",
     # -- changed in r10: oracles rewrote date_diff('microsecond') to
     #    epoch_us subtraction (lint widening); the two prefix-family
     #    joins now self-route (prefix plan on this data → same values) --
@@ -105,7 +107,6 @@ HEAD_ORDER = [
     "events_uptime_agg",
     "events_value_percentiles",
     "multimodal_png_decode",
-    "q18_large_volume_customers",
     "q1_pricing_summary",
     "q22_idle_customers",
     "q3_shipping_priority",

@@ -398,6 +398,14 @@ FAMILIES: dict[str, Callable] = {
     # stays flat (the generated corpus's dense 48-word vocab keeps the
     # tail minimal, isolating the corpus-scale stage)
     "doc_keyness": _catalog_family("doc_source_keyness"),
+    # r10 tail: binary-segmentation changepoint — one per-series
+    # cumsum window + one rank over the hourly aggregate; the soak
+    # measures the window stays series-partitioned as T grows with
+    # the event span (Theil-Sen is deliberately NOT soaked: it is
+    # quadratic in AXIS LENGTH by definition — the operator bounds
+    # that with the bucketing choice, and the generator couples
+    # span to corpus size, so the row would only re-measure T²)
+    "events_changepoint": _catalog_family("events_changepoint"),
 }
 
 

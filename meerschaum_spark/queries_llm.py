@@ -720,6 +720,64 @@ def doc_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_binary_features(payload).orderBy("doc_id")
 
 
+def _png_mod_sum(m: str) -> str:
+    """Closed-form Σ_{k<m} (k % 256) for nonnegative integer m: full
+    cycles contribute 32640 each, the partial cycle a triangular tail —
+    the generator's pixel byte at linear index i is (seed + i) % 256."""
+    return (f"((({m}) // 256) * 32640"
+            f" + (({m}) % 256) * ((({m}) % 256) - 1) // 2)")
+
+
+_TILE_A = "(seed + (y0 + yy - 1) * 3 * w + b1)"
+_TILE_B = "(seed + (y0 + yy - 1) * 3 * w + b0)"
+
+@query(
+    "multimodal_image_tiles",
+    f"""
+    WITH g AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h,
+               doc_id % 256 AS seed
+        FROM documents),
+    t AS (
+        SELECT g.*, tr.tile_row, tc.tile_col
+        FROM g, (VALUES (0), (1)) tr(tile_row),
+                (VALUES (0), (1)) tc(tile_col)),
+    b AS (
+        SELECT doc_id, w, h, seed, tile_row, tile_col,
+               (h * tile_row) // 2 AS y0,
+               (h * (tile_row + 1)) // 2 AS y1,
+               3 * ((w * tile_col) // 2) AS b0,
+               3 * ((w * (tile_col + 1)) // 2) AS b1
+        FROM t)
+    SELECT doc_id,
+           CAST(tile_row AS BIGINT) AS tile_row,
+           CAST(tile_col AS BIGINT) AS tile_col,
+           CAST(b1 // 3 - b0 // 3 AS BIGINT) AS tile_w,
+           CAST(y1 - y0 AS BIGINT) AS tile_h,
+           CAST(list_sum(list_transform(generate_series(1, y1 - y0),
+                yy -> {_png_mod_sum(_TILE_A)} - {_png_mod_sum(_TILE_B)}))
+                AS BIGINT) AS tile_pixel_sum
+    FROM b ORDER BY doc_id, tile_row, tile_col
+    """,
+)
+def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode + spatial TILING — the crop/tile preprocessing stage
+    of a vision-training pipeline: every synthetic PNG is chunk-parsed,
+    CRC-verified, inflated, unfiltered (the same stdlib codec as
+    multimodal_png_decode), then split on a 2×2 integer-boundary grid
+    with per-tile pixel-byte sums accumulated one scanline at a time
+    (memory-light: g² running sums, never a materialized pixel matrix).
+    The oracle reproduces every tile sum in CLOSED FORM from the
+    generator's (seed + i) % 256 pixel layout — any unfiltering,
+    boundary, or fan-out mistake breaks a tile hash. One input row fans
+    out to 4 tile rows through ONE Arrow-batched mapInPandas node."""
+    docs = _docs(spark, sf_dir)
+    pngs = M.with_png_payload(docs)
+    return (M.decode_png_tiles(pngs, grid=2)
+            .orderBy("doc_id", "tile_row", "tile_col"))
+
+
+
 @query(
     "multimodal_png_decode",
     """

@@ -166,6 +166,27 @@ def test_pq_train_gain_known_truth(spark):
     assert r["sse_trained"] == sse1
 
 
+def test_png_tiles_reconstruct_full_decode(spark):
+    """The 2×2 tile fan-out must PARTITION the image: per doc, tile
+    pixel sums add up to decode_png's full pixel_sum and tile dims
+    tile the full raster — cross-checking the tiling path against the
+    independent whole-image decode path."""
+    full = {r["doc_id"]: r.asDict()
+            for r in QUERIES["multimodal_png_decode"](spark, SF).collect()}
+    tiles = defaultdict(list)
+    for r in QUERIES["multimodal_image_tiles"](spark, SF).collect():
+        tiles[r["doc_id"]].append(r.asDict())
+    assert set(full) == set(tiles)
+    for did, ts in tiles.items():
+        assert len(ts) == 4
+        assert sum(t["tile_pixel_sum"] for t in ts) == \
+            full[did]["pixel_sum"]
+        assert sum(t["tile_w"] for t in ts if t["tile_row"] == 0) == \
+            full[did]["width"]
+        assert sum(t["tile_h"] for t in ts if t["tile_col"] == 0) == \
+            full[did]["height"]
+
+
 def test_residual_pq_gain_known_truth(spark):
     """Hand-replayed fixture: 1 centroid at the origin makes residuals
     EQUAL raw vectors (rq == xq), so both SSE arms must coincide; with

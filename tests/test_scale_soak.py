@@ -34,7 +34,9 @@ FAMILIES = ["pipe_sync_diff", "pipe_ingest_dedup", "doc_domain_caps",
             "doc_bpe_train", "doc_bpe_encode", "doc_dup_spans",
             # r10 second block: keyness — corpus-scale explode+agg,
             # vocabulary-sized tail
-            "doc_keyness"]
+            "doc_keyness",
+            # r10 tail: per-series cumsum + rank over hourly aggs
+            "events_changepoint"]
 
 
 @pytest.fixture(scope="module")

@@ -628,3 +628,45 @@ def test_r10_block3_plan_shapes(spark, sf_dir):
     # two broadcast equi-joins by contract: cell join (query side) and
     # the refine fetch (shortlist side)
     assert pq.count("BroadcastHashJoin") >= 2, pq[:1200]
+
+
+def test_r10_tail_plan_shapes(spark, sf_dir):
+    """Plan contracts for the r10-tail operators: nothing plans a
+    cartesian product; the tile fan-out decodes through exactly one
+    Arrow python node per mapInPandas stage (payload synth + decode —
+    never a re-inlined duplicate); the robust-stats windows are always
+    series-partitioned, never a single-partition global sort; and the
+    LSH quality report's truth and candidate sides are both equi-joins."""
+    import re
+
+    from meerschaum_spark.plans import explain_str
+    from meerschaum_spark.queries import (
+        events_changepoint,
+        events_mad_outliers,
+        events_theil_sen_slope,
+    )
+    from meerschaum_spark.queries_llm import (
+        doc_lsh_quality,
+        emb_residual_pq_gain,
+        multimodal_image_tiles,
+    )
+
+    for fn in (events_theil_sen_slope, events_mad_outliers,
+               events_changepoint):
+        p = explain_str(fn(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in p, p[:800]
+        assert not re.search(
+            r"Exchange SinglePartition[\s\S]{0,400}Window", p), p[:1200]
+
+    lq = explain_str(doc_lsh_quality(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in lq, lq[:800]
+
+    ti = explain_str(multimodal_image_tiles(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in ti, ti[:800]
+    # one synth node + one decode node — CollapseProject must not have
+    # duplicated either python stage
+    assert ti.count("MapInPandas") == 2, ti[:1200]
+
+    rp = explain_str(emb_residual_pq_gain(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in rp, rp[:800]
+    assert "SortMergeJoin" not in rp, rp[:800]

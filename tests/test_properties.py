@@ -308,3 +308,34 @@ def test_replace_range_equiv_delete_plus_append(data, spark):
         assert got == expect
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(-10**15, 10**15), st.integers(1, 10**9))
+def test_floordiv_sql_matches_python_floor(num, den):
+    """catalog.floordiv_sql must equal python's // (true floor) for
+    BOTH numerator signs in DuckDB — the cross-engine spell every
+    fixed-point operator leans on."""
+    import duckdb
+
+    from meerschaum_spark.catalog import floordiv_sql
+
+    got = duckdb.sql(
+        f"SELECT {floordiv_sql(str(num), str(den))} AS v").fetchone()[0]
+    assert got == num // den
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 10**7))
+def test_png_mod_sum_closed_form(m):
+    """queries_llm._png_mod_sum(m) must equal Σ_{k<m} (k % 256) — the
+    closed form every tile/pixel oracle derives sums from."""
+    import duckdb
+
+    from meerschaum_spark.queries_llm import _png_mod_sum
+
+    got = duckdb.sql(f"SELECT {_png_mod_sum(str(m))} AS v").fetchone()[0]
+    full, rem = divmod(m, 256)
+    assert got == full * 32640 + rem * (rem - 1) // 2
+    if m <= 4096:
+        assert got == sum(k % 256 for k in range(m))

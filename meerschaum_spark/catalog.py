@@ -45,7 +45,7 @@ HEAD_ORDER = [
     # (customer_top_orders / top_brands_by_revenue /
     # urgent_orders_with_late_items / streaming_cdc_snapshot /
     # q10_returned_items / q14_promo_share / q16_supplier_part_counts /
-    # q18_large_volume_customers —
+    # q18_large_volume_customers / q22_idle_customers —
     # streaming_cdc_snapshot's
     # batch twin stays; the
     # latter's batch twin stays in the head on the shared oracle): fresh driver evidence for NEW
@@ -76,6 +76,7 @@ HEAD_ORDER = [
     "events_changepoint",
     "emb_residual_pq_gain",
     "multimodal_image_tiles",
+    "events_survival_km",
     # -- changed in r10: oracles rewrote date_diff('microsecond') to
     #    epoch_us subtraction (lint widening); the two prefix-family
     #    joins now self-route (prefix plan on this data → same values) --
@@ -108,7 +109,6 @@ HEAD_ORDER = [
     "events_value_percentiles",
     "multimodal_png_decode",
     "q1_pricing_summary",
-    "q22_idle_customers",
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_revenue_forecast",

@@ -5637,6 +5637,109 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_survival_km",
+    """
+    WITH u AS (
+      SELECT user_id, min(epoch_us(ts)) AS first_us,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS conv_us
+      FROM events GROUP BY 1),
+    h AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+    d AS (
+      SELECT first_us // (86400000000 * 30) AS cohort,
+             CASE WHEN conv_us IS NOT NULL
+                  THEN (conv_us - first_us) // 86400000000
+                  ELSE (max_us - first_us) // 86400000000 END AS day,
+             CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END AS death
+      FROM u, h),
+    g AS (SELECT cohort, day,
+                 CAST(sum(death) AS BIGINT) AS d,
+                 CAST(count(*) - sum(death) AS BIGINT) AS c
+          FROM d GROUP BY 1, 2),
+    r AS (SELECT cohort, day, d,
+                 CAST(sum(d + c) OVER (
+                     PARTITION BY cohort ORDER BY day DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n
+          FROM g),
+    dd AS (SELECT cohort, day, d, n,
+                  1.0 - CAST(d AS DOUBLE) / n AS f
+           FROM r WHERE d > 0),
+    a AS (SELECT cohort,
+                 list(day ORDER BY day) AS ds,
+                 list(d ORDER BY day) AS dl,
+                 list(n ORDER BY day) AS nl,
+                 list(f ORDER BY day) AS fs
+          FROM dd GROUP BY cohort),
+    e AS (SELECT cohort, unnest(ds) AS day, unnest(dl) AS n_deaths,
+                 unnest(nl) AS n_at_risk,
+                 generate_subscripts(ds, 1) AS i, fs
+          FROM a)
+    SELECT cohort, day, n_at_risk, n_deaths,
+           list_reduce(list_slice(fs, 1, i), (x, y) -> x * y) AS survival
+    FROM e ORDER BY cohort, day
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier conversion-survival curves per 30-day signup cohort
+    — the classic censored time-to-event estimator (signup = first
+    event, death = first purchase, right-censored at the observation
+    horizon): S(t) = Π_{death days s ≤ t} (1 − d_s/n_s).
+
+    Cross-engine exactness: deaths/at-risk are exact BIGINTs (the
+    at-risk set is one descending per-cohort cumsum), each factor is
+    ONE IEEE division, and the cumulative product folds LEFT-TO-RIGHT
+    over the day-sorted factor array on both engines (Spark
+    ``F.aggregate`` seeded 1.0 ≡ DuckDB ``list_reduce`` over
+    ``list_slice`` — 1.0·x == x exactly, the ``_pq_subdist_dbl``
+    fold-identity idiom), so every prefix product is bit-identical.
+
+    Scale shape: one per-user hash agg, one per-(cohort, day) hash agg
+    (days-sized, tiny), a per-cohort cumsum window, and the fold runs
+    over arrays of ≤ a few hundred death days per cohort — nothing
+    past the first agg is corpus-scale."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (ev.groupBy("user_id")
+         .agg(F.min(F.unix_micros("ts")).alias("first_us"),
+              F.min(F.when(F.col("event_type") == "purchase",
+                           F.unix_micros("ts"))).alias("conv_us")))
+    max_us = ev.agg(F.max(F.unix_micros("ts")).alias("max_us"))
+    d = (u.crossJoin(F.broadcast(max_us))
+         .select(
+             F.expr("first_us div (86400000000 * 30)").alias("cohort"),
+             F.when(F.col("conv_us").isNotNull(),
+                    F.expr("(conv_us - first_us) div 86400000000"))
+             .otherwise(F.expr("(max_us - first_us) div 86400000000"))
+             .alias("day"),
+             F.when(F.col("conv_us").isNotNull(), 1).otherwise(0)
+             .alias("death")))
+    g = (d.groupBy("cohort", "day")
+         .agg(F.sum("death").alias("d"),
+              (F.count(F.lit(1)) - F.sum("death")).alias("c")))
+    w = (Window.partitionBy("cohort").orderBy(F.col("day").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r = g.withColumn("n", F.sum(F.col("d") + F.col("c")).over(w))
+    dd = (r.filter(F.col("d") > 0)
+          .withColumn("f", F.lit(1.0)
+                      - F.col("d").cast("double") / F.col("n")))
+    a = (dd.groupBy("cohort")
+         .agg(F.array_sort(F.collect_list(
+             F.struct("day", "d", "n", "f"))).alias("arr")))
+    e = (a.select("cohort", F.transform("arr", lambda x: x["f"])
+                  .alias("fs"),
+                  F.posexplode("arr").alias("i0", "s")))
+    return (e.select(
+                "cohort",
+                F.col("s.day").alias("day"),
+                F.col("s.n").alias("n_at_risk"),
+                F.col("s.d").alias("n_deaths"),
+                F.aggregate(F.slice("fs", F.lit(1), F.col("i0") + 1),
+                            F.lit(1.0),
+                            lambda acc, x: acc * x).alias("survival"))
+            .orderBy("cohort", "day"))
+
+
+@query(
     "events_changepoint",
     """
     WITH hourly AS (

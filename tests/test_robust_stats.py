@@ -166,6 +166,44 @@ def test_pq_train_gain_known_truth(spark):
     assert r["sse_trained"] == sse1
 
 
+def test_survival_km_matches_pure_python(spark):
+    """Pure-Python Kaplan-Meier replay: per-user first/conversion
+    times, 30-day cohorts, right-censoring at the horizon, S(t) as the
+    left-to-right prefix product — bit-compared against the query
+    (both engines fold doubles in the same order)."""
+    rows = duckdb.sql(
+        f"select user_id, epoch_us(ts), event_type "
+        f"from '{SF}/events.parquet'").fetchall()
+    first, conv, horizon = {}, {}, 0
+    for uid, us, et in rows:
+        horizon = max(horizon, us)
+        first[uid] = min(first.get(uid, us), us)
+        if et == "purchase":
+            conv[uid] = min(conv.get(uid, us), us)
+    DAY = 86_400_000_000
+    per_cohort = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for uid, f in first.items():
+        cohort = f // (DAY * 30)
+        if uid in conv:
+            per_cohort[cohort][(conv[uid] - f) // DAY][0] += 1
+        else:
+            per_cohort[cohort][(horizon - f) // DAY][1] += 1
+    expect = {}
+    for cohort, days in per_cohort.items():
+        at_risk = sum(d + c for d, c in days.values())
+        surv = 1.0
+        for day in sorted(days):
+            d, c = days[day]
+            if d > 0:
+                surv = surv * (1.0 - d / at_risk)
+                expect[(cohort, day)] = (at_risk, d, surv)
+            at_risk -= d + c
+    got = {(r["cohort"], r["day"]):
+           (r["n_at_risk"], r["n_deaths"], r["survival"])
+           for r in QUERIES["events_survival_km"](spark, SF).collect()}
+    assert got == expect
+
+
 def test_png_tiles_reconstruct_full_decode(spark):
     """The 2×2 tile fan-out must PARTITION the image: per doc, tile
     pixel sums add up to decode_png's full pixel_sum and tile dims

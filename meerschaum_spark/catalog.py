@@ -45,7 +45,9 @@ HEAD_ORDER = [
     # (customer_top_orders / top_brands_by_revenue /
     # urgent_orders_with_late_items / streaming_cdc_snapshot /
     # q10_returned_items / q14_promo_share / q16_supplier_part_counts /
-    # q18_large_volume_customers / q22_idle_customers —
+    # q18_large_volume_customers / q22_idle_customers /
+    # events_hll_merge (its sibling events_hll_distinct holds an r9
+    # green row on the same sketch machinery) —
     # streaming_cdc_snapshot's
     # batch twin stays; the
     # latter's batch twin stays in the head on the shared oracle): fresh driver evidence for NEW
@@ -77,6 +79,7 @@ HEAD_ORDER = [
     "emb_residual_pq_gain",
     "multimodal_image_tiles",
     "events_survival_km",
+    "events_markov_attribution",
     # -- changed in r10: oracles rewrote date_diff('microsecond') to
     #    epoch_us subtraction (lint widening); the two prefix-family
     #    joins now self-route (prefix plan on this data → same values) --
@@ -98,7 +101,6 @@ HEAD_ORDER = [
     "events_distinct_users",
     "events_gapfill_interp",
     "events_gapfill_locf",
-    "events_hll_merge",
     "events_hourly_rollup",
     "events_markov_transitions",
     "events_meta_probes",

@@ -5636,6 +5636,194 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+_MA_K = 12            # absorption power-iteration steps (spec, not approx)
+_MA_SCALE = 10 ** 12  # probability fixed-point scale
+_MA_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _ma_counts_sql() -> str:
+    """Journey transition counts: per user ordered by (ts, event_id),
+    truncated at the FIRST purchase (mapped to the CONV absorber);
+    non-converters emit a final →NULL transition; START precedes every
+    first touch."""
+    return """
+    seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    fp AS (SELECT user_id, min(rn) AS prn FROM seq
+           WHERE event_type = 'purchase' GROUP BY 1),
+    j AS (
+      SELECT s.user_id, s.rn,
+             CASE WHEN s.event_type = 'purchase'
+                  THEN 'CONV' ELSE s.event_type END AS st,
+             fp.prn
+      FROM seq s LEFT JOIN fp USING (user_id)
+      WHERE fp.prn IS NULL OR s.rn <= fp.prn),
+    tr AS (
+      SELECT coalesce(lag(st) OVER (PARTITION BY user_id ORDER BY rn),
+                      'START') AS s,
+             st AS t
+      FROM j
+      UNION ALL
+      SELECT st AS s, 'NULL' AS t FROM (
+        SELECT user_id, st, prn,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY rn DESC) AS rr
+        FROM j) z
+      WHERE rr = 1 AND prn IS NULL),
+    cnts AS (SELECT s, t, CAST(count(*) AS BIGINT) AS cnt
+             FROM tr GROUP BY 1, 2),
+    outs AS (SELECT s, CAST(sum(cnt) AS BIGINT) AS out_s
+             FROM cnts GROUP BY 1),
+    cm AS (SELECT c.s, c.t, c.cnt, o.out_s
+           FROM cnts c JOIN outs o USING (s))"""
+
+
+def _ma_iter_sql(tag: str, removed: str | None) -> str:
+    """K unrolled power-iteration steps for one variant: v(s) ←
+    ⌊Σ_t cnt·val(t) / out_s⌋ with CONV pinned to SCALE, NULL (and the
+    removed channel) pinned to 0 — all values nonnegative, so plain
+    integer division IS floor division on both engines."""
+    rm = (f"WHEN cm.t = '{removed}' THEN 0" if removed else "")
+    steps = [f"""
+    v_{tag}_0 AS (SELECT DISTINCT s, CAST(0 AS BIGINT) AS v FROM cm)"""]
+    for k in range(1, _MA_K + 1):
+        steps.append(f"""
+    v_{tag}_{k} AS MATERIALIZED (
+      SELECT cm.s,
+             CAST(sum(cm.cnt * CASE
+                 WHEN cm.t = 'CONV' THEN CAST({_MA_SCALE} AS BIGINT)
+                 WHEN cm.t = 'NULL' THEN 0
+                 {rm}
+                 ELSE coalesce(p.v, 0) END) // max(cm.out_s) AS BIGINT)
+               AS v
+      FROM cm LEFT JOIN v_{tag}_{k - 1} p ON p.s = cm.t
+      GROUP BY cm.s)""")
+    return ",".join(steps)
+
+
+def _ma_sql() -> str:
+    parts = [_ma_counts_sql(), _ma_iter_sql("base", None)]
+    selects = []
+    for ch in _MA_CHANNELS:
+        parts.append(_ma_iter_sql(ch, ch))
+        selects.append(f"""
+    SELECT '{ch}' AS channel,
+           (SELECT v FROM v_base_{_MA_K} WHERE s = 'START')
+             AS base_p_scaled,
+           (SELECT v FROM v_{ch}_{_MA_K} WHERE s = 'START')
+             AS removed_p_scaled""")
+    return f"""
+    WITH {','.join(parts)},
+    eff AS (
+      SELECT channel, base_p_scaled, removed_p_scaled,
+             CASE WHEN base_p_scaled > 0 THEN
+               CAST(((base_p_scaled - removed_p_scaled) * 1000000)
+                    // base_p_scaled AS BIGINT) END AS removal_effect_fp
+      FROM ({' UNION ALL '.join(selects)}))
+    SELECT channel, base_p_scaled, removed_p_scaled, removal_effect_fp,
+           CASE WHEN sum(removal_effect_fp) OVER () > 0 THEN
+             CAST((removal_effect_fp * 1000000)
+                  // (sum(removal_effect_fp) OVER ()) AS BIGINT) END
+             AS attribution_share_fp
+    FROM eff ORDER BY channel
+    """
+
+
+@query("events_markov_attribution", _ma_sql())
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain multi-touch ATTRIBUTION by removal effect (Anderl
+    et al. 2014 — the data-driven alternative to last-click): user
+    journeys truncated at first purchase form a first-order chain with
+    START/CONV/NULL absorbers; each channel's value is how much the
+    START→CONV absorption probability drops when that channel is
+    removed (its states absorbed to NULL), normalized into shares.
+
+    Exactness: the absorption probabilities run 12 power-iteration
+    steps (the spec, not an approximation knob) in 10^12-scaled 64-bit
+    integers — one floor division per (state, step), every value
+    nonnegative, so Spark and the oracle's unrolled CTE ladder agree
+    bit-for-bit; removal monotonely lowers every iterate, so effects
+    are nonnegative by construction.
+
+    Scale shape: the corpus-scale work is the transition extraction
+    (one per-user ordered window + one hash agg); the chain itself has
+    ≤ |event-type vocabulary| + 3 states, so the count matrix is
+    CONTRACTED driver-local (the MMR/BPE-argmax discipline — tens of
+    rows by contract, not data-sized) and the (1 + channels) × 12
+    iteration solve costs microseconds on literals."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    st = F.when(F.col("event_type") == "purchase",
+                F.lit("CONV")).otherwise(F.col("event_type"))
+    seq = (ev.select("user_id", "ts", "event_id", st.alias("st"))
+           .withColumn("rn", F.row_number().over(w)))
+    fp = (seq.filter(F.col("st") == "CONV")
+          .groupBy("user_id").agg(F.min("rn").alias("prn")))
+    j = (seq.join(fp, on="user_id", how="left")
+         .filter(F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))))
+    wj = Window.partitionBy("user_id").orderBy("rn")
+    pairs = j.select(
+        F.coalesce(F.lag("st").over(wj), F.lit("START")).alias("s"),
+        F.col("st").alias("t"))
+    wl = Window.partitionBy("user_id").orderBy(F.col("rn").desc())
+    last = (j.withColumn("rr", F.row_number().over(wl))
+            .filter((F.col("rr") == 1) & F.col("prn").isNull())
+            .select(F.col("st").alias("s"), F.lit("NULL").alias("t")))
+    cm_rows = (pairs.unionByName(last)
+               .groupBy("s", "t").agg(F.count(F.lit(1)).alias("cnt"))
+               .collect())
+    outs: dict = {}
+    for r in cm_rows:
+        outs[r["s"]] = outs.get(r["s"], 0) + int(r["cnt"])
+    cm = [(r["s"], r["t"], int(r["cnt"]), outs[r["s"]]) for r in cm_rows]
+    states = sorted(outs)
+    by_s: dict = {}
+    for s, t, cnt, out in cm:
+        by_s.setdefault(s, []).append((t, cnt, out))
+
+    def absorb(removed: str | None) -> int:
+        v = {s: 0 for s in states}
+        for _ in range(_MA_K):
+            nv = {}
+            for s in states:
+                tot = 0
+                out = outs[s]
+                for t, cnt, _o in by_s[s]:
+                    if t == "CONV":
+                        val = _MA_SCALE
+                    elif t == "NULL" or t == removed:
+                        val = 0
+                    else:
+                        val = v.get(t, 0)
+                    tot += cnt * val
+                nv[s] = tot // out
+            v = nv
+        return v.get("START", 0)
+
+    base = absorb(None)
+    channels = sorted(s for s in states if s not in ("START",))
+    rows = []
+    for ch in channels:
+        removed = absorb(ch)
+        eff = (((base - removed) * 1_000_000) // base
+               if base > 0 else None)
+        rows.append([ch, base, removed, eff])
+    tot_eff = sum(r[3] for r in rows if r[3] is not None)
+    out_rows = [
+        (ch, b, rm, eff,
+         (eff * 1_000_000) // tot_eff
+         if eff is not None and tot_eff > 0 else None)
+        for ch, b, rm, eff in rows]
+    return spark.createDataFrame(
+        out_rows,
+        "channel string, base_p_scaled long, removed_p_scaled long, "
+        "removal_effect_fp long, attribution_share_fp long"
+    ).orderBy("channel")
+
+
 @query(
     "events_survival_km",
     """

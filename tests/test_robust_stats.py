@@ -271,3 +271,119 @@ def test_ivfpq_nprobe_curve_invariants(spark):
         assert 0 <= r["n_hits"] <= r["n_exact_pairs"]
         assert r["recall_at_5"] == pytest.approx(
             r["n_hits"] / r["n_exact_pairs"])
+
+
+def test_png_decoder_adversarial_fuzz():
+    """Hostile PNG buffers must fail CLEANLY (ValueError /
+    NotImplementedError), never crash, hang, or allocate per a hostile
+    header — the WKB-fuzz discipline applied to the tile decoder path
+    (shared with decode_png): truncations, bit flips (CRC must catch),
+    dimension lies, and giant claimed chunk lengths."""
+    import random
+    import struct
+    import zlib
+
+    from meerschaum_spark.functions.multimodal import (
+        decode_png,
+        decode_png_tile_sums,
+        encode_png,
+    )
+
+    good = encode_png(seed=7, width=9, height=6)
+    assert decode_png(good)["pixel_sum"] == \
+        sum(t["tile_pixel_sum"] for t in decode_png_tile_sums(good))
+
+    def assert_clean(buf):
+        for fn in (decode_png, decode_png_tile_sums):
+            try:
+                fn(buf)
+            except (ValueError, NotImplementedError, zlib.error,
+                    struct.error):
+                pass  # clean, typed failure
+
+    rng = random.Random(42)
+    # truncations at every prefix length band
+    for cut in range(0, len(good), max(1, len(good) // 23)):
+        assert_clean(good[:cut])
+    # single-bit flips: CRC or structure must catch every one that
+    # lands in a guarded region; decode must never crash untyped
+    for _ in range(120):
+        i = rng.randrange(len(good))
+        flipped = bytearray(good)
+        flipped[i] ^= 1 << rng.randrange(8)
+        assert_clean(bytes(flipped))
+    # dimension lie: IHDR says 100x100, IDAT holds a 9x6 raster
+    lied = bytearray(good)
+    struct.pack_into(">II", lied, 16, 100, 100)
+    struct.pack_into(
+        ">I", lied, 29,
+        zlib.crc32(bytes(lied[12:29])) & 0xFFFFFFFF)
+    assert_clean(bytes(lied))
+    # hostile chunk length: header claims 2^31-1 bytes
+    hostile = bytearray(good)
+    struct.pack_into(">I", hostile, 33, 0x7FFFFFFF)
+    assert_clean(bytes(hostile))
+
+
+def test_markov_attribution_matches_pure_python(spark):
+    """Independent journey extraction (python loops over raw parquet,
+    no Spark windows) + the same integer absorption spec — the whole
+    path from events to attribution shares must agree."""
+    rows = duckdb.sql(
+        f"select user_id, epoch_us(ts), event_id, event_type "
+        f"from '{SF}/events.parquet'").fetchall()
+    by_user = defaultdict(list)
+    for uid, us, eid, et in rows:
+        by_user[uid].append((us, eid, et))
+    trans = defaultdict(int)
+    for uid, evs in by_user.items():
+        evs.sort()
+        prev = "START"
+        converted = False
+        for _, _, et in evs:
+            cur = "CONV" if et == "purchase" else et
+            trans[(prev, cur)] += 1
+            if cur == "CONV":
+                converted = True
+                break
+            prev = cur
+        if not converted:
+            trans[(prev, "NULL")] += 1
+    outs = defaultdict(int)
+    for (s, _t), c in trans.items():
+        outs[s] += c
+    states = sorted(outs)
+    SCALE, K = 10 ** 12, 12
+
+    def absorb(removed):
+        v = {s: 0 for s in states}
+        for _ in range(K):
+            nv = {}
+            for s in states:
+                tot = 0
+                for (s2, t), c in trans.items():
+                    if s2 != s:
+                        continue
+                    if t == "CONV":
+                        val = SCALE
+                    elif t == "NULL" or t == removed:
+                        val = 0
+                    else:
+                        val = v.get(t, 0)
+                    tot += c * val
+                nv[s] = tot // outs[s]
+            v = nv
+        return v["START"]
+
+    base = absorb(None)
+    effs = {}
+    for ch in sorted(s for s in states if s != "START"):
+        effs[ch] = ((base - absorb(ch)) * 1_000_000) // base
+    tot = sum(effs.values())
+    got = {r["channel"]: r.asDict() for r in
+           QUERIES["events_markov_attribution"](spark, SF).collect()}
+    assert set(got) == set(effs)
+    for ch, eff in effs.items():
+        assert got[ch]["base_p_scaled"] == base
+        assert got[ch]["removal_effect_fp"] == eff
+        assert got[ch]["attribution_share_fp"] == (eff * 1_000_000) // tot

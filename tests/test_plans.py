@@ -670,3 +670,20 @@ def test_r10_tail_plan_shapes(spark, sf_dir):
     rp = explain_str(emb_residual_pq_gain(spark, sf_dir), "simple")
     assert "CartesianProduct" not in rp, rp[:800]
     assert "SortMergeJoin" not in rp, rp[:800]
+
+    from meerschaum_spark.queries import (
+        events_markov_attribution,
+        events_survival_km,
+    )
+
+    km = explain_str(events_survival_km(spark, sf_dir), "simple")
+    # the horizon joins in as a 1-row broadcast (BroadcastNestedLoop is
+    # fine there); a real CartesianProduct never is
+    assert "CartesianProduct" not in km, km[:800]
+    assert not re.search(
+        r"Exchange SinglePartition[\s\S]{0,400}Window", km), km[:1200]
+
+    # attribution returns a driver-local relation built from the
+    # contracted count matrix — its plan must never re-scan parquet
+    ma = explain_str(events_markov_attribution(spark, sf_dir), "simple")
+    assert "FileScan" not in ma and "parquet" not in ma.lower(), ma[:800]

@@ -36,92 +36,77 @@ DEC = "decimal(18,6)"
 #: row/schema/value compare, and several have green rows in prior-round
 #: CORRECTNESS files (cited in SURVEY §2).
 HEAD_ORDER = [
-    # r10 rotation (standing rule: NEW queries lead, then queries whose
+    # r11 rotation (standing rule: NEW queries lead, then queries whose
     # code/oracle CHANGED this round, then the stalest green rows).
-    # This round drains the r6-era cohort (the rows whose newest green
-    # is r6, by the CORRECTNESS_r0* histogram) plus the 8
-    # alphabetically-first r7 rows. The late-r10 operator additions
-    # (nprobe curve, Theil-Sen, MAD) displaced three r6 rows
-    # (customer_top_orders / top_brands_by_revenue /
-    # urgent_orders_with_late_items / streaming_cdc_snapshot /
-    # q10_returned_items / q14_promo_share / q16_supplier_part_counts /
-    # q18_large_volume_customers / q22_idle_customers /
-    # events_hll_merge (its sibling events_hll_distinct holds an r9
-    # green row on the same sketch machinery) —
-    # streaming_cdc_snapshot's
-    # batch twin stays; the
-    # latter's batch twin stays in the head on the shared oracle): fresh driver evidence for NEW
-    # operators beats a one-round-earlier re-record of rows already
-    # green at r6 — the displaced three lead the r11 rotation queue.
-    #
-    # -- changed in r10: the two r9 driver-red hash-only rows, fixed at
-    #    the diagnosed OUTPUT-TYPE layer (no hash-gated cell may be a
-    #    DECIMAL past 2^53): the verify digest is split hi/lo BIGINT
-    #    sums, the OLS slope num/den render as exact digit strings.
-    #    events_stats_agg_linear is the catalog's only never-green row.
-    "events_stats_agg_linear",
-    "pipe_verify_backfill",
-    # -- new in r10 --
-    "doc_dedup_quality_report",
-    "doc_source_keyness",
-    "doc_hybrid_rrf",
-    "emb_mmr_diversify",
-    "emb_ivfpq_topk",
-    "emb_ivfpq_recall",
-    "doc_quality_bucket_mix",
-    "events_holt_winters",
-    "emb_ivfpq_nprobe_curve",
-    "events_theil_sen_slope",
-    "events_mad_outliers",
-    "doc_lsh_quality",
-    "emb_pq_train_gain",
+    # Arithmetic (from the CORRECTNESS_r0*.json newest-green histogram
+    # after r10: r6=10, r7=47, r8=45, r9=48, r10=50, never-green=1):
+    # the queue of rows at r7 or older is 1 + 10 + 47 = 58, more than
+    # one 50-cap head, so r11 takes: the single never-green row FIRST
+    # (streaming_holt_winters — its green completes 201/201 cumulative
+    # driver coverage), one code-changed row (events_changepoint: the
+    # Spark side adopted the sign-safe floordiv spell this round;
+    # values identical on the nonnegative fixtures, re-recorded out of
+    # caution), the full 10-row r6 cohort (displaced in r10 so the 19
+    # new operators got first-run driver evidence — the only rows
+    # violating the no-green-older-than-N-3 invariant), then the
+    # alphabetically-first r7 rows to fill 50. The 9 unrotated r7 rows
+    # (events_weekly_retention geo_* part_skyline_pareto
+    # q15_top_supplier streaming_ema_sequential streaming_hourly_rollup)
+    # lead the r12 queue.
+    # -- never-green: r10 tail addition, strict-local-green --
+    "streaming_holt_winters",
+    # -- code changed this round (floordiv_spark adoption) --
     "events_changepoint",
-    "emb_residual_pq_gain",
-    "multimodal_image_tiles",
-    "events_survival_km",
-    "events_markov_attribution",
-    # -- changed in r10: oracles rewrote date_diff('microsecond') to
-    #    epoch_us subtraction (lint widening); the two prefix-family
-    #    joins now self-route (prefix plan on this data → same values) --
-    "events_time_weighted_avg",
-    "events_conversion_latency",
-    "doc_containment_join",
-    "doc_jaccard_prefix_join",
-    # -- backfill: the full r6-era cohort --
-    "doc_bpe_pair_counts",
-    "doc_lang_id_accuracy",
-    "doc_ngram_novelty",
-    "emb_cell_balanced_sample",
-    "emb_jl_distortion",
-    "emb_near_dup_clusters",
-    "emb_pq_codes",
-    "events_bounded_params",
-    "events_cdc_snapshot",
-    "events_counter_delta",
-    "events_distinct_users",
-    "events_gapfill_interp",
-    "events_gapfill_locf",
-    "events_hourly_rollup",
-    "events_markov_transitions",
-    "events_meta_probes",
-    "events_quantile_histogram_est",
-    "events_rowcount_bounded",
-    "events_state_durations",
-    "events_uptime_agg",
-    "events_value_percentiles",
-    "multimodal_png_decode",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_revenue_forecast",
-    # -- head-fill: the alphabetically-first slice of the r7 cohort --
-    # (doc_bigram_lm_score / doc_binary_features / doc_contamination_check
-    # / doc_corpus_prep / doc_dedup_cascade_report / doc_domain_caps /
-    # doc_exact_dedup were displaced by the seven new r10 operators —
-    # their newest green stays r7, still within the "no older than N−3"
-    # invariant at r10; they lead the r11 rotation queue.
-    # doc_bigram_lm_score's r10 refactor through the shared _lm_scored
-    # cache is hash-proven unchanged by the local strict gate.)
+    # -- r6 cohort: stalest driver greens --
+    "customer_top_orders",
+    "top_brands_by_revenue",
+    "urgent_orders_with_late_items",
+    "streaming_cdc_snapshot",
+    "events_hll_merge",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q16_supplier_part_counts",
+    "q18_large_volume_customers",
+    "q22_idle_customers",
+    # -- head-fill: alphabetically-first slice of the r7 cohort --
+    "doc_bigram_lm_score",
+    "doc_binary_features",
+    "doc_contamination_check",
+    "doc_corpus_prep",
+    "doc_dedup_cascade_report",
+    "doc_domain_caps",
+    "doc_exact_dedup",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "doc_lsh_candidates",
+    "doc_minhash_jaccard_est",
+    "doc_minhash_signatures",
+    "doc_near_dup_clusters",
+    "doc_ngram_jaccard_topk",
+    "doc_quality_score",
+    "doc_simhash",
+    "doc_simhash_near_pairs",
+    "doc_token_budget",
+    "doc_token_rarity",
+    "doc_token_stats",
+    "doc_training_export",
+    "emb_ann_lsh_topk",
+    "emb_cosine_topk",
+    "emb_ivf_topk",
+    "emb_near_dup_pairs",
+    "events_anomaly_zscore",
+    "events_asof_attribution",
+    "events_daily_cube",
+    "events_ema_sequential",
+    "events_funnel",
+    "events_json_extract",
+    "events_lttb_downsample",
+    "events_ohlc_candles",
+    "events_session_window_native",
+    "events_sessionization",
+    "events_type_pivot",
+    "events_value_histogram",
+    "events_weekly_retention",
 ]
 
 
@@ -171,6 +156,15 @@ def floordiv_sql(num: str, den: str) -> str:
     truncates): subtract the nonnegative remainder first — the holt-
     family idiom generalized to a variable divisor."""
     return f"((({num}) - ((({num}) % ({den}) + ({den})) % ({den}))) // ({den}))"
+
+
+def floordiv_spark(num: str, den: str) -> str:
+    """Spark-SQL twin of :func:`floordiv_sql` (Spark has no ``//``
+    operator; ``div`` truncates toward zero): same subtract-the-
+    nonnegative-remainder spell, emitted with ``div``. Use BOTH helpers
+    together so a negative numerator in a future fixture cannot split
+    the engines (ADVICE r10: events_changepoint hazard)."""
+    return f"((({num}) - ((({num}) % ({den}) + ({den})) % ({den}))) div ({den}))"
 
 
 def query(name: str, oracle_sql: str | None = None):

@@ -198,12 +198,19 @@ def decode_png(payload: bytes) -> dict:
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
         tag = payload[pos + 4:pos + 8]
+        if pos + 12 + length > len(payload):
+            # explicit bound BEFORE slicing: a short CRC slice would
+            # otherwise surface as raw struct.error, breaking the
+            # typed ValueError/NotImplementedError fuzz contract
+            raise ValueError("truncated chunk")
         data = payload[pos + 8:pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + length:pos + 12 + length])
         if crc != zlib.crc32(tag + data) & 0xFFFFFFFF:
             raise ValueError(f"bad CRC on {tag!r} chunk")
         if tag == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("bad IHDR length")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif tag == b"IDAT":
             idat += data
@@ -216,7 +223,10 @@ def decode_png(payload: bytes) -> dict:
     if bit_depth != 8 or color_type != 2 or interlace != 0:
         raise NotImplementedError(
             "decoder supports 8-bit truecolor non-interlaced PNG")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
     bpr = 3 * width
     if len(raw) != height * (bpr + 1):
         raise ValueError("IDAT length does not match dimensions")
@@ -307,12 +317,19 @@ def decode_png_tile_sums(payload: bytes, grid: int = 2) -> list:
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
         tag = payload[pos + 4:pos + 8]
+        if pos + 12 + length > len(payload):
+            # explicit bound BEFORE slicing: a short CRC slice would
+            # otherwise surface as raw struct.error, breaking the
+            # typed ValueError/NotImplementedError fuzz contract
+            raise ValueError("truncated chunk")
         data = payload[pos + 8:pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + length:pos + 12 + length])
         if crc != zlib.crc32(tag + data) & 0xFFFFFFFF:
             raise ValueError(f"bad CRC on {tag!r} chunk")
         if tag == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("bad IHDR length")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif tag == b"IDAT":
             idat += data
@@ -325,7 +342,10 @@ def decode_png_tile_sums(payload: bytes, grid: int = 2) -> list:
     if bit_depth != 8 or color_type != 2 or interlace != 0:
         raise NotImplementedError(
             "decoder supports 8-bit truecolor non-interlaced PNG")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
     bpr = 3 * width
     if len(raw) != height * (bpr + 1):
         raise ValueError("IDAT length does not match dimensions")

@@ -29,7 +29,7 @@ from meerschaum_spark.params import (
 from meerschaum_spark.sources import load_table
 from meerschaum_spark.sources.tables import canonicalize_ts
 
-from meerschaum_spark.catalog import DEC, HASH60_SQL, ORACLE, QUERIES, QueryFn, dec as _dec, floordiv_sql, hash60, query, sum_dbl as _sum_dbl
+from meerschaum_spark.catalog import DEC, HASH60_SQL, ORACLE, QUERIES, QueryFn, dec as _dec, floordiv_spark, floordiv_sql, hash60, query, sum_dbl as _sum_dbl
 from meerschaum_spark.functions.persist import pin as _pin
 
 UTC = datetime.timezone.utc
@@ -5638,6 +5638,13 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MA_K = 12            # absorption power-iteration steps (spec, not approx)
 _MA_SCALE = 10 ** 12  # probability fixed-point scale
+#: FIXTURE COUPLING (ADVICE r10): the oracle unrolls one 12-step CTE
+#: ladder per channel, so its channel list must be static SQL text,
+#: while the Spark side derives channels from the data. These must be
+#: exactly the distinct non-purchase event types of every gated fixture
+#: (sf0.001/sf0.01 events.parquet) or the row counts diverge —
+#: ``tests/test_oracle_lint.py::test_markov_channels_match_fixtures``
+#: executes that assertion against the real parquet.
 _MA_CHANNELS = ("click", "error", "signup", "view")
 
 
@@ -5968,8 +5975,11 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     split k maximizing the between-segment variance-reduction proxy
     ``(ΣL)²//nL + (ΣR)²//nR − (Σ)²//n`` — the standard L2 CUSUM-of-
     means objective with each term FLOORED, so the argmax is a pure
-    BIGINT comparison on both engines (values are nonnegative: plain
-    integer division IS floor division cross-engine here; magnitudes
+    BIGINT comparison on both engines (gain terms divide SQUARES, so
+    truncation == floor there; the sign-sensitive divisions — the
+    hourly sum scale-down and the two segment means — use the
+    subtract-nonneg-remainder floordiv spell on the Spark side to
+    match DuckDB's flooring ``//`` for negative values too; magnitudes
     ≤ (Σ units)² ≈ 1e14 at this scale — far inside int64).
 
     Scale shape: one groupBy to hours, one per-series ordered cumsum
@@ -5983,7 +5993,8 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
                   .cast("long").alias("ym"))
               .groupBy("event_type", "h")
-              .agg(F.expr("sum(ym) div 1000000").alias("y")))
+              .agg(F.expr(floordiv_spark("sum(ym)", "1000000"))
+                   .alias("y")))
     w = (Window.partitionBy("event_type").orderBy("h")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     wn = Window.partitionBy("event_type")
@@ -6007,7 +6018,8 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("gain").alias("gain_proxy"),
                     F.col("i").alias("n_left"),
                     (F.col("n") - F.col("i")).alias("n_right"),
-                    F.expr("(cs * 1000) div i").alias("mean_left_scaled"),
-                    F.expr("((tot - cs) * 1000) div (n - i)")
+                    F.expr(floordiv_spark("cs * 1000", "i"))
+                    .alias("mean_left_scaled"),
+                    F.expr(floordiv_spark("(tot - cs) * 1000", "n - i"))
                     .alias("mean_right_scaled"))
             .orderBy("event_type"))

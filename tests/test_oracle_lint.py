@@ -276,3 +276,34 @@ def test_boundary_mechanism():
         "local DuckDB changed its double→decimal rounding path; "
         "re-audit every CAST(double AS DECIMAL) oracle"
     )
+
+
+def test_markov_channels_match_fixtures():
+    """events_markov_attribution's oracle unrolls one static CTE ladder
+    per channel in ``_MA_CHANNELS`` while the Spark side derives the
+    channel list from the data (ADVICE r10): if a gated fixture gains
+    or loses an event type, the oracle emits a fixed 4 rows and the
+    engine emits per-data rows — a silent row-count mismatch. Execute
+    the coupling against the real parquet for every gated sf."""
+    import os
+
+    duckdb = pytest.importorskip("duckdb")
+    from meerschaum_spark.queries import _MA_CHANNELS
+
+    checked = 0
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/events.parquet"
+        if not os.path.isfile(path):
+            continue
+        con = duckdb.connect()
+        got = {r[0] for r in con.execute(
+            "SELECT DISTINCT event_type FROM read_parquet(?) "
+            "WHERE event_type <> 'purchase'", [path]).fetchall()}
+        assert got == set(_MA_CHANNELS), (
+            f"{sf}: fixture channels {sorted(got)} != _MA_CHANNELS "
+            f"{sorted(_MA_CHANNELS)} — regenerate the oracle ladder "
+            "(queries.py _MA_CHANNELS) to match the data"
+        )
+        checked += 1
+    if not checked:
+        pytest.skip("no testdata fixtures present")

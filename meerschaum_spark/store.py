@@ -19,12 +19,19 @@ Scale notes (designed for 100 TB / 1000 executors, tested on local[32]):
     time-range, never the table size.
   * Appends of unseen rows are plain file adds (no rewrite) — the common
     incremental-sync case costs one write of the new rows.
-  * On a real cluster the staging swap would be a transactional commit
-    (Delta/Iceberg); the layout and pruning strategy carry over unchanged.
+  * Writes are cross-process safe (r11): every mutation holds a per-table
+    flock (``locking.ProcessLock`` — the local stand-in for the reference's
+    per-sync DB transaction, connectors/sql/_pipes.py:2217-2809), and the
+    staging swap publishes a fsync'd manifest before its renames so a
+    writer killed mid-swap is rolled FORWARD by the next lock holder
+    (``recover_interrupted_swap``). On a real cluster the staging swap
+    would be a transactional commit (Delta/Iceberg); the layout and
+    pruning strategy carry over unchanged.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -37,11 +44,16 @@ from pyspark.sql import types as T
 
 from meerschaum_spark.chunks import DEFAULT_CHUNK_MINUTES
 from meerschaum_spark.dtypes import UNIT_US, normalize_unit, to_spark_type
+from meerschaum_spark.locking import ProcessLock, process_lock
 from meerschaum_spark.params import sql_in_condition
 
 EXISTS_TTL_SECONDS = 60.0  # reference config/_default.py:244-258
 PART_COL = "_mrsm_part"
 NULL_PART_DIR = f"{PART_COL}=__HIVE_DEFAULT_PARTITION__"
+#: swap-commit manifest: present (state "begin") exactly for the
+#: duration of a staging swap's rename window; a crashed writer leaves
+#: it behind and the next lock holder ROLLS the swap FORWARD from it
+MANIFEST_NAME = "_swap_manifest.json"
 
 
 class ParquetPipeStore:
@@ -76,6 +88,108 @@ class ParquetPipeStore:
     @property
     def data_path(self) -> str:
         return os.path.join(self.path, "data")
+
+    # -- cross-process commit protocol --------------------------------------
+
+    @property
+    def lock(self) -> ProcessLock:
+        """Per-table cross-process write lock (``<root>/.locks/``),
+        shared with ``Pipe._write_lock``: flock across OS processes,
+        re-entrant RLock within one. Every store mutation holds it for
+        its read-modify-write, so two drivers syncing the same pipe
+        serialize exactly like the reference's per-sync DB transaction
+        (connectors/sql/_pipes.py:2217-2809)."""
+        return process_lock(self.path)
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, MANIFEST_NAME)
+
+    def _write_manifest(self, doc: dict) -> None:
+        """Atomically publish the swap manifest (tmp + rename + fsync):
+        written AFTER the staged parquet is complete and BEFORE the
+        first rename, so its presence always means 'staging holds the
+        full new state for the listed cells — roll forward'."""
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path())
+
+    def _clear_manifest(self) -> None:
+        try:
+            os.remove(self._manifest_path())
+        except FileNotFoundError:
+            pass
+
+    def _maybe_recover(self) -> None:
+        """Cheap fast-path probe (one isfile) callers sprinkle before
+        reads/mutations; the slow path only runs when a dead writer
+        actually left a manifest behind."""
+        if os.path.isfile(self._manifest_path()):
+            self.recover_interrupted_swap()
+
+    def recover_interrupted_swap(self) -> bool:
+        """Roll FORWARD a swap whose writer died mid-commit.
+
+        The manifest is only ever written once the staged parquet is
+        complete, so the staged cells/files ARE the committed new state:
+        recovery finishes the renames (idempotently — a cell already
+        moved has no staging source left; a remove-only cell's rmtree
+        re-runs harmlessly), clears the manifest, and deletes staging.
+        Rolling back is impossible by construction — the interrupted
+        writer may already have destroyed destination cells.
+
+        Returns True when a recovery was performed. Safe to call any
+        time: takes the write lock, so it cannot fire while the writer
+        is alive mid-swap (the writer holds the lock for the whole
+        window), and re-checks the manifest under the lock."""
+        if not os.path.isfile(self._manifest_path()):
+            return False
+        with self.lock:
+            try:
+                with open(self._manifest_path()) as f:
+                    doc = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                return False  # writer finished, or torn tmp never published
+            staging = os.path.join(self.path, str(doc.get("staging", "")))
+            kind = doc.get("kind")
+            if kind == "cells":
+                for name in doc.get("staged", []):
+                    src = os.path.join(staging, name)
+                    dst = os.path.join(self.data_path, name)
+                    if os.path.isdir(src):
+                        if os.path.isdir(dst):
+                            shutil.rmtree(dst)
+                        shutil.move(src, dst)
+                for name in doc.get("removed", []):
+                    dst = os.path.join(self.data_path, name)
+                    if os.path.isdir(dst):
+                        shutil.rmtree(dst)
+            elif kind == "files":
+                for rel in doc.get("remove", []):
+                    try:
+                        os.remove(os.path.join(self.data_path, rel))
+                    except FileNotFoundError:
+                        pass
+                for src_rel, dst_rel in doc.get("moves", []):
+                    src = os.path.join(staging, src_rel)
+                    dst = os.path.join(self.data_path, dst_rel)
+                    if os.path.isfile(src):
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        if not os.path.isfile(dst):  # same-fs rename: at
+                            shutil.move(src, dst)    # most one side exists
+            elif kind == "overwrite":
+                if os.path.isdir(staging):
+                    if os.path.isdir(self.data_path):
+                        shutil.rmtree(self.data_path)
+                    os.replace(staging, self.data_path)
+            self._clear_manifest()
+            if os.path.isdir(staging):
+                shutil.rmtree(staging, ignore_errors=True)
+            self._mark_exists(self._exists_uncached())
+            self._refresh_listing()
+            return True
 
     def exists(self, refresh: bool = False) -> bool:
         """Directory probe with a TTL cache (reference caches ``exists``
@@ -182,6 +296,7 @@ class ParquetPipeStore:
 
         ``end_us`` is exclusive (matching the engine-wide bound contract).
         """
+        self._maybe_recover()  # one isfile; heals a dead writer's swap
         if not self.exists():
             schema = self.read_schema(dtypes) or T.StructType([])
             empty = self.spark.createDataFrame([], schema)
@@ -265,14 +380,17 @@ class ParquetPipeStore:
         FILES, which rollup delta maintenance aggregates instead of
         rescanning base-table buckets. Callers opt in because the two
         listings are API round-trips on object storage."""
-        before = self._data_files() if new_files is not None else None
-        observed, n_written = self._observe_rows(df)
-        out = self._rebalanced(self.with_part(observed))
-        out.write.mode("append").partitionBy(PART_COL).parquet(self.data_path)
-        if new_files is not None:
-            new_files.extend(sorted(self._data_files() - before))
-        self._post_write_exists(n_written())
-        self._refresh_listing()
+        with self.lock:
+            self._maybe_recover()
+            before = self._data_files() if new_files is not None else None
+            observed, n_written = self._observe_rows(df)
+            out = self._rebalanced(self.with_part(observed))
+            out.write.mode("append").partitionBy(PART_COL).parquet(
+                self.data_path)
+            if new_files is not None:
+                new_files.extend(sorted(self._data_files() - before))
+            self._post_write_exists(n_written())
+            self._refresh_listing()
 
     def _rebalanced(self, df: DataFrame) -> DataFrame:
         """REBALANCE(_mrsm_part) before a partitioned write: AQE coalesces
@@ -295,20 +413,30 @@ class ParquetPipeStore:
         return df.hint("rebalance", PART_COL)
 
     def overwrite(self, df: DataFrame) -> None:
-        """Full-table replace."""
-        observed, n_written = self._observe_rows(df)
-        out = self._rebalanced(self.with_part(observed))
-        if os.path.isdir(self.data_path):
-            staging = self._staging_dir()
-            out.write.mode("overwrite").partitionBy(PART_COL).parquet(staging)
-            shutil.rmtree(self.data_path)
-            os.replace(staging, self.data_path)
-        else:
-            out.write.mode("overwrite").partitionBy(PART_COL).parquet(
-                self.data_path
-            )
-        self._post_write_exists(n_written())
-        self._refresh_listing()
+        """Full-table replace (staged + manifest-committed when replacing
+        live data: the rmtree/replace pair is two steps — a writer dying
+        between them is rolled forward from the manifest)."""
+        with self.lock:
+            self._maybe_recover()
+            observed, n_written = self._observe_rows(df)
+            out = self._rebalanced(self.with_part(observed))
+            if os.path.isdir(self.data_path):
+                staging = self._staging_dir()
+                out.write.mode("overwrite").partitionBy(PART_COL).parquet(
+                    staging)
+                self._write_manifest({
+                    "txn": uuid.uuid4().hex, "kind": "overwrite",
+                    "staging": os.path.basename(staging),
+                })
+                shutil.rmtree(self.data_path)
+                os.replace(staging, self.data_path)
+                self._clear_manifest()
+            else:
+                out.write.mode("overwrite").partitionBy(PART_COL).parquet(
+                    self.data_path
+                )
+            self._post_write_exists(n_written())
+            self._refresh_listing()
 
     def merge(
         self,
@@ -344,7 +472,26 @@ class ParquetPipeStore:
         corrections spread across history), where a [min, max] window
         covers the whole table and the footer-range file pruning
         degenerates to touching every file.
+
+        Holds the cross-process lock for the WHOLE read-modify-write
+        (listing, footer stats, anti-join, swap): two drivers merging
+        the same pipe serialize like the reference's DB transaction.
         """
+        with self.lock:
+            self._maybe_recover()
+            self._merge_locked(patch, keys, dtypes=dtypes,
+                               begin_us=begin_us, end_us=end_us,
+                               parts=parts)
+
+    def _merge_locked(
+        self,
+        patch: DataFrame,
+        keys: list[str],
+        dtypes: dict[str, str] | None = None,
+        begin_us: int | None = None,
+        end_us: int | None = None,
+        parts: list | None = None,
+    ) -> None:
         if not self.exists():
             self.append(patch)
             return
@@ -534,31 +681,54 @@ class ParquetPipeStore:
         keep = e.join(p, on=cond, how="left_anti")
         merged = keep.unionByName(patch, allowMissingColumns=True)
         staging = self._staging_dir()
+        committed = False
         try:
             (self._rebalanced(merged)
              .write.mode("overwrite").partitionBy(PART_COL).parquet(staging))
-            # file-granular swap: staged files move in, touched files go
-            for path in touched:
-                try:
-                    os.remove(path)
-                except OSError:
-                    pass
+            # plan the file-granular swap up front (final names fixed
+            # BEFORE the manifest) so a crashed writer's moves replay
+            # deterministically from the manifest
+            moves: list[list[str]] = []
             if os.path.isdir(staging):
                 for entry in os.scandir(staging):
                     if (not entry.is_dir()
                             or not entry.name.startswith(f"{PART_COL}=")):
                         continue
-                    dst_dir = os.path.join(self.data_path, entry.name)
-                    os.makedirs(dst_dir, exist_ok=True)
                     for f in os.scandir(entry.path):
                         if f.is_file() and f.name.endswith(".parquet"):
-                            shutil.move(
-                                f.path,
+                            moves.append([
+                                os.path.join(entry.name, f.name),
                                 os.path.join(
-                                    dst_dir,
-                                    f"m{uuid.uuid4().hex[:8]}-{f.name}"))
+                                    entry.name,
+                                    f"m{uuid.uuid4().hex[:8]}-{f.name}")])
+            self._write_manifest({
+                "txn": uuid.uuid4().hex, "kind": "files",
+                "staging": os.path.basename(staging),
+                "remove": [os.path.relpath(p, self.data_path)
+                           for p in touched],
+                "moves": moves,
+            })
+            # staged files move in, touched files go
+            for path in touched:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+            for src_rel, dst_rel in moves:
+                dst = os.path.join(self.data_path, dst_rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(os.path.join(staging, src_rel), dst)
+            self._clear_manifest()
+            committed = True
+        except BaseException:
+            try:
+                self.recover_interrupted_swap()
+            except Exception:
+                pass
+            raise
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            if committed or not os.path.isfile(self._manifest_path()):
+                shutil.rmtree(staging, ignore_errors=True)
         # callers guarantee ``untouched`` is non-empty (merge() falls back
         # to the cell-level path otherwise), so the table cannot have been
         # emptied by this swap — no listing probe needed
@@ -599,6 +769,13 @@ class ParquetPipeStore:
         where the range is empty. Cells the recompute emptied are
         removed by the swap's ``also_remove`` list; cells that only the
         new rows populate come from the staging listing."""
+        with self.lock:
+            self._maybe_recover()
+            self._replace_range_locked(df, begin_us, end_us, dtypes=dtypes)
+
+    def _replace_range_locked(self, df: DataFrame, begin_us: int,
+                              end_us: int,
+                              dtypes: dict[str, str] | None = None) -> None:
         if not self.exists():
             self.append(df)
             return
@@ -641,6 +818,16 @@ class ParquetPipeStore:
                      begin_us: int | None = None, end_us: int | None = None) -> int:
         """Bounded DELETE (reference clear_pipe, connectors/sql/_pipes.py:3158-3246):
         rewrite affected partitions without the matching rows. Returns rows deleted."""
+        with self.lock:
+            self._maybe_recover()
+            return self._delete_where_locked(cond, dtypes=dtypes,
+                                             begin_us=begin_us,
+                                             end_us=end_us)
+
+    def _delete_where_locked(self, cond: F.Column,
+                             dtypes: dict[str, str] | None = None,
+                             begin_us: int | None = None,
+                             end_us: int | None = None) -> int:
         if not self.exists():
             return 0
         df = self.read(dtypes=dtypes, keep_part_col=True,
@@ -672,10 +859,11 @@ class ParquetPipeStore:
         return n_before - n_after
 
     def drop(self) -> None:
-        if os.path.isdir(self.path):
-            shutil.rmtree(self.path)
-        self._mark_exists(False)
-        self._refresh_listing()
+        with self.lock:
+            if os.path.isdir(self.path):
+                shutil.rmtree(self.path)
+            self._mark_exists(False)
+            self._refresh_listing()
 
     # -- staging swap ------------------------------------------------------
 
@@ -706,11 +894,27 @@ class ParquetPipeStore:
 
         Spark refuses to overwrite a path it is also reading
         (self-referential plan), so the rewrite lands in a staging dir first;
-        the swap is then a handful of driver-side renames — the local-FS
-        stand-in for a transactional commit.
+        the swap is then a handful of driver-side renames under the
+        cross-process lock, published through the swap manifest: the
+        manifest goes down (fsync'd) after the staged parquet is
+        complete and before the first rename, so a writer killed
+        mid-swap is rolled FORWARD by the next lock holder
+        (``recover_interrupted_swap``) — the local-FS stand-in for a
+        transactional commit (Delta/Iceberg own this on a cluster).
         """
+        with self.lock:
+            self._maybe_recover()
+            self._swap_partitions_locked(df, parts, sort_by=sort_by,
+                                         also_remove=also_remove)
+
+    def _swap_partitions_locked(self, df: DataFrame,
+                                parts: list[Any] | None,
+                                sort_by: list[str] | None = None,
+                                also_remove: list[Any] | None = None,
+                                ) -> None:
         staging = self._staging_dir()
         moved_any = False
+        committed = False
         try:
             out = self._rebalanced(df)
             if sort_by:
@@ -731,18 +935,50 @@ class ParquetPipeStore:
             for extra in (also_remove or []):
                 if extra not in swap_set:
                     swap_set.append(extra)
+            staged, removed = [], []
             for value in swap_set:
                 name = self._part_dir_name(value)
+                if os.path.isdir(os.path.join(staging, name)):
+                    staged.append(name)
+                else:
+                    removed.append(name)  # cell fully emptied → delete
+            self._write_manifest({
+                "txn": uuid.uuid4().hex, "kind": "cells",
+                "staging": os.path.basename(staging),
+                "staged": staged, "removed": removed,
+            })
+            crash = os.environ.get("MRSM_TEST_CRASH_SWAP")
+            for i, name in enumerate(staged):
                 src = os.path.join(staging, name)
                 dst = os.path.join(self.data_path, name)
                 if os.path.isdir(dst):
                     shutil.rmtree(dst)
-                if os.path.isdir(src):
-                    shutil.move(src, dst)
-                    moved_any = True
-                # else: partition fully emptied — leave it deleted
+                shutil.move(src, dst)
+                moved_any = True
+                if crash == "after_first_move" and i == 0:
+                    # test-only crash injection: die with the swap half
+                    # committed (manifest present, staging live)
+                    os._exit(137)
+            for name in removed:
+                dst = os.path.join(self.data_path, name)
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+            self._clear_manifest()
+            committed = True
+        except BaseException:
+            # in-process failure mid-swap: roll forward NOW (we still
+            # hold the lock); if even that fails the manifest stays on
+            # disk and the next lock holder completes it
+            try:
+                self.recover_interrupted_swap()
+            except Exception:
+                pass
+            raise
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            # a crash-orphaned (unrecovered) swap keeps staging + the
+            # manifest on disk so the NEXT lock holder rolls it forward
+            if committed or not os.path.isfile(self._manifest_path()):
+                shutil.rmtree(staging, ignore_errors=True)
         # a swap that moved a staged cell in proves the table is non-empty
         # (partitionBy only creates dirs rows landed in); a remove-only
         # swap can empty the table entirely — re-probe just for that case

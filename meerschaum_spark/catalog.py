@@ -49,14 +49,19 @@ HEAD_ORDER = [
     # caution), the full 10-row r6 cohort (displaced in r10 so the 19
     # new operators got first-run driver evidence — the only rows
     # violating the no-green-older-than-N-3 invariant), then the
-    # alphabetically-first r7 rows to fill 50. The 9 unrotated r7 rows
+    # alphabetically-first r7 rows to fill 50. The 10 unrotated r7 rows
     # (events_weekly_retention geo_* part_skyline_pareto
     # q15_top_supplier streaming_ema_sequential streaming_hourly_rollup)
     # lead the r12 queue.
     # -- never-green: r10 tail addition, strict-local-green --
     "streaming_holt_winters",
-    # -- code changed this round (floordiv_spark adoption) --
+    # -- code changed this round (floordiv_spark adoption; Theil-Sen
+    #    rewired through the guarded functions/robust.theil_sen_pairs
+    #    operator — values hash-proven unchanged by the local strict
+    #    gate, re-recorded per the standing changed-code rule; its slot
+    #    displaces events_weekly_retention, which rolls to r12) --
     "events_changepoint",
+    "events_theil_sen_slope",
     # -- r6 cohort: stalest driver greens --
     "customer_top_orders",
     "top_brands_by_revenue",
@@ -106,7 +111,6 @@ HEAD_ORDER = [
     "events_sessionization",
     "events_type_pivot",
     "events_value_histogram",
-    "events_weekly_retention",
 ]
 
 

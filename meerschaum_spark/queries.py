@@ -5538,18 +5538,12 @@ def events_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("long").alias("y"))
               .groupBy("event_type", "h")
               .agg(F.sum("y").alias("v")))
-    a = hourly.select("event_type", F.col("h").alias("h1"),
-                      F.col("v").alias("v1"))
-    b = hourly.select("event_type", F.col("h").alias("h2"),
-                      F.col("v").alias("v2"))
-    pairs = (a.join(b, on="event_type")
-             .filter(F.col("h2") > F.col("h1"))
-             .withColumn("num",
-                         (F.col("v2") - F.col("v1")) * TS_SLOPE_SCALE)
-             .withColumn("den", F.col("h2") - F.col("h1")))
-    slopes = pairs.withColumn(
-        "slope",
-        F.expr("(num - ((num % den + den) % den)) div den"))
+    from meerschaum_spark.functions.robust import theil_sen_pairs
+    # guarded operator (r11): the O(T²) pair join refuses task-side if
+    # any series exceeds THEIL_SEN_MAX_POINTS — this query's hourly
+    # pre-agg stays far under it, values bit-identical to the inline form
+    slopes = theil_sen_pairs(hourly, ["event_type"], "h", "v",
+                             slope_scale=TS_SLOPE_SCALE)
     w = Window.partitionBy("event_type").orderBy("slope", "h1", "h2")
     wn = Window.partitionBy("event_type")
     ranked = (slopes

@@ -389,3 +389,43 @@ def test_markov_attribution_matches_pure_python(spark):
         assert got[ch]["base_p_scaled"] == base
         assert got[ch]["removal_effect_fp"] == eff
         assert got[ch]["attribution_share_fp"] == (eff * 1_000_000) // tot
+
+
+def test_theil_sen_guard_errors_on_overflow(spark):
+    """The O(T2) pair join must refuse task-side (typed job failure,
+    no driver collect) when a series exceeds max_points."""
+    from pyspark.errors import SparkRuntimeException
+
+    from meerschaum_spark.functions.robust import theil_sen_pairs
+
+    pts = spark.createDataFrame(
+        [("a", i, i * 2) for i in range(30)], "s string, x long, y long")
+    with pytest.raises(SparkRuntimeException, match="max_points"):
+        theil_sen_pairs(pts, ["s"], "x", "y", max_points=10).collect()
+    # under the cap: full pair set, exact slopes
+    ok = theil_sen_pairs(pts, ["s"], "x", "y", max_points=30).collect()
+    assert len(ok) == 30 * 29 // 2
+    assert all(r["slope"] == 2000 for r in ok)
+
+
+def test_theil_sen_guard_sample_mode(spark):
+    """on_overflow='sample': deterministic stride keeps <= max_points
+    per series (first point always kept), slopes stay exact."""
+    from meerschaum_spark.functions.robust import theil_sen_pairs
+
+    pts = spark.createDataFrame(
+        [("a", i, 7 * i) for i in range(100)]
+        + [("b", i, -3 * i) for i in range(5)],
+        "s string, x long, y long")
+    out = theil_sen_pairs(pts, ["s"], "x", "y", max_points=10,
+                          on_overflow="sample").collect()
+    xs_a = sorted({r["h1"] for r in out if r["s"] == "a"}
+                  | {r["h2"] for r in out if r["s"] == "a"})
+    assert len(xs_a) == 10 and xs_a[0] == 0  # ceil(100/10)=10 stride
+    assert xs_a == list(range(0, 100, 10))
+    assert all(r["slope"] == 7000 for r in out if r["s"] == "a")
+    # series under the cap is untouched (negative slope floors exactly)
+    assert sum(1 for r in out if r["s"] == "b") == 5 * 4 // 2
+    assert all(r["slope"] == -3000 for r in out if r["s"] == "b")
+    with pytest.raises(ValueError, match="error|sample"):
+        theil_sen_pairs(pts, ["s"], "x", "y", on_overflow="nope")

@@ -89,6 +89,111 @@ class PipeRegistry:
     def _doc_path(self, target: str) -> str:
         return os.path.join(self.registry_dir, f"{target}.json")
 
+    # -- fleet-scale key index ----------------------------------------------
+    #
+    # fetch_pipes_keys used to listdir + parse EVERY doc per call — fine
+    # at 10^3 pipes, a driver-side stall at 10^5 (VERDICT r10 #7). The
+    # index is ONE json file holding {target: (connector, metric,
+    # location, tags)}, maintained on save/delete under a cross-process
+    # flock, and invalidated by the registry DIRECTORY's mtime: every
+    # doc publish/delete is a rename into that directory, so a foreign
+    # writer (or an older version that never updates the index) bumps
+    # the dir mtime and the next fetch rebuilds from a scan. The index
+    # lives OUTSIDE registry_dir so its own writes don't disturb the
+    # freshness signal. Parsed entries are memoized per dir-mtime, so
+    # repeat fetches cost two stat() calls.
+
+    @property
+    def index_path(self) -> str:
+        return os.path.join(self.instance_root, ".registry_index.json")
+
+    def _index_lock(self):
+        from meerschaum_spark.locking import process_lock
+        return process_lock(self.registry_dir)
+
+    def _dir_mtime_ns(self) -> int:
+        try:
+            return os.stat(self.registry_dir).st_mtime_ns
+        except FileNotFoundError:
+            return -1
+
+    def _entry_of(self, doc: dict) -> list:
+        keys = doc.get("keys", {})
+        return [keys.get("connector"), keys.get("metric"),
+                keys.get("location"),
+                list(doc.get("parameters", {}).get("tags", []))]
+
+    def _write_index(self, entries: dict, dir_mtime_ns: int) -> None:
+        tmp = self.index_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"dir_mtime_ns": dir_mtime_ns,
+                       "entries": entries}, f)
+        os.replace(tmp, self.index_path)
+        self._index_cache = (dir_mtime_ns, entries)
+
+    def _scan_entries(self) -> dict:
+        entries: dict = {}
+        if not os.path.isdir(self.registry_dir):
+            return entries
+        for name in os.listdir(self.registry_dir):
+            if not name.endswith(".json"):
+                continue
+            try:
+                doc = self._load_uncached(name[:-5])
+            except (json.JSONDecodeError, OSError):
+                continue
+            if doc:
+                entries[name[:-5]] = self._entry_of(doc)
+        return entries
+
+    def _index_entries(self) -> dict:
+        """Current {target: [connector, metric, location, tags]} map —
+        memoized per dir-mtime, index file read only when the memo
+        misses, full scan only when the index itself is stale."""
+        mt = self._dir_mtime_ns()
+        if mt < 0:
+            return {}
+        cached = getattr(self, "_index_cache", None)
+        if cached is not None and cached[0] == mt:
+            return cached[1]
+        try:
+            with open(self.index_path) as f:
+                doc = json.load(f)
+            if doc.get("dir_mtime_ns") == mt:
+                self._index_cache = (mt, doc["entries"])
+                return doc["entries"]
+        except (FileNotFoundError, json.JSONDecodeError, KeyError):
+            pass
+        # stale or missing: rebuild under the cross-process lock (doc
+        # publishes hold the same lock, so the scan sees a quiesced dir)
+        with self._index_lock():
+            mt = self._dir_mtime_ns()
+            entries = self._scan_entries()
+            self._write_index(entries, mt)
+        return entries
+
+    def _index_update(self, target: str, doc: dict | None,
+                      pre_mtime_ns: int) -> None:
+        """Fold one save/delete into the index. Caller holds the flock
+        and has ALREADY published/removed the doc file; ``pre_mtime_ns``
+        is the dir mtime BEFORE that publish — an index not stamped with
+        exactly it was missed by some writer, so fold onto a fresh scan
+        instead of trusting the stale entry map."""
+        try:
+            with open(self.index_path) as f:
+                idx = json.load(f)
+            entries = idx.get("entries", {})
+            stale = idx.get("dir_mtime_ns") != pre_mtime_ns
+        except (FileNotFoundError, json.JSONDecodeError, KeyError):
+            entries, stale = {}, True
+        if stale:
+            entries = self._scan_entries()  # already includes our change
+        elif doc is None:
+            entries.pop(target, None)
+        else:
+            entries[target] = self._entry_of(doc)
+        self._write_index(entries, self._dir_mtime_ns())
+
     def load(self, target: str) -> dict[str, Any] | None:
         """Read a pipe's metadata doc, via a TTL cache: local saves and
         deletes refresh the cache in place, so within one process the
@@ -124,10 +229,13 @@ class PipeRegistry:
             os.makedirs(self.registry_dir, exist_ok=True)
             doc = dict(doc)
             doc["updated_at"] = time.time()
-            tmp = self._doc_path(target) + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(doc, f, indent=1, default=str)
-            os.replace(tmp, self._doc_path(target))
+            with self._index_lock():
+                pre_mt = self._dir_mtime_ns()
+                tmp = self._doc_path(target) + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(doc, f, indent=1, default=str)
+                os.replace(tmp, self._doc_path(target))
+                self._index_update(target, doc, pre_mt)
             # round-trip through JSON so cached docs match disk exactly
             # (tuples→lists, datetimes→strings)
             self._cache[target] = (json.loads(json.dumps(doc, default=str)),
@@ -136,9 +244,12 @@ class PipeRegistry:
     def delete(self, target: str) -> bool:
         path = self._doc_path(target)
         self._cache[target] = (None, time.monotonic())
-        if os.path.isfile(path):
-            os.remove(path)
-            return True
+        with self._index_lock():
+            pre_mt = self._dir_mtime_ns()
+            if os.path.isfile(path):
+                os.remove(path)
+                self._index_update(target, None, pre_mt)
+                return True
         return False
 
     def fetch_pipes_keys(
@@ -155,26 +266,48 @@ class PipeRegistry:
         (connectors/sql/_pipes.py:279-309): each element of ``tags`` is a
         comma-joined AND-group, groups are OR'd, and a ``_`` prefix
         negates a tag within its group — ``["a,b", "_c"]`` matches pipes
-        tagged (a AND b) OR (NOT c)."""
+        tagged (a AND b) OR (NOT c).
+
+        Served from the single-file key index (see the index section
+        above): O(one stat) warm / O(one index read) cold, instead of a
+        listdir + per-doc JSON parse — the difference between ~ms and a
+        driver-side stall at 10^5 registered pipes
+        (``scripts/registry_bench.py`` measures it)."""
+        rows = self._sorted_rows()
+        groups = None
+        if tags:
+            # parse the tag grammar ONCE per call, not once per pipe
+            groups = []
+            for g in (t.split(",") for t in tags):
+                groups.append((
+                    [t for t in g if not t.startswith(NEGATION_PREFIX)],
+                    frozenset(t[len(NEGATION_PREFIX):] for t in g
+                              if t.startswith(NEGATION_PREFIX))))
         out = []
-        if not os.path.isdir(self.registry_dir):
-            return out
-        for name in sorted(os.listdir(self.registry_dir)):
-            if not name.endswith(".json"):
+        for c, m, loc, doc_tags in rows:
+            if connector and c != connector:
                 continue
-            doc = self.load(name[:-5])
-            if not doc:
+            if metric and m != metric:
                 continue
-            keys = doc.get("keys", {})
-            if connector and keys.get("connector") != connector:
+            if location and loc != location:
                 continue
-            if metric and keys.get("metric") != metric:
+            if groups is not None and not any(
+                    all(t in doc_tags for t in inc)
+                    and not (exc & doc_tags)
+                    for inc, exc in groups):
                 continue
-            if location and keys.get("location") != location:
-                continue
-            if tags:
-                doc_tags = set(doc.get("parameters", {}).get("tags", []))
-                if not _match_tag_groups(doc_tags, tags):
-                    continue
-            out.append((keys.get("connector"), keys.get("metric"), keys.get("location")))
+            out.append((c, m, loc))
         return out
+
+    def _sorted_rows(self) -> list:
+        """Target-sorted (connector, metric, location, frozenset(tags))
+        rows, memoized alongside the entry map (the 10^5-pipe warm path
+        must not re-sort and re-build tag sets per call)."""
+        entries = self._index_entries()
+        memo = getattr(self, "_rows_memo", None)
+        if memo is not None and memo[0] is entries:
+            return memo[1]
+        rows = [(e[0], e[1], e[2], frozenset(e[3] or []))
+                for _t, e in sorted(entries.items())]
+        self._rows_memo = (entries, rows)
+        return rows

@@ -151,3 +151,58 @@ def test_filter_existing_no_cache_leak(spark, instance_dir):
     unseen, update = p.filter_existing(df)
     assert unseen.count() == 1 and update.count() == 0
     assert persistent_ids() - before == set()
+
+
+def _mkdoc(c, m, loc=None, tags=None):
+    return {"keys": {"connector": c, "metric": m, "location": loc},
+            "parameters": ({"tags": tags} if tags else {})}
+
+
+def test_index_serves_fetch_and_tracks_save_delete(instance_dir):
+    reg = PipeRegistry.for_instance(instance_dir)
+    reg.save("a_x", _mkdoc("a", "x", tags=["prod"]))
+    reg.save("a_y", _mkdoc("a", "y", tags=["dev"]))
+    reg.save("b_x", _mkdoc("b", "x", "east", tags=["prod", "dev"]))
+    import os
+    assert os.path.isfile(reg.index_path)
+    assert reg.fetch_pipes_keys() == [("a", "x", None), ("a", "y", None),
+                                      ("b", "x", "east")]
+    assert reg.fetch_pipes_keys(connector="a") == [("a", "x", None),
+                                                   ("a", "y", None)]
+    assert reg.fetch_pipes_keys(tags=["prod"]) == [("a", "x", None),
+                                                   ("b", "x", "east")]
+    assert reg.fetch_pipes_keys(tags=["prod,dev"]) == [("b", "x", "east")]
+    assert reg.fetch_pipes_keys(tags=["_dev"]) == [("a", "x", None)]
+    reg.delete("a_y")
+    assert reg.fetch_pipes_keys() == [("a", "x", None), ("b", "x", "east")]
+
+
+def test_index_rebuilds_after_foreign_write(instance_dir):
+    """A doc written WITHOUT going through save() (another process, an
+    older version) bumps the registry dir's mtime, so the next fetch
+    must detect the stale index and rebuild from a scan."""
+    import json
+    import os
+
+    reg = PipeRegistry.for_instance(instance_dir)
+    reg.save("a_x", _mkdoc("a", "x"))
+    assert reg.fetch_pipes_keys() == [("a", "x", None)]
+    # foreign writer: publish a doc file directly
+    path = os.path.join(reg.registry_dir, "c_z.json")
+    with open(path + ".tmp", "w") as f:
+        json.dump(_mkdoc("c", "z", tags=["prod"]), f)
+    os.replace(path + ".tmp", path)
+    assert reg.fetch_pipes_keys() == [("a", "x", None), ("c", "z", None)]
+    assert reg.fetch_pipes_keys(tags=["prod"]) == [("c", "z", None)]
+    # foreign delete: remove the file directly
+    os.remove(path)
+    assert reg.fetch_pipes_keys() == [("a", "x", None)]
+
+
+def test_index_corruption_falls_back_to_scan(instance_dir):
+    reg = PipeRegistry.for_instance(instance_dir)
+    reg.save("a_x", _mkdoc("a", "x"))
+    with open(reg.index_path, "w") as f:
+        f.write("{not json")
+    reg._index_cache = None
+    assert reg.fetch_pipes_keys() == [("a", "x", None)]

@@ -192,7 +192,13 @@ def main() -> None:
     # read). Rep passes are TIME-BUDGETED so the bench always completes:
     # queries re-run most-expensive-first (the ones whose drift flags
     # matter) until the budget is spent; n_reps records coverage.
-    rep_budget = float(os.environ.get("SPARK_GRAFT_BENCH_REP_SEC", "240"))
+    # r11 (VERDICT r10 #4): 240 s left ~23 queries >= 2 s at n_reps 1 —
+    # exactly the rows where single-shot variance bites. The budget is
+    # now 600 s by default AND the >= 2 s cohort's second rep is
+    # GUARANTEED (exempt from the budget check): the exemption's own
+    # cost is bounded by the cohort's warm re-run time, so the bench
+    # still always completes.
+    rep_budget = float(os.environ.get("SPARK_GRAFT_BENCH_REP_SEC", "600"))
     best = dict(timings)
     n_reps = {name: 1 for name in timings}
     t_reps0 = time.perf_counter()
@@ -203,7 +209,9 @@ def main() -> None:
     # they genuinely reach min-of-3 before the budget drains
     for _rep, names in ((2, by_cost), (3, by_cost[:30])):
         for name in names:
-            if time.perf_counter() - t_reps0 > rep_budget:
+            guaranteed = _rep == 2 and timings[name] >= 2.0
+            if (not guaranteed
+                    and time.perf_counter() - t_reps0 > rep_budget):
                 break
             t0 = time.perf_counter()
             try:

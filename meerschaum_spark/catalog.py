@@ -49,12 +49,15 @@ HEAD_ORDER = [
     # caution), the full 10-row r6 cohort (displaced in r10 so the 19
     # new operators got first-run driver evidence — the only rows
     # violating the no-green-older-than-N-3 invariant), then the
-    # alphabetically-first r7 rows to fill 50. The 10 unrotated r7 rows
-    # (events_weekly_retention geo_* part_skyline_pareto
-    # q15_top_supplier streaming_ema_sequential streaming_hourly_rollup)
-    # lead the r12 queue.
+    # alphabetically-first r7 rows to fill 50. The 11 unrotated r7 rows
+    # (events_value_histogram events_weekly_retention geo_*
+    # part_skyline_pareto q15_top_supplier streaming_ema_sequential
+    # streaming_hourly_rollup) lead the r12 queue.
     # -- never-green: r10 tail addition, strict-local-green --
     "streaming_holt_winters",
+    # -- NEW in r11: incrementally-maintained ANN index under sync
+    #    (its slot displaces events_value_histogram -> r12 queue) --
+    "pipe_ann_index_sync",
     # -- code changed this round (floordiv_spark adoption; Theil-Sen
     #    rewired through the guarded functions/robust.theil_sen_pairs
     #    operator — values hash-proven unchanged by the local strict
@@ -110,7 +113,6 @@ HEAD_ORDER = [
     "events_session_window_native",
     "events_sessionization",
     "events_type_pivot",
-    "events_value_histogram",
 ]
 
 

@@ -127,6 +127,14 @@ def to_spark_type(dtype: str) -> T.DataType:
         return T.DecimalType(NUMERIC_DEFAULT_PRECISION, NUMERIC_DEFAULT_SCALE)
     if base in _BASE_SPARK_TYPES:
         return _BASE_SPARK_TYPES[base]
+    if base == "array":
+        # array(float32) / array(array(int64)) — element type recurses.
+        # Spark-native array columns (embeddings!) round-trip the store's
+        # explicit read schema; the reference would store these as JSON
+        # text (utils/dtypes), which loses the vectorized layout.
+        if not args:
+            raise ValueError("array dtype needs an element type: array(t)")
+        return T.ArrayType(to_spark_type(args))
     if base in ("geometry", "geography"):
         return T.BinaryType()  # WKB regardless of type/SRID modifier
     raise ValueError(f"Unknown MRSM dtype: {dtype!r}")
@@ -149,6 +157,8 @@ def from_spark_type(dt: T.DataType) -> str:
     for klass, name in mapping.items():
         if isinstance(dt, klass):
             return name
+    if isinstance(dt, T.ArrayType):
+        return f"array({from_spark_type(dt.elementType)})"
     return "str"
 
 

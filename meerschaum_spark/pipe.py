@@ -719,6 +719,8 @@ class Pipe:
                 _release()
             self._commit_fingerprints()
             self._rollups_after_write(m)
+            # index doesn't exist yet -> full build == encoding the batch
+            self._ann_after_write(m)
             self.register()
             return SyncResult(True, f"Inserted {n} rows (new table).", n, 0)
 
@@ -745,6 +747,8 @@ class Pipe:
             # bounds, so bounded maintenance would leave it stale
             self._rollups_after_write(
                 m, force_full=self.dt_col not in merge_keys)
+            self._ann_after_write(
+                m, force_full=self.dt_col not in merge_keys)
             self.register()
             return SyncResult(True, f"Upserted {n} rows.", 0, n)
 
@@ -755,7 +759,8 @@ class Pipe:
                             *self._rollup_bounds_aggs(pre)]
                 obs = Observation()
                 df = pre.observe(obs, *obs_aggs)
-                nf: list | None = [] if self._eager_rollup_confs else None
+                nf: list | None = ([] if (self._eager_rollup_confs
+                          or self._ann_conf) else None)
                 with self._write_lock:
                     self.store.append(df, new_files=nf)
                 m = self._obs_get(obs, pre, obs_aggs)
@@ -766,6 +771,7 @@ class Pipe:
             # append-only by definition → rollups may delta-maintain
             # from the written files (same contract as the diff path)
             self._rollups_after_write(m, new_files=nf)
+            self._ann_after_write(m, new_files=nf)
             self.register()
             return SyncResult(True, f"Inserted {n} rows (no diff).", n, 0)
 
@@ -836,7 +842,8 @@ class Pipe:
             dtc = self.dt_col
             ru_confs = (self._rollup_confs
                         if dtc and dtc in marked.columns else [])
-            new_files: list | None = [] if self._eager_rollup_confs else None
+            new_files: list | None = ([] if (self._eager_rollup_confs
+                                 or self._ann_conf) else None)
             if fused:
                 m, update = self._fused_local_diff(marked, ru_confs,
                                                    new_files)
@@ -1034,6 +1041,16 @@ class Pipe:
                                        bounds["end_us"])
             else:
                 self._maintain_rollups(None, None)
+            if self._ann_conf:
+                # the ANN index maintains on the same dispatch: observed
+                # update cells recompute, appended files encode-append,
+                # a moved dt (or boundless write) rebuilds
+                am = dict(m)
+                if "begin_us" in bounds:
+                    am.setdefault("_ru_lo", bounds["begin_us"])
+                    am.setdefault("_ru_hi", bounds["end_us"] - 1)
+                self._ann_after_write(am, new_files=new_files,
+                                      force_full=dt_moved)
         self.register()
         return SyncResult(
             True, f"Inserted {n_unseen}, updated {n_update} rows.",
@@ -1677,6 +1694,296 @@ class Pipe:
             os.replace(tmp, fps_dir)
             self.spark.catalog.refreshByPath(fps_dir)
 
+    # ---------------------------------------------- incremental ANN index
+
+    #: update-cells cap for the ANN index's bucket-scoped recompute —
+    #: shares the merge's observed-cells economics (_ucells)
+    _ANN_CELLS_CAP = 64
+
+    @property
+    def _ann_conf(self) -> dict | None:
+        """Incrementally-maintained ANN index config (VERDICT r10 #6)::
+
+            parameters['ann_index'] = {
+                'column': 'embedding',   # array<float> column
+                'id': 'vec_id',          # defaults to columns['id']
+                'n_centroids': 16,       # IVF cells (codebook rows)
+                'subspaces': 2,          # PQ codes; 0 -> IVF-only
+                'subdim': 32,            # inferred from dim when absent
+            }
+
+        The index is the IVF-PQ codes table (id, cell, code0..codeM —
+        ``similarity.ivfpq_corpus_codes``) kept as a SIDE TABLE on the
+        base table's partition grid and maintained like a rollup:
+        insert-only syncs encode ONLY the appended files (O(patch) —
+        the encode is a shuffle-free literal-array projection), update
+        syncs recompute exactly the observed touched cells, anything
+        unbounded rebuilds. The codebook (IVF centroids == PQ codebook
+        rows, the catalog's seeded-rows convention) FREEZES at first
+        build — codes stay comparable across syncs; re-freeze =
+        ``refresh_ann_index(refreeze=True)``. A 100 TB corpus cannot
+        re-encode per sync; this is the rollup-substrate answer the
+        session-cached index tables (queries_llm ``_ivfpq_codes``)
+        deliberately don't give."""
+        c = self.parameters.get("ann_index")
+        return dict(c) if c else None
+
+    def _ann_store(self) -> ParquetPipeStore:
+        return ParquetPipeStore(
+            self.spark, self.store.path, "annidx",
+            dt_col=self.dt_col, dt_is_int=self.dt_is_int,
+            dt_unit=self.precision_unit, chunk_minutes=self.chunk_minutes,
+        )
+
+    def _ann_id_col(self, conf: dict) -> str:
+        return conf.get("id") or self.columns.get("id") or next(
+            c for c in self.index_cols if c != self.dt_col)
+
+    def _ann_dtypes(self, conf: dict) -> dict[str, str]:
+        out: dict[str, str] = {}
+        if self.dt_col:
+            out[self.dt_col] = (self.dtypes or {}).get(
+                self.dt_col, "datetime")
+        out[self._ann_id_col(conf)] = "int64"
+        out["cell"] = "int64"
+        for m in range(int(conf.get("subspaces", 2))):
+            out[f"code{m}"] = "int64"
+        return out
+
+    def _ann_codebook_path(self) -> str:
+        return os.path.join(self._ann_store().path, "_ann_codebook.json")
+
+    def _load_ann_codebook(self) -> list | None:
+        import json
+        try:
+            with open(self._ann_codebook_path()) as f:
+                doc = json.load(f)
+            return [(int(i), [float(x) for x in v])
+                    for i, v in zip(doc["ids"], doc["vecs"])]
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _freeze_ann_codebook(self, conf: dict) -> list:
+        """Snapshot the ``n_centroids`` smallest-id rows' vectors as the
+        frozen codebook (atomic publish; doubles as IVF centroids and PQ
+        codebook — the seeded-rows convention of the emb_* catalog
+        family). JSON round-trips doubles exactly (repr), and the encode
+        re-materializes them as array<float> literals, so frozen
+        assignments are bit-identical to first-build ones."""
+        import json
+        idc, vc = self._ann_id_col(conf), conf["column"]
+        n = int(conf.get("n_centroids", 16))
+        rows = (self.store.read(dtypes=self.dtypes or None)
+                .select(idc, vc).orderBy(idc).limit(n).collect())
+        if not rows:
+            raise ValueError("ann_index: cannot freeze a codebook from "
+                             "an empty table")
+        doc = {"ids": [int(r[0]) for r in rows],
+               "vecs": [[float(x) for x in r[1]] for r in rows]}
+        path = self._ann_codebook_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path + ".tmp", "w") as f:
+            json.dump(doc, f)
+        os.replace(path + ".tmp", path)
+        return [(i, v) for i, v in zip(doc["ids"], doc["vecs"])]
+
+    def _ann_encode(self, rows: DataFrame, conf: dict,
+                    codebook: list) -> DataFrame:
+        """Patch rows → index rows: IVF cell + PQ codes, shuffle-free
+        (literal-array argmins — ``similarity.assign_ivf_cells`` /
+        ``pq_encode``). Work is exactly O(|rows|): feeding it the
+        appended files IS the plan-level O(patch) guarantee
+        (``test_ann_index.py`` pins the physical consequence — prior
+        index files survive an insert-only sync untouched)."""
+        from pyspark.sql import Row
+
+        from meerschaum_spark.functions.similarity import (
+            assign_ivf_cells,
+            pq_encode,
+        )
+        idc, vc = self._ann_id_col(conf), conf["column"]
+        dim = len(codebook[0][1])
+        subspaces = int(conf.get("subspaces", 2))
+        subdim = int(conf.get("subdim") or (dim // max(subspaces, 1)))
+        keep = ([self.dt_col] if self.dt_col else []) + [idc, vc]
+        src = rows.select(*keep)
+        cb_df = self.spark.createDataFrame(
+            [Row(**{idc: i, vc: v}) for i, v in codebook],
+            f"{idc} long, {vc} array<float>")
+        out = assign_ivf_cells(src, cb_df, id_col=idc, vec_col=vc)
+        code_cols: list[str] = []
+        if subspaces:
+            cb_rows = sorted(cb_df.collect(), key=lambda r: r[0])
+            out = pq_encode(out, cb_rows, subspaces, subdim, idc, vc)
+            code_cols = [f"code{m}" for m in range(subspaces)]
+        return out.select(
+            *([self.dt_col] if self.dt_col else []), idc, "cell",
+            *code_cols)
+
+    def refresh_ann_index(self, refreeze: bool = False) -> None:
+        """Full rebuild of the ANN index side table (first build, or
+        after mutations no bounded recompute covers — the rollup
+        ``refresh_rollup`` analogue). ``refreeze=True`` re-snapshots the
+        codebook first (codes change meaning: any externally-cached
+        search artifacts are invalid)."""
+        import json
+        conf = self._ann_conf
+        if not conf:
+            raise KeyError("no parameters['ann_index'] configured")
+        with self._write_lock:
+            astore = self._ann_store()
+            cb = None if refreeze else self._load_ann_codebook()
+            astore.drop()  # also removes the codebook file in its dir
+            if cb is None:
+                if not self.exists():
+                    return  # nothing to freeze from or encode yet
+                cb = self._freeze_ann_codebook(conf)
+            else:
+                # re-publish the surviving frozen codebook post-drop
+                path = self._ann_codebook_path()
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                with open(path + ".tmp", "w") as f:
+                    json.dump({"ids": [i for i, _ in cb],
+                               "vecs": [v for _, v in cb]}, f)
+                os.replace(path + ".tmp", path)
+            if self.exists():
+                base = self.store.read(dtypes=self.dtypes or None)
+                astore.append(self._ann_encode(base, conf, cb))
+
+    def _ann_after_write(self, metrics: dict,
+                         new_files: list | None = None,
+                         force_full: bool = False) -> None:
+        """Post-write ANN maintenance, mirroring the rollup dispatch:
+
+        * no index yet → full build (first sync: O(table) == O(patch));
+        * ``force_full`` (dt moved / unbounded write / null dts) → rebuild;
+        * update cells observed (``_ucells``, ≤ cap) → recompute exactly
+          those base cells and swap them in the index store; appended
+          files OUTSIDE those cells encode-append (no double count);
+        * insert-only with captured files → encode ONLY those files,
+          append (O(patch) encode — the plan-pinned path);
+        * bounded window fallback → re-encode the window's cells via
+          ``replace_range``."""
+        conf = self._ann_conf
+        if not conf:
+            return
+        import os as _os
+        with self._write_lock:
+            astore = self._ann_store()
+            cb = self._load_ann_codebook()
+            if (force_full or not astore.exists() or cb is None
+                    or metrics.get("_dt_nulls")
+                    or metrics.get("_ru_nulls")):
+                self.refresh_ann_index()
+                return
+            n_upd = int(metrics.get("n_update", 0) or 0)
+            if metrics.get("n_total") is not None:
+                n_ins = int(metrics["n_total"]) - n_upd
+            else:
+                n_ins = int(metrics.get("n", 0) or 0)
+            if not n_ins and not n_upd:
+                return
+
+            def _window_recompute() -> bool:
+                lo, hi = metrics.get("_ru_lo"), metrics.get("_ru_hi")
+                if lo is None or hi is None:
+                    self.refresh_ann_index()
+                    return True
+                b0 = (self.store.part_index_of(int(lo))
+                      * self.store.width_us)
+                e0 = ((self.store.part_index_of(int(hi)) + 1)
+                      * self.store.width_us)
+                base = self.store.read(dtypes=self.dtypes or None,
+                                       begin_us=b0, end_us=e0)
+                astore.replace_range(self._ann_encode(base, conf, cb),
+                                     b0, e0,
+                                     dtypes=self._ann_dtypes(conf))
+                return True
+
+            cells: list[int] | None = None
+            if n_upd:
+                ucells = metrics.get("_ucells")
+                if ucells is not None:
+                    cells = sorted(int(c) for c in ucells)
+                    if not cells or len(cells) > self._ANN_CELLS_CAP:
+                        cells = None
+                if cells is None:
+                    # unobserved/overflowed touched set: the bounded
+                    # window covers both updates and inserts (dt is a
+                    # merge key here — dt_moved forces full upstream)
+                    _window_recompute()
+                    return
+                base = self.store.read(dtypes=self.dtypes or None,
+                                       part_values=cells)
+                astore._swap_partitions(
+                    astore.with_part(self._ann_encode(base, conf, cb)),
+                    cells)
+            if not n_ins:
+                return
+            if new_files:
+                files = [f for f in new_files if _os.path.exists(f)]
+                if len(files) != len(new_files):
+                    # a concurrent merge rewrote appended files — their
+                    # rows live in rewritten cells; rebuild is the only
+                    # sound cover (rare race, same rule as rollups)
+                    self.refresh_ann_index()
+                    return
+                from pyspark.sql import types as T
+
+                from meerschaum_spark.dtypes import to_spark_type
+                from meerschaum_spark.store import PART_COL
+                schema = T.StructType([
+                    T.StructField(c, to_spark_type(d), True)
+                    for c, d in (self.dtypes or {}).items()
+                    if c != PART_COL])
+                patch = self.spark.read.schema(schema).parquet(*files)
+                if cells:
+                    # rows in recomputed cells are already covered
+                    patch = patch.filter(
+                        ~self.store.part_expr().isin(cells))
+                astore.append(self._ann_encode(patch, conf, cb))
+                return
+            _window_recompute()
+
+    def get_ann_index(self) -> DataFrame:
+        """The maintained index table (id, cell, code0..codeM [+ dt])."""
+        conf = self._ann_conf
+        if not conf:
+            raise KeyError("no parameters['ann_index'] configured")
+        astore = self._ann_store()
+        if not astore.exists():
+            self.refresh_ann_index()
+        return self._ann_store().read(dtypes=self._ann_dtypes(conf))
+
+    def ann_search(self, queries: DataFrame, k: int = 5, nprobe: int = 1,
+                   refine: int = 0) -> DataFrame:
+        """IVF-PQ search over the MAINTAINED index (never re-encodes the
+        corpus): the index store is the ``corpus_codes`` side of
+        ``similarity.ivfpq_topk``; the frozen codebook provides both the
+        coarse centroids and the PQ codebook."""
+        from pyspark.sql import Row
+
+        from meerschaum_spark.functions.similarity import ivfpq_topk
+        conf = self._ann_conf
+        if not conf:
+            raise KeyError("no parameters['ann_index'] configured")
+        idc, vc = self._ann_id_col(conf), conf["column"]
+        codes = self.get_ann_index().select(
+            idc, "cell",
+            *[f"code{m}" for m in range(int(conf.get("subspaces", 2)))])
+        cb = self._load_ann_codebook()
+        cb_df = self.spark.createDataFrame(
+            [Row(**{idc: i, vc: v}) for i, v in cb],
+            f"{idc} long, {vc} array<float>")
+        dim = len(cb[0][1])
+        subspaces = int(conf.get("subspaces", 2))
+        subdim = int(conf.get("subdim") or (dim // max(subspaces, 1)))
+        corpus = self.store.read(dtypes=self.dtypes or None).select(idc, vc)
+        return ivfpq_topk(corpus, queries, cb_df, cb_df, id_col=idc,
+                          vec_col=vc, k=k, subspaces=subspaces,
+                          subdim=subdim, nprobe=nprobe, refine=refine,
+                          corpus_codes=codes)
+
     # ------------------------------------------------- incremental rollups
 
     #: fixed-width rollup intervals (epoch-aligned in UTC, so the bucket
@@ -1840,7 +2147,8 @@ class Pipe:
         """Patch time-bounds collected from the WRITE job itself (same
         Observation trick as the row counts — zero extra actions)."""
         dt = self.dt_col
-        if not self._rollup_confs or not dt or dt not in frame.columns:
+        if ((not self._rollup_confs and not self._ann_conf)
+                or not dt or dt not in frame.columns):
             return []
         c = F.col(dt)
         us = (c.cast("long") * F.lit(UNIT_US[self.precision_unit])
@@ -2721,6 +3029,20 @@ class Pipe:
             None, None)
         for conf in self._eager_rollup_confs:
             self.refresh_rollup(conf["name"])
+        if self._ann_conf and self._ann_store().exists():
+            # dedup removed rows in dup_parts only: the index's stale
+            # rows live in exactly those cells — swap-recompute them
+            cb = self._load_ann_codebook()
+            if cb is None:
+                self.refresh_ann_index()
+            else:
+                astore = self._ann_store()
+                base = self.store.read(dtypes=self.dtypes or None,
+                                       part_values=dup_parts)
+                astore._swap_partitions(
+                    astore.with_part(
+                        self._ann_encode(base, self._ann_conf, cb)),
+                    dup_parts)
         return SyncResult(True, f"Removed {n_removed} duplicates.",
                           0, n_removed)
 
@@ -2742,6 +3064,22 @@ class Pipe:
                                     end_us=self._bound_us(end))
         if n:
             self._rollup_clear(self._bound_us(begin), self._bound_us(end))
+            if self._ann_conf and self._ann_store().exists():
+                cb = self._load_ann_codebook()
+                b_us, e_us = self._bound_us(begin), self._bound_us(end)
+                if cb is None or b_us is None or e_us is None:
+                    self.refresh_ann_index()
+                else:
+                    # cell-aligned window recompute over the cleared range
+                    b0 = (self.store.part_index_of(b_us)
+                          * self.store.width_us)
+                    e0 = ((self.store.part_index_of(e_us - 1) + 1)
+                          * self.store.width_us)
+                    base = self.store.read(dtypes=self.dtypes or None,
+                                           begin_us=b0, end_us=e0)
+                    self._ann_store().replace_range(
+                        self._ann_encode(base, self._ann_conf, cb),
+                        b0, e0, dtypes=self._ann_dtypes(self._ann_conf))
         return n
 
     def prune(self, keep: Any) -> int:

@@ -5575,3 +5575,121 @@ def emb_ivfpq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("nprobe")
+
+
+# ===========================================================================
+# r11: incrementally-maintained ANN index under sync (pipe_ann_index_sync)
+# ===========================================================================
+
+#: updated rows for the maintenance scenario: vec_id < 20 flips sign —
+#: exact in float for ANY value, covers codebook-source ids (3..15 < 16)
+#: so the FREEZE is load-bearing, and lands in the first day-cell only
+#: (hour = vec_id), exercising the cell-scoped recompute path.
+_ANNIDX_UPDATED = "vec_id < 20"
+_ANNIDX_NCENT = 16
+
+
+def _annidx_pq_assign_sql(m: int) -> str:
+    """``_pq_assign_sql`` against the post-update corpus (``final``)
+    with the codebook still the ORIGINAL seeded rows — the frozen-
+    codebook contract the engine's side table maintains."""
+    dist = _PQ_SUBDIST.format(d=PQ_SUBDIM, off=m * PQ_SUBDIM)
+    return f"""
+      SELECT vec_id, cid AS code{m} FROM (
+        SELECT e.vec_id, c.vec_id AS cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist} ASC, c.vec_id ASC) AS rn
+        FROM final e,
+             (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < {PQ_CODEBOOK}) c
+      ) WHERE rn = 1"""
+
+
+def _annidx_sql() -> str:
+    diff = ("(" + _EL.replace("{v}", "e.embedding") + " - "
+            + _EL.replace("{v}", "c._cv") + ")")
+    sqdist = (f"list_sum(list_transform(generate_series(1, "
+              f"len(e.embedding)), i -> {diff} * {diff}))")
+    return f"""
+    WITH final AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN {_ANNIDX_UPDATED}
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM embeddings),
+    cent AS (SELECT vec_id AS _cid, embedding AS _cv
+             FROM embeddings WHERE vec_id < {_ANNIDX_NCENT}),
+    arn AS MATERIALIZED (
+      SELECT e.vec_id, c._cid AS cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {sqdist} ASC, c._cid ASC) AS rn
+      FROM final e, cent c),
+    assigned AS (SELECT vec_id, cell FROM arn WHERE rn = 1),
+    a0 AS MATERIALIZED ({_annidx_pq_assign_sql(0)}),
+    a1 AS MATERIALIZED ({_annidx_pq_assign_sql(1)})
+    SELECT assigned.vec_id, assigned.cell, a0.code0, a1.code1
+    FROM assigned JOIN a0 USING (vec_id) JOIN a1 USING (vec_id)
+    ORDER BY assigned.vec_id
+    """
+
+
+@query("pipe_ann_index_sync", _annidx_sql())
+def pipe_ann_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTALLY-MAINTAINED ANN index under the correctness
+    gate (VERDICT r10 #6): embeddings replay through a Pipe with
+    ``parameters['ann_index']`` in three syncs — a first build (full
+    encode + codebook FREEZE from the 16 smallest-id rows), an
+    insert-only sync (the index delta-folds by encoding ONLY the
+    appended files — O(patch), the shuffle-free literal-array
+    projection), and an UPDATE sync (vec_id < 20 flip sign: the index
+    swap-recomputes exactly the touched day-cell). The returned frame
+    is the maintained side table itself; the ORACLE is the from-scratch
+    encode of the FINAL corpus against the FROZEN (pre-update) codebook
+    — hash equality IS the sync-then-search ≡ full-rebuild proof.
+
+    Reference analogue: none (the reference has no vector surface);
+    this is the rollup-substrate discipline (pipe.py M14) applied to
+    the FAISS IVFADC index layout, the artifact a 100 TB corpus must
+    maintain like a continuous aggregate because re-encoding per sync
+    is a full-corpus pass. Physical O(patch)/cell-scoped pins live in
+    ``tests/test_ann_index.py``."""
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+
+    base = (load_table(spark, sf_dir, "embeddings")
+            .select(F.expr("timestamp'2024-01-01' + make_interval("
+                           "0, 0, 0, 0, cast(vec_id AS int))").alias("ts"),
+                    "vec_id", "embedding")
+            .persist())
+    instance = tempfile.mkdtemp(prefix="mrsm_q_annidx_")
+    try:
+        pipe = Pipe(
+            "catalog", "annidx", instance=instance, spark=spark,
+            columns={"datetime": "ts", "id": "vec_id"},
+            parameters={"ann_index": {
+                "column": "embedding", "n_centroids": _ANNIDX_NCENT,
+                "subspaces": PQ_SUBSPACES, "subdim": PQ_SUBDIM,
+            }})
+        r1 = pipe.sync(base.filter(F.col("vec_id") < 300))
+        assert r1.success, r1.message
+        r2 = pipe.sync(base.filter(F.col("vec_id") >= 300))
+        assert r2.success, r2.message
+        upd = (base.filter(F.expr(_ANNIDX_UPDATED))
+               .withColumn("embedding",
+                           F.transform("embedding", lambda x: -x)))
+        r3 = pipe.sync(upd)
+        assert r3.success, r3.message
+        out = (pipe.get_ann_index()
+               .select("vec_id", "cell", "code0", "code1")
+               .orderBy("vec_id"))
+        # contract the result driver-local BEFORE the temp store dies
+        # with the finally (the MMR/Markov LocalRelation discipline —
+        # corpus is 500 rows of 4 ints by construction)
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "vec_id long, cell long, code0 long, code1 long")
+    finally:
+        base.unpersist()
+        shutil.rmtree(instance, ignore_errors=True)

@@ -1,0 +1,175 @@
+"""Incrementally-maintained ANN index under sync (VERDICT r10 #6).
+
+The IVF-PQ codes table is a side table on the base pipe's partition
+grid, maintained through the rollup-style dispatch: insert-only syncs
+encode ONLY the appended files (O(patch) — pinned PHYSICALLY here: the
+prior index files survive byte-for-byte), update syncs swap-recompute
+exactly the touched cells, and the codebook freezes at first build so
+codes stay comparable across syncs. Equivalence bar: after any sync
+sequence, the maintained index equals a from-scratch encode of the
+final table against the FROZEN codebook.
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+
+import pytest
+
+from meerschaum_spark.pipe import Pipe
+
+DIM, SUBSPACES, SUBDIM, NCENT = 8, 2, 4, 4
+
+
+def _vec(i: int, flip: bool = False) -> list:
+    v = [float(((i * 7 + j * 13) % 29) - 14) / 4.0 for j in range(DIM)]
+    return [-x for x in v] if flip else v
+
+
+def _rows(ids, flip=()):
+    base = datetime.datetime(2024, 3, 1)
+    return [(base + datetime.timedelta(hours=int(i)), int(i),
+             _vec(i, i in flip)) for i in ids]
+
+
+def _mk_df(spark, ids, flip=()):
+    return spark.createDataFrame(
+        _rows(ids, flip), "ts timestamp, vec_id long, embedding array<float>")
+
+
+def _mk_pipe(spark, instance_dir) -> Pipe:
+    return Pipe(
+        "t", "ann", instance=instance_dir, spark=spark,
+        columns={"datetime": "ts", "id": "vec_id"},
+        parameters={"ann_index": {
+            "column": "embedding", "n_centroids": NCENT,
+            "subspaces": SUBSPACES, "subdim": SUBDIM,
+        }})
+
+
+def _index_rows(pipe) -> dict:
+    return {r["vec_id"]: (r["cell"], r["code0"], r["code1"])
+            for r in pipe.get_ann_index().collect()}
+
+
+def _full_encode(spark, pipe, ids, flip=()) -> dict:
+    """From-scratch encode of the FINAL table against the FROZEN
+    codebook — the rebuild the incremental maintenance must equal."""
+    from pyspark.sql import Row
+
+    from meerschaum_spark.functions.similarity import ivfpq_corpus_codes
+    cb = pipe._load_ann_codebook()
+    assert cb is not None
+    cb_df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in cb],
+        "vec_id long, embedding array<float>")
+    cb_rows = sorted(cb_df.collect(), key=lambda r: r[0])
+    final = _mk_df(spark, ids, flip).drop("ts")
+    out = ivfpq_corpus_codes(final, cb_df, cb_rows, SUBSPACES, SUBDIM)
+    return {r["vec_id"]: (r["cell"], r["code0"], r["code1"])
+            for r in out.collect()}
+
+
+def _index_files(pipe) -> dict:
+    return {p: os.path.getmtime(p) for p in glob.glob(
+        os.path.join(pipe._ann_store().data_path, "*", "*.parquet"))}
+
+
+def test_ann_index_sync_equals_rebuild(spark, instance_dir):
+    pipe = _mk_pipe(spark, instance_dir)
+
+    # -- first sync: full build + codebook freeze
+    assert pipe.sync(_mk_df(spark, range(40))).success
+    assert os.path.isfile(pipe._ann_codebook_path())
+    cb = pipe._load_ann_codebook()
+    assert [i for i, _ in cb] == list(range(NCENT))
+    got = _index_rows(pipe)
+    assert len(got) == 40
+    assert got == _full_encode(spark, pipe, range(40))
+    files_a = _index_files(pipe)
+    assert files_a
+
+    # -- insert-only sync: O(patch) — prior index files UNTOUCHED
+    assert pipe.sync(_mk_df(spark, range(40, 60))).success
+    files_b = _index_files(pipe)
+    for path, mtime in files_a.items():
+        assert path in files_b and files_b[path] == mtime, (
+            "insert-only sync rewrote a pre-existing index file: " + path)
+    assert len(files_b) > len(files_a)
+    got = _index_rows(pipe)
+    assert len(got) == 60
+    assert got == _full_encode(spark, pipe, range(60))
+
+    # -- update sync: ids 5..9 flip sign (hour 5-9 -> day-cell 0 only);
+    #    includes id 5 < NCENT? no (NCENT=4) — codebook must NOT change
+    flip = {5, 6, 7, 8, 9}
+    assert pipe.sync(_mk_df(spark, sorted(flip), flip=flip)).success
+    assert pipe._load_ann_codebook() == cb, "codebook must stay frozen"
+    files_c = _index_files(pipe)
+    cell0 = pipe.store.part_index_of(
+        int(datetime.datetime(2024, 3, 1).timestamp() * 1_000_000))
+    for path, mtime in files_b.items():
+        if f"_mrsm_part={cell0}" in path:
+            continue  # the touched cell legitimately rewrote
+        assert path in files_c and files_c[path] == mtime, (
+            "update sync touched an index cell outside the patch: " + path)
+    got = _index_rows(pipe)
+    assert len(got) == 60
+    assert got == _full_encode(spark, pipe, range(60), flip=flip)
+
+
+def test_ann_index_codebook_freeze_survives_centroid_update(
+        spark, instance_dir):
+    """Updating a CODEBOOK-SOURCE row's vector must re-encode that row
+    against the FROZEN codebook, not re-derive centroids."""
+    pipe = _mk_pipe(spark, instance_dir)
+    assert pipe.sync(_mk_df(spark, range(30))).success
+    cb = pipe._load_ann_codebook()
+    flip = {1}  # vec_id 1 < NCENT: its vector seeds the codebook
+    assert pipe.sync(_mk_df(spark, [1], flip=flip)).success
+    assert pipe._load_ann_codebook() == cb
+    assert _index_rows(pipe) == _full_encode(spark, pipe, range(30),
+                                             flip=flip)
+
+
+def test_ann_search_uses_maintained_index(spark, instance_dir):
+    pipe = _mk_pipe(spark, instance_dir)
+    assert pipe.sync(_mk_df(spark, range(50))).success
+    q = _mk_df(spark, [3, 17]).drop("ts")
+    out = pipe.ann_search(q, k=5, nprobe=2, refine=2).collect()
+    assert {r["query_id"] for r in out} <= {3, 17}
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        assert 1 <= r["rnk"] <= 5
+
+
+def test_ann_index_clear_and_dedup_maintenance(spark, instance_dir):
+    pipe = _mk_pipe(spark, instance_dir)
+    assert pipe.sync(_mk_df(spark, range(60))).success
+    # bounded clear: hours 48.. (day-cell 2) disappear from the index
+    pipe.clear(begin=datetime.datetime(2024, 3, 3))
+    got = _index_rows(pipe)
+    assert set(got) == set(range(48))
+    assert got == {k: v for k, v in
+                   _full_encode(spark, pipe, range(48)).items()}
+    # duplicate rows then deduplicate: index stays exact
+    assert pipe.sync(_mk_df(spark, range(10))).success  # no-op re-sync
+    assert len(_index_rows(pipe)) == 48
+
+
+@pytest.mark.parametrize("dtype_str,expect", [
+    ("array(float32)", "array<float>"),
+    ("array(int64)", "array<bigint>"),
+    ("array(array(float64))", "array<array<double>>"),
+])
+def test_array_dtype_roundtrip(dtype_str, expect):
+    from meerschaum_spark.dtypes import (
+        canonical_dtype,
+        from_spark_type,
+        to_spark_type,
+    )
+    t = to_spark_type(dtype_str)
+    assert t.simpleString() == expect
+    assert canonical_dtype(from_spark_type(t)) == canonical_dtype(dtype_str)

@@ -1790,35 +1790,64 @@ class Pipe:
     def _ann_encode(self, rows: DataFrame, conf: dict,
                     codebook: list) -> DataFrame:
         """Patch rows → index rows: IVF cell + PQ codes, shuffle-free
-        (literal-array argmins — ``similarity.assign_ivf_cells`` /
-        ``pq_encode``). Work is exactly O(|rows|): feeding it the
+        literal-array argmins. Work is exactly O(|rows|): feeding it the
         appended files IS the plan-level O(patch) guarantee
         (``test_ann_index.py`` pins the physical consequence — prior
-        index files survive an insert-only sync untouched)."""
-        from pyspark.sql import Row
+        index files survive an insert-only sync untouched).
 
-        from meerschaum_spark.functions.similarity import (
-            assign_ivf_cells,
-            pq_encode,
-        )
+        The expressions are built as SQL TEXT and parsed JVM-side in one
+        call: the Column-API form (``similarity.assign_ivf_cells`` /
+        ``pq_encode``) constructs thousands of literal Column objects —
+        MEASURED 8.8 s of pure driver-side py4j per encode PLAN at
+        16×64 + 2×16×32 codebook literals, before any action. The SQL
+        twins spell the exact same trees (decimal(12,9) element casts,
+        decimal(30,18) pinned accumulator, double PQ folds, argmin
+        tie-breaks) — ``test_ann_index.py`` compares the maintained
+        index against ``ivfpq_corpus_codes`` built the Column way, so
+        value equivalence is pinned, and the catalog oracle re-proves
+        it cross-engine."""
         idc, vc = self._ann_id_col(conf), conf["column"]
         dim = len(codebook[0][1])
         subspaces = int(conf.get("subspaces", 2))
         subdim = int(conf.get("subdim") or (dim // max(subspaces, 1)))
-        keep = ([self.dt_col] if self.dt_col else []) + [idc, vc]
-        src = rows.select(*keep)
-        cb_df = self.spark.createDataFrame(
-            [Row(**{idc: i, vc: v}) for i, v in codebook],
-            f"{idc} long, {vc} array<float>")
-        out = assign_ivf_cells(src, cb_df, id_col=idc, vec_col=vc)
-        code_cols: list[str] = []
-        if subspaces:
-            cb_rows = sorted(cb_df.collect(), key=lambda r: r[0])
-            out = pq_encode(out, cb_rows, subspaces, subdim, idc, vc)
-            code_cols = [f"code{m}" for m in range(subspaces)]
-        return out.select(
-            *([self.dt_col] if self.dt_col else []), idc, "cell",
-            *code_cols)
+        q = "`" + vc.replace("`", "``") + "`"
+
+        def flit(x: float) -> str:
+            return repr(float(x)) + "D"
+
+        def sqdist_dec(vec_sql: str, lit_vals: list) -> str:
+            arr = ("CAST(array(" + ",".join(flit(x) for x in lit_vals)
+                   + ") AS array<float>)")
+            d = ("(CAST(x AS decimal(12,9)) - CAST(y AS decimal(12,9)))")
+            return (f"aggregate(zip_with({vec_sql}, {arr}, "
+                    f"(x, y) -> {d} * {d}), "
+                    f"CAST(0 AS decimal(30,18)), "
+                    f"(acc, x) -> CAST(acc + x AS decimal(30,18)))")
+
+        # IVF cell: argmin over (d, cid) structs — array_min on structs
+        # is the same lexicographic tie-break as assign_ivf_cells
+        scored = ",".join(
+            f"named_struct('d', {sqdist_dec(q, v)}, 'cid', {int(i)})"
+            for i, v in codebook)
+        cell_sql = f"array_min(array({scored})).cid"
+        sel = ([self.dt_col] if self.dt_col else []) + [idc]
+        out_cols = [F.col(c) for c in sel] + [F.expr(cell_sql).alias("cell")]
+        for m in range(subspaces):
+            half = f"slice({q}, {m * subdim + 1}, {subdim})"
+            dists = []
+            for _i, v in codebook:
+                arr = ("array(" + ",".join(
+                    flit(x) for x in v[m * subdim:(m + 1) * subdim]) + ")")
+                dists.append(
+                    f"aggregate(zip_with({half}, {arr}, "
+                    f"(a, b) -> (CAST(a AS DOUBLE) - b) "
+                    f"* (CAST(a AS DOUBLE) - b)), 0.0D, "
+                    f"(acc, x) -> acc + x)")
+            d_arr = "array(" + ",".join(dists) + ")"
+            code = (f"CAST(array_position({d_arr}, array_min({d_arr})) "
+                    f"- 1 AS BIGINT)")
+            out_cols.append(F.expr(code).alias(f"code{m}"))
+        return rows.select(*out_cols)
 
     def refresh_ann_index(self, refreeze: bool = False) -> None:
         """Full rebuild of the ANN index side table (first build, or

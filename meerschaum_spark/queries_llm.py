@@ -5674,7 +5674,11 @@ def pipe_ann_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             }})
         r1 = pipe.sync(base.filter(F.col("vec_id") < 300))
         assert r1.success, r1.message
-        r2 = pipe.sync(base.filter(F.col("vec_id") >= 300))
+        # disjoint-by-construction insert: skip the diff (the bounded
+        # remote-fetch contract) — the ann maintenance still rides the
+        # captured appended files, same O(patch) encode path
+        r2 = pipe.sync(base.filter(F.col("vec_id") >= 300),
+                       check_existing=False)
         assert r2.success, r2.message
         upd = (base.filter(F.expr(_ANNIDX_UPDATED))
                .withColumn("embedding",

@@ -338,6 +338,57 @@ def _catalog_family(name: str) -> Callable:
     return run
 
 
+
+
+def _family_ann_index(spark: SparkSession, sf_dir: str,
+                      workdir: str) -> tuple[int, DataFrame]:
+    """The incrementally-maintained ANN index (r11) at corpus scale:
+    a deterministic 64-dim vector table ∝ event count replays through
+    a Pipe with ``parameters['ann_index']`` in three syncs (full build
+    + codebook freeze, insert-only file-delta encode, one-cell update
+    recompute). Near-linear verdict = the encode projections and the
+    maintenance appends track ROWS; the codebook stays a constant
+    16x64 literal, the update recompute a constant one-cell read, so
+    nothing in the path can grow faster than the corpus."""
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    n = max(2_000, ev.count() // 4)
+    vecs = spark.range(n).select(
+        F.expr("timestamp'2024-01-01' + make_interval(0, 0, 0, 0, 0, "
+               "cast(id AS int))").alias("ts"),
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 64), j -> CAST("
+               "(pmod(xxhash64(id, j), 1000) - 500) / 250.0 "
+               "AS FLOAT))").alias("embedding"))
+    inst = tempfile.mkdtemp(prefix="soak_ann_", dir=workdir)
+    try:
+        pipe = Pipe("soak", "annidx", instance=inst, spark=spark,
+                    columns={"datetime": "ts", "id": "vec_id"},
+                    parameters={"ann_index": {
+                        "column": "embedding", "n_centroids": 16,
+                        "subspaces": 2, "subdim": 32}})
+        cut = int(n * 0.7)
+        r1 = pipe.sync(vecs.filter(F.col("vec_id") < cut))
+        r2 = pipe.sync(vecs.filter(F.col("vec_id") >= cut),
+                       check_existing=False)
+        assert r1.success and r2.success, (r1.message, r2.message)
+        upd = (vecs.filter(F.col("vec_id") < 50)
+               .withColumn("embedding",
+                           F.transform("embedding", lambda x: -x)))
+        r3 = pipe.sync(upd)
+        assert r3.success, r3.message
+        out = pipe.get_ann_index()
+        got = out.count()
+        assert got == n, (got, n)
+        return got, out
+    finally:
+        shutil.rmtree(inst, ignore_errors=True)
+
+
 FAMILIES: dict[str, Callable] = {
     "pipe_sync_diff": _family_sync_diff,
     "pipe_ingest_dedup": _family_ingest_dedup,
@@ -406,6 +457,11 @@ FAMILIES: dict[str, Callable] = {
     # that with the bucketing choice, and the generator couples
     # span to corpus size, so the row would only re-measure T²)
     "events_changepoint": _catalog_family("events_changepoint"),
+    # r11: the maintained ANN index — 3-sync replay over a
+    # corpus-∝ synthetic vector table; encode is a shuffle-free
+    # literal-codebook projection, maintenance appends are
+    # O(patch files), so the family must read near-linear
+    "pipe_ann_index": _family_ann_index,
 }
 
 

@@ -105,7 +105,11 @@ class PipeRegistry:
 
     @property
     def index_path(self) -> str:
-        return os.path.join(self.instance_root, ".registry_index.json")
+        # NOT ".registry_index.json": a sibling whose NAME extends the
+        # registry dir's would collide with every path.startswith(
+        # registry_dir) guard (tests, tooling) despite being a
+        # different file
+        return os.path.join(self.instance_root, ".pipes_index.json")
 
     def _index_lock(self):
         from meerschaum_spark.locking import process_lock
@@ -178,14 +182,20 @@ class PipeRegistry:
         and has ALREADY published/removed the doc file; ``pre_mtime_ns``
         is the dir mtime BEFORE that publish — an index not stamped with
         exactly it was missed by some writer, so fold onto a fresh scan
-        instead of trusting the stale entry map."""
-        try:
-            with open(self.index_path) as f:
-                idx = json.load(f)
-            entries = idx.get("entries", {})
-            stale = idx.get("dir_mtime_ns") != pre_mtime_ns
-        except (FileNotFoundError, json.JSONDecodeError, KeyError):
-            entries, stale = {}, True
+        instead of trusting the stale entry map. A fresh in-memory memo
+        folds with NO file read at all (the steady-state single-writer
+        save path)."""
+        cached = getattr(self, "_index_cache", None)
+        if cached is not None and cached[0] == pre_mtime_ns:
+            entries, stale = dict(cached[1]), False
+        else:
+            try:
+                with open(self.index_path) as f:
+                    idx = json.load(f)
+                entries = idx.get("entries", {})
+                stale = idx.get("dir_mtime_ns") != pre_mtime_ns
+            except (FileNotFoundError, json.JSONDecodeError, KeyError):
+                entries, stale = {}, True
         if stale:
             entries = self._scan_entries()  # already includes our change
         elif doc is None:

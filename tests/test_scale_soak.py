@@ -36,7 +36,10 @@ FAMILIES = ["pipe_sync_diff", "pipe_ingest_dedup", "doc_domain_caps",
             # vocabulary-sized tail
             "doc_keyness",
             # r10 tail: per-series cumsum + rank over hourly aggs
-            "events_changepoint"]
+            "events_changepoint",
+            # r11: the maintained ANN index 3-sync replay — encode is a
+            # literal-codebook projection, maintenance O(patch files)
+            "pipe_ann_index"]
 
 
 @pytest.fixture(scope="module")

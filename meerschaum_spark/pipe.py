@@ -1827,7 +1827,8 @@ class Pipe:
         # IVF cell: argmin over (d, cid) structs — array_min on structs
         # is the same lexicographic tie-break as assign_ivf_cells
         scored = ",".join(
-            f"named_struct('d', {sqdist_dec(q, v)}, 'cid', {int(i)})"
+            f"named_struct('d', {sqdist_dec(q, v)}, "
+            f"'cid', CAST({int(i)} AS BIGINT))"
             for i, v in codebook)
         cell_sql = f"array_min(array({scored})).cid"
         sel = ([self.dt_col] if self.dt_col else []) + [idc]

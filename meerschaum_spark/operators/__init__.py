@@ -84,6 +84,23 @@ Maintenance (§2.9)
                                  (sources/server.py)
   M15 retention policy           pipe.Pipe.prune (cutoff relative to the
                                  newest stored timestamp)
+  (r11) cross-process commit     locking.ProcessLock (per-table flock, the
+                                 reference's per-sync DB-transaction
+                                 guarantee) + store swap manifest with
+                                 roll-forward recovery
+                                 (store.recover_interrupted_swap)
+  (r11) maintained ANN index     pipe parameters['ann_index'] → IVF-PQ
+                                 codes side table on the base partition
+                                 grid: O(patch) file-delta encode on
+                                 insert-only syncs, cell-scoped recompute
+                                 on updates, frozen codebook;
+                                 pipe.ann_search / get_ann_index /
+                                 refresh_ann_index; gated by
+                                 pipe_ann_index_sync
+  (r11) fleet-scale registry     registry key index (.pipes_index.json,
+                                 flock-maintained, dir-mtime invalidated);
+                                 fetch_pipes_keys O(stat) warm at 10^5
+                                 pipes (scripts/registry_bench.py)
   M11 autoincrement/autotime     pipe._apply_autoincrement / _apply_autotime
   M12 table creation             store first-write (schema from dtype registry)
   M13 temp-table GC              pipe.Pipe.vacuum (staging dirs)

@@ -1796,16 +1796,23 @@ class Pipe:
         index files survive an insert-only sync untouched).
 
         The expressions are built as SQL TEXT and parsed JVM-side in one
-        call: the Column-API form (``similarity.assign_ivf_cells`` /
-        ``pq_encode``) constructs thousands of literal Column objects —
-        MEASURED 8.8 s of pure driver-side py4j per encode PLAN at
-        16×64 + 2×16×32 codebook literals, before any action. The SQL
-        twins spell the exact same trees (decimal(12,9) element casts,
-        decimal(30,18) pinned accumulator, double PQ folds, argmin
-        tie-breaks) — ``test_ann_index.py`` compares the maintained
-        index against ``ivfpq_corpus_codes`` built the Column way, so
-        value equivalence is pinned, and the catalog oracle re-proves
-        it cross-engine."""
+        call: the Column-API form constructs thousands of literal Column
+        objects — MEASURED 8.8 s of pure driver-side py4j per encode
+        PLAN at 16×64 + 2×16×32 codebook literals, before any action.
+
+        Distances fold in IEEE DOUBLES in fixed element order (the
+        proven ``_pq_subdist_dbl`` ≡ ``list_reduce`` cross-engine
+        idiom; Spark's 0.0-seeded aggregate matches DuckDB's init-free
+        reduce because 0.0 + x1 == x1 exactly) — the exact-decimal
+        assignment idiom of the emb_* catalog family MEASURED ~5×
+        slower here (4.3 s vs 0.9 s per 30k rows), and the per-sync
+        index encode is the one place that cost multiplies by the
+        corpus. Every argmin is array_min over (d, id) structs so each
+        distance is evaluated ONCE (array_position(d_arr,
+        array_min(d_arr)) evaluates the whole distance array twice) —
+        same (distance asc, id asc) tie-break. Value equivalence is
+        pinned by ``test_ann_index.py``'s pure-Python IEEE replay and
+        the catalog oracle's cross-engine hash."""
         idc, vc = self._ann_id_col(conf), conf["column"]
         dim = len(codebook[0][1])
         subspaces = int(conf.get("subspaces", 2))
@@ -1815,40 +1822,39 @@ class Pipe:
         def flit(x: float) -> str:
             return repr(float(x)) + "D"
 
-        def sqdist_dec(vec_sql: str, lit_vals: list) -> str:
-            arr = ("CAST(array(" + ",".join(flit(x) for x in lit_vals)
-                   + ") AS array<float>)")
-            d = ("(CAST(x AS decimal(12,9)) - CAST(y AS decimal(12,9)))")
+        def sqdist_dbl(vec_sql: str, lit_vals: list) -> str:
+            arr = "array(" + ",".join(flit(x) for x in lit_vals) + ")"
             return (f"aggregate(zip_with({vec_sql}, {arr}, "
-                    f"(x, y) -> {d} * {d}), "
-                    f"CAST(0 AS decimal(30,18)), "
-                    f"(acc, x) -> CAST(acc + x AS decimal(30,18)))")
+                    f"(x, y) -> (CAST(x AS DOUBLE) - y) "
+                    f"* (CAST(x AS DOUBLE) - y)), 0.0D, "
+                    f"(acc, x) -> acc + x)")
 
-        # IVF cell: argmin over (d, cid) structs — array_min on structs
-        # is the same lexicographic tie-break as assign_ivf_cells
-        scored = ",".join(
-            f"named_struct('d', {sqdist_dec(q, v)}, "
-            f"'cid', CAST({int(i)} AS BIGINT))"
-            for i, v in codebook)
-        cell_sql = f"array_min(array({scored})).cid"
+        def argmin_sql(dists: list[str], out: str) -> str:
+            scored = ",".join(
+                f"named_struct('d', {d}, 'i', CAST({i} AS BIGINT))"
+                for i, d in enumerate(dists))
+            return f"array_min(array({scored})).i AS {out}"
+
+        cells = argmin_sql([sqdist_dbl(q, v) for _i, v in codebook],
+                           "_cell_pos")
         sel = ([self.dt_col] if self.dt_col else []) + [idc]
-        out_cols = [F.col(c) for c in sel] + [F.expr(cell_sql).alias("cell")]
+        # codebook ids ride as a literal lookup so `cell` is the
+        # centroid ID (== position for the seeded 0..n-1 convention,
+        # but correct for any id set)
+        id_arr = "array(" + ",".join(
+            f"CAST({int(i)} AS BIGINT)" for i, _v in codebook) + ")"
+        exprs = [cells]
         for m in range(subspaces):
             half = f"slice({q}, {m * subdim + 1}, {subdim})"
-            dists = []
-            for _i, v in codebook:
-                arr = ("array(" + ",".join(
-                    flit(x) for x in v[m * subdim:(m + 1) * subdim]) + ")")
-                dists.append(
-                    f"aggregate(zip_with({half}, {arr}, "
-                    f"(a, b) -> (CAST(a AS DOUBLE) - b) "
-                    f"* (CAST(a AS DOUBLE) - b)), 0.0D, "
-                    f"(acc, x) -> acc + x)")
-            d_arr = "array(" + ",".join(dists) + ")"
-            code = (f"CAST(array_position({d_arr}, array_min({d_arr})) "
-                    f"- 1 AS BIGINT)")
-            out_cols.append(F.expr(code).alias(f"code{m}"))
-        return rows.select(*out_cols)
+            dists = [sqdist_dbl(half, v[m * subdim:(m + 1) * subdim])
+                     for _i, v in codebook]
+            exprs.append(argmin_sql(dists, f"code{m}"))
+        out = rows.selectExpr(*sel, *exprs)
+        return out.select(
+            *sel,
+            F.expr(f"element_at({id_arr}, CAST(_cell_pos + 1 AS INT))")
+            .alias("cell"),
+            *[f"code{m}" for m in range(subspaces)])
 
     def refresh_ann_index(self, refreeze: bool = False) -> None:
         """Full rebuild of the ANN index side table (first build, or

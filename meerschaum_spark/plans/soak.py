@@ -346,10 +346,12 @@ def _family_ann_index(spark: SparkSession, sf_dir: str,
     a deterministic 64-dim vector table ∝ event count replays through
     a Pipe with ``parameters['ann_index']`` in three syncs (full build
     + codebook freeze, insert-only file-delta encode, one-cell update
-    recompute). Near-linear verdict = the encode projections and the
-    maintenance appends track ROWS; the codebook stays a constant
-    16x64 literal, the update recompute a constant one-cell read, so
-    nothing in the path can grow faster than the corpus."""
+    recompute; rows spaced HOURLY so the corpus spans many partition
+    cells and the update recompute is genuinely cell-scoped).
+    Near-linear verdict = the encode projections and the maintenance
+    appends track ROWS; the codebook stays a constant 16x64 literal,
+    the update recompute a constant one-cell read, so nothing in the
+    path can grow faster than the corpus."""
     import shutil
     import tempfile
 
@@ -358,7 +360,7 @@ def _family_ann_index(spark: SparkSession, sf_dir: str,
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     n = max(2_000, ev.count() // 4)
     vecs = spark.range(n).select(
-        F.expr("timestamp'2024-01-01' + make_interval(0, 0, 0, 0, 0, "
+        F.expr("timestamp'2024-01-01' + make_interval(0, 0, 0, 0, "
                "cast(id AS int))").alias("ts"),
         F.col("id").alias("vec_id"),
         F.expr("transform(sequence(1, 64), j -> CAST("

@@ -5606,10 +5606,16 @@ def _annidx_pq_assign_sql(m: int) -> str:
 
 
 def _annidx_sql() -> str:
-    diff = ("(" + _EL.replace("{v}", "e.embedding") + " - "
-            + _EL.replace("{v}", "c._cv") + ")")
-    sqdist = (f"list_sum(list_transform(generate_series(1, "
-              f"len(e.embedding)), i -> {diff} * {diff}))")
+    # IEEE-double fold in element order (the proven _PQ_SUBDIST ≡
+    # _pq_subdist_dbl idiom) — the engine's index encode uses doubles,
+    # not the emb_* family's exact-decimal casts: the per-sync encode
+    # is the one place assignment cost multiplies by the corpus
+    # (pipe._ann_encode docstring has the 5× measurement)
+    diff = ("(CAST(e.embedding[i] AS DOUBLE) "
+            "- CAST(c._cv[i] AS DOUBLE))")
+    sqdist = (f"list_reduce(list_transform(generate_series(1, "
+              f"len(e.embedding)), i -> {diff} * {diff}), "
+              f"(a, b) -> a + b)")
     return f"""
     WITH final AS MATERIALIZED (
       SELECT vec_id,

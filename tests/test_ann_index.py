@@ -55,21 +55,42 @@ def _index_rows(pipe) -> dict:
 
 
 def _full_encode(spark, pipe, ids, flip=()) -> dict:
-    """From-scratch encode of the FINAL table against the FROZEN
-    codebook — the rebuild the incremental maintenance must equal."""
-    from pyspark.sql import Row
-
-    from meerschaum_spark.functions.similarity import ivfpq_corpus_codes
+    """INDEPENDENT pure-Python IEEE replay of the from-scratch encode
+    against the FROZEN codebook — the rebuild the incremental
+    maintenance must equal bit-for-bit. Python floats ARE IEEE
+    doubles, and the fold runs in the engine's element order, so this
+    replays ``pipe._ann_encode``'s double arithmetic exactly (the
+    fixture's quarter-valued vectors are float32-exact, so the
+    float32 write/widen round-trip is lossless too)."""
     cb = pipe._load_ann_codebook()
     assert cb is not None
-    cb_df = spark.createDataFrame(
-        [Row(vec_id=i, embedding=v) for i, v in cb],
-        "vec_id long, embedding array<float>")
-    cb_rows = sorted(cb_df.collect(), key=lambda r: r[0])
-    final = _mk_df(spark, ids, flip).drop("ts")
-    out = ivfpq_corpus_codes(final, cb_df, cb_rows, SUBSPACES, SUBDIM)
-    return {r["vec_id"]: (r["cell"], r["code0"], r["code1"])
-            for r in out.collect()}
+
+    def sq(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            d = float(x) - float(y)
+            acc = acc + d * d
+        return acc
+
+    def argmin(dists) -> int:
+        best, pos = None, -1
+        for i, d in enumerate(dists):
+            if best is None or d < best:
+                best, pos = d, i
+        return pos
+
+    out = {}
+    for i in ids:
+        v = _vec(i, i in flip)
+        cell_pos = argmin([sq(v, cv) for _cid, cv in cb])
+        cell = cb[cell_pos][0]
+        codes = []
+        for m in range(SUBSPACES):
+            lo, hi = m * SUBDIM, (m + 1) * SUBDIM
+            codes.append(argmin([sq(v[lo:hi], cv[lo:hi])
+                                 for _cid, cv in cb]))
+        out[int(i)] = (cell, *codes)
+    return out
 
 
 def _index_files(pipe) -> dict:

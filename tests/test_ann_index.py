@@ -194,3 +194,45 @@ def test_array_dtype_roundtrip(dtype_str, expect):
     t = to_spark_type(dtype_str)
     assert t.simpleString() == expect
     assert canonical_dtype(from_spark_type(t)) == canonical_dtype(dtype_str)
+
+
+def test_ann_index_under_streaming_ingest(spark, instance_dir):
+    """The maintained index through the foreachBatch streaming path
+    (detached session: Observation falls back to the pre-append probe,
+    so _ucells/_dt metrics still drive the ann dispatch). Two staged
+    arrivals with an OVERLAP (replay) plus a changed row: the final
+    index must equal the pure-Python IEEE replay of the final state."""
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.streaming import stream_sync_pipe
+
+    src_dir = tempfile.mkdtemp(prefix="ann_stream_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="ann_stream_ckpt_")
+    try:
+        pipe = _mk_pipe(spark, instance_dir)
+        schema = _mk_df(spark, [0]).schema
+        # arrival 1: ids 0..29
+        _mk_df(spark, range(30)).write.parquet(src_dir + "/b1")
+        q = stream_sync_pipe(
+            pipe, spark.readStream.schema(schema).parquet(src_dir + "/*"),
+            ckpt_dir)
+        q.awaitTermination(120)
+        assert _index_rows(pipe) == _full_encode(spark, pipe, range(30))
+        # arrival 2: overlap 20..29 replayed verbatim + new 30..39 +
+        # id 7 with a FLIPPED vector (an update through the stream)
+        flip = {7}
+        (_mk_df(spark, range(20, 40))
+         .unionByName(_mk_df(spark, [7], flip=flip))
+         .write.parquet(src_dir + "/b2"))
+        q2 = stream_sync_pipe(
+            pipe, spark.readStream.schema(schema).parquet(src_dir + "/*"),
+            ckpt_dir)
+        q2.awaitTermination(120)
+        assert pipe.get_rowcount() == 40
+        got = _index_rows(pipe)
+        assert len(got) == 40
+        assert got == _full_encode(spark, pipe, range(40), flip=flip)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)

@@ -236,3 +236,28 @@ def test_ann_index_under_streaming_ingest(spark, instance_dir):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+def test_ann_encode_plan_is_shuffle_free(spark, instance_dir):
+    """The index encode must be a pure projection: zero Exchange, zero
+    joins — the plan-level O(patch) guarantee (work ∝ input rows, the
+    codebook rides as literals). Feeding it the appended files (the
+    insert maintenance path) therefore reads exactly those files."""
+    from meerschaum_spark.plans import plan_report
+
+    pipe = _mk_pipe(spark, instance_dir)
+    assert pipe.sync(_mk_df(spark, range(20))).success
+    cb = pipe._load_ann_codebook()
+    enc = pipe._ann_encode(_mk_df(spark, range(20)), pipe._ann_conf, cb)
+    r = plan_report(enc)
+    assert r["shuffles"] == 0, r
+    assert r["sortmerge_joins"] == 0 and r["broadcast_joins"] == 0, r
+    # the file-delta path reads EXACTLY the patch files
+    files = sorted(glob.glob(
+        os.path.join(pipe.store.data_path, "*", "*.parquet")))
+    patch = spark.read.schema(
+        _mk_df(spark, [0]).schema).parquet(*files)
+    enc2 = pipe._ann_encode(patch, pipe._ann_conf, cb)
+    from urllib.parse import urlparse
+    got = {urlparse(f).path for f in enc2.inputFiles()}
+    assert got == {os.path.abspath(f) for f in files}, (got, files)

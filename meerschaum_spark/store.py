@@ -862,6 +862,16 @@ class ParquetPipeStore:
         with self.lock:
             if os.path.isdir(self.path):
                 shutil.rmtree(self.path)
+            # reap the lockfile while we hold it: a dropped pipe must
+            # not leave a file in <root>/.locks forever. Safe under the
+            # lock — a waiter that acquires the orphaned inode detects
+            # the path mismatch and retries on the fresh file
+            # (locking.ProcessLock._flock inode recheck).
+            from meerschaum_spark.locking import lockfile_for
+            try:
+                os.unlink(lockfile_for(self.path))
+            except OSError:
+                pass
             self._mark_exists(False)
             self._refresh_listing()
 

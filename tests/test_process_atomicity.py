@@ -243,3 +243,27 @@ def test_process_lock_excludes_other_process(tmp_path):
     t.join(30)
     assert lk.acquire(blocking=False) is True
     lk.release()
+
+
+def test_drop_reaps_lockfile_and_lock_still_works(spark, tmp_path):
+    """drop() must not strand a lockfile in <root>/.locks, and the
+    unlink must not break waiters (the inode-recheck retries onto the
+    fresh file)."""
+    from meerschaum_spark.locking import lockfile_for
+    from meerschaum_spark.store import ParquetPipeStore
+
+    store = ParquetPipeStore(spark, str(tmp_path), "t_reap", dt_col="ts")
+    lf = lockfile_for(store.path)
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1)], "ts string, v int"
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "v")
+    store.append(df)
+    assert os.path.isfile(lf)
+    store.drop()
+    assert not os.path.isfile(lf)
+    # the lock object still functions after the reap (fresh inode)
+    with store.lock:
+        assert store.lock.held
+    store.append(df)  # store usable again
+    assert store.read().count() == 1
+    store.drop()

@@ -36,83 +36,83 @@ DEC = "decimal(18,6)"
 #: row/schema/value compare, and several have green rows in prior-round
 #: CORRECTNESS files (cited in SURVEY §2).
 HEAD_ORDER = [
-    # r11 rotation (standing rule: NEW queries lead, then queries whose
-    # code/oracle CHANGED this round, then the stalest green rows).
-    # Arithmetic (from the CORRECTNESS_r0*.json newest-green histogram
-    # after r10: r6=10, r7=47, r8=45, r9=48, r10=50, never-green=1):
-    # the queue of rows at r7 or older is 1 + 10 + 47 = 58, more than
-    # one 50-cap head, so r11 takes: the single never-green row FIRST
-    # (streaming_holt_winters — its green completes 201/201 cumulative
-    # driver coverage), one code-changed row (events_changepoint: the
-    # Spark side adopted the sign-safe floordiv spell this round;
-    # values identical on the nonnegative fixtures, re-recorded out of
-    # caution), the full 10-row r6 cohort (displaced in r10 so the 19
-    # new operators got first-run driver evidence — the only rows
-    # violating the no-green-older-than-N-3 invariant), then the
-    # alphabetically-first r7 rows to fill 50. The 11 unrotated r7 rows
-    # (events_value_histogram events_weekly_retention geo_*
-    # part_skyline_pareto q15_top_supplier streaming_ema_sequential
-    # streaming_hourly_rollup) lead the r12 queue.
-    # -- never-green: r10 tail addition, strict-local-green --
+    # r12 rotation (standing rule: the round's red/fixed rows lead, then
+    # NEW queries, then code-changed re-records, then the stalest greens).
+    # Arithmetic from the newest-green histogram after r11 (r7=11, r8=45,
+    # r9=48, r10=48, r11=49, never=1): at r12 the no-green-older-than-N-3
+    # line moves to r9, so the queue is the r11 driver-red
+    # streaming_holt_winters (re-enters at position 1 — its season_state
+    # array output is now rendered as a canonical string on both sides,
+    # the driver's pandas canonicalizer can hash it, and its first green
+    # completes 202/202 cumulative coverage) + the 11 unrotated r7 rows
+    # + the full 45-row r8 cohort = 57 > 50. Per the r11 verdict this
+    # head takes ZERO new entries: 1 + 11 + the alphabetically-first 38
+    # of the r8 cohort = exactly 50.
+    #
+    # DOCUMENTED 7-ROW OVERFLOW (the alphabetical tail of the r8 cohort;
+    # their newest green stays r8 through r12 — a knowing, bounded
+    # invariant breach exactly like r10's displacement note — and they
+    # LEAD the r13 queue ahead of everything except r13 reds/fixes):
+    #   q17_small_quantity_revenue, streaming_cusum_alarms,
+    #   streaming_dedup_keys, streaming_holt_linear, streaming_pipe_sync,
+    #   streaming_rollup_maintenance, streaming_sessionization
+    # r13 queue arithmetic: 7 overflow + 48 r9 rows cross N-3 = 55 > 50
+    # again — plan ~0 new r13 head entries too (new operators land as
+    # tail entries with local-gate evidence, as in r12).
+    # -- r11 driver-red, fixed this round (output schema only; values
+    #    were already locally hash-exact) --
     "streaming_holt_winters",
-    # -- NEW in r11: incrementally-maintained ANN index under sync
-    #    (its slot displaces events_value_histogram -> r12 queue) --
-    "pipe_ann_index_sync",
-    # -- code changed this round (floordiv_spark adoption; Theil-Sen
-    #    rewired through the guarded functions/robust.theil_sen_pairs
-    #    operator — values hash-proven unchanged by the local strict
-    #    gate, re-recorded per the standing changed-code rule; its slot
-    #    displaces events_weekly_retention, which rolls to r12) --
-    "events_changepoint",
-    "events_theil_sen_slope",
-    # -- r6 cohort: stalest driver greens --
-    "customer_top_orders",
-    "top_brands_by_revenue",
-    "urgent_orders_with_late_items",
-    "streaming_cdc_snapshot",
-    "events_hll_merge",
-    "q10_returned_items",
-    "q14_promo_share",
-    "q16_supplier_part_counts",
-    "q18_large_volume_customers",
-    "q22_idle_customers",
-    # -- head-fill: alphabetically-first slice of the r7 cohort --
-    "doc_bigram_lm_score",
-    "doc_binary_features",
-    "doc_contamination_check",
-    "doc_corpus_prep",
-    "doc_dedup_cascade_report",
-    "doc_domain_caps",
-    "doc_exact_dedup",
-    "doc_fingerprint",
-    "doc_lang_id",
-    "doc_lsh_candidates",
-    "doc_minhash_jaccard_est",
-    "doc_minhash_signatures",
-    "doc_near_dup_clusters",
-    "doc_ngram_jaccard_topk",
-    "doc_quality_score",
-    "doc_simhash",
-    "doc_simhash_near_pairs",
-    "doc_token_budget",
-    "doc_token_rarity",
-    "doc_token_stats",
-    "doc_training_export",
-    "emb_ann_lsh_topk",
-    "emb_cosine_topk",
-    "emb_ivf_topk",
-    "emb_near_dup_pairs",
-    "events_anomaly_zscore",
-    "events_asof_attribution",
-    "events_daily_cube",
-    "events_ema_sequential",
-    "events_funnel",
-    "events_json_extract",
-    "events_lttb_downsample",
-    "events_ohlc_candles",
-    "events_session_window_native",
-    "events_sessionization",
-    "events_type_pivot",
+    # -- r7 cohort: stalest driver greens (11 rows) --
+    "events_value_histogram",
+    "events_weekly_retention",
+    "geo_bbox_agg",
+    "geo_path_length",
+    "geo_point_in_polygon",
+    "geo_polygon_area",
+    "geo_radius_join",
+    "part_skyline_pareto",
+    "q15_top_supplier",
+    "streaming_ema_sequential",
+    "streaming_hourly_rollup",
+    # -- r8 cohort: alphabetically-first 38 of 45 --
+    "customer_symspell_pairs",
+    "doc_adaptive_quality",
+    "doc_bloom_prescreen",
+    "doc_phrase_search",
+    "doc_weighted_sample",
+    "emb_matryoshka_recall",
+    "events_ab_test_ztest",
+    "events_acf_hourly",
+    "events_asof_candle_join",
+    "events_backtrack_slice",
+    "events_benford_digits",
+    "events_cusum_changepoint",
+    "events_dedup_keep_last",
+    "events_gini_activity",
+    "events_holt_linear",
+    "events_incremental_unseen",
+    "events_incremental_update",
+    "events_max_concurrency",
+    "events_max_drawdown",
+    "events_per_user_sync_times",
+    "events_seasonal_profile",
+    "events_sync_time",
+    "events_window_funnel",
+    "geo_segment_intersect_join",
+    "geo_transform_mercator",
+    "geo_wkb_roundtrip",
+    "multimodal_frame_sample",
+    "nation_supplier_hhi",
+    "orders_retention_cohort",
+    "part_abc_analysis",
+    "part_assoc_rules",
+    "part_pagerank",
+    "part_triangle_count",
+    "pipe_ingest_dedup",
+    "pipe_ingest_dedup_minhash",
+    "pipe_rollup_incremental",
+    "pipe_sync_roundtrip",
+    "q13_customer_order_distribution",
 ]
 
 

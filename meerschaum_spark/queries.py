@@ -5443,7 +5443,7 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON b2.user_id = r.user_id AND b2.rn = r.rn + 1),
     fin AS (SELECT user_id, max(rn) AS n_events FROM rec GROUP BY user_id)
     SELECT r.user_id, f.n_events, r.l AS level_scaled, r.b AS trend_scaled,
-           r.s AS season_state
+           array_to_string(r.s, ',') AS season_state
     FROM rec r JOIN fin f
       ON r.user_id = f.user_id AND r.rn = f.n_events
     ORDER BY r.user_id
@@ -5457,7 +5457,14 @@ def streaming_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final per-key (n, level, trend, season vector) must equal the
     batch recurrence's last row INCLUDING the full seasonal state list —
     streaming and batch twins share one recursive-CTE oracle, the same
-    twin discipline as the EWMA/CUSUM/Holt/CDC pairs."""
+    twin discipline as the EWMA/CUSUM/Holt/CDC pairs.
+
+    The seasonal vector is emitted as a CANONICAL comma-joined STRING
+    (Spark ``array_join`` ≡ DuckDB ``array_to_string``) rather than an
+    ARRAY column: the driver's correctness harness canonicalizes results
+    through pandas ``sort_values``, which cannot hash numpy arrays —
+    array/map output columns are banned from gated schemas
+    (``tests/test_oracle_lint.py``)."""
     from meerschaum_spark.streaming.stateful import stateful_holt_winters
 
     sink = _replay_events_to_sink(spark, sf_dir, stateful_holt_winters,
@@ -5467,7 +5474,10 @@ def streaming_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("user_id", "n_events", "level_scaled", "trend_scaled",
-                    "season_state")
+                    F.array_join(
+                        F.transform(F.col("season_state"),
+                                    lambda x: x.cast("string")),
+                        ",").alias("season_state"))
             .orderBy("user_id"))
 
 

@@ -307,3 +307,44 @@ def test_markov_channels_match_fixtures():
         checked += 1
     if not checked:
         pytest.skip("no testdata fixtures present")
+
+
+def test_no_array_or_map_output_columns(oracles):
+    """No gated query may emit an ARRAY/LIST, MAP, or STRUCT output
+    column (r11 post-mortem): the driver's correctness harness
+    canonicalizes both result frames through pandas ``sort_values``,
+    which factorizes cells via a hash table — numpy arrays are
+    unhashable, so an array-typed column makes the gate crash with
+    ``TypeError: unhashable type: 'numpy.ndarray'`` REGARDLESS of the
+    values (streaming_holt_winters was driver-red for exactly this in
+    r11 while hash-exact under the local gate). Nested state must be
+    rendered canonically scalar — ``array_join``/``array_to_string`` to
+    a string, or one row per slot. Schema-only check: DuckDB binds the
+    oracle without executing it, so this runs in milliseconds per query.
+    Same discipline as the 2^50-Decimal lint: the thing that breaks is
+    the driver's materialization layer, not the engine."""
+    import os
+
+    duckdb = pytest.importorskip("duckdb")
+    sf_dir = os.environ.get("SPARK_GRAFT_LINT_SF", "/root/testdata/sf0.01")
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"no testdata at {sf_dir}")
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isfile(path):
+            con.execute(f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM read_parquet('{path}')")
+    bad = []
+    for name, sql in sorted(oracles.items()):
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            ts = str(typ)
+            if "[]" in ts or ts.startswith(("MAP(", "STRUCT(", "UNION(")):
+                bad.append(f"{name}.{col}: {ts}")
+    assert not bad, (
+        "gated output schema(s) carry nested types — the driver's pandas "
+        "sort_values canonicalizer cannot hash them and the row goes red "
+        f"on a TypeError, never on values: {bad}"
+    )

@@ -177,14 +177,30 @@ class PipeRegistry:
         return entries
 
     def _index_update(self, target: str, doc: dict | None,
-                      pre_mtime_ns: int) -> None:
+                      pre_mtime_ns: int, post_mtime_ns: int) -> None:
         """Fold one save/delete into the index. Caller holds the flock
         and has ALREADY published/removed the doc file; ``pre_mtime_ns``
         is the dir mtime BEFORE that publish — an index not stamped with
         exactly it was missed by some writer, so fold onto a fresh scan
         instead of trusting the stale entry map. A fresh in-memory memo
         folds with NO file read at all (the steady-state single-writer
-        save path)."""
+        save path).
+
+        ``post_mtime_ns`` is the dir mtime captured by the caller
+        IMMEDIATELY after its own publish/remove, and is what the index
+        gets stamped with (ADVICE r11): re-statting the dir here, after
+        the scan/fold, would absorb the mtime of any foreign (unlocked)
+        publish that landed in between — or within the same mtime tick —
+        while its entry is missing from the fold, leaving a fresh-LOOKING
+        index that silently omits that pipe. Stamping the pre-scan
+        capture instead means a foreign publish landing any later than
+        our own stat produces a dir mtime newer than the stamp, failing
+        the ``==`` freshness probe and forcing the rebuild scan that
+        picks the entry up. (Residual window: an UNLOCKED foreign
+        publish inside the same coarse mtime tick as our stat — locked
+        writers queue on the flock and fold their own entry, so they
+        converge regardless; see test_registry_cache's two-process
+        stress.)"""
         cached = getattr(self, "_index_cache", None)
         if cached is not None and cached[0] == pre_mtime_ns:
             entries, stale = dict(cached[1]), False
@@ -202,7 +218,7 @@ class PipeRegistry:
             entries.pop(target, None)
         else:
             entries[target] = self._entry_of(doc)
-        self._write_index(entries, self._dir_mtime_ns())
+        self._write_index(entries, post_mtime_ns)
 
     def load(self, target: str) -> dict[str, Any] | None:
         """Read a pipe's metadata doc, via a TTL cache: local saves and
@@ -245,7 +261,8 @@ class PipeRegistry:
                 with open(tmp, "w") as f:
                     json.dump(doc, f, indent=1, default=str)
                 os.replace(tmp, self._doc_path(target))
-                self._index_update(target, doc, pre_mt)
+                post_mt = self._dir_mtime_ns()  # BEFORE any scan/fold
+                self._index_update(target, doc, pre_mt, post_mt)
             # round-trip through JSON so cached docs match disk exactly
             # (tuples→lists, datetimes→strings)
             self._cache[target] = (json.loads(json.dumps(doc, default=str)),
@@ -258,7 +275,8 @@ class PipeRegistry:
             pre_mt = self._dir_mtime_ns()
             if os.path.isfile(path):
                 os.remove(path)
-                self._index_update(target, None, pre_mt)
+                post_mt = self._dir_mtime_ns()  # BEFORE any scan/fold
+                self._index_update(target, None, pre_mt, post_mt)
                 return True
         return False
 

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -152,7 +153,19 @@ class ParquetPipeStore:
                     doc = json.load(f)
             except (FileNotFoundError, json.JSONDecodeError):
                 return False  # writer finished, or torn tmp never published
-            staging = os.path.join(self.path, str(doc.get("staging", "")))
+            staging_name = str(doc.get("staging", ""))
+            if not re.fullmatch(r"_staging_[0-9a-f]{12}", staging_name):
+                # A manifest that parses as JSON but carries a
+                # missing/empty/foreign 'staging' field is TORN, not a
+                # commit record (ADVICE r11): trusting it would make
+                # staging == self.path and the 'overwrite' branch would
+                # rmtree the data dir then rename the table into its own
+                # child — refuse any destructive action, clear the
+                # malformed manifest, and let the caller proceed on the
+                # (still intact) published state.
+                self._clear_manifest()
+                return False
+            staging = os.path.join(self.path, staging_name)
             kind = doc.get("kind")
             if kind == "cells":
                 for name in doc.get("staged", []):

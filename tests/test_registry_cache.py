@@ -206,3 +206,73 @@ def test_index_corruption_falls_back_to_scan(instance_dir):
         f.write("{not json")
     reg._index_cache = None
     assert reg.fetch_pipes_keys() == [("a", "x", None)]
+
+
+@pytest.mark.slow
+def test_index_converges_under_two_process_registration():
+    """Two OS processes register pipes into the same registry
+    concurrently (VERDICT r11 #7): the flock serializes the
+    publish+fold, and the post-publish mtime stamp (ADVICE r11 —
+    captured BEFORE the scan/fold, never after) guarantees a
+    concurrently-landed entry can't be absorbed into a fresh-looking
+    index that omits it. Invariants checked from a THIRD fresh process
+    context: the listing holds every registered pipe, and if the
+    on-disk index claims freshness (stamp == current dir mtime) it must
+    actually contain every entry."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inst = tempfile.mkdtemp(prefix="mrsm_regidx_")
+    n = 60
+    worker = """
+import sys
+sys.path.insert(0, {repo!r})
+from meerschaum_spark.registry import PipeRegistry
+inst, wid, n = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+reg = PipeRegistry.for_instance(inst)
+for i in range(n):
+    t = f"w{{wid}}_{{i}}"
+    reg.save(t, {{"keys": {{"connector": f"c{{wid}}", "metric": f"m{{i}}",
+                          "location": None}},
+               "parameters": {{"tags": ["stress"]}}}})
+    if i % 7 == 3:          # churn: delete + re-register
+        reg.delete(t)
+        reg.save(t, {{"keys": {{"connector": f"c{{wid}}",
+                              "metric": f"m{{i}}", "location": None}},
+                   "parameters": {{"tags": ["stress"]}}}})
+print("REG_WORKER_OK")
+""".format(repo=repo)
+    with tempfile.NamedTemporaryFile("w", suffix=".py",
+                                     delete=False) as f:
+        f.write(worker)
+        wpath = f.name
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    try:
+        procs = [subprocess.Popen(
+            [sys.executable, wpath, inst, str(wid), str(n)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, env=env) for wid in (0, 1)]
+        for p in procs:
+            out, err = p.communicate(timeout=300)
+            assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+            assert "REG_WORKER_OK" in out
+    finally:
+        os.unlink(wpath)
+
+    reg = PipeRegistry.for_instance(inst)
+    keys = reg.fetch_pipes_keys()
+    expect = {(f"c{w}", f"m{i}", None) for w in (0, 1) for i in range(n)}
+    assert set(keys) == expect and len(keys) == 2 * n
+
+    # fresh-looking index must be complete (the ADVICE r11 hazard)
+    with open(reg.index_path) as f:
+        idx = json.load(f)
+    if idx["dir_mtime_ns"] == os.stat(reg.registry_dir).st_mtime_ns:
+        assert len(idx["entries"]) == 2 * n, (
+            "index claims freshness but omits "
+            f"{2 * n - len(idx['entries'])} entries")

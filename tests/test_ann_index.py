@@ -261,3 +261,59 @@ def test_ann_encode_plan_is_shuffle_free(spark, instance_dir):
     from urllib.parse import urlparse
     got = {urlparse(f).path for f in enc2.inputFiles()}
     assert got == {os.path.abspath(f) for f in files}, (got, files)
+
+
+def test_ann_index_under_verify_backfill(spark, instance_dir):
+    """END-TO-END: ANN maintenance under ``pipe.verify()``'s chunked
+    backfill (VERDICT r11 #3 — the reference's heaviest repair loop,
+    core/Pipe/_verify.py:18-440; an index that drifts under backfill is
+    worse than no index). The source of truth moved under the pipe:
+    one verify chunk REWRITES index-covered cells (flipped vectors in
+    day 0), another APPENDS rows the pipe missed (new ids inside day 1),
+    and a third re-syncs byte-identical data (pure no-op). After the
+    walk the maintained index must equal both the pure-Python IEEE
+    replay of the final truth AND ``refresh_ann_index()``'s from-scratch
+    rebuild, with the codebook still frozen."""
+    import datetime as dt
+
+    pipe = _mk_pipe(spark, instance_dir)
+    assert pipe.sync(_mk_df(spark, range(60))).success  # hours 0..59
+    cb = pipe._load_ann_codebook()
+
+    # the truth drifts: ids 10..14 flipped (day 0), five rows the pipe
+    # never saw at hours 30.5..34.5 (day 1), day 2 untouched
+    flip = {10, 11, 12, 13, 14}
+    base = dt.datetime(2024, 3, 1)
+    truth = _rows(range(60), flip=flip) + [
+        (base + dt.timedelta(hours=30 + j, minutes=30), 200 + j,
+         _vec(200 + j)) for j in range(5)]
+
+    def _naive(x):
+        return (x.astimezone(dt.timezone.utc).replace(tzinfo=None)
+                if getattr(x, "tzinfo", None) else x)
+
+    def fetch_truth(b, e):
+        b, e = _naive(b), _naive(e)
+        rows = [r for r in truth if b <= r[0] < e]
+        if not rows:
+            return None
+        return spark.createDataFrame(
+            rows, "ts timestamp, vec_id long, embedding array<float>")
+
+    res = pipe.verify(source=fetch_truth, chunk_minutes=1440,
+                      bound_days=None)
+    assert res.success, res.message
+    assert res.inserted == 5 and res.updated == 5, (res.inserted,
+                                                    res.updated)
+    assert pipe._load_ann_codebook() == cb, "codebook must stay frozen"
+
+    expect = _full_encode(spark, pipe, range(60), flip=flip)
+    expect.update(_full_encode(spark, pipe, range(200, 205)))
+    got = _index_rows(pipe)
+    assert len(got) == 65
+    assert got == expect
+
+    # ...and the incremental result must equal the from-scratch rebuild
+    pipe.refresh_ann_index()
+    assert pipe._load_ann_codebook() == cb
+    assert _index_rows(pipe) == expect

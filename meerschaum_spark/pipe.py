@@ -1733,6 +1733,7 @@ class Pipe:
             self.spark, self.store.path, "annidx",
             dt_col=self.dt_col, dt_is_int=self.dt_is_int,
             dt_unit=self.precision_unit, chunk_minutes=self.chunk_minutes,
+            lock_path=self.store.path,  # nested: share the base lock
         )
 
     def _ann_id_col(self, conf: dict) -> str:
@@ -1772,6 +1773,17 @@ class Pipe:
         assignments are bit-identical to first-build ones."""
         import json
         idc, vc = self._ann_id_col(conf), conf["column"]
+        id_dt = (self.dtypes or {}).get(idc)
+        if id_dt is not None and id_dt.split("(")[0] not in (
+                "int", "int8", "int16", "int32", "int64"):
+            # validate here — the first code path every configured
+            # index crosses — instead of failing incidentally inside
+            # int() below or forcing a long read schema onto a
+            # non-integer parquet column later (ADVICE r11)
+            raise ValueError(
+                f"ann_index requires an integer id column; "
+                f"{idc!r} is {id_dt!r} — point parameters['ann_index']"
+                f"['id'] at an integer column")
         n = int(conf.get("n_centroids", 16))
         rows = (self.store.read(dtypes=self.dtypes or None)
                 .select(idc, vc).orderBy(idc).limit(n).collect())
@@ -2008,6 +2020,15 @@ class Pipe:
             idc, "cell",
             *[f"code{m}" for m in range(int(conf.get("subspaces", 2)))])
         cb = self._load_ann_codebook()
+        if cb is None:
+            # an empty/never-synced pipe has nothing to freeze a
+            # codebook from, so get_ann_index()'s lazy refresh returns
+            # without one — surface the domain condition instead of a
+            # bare 'NoneType is not subscriptable' (ADVICE r11)
+            raise ValueError(
+                "ann_search: the index has no frozen codebook because "
+                "the pipe has no data yet — sync rows first (the first "
+                "sync builds the index and freezes the codebook)")
         cb_df = self.spark.createDataFrame(
             [Row(**{idc: i, vc: v}) for i, v in cb],
             f"{idc} long, {vc} array<float>")
@@ -2058,6 +2079,7 @@ class Pipe:
             self.spark, self.store.path, f"rollup_{conf['name']}",
             dt_col=self.dt_col, dt_is_int=self.dt_is_int,
             dt_unit=self.precision_unit, chunk_minutes=self.chunk_minutes,
+            lock_path=self.store.path,  # nested: share the base lock
         )
 
     def _rollup_width_us(self, conf: dict) -> int:

@@ -69,6 +69,7 @@ class ParquetPipeStore:
         dt_is_int: bool = False,
         dt_unit: str = "microsecond",
         chunk_minutes: int = DEFAULT_CHUNK_MINUTES,
+        lock_path: str | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -78,6 +79,16 @@ class ParquetPipeStore:
         self.dt_unit = normalize_unit(dt_unit)
         self.chunk_minutes = int(chunk_minutes)
         self.width_us = self.chunk_minutes * 60_000_000
+        #: lock under ANOTHER table's lockfile (ADVICE r11): a side
+        #: table NESTED inside a base pipe directory (annidx,
+        #: rollup_*) must share the BASE pipe's lock — its own
+        #: lockfile would live at <pipe-dir>/.locks/<side>.lock,
+        #: INSIDE the directory the base drop() rmtrees, so a
+        #: side-store-only holder (another process's read→recover)
+        #: could be mid-rename while drop() deletes under it. One
+        #: lock per pipe covers base + side tables; re-entrancy makes
+        #: the nested acquires free.
+        self._lock_path = lock_path
         self._exists_cache: tuple[bool, float] | None = None
 
     # -- paths -------------------------------------------------------------
@@ -99,8 +110,9 @@ class ParquetPipeStore:
         re-entrant RLock within one. Every store mutation holds it for
         its read-modify-write, so two drivers syncing the same pipe
         serialize exactly like the reference's per-sync DB transaction
-        (connectors/sql/_pipes.py:2217-2809)."""
-        return process_lock(self.path)
+        (connectors/sql/_pipes.py:2217-2809). Nested side stores share
+        their base pipe's lock via ``lock_path`` (see ``__init__``)."""
+        return process_lock(self._lock_path or self.path)
 
     def _manifest_path(self) -> str:
         return os.path.join(self.path, MANIFEST_NAME)

@@ -317,3 +317,29 @@ def test_ann_index_under_verify_backfill(spark, instance_dir):
     pipe.refresh_ann_index()
     assert pipe._load_ann_codebook() == cb
     assert _index_rows(pipe) == expect
+
+
+def test_ann_config_rejects_non_integer_id(spark, instance_dir):
+    """A string id column must fail at freeze time with a clear error
+    naming the constraint, not incidentally inside int() (ADVICE r11)."""
+    pipe = Pipe(
+        "t", "ann_badid", instance=instance_dir, spark=spark,
+        columns={"datetime": "ts", "id": "name"},
+        parameters={"ann_index": {
+            "column": "embedding", "n_centroids": NCENT,
+            "subspaces": SUBSPACES, "subdim": SUBDIM,
+        }})
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 3, 1), "a", _vec(1))],
+        "ts timestamp, name string, embedding array<float>")
+    with pytest.raises(ValueError, match="integer id column"):
+        pipe.sync(df)
+
+
+def test_ann_search_without_data_raises_domain_error(spark, instance_dir):
+    """ann_search on an empty pipe: a clear ValueError about the
+    missing codebook, never 'NoneType is not subscriptable'."""
+    pipe = _mk_pipe(spark, instance_dir)
+    q = _mk_df(spark, [3]).drop("ts")
+    with pytest.raises(ValueError, match="no frozen codebook"):
+        pipe.ann_search(q, k=3)

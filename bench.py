@@ -155,6 +155,32 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # Load guard (VERDICT r11 #5): the r11 driver run recorded 26 s
+    # min-of-3 for a query that reads 2.0 s on an idle host — SUSTAINED
+    # foreign machine load defeats min-of-N, and nothing in the output
+    # said so. Record the 1-min loadavg before Spark starts (the one
+    # reading our own JVM cannot pollute) and again as each rep begins;
+    # any reading above ~0.5×CPUs flags the rep LOAD-SUSPECT in
+    # BENCH_DETAIL. Mid-bench readings include the bench's OWN decayed
+    # load (local[32] pushes 1-min load up during CPU-bound families),
+    # so load_start is the clean foreign-load signal and per-rep values
+    # are for relative reads — a run whose load_start is already above
+    # threshold should not be compared against idle-host numbers at all.
+    n_cpus = os.cpu_count() or 1
+    load_threshold = 0.5 * n_cpus
+    try:
+        load_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_start = -1.0
+    rep_loads: dict[str, list[float]] = {}
+
+    def _load_mark(name: str) -> None:
+        try:
+            rep_loads.setdefault(name, []).append(
+                round(os.getloadavg()[0], 2))
+        except OSError:
+            pass
+
     from meerschaum_spark.session import get_spark
     import __spark_entry__ as entrymod
 
@@ -174,6 +200,7 @@ def main() -> None:
     ordered_names = sorted(qs, key=lambda n: (n.startswith("streaming_"), n))
     for name in ordered_names:
         fn = qs[name]
+        _load_mark(name)
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -213,6 +240,7 @@ def main() -> None:
             if (not guaranteed
                     and time.perf_counter() - t_reps0 > rep_budget):
                 break
+            _load_mark(name)
             t0 = time.perf_counter()
             try:
                 qs[name](spark, sf_dir).count()
@@ -242,6 +270,10 @@ def main() -> None:
             families[fam] = families.get(fam, 0.0) + v
     families = {k: round(v, 2) for k, v in sorted(families.items())}
 
+    load_suspect = sorted(
+        name for name, ls in rep_loads.items()
+        if any(v > load_threshold for v in ls))
+
     detail_path = os.path.join(REPO_DIR, "BENCH_DETAIL.json")
     try:
         with open(detail_path, "w") as f:
@@ -255,7 +287,11 @@ def main() -> None:
                        "n_reps": n_reps,
                        "min3_total": min3_total,
                        "reps_sec": reps_sec,
-                       "rep_budget_sec": rep_budget},
+                       "rep_budget_sec": rep_budget,
+                       "load_start_1min": load_start,
+                       "load_threshold": round(load_threshold, 1),
+                       "load_per_rep": rep_loads,
+                       "load_suspect": load_suspect},
                       f, indent=1, sort_keys=True)
             f.write("\n")
     except OSError as e:
@@ -272,6 +308,8 @@ def main() -> None:
         "warm_sec": warm_sec,
         "warm_rev": WARM_REV,
         "min3_total": min3_total,
+        "load_start": load_start,
+        "n_load_suspect": len(load_suspect),
         "detail": "BENCH_DETAIL.json",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }, separators=(",", ":")))

@@ -1792,12 +1792,79 @@ class Pipe:
                              "an empty table")
         doc = {"ids": [int(r[0]) for r in rows],
                "vecs": [[float(x) for x in r[1]] for r in rows]}
+        iters = int(conf.get("train_iters", 0) or 0)
+        if iters > 0:
+            seeds = list(zip(doc["ids"], doc["vecs"]))
+            trained = self._train_ann_centroids(conf, seeds, iters)
+            doc = {"ids": [i for i, _ in trained],
+                   "vecs": [v for _, v in trained],
+                   "train_iters": iters}
         path = self._ann_codebook_path()
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path + ".tmp", "w") as f:
             json.dump(doc, f)
         os.replace(path + ".tmp", path)
         return [(i, v) for i, v in zip(doc["ids"], doc["vecs"])]
+
+    def _train_ann_centroids(self, conf: dict, seeds: list,
+                             iters: int) -> list:
+        """Exact-integer Lloyd k-means over the FULL vectors at freeze
+        time (``parameters['ann_index']['train_iters']`` — VERDICT r11
+        #6a): the frozen codebook becomes TRAINED centroids instead of
+        the seeded smallest-id rows, improving both IVF cell balance
+        and the sliced PQ codes (the codebook doubles as both, the
+        seeded-rows convention; the Lloyd-step machinery and its ~36%
+        measured SSE gain live in ``functions/similarity.pq_train_gain``
+        — this is the same step run full-dim). Runs ONCE, at freeze:
+        per-sync encodes never retrain, so sync-then-search ≡ rebuild
+        stays hash-exact by the same freeze argument as seeded
+        codebooks.
+
+        Determinism (the freeze contract): µ-quantized int64 arithmetic
+        end to end — integer sqdist argmin with (d, position) tie-break,
+        order-insensitive integer sums, python floor-division means; a
+        centroid that loses all members keeps its previous value.
+        Assignment expressions are built as ONE parsed SQL string (the
+        r11 py4j-literal lesson: a Column-API literal codebook costs
+        thousands of driver round trips per plan). Trained centroids
+        come back as q/1e6 floats whose JSON repr round-trips exactly.
+        At 100 TB, k-means training runs on a sample; point
+        ``train_iters`` at a pipe holding the sample or accept the
+        full-scan cost knowingly — each iteration is one shuffle-free
+        assignment projection + one (cell, pos) hash agg."""
+        scale = 1_000_000
+        vc = conf["column"]
+        q = "`" + vc.replace("`", "``") + "`"
+        n = len(seeds)
+        dim = len(seeds[0][1])
+        xq = (f"transform({q}, x -> CAST(floor(CAST(x AS DOUBLE) "
+              f"* {scale}.0 + 0.5D) AS BIGINT))")
+        base = (self.store.read(dtypes=self.dtypes or None)
+                .selectExpr(f"{xq} AS _xq"))
+        from meerschaum_spark.functions.similarity import _q_micro
+        cvs = [[_q_micro(x) for x in vec] for _i, vec in seeds]
+        for _it in range(iters):
+            scored = ",".join(
+                "named_struct('d', aggregate(zip_with(_xq, array("
+                + ",".join(f"{int(v)}L" for v in cv)
+                + "), (a, b) -> (a - b) * (a - b)), 0L, "
+                f"(acc, x) -> acc + x), 'i', {pi}L)"
+                for pi, cv in enumerate(cvs))
+            assigned = base.selectExpr(
+                f"array_min(array({scored})).i AS _cell",
+                "posexplode(_xq) AS (_pos, _x)")
+            sums = (assigned.groupBy("_cell", "_pos")
+                    .agg(F.sum("_x").alias("s"),
+                         F.count(F.lit(1)).alias("nn"))
+                    .collect())
+            acc: dict[int, list] = {}
+            for r in sums:
+                acc.setdefault(int(r["_cell"]),
+                               [None] * dim)[int(r["_pos"])] = (
+                    int(r["s"]) // int(r["nn"]))
+            cvs = [acc.get(pi) or cvs[pi] for pi in range(n)]
+        return [(pi, [v / float(scale) for v in cv])
+                for pi, cv in enumerate(cvs)]
 
     def _ann_encode(self, rows: DataFrame, conf: dict,
                     codebook: list) -> DataFrame:
@@ -3386,6 +3453,38 @@ class Pipe:
             from meerschaum_spark.functions.layout import zorder_column
             sort_by = [zorder_column(scoped, keys)]
         self.store._swap_partitions(compacted, targets, sort_by=sort_by)
+        return len(targets) + self._compact_ann_index(
+            max_files_per_partition)
+
+    def _compact_ann_index(self, max_files_per_partition: int = 1) -> int:
+        """Compact the maintained ANN index's small files alongside
+        ``optimize()`` (VERDICT r11 #6b): every insert-only sync appends
+        one encode file per touched index cell, so a busy cell
+        accumulates exactly the small-file debt optimize() exists to
+        pay down — but the base rewrite never touched the side table.
+        Pure physical rewrite: cells re-read and swapped 1:1 (codes are
+        NEVER re-encoded — sync-then-search ≡ rebuild stays hash-exact
+        by construction; pinned in test_ann_index)."""
+        import os
+        conf = self._ann_conf
+        if not conf:
+            return 0
+        astore = self._ann_store()
+        if not astore.exists():
+            return 0
+        targets: list[int | None] = []
+        for part in astore.partition_values():
+            d = os.path.join(astore.data_path, astore._part_dir_name(part))
+            n_files = sum(1 for f in os.listdir(d)
+                          if f.endswith(".parquet"))
+            if n_files > max_files_per_partition:
+                targets.append(part)
+        if not targets:
+            return 0
+        scoped = astore.read(dtypes=self._ann_dtypes(conf),
+                             keep_part_col=True, part_values=targets)
+        from meerschaum_spark.store import PART_COL
+        astore._swap_partitions(scoped.repartition(PART_COL), targets)
         return len(targets)
 
     def vacuum(self, stale_minutes: int = 1440) -> int:

@@ -343,3 +343,84 @@ def test_ann_search_without_data_raises_domain_error(spark, instance_dir):
     q = _mk_df(spark, [3]).drop("ts")
     with pytest.raises(ValueError, match="no frozen codebook"):
         pipe.ann_search(q, k=3)
+
+
+def test_optimize_compacts_ann_index_files(spark, instance_dir):
+    """Insert-only syncs append one encode file per touched index cell;
+    pipe.optimize() must pay down the side table's small-file debt too
+    (VERDICT r11 #6b) — a pure physical rewrite: same rows, same codes,
+    one file per cell, search results identical."""
+    pipe = _mk_pipe(spark, instance_dir)
+    # three insert syncs into the SAME day-cell -> 3 small index files
+    assert pipe.sync(_mk_df(spark, range(8))).success
+    assert pipe.sync(_mk_df(spark, range(8, 16))).success
+    assert pipe.sync(_mk_df(spark, range(16, 24))).success
+    before = _index_rows(pipe)
+
+    def files_per_cell():
+        out = {}
+        for d in glob.glob(os.path.join(
+                pipe._ann_store().data_path, "_mrsm_part=*")):
+            out[os.path.basename(d)] = sum(
+                1 for f in os.listdir(d) if f.endswith(".parquet"))
+        return out
+
+    fc = files_per_cell()
+    assert max(fc.values()) >= 3, fc  # debt actually accumulated
+    n = pipe.optimize()
+    assert n >= 1
+    fc2 = files_per_cell()
+    assert max(fc2.values()) == 1, fc2
+    assert _index_rows(pipe) == before  # codes byte-identical per row
+    # idempotent: nothing left to compact
+    assert pipe.optimize() == 0
+
+
+def test_ann_trained_codebook_at_freeze(spark, instance_dir):
+    """parameters['ann_index']['train_iters'] runs exact-integer Lloyd
+    k-means at freeze time (VERDICT r11 #6a): the frozen codebook is
+    trained centroids, not the seeded smallest-id rows. The freeze
+    contract is unchanged — later syncs encode against the frozen
+    trained codebook, so the maintained index still equals the
+    pure-Python replay — and the training must not lose to the seeds:
+    full-dim quantization SSE (trained) <= SSE (seeded), computed
+    independently in pure Python."""
+    pipe = Pipe(
+        "t", "ann_trained", instance=instance_dir, spark=spark,
+        columns={"datetime": "ts", "id": "vec_id"},
+        parameters={"ann_index": {
+            "column": "embedding", "n_centroids": NCENT,
+            "subspaces": SUBSPACES, "subdim": SUBDIM,
+            "train_iters": 2,
+        }})
+    assert pipe.sync(_mk_df(spark, range(40))).success
+    cb = pipe._load_ann_codebook()
+    assert [i for i, _ in cb] == list(range(NCENT))
+    seeded = [_vec(i) for i in range(NCENT)]
+    assert [v for _, v in cb] != seeded, "training changed nothing"
+
+    # maintained index == replay against the FROZEN (trained) codebook
+    assert _index_rows(pipe) == _full_encode(spark, pipe, range(40))
+
+    # SSE check in exact µ-quantized integers, pure Python
+    def q(v):
+        import math
+        return [int(math.floor(float(x) * 1_000_000 + 0.5)) for x in v]
+
+    def sse(cents):
+        tot = 0
+        for i in range(40):
+            xv = q(_vec(i))
+            tot += min(sum((a - b) ** 2 for a, b in zip(xv, cv))
+                       for cv in cents)
+        return tot
+
+    assert sse([q(v) for _, v in cb]) <= sse([q(v) for v in seeded])
+
+    # later syncs encode against the frozen trained codebook
+    assert pipe.sync(_mk_df(spark, range(40, 55))).success
+    assert pipe._load_ann_codebook() == cb
+    assert _index_rows(pipe) == _full_encode(spark, pipe, range(55))
+    # search works over the trained maintained index
+    out = pipe.ann_search(_mk_df(spark, [7]).drop("ts"), k=3).collect()
+    assert out and all(r["neighbor_id"] != 7 for r in out)

@@ -5703,3 +5703,146 @@ def pipe_ann_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         base.unpersist()
         shutil.rmtree(instance, ignore_errors=True)
+
+
+# ===========================================================================
+# r12: TRAINED codebook under the maintained-index gate
+# (pipe_ann_trained_sync)
+# ===========================================================================
+
+def _ann_trained_sql() -> str:
+    """Oracle for the trained-freeze maintained index: replicate ONE
+    exact-integer Lloyd iteration over the FIRST sync's corpus
+    (vec_id < 300, seeded from the 16 smallest-id rows), convert the
+    floor-division integer means to doubles (q/1e6 — bit-identical to
+    the engine's python division + JSON repr round trip), then encode
+    the FINAL post-update corpus against those TRAINED centroids with
+    the IEEE-double fold idiom. DuckDB ``//`` floors like python ``//``
+    (the documented cross-engine floor-division pairing); integer
+    sqdists/sums are exact; sum(BIGINT) is HUGEINT so it casts back
+    before the division (the r10 HUGEINT lesson)."""
+    qz = ("list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+          "* 1000000.0 + 0.5) AS BIGINT))")
+    isq = ("list_reduce(list_transform(generate_series(1, 64), i -> "
+           "(c._xq[i] - s._sq[i]) * (c._xq[i] - s._sq[i])), "
+           "(a, b) -> a + b)")
+    dd = ("(CAST(e.embedding[i] AS DOUBLE) - c._cv[i])")
+    dsq = (f"list_reduce(list_transform(generate_series(1, 64), i -> "
+           f"{dd} * {dd}), (a, b) -> a + b)")
+
+    def pq(m: int) -> str:
+        off = m * 32
+        d = (f"(CAST(e.embedding[i + {off}] AS DOUBLE) "
+             f"- c._cv[i + {off}])")
+        sq = (f"list_reduce(list_transform(generate_series(1, 32), "
+              f"i -> {d} * {d}), (a, b) -> a + b)")
+        return f"""
+      SELECT vec_id, cid AS code{m} FROM (
+        SELECT e.vec_id, c._cid AS cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sq} ASC, c._cid ASC) AS rn
+        FROM final e, cent_t c
+      ) WHERE rn = 1"""
+
+    return f"""
+    WITH seedq AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS _pos,
+             {qz} AS _sq
+      FROM embeddings WHERE vec_id < 16),
+    corpusq AS MATERIALIZED (
+      SELECT vec_id, {qz} AS _xq
+      FROM embeddings WHERE vec_id < 300),
+    asg AS MATERIALIZED (
+      SELECT vec_id, cell, _xq FROM (
+        SELECT c.vec_id, s._pos AS cell, c._xq,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {isq} ASC, s._pos ASC) AS rn
+        FROM corpusq c, seedq s) WHERE rn = 1),
+    means AS MATERIALIZED (
+      SELECT cell, i AS pos,
+             CAST(CAST(sum(_xq[i]) AS BIGINT) // count(*) AS BIGINT) AS m
+      FROM asg, generate_series(1, 64) g(i)
+      GROUP BY cell, i),
+    cent_t AS MATERIALIZED (
+      SELECT s._pos AS _cid,
+             list(CAST(COALESCE(mm.m, s._sq[g.i]) AS DOUBLE)
+                  / 1000000.0 ORDER BY g.i) AS _cv
+      FROM seedq s
+      CROSS JOIN generate_series(1, 64) g(i)
+      LEFT JOIN means mm ON mm.cell = s._pos AND mm.pos = g.i
+      GROUP BY s._pos),
+    final AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN {_ANNIDX_UPDATED}
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM embeddings),
+    arn AS MATERIALIZED (
+      SELECT e.vec_id, c._cid AS cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dsq} ASC, c._cid ASC) AS rn
+      FROM final e, cent_t c),
+    assigned AS (SELECT vec_id, cell FROM arn WHERE rn = 1),
+    a0 AS MATERIALIZED ({pq(0)}),
+    a1 AS MATERIALIZED ({pq(1)})
+    SELECT assigned.vec_id, assigned.cell, a0.code0, a1.code1
+    FROM assigned JOIN a0 USING (vec_id) JOIN a1 USING (vec_id)
+    ORDER BY assigned.vec_id
+    """
+
+
+@query("pipe_ann_trained_sync", _ann_trained_sql())
+def pipe_ann_trained_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED-codebook maintained index under the gate (r12,
+    VERDICT r11 #6a): same three-sync replay as ``pipe_ann_index_sync``
+    (build, disjoint insert, vec_id<20 sign-flip update) but the
+    ``ann_index`` conf carries ``train_iters: 1`` — the freeze runs one
+    exact-integer Lloyd iteration over the FIRST sync's corpus before
+    snapshotting, so the frozen codebook is trained centroids (ids =
+    positions 0..15), not the seeded rows. Hash equality against the
+    oracle's independent training + final-corpus encode proves BOTH the
+    training arithmetic (µ-quantized assignment, floor-division means,
+    q/1e6 double conversion) and that later syncs encode against the
+    FROZEN trained codebook — the update flips the very rows the seeds
+    came from, so a re-derivation would flip the centroids and every
+    hash. Reference analogue: none (no vector surface); this gates the
+    FAISS train-then-populate lifecycle under continuous ingestion."""
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+
+    base = (load_table(spark, sf_dir, "embeddings")
+            .select(F.expr("timestamp'2024-01-01' + make_interval("
+                           "0, 0, 0, 0, cast(vec_id AS int))").alias("ts"),
+                    "vec_id", "embedding")
+            .persist())
+    instance = tempfile.mkdtemp(prefix="mrsm_q_anntr_")
+    try:
+        pipe = Pipe(
+            "catalog", "anntrained", instance=instance, spark=spark,
+            columns={"datetime": "ts", "id": "vec_id"},
+            parameters={"ann_index": {
+                "column": "embedding", "n_centroids": _ANNIDX_NCENT,
+                "subspaces": PQ_SUBSPACES, "subdim": PQ_SUBDIM,
+                "train_iters": 1,
+            }})
+        r1 = pipe.sync(base.filter(F.col("vec_id") < 300))
+        assert r1.success, r1.message
+        r2 = pipe.sync(base.filter(F.col("vec_id") >= 300),
+                       check_existing=False)
+        assert r2.success, r2.message
+        upd = (base.filter(F.expr(_ANNIDX_UPDATED))
+               .withColumn("embedding",
+                           F.transform("embedding", lambda x: -x)))
+        r3 = pipe.sync(upd)
+        assert r3.success, r3.message
+        out = (pipe.get_ann_index()
+               .select("vec_id", "cell", "code0", "code1")
+               .orderBy("vec_id"))
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "vec_id long, cell long, code0 long, code1 long")
+    finally:
+        base.unpersist()
+        shutil.rmtree(instance, ignore_errors=True)

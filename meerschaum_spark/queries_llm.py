@@ -5846,3 +5846,78 @@ def pipe_ann_trained_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         base.unpersist()
         shutil.rmtree(instance, ignore_errors=True)
+
+
+@query("streaming_ann_index_sync", _annidx_sql())
+def streaming_ann_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained ANN index under STREAMING ingestion (r12): the
+    embeddings corpus arrives as two staged file drops on a watched
+    directory and flows through ``stream_sync_pipe`` (foreachBatch →
+    ``pipe.sync`` with the detached-session metric fallbacks) into a
+    pipe carrying ``parameters['ann_index']`` — arrival 1 builds and
+    FREEZES the codebook, arrival 2 mixes disjoint inserts
+    (vec_id ≥ 300) with updates (vec_id < 20 sign-flip, hitting
+    codebook-source rows) in ONE micro-batch. The final side table must
+    hash-equal the SAME oracle as ``pipe_ann_index_sync``: a
+    from-scratch encode of the final corpus against the frozen
+    codebook — batch and streaming ingestion are twins over one truth,
+    the EWMA/CDC/Holt twin discipline applied to index maintenance.
+    Staged files are written OUTSIDE the watched dir and renamed in
+    (the documented mid-commit-listing hazard)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+    from meerschaum_spark.queries import _stream_replay_confs
+    from meerschaum_spark.streaming.runner import stream_sync_pipe
+
+    base = (load_table(spark, sf_dir, "embeddings")
+            .select(F.expr("timestamp'2024-01-01' + make_interval("
+                           "0, 0, 0, 0, cast(vec_id AS int))").alias("ts"),
+                    "vec_id", "embedding")
+            .persist())
+    instance = tempfile.mkdtemp(prefix="mrsm_q_sannidx_")
+    src = _os.path.join(instance, "_src")
+    stage = _os.path.join(instance, "_stage")
+    _os.makedirs(src)
+    try:
+        pipe = Pipe(
+            "catalog", "sannidx", instance=instance, spark=spark,
+            columns={"datetime": "ts", "id": "vec_id"},
+            parameters={"ann_index": {
+                "column": "embedding", "n_centroids": _ANNIDX_NCENT,
+                "subspaces": PQ_SUBSPACES, "subdim": PQ_SUBDIM,
+            }})
+        schema = base.schema
+        ckpt = _os.path.join(instance, "_ckpt")
+        arrivals = [
+            base.filter(F.col("vec_id") < 300),
+            base.filter(F.col("vec_id") >= 300).unionByName(
+                base.filter(F.expr(_ANNIDX_UPDATED))
+                .withColumn("embedding",
+                            F.transform("embedding", lambda x: -x))),
+        ]
+        with _stream_replay_confs(spark):
+            for i, batch in enumerate(arrivals):
+                batch.write.mode("overwrite").parquet(stage)
+                _os.rename(stage, _os.path.join(src, f"b{i}"))
+                stream = (spark.readStream.schema(schema)
+                          .parquet(src + "/*"))
+                q = stream_sync_pipe(pipe, stream, ckpt,
+                                     query_name=f"_mrsm_sannidx_{i}")
+                finished = q.awaitTermination(300)
+                if q.exception() is not None:
+                    raise q.exception()
+                if not finished:
+                    q.stop()
+                    raise TimeoutError("ann streaming replay timed out")
+        out = (pipe.get_ann_index()
+               .select("vec_id", "cell", "code0", "code1")
+               .orderBy("vec_id"))
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "vec_id long, cell long, code0 long, code1 long")
+    finally:
+        base.unpersist()
+        shutil.rmtree(instance, ignore_errors=True)

@@ -6027,3 +6027,90 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr(floordiv_spark("(tot - cs) * 1000", "n - i"))
                     .alias("mean_right_scaled"))
             .orderBy("event_type"))
+
+
+# ===========================================================================
+# r12: classical seasonal-trend decomposition (moving-average based)
+# ===========================================================================
+
+@query(
+    "events_seasonal_decompose",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    win AS (
+      SELECT event_type, h, v,
+             lag(v, 12)  OVER w AS v_m12,
+             lead(v, 12) OVER w AS v_p12,
+             CAST(sum(v) OVER (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)
+                  AS BIGINT) AS mid_sum,
+             count(*) OVER (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)
+               AS mid_n
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+    trend AS (
+      SELECT event_type, h, v,
+             {floordiv_sql('v_m12 + v_p12 + 2 * mid_sum', '48')} AS t
+      FROM win
+      WHERE v_m12 IS NOT NULL AND v_p12 IS NOT NULL AND mid_n = 23)
+    SELECT event_type, CAST(h % 24 AS BIGINT) AS hod,
+           count(*) AS n_windows,
+           {floordiv_sql('CAST(sum(v - t) AS BIGINT)', 'count(*)')} AS season_scaled,
+           min(v - t) AS min_detrended_scaled,
+           max(v - t) AS max_detrended_scaled
+    FROM trend
+    GROUP BY event_type, h % 24
+    ORDER BY event_type, hod
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL additive seasonal-trend decomposition (the
+    statsmodels ``seasonal_decompose`` shape — descriptive moving
+    averages, the complement to the Holt-Winters family's model-based
+    recursions): per event_type the hourly µ-scaled series decomposes
+    as trend = centered 2×24 moving average (the even-period spell
+    ``(x[t-12] + x[t+12] + 2·Σx[t-11..t+11]) // 48``, floor division
+    via the cross-engine subtract-remainder twins since values go
+    negative), and the seasonal index per hour-of-day is the floored
+    mean of the detrended values over every complete window. Exact
+    BIGINT arithmetic end to end; the ±12 window is a ROW window over
+    the existing hourly rows on both engines, so gaps cannot split
+    them. Plan: one hash agg → one per-key window (never
+    single-partition) → one hash agg."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type",
+                  F.expr("unix_micros(ts) div 3600000000").alias("h"),
+                  F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+                  .cast("long").alias("y")))
+    hourly = ev.groupBy("event_type", "h").agg(F.sum("y").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    wmid = w.rowsBetween(-11, 11)
+    win = hourly.select(
+        "event_type", "h", "v",
+        F.lag("v", 12).over(w).alias("v_m12"),
+        F.lead("v", 12).over(w).alias("v_p12"),
+        F.sum("v").over(wmid).alias("mid_sum"),
+        F.count(F.lit(1)).over(wmid).alias("mid_n"))
+    trend = (win
+             .filter(F.col("v_m12").isNotNull()
+                     & F.col("v_p12").isNotNull()
+                     & (F.col("mid_n") == 23))
+             .select("event_type", "h", "v",
+                     F.expr(floordiv_spark("v_m12 + v_p12 + 2 * mid_sum",
+                                           "48")).alias("t")))
+    return (trend
+            .groupBy("event_type", (F.col("h") % 24).alias("hod"))
+            .agg(F.count(F.lit(1)).alias("n_windows"),
+                 F.expr(floordiv_spark("sum(v - t)", "count(1)"))
+                 .alias("season_scaled"),
+                 F.min(F.col("v") - F.col("t"))
+                 .alias("min_detrended_scaled"),
+                 F.max(F.col("v") - F.col("t"))
+                 .alias("max_detrended_scaled"))
+            .orderBy("event_type", "hod"))

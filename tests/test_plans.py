@@ -687,3 +687,26 @@ def test_r10_tail_plan_shapes(spark, sf_dir):
     # contracted count matrix — its plan must never re-scan parquet
     ma = explain_str(events_markov_attribution(spark, sf_dir), "simple")
     assert "FileScan" not in ma and "parquet" not in ma.lower(), ma[:800]
+
+
+def test_r12_plan_shapes(spark, sf_dir):
+    """Plan contracts for the r12 tail operators: the seasonal
+    decomposition's moving-average window is partitioned by event_type
+    (never a single-partition global sort) and the whole query is one
+    scan → hash agg → window → hash agg with no joins; the LSH tuning
+    curve plans no cartesian product in any of its three arms (each
+    candidate side is a capped equi-bucket self-join)."""
+    import re
+
+    from meerschaum_spark.plans import explain_str
+    from meerschaum_spark.queries import events_seasonal_decompose
+    from meerschaum_spark.queries_llm import doc_lsh_band_tuning
+
+    sd = explain_str(events_seasonal_decompose(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in sd, sd[:800]
+    assert "Join" not in sd, sd[:800]
+    assert not re.search(
+        r"Exchange SinglePartition[\s\S]{0,400}Window", sd), sd[:1200]
+
+    bt = explain_str(doc_lsh_band_tuning(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in bt, bt[:800]

@@ -341,7 +341,9 @@ def _catalog_family(name: str) -> Callable:
 
 
 def _family_ann_index(spark: SparkSession, sf_dir: str,
-                      workdir: str) -> tuple[int, DataFrame]:
+                      workdir: str,
+                      extra_conf: dict | None = None
+                      ) -> tuple[int, DataFrame]:
     """The incrementally-maintained ANN index (r11) at corpus scale:
     a deterministic 64-dim vector table ∝ event count replays through
     a Pipe with ``parameters['ann_index']`` in three syncs (full build
@@ -372,7 +374,8 @@ def _family_ann_index(spark: SparkSession, sf_dir: str,
                     columns={"datetime": "ts", "id": "vec_id"},
                     parameters={"ann_index": {
                         "column": "embedding", "n_centroids": 16,
-                        "subspaces": 2, "subdim": 32}})
+                        "subspaces": 2, "subdim": 32,
+                        **(extra_conf or {})}})
         cut = int(n * 0.7)
         r1 = pipe.sync(vecs.filter(F.col("vec_id") < cut))
         r2 = pipe.sync(vecs.filter(F.col("vec_id") >= cut),
@@ -464,6 +467,18 @@ FAMILIES: dict[str, Callable] = {
     # literal-codebook projection, maintenance appends are
     # O(patch files), so the family must read near-linear
     "pipe_ann_index": _family_ann_index,
+    # r12: the TRAINED-codebook freeze — one exact-integer Lloyd pass
+    # over the first sync's corpus (one shuffle-free assignment
+    # projection + one (cell, pos) hash agg) runs ONCE at freeze; the
+    # family must stay near-linear because training cost is a single
+    # extra corpus pass, never a per-sync multiplier
+    "pipe_ann_trained": lambda spark, sf_dir, workdir: _family_ann_index(
+        spark, sf_dir, workdir, extra_conf={"train_iters": 1}),
+    # r12: classical MA decomposition — one hash agg + one per-series
+    # row window + one hash agg; hourly-row count grows with the event
+    # span, the window stays event_type-partitioned
+    "events_seasonal_decompose": _catalog_family(
+        "events_seasonal_decompose"),
 }
 
 

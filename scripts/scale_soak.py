@@ -78,7 +78,9 @@ def main() -> None:
             rec["corpus_rows"] = (n_events if fam in ("pipe_sync_diff",
                                              "geo_radius_join",
                                              "events_lttb",
-                                             "graph_pagerank")
+                                             "graph_pagerank",
+                                             "pipe_ann_trained",
+                                             "events_seasonal_decompose")
                                   else n_docs)
             print(f"#   {label} {fam}: {rec['sec']} s, rows={rec['rows']}",
                   file=sys.stderr)
@@ -177,6 +179,8 @@ def main() -> None:
         "**r10-tail additions.** `events_changepoint` joined the soak (1.6× at 10× — the per-series cumsum window stays series-partitioned as the event span grows). Two deliberate NON-rows, reasoned rather than measured: `events_theil_sen_slope` is Θ(T²) in AXIS LENGTH by definition (all pairwise slopes) — since r11 the OPERATOR itself enforces the bound, not just the query's bucketing choice: `functions/robust.theil_sen_pairs` refuses task-side (an `assert_true` riding the per-series count window — no driver action) when any series exceeds `THEIL_SEN_MAX_POINTS = 5000` (12.5M pairs/series), and `on_overflow='sample'` swaps the refusal for a deterministic stride downsample to ≤ the cap (first point always kept) — the same in-code cap discipline as `LSH_MAX_BUCKET` and `CONTAINMENT_PER_DOC_BUDGET`; a soak row would only re-measure the known T²; and `doc_lsh_quality`'s lossless truth side is exactly the forced-prefix plan already carried as the kept-on-purpose CHECK row — on a dense-vocabulary corpus the token-level (n=1) truth join inherits that quadratic candidate volume, which is why the REPORT is the artifact you compute once per band-config decision (on real Zipfian text the truth side is the near-linear `doc_containment_zipf` shape), not a per-ingest operator. Separately, this round re-learned the measurement lesson the hard way: a soak run taken while another 32-thread Spark JVM was busy produced 5 false CHECK verdicts (prefix 27×, zipf 29×, radius 20×) that all collapsed to ≤4.5× NEAR-LINEAR on a quiet machine — soak numbers are only comparable from an otherwise-idle host.",
         "",
         "**r11 additions.** `pipe_ann_index` joined the soak: the maintained ANN index's 3-sync replay (full build + codebook freeze, insert-only file-delta encode, one-cell update recompute) over a corpus-proportional synthetic vector table — 1.6× at 10× with flat shuffle-bytes-per-row, because every stage is either a shuffle-free literal-codebook projection over exactly the patch rows or a one-cell pruned read. The family's FIRST run read 141 s at 1× and exposed two real costs the 500-row catalog query had hidden: the exact-decimal assignment idiom is ~5× slower than an IEEE-double fold (fine for one-shot emb_* queries, wrong for a per-sync encode that multiplies by the corpus), and `array_position(d_arr, array_min(d_arr))` evaluates the whole distance array TWICE — both fixed in `pipe._ann_encode` (double list_reduce folds, struct-argmin single evaluation; oracle hashes unchanged), taking the 30k-row shape from 126 s to 16 s. The Theil-Sen operator bound also moved INTO the code this round: see the r10-tail paragraph.",
+        "",
+        "**r12 additions.** `pipe_ann_trained` — the same 3-sync maintained-index replay with `train_iters: 1`: the freeze runs one exact-integer Lloyd pass (one shuffle-free literal-centroid assignment projection + one (cell, pos) hash agg, then a ≤16×64-integer driver fold) over the FIRST sync's corpus before snapshotting. Training cost is a one-time corpus pass, never a per-sync multiplier, so the family must read near-linear like its untrained twin; the per-sync encode path is byte-identical to `pipe_ann_index` after the freeze. `events_seasonal_decompose` — classical 2×24 centered-MA decomposition: one hash agg to hourly rows, one event_type-partitioned row window, one hash agg; hourly-row count grows with the event SPAN (sub-linear in events once hours saturate), the window never plans single-partition (plan-pinned in test_plans).",
         "",
         "Raw measurements:",
         "```json",

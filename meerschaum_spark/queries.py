@@ -6114,3 +6114,88 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max(F.col("v") - F.col("t"))
                  .alias("max_detrended_scaled"))
             .orderBy("event_type", "hod"))
+
+
+# ===========================================================================
+# r12: optimize()/compaction under the gate (pipe_optimize_compact)
+# ===========================================================================
+
+@query(
+    "pipe_optimize_compact",
+    """
+    SELECT epoch_us(ts) // 604800000000 AS cell,
+           count(*) AS n_rows,
+           count(DISTINCT event_id) AS n_ids,
+           CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_scaled,
+           1 AS n_files_after
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1 ORDER BY cell
+    """,
+)
+def pipe_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipe.optimize()`` (M9 — the OPTIMIZE/compress analogue,
+    reference connectors/sql/_compress.py:31-636) under the correctness
+    gate: events sync in three interleaved batches (``event_id % 3``) so
+    EVERY 7-day partition cell accumulates ≥3 small append files — the
+    exact debt a busy ingest leaves behind — then one ``optimize()``
+    rewrites each cell to a single file. The returned frame is the
+    POST-compaction physical truth (per-cell file count read from the
+    store directory) joined with per-cell logical aggregates read back
+    through the compacted files; the oracle recomputes the aggregates
+    from the raw table and pins ``n_files_after = 1`` — hash equality
+    proves compaction rewrote every cell without losing, duplicating,
+    or corrupting a row. The in-query asserts pin the debt actually
+    existed and the return value counted every cell."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+    from meerschaum_spark.store import PART_COL
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("ts", "event_id",
+                  F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+                  .cast("long").alias("v")))
+    instance = tempfile.mkdtemp(prefix="mrsm_q_optc_")
+    try:
+        pipe = Pipe(
+            "catalog", "optc", instance=instance, spark=spark,
+            columns={"datetime": "ts", "id": "event_id"},
+            parameters={"verify": {"chunk_minutes": 10080}})
+        for k in range(3):
+            r = pipe.sync(ev.filter(F.col("event_id") % 3 == k))
+            assert r.success, r.message
+
+        def files_per_cell() -> dict[int, int]:
+            out: dict[int, int] = {}
+            for entry in _os.scandir(pipe.store.data_path):
+                if entry.is_dir() and entry.name.startswith(f"{PART_COL}="):
+                    out[int(entry.name.split("=", 1)[1])] = sum(
+                        1 for f in _os.listdir(entry.path)
+                        if f.endswith(".parquet"))
+            return out
+
+        before = files_per_cell()
+        assert before and min(before.values()) >= 3, before
+        n = pipe.optimize()
+        assert n == len(before), (n, before)
+        after = files_per_cell()
+        aggs = (pipe.store.read(dtypes=pipe.dtypes or None,
+                                keep_part_col=True)
+                .groupBy(F.col(PART_COL).alias("cell"))
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.countDistinct("event_id").alias("n_ids"),
+                     F.sum("v").alias("sum_scaled"))
+                .collect())
+        rows = [(int(r["cell"]), int(r["n_rows"]), int(r["n_ids"]),
+                 int(r["sum_scaled"]), int(after[int(r["cell"])]))
+                for r in aggs]
+        rows.sort()
+        return spark.createDataFrame(
+            rows, "cell long, n_rows long, n_ids long, sum_scaled long, "
+                  "n_files_after int")
+    finally:
+        shutil.rmtree(instance, ignore_errors=True)

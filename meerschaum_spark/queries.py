@@ -6199,3 +6199,81 @@ def pipe_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "n_files_after int")
     finally:
         shutil.rmtree(instance, ignore_errors=True)
+
+
+# ===========================================================================
+# r12: pipe lifecycle round-trip under the gate (copy_to / clear / drop)
+# ===========================================================================
+
+@query(
+    "pipe_lifecycle_roundtrip",
+    """
+    SELECT count(*) AS n_rows_src,
+           CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_scaled_src,
+           count(CASE WHEN ts < TIMESTAMP '2024-01-10'
+                        OR ts >= TIMESTAMP '2024-01-20'
+                      THEN 1 END) AS n_rows_copy_after_clear,
+           CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-10'
+                           OR ts >= TIMESTAMP '2024-01-20'
+                         THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                     END) AS BIGINT) AS sum_scaled_copy_after_clear,
+           CAST(0 AS BIGINT) AS n_in_cleared_window,
+           1 AS copy_dropped
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def pipe_lifecycle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance-verb LIFECYCLE under the gate (M4/M5/M6 —
+    reference core/Pipe/_copy.py, _clear.py, _drop.py — previously
+    tests-only evidence): events sync into pipe A, ``copy_to`` clones A
+    into pipe B on the same instance (the pipe→pipe seam that also
+    serves cross-instance HTTP copies), ``clear`` deletes a 10-day
+    window from B (bounded delete — partition-pruned swap, never a full
+    rewrite), and B then drops. The returned row carries A's aggregates
+    (copy must not disturb the source), B's post-clear aggregates, B's
+    rowcount inside the cleared window (pinned 0), and the drop probe —
+    all recomputed by the oracle from the raw table with the same
+    window arithmetic. End-exclusive bounds are load-bearing: rows at
+    exactly 2024-01-20T00:00:00 survive the clear on both engines."""
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("ts", "event_id",
+                  F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+                  .cast("long").alias("v")))
+    instance = tempfile.mkdtemp(prefix="mrsm_q_life_")
+    b0 = _dt.datetime(2024, 1, 10)
+    e0 = _dt.datetime(2024, 1, 20)
+    try:
+        a = Pipe("catalog", "life", "src", instance=instance, spark=spark,
+                 columns={"datetime": "ts", "id": "event_id"})
+        r = a.sync(ev)
+        assert r.success, r.message
+        b = Pipe("catalog", "life", "copy", instance=instance, spark=spark,
+                 columns={"datetime": "ts", "id": "event_id"})
+        rc = a.copy_to(b)
+        assert rc.success, rc.message
+        b.clear(begin=b0, end=e0)
+        row_a = (a.get_data(order=None)
+                 .agg(F.count(F.lit(1)).alias("n_rows_src"),
+                      F.sum("v").alias("sum_scaled_src")).collect()[0])
+        row_b = (b.get_data(order=None)
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("v").alias("s")).collect()[0])
+        n_win = b.get_rowcount(begin=b0, end=e0)
+        b.drop()
+        dropped = int(not b.exists(refresh=True))
+        return spark.createDataFrame(
+            [(int(row_a["n_rows_src"]), int(row_a["sum_scaled_src"]),
+              int(row_b["n"]), int(row_b["s"]), int(n_win), dropped)],
+            "n_rows_src long, sum_scaled_src long, "
+            "n_rows_copy_after_clear long, sum_scaled_copy_after_clear "
+            "long, n_in_cleared_window long, copy_dropped int")
+    finally:
+        shutil.rmtree(instance, ignore_errors=True)

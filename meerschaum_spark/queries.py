@@ -6277,3 +6277,75 @@ def pipe_lifecycle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long, n_in_cleared_window long, copy_dropped int")
     finally:
         shutil.rmtree(instance, ignore_errors=True)
+
+
+@query(
+    "pipe_repartition_grid",
+    """
+    WITH base AS (
+      SELECT ts, CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL)
+    SELECT (SELECT count(DISTINCT epoch_us(ts) // 604800000000)
+            FROM base) AS n_cells_after,
+           count(*) AS n_rows,
+           CAST(sum(v) AS BIGINT) AS sum_scaled,
+           count(CASE WHEN ts >= TIMESTAMP '2024-01-04'
+                       AND ts <  TIMESTAMP '2024-01-11'
+                      THEN 1 END) AS n_rows_one_week,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-04'
+                          AND ts <  TIMESTAMP '2024-01-11'
+                         THEN v END) AS BIGINT) AS sum_scaled_one_week
+    FROM base
+    """,
+)
+def pipe_repartition_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipe.repartition_grid`` (M8 — reference table-rebuild
+    repartitioning, connectors/sql/_partition.py:795-942 — previously
+    tests-only evidence) under the gate: events sync onto the default
+    30-day grid, the table rebuilds onto a 7-day grid, and the returned
+    row pins BOTH the physical outcome (the post-rebuild partition-cell
+    count, read from the store's directory layout and cross-checked
+    against the oracle's distinct epoch-week count) and the logical one
+    (total and one-aligned-week aggregates read back through the NEW
+    grid, where the bounded read prunes to exactly one cell). A rebuild
+    that dropped, duplicated, or mis-binned a single row flips a hash;
+    a rebuild that ignored the new width flips n_cells_after."""
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("ts", "event_id",
+                  F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+                  .cast("long").alias("v")))
+    instance = tempfile.mkdtemp(prefix="mrsm_q_regrid_")
+    try:
+        pipe = Pipe("catalog", "regrid", instance=instance, spark=spark,
+                    columns={"datetime": "ts", "id": "event_id"})
+        r = pipe.sync(ev)
+        assert r.success, r.message
+        assert pipe.chunk_minutes == 43_200  # default 30-day grid
+        rr = pipe.repartition_grid(10_080)   # -> 7-day grid
+        assert rr.success, rr.message
+        assert pipe.chunk_minutes == 10_080
+        n_cells = len(pipe.store.partition_values())
+        # 2024-01-04 00:00 UTC is epoch-week-aligned (1704326400 s =
+        # 2818 x 604800 exactly; epoch weeks start on Thursdays), so the
+        # bounded read prunes to exactly one 7-day cell on the new grid
+        b0, e0 = _dt.datetime(2024, 1, 4), _dt.datetime(2024, 1, 11)
+        week = (pipe.get_data(begin=b0, end=e0, order=None)
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("v").alias("s")).collect()[0])
+        tot = (pipe.get_data(order=None)
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("v").alias("s")).collect()[0])
+        return spark.createDataFrame(
+            [(int(n_cells), int(tot["n"]), int(tot["s"]),
+              int(week["n"]), int(week["s"]))],
+            "n_cells_after long, n_rows long, sum_scaled long, "
+            "n_rows_one_week long, sum_scaled_one_week long")
+    finally:
+        shutil.rmtree(instance, ignore_errors=True)

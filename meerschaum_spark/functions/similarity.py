@@ -1270,3 +1270,61 @@ def pq_train_gain(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("subspace")
+
+
+def sq8_stats(corpus: DataFrame, vec_col: str = "embedding") -> list:
+    """Per-dimension (min, max) over the corpus as driver-side doubles
+    — the SQ8 training pass (FAISS ``ScalarQuantizer`` QT_8bit): one
+    posexplode + hash agg, dim rows back to the driver (metadata-sized,
+    the codebook-collect contract)."""
+    rows = (corpus
+            .select(F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.min(F.col("x").cast("double")).alias("mn"),
+                 F.max(F.col("x").cast("double")).alias("mx"))
+            .collect())
+    stats = sorted((int(r["pos"]), float(r["mn"]), float(r["mx"]))
+                   for r in rows)
+    return [(mn, mx) for _p, mn, mx in stats]
+
+
+def sq8_codes(corpus: DataFrame, stats: list, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Scalar-quantize each vector to one uint8-range BIGINT per
+    dimension: ``floor((x − mn) · 255 / (mx − mn) + 0.5)`` in IEEE
+    doubles with the literal stats arrays riding as ONE parsed SQL
+    string (the py4j-literal lesson); a constant dimension encodes 0.
+    Shuffle-free projection — O(rows), the same plan contract as the
+    PQ encode."""
+    q = "`" + vec_col.replace("`", "``") + "`"
+    mnl = "array(" + ",".join(repr(mn) + "D" for mn, _mx in stats) + ")"
+    sl = "array(" + ",".join(repr(mx - mn) + "D"
+                             for mn, mx in stats) + ")"
+    inner = (f"zip_with(transform({q}, x -> CAST(x AS DOUBLE)), {mnl}, "
+             f"(x, m) -> x - m)")
+    expr = (f"zip_with({inner}, {sl}, (d, s) -> "
+            f"CAST(CASE WHEN s = 0.0D THEN 0.0D "
+            f"ELSE floor(d * 255.0D / s + 0.5D) END AS BIGINT))")
+    return corpus.selectExpr(f"{id_col}", f"{expr} AS sq8")
+
+
+def sq8_topk(codes: DataFrame, query_codes: DataFrame,
+             id_col: str = "vec_id", k: int = 5) -> DataFrame:
+    """Top-k neighbors by exact integer squared-L2 over SQ8 codes
+    (asymmetric search is pointless for SQ — both sides quantize): the
+    query side broadcasts (a handful of code rows), distances are
+    BIGINT folds (≤ 255²·dim, far inside int64), ties break on
+    neighbor id. Returns (query_id, neighbor_id, rnk)."""
+    qd = F.broadcast(query_codes.select(
+        F.col(id_col).alias("query_id"), F.col("sq8").alias("qc")))
+    cd = codes.select(F.col(id_col).alias("neighbor_id"),
+                      F.col("sq8").alias("cc"))
+    pairs = (cd.join(qd, F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("_d", F.expr(
+                 "aggregate(zip_with(qc, cc, (a, b) -> (a - b) * (a - b)), "
+                 "0L, (acc, x) -> acc + x)")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc())
+    return (pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "rnk"))

@@ -3400,7 +3400,10 @@ class Pipe:
         OPTIMIZE analogue (reference maps compress/vacuum to this,
         SURVEY §2.9 M9/M10; TimescaleDB compression policy
         connectors/sql/_compress.py:31-636 collapses to a rewrite since
-        parquet is already columnar). Returns partitions rewritten.
+        parquet is already columnar). Returns partitions rewritten —
+        across the base table AND the maintained ANN index side table,
+        whose per-sync append files are compacted by the same pass
+        (``_compact_ann_index``).
 
         ``cluster_by`` adds the ZORDER-lite half of OPTIMIZE: rows sort
         by the given columns WITHIN each time partition before the

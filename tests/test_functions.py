@@ -1385,3 +1385,42 @@ def test_mmr_empty_pool_returns_empty_frame(spark):
     assert out.count() == 0
     assert out.columns == ["pick_rank", "vec_id", "relevance",
                            "penalty", "mmr_score"]
+
+
+def test_sq8_quantization_known_truth(spark):
+    """Hand-computed SQ8 fixture: per-dim min/max training, affine
+    encode with rounding, constant-dimension guard, and integer
+    Hamming/L2 ranking with id tie-break."""
+    from meerschaum_spark.functions import similarity as S
+
+    rows = [(1, [0.0, -1.0, 5.0]),
+            (2, [1.0, 1.0, 5.0]),
+            (3, [2.0, 3.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats = S.sq8_stats(df)
+    assert stats == [(0.0, 2.0), (-1.0, 3.0), (5.0, 5.0)]
+    codes = {r["vec_id"]: list(r["sq8"])
+             for r in S.sq8_codes(df, stats).collect()}
+    # dim0: (x-0)*255/2+0.5 floored -> 0, 128, 255
+    # dim1: (x+1)*255/4+0.5 floored -> 0, 128, 255
+    # dim2: constant -> 0
+    assert codes == {1: [0, 0, 0], 2: [128, 128, 0], 3: [255, 255, 0]}
+    out = S.sq8_topk(S.sq8_codes(df, stats),
+                     S.sq8_codes(df.filter("vec_id = 1"), stats),
+                     k=2).collect()
+    got = [(r["neighbor_id"], r["rnk"]) for r in
+           sorted(out, key=lambda r: r["rnk"])]
+    assert got == [(2, 1), (3, 2)]
+
+
+def test_sq8_encode_plan_shuffle_free(spark):
+    from meerschaum_spark.functions import similarity as S
+    from meerschaum_spark.plans import plan_report
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(-i)]) for i in range(10)],
+        "vec_id long, embedding array<float>")
+    stats = S.sq8_stats(df)
+    r = plan_report(S.sq8_codes(df, stats))
+    assert r["shuffles"] == 0, r
+    assert r["sortmerge_joins"] == 0 and r["broadcast_joins"] == 0, r

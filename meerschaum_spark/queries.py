@@ -6484,3 +6484,68 @@ def events_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.expr(floordiv_spark("total_abs_err_scaled",
                                               "n_forecasts")))
             .orderBy("model"))
+
+
+@query(
+    "instance_fleet_sync",
+    """
+    SELECT event_type,
+           count(*) AS n_rows,
+           count(DISTINCT event_id) AS n_ids,
+           CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_scaled
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def instance_fleet_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLEET ingestion under the gate: one pipe per event_type, all
+    synced CONCURRENTLY through ``sync_many`` (one shared driver, a
+    thread pool overlapping each sync's fixed Catalyst-analysis cost —
+    measured 4.3× over sequential at r8; the reference spawns one OS
+    process per pipe job, meerschaum/utils/jobs). The returned frame
+    re-reads every fleet member's STORE and re-aggregates — rowcount,
+    key count, exact value sum per pipe — so a lost row, a cross-pipe
+    write collision, or a swallowed per-job exception flips the hash
+    against the oracle's direct per-type aggregate."""
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe, sync_many
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("ts", "event_id", "event_type",
+                  F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+                  .cast("long").alias("v")))
+    types = sorted(r[0] for r in ev.select("event_type")
+                   .distinct().collect())
+    instance = tempfile.mkdtemp(prefix="mrsm_q_fleet_")
+    try:
+        jobs = []
+        pipes = {}
+        for t in types:
+            p = Pipe("catalog", "fleet", t, instance=instance,
+                     spark=spark,
+                     columns={"datetime": "ts", "id": "event_id"})
+            pipes[t] = p
+            jobs.append((p, ev.filter(F.col("event_type") == t)
+                         .drop("event_type")))
+        results = sync_many(jobs, workers=4)
+        assert all(r.success for r in results), \
+            [r.message for r in results if not r.success]
+        out = None
+        for t in types:
+            agg = (pipes[t].get_data(order=None)
+                   .agg(F.count(F.lit(1)).alias("n_rows"),
+                        F.countDistinct("event_id").alias("n_ids"),
+                        F.sum("v").alias("sum_scaled"))
+                   .select(F.lit(t).alias("event_type"), "n_rows",
+                           "n_ids", "sum_scaled"))
+            out = agg if out is None else out.unionByName(agg)
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "event_type string, n_rows long, n_ids long, "
+                  "sum_scaled long").orderBy("event_type")
+    finally:
+        shutil.rmtree(instance, ignore_errors=True)

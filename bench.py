@@ -160,14 +160,20 @@ def main() -> None:
     # foreign machine load defeats min-of-N, and nothing in the output
     # said so. Record the 1-min loadavg before Spark starts (the one
     # reading our own JVM cannot pollute) and again as each rep begins;
-    # any reading above ~0.5×CPUs flags the rep LOAD-SUSPECT in
+    # any reading above the threshold flags the rep LOAD-SUSPECT in
     # BENCH_DETAIL. Mid-bench readings include the bench's OWN decayed
     # load (local[32] pushes 1-min load up during CPU-bound families),
     # so load_start is the clean foreign-load signal and per-rep values
     # are for relative reads — a run whose load_start is already above
     # threshold should not be compared against idle-host numbers at all.
+    # Threshold calibration (r12, measured): the bench's own
+    # back-to-back min3 rep pass peaks 1-min load at ~0.55×CPUs (17.7
+    # on 32) with zero foreign load, so 0.5× self-flags every healthy
+    # run; genuine contention (a second saturating JVM — the r11
+    # incident read a 13× inflated min3) pushes load well past 1×CPUs.
+    # 0.75× cleanly separates the two regimes.
     n_cpus = os.cpu_count() or 1
-    load_threshold = 0.5 * n_cpus
+    load_threshold = 0.75 * n_cpus
     try:
         load_start = round(os.getloadavg()[0], 2)
     except OSError:

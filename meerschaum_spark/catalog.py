@@ -36,83 +36,84 @@ DEC = "decimal(18,6)"
 #: row/schema/value compare, and several have green rows in prior-round
 #: CORRECTNESS files (cited in SURVEY §2).
 HEAD_ORDER = [
-    # r12 rotation (standing rule: the round's red/fixed rows lead, then
-    # NEW queries, then code-changed re-records, then the stalest greens).
-    # Arithmetic from the newest-green histogram after r11 (r7=11, r8=45,
-    # r9=48, r10=48, r11=49, never=1): at r12 the no-green-older-than-N-3
-    # line moves to r9, so the queue is the r11 driver-red
-    # streaming_holt_winters (re-enters at position 1 — its season_state
-    # array output is now rendered as a canonical string on both sides,
-    # the driver's pandas canonicalizer can hash it, and its first green
-    # completes 202/202 cumulative coverage) + the 11 unrotated r7 rows
-    # + the full 45-row r8 cohort = 57 > 50. Per the r11 verdict this
-    # head takes ZERO new entries: 1 + 11 + the alphabetically-first 38
-    # of the r8 cohort = exactly 50.
+    # r13 rotation (standing rule: the round's red/fixed rows lead, then
+    # NEVER-RECORDED rows, then documented overflow, then the stalest
+    # greens). CORRECTNESS_r12 is 50/50 green — no reds re-enter.
+    # Newest-green histogram after r12 (r8=7, r9=48, r10=48, r11=49,
+    # r12=50, never=11 — the r12 tail additions, catalog 213): the queue
+    # is 11 never-recorded + the 7 documented r12 overflow rows (r8
+    # cohort alphabetical tail) + the 48-row r9 cohort crossing N-3 =
+    # 66 > 50. This head: 11 + 7 + the alphabetically-first 32 of the
+    # r9 cohort = exactly 50; ZERO new r13 queries in the head (new
+    # operators land as tail entries with local-gate evidence).
     #
-    # DOCUMENTED 7-ROW OVERFLOW (the alphabetical tail of the r8 cohort;
-    # their newest green stays r8 through r12 — a knowing, bounded
-    # invariant breach exactly like r10's displacement note — and they
-    # LEAD the r13 queue ahead of everything except r13 reds/fixes):
-    #   q17_small_quantity_revenue, streaming_cusum_alarms,
-    #   streaming_dedup_keys, streaming_holt_linear, streaming_pipe_sync,
-    #   streaming_rollup_maintenance, streaming_sessionization
-    # r13 queue arithmetic: 7 overflow + 48 r9 rows cross N-3 = 55 > 50
-    # again — plan ~0 new r13 head entries too (new operators land as
-    # tail entries with local-gate evidence, as in r12).
-    # -- r11 driver-red, fixed this round (output schema only; values
-    #    were already locally hash-exact) --
-    "streaming_holt_winters",
-    # -- r7 cohort: stalest driver greens (11 rows) --
-    "events_value_histogram",
-    "events_weekly_retention",
-    "geo_bbox_agg",
-    "geo_path_length",
-    "geo_point_in_polygon",
-    "geo_polygon_area",
-    "geo_radius_join",
-    "part_skyline_pareto",
-    "q15_top_supplier",
-    "streaming_ema_sequential",
-    "streaming_hourly_rollup",
-    # -- r8 cohort: alphabetically-first 38 of 45 --
-    "customer_symspell_pairs",
-    "doc_adaptive_quality",
-    "doc_bloom_prescreen",
-    "doc_phrase_search",
-    "doc_weighted_sample",
-    "emb_matryoshka_recall",
-    "events_ab_test_ztest",
-    "events_acf_hourly",
-    "events_asof_candle_join",
-    "events_backtrack_slice",
-    "events_benford_digits",
-    "events_cusum_changepoint",
-    "events_dedup_keep_last",
-    "events_gini_activity",
-    "events_holt_linear",
-    "events_incremental_unseen",
-    "events_incremental_update",
-    "events_max_concurrency",
-    "events_max_drawdown",
-    "events_per_user_sync_times",
-    "events_seasonal_profile",
-    "events_sync_time",
-    "events_window_funnel",
-    "geo_segment_intersect_join",
-    "geo_transform_mercator",
-    "geo_wkb_roundtrip",
-    "multimodal_frame_sample",
-    "nation_supplier_hhi",
-    "orders_retention_cohort",
-    "part_abc_analysis",
-    "part_assoc_rules",
-    "part_pagerank",
-    "part_triangle_count",
-    "pipe_ingest_dedup",
-    "pipe_ingest_dedup_minhash",
-    "pipe_rollup_incremental",
-    "pipe_sync_roundtrip",
-    "q13_customer_order_distribution",
+    # DOCUMENTED 16-ROW OVERFLOW (alphabetical tail of the r9 cohort;
+    # their newest green stays r9 through r13 and they LEAD the r14
+    # queue ahead of everything except r14 reds/fixes):
+    #   events_kmv_intersection, events_rolling_7d,
+    #   multimodal_audio_features, part_affinity_pairs,
+    #   q11_important_stock, q12_ship_delay_classes,
+    #   q19_disjunctive_pushdown, q20_excess_share_suppliers,
+    #   q21_waiting_suppliers, q2_min_cost_supplier,
+    #   q4_priority_late_exists, q7_nation_trade_flow, q8_market_share,
+    #   q9_product_profit, streaming_interval_join,
+    #   streaming_topk_trending
+    # r14 queue arithmetic: 16 overflow + 48 r10 rows cross N-3 = 64 >
+    # 50 — the rotation stays oversubscribed; plan ~0 new r14 head
+    # entries as well.
+    # -- never-recorded (r12 tail, strict-green locally at both sfs) --
+    "pipe_ann_trained_sync",
+    "streaming_ann_index_sync",
+    "events_seasonal_decompose",
+    "doc_lsh_band_tuning",
+    "pipe_optimize_compact",
+    "pipe_lifecycle_roundtrip",
+    "pipe_repartition_grid",
+    "emb_sq8_recall",
+    "emb_binary_recall",
+    "events_forecast_accuracy",
+    "instance_fleet_sync",
+    # -- r12 documented overflow (newest green r8) --
+    "q17_small_quantity_revenue",
+    "streaming_cusum_alarms",
+    "streaming_dedup_keys",
+    "streaming_holt_linear",
+    "streaming_pipe_sync",
+    "streaming_rollup_maintenance",
+    "streaming_sessionization",
+    # -- r9 cohort: alphabetically-first 32 of 48 --
+    "customer_rfm_segments",
+    "doc_bm25_topk",
+    "doc_bpe_encode_fertility",
+    "doc_bpe_train_rounds",
+    "doc_chunk_split",
+    "doc_cms_heavy_hitters",
+    "doc_dedup_survivors",
+    "doc_domain_mix",
+    "doc_dsir_weights",
+    "doc_dup_span_fraction",
+    "doc_gopher_quality",
+    "doc_pii_scrub",
+    "doc_repetition_stats",
+    "doc_sentence_dedup",
+    "doc_sequence_pack",
+    "doc_shard_assign",
+    "doc_split_assign",
+    "doc_stratified_sample",
+    "doc_substring_dup_pairs",
+    "doc_substring_dup_spans",
+    "doc_tfidf_topk",
+    "doc_vocab_topk",
+    "doc_winnowing_pairs",
+    "emb_ann_recall",
+    "emb_centroid_stats",
+    "emb_int8_quantize",
+    "emb_ivf_recall",
+    "emb_kmeans",
+    "emb_norm_stats",
+    "emb_pca_power_direction",
+    "emb_semantic_dedup",
+    "events_hll_distinct",
 ]
 
 

@@ -16,6 +16,8 @@ drift with Spark's partitioning vs DuckDB's scan order.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1296,6 +1298,18 @@ def sq8_codes(corpus: DataFrame, stats: list, id_col: str = "vec_id",
     string (the py4j-literal lesson); a constant dimension encodes 0.
     Shuffle-free projection — O(rows), the same plan contract as the
     PQ encode."""
+    if not stats:
+        raise ValueError(
+            "sq8_codes: empty stats — train with sq8_stats on a "
+            "non-empty corpus first (an empty literal array would "
+            "fail later with an opaque SQL parse error)")
+    for pos, (mn, mx) in enumerate(stats):
+        if not (math.isfinite(mn) and math.isfinite(mx)):
+            raise ValueError(
+                f"sq8_codes: non-finite stat at dimension {pos}: "
+                f"(min={mn!r}, max={mx!r}) — the corpus holds inf/nan "
+                "in that dimension; clean it before quantizing "
+                "(repr() of a non-finite double is not a SQL literal)")
     q = "`" + vec_col.replace("`", "``") + "`"
     mnl = "array(" + ",".join(repr(mn) + "D" for mn, _mx in stats) + ")"
     sl = "array(" + ",".join(repr(mx - mn) + "D"

@@ -165,6 +165,29 @@ class SyncResult:
                 f"updated={self.updated}, message={self.message!r})")
 
 
+class OptimizeResult(int):
+    """``pipe.optimize()``'s return: behaves as the combined rewritten-
+    partition count (base table + maintained ANN side table — the r12
+    contract, so ``== 0`` / ``>= 1`` comparisons keep working) while
+    exposing the split as ``.base`` and ``.ann_index`` (ADVICE r12: a
+    caller comparing the combined value against base partition counts
+    had no way to tell the two apart)."""
+
+    base: int
+    ann_index: int
+
+    def __new__(cls, total: int, base: int | None = None,
+                ann_index: int = 0):
+        self = super().__new__(cls, total)
+        self.base = int(total) - int(ann_index) if base is None else int(base)
+        self.ann_index = int(ann_index)
+        return self
+
+    def __repr__(self) -> str:
+        return (f"OptimizeResult({int(self)}, base={self.base}, "
+                f"ann_index={self.ann_index})")
+
+
 class Pipe:
     """``Pipe(connector, metric, location, instance=path)`` — same 4-part
     identity as the reference (core/Pipe/__init__.py:65-88)."""
@@ -1785,7 +1808,22 @@ class Pipe:
                 f"{idc!r} is {id_dt!r} — point parameters['ann_index']"
                 f"['id'] at an integer column")
         n = int(conf.get("n_centroids", 16))
-        rows = (self.store.read(dtypes=self.dtypes or None)
+        stored = self.store.read(dtypes=self.dtypes or None)
+        if id_dt is None:
+            # no declared dtype for the id — fall back to the actual
+            # Spark schema so a string id raises the same domain error
+            # instead of failing incidentally inside int() at freeze or
+            # silently coercing digit-strings (ADVICE r12)
+            actual = next((f.dataType.typeName()
+                           for f in stored.schema.fields
+                           if f.name == idc), None)
+            if actual not in ("byte", "short", "integer", "long"):
+                raise ValueError(
+                    f"ann_index requires an integer id column; "
+                    f"{idc!r} reads as Spark type {actual!r} — point "
+                    f"parameters['ann_index']['id'] at an integer "
+                    f"column or declare an integer dtype for it")
+        rows = (stored
                 .select(idc, vc).orderBy(idc).limit(n).collect())
         if not rows:
             raise ValueError("ann_index: cannot freeze a codebook from "
@@ -3422,42 +3460,62 @@ class Pipe:
         locality so range predicates on ANY of them prune files. The
         z-value is a pure codegen Column (shift/and/or over
         min-max-bucketed keys; one stats job per numeric key), sorted
-        within partitions and never written to the table."""
+        within partitions and never written to the table.
+
+        Returns an :class:`OptimizeResult` — an ``int`` equal to the
+        TOTAL partitions rewritten (base + ANN side table, the r12
+        combined contract), with the split exposed as ``.base`` /
+        ``.ann_index`` so callers comparing against base partition
+        counts aren't misled by the combined value (ADVICE r12)."""
         import os
         if not self.exists():
-            return 0
-        targets: list[int | None] = []
-        for part in self.store.partition_values():
-            if cluster_by:
-                targets.append(part)
-                continue
-            d = os.path.join(self.store.data_path,
-                             self.store._part_dir_name(part))
-            n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
-            if n_files > max_files_per_partition:
-                targets.append(part)
-        if not targets:
-            return 0
-        scoped = self.store.read(dtypes=self.dtypes or None,
-                                 keep_part_col=True, part_values=targets)
-        compacted = scoped.repartition("_mrsm_part")
-        keys = list(cluster_by or [])
-        unknown = [c for c in keys if c not in scoped.columns]
-        if unknown:
-            # a typo'd key must not degrade to an expensive unclustered
-            # full-table rewrite that reports success
-            raise KeyError(f"cluster_by columns not in the table: {unknown}")
-        sort_by: list | None = keys or None
-        if zorder:
-            if len(keys) < 2:
-                raise ValueError(
-                    "zorder=True needs >= 2 cluster_by columns; a single "
-                    "key is already optimally clustered by a plain sort")
-            from meerschaum_spark.functions.layout import zorder_column
-            sort_by = [zorder_column(scoped, keys)]
-        self.store._swap_partitions(compacted, targets, sort_by=sort_by)
-        return len(targets) + self._compact_ann_index(
-            max_files_per_partition)
+            return OptimizeResult(0)
+        # hold the cross-process store lock across listing + read-plan +
+        # swap: a concurrent sync appending a file between our listing
+        # and the swap's rename would have that file's rows dropped by
+        # the rewrite (ADVICE r12; the lock is re-entrant, so the
+        # swap's own acquisition nests)
+        with self.store.lock:
+            targets: list[int | None] = []
+            for part in self.store.partition_values():
+                if cluster_by:
+                    targets.append(part)
+                    continue
+                d = os.path.join(self.store.data_path,
+                                 self.store._part_dir_name(part))
+                n_files = sum(1 for f in os.listdir(d)
+                              if f.endswith(".parquet"))
+                if n_files > max_files_per_partition:
+                    targets.append(part)
+            n_base = 0
+            if targets:
+                scoped = self.store.read(dtypes=self.dtypes or None,
+                                         keep_part_col=True,
+                                         part_values=targets)
+                compacted = scoped.repartition("_mrsm_part")
+                keys = list(cluster_by or [])
+                unknown = [c for c in keys if c not in scoped.columns]
+                if unknown:
+                    # a typo'd key must not degrade to an expensive
+                    # unclustered full-table rewrite that reports success
+                    raise KeyError(
+                        f"cluster_by columns not in the table: {unknown}")
+                sort_by: list | None = keys or None
+                if zorder:
+                    if len(keys) < 2:
+                        raise ValueError(
+                            "zorder=True needs >= 2 cluster_by columns; "
+                            "a single key is already optimally clustered "
+                            "by a plain sort")
+                    from meerschaum_spark.functions.layout import (
+                        zorder_column,
+                    )
+                    sort_by = [zorder_column(scoped, keys)]
+                self.store._swap_partitions(compacted, targets,
+                                            sort_by=sort_by)
+                n_base = len(targets)
+            n_ann = self._compact_ann_index(max_files_per_partition)
+        return OptimizeResult(n_base + n_ann, base=n_base, ann_index=n_ann)
 
     def _compact_ann_index(self, max_files_per_partition: int = 1) -> int:
         """Compact the maintained ANN index's small files alongside
@@ -3467,7 +3525,15 @@ class Pipe:
         pay down — but the base rewrite never touched the side table.
         Pure physical rewrite: cells re-read and swapped 1:1 (codes are
         NEVER re-encoded — sync-then-search ≡ rebuild stays hash-exact
-        by construction; pinned in test_ann_index)."""
+        by construction; pinned in test_ann_index).
+
+        Listing + read-plan + swap all run under the shared pipe
+        ProcessLock (the side store shares the BASE pipe's lock_path):
+        without it a cross-process sync appending an encode file
+        between the listing and the swap's rename would have that
+        file's rows silently dropped by the rewrite (ADVICE r12). The
+        lock is re-entrant, so the nested hold from ``optimize()``
+        (and the swap's own acquisition) stack."""
         import os
         conf = self._ann_conf
         if not conf:
@@ -3475,19 +3541,21 @@ class Pipe:
         astore = self._ann_store()
         if not astore.exists():
             return 0
-        targets: list[int | None] = []
-        for part in astore.partition_values():
-            d = os.path.join(astore.data_path, astore._part_dir_name(part))
-            n_files = sum(1 for f in os.listdir(d)
-                          if f.endswith(".parquet"))
-            if n_files > max_files_per_partition:
-                targets.append(part)
-        if not targets:
-            return 0
-        scoped = astore.read(dtypes=self._ann_dtypes(conf),
-                             keep_part_col=True, part_values=targets)
-        from meerschaum_spark.store import PART_COL
-        astore._swap_partitions(scoped.repartition(PART_COL), targets)
+        with astore.lock:
+            targets: list[int | None] = []
+            for part in astore.partition_values():
+                d = os.path.join(astore.data_path,
+                                 astore._part_dir_name(part))
+                n_files = sum(1 for f in os.listdir(d)
+                              if f.endswith(".parquet"))
+                if n_files > max_files_per_partition:
+                    targets.append(part)
+            if not targets:
+                return 0
+            scoped = astore.read(dtypes=self._ann_dtypes(conf),
+                                 keep_part_col=True, part_values=targets)
+            from meerschaum_spark.store import PART_COL
+            astore._swap_partitions(scoped.repartition(PART_COL), targets)
         return len(targets)
 
     def vacuum(self, stale_minutes: int = 1440) -> int:

@@ -424,3 +424,47 @@ def test_ann_trained_codebook_at_freeze(spark, instance_dir):
     # search works over the trained maintained index
     out = pipe.ann_search(_mk_df(spark, [7]).drop("ts"), k=3).collect()
     assert out and all(r["neighbor_id"] != 7 for r in out)
+
+
+def test_ann_config_rejects_string_id_without_declared_dtype(
+        spark, instance_dir):
+    """ADVICE r12: when NO dtype is declared for the id column, the
+    freeze must fall back to the store's actual Spark schema and raise
+    the same domain error a declared string dtype gets — never fail
+    incidentally inside int() or silently coerce digit-strings."""
+    # seed the store via a plain pipe (string id is fine without ann)
+    base = Pipe("t", "ann_noddt", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "name"})
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 3, 1), "7", _vec(1)),
+         (datetime.datetime(2024, 3, 1, 1), "8", _vec(2))],
+        "ts timestamp, name string, embedding array<float>")
+    assert base.sync(df).success
+    # re-open with ann config and NO dtypes (simulates a registry doc
+    # that never recorded dtypes); freeze must hit the schema fallback
+    pipe = Pipe("t", "ann_noddt", instance=instance_dir, spark=spark,
+                columns={"datetime": "ts", "id": "name"},
+                parameters={"ann_index": {
+                    "column": "embedding", "n_centroids": NCENT,
+                    "subspaces": SUBSPACES, "subdim": SUBDIM,
+                }})
+    pipe.parameters.pop("dtypes", None)
+    assert not pipe.dtypes
+    with pytest.raises(ValueError, match="integer id column"):
+        pipe._freeze_ann_codebook(pipe._ann_conf)
+
+
+def test_optimize_result_reports_base_and_ann_split(spark, instance_dir):
+    """optimize() returns an int-compatible OptimizeResult whose .base /
+    .ann_index split disambiguates the combined count (ADVICE r12)."""
+    from meerschaum_spark.pipe import OptimizeResult
+
+    pipe = _mk_pipe(spark, instance_dir)
+    assert pipe.sync(_mk_df(spark, range(8))).success
+    assert pipe.sync(_mk_df(spark, range(8, 16))).success
+    n = pipe.optimize()
+    assert isinstance(n, OptimizeResult)
+    assert int(n) == n.base + n.ann_index
+    assert n.base >= 1 and n.ann_index >= 1
+    again = pipe.optimize()
+    assert again == 0 and again.base == 0 and again.ann_index == 0

@@ -1424,3 +1424,19 @@ def test_sq8_encode_plan_shuffle_free(spark):
     r = plan_report(S.sq8_codes(df, stats))
     assert r["shuffles"] == 0, r
     assert r["sortmerge_joins"] == 0 and r["broadcast_joins"] == 0, r
+
+
+def test_sq8_codes_rejects_empty_or_nonfinite_stats(spark):
+    """ADVICE r12: empty stats or inf/nan per-dimension stats must raise
+    a domain ValueError naming the problem, not an opaque SQL parse
+    error from an 'infD' literal or 'array()'."""
+    from meerschaum_spark.functions import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty stats"):
+        S.sq8_codes(df, [])
+    with pytest.raises(ValueError, match="dimension 1"):
+        S.sq8_codes(df, [(0.0, 1.0), (float("inf"), 2.0)])
+    with pytest.raises(ValueError, match="dimension 0"):
+        S.sq8_codes(df, [(float("nan"), 1.0)])

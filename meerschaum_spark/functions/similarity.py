@@ -1290,14 +1290,15 @@ def sq8_stats(corpus: DataFrame, vec_col: str = "embedding") -> list:
     return [(mn, mx) for _p, mn, mx in stats]
 
 
-def sq8_codes(corpus: DataFrame, stats: list, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
-    """Scalar-quantize each vector to one uint8-range BIGINT per
-    dimension: ``floor((x − mn) · 255 / (mx − mn) + 0.5)`` in IEEE
-    doubles with the literal stats arrays riding as ONE parsed SQL
-    string (the py4j-literal lesson); a constant dimension encodes 0.
-    Shuffle-free projection — O(rows), the same plan contract as the
-    PQ encode."""
+def sq8_encode_expr(stats: list, vec_col: str = "embedding",
+                    clamp: bool = False) -> str:
+    """The SQ8 affine-encode expression as ONE parsed SQL string (the
+    py4j-literal lesson): ``floor((x − mn) · 255 / (mx − mn) + 0.5)``
+    in IEEE doubles against literal per-dimension stats arrays; a
+    constant dimension encodes 0. ``clamp=True`` pins codes to
+    [0, 255] (what FAISS does for values outside the trained range —
+    required when stats are FROZEN and later syncs may exceed them).
+    Shared by :func:`sq8_codes` and the maintained-index encode."""
     if not stats:
         raise ValueError(
             "sq8_codes: empty stats — train with sq8_stats on a "
@@ -1316,10 +1317,92 @@ def sq8_codes(corpus: DataFrame, stats: list, id_col: str = "vec_id",
                              for mn, mx in stats) + ")"
     inner = (f"zip_with(transform({q}, x -> CAST(x AS DOUBLE)), {mnl}, "
              f"(x, m) -> x - m)")
-    expr = (f"zip_with({inner}, {sl}, (d, s) -> "
+    code = "floor(d * 255.0D / s + 0.5D)"
+    if clamp:
+        code = f"greatest(0.0D, least(255.0D, {code}))"
+    return (f"zip_with({inner}, {sl}, (d, s) -> "
             f"CAST(CASE WHEN s = 0.0D THEN 0.0D "
-            f"ELSE floor(d * 255.0D / s + 0.5D) END AS BIGINT))")
+            f"ELSE {code} END AS BIGINT))")
+
+
+def sq8_codes(corpus: DataFrame, stats: list, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              clamp: bool = False) -> DataFrame:
+    """Scalar-quantize each vector to one uint8-range BIGINT per
+    dimension (FAISS ``ScalarQuantizer`` QT_8bit; expression in
+    :func:`sq8_encode_expr`). Shuffle-free projection — O(rows), the
+    same plan contract as the PQ encode."""
+    expr = sq8_encode_expr(stats, vec_col, clamp=clamp)
     return corpus.selectExpr(f"{id_col}", f"{expr} AS sq8")
+
+
+def ivfsq8_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    stats: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 1,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-SQ8 search (the FAISS ``IVF,SQ8`` index shape): corpus
+    vectors live as one coarse cell id + a per-dimension uint8 code
+    array (``corpus_codes``: id, cell, sq8 — 4× compression at full
+    dimensionality, vs PQ's 32× at subspace granularity; the measured
+    recall ladder in SCALE-era notes reads SQ8 0.72 vs IVF-PQ 0.20 at
+    sf0.01, so this is the maintained index's QUALITY codec). Queries
+    probe their ``nprobe`` nearest cells, quantize with the SAME frozen
+    stats (symmetric SQ distance — asymmetric buys nothing for scalar
+    quantizers), and rank candidates by exact integer squared-L2 over
+    the codes (≤ 255²·dim per pair, far inside int64; BIGINT fold, id
+    tie-break). ``refine`` > 0 re-ranks a ``k·refine`` shortlist by
+    exact decimal L2 over the true vectors (requires ``corpus``).
+
+    Scale shape: identical to ``ivfpq_topk`` — the codes table is
+    narrow, queries broadcast into a cell equi-join, full-width vectors
+    move only for the (query-sample-sized) refine fetch."""
+    c = corpus_codes.select(F.col(id_col).alias("neighbor_id"),
+                            "cell", F.col("sq8").alias("cc"))
+    q = assign_ivf_cells_multi(queries, centroids, nprobe,
+                               id_col, vec_col)
+    qexpr = sq8_encode_expr(stats, vec_col, clamp=True)
+    q = q.selectExpr(f"{id_col} AS query_id", "cell",
+                     f"{qexpr} AS qc")
+    joined = (c.join(F.broadcast(q), on="cell")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("_d", F.expr(
+                  "aggregate(zip_with(qc, cc, (a, b) -> (a - b) * (a - b)), "
+                  "0L, (acc, x) -> acc + x)")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc())
+    ranked = (joined.select("query_id", "neighbor_id", "_d")
+              .withColumn("rnk", F.row_number().over(w)))
+    if not refine:
+        return (ranked.filter(F.col("rnk") <= k)
+                .select("query_id", "neighbor_id", "rnk")
+                .orderBy("query_id", "rnk"))
+    if corpus is None:
+        raise ValueError("ivfsq8_topk: refine > 0 needs the corpus "
+                         "frame to fetch exact vectors from")
+    qv_side = queries.select(F.col(id_col).alias("query_id"),
+                             F.col(vec_col).alias("_qv"))
+    shortlist = (ranked.filter(F.col("rnk") <= k * refine).drop("rnk")
+                 .join(F.broadcast(qv_side), on="query_id"))
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("_nv"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("_sq").asc(), F.col("neighbor_id"))
+    # |Q|·k·refine rows by contract — broadcast explicitly (window
+    # output has no stats Catalyst could size the join by)
+    return (F.broadcast(shortlist).join(nv, on="neighbor_id")
+            .withColumn("_sq", _sqdist_dec(F.col("_qv"), F.col("_nv")))
+            .withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "rnk")
+            .orderBy("query_id", "rnk"))
 
 
 def sq8_topk(codes: DataFrame, query_codes: DataFrame,

@@ -5924,6 +5924,127 @@ def streaming_ann_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# r13: IVF-SQ8 codec under the maintained-index gate (pipe_ann_sq8_sync)
+# ===========================================================================
+
+def _ann_sq8_sql() -> str:
+    """Oracle for the IVF-SQ8 maintained index: per-dimension (min,
+    max) stats FROZEN from the FIRST sync's corpus (vec_id < 300 —
+    original values, since the freeze ran before the update), coarse
+    centroids = the 16 smallest-id ORIGINAL rows, then the FINAL
+    post-update corpus encoded from scratch: cell = IEEE-double argmin
+    (the ``_annidx_sql`` idiom), codes = the clamped affine
+    ``greatest(0, least(255, floor((x − mn)·255/(mx − mn) + 0.5)))``
+    in the engine's exact operation order. Codes render as a canonical
+    comma-joined string (array output columns are banned — the r11
+    driver-canonicalizer lesson)."""
+    dd = "(CAST(e.embedding[i] AS DOUBLE) - c._cv[i])"
+    dsq = (f"list_reduce(list_transform(generate_series(1, 64), i -> "
+           f"{dd} * {dd}), (a, b) -> a + b)")
+    code = ("CASE WHEN s.ss[i] = 0.0 THEN 0 "
+            "ELSE CAST(greatest(0.0, least(255.0, "
+            "floor((CAST(f.embedding[i] AS DOUBLE) - s.mns[i]) "
+            "* 255.0 / s.ss[i] + 0.5))) AS BIGINT) END")
+    return f"""
+    WITH first AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    dstats AS MATERIALIZED (
+      SELECT g.i AS pos,
+             min(CAST(embedding[g.i] AS DOUBLE)) AS mn,
+             max(CAST(embedding[g.i] AS DOUBLE)) AS mx
+      FROM first, generate_series(1, 64) g(i)
+      GROUP BY g.i),
+    statl AS MATERIALIZED (
+      SELECT list(mn ORDER BY pos) AS mns,
+             list(mx - mn ORDER BY pos) AS ss
+      FROM dstats),
+    cent AS (SELECT vec_id AS _cid, embedding AS _cv
+             FROM embeddings WHERE vec_id < {_ANNIDX_NCENT}),
+    final AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN {_ANNIDX_UPDATED}
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM embeddings),
+    arn AS MATERIALIZED (
+      SELECT e.vec_id, c._cid AS cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dsq} ASC, c._cid ASC) AS rn
+      FROM final e, cent c),
+    assigned AS (SELECT vec_id, cell FROM arn WHERE rn = 1),
+    codes AS MATERIALIZED (
+      SELECT f.vec_id,
+             list_transform(generate_series(1, len(f.embedding)),
+                            i -> {code}) AS sq8
+      FROM final f, statl s)
+    SELECT assigned.vec_id, assigned.cell,
+           array_to_string(codes.sq8, ',') AS sq8_codes
+    FROM assigned JOIN codes USING (vec_id)
+    ORDER BY assigned.vec_id
+    """
+
+
+@query("pipe_ann_sq8_sync", _ann_sq8_sql())
+def pipe_ann_sq8_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-SQ8 codec (``parameters['ann_index']['codec'] = 'sq8'``,
+    r13 — the FAISS ``IVF,SQ8`` index shape) under the maintained-index
+    gate: the same three-sync replay as ``pipe_ann_index_sync`` (build
+    + freeze, disjoint insert, vec_id < 20 sign-flip update), but the
+    side table stores one clamped uint8-range code PER DIMENSION
+    against per-dim stats frozen at first build (4× compression at
+    full dimensionality — the measured r12 quality ladder reads SQ8
+    recall@5 0.72 vs IVF-PQ+refine 0.20, so this is the maintained
+    index's quality codec). Hash equality against the oracle's
+    from-scratch encode of the final corpus with the FROZEN stats +
+    centroids proves the freeze is load-bearing for BOTH artifacts:
+    the update flips rows that fed the stats and the codebook, so any
+    re-derivation moves mins/maxes and flips hashes. Reference
+    analogue: none (no vector surface); FAISS ScalarQuantizer QT_8bit
+    is the public model."""
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+
+    base = (load_table(spark, sf_dir, "embeddings")
+            .select(F.expr("timestamp'2024-01-01' + make_interval("
+                           "0, 0, 0, 0, cast(vec_id AS int))").alias("ts"),
+                    "vec_id", "embedding")
+            .persist())
+    instance = tempfile.mkdtemp(prefix="mrsm_q_annsq8_")
+    try:
+        pipe = Pipe(
+            "catalog", "annsq8", instance=instance, spark=spark,
+            columns={"datetime": "ts", "id": "vec_id"},
+            parameters={"ann_index": {
+                "column": "embedding", "n_centroids": _ANNIDX_NCENT,
+                "codec": "sq8",
+            }})
+        r1 = pipe.sync(base.filter(F.col("vec_id") < 300))
+        assert r1.success, r1.message
+        r2 = pipe.sync(base.filter(F.col("vec_id") >= 300),
+                       check_existing=False)
+        assert r2.success, r2.message
+        upd = (base.filter(F.expr(_ANNIDX_UPDATED))
+               .withColumn("embedding",
+                           F.transform("embedding", lambda x: -x)))
+        r3 = pipe.sync(upd)
+        assert r3.success, r3.message
+        out = (pipe.get_ann_index()
+               .select("vec_id", "cell",
+                       F.expr("array_join(transform(sq8, "
+                              "x -> CAST(x AS STRING)), ',')")
+                       .alias("sq8_codes"))
+               .orderBy("vec_id"))
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "vec_id long, cell long, sq8_codes string")
+    finally:
+        base.unpersist()
+        shutil.rmtree(instance, ignore_errors=True)
+
+
+# ===========================================================================
 # r12: LSH band-geometry tuning curve (doc_lsh_band_tuning)
 # ===========================================================================
 

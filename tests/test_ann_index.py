@@ -468,3 +468,132 @@ def test_optimize_result_reports_base_and_ann_split(spark, instance_dir):
     assert n.base >= 1 and n.ann_index >= 1
     again = pipe.optimize()
     assert again == 0 and again.base == 0 and again.ann_index == 0
+
+
+# ---------------------------------------------------------------- IVF-SQ8
+
+
+def _mk_sq8_pipe(spark, instance_dir) -> Pipe:
+    return Pipe(
+        "t", "ann_sq8", instance=instance_dir, spark=spark,
+        columns={"datetime": "ts", "id": "vec_id"},
+        parameters={"ann_index": {
+            "column": "embedding", "n_centroids": NCENT,
+            "codec": "sq8",
+        }})
+
+
+def _sq8_replay(pipe, ids, flip=(), stats=None) -> dict:
+    """Pure-Python IEEE replay of the IVF-SQ8 encode: frozen-codebook
+    cell argmin (same as PQ's) + clamped per-dim affine codes against
+    the FROZEN stats — python floats are IEEE doubles and the
+    arithmetic runs in the engine's operation order."""
+    import math
+
+    cb = pipe._load_ann_codebook()
+    doc = pipe._load_ann_doc()
+    st = stats if stats is not None else doc["sq8_stats"]
+
+    def sq(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            d = float(x) - float(y)
+            acc = acc + d * d
+        return acc
+
+    out = {}
+    for i in ids:
+        v = _vec(i, i in flip)
+        best, pos = None, -1
+        for p, (_cid, cv) in enumerate(cb):
+            d = sq(v, cv)
+            if best is None or d < best:
+                best, pos = d, p
+        codes = []
+        for x, (mn, mx) in zip(v, st):
+            s = float(mx) - float(mn)
+            if s == 0.0:
+                codes.append(0)
+            else:
+                c = math.floor((float(x) - float(mn)) * 255.0 / s + 0.5)
+                codes.append(int(min(255.0, max(0.0, c))))
+        out[int(i)] = (cb[pos][0], tuple(codes))
+    return out
+
+
+def _sq8_index_rows(pipe) -> dict:
+    return {r["vec_id"]: (r["cell"], tuple(r["sq8"]))
+            for r in pipe.get_ann_index().collect()}
+
+
+def test_sq8_codec_maintained_index_equals_rebuild(spark, instance_dir):
+    """IVF-SQ8 codec under the full 3-sync replay: first build freezes
+    codebook + per-dim stats, insert-only delta-encodes, the update
+    sync recomputes touched cells — and the maintained index equals
+    both the pure-Python IEEE replay and refresh_ann_index()'s
+    from-scratch rebuild with the SAME frozen artifacts (the
+    sync-then-search ≡ rebuild bar, codec-independent)."""
+    pipe = _mk_sq8_pipe(spark, instance_dir)
+    assert pipe.sync(_mk_df(spark, range(24))).success
+    doc = pipe._load_ann_doc()
+    assert doc is not None and len(doc["sq8_stats"]) == DIM
+    frozen_stats = [tuple(s) for s in doc["sq8_stats"]]
+    assert _sq8_index_rows(pipe) == _sq8_replay(pipe, range(24))
+
+    # insert-only sync: frozen stats, not re-derived
+    assert pipe.sync(_mk_df(spark, range(24, 40))).success
+    assert pipe._load_ann_doc()["sq8_stats"] == [
+        list(s) for s in frozen_stats]
+    assert _sq8_index_rows(pipe) == _sq8_replay(pipe, range(40))
+
+    # update sync: sign flips exceed the frozen range -> codes clamp
+    flips = {1, 3, 30}
+    assert pipe.sync(_mk_df(spark, sorted(flips), flip=flips)).success
+    expect = _sq8_replay(pipe, range(40), flip=flips)
+    assert _sq8_index_rows(pipe) == expect
+    # clamping actually exercised: at least one flipped row pegs 0/255
+    flat = [c for i in flips for c in expect[i][1]]
+    assert 0 in flat or 255 in flat
+
+    # full rebuild equals the maintained index; the re-published doc
+    # keeps the frozen stats (the whole-doc re-publish contract)
+    pipe.refresh_ann_index()
+    assert pipe._load_ann_doc()["sq8_stats"] == [
+        list(s) for s in frozen_stats]
+    assert _sq8_index_rows(pipe) == expect
+
+
+def test_sq8_codec_ann_search(spark, instance_dir):
+    """ann_search routes through ivfsq8_topk on the sq8 codec: self
+    excluded, k respected, and with nprobe=NCENT (all cells probed) +
+    refine the exact nearest neighbor wins rank 1."""
+    pipe = _mk_sq8_pipe(spark, instance_dir)
+    assert pipe.sync(_mk_df(spark, range(40))).success
+    q = _mk_df(spark, [7]).drop("ts")
+    out = pipe.ann_search(q, k=3).collect()
+    assert len(out) == 3
+    assert all(r["neighbor_id"] != 7 for r in out)
+    assert [r["rnk"] for r in sorted(out, key=lambda r: r["rnk"])] == \
+        [1, 2, 3]
+
+    # brute-force IEEE truth for the refine arm
+    def sq(a, b):
+        return sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))
+
+    truth = min((i for i in range(40) if i != 7),
+                key=lambda i: (sq(_vec(7), _vec(i)), i))
+    ref = pipe.ann_search(q, k=3, nprobe=NCENT, refine=4).collect()
+    top = next(r for r in ref if r["rnk"] == 1)
+    assert top["neighbor_id"] == truth
+
+
+def test_ann_codec_validation(spark, instance_dir):
+    pipe = Pipe(
+        "t", "ann_badcodec", instance=instance_dir, spark=spark,
+        columns={"datetime": "ts", "id": "vec_id"},
+        parameters={"ann_index": {
+            "column": "embedding", "n_centroids": NCENT,
+            "codec": "opq",
+        }})
+    with pytest.raises(ValueError, match="codec"):
+        pipe.sync(_mk_df(spark, range(8)))

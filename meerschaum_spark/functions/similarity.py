@@ -1054,6 +1054,122 @@ def ivfpq_topk(
             .orderBy("query_id", "rnk"))
 
 
+def ivfpq_residual_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    res_codebook: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    subspaces: int = 2,
+    subdim: int = 32,
+    nprobe: int = 1,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """ADC search over RESIDUAL PQ codes (the faithful FAISS IVFADC:
+    corpus codes quantize r = v − centroid[cell] against a residual
+    codebook — Jégou et al. 2011 §III). Per (query, probed cell) the
+    query's own residual is computed against that cell's centroid and
+    the LUT holds its squared distances to every residual-codebook
+    entry; candidate distance is then ``subspaces`` lookups and adds,
+    exactly the ``ivfpq_topk`` shape. ``centroids``/``res_codebook``
+    are driver-side (id, vec) lists (the frozen-doc artifacts); all
+    literal tables ride as ONE parsed SQL string per projection (the
+    measured py4j-literal lesson — thousands of ``F.lit`` calls cost
+    seconds of pure driver time). Distances fold in IEEE doubles in
+    element order, matching the maintained encode bit-for-bit."""
+    ids = [int(i) for i, _ in centroids]
+    cvs = [[float(x) for x in v] for _i, v in centroids]
+    rvs = [[float(x) for x in v] for v in res_codebook]
+    if not cvs or not rvs:
+        raise ValueError("ivfpq_residual_topk: empty centroid or "
+                         "residual-codebook set")
+
+    def flit(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    qcol = "`" + vec_col.replace("`", "``") + "`"
+
+    def sqdist_dbl(vec_sql: str, lit_vals: list) -> str:
+        arr = "array(" + ",".join(flit(x) for x in lit_vals) + ")"
+        return (f"aggregate(zip_with({vec_sql}, {arr}, "
+                f"(x, y) -> (CAST(x AS DOUBLE) - y) "
+                f"* (CAST(x AS DOUBLE) - y)), 0.0D, "
+                f"(acc, x) -> acc + x)")
+
+    scored = ",".join(
+        f"named_struct('d', {sqdist_dbl(qcol, cv)}, "
+        f"'cid', CAST({cid} AS BIGINT))"
+        for cid, cv in zip(ids, cvs))
+    q1 = queries.selectExpr(
+        f"{id_col} AS query_id", f"{qcol} AS _qv",
+        f"explode(slice(array_sort(array({scored})), 1, {nprobe})) "
+        f"AS _p")
+    id_arr = "array(" + ",".join(
+        f"CAST({i} AS BIGINT)" for i in ids) + ")"
+    rs_exprs = []
+    for m in range(subspaces):
+        off = m * subdim
+        cent_m = "array(" + ",".join(
+            "array(" + ",".join(flit(x) for x in cv[off:off + subdim])
+            + ")" for cv in cvs) + ")"
+        rs_exprs.append(
+            f"zip_with(slice(_qv, {off + 1}, {subdim}), "
+            f"element_at({cent_m}, "
+            f"CAST(array_position({id_arr}, _p.cid) AS INT)), "
+            f"(x, c) -> CAST(x AS DOUBLE) - c) AS _rs{m}")
+    q2 = q1.selectExpr("query_id", "_qv", "_p.cid AS cell", *rs_exprs)
+    lut_exprs = []
+    for m in range(subspaces):
+        off = m * subdim
+        dists = []
+        for rv in rvs:
+            arr = "array(" + ",".join(
+                flit(x) for x in rv[off:off + subdim]) + ")"
+            dists.append(
+                f"aggregate(zip_with(_rs{m}, {arr}, "
+                f"(x, y) -> (x - y) * (x - y)), 0.0D, "
+                f"(acc, x) -> acc + x)")
+        lut_exprs.append("array(" + ",".join(dists) + f") AS lut{m}")
+    q3 = q2.selectExpr("query_id", "cell", *lut_exprs)
+    c = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), "cell",
+        *[f"code{m}" for m in range(subspaces)])
+    joined = c.join(F.broadcast(q3), on="cell").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    adc = F.lit(0.0)
+    for m in range(subspaces):
+        adc = adc + F.element_at(F.col(f"lut{m}"),
+                                 (F.col(f"code{m}") + 1).cast("int"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id"))
+    ranked = (joined.select("query_id", "neighbor_id", adc.alias("adc"))
+              .withColumn("rnk", F.row_number().over(w)))
+    if not refine:
+        return (ranked.filter(F.col("rnk") <= k)
+                .select("query_id", "neighbor_id", "rnk")
+                .orderBy("query_id", "rnk"))
+    if corpus is None:
+        raise ValueError("ivfpq_residual_topk: refine > 0 needs the "
+                         "corpus frame to fetch exact vectors from")
+    qv_side = queries.select(F.col(id_col).alias("query_id"),
+                             F.col(vec_col).alias("_qv"))
+    shortlist = (ranked.filter(F.col("rnk") <= k * refine).drop("rnk")
+                 .join(F.broadcast(qv_side), on="query_id"))
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("_nv"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("_sq").asc(), F.col("neighbor_id"))
+    return (F.broadcast(shortlist).join(nv, on="neighbor_id")
+            .withColumn("_sq", _sqdist_dec(F.col("_qv"), F.col("_nv")))
+            .withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "rnk")
+            .orderBy("query_id", "rnk"))
+
+
 def l2_topk(
     corpus: DataFrame,
     queries: DataFrame,

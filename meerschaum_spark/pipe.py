@@ -1879,6 +1879,48 @@ class Pipe:
             from meerschaum_spark.functions.similarity import sq8_stats
             doc["sq8_stats"] = [
                 [mn, mx] for mn, mx in sq8_stats(stored, vec_col=vc)]
+        if conf.get("residual") and self._ann_codec(conf) == "sq8":
+            raise ValueError(
+                "ann_index residual encoding applies to the 'pq' codec "
+                "only (SQ8 quantizes absolute per-dimension values; "
+                "residualizing them changes the frozen stats' meaning)")
+        if conf.get("residual"):
+            # residual PQ (the faithful FAISS IVFADC encoding — Jégou
+            # et al. 2011 §III: PQ codes r = v − centroid[cell]) needs
+            # a residual codebook DISTINCT from the coarse centroids:
+            # with the seeded-rows convention each codebook row's own
+            # residual is exactly zero (it assigns to itself), so
+            # every residual codebook entry degenerates to the zero
+            # vector — hence trained centroids are REQUIRED, and the
+            # residual codebook is the ORIGINAL seeds' residuals vs
+            # the trained centroids, frozen alongside them. (The
+            # seeded-centroid case was measured ~16% WORSE in
+            # emb_residual_pq_gain — this guard encodes that finding.)
+            if iters <= 0:
+                raise ValueError(
+                    "ann_index residual encoding requires "
+                    "train_iters > 0: against untrained seeded "
+                    "centroids the residual codebook is degenerate "
+                    "(each seed's residual vs itself is zero)")
+            seeds = [[float(x) for x in r[1]] for r in rows]
+            cents = doc["vecs"]
+
+            def _sq(a: list, b: list) -> float:
+                acc = 0.0
+                for x, y in zip(a, b):
+                    d = x - y
+                    acc = acc + d * d
+                return acc
+
+            res_vecs = []
+            for sv in seeds:
+                best, pos = None, -1
+                for p, cv in enumerate(cents):
+                    d = _sq(sv, cv)
+                    if best is None or d < best:
+                        best, pos = d, p
+                res_vecs.append([x - c for x, c in zip(sv, cents[pos])])
+            doc["res_vecs"] = res_vecs
         path = self._ann_codebook_path()
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path + ".tmp", "w") as f:
@@ -2020,13 +2062,55 @@ class Pipe:
                     "refreeze=True) to re-freeze with the codec set")
             exprs.append(f"{sq8_encode_expr(stats, vc, clamp=True)} "
                          f"AS sq8")
+            out = rows.selectExpr(*sel, *exprs)
+        elif conf.get("residual"):
+            # residual PQ (Jégou et al. 2011 §III): codes quantize
+            # r = v − centroid[cell] against the FROZEN residual
+            # codebook (the seeds' residuals vs the trained
+            # centroids) — a two-stage projection because the code
+            # argmins depend on _cell_pos
+            doc = self._load_ann_doc()
+            res_cb = (doc or {}).get("res_vecs")
+            if not res_cb:
+                raise ValueError(
+                    "ann_index residual encoding but the frozen "
+                    "codebook doc has no res_vecs — "
+                    "refresh_ann_index(refreeze=True) to re-freeze "
+                    "with residual set")
+            cents = [v for _i, v in codebook]
+            stage1 = rows.selectExpr(*sel, f"{q} AS _v", cells)
+            rs_exprs = []
+            for m in range(subspaces):
+                off = m * subdim
+                cent_m = "array(" + ",".join(
+                    "array(" + ",".join(flit(x)
+                                        for x in cv[off:off + subdim])
+                    + ")" for cv in cents) + ")"
+                rs_exprs.append(
+                    f"zip_with(slice(_v, {off + 1}, {subdim}), "
+                    f"element_at({cent_m}, CAST(_cell_pos + 1 AS INT)), "
+                    f"(x, c) -> CAST(x AS DOUBLE) - c) AS _rs{m}")
+            stage2 = stage1.selectExpr(*sel, "_cell_pos", *rs_exprs)
+            code_exprs = []
+            for m in range(subspaces):
+                off = m * subdim
+                dists = []
+                for rv in res_cb:
+                    arr = "array(" + ",".join(
+                        flit(x) for x in rv[off:off + subdim]) + ")"
+                    dists.append(
+                        f"aggregate(zip_with(_rs{m}, {arr}, "
+                        f"(x, y) -> (x - y) * (x - y)), 0.0D, "
+                        f"(acc, x) -> acc + x)")
+                code_exprs.append(argmin_sql(dists, f"code{m}"))
+            out = stage2.selectExpr(*sel, "_cell_pos", *code_exprs)
         else:
             for m in range(subspaces):
                 half = f"slice({q}, {m * subdim + 1}, {subdim})"
                 dists = [sqdist_dbl(half, v[m * subdim:(m + 1) * subdim])
                          for _i, v in codebook]
                 exprs.append(argmin_sql(dists, f"code{m}"))
-        out = rows.selectExpr(*sel, *exprs)
+            out = rows.selectExpr(*sel, *exprs)
         return out.select(
             *sel,
             F.expr(f"element_at({id_arr}, CAST(_cell_pos + 1 AS INT))")
@@ -2197,10 +2281,10 @@ class Pipe:
                 "ann_search: the index has no frozen codebook because "
                 "the pipe has no data yet — sync rows first (the first "
                 "sync builds the index and freezes the codebook)")
+        corpus = self.store.read(dtypes=self.dtypes or None).select(idc, vc)
         cb_df = self.spark.createDataFrame(
             [Row(**{idc: i, vc: v}) for i, v in cb],
             f"{idc} long, {vc} array<float>")
-        corpus = self.store.read(dtypes=self.dtypes or None).select(idc, vc)
         if self._ann_codec(conf) == "sq8":
             from meerschaum_spark.functions.similarity import ivfsq8_topk
             doc = self._load_ann_doc() or {}
@@ -2212,6 +2296,21 @@ class Pipe:
         dim = len(cb[0][1])
         subspaces = int(conf.get("subspaces", 2))
         subdim = int(conf.get("subdim") or (dim // max(subspaces, 1)))
+        if conf.get("residual"):
+            from meerschaum_spark.functions.similarity import (
+                ivfpq_residual_topk,
+            )
+            doc = self._load_ann_doc() or {}
+            res_cb = doc.get("res_vecs")
+            if not res_cb:
+                raise ValueError(
+                    "ann_search: residual set but the frozen codebook "
+                    "doc has no res_vecs — refresh_ann_index("
+                    "refreeze=True)")
+            return ivfpq_residual_topk(
+                codes, queries, cb, res_cb, id_col=idc, vec_col=vc,
+                k=k, subspaces=subspaces, subdim=subdim, nprobe=nprobe,
+                refine=refine, corpus=corpus)
         return ivfpq_topk(corpus, queries, cb_df, cb_df, id_col=idc,
                           vec_col=vc, k=k, subspaces=subspaces,
                           subdim=subdim, nprobe=nprobe, refine=refine,

@@ -5924,6 +5924,179 @@ def streaming_ann_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# r13: RESIDUAL PQ under the maintained-index gate (pipe_ann_residual_sync)
+# ===========================================================================
+
+def _ann_residual_sql() -> str:
+    """Oracle for the residual-encoded maintained index (the faithful
+    FAISS IVFADC, Jégou et al. 2011 §III): replicate the one-iteration
+    Lloyd training pass (the ``_ann_trained_sql`` CTEs verbatim —
+    µ-quantized integer assignment, floor-division means CAST back
+    from HUGEINT, q/1e6 double conversion), derive the RESIDUAL
+    CODEBOOK as the original seeds' residuals vs their nearest trained
+    centroid (IEEE-double argmin, position ids 0..15 in seed-id
+    order), then encode the FINAL post-update corpus: cell = trained-
+    centroid argmin, codes = per-subspace argmin of the double fold
+    between the vector's residual and each residual-codebook entry —
+    every distance in the engine's exact element order."""
+    qz = ("list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+          "* 1000000.0 + 0.5) AS BIGINT))")
+    isq = ("list_reduce(list_transform(generate_series(1, 64), i -> "
+           "(c._xq[i] - s._sq[i]) * (c._xq[i] - s._sq[i])), "
+           "(a, b) -> a + b)")
+    dd = ("(CAST(e.embedding[i] AS DOUBLE) - c._cv[i])")
+    dsq = (f"list_reduce(list_transform(generate_series(1, 64), i -> "
+           f"{dd} * {dd}), (a, b) -> a + b)")
+    # seed-vs-trained-centroid assignment: seeds are already DOUBLE
+    # lists, so no cast inside the fold (the engine subtracts python
+    # doubles)
+    sd = "(s._sv[i] - c._cv[i])"
+    ssq = (f"list_reduce(list_transform(generate_series(1, 64), i -> "
+           f"{sd} * {sd}), (a, b) -> a + b)")
+
+    def rq(m: int) -> str:
+        off = m * 32
+        d = f"(e._res[i + {off}] - r._rv[i + {off}])"
+        sq = (f"list_reduce(list_transform(generate_series(1, 32), "
+              f"i -> {d} * {d}), (a, b) -> a + b)")
+        return f"""
+      SELECT vec_id, cid AS code{m} FROM (
+        SELECT e.vec_id, r._rid AS cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sq} ASC, r._rid ASC) AS rn
+        FROM fres e, rescb r
+      ) WHERE rn = 1"""
+
+    return f"""
+    WITH seedq AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS _pos,
+             {qz} AS _sq
+      FROM embeddings WHERE vec_id < 16),
+    corpusq AS MATERIALIZED (
+      SELECT vec_id, {qz} AS _xq
+      FROM embeddings WHERE vec_id < 300),
+    asg AS MATERIALIZED (
+      SELECT vec_id, cell, _xq FROM (
+        SELECT c.vec_id, s._pos AS cell, c._xq,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {isq} ASC, s._pos ASC) AS rn
+        FROM corpusq c, seedq s) WHERE rn = 1),
+    means AS MATERIALIZED (
+      SELECT cell, i AS pos,
+             CAST(CAST(sum(_xq[i]) AS BIGINT) // count(*) AS BIGINT) AS m
+      FROM asg, generate_series(1, 64) g(i)
+      GROUP BY cell, i),
+    cent_t AS MATERIALIZED (
+      SELECT s._pos AS _cid,
+             list(CAST(COALESCE(mm.m, s._sq[g.i]) AS DOUBLE)
+                  / 1000000.0 ORDER BY g.i) AS _cv
+      FROM seedq s
+      CROSS JOIN generate_series(1, 64) g(i)
+      LEFT JOIN means mm ON mm.cell = s._pos AND mm.pos = g.i
+      GROUP BY s._pos),
+    sd AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS _sv
+      FROM embeddings WHERE vec_id < 16),
+    sasg AS MATERIALIZED (
+      SELECT vec_id, cell, _sv FROM (
+        SELECT s.vec_id, c._cid AS cell, s._sv,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {ssq} ASC, c._cid ASC) AS rn
+        FROM sd s, cent_t c) WHERE rn = 1),
+    rescb AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY a.vec_id) - 1 AS _rid,
+             list_transform(generate_series(1, 64),
+                            i -> a._sv[i] - t._cv[i]) AS _rv
+      FROM sasg a JOIN cent_t t ON t._cid = a.cell),
+    final AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN {_ANNIDX_UPDATED}
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM embeddings),
+    arn AS MATERIALIZED (
+      SELECT e.vec_id, c._cid AS cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dsq} ASC, c._cid ASC) AS rn
+      FROM final e, cent_t c),
+    assigned AS (SELECT vec_id, cell FROM arn WHERE rn = 1),
+    fres AS MATERIALIZED (
+      SELECT f.vec_id,
+             list_transform(generate_series(1, 64),
+                            i -> CAST(f.embedding[i] AS DOUBLE)
+                                 - t._cv[i]) AS _res
+      FROM final f
+      JOIN assigned a USING (vec_id)
+      JOIN cent_t t ON t._cid = a.cell),
+    r0 AS MATERIALIZED ({rq(0)}),
+    r1 AS MATERIALIZED ({rq(1)})
+    SELECT assigned.vec_id, assigned.cell, r0.code0, r1.code1
+    FROM assigned JOIN r0 USING (vec_id) JOIN r1 USING (vec_id)
+    ORDER BY assigned.vec_id
+    """
+
+
+@query("pipe_ann_residual_sync", _ann_residual_sql())
+def pipe_ann_residual_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL product quantization in the maintained index
+    (``parameters['ann_index']['residual']`` — r13, the faithful FAISS
+    IVFADC encoding: codes quantize r = v − centroid[cell], which
+    carries far less energy than the raw vector): the three-sync
+    replay with ``train_iters: 1``, where the freeze snapshots BOTH
+    the trained centroids and the residual codebook (the original
+    seeds' residuals vs those trained centroids — a separate frozen
+    artifact, because with codebook == centroids each row's own
+    residual is degenerate zero; the engine REQUIRES training for
+    exactly that reason, encoding emb_residual_pq_gain's measured
+    seeded-centroids-are-worse finding). Hash equality against the
+    oracle's independent train → residual-codebook → final-corpus
+    residual encode proves the whole two-artifact freeze is
+    load-bearing: the update flips the rows that fed the seeds, the
+    training pass, AND the residual codebook. Reference analogue: none
+    (no vector surface)."""
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+
+    base = (load_table(spark, sf_dir, "embeddings")
+            .select(F.expr("timestamp'2024-01-01' + make_interval("
+                           "0, 0, 0, 0, cast(vec_id AS int))").alias("ts"),
+                    "vec_id", "embedding")
+            .persist())
+    instance = tempfile.mkdtemp(prefix="mrsm_q_annres_")
+    try:
+        pipe = Pipe(
+            "catalog", "annresidual", instance=instance, spark=spark,
+            columns={"datetime": "ts", "id": "vec_id"},
+            parameters={"ann_index": {
+                "column": "embedding", "n_centroids": _ANNIDX_NCENT,
+                "subspaces": PQ_SUBSPACES, "subdim": PQ_SUBDIM,
+                "train_iters": 1, "residual": True,
+            }})
+        r1 = pipe.sync(base.filter(F.col("vec_id") < 300))
+        assert r1.success, r1.message
+        r2 = pipe.sync(base.filter(F.col("vec_id") >= 300),
+                       check_existing=False)
+        assert r2.success, r2.message
+        upd = (base.filter(F.expr(_ANNIDX_UPDATED))
+               .withColumn("embedding",
+                           F.transform("embedding", lambda x: -x)))
+        r3 = pipe.sync(upd)
+        assert r3.success, r3.message
+        out = (pipe.get_ann_index()
+               .select("vec_id", "cell", "code0", "code1")
+               .orderBy("vec_id"))
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "vec_id long, cell long, code0 long, code1 long")
+    finally:
+        base.unpersist()
+        shutil.rmtree(instance, ignore_errors=True)
+
+
+# ===========================================================================
 # r13: IVF-SQ8 codec under the maintained-index gate (pipe_ann_sq8_sync)
 # ===========================================================================
 

@@ -597,3 +597,128 @@ def test_ann_codec_validation(spark, instance_dir):
         }})
     with pytest.raises(ValueError, match="codec"):
         pipe.sync(_mk_df(spark, range(8)))
+
+
+# ---------------------------------------------------------- residual PQ
+
+
+def _mk_residual_pipe(spark, instance_dir) -> Pipe:
+    return Pipe(
+        "t", "ann_res", instance=instance_dir, spark=spark,
+        columns={"datetime": "ts", "id": "vec_id"},
+        parameters={"ann_index": {
+            "column": "embedding", "n_centroids": NCENT,
+            "subspaces": SUBSPACES, "subdim": SUBDIM,
+            "train_iters": 1, "residual": True,
+        }})
+
+
+def _residual_replay(pipe, ids, flip=()) -> dict:
+    """Pure-Python IEEE replay of the residual encode: trained-centroid
+    cell argmin, r = v − centroid[cell], per-subspace argmin of the
+    double fold vs the frozen residual codebook."""
+    doc = pipe._load_ann_doc()
+    cents = doc["vecs"]
+    res_cb = doc["res_vecs"]
+
+    def fold(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            d = float(x) - float(y)
+            acc = acc + d * d
+        return acc
+
+    def argmin(dists) -> int:
+        best, pos = None, -1
+        for i, d in enumerate(dists):
+            if best is None or d < best:
+                best, pos = d, i
+        return pos
+
+    out = {}
+    for i in ids:
+        v = _vec(i, i in flip)
+        pos = argmin([fold(v, cv) for cv in cents])
+        cell = doc["ids"][pos]
+        rs = [float(x) - c for x, c in zip(v, cents[pos])]
+        codes = []
+        for m in range(SUBSPACES):
+            lo, hi = m * SUBDIM, (m + 1) * SUBDIM
+            codes.append(argmin([fold(rs[lo:hi], rv[lo:hi])
+                                 for rv in res_cb]))
+        out[int(i)] = (cell, *codes)
+    return out
+
+
+def test_residual_maintained_index_equals_replay(spark, instance_dir):
+    """Residual PQ under the 3-sync replay: the frozen doc carries the
+    trained centroids AND the seeds' residual codebook; insert/update
+    maintenance encodes residuals against both frozen artifacts, equal
+    to the pure-Python IEEE replay and to refresh's rebuild."""
+    pipe = _mk_residual_pipe(spark, instance_dir)
+    assert pipe.sync(_mk_df(spark, range(24))).success
+    doc = pipe._load_ann_doc()
+    assert doc.get("res_vecs") and len(doc["res_vecs"]) == NCENT
+    # the trained centroids differ from the seeds, so the residual
+    # codebook is NOT degenerate (the seeded-centroid zero-residual
+    # trap the train_iters requirement exists to prevent)
+    assert any(any(abs(x) > 1e-12 for x in rv) for rv in doc["res_vecs"])
+    assert _index_rows(pipe) == _residual_replay(pipe, range(24))
+
+    assert pipe.sync(_mk_df(spark, range(24, 40))).success
+    assert _index_rows(pipe) == _residual_replay(pipe, range(40))
+
+    flips = {1, 3, 30}
+    assert pipe.sync(_mk_df(spark, sorted(flips), flip=flips)).success
+    expect = _residual_replay(pipe, range(40), flip=flips)
+    assert _index_rows(pipe) == expect
+
+    # rebuild equality + whole-doc re-publish keeps res_vecs
+    frozen_res = [list(rv) for rv in doc["res_vecs"]]
+    pipe.refresh_ann_index()
+    assert pipe._load_ann_doc()["res_vecs"] == frozen_res
+    assert _index_rows(pipe) == expect
+
+
+def test_residual_requires_trained_centroids(spark, instance_dir):
+    pipe = Pipe(
+        "t", "ann_res_untrained", instance=instance_dir, spark=spark,
+        columns={"datetime": "ts", "id": "vec_id"},
+        parameters={"ann_index": {
+            "column": "embedding", "n_centroids": NCENT,
+            "subspaces": SUBSPACES, "subdim": SUBDIM,
+            "residual": True,
+        }})
+    with pytest.raises(ValueError, match="train_iters"):
+        pipe.sync(_mk_df(spark, range(8)))
+
+
+def test_residual_with_sq8_rejected(spark, instance_dir):
+    pipe = Pipe(
+        "t", "ann_res_sq8", instance=instance_dir, spark=spark,
+        columns={"datetime": "ts", "id": "vec_id"},
+        parameters={"ann_index": {
+            "column": "embedding", "n_centroids": NCENT,
+            "codec": "sq8", "train_iters": 1, "residual": True,
+        }})
+    with pytest.raises(ValueError, match="'pq' codec"):
+        pipe.sync(_mk_df(spark, range(8)))
+
+
+def test_residual_ann_search(spark, instance_dir):
+    """ann_search on a residual pipe routes through the residual-aware
+    ADC (raw-vector LUTs would be meaningless against residual codes);
+    with all cells probed + refine, rank 1 is the exact neighbor."""
+    pipe = _mk_residual_pipe(spark, instance_dir)
+    assert pipe.sync(_mk_df(spark, range(40))).success
+    q = _mk_df(spark, [7]).drop("ts")
+    out = pipe.ann_search(q, k=3).collect()
+    assert len(out) == 3 and all(r["neighbor_id"] != 7 for r in out)
+
+    def sq(a, b):
+        return sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))
+
+    truth = min((i for i in range(40) if i != 7),
+                key=lambda i: (sq(_vec(7), _vec(i)), i))
+    ref = pipe.ann_search(q, k=3, nprobe=NCENT, refine=4).collect()
+    assert next(r for r in ref if r["rnk"] == 1)["neighbor_id"] == truth

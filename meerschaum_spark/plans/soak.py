@@ -474,6 +474,18 @@ FAMILIES: dict[str, Callable] = {
     # extra corpus pass, never a per-sync multiplier
     "pipe_ann_trained": lambda spark, sf_dir, workdir: _family_ann_index(
         spark, sf_dir, workdir, extra_conf={"train_iters": 1}),
+    # r13: the IVF-SQ8 codec — same 3-sync replay; encode swaps the
+    # per-subspace argmins for ONE clamped affine zip_with against the
+    # frozen stats (still a shuffle-free projection), plus a one-time
+    # per-dim min/max agg at freeze
+    "pipe_ann_sq8": lambda spark, sf_dir, workdir: _family_ann_index(
+        spark, sf_dir, workdir, extra_conf={"codec": "sq8"}),
+    # r13: residual PQ — same replay with train_iters + residual: the
+    # encode adds a two-stage projection (cell, then residual slices
+    # feeding the code argmins), constant extra work per row
+    "pipe_ann_residual": lambda spark, sf_dir, workdir: _family_ann_index(
+        spark, sf_dir, workdir,
+        extra_conf={"train_iters": 1, "residual": True}),
     # r12: classical MA decomposition — one hash agg + one per-series
     # row window + one hash agg; hourly-row count grows with the event
     # span, the window stays event_type-partitioned

@@ -80,6 +80,8 @@ def main() -> None:
                                              "events_lttb",
                                              "graph_pagerank",
                                              "pipe_ann_trained",
+                                             "pipe_ann_sq8",
+                                             "pipe_ann_residual",
                                              "events_seasonal_decompose")
                                   else n_docs)
             print(f"#   {label} {fam}: {rec['sec']} s, rows={rec['rows']}",
@@ -181,6 +183,8 @@ def main() -> None:
         "**r11 additions.** `pipe_ann_index` joined the soak: the maintained ANN index's 3-sync replay (full build + codebook freeze, insert-only file-delta encode, one-cell update recompute) over a corpus-proportional synthetic vector table — 1.6× at 10× with flat shuffle-bytes-per-row, because every stage is either a shuffle-free literal-codebook projection over exactly the patch rows or a one-cell pruned read. The family's FIRST run read 141 s at 1× and exposed two real costs the 500-row catalog query had hidden: the exact-decimal assignment idiom is ~5× slower than an IEEE-double fold (fine for one-shot emb_* queries, wrong for a per-sync encode that multiplies by the corpus), and `array_position(d_arr, array_min(d_arr))` evaluates the whole distance array TWICE — both fixed in `pipe._ann_encode` (double list_reduce folds, struct-argmin single evaluation; oracle hashes unchanged), taking the 30k-row shape from 126 s to 16 s. The Theil-Sen operator bound also moved INTO the code this round: see the r10-tail paragraph.",
         "",
         "**r12 additions.** `pipe_ann_trained` — the same 3-sync maintained-index replay with `train_iters: 1`: the freeze runs one exact-integer Lloyd pass (one shuffle-free literal-centroid assignment projection + one (cell, pos) hash agg, then a ≤16×64-integer driver fold) over the FIRST sync's corpus before snapshotting. Training cost is a one-time corpus pass, never a per-sync multiplier, so the family must read near-linear like its untrained twin; the per-sync encode path is byte-identical to `pipe_ann_index` after the freeze. `events_seasonal_decompose` — classical 2×24 centered-MA decomposition: one hash agg to hourly rows, one event_type-partitioned row window, one hash agg; hourly-row count grows with the event SPAN (sub-linear in events once hours saturate), the window never plans single-partition (plan-pinned in test_plans).",
+        "",
+        "**r13 additions.** The two new maintained-index codecs joined as overlays of the same 3-sync replay. `pipe_ann_sq8` (IVF-SQ8): the per-sync encode swaps the per-subspace PQ argmins for ONE clamped affine `zip_with` against the frozen per-dimension stats — strictly LESS work per row than PQ — plus a one-time per-dim min/max aggregation at freeze; near-linear is structural. `pipe_ann_residual` (residual PQ, train_iters + residual): the encode becomes a two-stage projection (cell argmin, then residual slices via a literal centroid lookup feeding the code argmins) — constant extra work per row over the PQ twin, so the family must track `pipe_ann_trained` with a bounded constant-factor offset; a super-linear reading here would mean the residual stage's literal tables stopped being literals.",
         "",
         "Raw measurements:",
         "```json",

@@ -710,3 +710,48 @@ def test_r12_plan_shapes(spark, sf_dir):
 
     bt = explain_str(doc_lsh_band_tuning(spark, sf_dir), "simple")
     assert "CartesianProduct" not in bt, bt[:800]
+
+
+def test_r13_plan_shapes(spark, tmp_path):
+    """Plan contracts for the r13 ANN codecs: both maintained-index
+    encodes (IVF-SQ8 and residual PQ) stay shuffle-free literal
+    projections — the O(patch) per-sync guarantee is plan-structural,
+    not incidental — and both searches broadcast the (tiny) query side
+    into the cell equi-join with no sort-merge join or cartesian."""
+    import datetime
+
+    from meerschaum_spark.pipe import Pipe
+    from meerschaum_spark.plans import explain_str, plan_report
+
+    def mk(metric, extra):
+        p = Pipe("t", metric, instance=str(tmp_path), spark=spark,
+                 columns={"datetime": "ts", "id": "vec_id"},
+                 parameters={"ann_index": {
+                     "column": "embedding", "n_centroids": 4,
+                     "subspaces": 2, "subdim": 4, **extra}})
+        rows = [(datetime.datetime(2024, 3, 1) +
+                 datetime.timedelta(hours=i), i,
+                 [float(((i * 7 + j * 13) % 29) - 14) / 4.0
+                  for j in range(8)]) for i in range(16)]
+        df = spark.createDataFrame(
+            rows, "ts timestamp, vec_id long, embedding array<float>")
+        assert p.sync(df).success
+        return p, df
+
+    for metric, extra in (
+            ("p13_sq8", {"codec": "sq8"}),
+            ("p13_res", {"train_iters": 1, "residual": True})):
+        pipe, df = mk(metric, extra)
+        enc = pipe._ann_encode(df, pipe._ann_conf,
+                               pipe._load_ann_codebook())
+        r = plan_report(enc)
+        assert r["shuffles"] == 0, (metric, r)
+        assert r["sortmerge_joins"] == 0 and r["broadcast_joins"] == 0, \
+            (metric, r)
+        q = df.filter("vec_id = 3").drop("ts")
+        s = pipe.ann_search(q, k=3)
+        plan = explain_str(s, "simple")
+        assert "CartesianProduct" not in plan, plan[:800]
+        sr = plan_report(s)
+        assert sr["sortmerge_joins"] == 0, (metric, sr)
+        assert sr["broadcast_joins"] >= 1, (metric, sr)

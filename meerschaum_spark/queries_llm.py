@@ -5924,6 +5924,131 @@ def streaming_ann_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# r13: maintained-index SEARCH under the gate (pipe_ann_search_topk)
+# ===========================================================================
+
+def _ann_search_sql() -> str:
+    """Oracle for ``pipe.ann_search`` over the maintained index: rebuild
+    the post-update index in SQL (the ``_annidx_sql`` CTEs — double-fold
+    cells vs the FROZEN original centroids, PQ codes vs the frozen
+    codebook), then replicate the IVFADC search for the five flipped
+    query vectors: probe list = the 2 nearest centroids by the
+    EXACT-DECIMAL idiom (``assign_ivf_cells_multi``'s arithmetic — the
+    pairing proven by the driver-green emb_ivfpq rows), candidate ADC =
+    two IEEE-double subspace folds against the codebook entries the
+    candidate's codes name, (adc, neighbor_id) row_number top-5."""
+    dd = ("(CAST(e.embedding[i] AS DOUBLE) "
+          "- CAST(c._cv[i] AS DOUBLE))")
+    dsq = (f"list_reduce(list_transform(generate_series(1, "
+           f"len(e.embedding)), i -> {dd} * {dd}), "
+           f"(a, b) -> a + b)")
+    qdiff = ("(" + _EL.replace("{v}", "q.qv") + " - "
+             + _EL.replace("{v}", "c._cv") + ")")
+    qdist = (f"list_sum(list_transform(generate_series(1, len(q.qv)), "
+             f"i -> {qdiff} * {qdiff}))")
+    adc = ("(" + _pq_subdist_sql("p.qv", "cb0.embedding", 0) + ") + ("
+           + _pq_subdist_sql("p.qv", "cb1.embedding", PQ_SUBDIM) + ")")
+    return f"""
+    WITH final AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN {_ANNIDX_UPDATED}
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM embeddings),
+    cent AS (SELECT vec_id AS _cid, embedding AS _cv
+             FROM embeddings WHERE vec_id < {_ANNIDX_NCENT}),
+    arn AS MATERIALIZED (
+      SELECT e.vec_id, c._cid AS cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dsq} ASC, c._cid ASC) AS rn
+      FROM final e, cent c),
+    assigned AS (SELECT vec_id, cell FROM arn WHERE rn = 1),
+    a0 AS MATERIALIZED ({_annidx_pq_assign_sql(0)}),
+    a1 AS MATERIALIZED ({_annidx_pq_assign_sql(1)}),
+    codes AS MATERIALIZED (
+      SELECT assigned.vec_id, assigned.cell, a0.code0, a1.code1
+      FROM assigned JOIN a0 USING (vec_id) JOIN a1 USING (vec_id)),
+    qv AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM final WHERE vec_id < 5),
+    qrn AS MATERIALIZED (
+      SELECT q.query_id, q.qv, c._cid AS cell,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {qdist} ASC, c._cid ASC) AS rn
+      FROM qv q, cent c),
+    probes AS (SELECT query_id, qv, cell FROM qrn WHERE rn <= 2),
+    pairs AS (
+      SELECT p.query_id, codes.vec_id AS neighbor_id,
+             codes.code0, codes.code1, {adc} AS adc
+      FROM probes p JOIN codes USING (cell)
+           JOIN embeddings cb0 ON cb0.vec_id = codes.code0
+           JOIN embeddings cb1 ON cb1.vec_id = codes.code1
+      WHERE codes.vec_id != p.query_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc ASC, neighbor_id) AS rnk
+      FROM pairs)
+    SELECT query_id, neighbor_id, code0, code1, adc, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """
+
+
+@query("pipe_ann_search_topk", _ann_search_sql())
+def pipe_ann_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipe.ann_search`` END-TO-END under the gate (r13): the
+    maintained index's SEARCH half, previously pytest-only. A pipe
+    builds + freezes on the full corpus, an update sync flips
+    vec_id < 20 (maintaining the index through the cell-scoped
+    recompute), then the five FLIPPED query vectors search with
+    nprobe=2, k=5 — multi-probe coarse assignment (exact-decimal
+    ranking), per-query ADC lookup tables over the frozen codebook
+    (IEEE-double folds), (adc, id) tie-break. Hash equality against
+    the oracle's independent index rebuild + search replication proves
+    the entire read path over the maintained artifact: cells, codes,
+    probe lists, and ADC arithmetic. The adc DOUBLE output column is
+    hash-safe by the proven ``_pq_subdist_dbl`` ≡ ``_pq_subdist_sql``
+    cross-engine idiom. Reference analogue: none (no vector
+    surface)."""
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+
+    base = (load_table(spark, sf_dir, "embeddings")
+            .select(F.expr("timestamp'2024-01-01' + make_interval("
+                           "0, 0, 0, 0, cast(vec_id AS int))").alias("ts"),
+                    "vec_id", "embedding")
+            .persist())
+    instance = tempfile.mkdtemp(prefix="mrsm_q_annsearch_")
+    try:
+        pipe = Pipe(
+            "catalog", "annsearch", instance=instance, spark=spark,
+            columns={"datetime": "ts", "id": "vec_id"},
+            parameters={"ann_index": {
+                "column": "embedding", "n_centroids": _ANNIDX_NCENT,
+                "subspaces": PQ_SUBSPACES, "subdim": PQ_SUBDIM,
+            }})
+        r1 = pipe.sync(base)
+        assert r1.success, r1.message
+        upd = (base.filter(F.expr(_ANNIDX_UPDATED))
+               .withColumn("embedding",
+                           F.transform("embedding", lambda x: -x)))
+        r2 = pipe.sync(upd)
+        assert r2.success, r2.message
+        queries = (base.filter(F.col("vec_id") < 5)
+                   .withColumn("embedding",
+                               F.transform("embedding", lambda x: -x))
+                   .drop("ts"))
+        res = pipe.ann_search(queries, k=5, nprobe=2)
+        rows = res.collect()
+        return spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, code0 long, "
+                  "code1 long, adc double, rnk int")
+    finally:
+        base.unpersist()
+        shutil.rmtree(instance, ignore_errors=True)
+
+
+# ===========================================================================
 # r13: RESIDUAL PQ under the maintained-index gate (pipe_ann_residual_sync)
 # ===========================================================================
 

@@ -2598,6 +2598,85 @@ def doc_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+@query(
+    "doc_temperature_mix",
+    f"""
+    WITH t AS (SELECT source, len({_TOKS}) AS nt FROM documents),
+    s AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum(nt) AS BIGINT) AS n_tokens
+          FROM t GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM s),
+    b AS (SELECT source, n_docs, n_tokens,
+                 CAST(n_tokens AS DOUBLE) / tot AS p, tot
+          FROM s, tot),
+    a AS (
+      SELECT CAST(1.0 AS DOUBLE) AS alpha, source, n_docs, n_tokens, p, tot,
+             CAST(floor(p * 1000000000000.0 + 0.5) AS BIGINT) AS s_fx
+      FROM b
+      UNION ALL
+      SELECT CAST(0.5 AS DOUBLE), source, n_docs, n_tokens, p, tot,
+             CAST(floor(sqrt(p) * 1000000000000.0 + 0.5) AS BIGINT)
+      FROM b
+      UNION ALL
+      SELECT CAST(0.25 AS DOUBLE), source, n_docs, n_tokens, p, tot,
+             CAST(floor(sqrt(sqrt(p)) * 1000000000000.0 + 0.5) AS BIGINT)
+      FROM b),
+    st AS (SELECT alpha, CAST(sum(s_fx) AS BIGINT) AS s_tot
+           FROM a GROUP BY 1)
+    SELECT a.alpha, a.source, a.n_docs, a.n_tokens,
+           a.p AS token_share,
+           CAST(a.s_fx AS DOUBLE) / CAST(st.s_tot AS DOUBLE)
+               AS samp_weight,
+           a.tot * (CAST(a.s_fx AS DOUBLE) / CAST(st.s_tot AS DOUBLE))
+               AS effective_tokens
+    FROM a JOIN st USING (alpha) ORDER BY a.alpha, a.source
+    """,
+)
+def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (the multilingual-LM sampling
+    trick — mBERT/XLM-R/PaLM: sample domain i ∝ p_i^α, α < 1 flattens
+    the mixture toward uniform without the hard uniform target of
+    ``doc_domain_mix``): per-source sampling weights and effective
+    token budgets at α ∈ {{1.0, 0.5, 0.25}}. α is restricted to
+    sqrt-compositions because IEEE sqrt is exactly rounded on both
+    engines (the Kaplan-Meier/audio-RMS precedent) while libm ``pow``
+    is not cross-engine trustworthy (the Benford log10 lesson); the
+    weight normalization quantizes p^α to 1e-12 fixed-point BIGINT
+    first so the per-α total is an EXACT integer sum — a raw double
+    sum would be addend-order-sensitive across engines. One corpus
+    scan, one tiny per-source agg, three literal-α arms unioned, the
+    per-α totals broadcast back."""
+    docs = _docs(spark, sf_dir)
+    per = (docs.select("source", F.size(T.tokens(F.col("text")))
+                       .alias("nt"))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("nt").alias("n_tokens")))
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("tot"))
+    base = (per.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs", "n_tokens", "tot",
+                    (F.col("n_tokens").cast("double") / F.col("tot"))
+                    .alias("p")))
+    arms = []
+    for alpha, s in ((1.0, F.col("p")),
+                     (0.5, F.sqrt(F.col("p"))),
+                     (0.25, F.sqrt(F.sqrt(F.col("p"))))):
+        arms.append(base.select(
+            F.lit(alpha).alias("alpha"), "source", "n_docs",
+            "n_tokens", "p", "tot",
+            F.floor(s * F.lit(1e12) + F.lit(0.5)).cast("long")
+            .alias("s_fx")))
+    u = arms[0].unionByName(arms[1]).unionByName(arms[2])
+    s_tot = u.groupBy("alpha").agg(F.sum("s_fx").alias("s_tot"))
+    w = F.col("s_fx").cast("double") / F.col("s_tot").cast("double")
+    return (u.join(F.broadcast(s_tot), on="alpha")
+            .select("alpha", "source", "n_docs", "n_tokens",
+                    F.col("p").alias("token_share"),
+                    w.alias("samp_weight"),
+                    (F.col("tot") * w).alias("effective_tokens"))
+            .orderBy("alpha", "source"))
+
+
 # ===========================================================================
 # Gopher quality rules, BM25 retrieval, int8 quantization (r5 continuation)
 # ===========================================================================

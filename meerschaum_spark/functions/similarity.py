@@ -1148,8 +1148,10 @@ def ivfpq_residual_topk(
     ranked = (joined.select("query_id", "neighbor_id", adc.alias("adc"))
               .withColumn("rnk", F.row_number().over(w)))
     if not refine:
+        # keep adc in the output like ivfpq_topk does — it is the same
+        # IEEE fold on both engines, so it hashes stably under the gate
         return (ranked.filter(F.col("rnk") <= k)
-                .select("query_id", "neighbor_id", "rnk")
+                .select("query_id", "neighbor_id", "adc", "rnk")
                 .orderBy("query_id", "rnk"))
     if corpus is None:
         raise ValueError("ivfpq_residual_topk: refine > 0 needs the "
@@ -1497,8 +1499,12 @@ def ivfsq8_topk(
     ranked = (joined.select("query_id", "neighbor_id", "_d")
               .withColumn("rnk", F.row_number().over(w)))
     if not refine:
+        # expose the exact integer code distance (the ranking key) the
+        # way ivfpq_topk exposes adc — it is BIGINT-exact, so callers
+        # (and the catalog gate) can hash it
         return (ranked.filter(F.col("rnk") <= k)
-                .select("query_id", "neighbor_id", "rnk")
+                .select("query_id", "neighbor_id",
+                        F.col("_d").alias("code_dist"), "rnk")
                 .orderBy("query_id", "rnk"))
     if corpus is None:
         raise ValueError("ivfsq8_topk: refine > 0 needs the corpus "

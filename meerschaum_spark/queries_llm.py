@@ -5839,7 +5839,8 @@ def _ann_trained_sql() -> str:
         FROM corpusq c, seedq s) WHERE rn = 1),
     means AS MATERIALIZED (
       SELECT cell, i AS pos,
-             CAST(CAST(sum(_xq[i]) AS BIGINT) // count(*) AS BIGINT) AS m
+             CAST({floordiv_sql('CAST(sum(_xq[i]) AS BIGINT)',
+                                'count(*)')} AS BIGINT) AS m
       FROM asg, generate_series(1, 64) g(i)
       GROUP BY cell, i),
     cent_t AS MATERIALIZED (
@@ -6131,10 +6132,10 @@ def pipe_ann_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r13: RESIDUAL PQ under the maintained-index gate (pipe_ann_residual_sync)
 # ===========================================================================
 
-def _ann_residual_sql() -> str:
-    """Oracle for the residual-encoded maintained index (the faithful
-    FAISS IVFADC, Jégou et al. 2011 §III): replicate the one-iteration
-    Lloyd training pass (the ``_ann_trained_sql`` CTEs verbatim —
+def _ann_residual_ctes() -> str:
+    """The residual-index CTE body shared by ``_ann_residual_sql`` and
+    ``_ann_residual_search_sql``: replicate the one-iteration Lloyd
+    training pass (the ``_ann_trained_sql`` CTEs verbatim —
     µ-quantized integer assignment, floor-division means CAST back
     from HUGEINT, q/1e6 double conversion), derive the RESIDUAL
     CODEBOOK as the original seeds' residuals vs their nearest trained
@@ -6142,7 +6143,9 @@ def _ann_residual_sql() -> str:
     order), then encode the FINAL post-update corpus: cell = trained-
     centroid argmin, codes = per-subspace argmin of the double fold
     between the vector's residual and each residual-codebook entry —
-    every distance in the engine's exact element order."""
+    every distance in the engine's exact element order. Ends at the
+    ``r0``/``r1`` per-subspace code CTEs (callers append their own
+    tail)."""
     qz = ("list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
           "* 1000000.0 + 0.5) AS BIGINT))")
     isq = ("list_reduce(list_transform(generate_series(1, 64), i -> "
@@ -6171,8 +6174,7 @@ def _ann_residual_sql() -> str:
         FROM fres e, rescb r
       ) WHERE rn = 1"""
 
-    return f"""
-    WITH seedq AS MATERIALIZED (
+    return f"""seedq AS MATERIALIZED (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS _pos,
              {qz} AS _sq
       FROM embeddings WHERE vec_id < 16),
@@ -6187,7 +6189,8 @@ def _ann_residual_sql() -> str:
         FROM corpusq c, seedq s) WHERE rn = 1),
     means AS MATERIALIZED (
       SELECT cell, i AS pos,
-             CAST(CAST(sum(_xq[i]) AS BIGINT) // count(*) AS BIGINT) AS m
+             CAST({floordiv_sql('CAST(sum(_xq[i]) AS BIGINT)',
+                                'count(*)')} AS BIGINT) AS m
       FROM asg, generate_series(1, 64) g(i)
       GROUP BY cell, i),
     cent_t AS MATERIALIZED (
@@ -6234,7 +6237,15 @@ def _ann_residual_sql() -> str:
       JOIN assigned a USING (vec_id)
       JOIN cent_t t ON t._cid = a.cell),
     r0 AS MATERIALIZED ({rq(0)}),
-    r1 AS MATERIALIZED ({rq(1)})
+    r1 AS MATERIALIZED ({rq(1)})"""
+
+
+def _ann_residual_sql() -> str:
+    """Oracle for the residual-encoded maintained index: the shared
+    residual CTE body (:func:`_ann_residual_ctes`) plus the index-table
+    projection tail."""
+    return f"""
+    WITH {_ann_residual_ctes()}
     SELECT assigned.vec_id, assigned.cell, r0.code0, r1.code1
     FROM assigned JOIN r0 USING (vec_id) JOIN r1 USING (vec_id)
     ORDER BY assigned.vec_id
@@ -6416,6 +6427,268 @@ def pipe_ann_sq8_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         return spark.createDataFrame(
             rows, "vec_id long, cell long, sq8_codes string")
+    finally:
+        base.unpersist()
+        shutil.rmtree(instance, ignore_errors=True)
+
+
+# ===========================================================================
+# r13: codec SEARCH gates (pipe_ann_sq8_search / pipe_ann_residual_search)
+# ===========================================================================
+
+def _ann_sq8_search_sql() -> str:
+    """Oracle for ``pipe.ann_search`` on the sq8 codec: rebuild the
+    post-update index (frozen per-dim stats from the ORIGINAL corpus —
+    the first sync is full-corpus here — frozen centroids = the 16
+    smallest-id original rows, final corpus cells by the IEEE-double
+    argmin, codes by the clamped affine), then replicate the search for
+    the five flipped queries: probe list = the 2 nearest centroids by
+    the EXACT-DECIMAL idiom (``assign_ivf_cells_multi``'s arithmetic),
+    query codes = the SAME clamped affine against the frozen stats
+    (symmetric scalar quantization), candidate distance = the exact
+    integer squared-L2 over the codes (BIGINT — CAST back from
+    DuckDB's HUGEINT list_sum), (code_dist, neighbor_id) top-5."""
+    dd = "(CAST(e.embedding[i] AS DOUBLE) - c._cv[i])"
+    dsq = (f"list_reduce(list_transform(generate_series(1, 64), i -> "
+           f"{dd} * {dd}), (a, b) -> a + b)")
+    qdiff = ("(" + _EL.replace("{v}", "q.qv") + " - "
+             + _EL.replace("{v}", "c._cv") + ")")
+    qdist = (f"list_sum(list_transform(generate_series(1, len(q.qv)), "
+             f"i -> {qdiff} * {qdiff}))")
+    code = ("CASE WHEN s.ss[i] = 0.0 THEN 0 "
+            "ELSE CAST(greatest(0.0, least(255.0, "
+            "floor((CAST({v}[i] AS DOUBLE) - s.mns[i]) "
+            "* 255.0 / s.ss[i] + 0.5))) AS BIGINT) END")
+    fcode = code.replace("{v}", "f.embedding")
+    qcode = code.replace("{v}", "q.qv")
+    return f"""
+    WITH dstats AS MATERIALIZED (
+      SELECT g.i AS pos,
+             min(CAST(embedding[g.i] AS DOUBLE)) AS mn,
+             max(CAST(embedding[g.i] AS DOUBLE)) AS mx
+      FROM embeddings, generate_series(1, 64) g(i)
+      GROUP BY g.i),
+    statl AS MATERIALIZED (
+      SELECT list(mn ORDER BY pos) AS mns,
+             list(mx - mn ORDER BY pos) AS ss
+      FROM dstats),
+    cent AS (SELECT vec_id AS _cid, embedding AS _cv
+             FROM embeddings WHERE vec_id < {_ANNIDX_NCENT}),
+    final AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN {_ANNIDX_UPDATED}
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM embeddings),
+    arn AS MATERIALIZED (
+      SELECT e.vec_id, c._cid AS cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dsq} ASC, c._cid ASC) AS rn
+      FROM final e, cent c),
+    assigned AS (SELECT vec_id, cell FROM arn WHERE rn = 1),
+    codes AS MATERIALIZED (
+      SELECT f.vec_id,
+             list_transform(generate_series(1, len(f.embedding)),
+                            i -> {fcode}) AS cc
+      FROM final f, statl s),
+    qv AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM final WHERE vec_id < 5),
+    qrn AS MATERIALIZED (
+      SELECT q.query_id, q.qv, c._cid AS cell,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {qdist} ASC, c._cid ASC) AS rn
+      FROM qv q, cent c),
+    probes AS MATERIALIZED (
+      SELECT q.query_id, q.cell,
+             list_transform(generate_series(1, len(q.qv)),
+                            i -> {qcode}) AS qc
+      FROM (SELECT query_id, qv, cell FROM qrn WHERE rn <= 2) q,
+           statl s),
+    pairs AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> (p.qc[i] - cd.cc[i]) * (p.qc[i] - cd.cc[i])))
+                  AS BIGINT) AS code_dist
+      FROM probes p
+      JOIN assigned a USING (cell)
+      JOIN codes cd ON cd.vec_id = a.vec_id
+      WHERE a.vec_id != p.query_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY code_dist ASC,
+                                            neighbor_id) AS rnk
+      FROM pairs)
+    SELECT query_id, neighbor_id, code_dist, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """
+
+
+@query("pipe_ann_sq8_search", _ann_sq8_search_sql())
+def pipe_ann_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipe.ann_search`` on the SQ8 codec END-TO-END (r13 — the
+    search half of ``pipe_ann_sq8_sync``, mirroring what
+    ``pipe_ann_search_topk`` gates for PQ): build + freeze on the full
+    corpus, sign-flip update sync (exceeding the frozen stats, so
+    corpus codes clamp), then the five FLIPPED query vectors search
+    nprobe=2, k=5 through ``similarity.ivfsq8_topk`` — multi-probe
+    coarse assignment (exact-decimal ranking), symmetric scalar
+    quantization of the query against the FROZEN stats, exact integer
+    squared-L2 over codes. The ranking key is BIGINT-exact, so the
+    output hashes with no double-render caveat at all (stronger than
+    the PQ gate's adc column in that respect). Reference analogue:
+    none (no vector surface); FAISS ``IVF,SQ8`` is the public
+    model."""
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+
+    base = (load_table(spark, sf_dir, "embeddings")
+            .select(F.expr("timestamp'2024-01-01' + make_interval("
+                           "0, 0, 0, 0, cast(vec_id AS int))").alias("ts"),
+                    "vec_id", "embedding")
+            .persist())
+    instance = tempfile.mkdtemp(prefix="mrsm_q_annsq8s_")
+    try:
+        pipe = Pipe(
+            "catalog", "annsq8search", instance=instance, spark=spark,
+            columns={"datetime": "ts", "id": "vec_id"},
+            parameters={"ann_index": {
+                "column": "embedding", "n_centroids": _ANNIDX_NCENT,
+                "codec": "sq8",
+            }})
+        r1 = pipe.sync(base)
+        assert r1.success, r1.message
+        upd = (base.filter(F.expr(_ANNIDX_UPDATED))
+               .withColumn("embedding",
+                           F.transform("embedding", lambda x: -x)))
+        r2 = pipe.sync(upd)
+        assert r2.success, r2.message
+        queries = (base.filter(F.col("vec_id") < 5)
+                   .withColumn("embedding",
+                               F.transform("embedding", lambda x: -x))
+                   .drop("ts"))
+        res = pipe.ann_search(queries, k=5, nprobe=2)
+        rows = res.collect()
+        return spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, code_dist long, "
+                  "rnk int")
+    finally:
+        base.unpersist()
+        shutil.rmtree(instance, ignore_errors=True)
+
+
+def _ann_residual_search_sql() -> str:
+    """Oracle for ``pipe.ann_search`` on the residual codec: the shared
+    residual CTE body (train → residual codebook → final-corpus
+    residual encode), then the search replication for the five flipped
+    queries. The engine probes by an IEEE-DOUBLE fold against the
+    trained centroids (``ivfpq_residual_topk``'s ``sqdist_dbl`` —
+    aggregate seeded 0.0 ≡ list_reduce, the proven pairing), computes
+    the query's OWN residual per probed cell, and the candidate adc is
+    the per-subspace fold between that residual and the
+    residual-codebook entries the candidate's codes name — the LUT the
+    engine builds holds exactly these folds, so spelling them directly
+    is value-identical."""
+    qd = "(CAST(q.qv[i] AS DOUBLE) - c._cv[i])"
+    qdsq = (f"list_reduce(list_transform(generate_series(1, 64), i -> "
+            f"{qd} * {qd}), (a, b) -> a + b)")
+
+    def rsub(m: int) -> str:
+        off = m * 32
+        d = f"(p.qres[i + {off}] - rb{m}._rv[i + {off}])"
+        return (f"list_reduce(list_transform(generate_series(1, 32), "
+                f"i -> {d} * {d}), (a, b) -> a + b)")
+
+    return f"""
+    WITH {_ann_residual_ctes()},
+    fcodes AS MATERIALIZED (
+      SELECT assigned.vec_id, assigned.cell, r0.code0, r1.code1
+      FROM assigned JOIN r0 USING (vec_id) JOIN r1 USING (vec_id)),
+    qv AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM final WHERE vec_id < 5),
+    qrn AS MATERIALIZED (
+      SELECT q.query_id, q.qv, c._cid AS cell, c._cv,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {qdsq} ASC, c._cid ASC) AS rn
+      FROM qv q, cent_t c),
+    probes AS MATERIALIZED (
+      SELECT query_id, cell,
+             list_transform(generate_series(1, 64),
+                            i -> CAST(qv[i] AS DOUBLE) - _cv[i]) AS qres
+      FROM qrn WHERE rn <= 2),
+    pairs AS (
+      SELECT p.query_id, f.vec_id AS neighbor_id,
+             ({rsub(0)}) + ({rsub(1)}) AS adc
+      FROM probes p
+      JOIN fcodes f USING (cell)
+      JOIN rescb rb0 ON rb0._rid = f.code0
+      JOIN rescb rb1 ON rb1._rid = f.code1
+      WHERE f.vec_id != p.query_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc ASC, neighbor_id) AS rnk
+      FROM pairs)
+    SELECT query_id, neighbor_id, adc, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """
+
+
+@query("pipe_ann_residual_search", _ann_residual_search_sql())
+def pipe_ann_residual_search(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """``pipe.ann_search`` on the RESIDUAL codec END-TO-END (r13 — the
+    faithful IVFADC read path, Jégou et al. 2011 §III): the same
+    three-sync replay as ``pipe_ann_residual_sync`` (train_iters=1
+    freeze of trained centroids + residual codebook, disjoint insert,
+    sign-flip update), then the five FLIPPED queries search nprobe=2,
+    k=5 through ``similarity.ivfpq_residual_topk`` — per-(query,
+    probed-cell) residual LUTs over the query's own residual. Hash
+    equality against the oracle's independent train → residual
+    codebook → encode → search replication proves the maintained
+    two-artifact freeze serves reads correctly, not just that the
+    stored codes match. The adc DOUBLE output is hash-safe by the
+    same IEEE-fold idiom as the PQ search gate. Reference analogue:
+    none (no vector surface)."""
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+
+    base = (load_table(spark, sf_dir, "embeddings")
+            .select(F.expr("timestamp'2024-01-01' + make_interval("
+                           "0, 0, 0, 0, cast(vec_id AS int))").alias("ts"),
+                    "vec_id", "embedding")
+            .persist())
+    instance = tempfile.mkdtemp(prefix="mrsm_q_annress_")
+    try:
+        pipe = Pipe(
+            "catalog", "annressearch", instance=instance, spark=spark,
+            columns={"datetime": "ts", "id": "vec_id"},
+            parameters={"ann_index": {
+                "column": "embedding", "n_centroids": _ANNIDX_NCENT,
+                "subspaces": PQ_SUBSPACES, "subdim": PQ_SUBDIM,
+                "train_iters": 1, "residual": True,
+            }})
+        r1 = pipe.sync(base.filter(F.col("vec_id") < 300))
+        assert r1.success, r1.message
+        r2 = pipe.sync(base.filter(F.col("vec_id") >= 300),
+                       check_existing=False)
+        assert r2.success, r2.message
+        upd = (base.filter(F.expr(_ANNIDX_UPDATED))
+               .withColumn("embedding",
+                           F.transform("embedding", lambda x: -x)))
+        r3 = pipe.sync(upd)
+        assert r3.success, r3.message
+        queries = (base.filter(F.col("vec_id") < 5)
+                   .withColumn("embedding",
+                               F.transform("embedding", lambda x: -x))
+                   .drop("ts"))
+        res = pipe.ann_search(queries, k=5, nprobe=2)
+        rows = res.collect()
+        return spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, adc double, "
+                  "rnk int")
     finally:
         base.unpersist()
         shutil.rmtree(instance, ignore_errors=True)

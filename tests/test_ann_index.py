@@ -722,3 +722,59 @@ def test_residual_ann_search(spark, instance_dir):
                 key=lambda i: (sq(_vec(7), _vec(i)), i))
     ref = pipe.ann_search(q, k=3, nprobe=NCENT, refine=4).collect()
     assert next(r for r in ref if r["rnk"] == 1)["neighbor_id"] == truth
+
+
+def test_sq8_search_code_dist_exact(spark, instance_dir):
+    """The sq8 no-refine search output carries the exact integer code
+    distance (its ranking key — r13 search gate enabler): with every
+    cell probed, the returned (neighbor, code_dist) set equals the
+    pure-Python integer replay over the maintained codes, and the rank
+    order is exactly (distance, id)."""
+    pipe = _mk_sq8_pipe(spark, instance_dir)
+    assert pipe.sync(_mk_df(spark, range(40))).success
+    out = pipe.ann_search(_mk_df(spark, [7]).drop("ts"), k=40,
+                          nprobe=NCENT).collect()
+    replay = _sq8_replay(pipe, range(40))
+    qc = replay[7][1]
+    expect = sorted(
+        (sum((a - b) ** 2 for a, b in zip(qc, replay[i][1])), i)
+        for i in range(40) if i != 7)
+    assert sorted((r["code_dist"], r["neighbor_id"]) for r in out) \
+        == expect
+    by_rank = sorted(out, key=lambda r: r["rnk"])
+    assert [(r["code_dist"], r["neighbor_id"]) for r in by_rank] == expect
+
+
+def test_residual_search_adc_exact(spark, instance_dir):
+    """The residual no-refine search output carries adc (r13 search
+    gate enabler), and with all cells probed each candidate's adc
+    equals the pure-Python IEEE replay: per-subspace folds between the
+    query's residual (vs the candidate's OWN cell centroid) and the
+    residual-codebook entries its codes name — bit-exact, because the
+    engine's 0.0-seeded aggregate adds in the same element order."""
+    pipe = _mk_residual_pipe(spark, instance_dir)
+    assert pipe.sync(_mk_df(spark, range(40))).success
+    doc = pipe._load_ann_doc()
+    cents, res_cb, ids = doc["vecs"], doc["res_vecs"], doc["ids"]
+    out = pipe.ann_search(_mk_df(spark, [7]).drop("ts"), k=40,
+                          nprobe=NCENT).collect()
+    replay = _residual_replay(pipe, range(40))
+    q = _vec(7)
+
+    def fold(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            d = x - y
+            acc = acc + d * d
+        return acc
+
+    expect = {}
+    for i in range(40):
+        if i == 7:
+            continue
+        cell, c0, c1 = replay[i]
+        pos = ids.index(cell)
+        qres = [float(x) - c for x, c in zip(q, cents[pos])]
+        expect[i] = (fold(qres[:SUBDIM], res_cb[c0][:SUBDIM])
+                     + fold(qres[SUBDIM:], res_cb[c1][SUBDIM:]))
+    assert {r["neighbor_id"]: r["adc"] for r in out} == expect

@@ -150,24 +150,58 @@ class PipeRegistry:
                 entries[name[:-5]] = self._entry_of(doc)
         return entries
 
+    #: a dir mtime this close to "now" may still share its coarse
+    #: filesystem tick with a LATER foreign publish, so equality with
+    #: the index stamp is not yet proof of freshness (the git
+    #: "racy-clean" hazard). While the tick is open, trusting the
+    #: stamp additionally requires the listdir name-set to match the
+    #: entry map. 100 ms covers jiffy-granularity mtimes with margin;
+    #: the extra listdir is only paid by reads in the instant after a
+    #: publish.
+    INDEX_MTIME_GRACE_NS = 100_000_000
+
+    def _tick_suspect(self, mt: int) -> bool:
+        return time.time_ns() - mt <= self.INDEX_MTIME_GRACE_NS
+
+    def _names_match(self, entries: dict) -> bool:
+        """Cheap existence probe for a suspect (still-open) mtime tick:
+        does the registry dir hold exactly the docs the index maps?
+        Catches a same-tick foreign publish/delete of a NEW target.
+        Residual (documented): a same-tick foreign REWRITE of an
+        existing doc changes no names — but that requires an unlocked
+        writer mutating another writer's pipe inside the same
+        millisecond tick, and locked writers converge regardless."""
+        try:
+            names = {n[:-5] for n in os.listdir(self.registry_dir)
+                     if n.endswith(".json")}
+        except FileNotFoundError:
+            return not entries
+        return names == set(entries)
+
     def _index_entries(self) -> dict:
         """Current {target: [connector, metric, location, tags]} map —
         memoized per dir-mtime, index file read only when the memo
-        misses, full scan only when the index itself is stale."""
+        misses, full scan only when the index itself is stale. A stamp
+        equal to a dir mtime younger than ``INDEX_MTIME_GRACE_NS`` is
+        only trusted after ``_names_match`` (racy-tick guard)."""
         mt = self._dir_mtime_ns()
         if mt < 0:
             return {}
         cached = getattr(self, "_index_cache", None)
         if cached is not None and cached[0] == mt:
-            return cached[1]
-        try:
-            with open(self.index_path) as f:
-                doc = json.load(f)
-            if doc.get("dir_mtime_ns") == mt:
-                self._index_cache = (mt, doc["entries"])
-                return doc["entries"]
-        except (FileNotFoundError, json.JSONDecodeError, KeyError):
-            pass
+            if not self._tick_suspect(mt) or self._names_match(cached[1]):
+                return cached[1]
+        else:
+            try:
+                with open(self.index_path) as f:
+                    doc = json.load(f)
+                if doc.get("dir_mtime_ns") == mt and (
+                        not self._tick_suspect(mt)
+                        or self._names_match(doc["entries"])):
+                    self._index_cache = (mt, doc["entries"])
+                    return doc["entries"]
+            except (FileNotFoundError, json.JSONDecodeError, KeyError):
+                pass
         # stale or missing: rebuild under the cross-process lock (doc
         # publishes hold the same lock, so the scan sees a quiesced dir)
         with self._index_lock():
@@ -196,11 +230,15 @@ class PipeRegistry:
         capture instead means a foreign publish landing any later than
         our own stat produces a dir mtime newer than the stamp, failing
         the ``==`` freshness probe and forcing the rebuild scan that
-        picks the entry up. (Residual window: an UNLOCKED foreign
-        publish inside the same coarse mtime tick as our stat — locked
+        picks the entry up. An UNLOCKED foreign publish inside the
+        same coarse mtime tick as our stat is caught by the racy-tick
+        guard in ``_index_entries`` (stamp-age ≤ grace ⇒ listdir
+        name-set compare before trusting the stamp); the only
+        remaining window is a same-tick foreign REWRITE of an
+        existing doc (no name change — see ``_names_match``). Locked
         writers queue on the flock and fold their own entry, so they
         converge regardless; see test_registry_cache's two-process
-        stress.)"""
+        stress."""
         cached = getattr(self, "_index_cache", None)
         if cached is not None and cached[0] == pre_mtime_ns:
             entries, stale = dict(cached[1]), False

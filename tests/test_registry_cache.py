@@ -276,3 +276,62 @@ print("REG_WORKER_OK")
         assert len(idx["entries"]) == 2 * n, (
             "index claims freshness but omits "
             f"{2 * n - len(idx['entries'])} entries")
+
+
+def test_index_racy_tick_guard_same_mtime_foreign_publish(
+        instance_dir, monkeypatch):
+    """An UNLOCKED foreign publish landing in the SAME coarse mtime
+    tick as the index stamp (simulated deterministically by pinning
+    the dir mtime back to the stamped value) is caught while the tick
+    is open: the == freshness probe passes, but the racy-tick guard's
+    listdir name-set compare forces the rebuild that picks the entry
+    up. Grace is pinned wide so the test never races the real
+    clock."""
+    import json
+    import os
+
+    monkeypatch.setattr(PipeRegistry, "INDEX_MTIME_GRACE_NS", 10**18)
+    reg = PipeRegistry.for_instance(instance_dir)
+    reg.save("a_x", _mkdoc("a", "x"))
+    assert reg.fetch_pipes_keys() == [("a", "x", None)]
+    stamp = reg._index_cache[0]
+
+    def foreign(name, doc):
+        path = os.path.join(reg.registry_dir, name + ".json")
+        with open(path + ".tmp", "w") as f:
+            json.dump(doc, f)
+        os.replace(path + ".tmp", path)
+        os.utime(reg.registry_dir, ns=(stamp, stamp))
+        assert reg._dir_mtime_ns() == stamp
+
+    # memo path: warm in-process cache, stamp matches the pinned mtime
+    foreign("c_z", _mkdoc("c", "z"))
+    assert reg.fetch_pipes_keys() == [("a", "x", None), ("c", "z", None)]
+
+    # file-probe path: cold memo forces the index-file read
+    stamp = json.load(open(reg.index_path))["dir_mtime_ns"]
+    foreign("d_w", _mkdoc("d", "w"))
+    del reg._index_cache
+    assert reg.fetch_pipes_keys() == [
+        ("a", "x", None), ("c", "z", None), ("d", "w", None)]
+
+
+def test_index_racy_tick_guard_is_the_mechanism(instance_dir, monkeypatch):
+    """Control: with the grace window forced permanently CLOSED, the
+    same simulated same-tick collision is trusted stale — proving the
+    name-set compare (not some other path) is what catches it, and
+    that the guard costs nothing once a tick is old."""
+    import json
+    import os
+
+    monkeypatch.setattr(PipeRegistry, "INDEX_MTIME_GRACE_NS", -1)
+    reg = PipeRegistry.for_instance(instance_dir)
+    reg.save("a_x", _mkdoc("a", "x"))
+    assert reg.fetch_pipes_keys() == [("a", "x", None)]
+    stamp = reg._index_cache[0]
+    path = os.path.join(reg.registry_dir, "c_z.json")
+    with open(path + ".tmp", "w") as f:
+        json.dump(_mkdoc("c", "z"), f)
+    os.replace(path + ".tmp", path)
+    os.utime(reg.registry_dir, ns=(stamp, stamp))
+    assert reg.fetch_pipes_keys() == [("a", "x", None)]

@@ -534,12 +534,16 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 def hamming_near_pairs(sim_df: DataFrame, id_col: str = "doc_id",
                        max_distance: int = 8,
-                       checkpoint: bool = True) -> DataFrame:
+                       checkpoint: bool = True,
+                       nbits: int = 60) -> DataFrame:
     """SimHash near-dup pairs by Hamming distance, joined on rotated
-    prefix buckets (pigeonhole: distance ≤ d means some 60/(d+1)-bit
-    block matches exactly) — equi-join, not cross join."""
+    prefix buckets (pigeonhole: distance ≤ d means some nbits/(d+1)-bit
+    block matches exactly) — equi-join, not cross join. ``nbits`` is
+    the signature width (60 for the text simhash; 16 for the image
+    aHash): blocks sized off the wrong width would leave high blocks
+    permanently zero, funnelling every row into one hot bucket."""
     blocks = max_distance + 1
-    width = 60 // blocks
+    width = nbits // blocks
     # materialize the signatures: the block self-join and the final
     # distance filter would otherwise recompute the simhash per branch
     if checkpoint:

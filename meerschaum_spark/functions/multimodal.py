@@ -409,6 +409,43 @@ def decode_png_tiles(df: DataFrame, grid: int = 2, id_col: str = "doc_id",
     return cols.mapInPandas(op, schema=PNG_TILE_SCHEMA)
 
 
+def image_ahash(tiles: DataFrame, grid: int = 4,
+                id_col: str = "doc_id") -> DataFrame:
+    """Perceptual AVERAGE-HASH over decoded tile sums (the classic
+    aHash: downscale to a grid of block means, one bit per block set
+    iff that block is brighter than the image mean) — the image-side
+    near-duplicate fingerprint of a vision-training pipeline. Runs on
+    :func:`decode_png_tiles` output, so the grid means come from the
+    REAL decode. All arithmetic is exact BIGINT: the mean comparison
+    cross-multiplies (``tile_sum · total_bytes > total_sum ·
+    tile_bytes``) instead of dividing, so there is no float anywhere
+    and the hash is deterministic across engines/partitionings.
+
+    Scale shape: one window + one hash agg, both partitioned by the
+    image id (never a single-partition window); output is one
+    ``grid²``-bit BIGINT per image. grid=8 gives the production 64-bit
+    aHash; the 4-16 px synthetic gate images use grid=4 (16 bits).
+    Reference analogue: none (attachments are opaque bytes there)."""
+    from pyspark.sql import Window
+
+    if grid * grid > 63:
+        raise ValueError("image_ahash: grid² must fit a signed BIGINT "
+                         f"(grid={grid} → {grid * grid} bits)")
+    w = Window.partitionBy(id_col)
+    tb = (F.col("tile_w") * F.col("tile_h") * F.lit(3)).cast("long")
+    t = (tiles.withColumn("_tb", tb)
+         .withColumn("_tots", F.sum("tile_pixel_sum").over(w))
+         .withColumn("_totb", F.sum("_tb").over(w)))
+    bit = (F.col("tile_pixel_sum") * F.col("_totb")
+           > F.col("_tots") * F.col("_tb")).cast("long")
+    idx = (F.col("tile_row") * grid + F.col("tile_col")).cast("int")
+    # SQL-form shiftleft: the Python helper only takes a literal shift
+    return (t.select(F.col(id_col), bit.alias("_bit"), idx.alias("_idx"))
+            .selectExpr(id_col, "shiftleft(_bit, _idx) AS _b")
+            .groupBy(id_col)
+            .agg(F.sum("_b").cast("long").alias("ahash")))
+
+
 def fake_decode_images(df: DataFrame, id_col: str = "doc_id",
                        payload_col: str = "payload") -> DataFrame:
     """Deterministic stand-in decode: derives plausible (width, height,

@@ -823,6 +823,106 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_pngs(pngs).orderBy("doc_id")
 
 
+_AH_A = "(seed + (y0 + yy - 1) * 3 * w + b1)"
+_AH_B = "(seed + (y0 + yy - 1) * 3 * w + b0)"
+
+@query(
+    "multimodal_image_ahash_neardup",
+    f"""
+    WITH g AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h,
+               doc_id % 256 AS seed
+        FROM documents),
+    t AS (
+        SELECT g.*, tr.r, tc.c
+        FROM g, generate_series(0, 3) tr(r), generate_series(0, 3) tc(c)),
+    b AS (
+        SELECT doc_id, w, h, seed, r, c,
+               (h * r) // 4 AS y0, (h * (r + 1)) // 4 AS y1,
+               3 * ((w * c) // 4) AS b0, 3 * ((w * (c + 1)) // 4) AS b1
+        FROM t),
+    s AS (
+        SELECT doc_id, r, c,
+               list_sum(list_transform(generate_series(1, y1 - y0),
+                    yy -> {_png_mod_sum(_AH_A)} - {_png_mod_sum(_AH_B)}))
+                   AS ts,
+               (y1 - y0) * (b1 - b0) AS tb
+        FROM b),
+    tot AS (SELECT doc_id, sum(ts) AS tots, sum(tb) AS totb
+            FROM s GROUP BY doc_id),
+    bits AS (
+        SELECT s.doc_id, r, c,
+               CASE WHEN ts * totb > tots * tb THEN 1 ELSE 0 END AS bit
+        FROM s JOIN tot USING (doc_id)),
+    hs AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(sum(bit * (1::BIGINT << (r * 4 + c))) AS BIGINT)
+                   AS ahash
+        FROM bits GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               bit_count(xor(a.ahash, b.ahash)) AS hd
+        FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+    dir2 AS (
+        SELECT da AS doc_id, db AS partner, hd FROM pairs
+        UNION ALL SELECT db, da, hd FROM pairs),
+    best AS (
+        SELECT doc_id, partner, hd FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY hd, partner) AS rn
+            FROM dir2) WHERE rn = 1),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near_dups
+            FROM dir2 GROUP BY doc_id)
+    SELECT doc_id, n_near_dups,
+           CAST(best.hd AS BIGINT) AS nearest_hd,
+           best.partner AS nearest_partner
+    FROM agg JOIN best USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def multimodal_image_ahash_neardup(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection by perceptual average-hash (r13
+    — the vision-side analogue of doc_simhash_near_pairs, a real
+    training-data-curation stage): every synthetic PNG runs the REAL
+    stdlib decode + 4×4 tiling, ``multimodal.image_ahash`` turns the
+    tile means into a 16-bit aHash in exact BIGINT cross-multiplied
+    arithmetic, and near-dup pairs (Hamming ≤ 3) come from the
+    LOSSLESS pigeonhole block join (``dedup.hamming_near_pairs`` with
+    ``nbits=16`` — 4 disjoint 4-bit blocks, distance ≤ 3 ⇒ one block
+    matches exactly). The oracle is the brute-force O(n²) join over
+    closed-form hashes from the (seed + i) % 256 pixel layout, so the
+    banding must be exactly lossless to hash-match. Output contracts
+    to per-image stats (neighbor count + nearest partner) to keep the
+    gate compact; production grid=8 gives the standard 64-bit aHash.
+    Reference analogue: none (attachments are opaque bytes there)."""
+    docs = _docs(spark, sf_dir)
+    pngs = M.with_png_payload(docs)
+    tiles = M.decode_png_tiles(pngs, grid=4)
+    hashes = (M.image_ahash(tiles, grid=4)
+              .withColumnRenamed("ahash", "simhash"))
+    pairs = D.hamming_near_pairs(hashes, max_distance=3, nbits=16)
+    both = (pairs.select(F.col("doc_a").alias("doc_id"),
+                         F.col("doc_b").alias("partner"), "hamming")
+            .unionByName(pairs.select(
+                F.col("doc_b").alias("doc_id"),
+                F.col("doc_a").alias("partner"), "hamming")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("hamming").asc(), F.col("partner").asc())
+    best = (both.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id",
+                    F.col("hamming").cast("long").alias("nearest_hd"),
+                    F.col("partner").alias("nearest_partner")))
+    agg = both.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_near_dups"))
+    return (agg.join(best, "doc_id")
+            .select("doc_id", "n_near_dups", "nearest_hd",
+                    "nearest_partner")
+            .orderBy("doc_id"))
+
+
 @query(
     "events_json_extract",
     """

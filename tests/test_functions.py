@@ -1440,3 +1440,49 @@ def test_sq8_codes_rejects_empty_or_nonfinite_stats(spark):
         S.sq8_codes(df, [(0.0, 1.0), (float("inf"), 2.0)])
     with pytest.raises(ValueError, match="dimension 0"):
         S.sq8_codes(df, [(float("nan"), 1.0)])
+
+
+def test_image_ahash_matches_python_replay(docs):
+    """image_ahash over the distributed decode equals a pure-Python
+    replay: per-tile byte sums from the local codec, bit set iff the
+    tile mean beats the image mean (cross-multiplied integers), bit
+    index = row * grid + col."""
+    tiles = M.decode_png_tiles(M.with_png_payload(docs), grid=4)
+    got = {r["doc_id"]: r["ahash"]
+           for r in M.image_ahash(tiles, grid=4).collect()}
+    for i in (1, 2, 3, 4, 5):
+        png = M.encode_png(i % 256, 4 + i % 13, 4 + i % 11)
+        ts = M.decode_png_tile_sums(png, 4)
+        tots = sum(t["tile_pixel_sum"] for t in ts)
+        totb = sum(3 * t["tile_w"] * t["tile_h"] for t in ts)
+        h = 0
+        for t in ts:
+            tb = 3 * t["tile_w"] * t["tile_h"]
+            if t["tile_pixel_sum"] * totb > tots * tb:
+                h |= 1 << (t["tile_row"] * 4 + t["tile_col"])
+        assert got[i] == h, (i, got[i], h)
+
+
+def test_hamming_near_pairs_nbits16_lossless(spark):
+    """The pigeonhole block join sized for a 16-bit signature
+    (nbits=16, d ≤ 3 ⇒ four disjoint 4-bit blocks) returns EXACTLY the
+    brute-force pair set — with the default 60-bit sizing the high
+    blocks of a 16-bit hash would all be zero, which still recalls
+    every pair but funnels the join through one hot bucket."""
+    rows = [(i, (i * 2654435761) & 0xFFFF) for i in range(120)]
+    # hand-planted near pairs at distances 0, 1, 3 (and a 4 to exclude)
+    rows += [(200, 0x1234), (201, 0x1234), (202, 0x1235),
+             (203, 0x1234 ^ 0b1011), (204, 0x1234 ^ 0b11110)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(r["doc_a"], r["doc_b"], r["hamming"])
+           for r in D.hamming_near_pairs(df, max_distance=3,
+                                         nbits=16).collect()}
+    brute = set()
+    for a, ha in rows:
+        for b, hb in rows:
+            if a < b and bin(ha ^ hb).count("1") <= 3:
+                brute.add((a, b, bin(ha ^ hb).count("1")))
+    assert got == brute
+    assert (200, 201, 0) in brute and (200, 202, 1) in brute
+    assert (200, 203, 3) in brute
+    assert not any(p[:2] == (200, 204) for p in brute)

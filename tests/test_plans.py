@@ -755,3 +755,19 @@ def test_r13_plan_shapes(spark, tmp_path):
         sr = plan_report(s)
         assert sr["sortmerge_joins"] == 0, (metric, sr)
         assert sr["broadcast_joins"] >= 1, (metric, sr)
+
+
+def test_ahash_neardup_plan_shape(spark, sf_dir):
+    """The image aHash near-dup query: the hash window partitions by
+    the image id (never a single-partition window) and the pigeonhole
+    block join is an equi-join — no cartesian anywhere."""
+    import re
+
+    from meerschaum_spark.plans import explain_str
+    from meerschaum_spark.queries_llm import multimodal_image_ahash_neardup
+
+    d = explain_str(multimodal_image_ahash_neardup(spark, sf_dir),
+                    "simple")
+    assert "CartesianProduct" not in d, d[:800]
+    assert not re.search(
+        r"Exchange SinglePartition[\s\S]{0,400}Window", d), d[:1200]

@@ -508,6 +508,126 @@ def fake_sample_frames(df: DataFrame, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# Real VIDEO path (r13): a deterministic multi-frame container of real
+# PNGs ("MPNG": magic + frame count, then length-prefixed PNG frames),
+# so frame SAMPLING — the stride-decode stage of a video-training
+# pipeline — runs the real codec per sampled frame and every pixel sum
+# is closed-form predictable for the SQL oracle. The container stands
+# in for mp4/mkv (no ffmpeg in this environment); the parse/validate/
+# stride/decode plumbing is the real shape.
+# ---------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"MPNG"
+VIDEO_MAX_FRAMES = 65536
+
+
+def encode_video(doc_id: int) -> bytes:
+    """Deterministic per-id video: ``2 + id % 5`` frames of constant
+    dims (the PNG generator's 4+id%13 × 4+id%11), frame ``f`` seeded
+    ``(id + 17·f) % 256`` so consecutive frames differ but remain
+    closed-form. Layout: magic, u32be frame count, then per frame a
+    u32be length + the PNG bytes."""
+    import struct
+
+    w, h = 4 + doc_id % 13, 4 + doc_id % 11
+    n = 2 + doc_id % 5
+    frames = [encode_png((doc_id + 17 * f) % 256, w, h)
+              for f in range(n)]
+    return (VIDEO_MAGIC + struct.pack(">I", n)
+            + b"".join(struct.pack(">I", len(p)) + p for p in frames))
+
+
+def decode_video_frames(payload: bytes, stride: int = 1) -> list:
+    """Parse the MPNG container and REALLY decode every ``stride``-th
+    frame (chunk walk, CRC, inflate, unfilter — the full PNG path).
+    Every offset is bounds-checked before use and the frame count is
+    capped, so truncated/hostile containers raise typed ValueErrors
+    instead of overallocating or slicing garbage (the decoder-fuzz
+    contract shared with the PNG and PCM codecs)."""
+    import struct
+
+    if stride < 1:
+        raise ValueError(f"decode_video_frames: stride {stride} < 1")
+    if payload[:4] != VIDEO_MAGIC:
+        raise ValueError("decode_video_frames: bad container magic")
+    if len(payload) < 8:
+        raise ValueError("decode_video_frames: truncated header")
+    (n,) = struct.unpack(">I", payload[4:8])
+    if n > VIDEO_MAX_FRAMES:
+        raise ValueError(
+            f"decode_video_frames: frame count {n} exceeds cap "
+            f"{VIDEO_MAX_FRAMES}")
+    out, off = [], 8
+    for f in range(n):
+        if off + 4 > len(payload):
+            raise ValueError(
+                f"decode_video_frames: truncated at frame {f} header")
+        (ln,) = struct.unpack(">I", payload[off:off + 4])
+        off += 4
+        if ln > len(payload) - off:
+            raise ValueError(
+                f"decode_video_frames: frame {f} claims {ln} bytes, "
+                f"{len(payload) - off} remain")
+        if f % stride == 0:
+            d = decode_png(payload[off:off + ln])
+            out.append({"frame_idx": f, "n_frames": n,
+                        "width": d["width"], "height": d["height"],
+                        "pixel_sum": d["pixel_sum"]})
+        off += ln
+    if off != len(payload):
+        raise ValueError(
+            f"decode_video_frames: {len(payload) - off} trailing bytes")
+    return out
+
+
+def with_video_payload(df: DataFrame, id_col: str = "doc_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """Attach a deterministic MPNG video per row (Arrow-batched; the
+    oracle knows every frame's dims/seed from the id alone)."""
+    cols = df.select(id_col)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                payload_col: [encode_video(int(i)) for i in ids],
+            })
+
+    return cols.mapInPandas(op, schema=f"doc_id long, {payload_col} binary")
+
+
+VIDEO_FRAME_SCHEMA = ("doc_id long, frame_idx long, n_frames long, "
+                      "width long, height long, pixel_sum long")
+
+
+def sample_video_frames(df: DataFrame, stride: int = 2,
+                        id_col: str = "doc_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """Stride frame sampling with REAL decode: one input row fans out
+    to ``ceil(n_frames / stride)`` frame rows through one Arrow-batched
+    mapInPandas node (the row-multiplying shape every real sampler
+    has — stream through batches, never collect). Replaces
+    ``fake_sample_frames``'s checksum stand-in for callers that need
+    pixel-level output."""
+    cols = df.select(id_col, payload_col)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                for fr in decode_video_frames(bytes(b), stride):
+                    recs.append({"doc_id": int(i), **fr})
+            yield pd.DataFrame(
+                recs or None,
+                columns=["doc_id", "frame_idx", "n_frames",
+                         "width", "height", "pixel_sum"]
+            ).astype("int64")
+
+    return cols.mapInPandas(op, schema=VIDEO_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Real PCM audio path (r9): synthesis, decode, and feature extraction of
 # int16 little-endian PCM clips need NO external audio library — the
 # waveform is an integer sawtooth (no libm in generation, so the SQL

@@ -1550,6 +1550,56 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_rolling_active_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+      FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+            FROM du GROUP BY day),
+    win AS (
+      SELECT DISTINCT d.day, du.user_id
+      FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day),
+    wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+            FROM win GROUP BY day)
+    SELECT day, dau, wau FROM dau JOIN wau USING (day) ORDER BY day
+    """,
+)
+def events_rolling_active_users(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Rolling DISTINCT actives — DAU and trailing-7-day WAU per day
+    (the classic engagement pair; per-user rolling SUMS are
+    events_rolling_7d, but distinct counts don't decompose into a
+    window frame). Engine shape: dedupe to (epoch-day, user) once,
+    then each row CONTRIBUTES to the 7 target days it keeps a user
+    active in (explode of a 7-element sequence — linear ×7, never a
+    range join), second dedupe, counts. Days ride as epoch-day
+    integers end to end (integer div — casting through DATE or RANGE
+    over intervals is engine-dependent). The ghost trailing days an
+    expansion invents are dropped by a broadcast semi-join against
+    observed days. At 100 TB the (day,user) dedupe is the only
+    corpus-scale shuffle; the ×7 expansion runs on the already-tiny
+    distinct frame."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (ev.select(F.expr("unix_micros(ts) div 86400000000")
+                    .alias("day"), "user_id")
+          .distinct()
+          .transform(_pin))
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    expand = (du.select(
+        F.explode(F.sequence(F.col("day"),
+                             F.col("day") + F.lit(6))).alias("day"),
+        "user_id")
+        .distinct())
+    wau = (expand.join(F.broadcast(days), "day", "left_semi")
+           .groupBy("day").agg(F.count(F.lit(1)).alias("wau")))
+    return (dau.join(wau, "day")
+            .select("day", "dau", "wau").orderBy("day"))
+
+
+@query(
     "q4_priority_late_exists",
     """
     SELECT o.o_orderpriority, count(*) AS n_orders

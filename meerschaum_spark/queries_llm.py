@@ -823,6 +823,55 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_pngs(pngs).orderBy("doc_id")
 
 
+@query(
+    "multimodal_video_frame_sample",
+    f"""
+    WITH g AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h,
+               2 + doc_id % 5 AS n
+        FROM documents),
+    fr AS (
+        SELECT g.*, fi.f
+        FROM g, generate_series(0, 5) fi(f)
+        WHERE fi.f < g.n AND fi.f % 2 = 0),
+    s AS (
+        SELECT doc_id, f, n, w, h,
+               (doc_id + 17 * f) % 256 AS seed,
+               (doc_id + 17 * f) % 256 + 3 * w * h AS m_hi
+        FROM fr)
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST({_png_mod_sum('m_hi')} - {_png_mod_sum('seed')}
+                AS BIGINT) AS pixel_sum
+    FROM s ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_video_frame_sample(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """VIDEO frame sampling with REAL decode (r13 — the stride-decode
+    stage of a video-training pipeline, upgrading the checksum-based
+    ``fake_sample_frames`` plumbing proof to a value proof): every row
+    gets a deterministic multi-frame MPNG container (2-6 real PNG
+    frames, frame f seeded (doc_id + 17f) % 256), and
+    ``multimodal.sample_video_frames`` parses the container with
+    bounds-checked offsets, decodes every SECOND frame through the
+    full stdlib PNG path (chunks, CRC, inflate, unfilter), and emits
+    per-frame pixel sums — one row in, ceil(n/2) rows out, streamed
+    through one Arrow-batched mapInPandas node. The oracle reproduces
+    every sampled frame's pixel sum in closed form from the
+    (seed + i) % 256 layout, so any container-offset, stride, or
+    decode mistake flips the hash. The container stands in for
+    mp4/mkv (no ffmpeg in this environment; documented constraint).
+    Reference analogue: none (attachments are opaque bytes there)."""
+    docs = _docs(spark, sf_dir)
+    vids = M.with_video_payload(docs)
+    return (M.sample_video_frames(vids, stride=2)
+            .orderBy("doc_id", "frame_idx"))
+
+
 _AH_A = "(seed + (y0 + yy - 1) * 3 * w + b1)"
 _AH_B = "(seed + (y0 + yy - 1) * 3 * w + b0)"
 

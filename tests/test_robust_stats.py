@@ -429,3 +429,63 @@ def test_theil_sen_guard_sample_mode(spark):
     assert all(r["slope"] == -3000 for r in out if r["s"] == "b")
     with pytest.raises(ValueError, match="error|sample"):
         theil_sen_pairs(pts, ["s"], "x", "y", on_overflow="nope")
+
+
+def test_video_container_adversarial_fuzz():
+    """The MPNG video container walker shares the codec fuzz
+    contract: truncations, bit flips, hostile frame counts/lengths,
+    and trailing garbage all fail with typed ValueError (or the
+    decoder's NotImplementedError), never an untyped crash or a
+    hostile-header allocation — and the good path round-trips the
+    closed-form sums."""
+    import random
+    import struct
+
+    from meerschaum_spark.functions.multimodal import (
+        decode_png,
+        decode_video_frames,
+        encode_png,
+        encode_video,
+    )
+
+    good = encode_video(11)  # 4+11%13=15 wide, 4 frames... derived
+    frames = decode_video_frames(good, stride=1)
+    assert len(frames) == 2 + 11 % 5
+    for fr in frames:
+        png = encode_png((11 + 17 * fr["frame_idx"]) % 256,
+                         fr["width"], fr["height"])
+        assert fr["pixel_sum"] == decode_png(png)["pixel_sum"]
+    # stride sampling picks exactly the even indices
+    assert [f["frame_idx"] for f in decode_video_frames(good, 2)] == \
+        [f for f in range(2 + 11 % 5) if f % 2 == 0]
+
+    def assert_clean(buf):
+        try:
+            decode_video_frames(buf)
+        except (ValueError, NotImplementedError):
+            pass
+
+    rng = random.Random(7)
+    for cut in range(0, len(good), max(1, len(good) // 23)):
+        assert_clean(good[:cut])
+    for _ in range(120):
+        i = rng.randrange(len(good))
+        flipped = bytearray(good)
+        flipped[i] ^= 1 << rng.randrange(8)
+        assert_clean(bytes(flipped))
+    # hostile frame count: header claims 2^31 frames
+    hostile = bytearray(good)
+    struct.pack_into(">I", hostile, 4, 0x80000000)
+    assert_clean(bytes(hostile))
+    # hostile frame length: first frame claims 2^31-1 bytes
+    hostile = bytearray(good)
+    struct.pack_into(">I", hostile, 8, 0x7FFFFFFF)
+    assert_clean(bytes(hostile))
+    # trailing garbage after the last frame
+    assert_clean(good + b"x")
+    # bad stride is a domain error
+    try:
+        decode_video_frames(good, stride=0)
+        raise AssertionError("stride 0 accepted")
+    except ValueError:
+        pass

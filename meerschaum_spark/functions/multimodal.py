@@ -667,6 +667,44 @@ def synth_pcm_clips(df: DataFrame, id_col: str = "clip_id",
     return df.mapInPandas(gen, schema=schema)
 
 
+AUDIO_FP_WINDOWS = 16
+
+
+def audio_energy_fingerprint(df: DataFrame, id_col: str = "clip_id",
+                             payload_col: str = "pcm") -> DataFrame:
+    """Per-clip acoustic fingerprint (the audio analogue of the image
+    aHash): decode the int16-LE payload, split it into
+    ``AUDIO_FP_WINDOWS`` equal windows, and set one bit per window iff
+    its exact integer energy (Σv²) exceeds the clip mean —
+    cross-multiplied (``e_w · n_windows > Σe``), so no float touches
+    the hash. Near-dup clips then come from the same lossless
+    pigeonhole Hamming join the text/image signatures use
+    (``dedup.hamming_near_pairs`` with ``nbits=16``). Map-only
+    Arrow-batched stage; one BIGINT out per clip."""
+    import numpy as np
+
+    def fp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for cid, buf in zip(pdf[id_col], pdf[payload_col]):
+                v = np.frombuffer(bytes(buf), dtype="<i2").astype(np.int64)
+                if len(v) == 0 or len(v) % AUDIO_FP_WINDOWS:
+                    raise ValueError(
+                        f"audio_energy_fingerprint: clip {cid} has "
+                        f"{len(v)} samples, not a positive multiple "
+                        f"of {AUDIO_FP_WINDOWS}")
+                e = (v * v).reshape(AUDIO_FP_WINDOWS, -1).sum(axis=1)
+                te = int(e.sum())
+                h = 0
+                for wi in range(AUDIO_FP_WINDOWS):
+                    if int(e[wi]) * AUDIO_FP_WINDOWS > te:
+                        h |= 1 << wi
+                rows.append((int(cid), h))
+            yield pd.DataFrame(rows, columns=[id_col, "fingerprint"])
+
+    return df.mapInPandas(fp, schema=f"{id_col} long, fingerprint long")
+
+
 def audio_features(df: DataFrame, id_col: str = "clip_id",
                    payload_col: str = "pcm") -> DataFrame:
     """Decode int16-LE PCM payloads and extract the classic audio-ML

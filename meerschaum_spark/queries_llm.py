@@ -876,6 +876,55 @@ _AH_A = "(seed + (y0 + yy - 1) * 3 * w + b1)"
 _AH_B = "(seed + (y0 + yy - 1) * 3 * w + b0)"
 
 @query(
+    "multimodal_image_resize_thumb",
+    f"""
+    WITH g AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h,
+               doc_id % 256 AS seed
+        FROM documents),
+    t AS (
+        SELECT g.*, tr.r, tc.c
+        FROM g, generate_series(0, 3) tr(r), generate_series(0, 3) tc(c)),
+    b AS (
+        SELECT doc_id, w, h, seed, r, c,
+               (h * r) // 4 AS y0, (h * (r + 1)) // 4 AS y1,
+               3 * ((w * c) // 4) AS b0, 3 * ((w * (c + 1)) // 4) AS b1
+        FROM t),
+    s AS (
+        SELECT doc_id, r, c,
+               list_sum(list_transform(generate_series(1, y1 - y0),
+                    yy -> {_png_mod_sum(_AH_A)} - {_png_mod_sum(_AH_B)}))
+                   AS ts,
+               (y1 - y0) * (b1 - b0) AS tb
+        FROM b)
+    SELECT doc_id,
+           CAST(r AS BIGINT) AS tile_row,
+           CAST(c AS BIGINT) AS tile_col,
+           CAST(CAST(ts AS BIGINT) // tb AS BIGINT) AS mean_byte
+    FROM s ORDER BY doc_id, tile_row, tile_col
+    """,
+)
+def multimodal_image_resize_thumb(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Image RESIZE as an exact box filter (r13 — the thumbnail /
+    downscale stage of a vision pipeline, made explicit: tiling gave
+    the crop stage, this emits the 4×4 downscaled image itself): every
+    PNG runs the real decode + 4×4 tiling and each output pixel is the
+    integer mean byte of its source block (floor division — all
+    quantities nonnegative, so Spark ``div`` ≡ DuckDB ``//``). The
+    oracle reproduces each block mean in closed form from the
+    (seed + i) % 256 layout. One mapInPandas decode node; the
+    mean projection is pure codegen."""
+    docs = _docs(spark, sf_dir)
+    tiles = M.decode_png_tiles(M.with_png_payload(docs), grid=4)
+    return (tiles.select(
+        "doc_id",
+        F.col("tile_row"), F.col("tile_col"),
+        F.expr("tile_pixel_sum div (3 * tile_w * tile_h)")
+        .alias("mean_byte"))
+        .orderBy("doc_id", "tile_row", "tile_col"))
+
+@query(
     "multimodal_image_ahash_neardup",
     f"""
     WITH g AS (
@@ -4973,6 +5022,67 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").alias("clip_id")).distinct())
     pcm = M.synth_pcm_clips(clips)
     return M.audio_features(pcm).orderBy("clip_id")
+
+
+@query(
+    "multimodal_audio_fingerprint_neardup",
+    f"""
+    WITH clips AS (SELECT DISTINCT user_id AS clip_id FROM events
+                   WHERE user_id IS NOT NULL),
+    par AS (SELECT clip_id,
+                   20 + clip_id % 50 AS p,
+                   1000 + (clip_id % 17) * 500 AS a
+            FROM clips),
+    s AS (SELECT clip_id, p, a,
+                 unnest(generate_series(0, {M.AUDIO_N_SAMPLES - 1})) AS i
+          FROM par),
+    w AS (SELECT clip_id, i // 128 AS win,
+                 ((i % p) * (2 * a)) // (p - 1) - a AS v
+          FROM s),
+    e AS (SELECT clip_id, win, sum(v * v) AS ew
+          FROM w GROUP BY clip_id, win),
+    tot AS (SELECT clip_id, sum(ew) AS te FROM e GROUP BY clip_id),
+    bits AS (SELECT e.clip_id, win,
+                    CASE WHEN ew * {M.AUDIO_FP_WINDOWS} > te
+                         THEN 1 ELSE 0 END AS bit
+             FROM e JOIN tot USING (clip_id)),
+    hs AS MATERIALIZED (
+        SELECT clip_id,
+               CAST(sum(bit * (1::BIGINT << win)) AS BIGINT) AS fp
+        FROM bits GROUP BY clip_id)
+    SELECT a.clip_id AS clip_a, b.clip_id AS clip_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+    FROM hs a JOIN hs b ON a.clip_id < b.clip_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 2
+    ORDER BY clip_a, clip_b
+    """,
+)
+def multimodal_audio_fingerprint_neardup(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate detection by energy-profile fingerprint
+    (r13 — completing the near-dup triptych across modalities: text
+    simhash, image aHash, now audio): every per-user PCM clip is
+    synthesized, byte-decoded, and fingerprinted by
+    ``multimodal.audio_energy_fingerprint`` (one bit per 128-sample
+    window, set iff its exact integer energy beats the clip mean),
+    then Hamming ≤ 2 pairs come from the LOSSLESS pigeonhole block
+    join (``dedup.hamming_near_pairs``, ``nbits=16``). The oracle
+    regenerates every sawtooth sample in SQL, derives the same
+    fingerprints, and brute-forces the O(n²) pair join — so the
+    banding must be exactly lossless to hash-match. Reference
+    analogue: none (attachments are opaque bytes there)."""
+    ev = load_table(spark, sf_dir, "events")
+    clips = parallelize(
+        ev.filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").alias("clip_id")).distinct())
+    fps = (M.audio_energy_fingerprint(M.synth_pcm_clips(clips))
+           .withColumnRenamed("fingerprint", "simhash"))
+    pairs = D.hamming_near_pairs(fps, id_col="clip_id",
+                                 max_distance=2, nbits=16)
+    return (pairs.select(F.col("doc_a").alias("clip_a"),
+                         F.col("doc_b").alias("clip_b"),
+                         F.col("hamming").cast("long").alias("hamming"))
+            .orderBy("clip_a", "clip_b"))
 
 
 # ===========================================================================

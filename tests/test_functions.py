@@ -1486,3 +1486,32 @@ def test_hamming_near_pairs_nbits16_lossless(spark):
     assert (200, 201, 0) in brute and (200, 202, 1) in brute
     assert (200, 203, 3) in brute
     assert not any(p[:2] == (200, 204) for p in brute)
+
+
+def test_audio_energy_fingerprint_matches_replay(spark):
+    """The distributed audio fingerprint equals a pure-Python replay
+    over the same synthesized clips, and malformed payload lengths
+    raise a typed domain error."""
+    import numpy as np
+
+    clips = spark.createDataFrame([(i,) for i in (0, 3, 17, 49, 850)],
+                                  "clip_id long")
+    got = {r["clip_id"]: r["fingerprint"]
+           for r in M.audio_energy_fingerprint(
+               M.synth_pcm_clips(clips)).collect()}
+    for cid in (0, 3, 17, 49, 850):
+        p, a = 20 + cid % 50, 1000 + (cid % 17) * 500
+        v = [(i % p) * (2 * a) // (p - 1) - a for i in range(2048)]
+        es = [sum(x * x for x in v[w * 128:(w + 1) * 128])
+              for w in range(16)]
+        te = sum(es)
+        h = sum(1 << w for w in range(16) if es[w] * 16 > te)
+        assert got[cid] == h, (cid, got[cid], h)
+    # clip ids congruent mod lcm(50, 17) share waveforms exactly
+    assert got[0] == got[850]
+    bad = spark.createDataFrame([(1, bytes(130))], "clip_id long, pcm binary")
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+    with _pt.raises(Exception) as ei:
+        M.audio_energy_fingerprint(bad).collect()
+    assert "multiple of 16" in str(ei.value)

@@ -491,6 +491,18 @@ FAMILIES: dict[str, Callable] = {
     # span, the window stays event_type-partitioned
     "events_seasonal_decompose": _catalog_family(
         "events_seasonal_decompose"),
+    # r13 third block: rolling distinct actives — ONE corpus-scale
+    # (day, user) dedupe shuffle, then the ×7 window expansion runs on
+    # the already-tiny distinct frame; WAU cost scales with distinct
+    # (day, user) pairs, never with raw events
+    "events_rolling_actives": _catalog_family(
+        "events_rolling_active_users"),
+    # r13 third block: video frame sampling — map-only Arrow-batched
+    # container parse + real PNG decode, ceil(n_frames/2) rows out per
+    # doc; the only shuffle is the final presentation sort, so time
+    # must track docs and shuffle-bytes/row must stay flat
+    "multimodal_video_frames": _catalog_family(
+        "multimodal_video_frame_sample"),
 }
 
 

@@ -82,7 +82,8 @@ def main() -> None:
                                              "pipe_ann_trained",
                                              "pipe_ann_sq8",
                                              "pipe_ann_residual",
-                                             "events_seasonal_decompose")
+                                             "events_seasonal_decompose",
+                                             "events_rolling_actives")
                                   else n_docs)
             print(f"#   {label} {fam}: {rec['sec']} s, rows={rec['rows']}",
                   file=sys.stderr)
@@ -185,6 +186,8 @@ def main() -> None:
         "**r12 additions.** `pipe_ann_trained` — the same 3-sync maintained-index replay with `train_iters: 1`: the freeze runs one exact-integer Lloyd pass (one shuffle-free literal-centroid assignment projection + one (cell, pos) hash agg, then a ≤16×64-integer driver fold) over the FIRST sync's corpus before snapshotting. Training cost is a one-time corpus pass, never a per-sync multiplier, so the family must read near-linear like its untrained twin; the per-sync encode path is byte-identical to `pipe_ann_index` after the freeze. `events_seasonal_decompose` — classical 2×24 centered-MA decomposition: one hash agg to hourly rows, one event_type-partitioned row window, one hash agg; hourly-row count grows with the event SPAN (sub-linear in events once hours saturate), the window never plans single-partition (plan-pinned in test_plans).",
         "",
         "**r13 additions.** The two new maintained-index codecs joined as overlays of the same 3-sync replay. `pipe_ann_sq8` (IVF-SQ8): the per-sync encode swaps the per-subspace PQ argmins for ONE clamped affine `zip_with` against the frozen per-dimension stats — strictly LESS work per row than PQ — plus a one-time per-dim min/max aggregation at freeze; near-linear is structural. `pipe_ann_residual` (residual PQ, train_iters + residual): the encode becomes a two-stage projection (cell argmin, then residual slices via a literal centroid lookup feeding the code argmins) — constant extra work per row over the PQ twin, so the family must track `pipe_ann_trained` with a bounded constant-factor offset; a super-linear reading here would mean the residual stage's literal tables stopped being literals.",
+        "",
+        "**r13 third-block additions.** `events_rolling_actives` (DAU/trailing-7-day WAU): one corpus-scale (day, user) dedupe shuffle, then the ×7 sequence-explode runs on the already-tiny distinct frame — WAU cost scales with distinct (day, user) pairs, so once the user population saturates the day axis the family reads SUB-linear in raw events. `multimodal_video_frames` (MPNG stride decode): map-only Arrow-batched container parse + real per-frame PNG decode, ceil(n_frames/2) output rows per doc — no shuffle beyond the presentation sort, time must track docs with flat shuffle/row. NOT soaked on purpose: `multimodal_image_ahash_neardup`'s pair volume tracks TRUE duplicate-class density (Σ class-size² — the generated corpus's doc_id % 256 seed classes make it quadratic in class multiplicity, exactly like real exact-dup skeletons); the pigeonhole banding is lossless and the production knob is the hash width (grid=8 → 64-bit), so a soak row here would re-measure duplication density, not the operator (the doc_containment_forced lesson).",
         "",
         "Raw measurements:",
         "```json",

@@ -39,7 +39,11 @@ FAMILIES = ["pipe_sync_diff", "pipe_ingest_dedup", "doc_domain_caps",
             "events_changepoint",
             # r11: the maintained ANN index 3-sync replay — encode is a
             # literal-codebook projection, maintenance O(patch files)
-            "pipe_ann_index"]
+            "pipe_ann_index",
+            # r13 third block: rolling distinct actives (one dedupe
+            # shuffle + ×7 explode on the distinct frame) and map-only
+            # video stride-decode
+            "events_rolling_actives", "multimodal_video_frames"]
 
 
 @pytest.fixture(scope="module")

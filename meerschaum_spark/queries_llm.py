@@ -865,8 +865,12 @@ def multimodal_video_frame_sample(spark: SparkSession,
     (seed + i) % 256 layout, so any container-offset, stride, or
     decode mistake flips the hash. The container stands in for
     mp4/mkv (no ffmpeg in this environment; documented constraint).
+    ``parallelize`` spreads the id-only input across cores BEFORE the
+    python stages — without it the whole docs table arrives as one
+    input split and every decode runs single-threaded (the r13 soak
+    measured 16× at 10× docs; parallelized it reads near-linear).
     Reference analogue: none (attachments are opaque bytes there)."""
-    docs = _docs(spark, sf_dir)
+    docs = parallelize(_docs(spark, sf_dir))
     vids = M.with_video_payload(docs)
     return (M.sample_video_frames(vids, stride=2)
             .orderBy("doc_id", "frame_idx"))
@@ -915,7 +919,7 @@ def multimodal_image_resize_thumb(spark: SparkSession,
     oracle reproduces each block mean in closed form from the
     (seed + i) % 256 layout. One mapInPandas decode node; the
     mean projection is pure codegen."""
-    docs = _docs(spark, sf_dir)
+    docs = parallelize(_docs(spark, sf_dir))
     tiles = M.decode_png_tiles(M.with_png_payload(docs), grid=4)
     return (tiles.select(
         "doc_id",
@@ -995,7 +999,7 @@ def multimodal_image_ahash_neardup(spark: SparkSession,
     to per-image stats (neighbor count + nearest partner) to keep the
     gate compact; production grid=8 gives the standard 64-bit aHash.
     Reference analogue: none (attachments are opaque bytes there)."""
-    docs = _docs(spark, sf_dir)
+    docs = parallelize(_docs(spark, sf_dir))
     pngs = M.with_png_payload(docs)
     tiles = M.decode_png_tiles(pngs, grid=4)
     hashes = (M.image_ahash(tiles, grid=4)
@@ -6266,16 +6270,17 @@ def streaming_ann_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r13: maintained-index SEARCH under the gate (pipe_ann_search_topk)
 # ===========================================================================
 
-def _ann_search_sql() -> str:
-    """Oracle for ``pipe.ann_search`` over the maintained index: rebuild
-    the post-update index in SQL (the ``_annidx_sql`` CTEs — double-fold
-    cells vs the FROZEN original centroids, PQ codes vs the frozen
-    codebook), then replicate the IVFADC search for the five flipped
-    query vectors: probe list = the 2 nearest centroids by the
-    EXACT-DECIMAL idiom (``assign_ivf_cells_multi``'s arithmetic — the
-    pairing proven by the driver-green emb_ivfpq rows), candidate ADC =
-    two IEEE-double subspace folds against the codebook entries the
-    candidate's codes name, (adc, neighbor_id) row_number top-5."""
+def _ann_search_ctes() -> str:
+    """The PQ-search CTE body shared by ``_ann_search_sql`` and
+    ``_ann_refine_search_sql``: rebuild the post-update index in SQL
+    (the ``_annidx_sql`` CTEs — double-fold cells vs the FROZEN
+    original centroids, PQ codes vs the frozen codebook), then
+    replicate the IVFADC search for the five flipped query vectors:
+    probe list = the 2 nearest centroids by the EXACT-DECIMAL idiom
+    (``assign_ivf_cells_multi``'s arithmetic — the pairing proven by
+    the driver-green emb_ivfpq rows), candidate ADC = two IEEE-double
+    subspace folds against the codebook entries the candidate's codes
+    name, (adc, neighbor_id) row_number. Ends at ``ranked``."""
     dd = ("(CAST(e.embedding[i] AS DOUBLE) "
           "- CAST(c._cv[i] AS DOUBLE))")
     dsq = (f"list_reduce(list_transform(generate_series(1, "
@@ -6287,8 +6292,7 @@ def _ann_search_sql() -> str:
              f"i -> {qdiff} * {qdiff}))")
     adc = ("(" + _pq_subdist_sql("p.qv", "cb0.embedding", 0) + ") + ("
            + _pq_subdist_sql("p.qv", "cb1.embedding", PQ_SUBDIM) + ")")
-    return f"""
-    WITH final AS MATERIALIZED (
+    return f"""final AS MATERIALIZED (
       SELECT vec_id,
              CASE WHEN {_ANNIDX_UPDATED}
                   THEN list_transform(embedding, x -> -x)
@@ -6325,9 +6329,47 @@ def _ann_search_sql() -> str:
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY adc ASC, neighbor_id) AS rnk
-      FROM pairs)
+      FROM pairs)"""
+
+
+def _ann_search_sql() -> str:
+    """Oracle for the no-refine ``pipe.ann_search`` gate: the shared
+    PQ-search CTE body plus the ADC top-5 projection."""
+    return f"""
+    WITH {_ann_search_ctes()}
     SELECT query_id, neighbor_id, code0, code1, adc, rnk
     FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """
+
+
+def _ann_refine_search_sql() -> str:
+    """Oracle for ``pipe.ann_search(refine=2)``: the shared PQ-search
+    body keeps the ADC top-10 shortlist, whose TRUE post-update
+    vectors are fetched back and re-ranked by EXACT-DECIMAL squared
+    L2 (the ``_sqdist_dec`` ≡ ``_EL`` list_sum pairing proven by the
+    driver-green emb_ivfpq refine rows), (d2, neighbor_id) top-5."""
+    dq = ("(" + _EL.replace("{v}", "q.qv") + " - "
+          + _EL.replace("{v}", "e.embedding") + ")")
+    d2 = (f"list_sum(list_transform(generate_series(1, len(q.qv)), "
+          f"i -> {dq} * {dq}))")
+    return f"""
+    WITH {_ann_search_ctes()},
+    short AS (
+      SELECT query_id, neighbor_id, code0, code1, adc
+      FROM ranked WHERE rnk <= 10),
+    ex AS (
+      SELECT s.query_id, s.neighbor_id, s.code0, s.code1, s.adc,
+             {d2} AS d2
+      FROM short s
+      JOIN qv q USING (query_id)
+      JOIN final e ON e.vec_id = s.neighbor_id),
+    rr AS (
+      SELECT query_id, neighbor_id, code0, code1, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2 ASC, neighbor_id) AS rnk
+      FROM ex)
+    SELECT query_id, neighbor_id, code0, code1, adc, rnk
+    FROM rr WHERE rnk <= 5 ORDER BY query_id, rnk
     """
 
 
@@ -6378,6 +6420,61 @@ def pipe_ann_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.transform("embedding", lambda x: -x))
                    .drop("ts"))
         res = pipe.ann_search(queries, k=5, nprobe=2)
+        rows = res.collect()
+        return spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, code0 long, "
+                  "code1 long, adc double, rnk int")
+    finally:
+        base.unpersist()
+        shutil.rmtree(instance, ignore_errors=True)
+
+
+@query("pipe_ann_refine_search", _ann_refine_search_sql())
+def pipe_ann_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipe.ann_search`` with the FAISS REFINE stage END-TO-END (r13
+    third block — the last ann_search branch that was pytest-only):
+    the same build + sign-flip-update replay as pipe_ann_search_topk,
+    then the five flipped queries search nprobe=2, k=5, refine=2 —
+    the ADC ranking keeps a k·refine=10 shortlist whose TRUE
+    post-update vectors are fetched back (id equi-join against the
+    maintained store) and re-ranked by exact decimal L2. Hash equality
+    against the oracle's independent rebuild + two-stage search proves
+    the refine fetch reads the POST-update corpus (a stale fetch
+    re-ranks by pre-flip vectors and flips the hash) and that the
+    decimal re-rank ordering is engine-exact. Output carries the ADC
+    value and codes of each survivor, so the shortlist stage is pinned
+    too. Reference analogue: none (no vector surface)."""
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+
+    base = (load_table(spark, sf_dir, "embeddings")
+            .select(F.expr("timestamp'2024-01-01' + make_interval("
+                           "0, 0, 0, 0, cast(vec_id AS int))").alias("ts"),
+                    "vec_id", "embedding")
+            .persist())
+    instance = tempfile.mkdtemp(prefix="mrsm_q_annrefine_")
+    try:
+        pipe = Pipe(
+            "catalog", "annrefine", instance=instance, spark=spark,
+            columns={"datetime": "ts", "id": "vec_id"},
+            parameters={"ann_index": {
+                "column": "embedding", "n_centroids": _ANNIDX_NCENT,
+                "subspaces": PQ_SUBSPACES, "subdim": PQ_SUBDIM,
+            }})
+        r1 = pipe.sync(base)
+        assert r1.success, r1.message
+        upd = (base.filter(F.expr(_ANNIDX_UPDATED))
+               .withColumn("embedding",
+                           F.transform("embedding", lambda x: -x)))
+        r2 = pipe.sync(upd)
+        assert r2.success, r2.message
+        queries = (base.filter(F.col("vec_id") < 5)
+                   .withColumn("embedding",
+                               F.transform("embedding", lambda x: -x))
+                   .drop("ts"))
+        res = pipe.ann_search(queries, k=5, nprobe=2, refine=2)
         rows = res.collect()
         return spark.createDataFrame(
             rows, "query_id long, neighbor_id long, code0 long, "

@@ -187,7 +187,7 @@ def main() -> None:
         "",
         "**r13 additions.** The two new maintained-index codecs joined as overlays of the same 3-sync replay. `pipe_ann_sq8` (IVF-SQ8): the per-sync encode swaps the per-subspace PQ argmins for ONE clamped affine `zip_with` against the frozen per-dimension stats — strictly LESS work per row than PQ — plus a one-time per-dim min/max aggregation at freeze; near-linear is structural. `pipe_ann_residual` (residual PQ, train_iters + residual): the encode becomes a two-stage projection (cell argmin, then residual slices via a literal centroid lookup feeding the code argmins) — constant extra work per row over the PQ twin, so the family must track `pipe_ann_trained` with a bounded constant-factor offset; a super-linear reading here would mean the residual stage's literal tables stopped being literals.",
         "",
-        "**r13 third-block additions.** `events_rolling_actives` (DAU/trailing-7-day WAU): one corpus-scale (day, user) dedupe shuffle, then the ×7 sequence-explode runs on the already-tiny distinct frame — WAU cost scales with distinct (day, user) pairs, so once the user population saturates the day axis the family reads SUB-linear in raw events. `multimodal_video_frames` (MPNG stride decode): map-only Arrow-batched container parse + real per-frame PNG decode, ceil(n_frames/2) output rows per doc — no shuffle beyond the presentation sort, time must track docs with flat shuffle/row. NOT soaked on purpose: `multimodal_image_ahash_neardup`'s pair volume tracks TRUE duplicate-class density (Σ class-size² — the generated corpus's doc_id % 256 seed classes make it quadratic in class multiplicity, exactly like real exact-dup skeletons); the pigeonhole banding is lossless and the production knob is the hash width (grid=8 → 64-bit), so a soak row here would re-measure duplication density, not the operator (the doc_containment_forced lesson).",
+        "**r13 third-block additions.** `events_rolling_actives` (DAU/trailing-7-day WAU): shuffle volume is structurally `events + 7·distinct(day,user)` rows — one map-partial (day,user) dedupe over raw events, then the ×7 sequence-explode + second dedupe over the distinct frame. READ ITS shufW/row COLUMN AGAINST THE RIGHT AXIS: the table normalizes by raw events, but this generator scales USERS with events, so distinct pairs grow 38.5× at 10× events (measured 24,779 → 953,023) and the events-normalized ratio reads ~9× while per-SHUFFLED-row bytes stay flat — on a fixed user population the day axis saturates and the family is linear in events; a CHECK verdict here is the normalization-axis artifact, not operator growth (wall time reads ~4.5× at 10× events). `multimodal_video_frames` (MPNG stride decode): map-only Arrow-batched container parse + real per-frame PNG decode, ceil(n_frames/2) output rows per doc — no shuffle beyond the presentation sort. Its FIRST soak run read 16× at 10× docs and diagnosed a real plan bug in minutes: the id-only decode input is a few hundred KB, so the whole table arrived as ONE scan split and every decode ran single-threaded (the r7 byte-size-coalescing gotcha in scan-split form) — the query now runs `parallelize()` before the python stages like the audio family always has. Even so, the IN-SOAK 10× reading of this LAST-ORDERED family stays inflated by late-session JVM state (75–117 s across runs): an ISOLATED same-code replication through run_families on a fresh session reads 13.8 s cold / 4.5 s warm at 10× vs 3.2 s at 1× — near-linear — and pure-python single-core cost is exactly linear (2.35 s → 23.1 s). Adjudicated the r10 busy-machine way (single-family rerun on a fresh JVM); prose instead of a reordered run list so family order stays comparable across rounds. NOT soaked on purpose: `multimodal_image_ahash_neardup`'s pair volume tracks TRUE duplicate-class density (Σ class-size² — the generated corpus's doc_id % 256 seed classes make it quadratic in class multiplicity, exactly like real exact-dup skeletons); the pigeonhole banding is lossless and the production knob is the hash width (grid=8 → 64-bit), so a soak row here would re-measure duplication density, not the operator (the doc_containment_forced lesson).",
         "",
         "Raw measurements:",
         "```json",

@@ -428,9 +428,9 @@ def image_ahash(tiles: DataFrame, grid: int = 4,
     Reference analogue: none (attachments are opaque bytes there)."""
     from pyspark.sql import Window
 
-    if grid * grid > 63:
-        raise ValueError("image_ahash: grid² must fit a signed BIGINT "
-                         f"(grid={grid} → {grid * grid} bits)")
+    if grid * grid > 64:
+        raise ValueError("image_ahash: grid² must fit one BIGINT "
+                         f"(grid={grid} → {grid * grid} bits; max 64)")
     w = Window.partitionBy(id_col)
     tb = (F.col("tile_w") * F.col("tile_h") * F.lit(3)).cast("long")
     t = (tiles.withColumn("_tb", tb)
@@ -439,11 +439,15 @@ def image_ahash(tiles: DataFrame, grid: int = 4,
     bit = (F.col("tile_pixel_sum") * F.col("_totb")
            > F.col("_tots") * F.col("_tb")).cast("long")
     idx = (F.col("tile_row") * grid + F.col("tile_col")).cast("int")
-    # SQL-form shiftleft: the Python helper only takes a literal shift
+    # SQL-form shiftleft (the Python helper only takes a literal
+    # shift); the hash assembles via bit_or, NOT sum — identical for
+    # distinct bit positions, but a sum would trip ANSI overflow on
+    # bit 63 (shiftleft(1, 63) is Long.MIN_VALUE), which is exactly
+    # the production grid=8 64-bit configuration
     return (t.select(F.col(id_col), bit.alias("_bit"), idx.alias("_idx"))
             .selectExpr(id_col, "shiftleft(_bit, _idx) AS _b")
             .groupBy(id_col)
-            .agg(F.sum("_b").cast("long").alias("ahash")))
+            .agg(F.bit_or("_b").cast("long").alias("ahash")))
 
 
 def fake_decode_images(df: DataFrame, id_col: str = "doc_id",

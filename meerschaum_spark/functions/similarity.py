@@ -1168,7 +1168,10 @@ def ivfpq_residual_topk(
             .withColumn("_sq", _sqdist_dec(F.col("_qv"), F.col("_nv")))
             .withColumn("rnk", F.row_number().over(wr))
             .filter(F.col("rnk") <= k)
-            .select("query_id", "neighbor_id", "rnk")
+            # keep the survivor's ADC value, mirroring ivfpq_topk's
+            # refine output — the three codecs' search surfaces stay
+            # symmetric for a future refine-mode gate
+            .select("query_id", "neighbor_id", "adc", "rnk")
             .orderBy("query_id", "rnk"))
 
 
@@ -1523,7 +1526,10 @@ def ivfsq8_topk(
             .withColumn("_sq", _sqdist_dec(F.col("_qv"), F.col("_nv")))
             .withColumn("rnk", F.row_number().over(wr))
             .filter(F.col("rnk") <= k)
-            .select("query_id", "neighbor_id", "rnk")
+            # keep the ADC-stage integer key the survivor rode in on,
+            # mirroring ivfpq_topk's refine output (codes + adc)
+            .select("query_id", "neighbor_id",
+                    F.col("_d").alias("code_dist"), "rnk")
             .orderBy("query_id", "rnk"))
 
 

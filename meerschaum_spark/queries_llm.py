@@ -876,31 +876,42 @@ def multimodal_video_frame_sample(spark: SparkSession,
             .orderBy("doc_id", "frame_idx"))
 
 
-_AH_A = "(seed + (y0 + yy - 1) * 3 * w + b1)"
-_AH_B = "(seed + (y0 + yy - 1) * 3 * w + b0)"
-
-@query(
-    "multimodal_image_resize_thumb",
-    f"""
-    WITH g AS (
+def _png_tile_ctes(grid: int = 4) -> str:
+    """Shared tile-geometry CTE body for the grid-tiled PNG oracles
+    (resize thumb + aHash — the same factoring the ANN oracles use):
+    per-(doc, tile) closed-form byte sums ``ts`` and byte areas ``tb``
+    from the generator's (seed + i) % 256 layout, reusing the SAME
+    ``_TILE_A``/``_TILE_B`` scanline-offset fragments as the 2×2 tile
+    query so a fix to the offset arithmetic lands everywhere. Ends at
+    ``s``."""
+    return f"""g AS (
         SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h,
                doc_id % 256 AS seed
         FROM documents),
     t AS (
         SELECT g.*, tr.r, tc.c
-        FROM g, generate_series(0, 3) tr(r), generate_series(0, 3) tc(c)),
+        FROM g, generate_series(0, {grid - 1}) tr(r),
+             generate_series(0, {grid - 1}) tc(c)),
     b AS (
         SELECT doc_id, w, h, seed, r, c,
-               (h * r) // 4 AS y0, (h * (r + 1)) // 4 AS y1,
-               3 * ((w * c) // 4) AS b0, 3 * ((w * (c + 1)) // 4) AS b1
+               (h * r) // {grid} AS y0,
+               (h * (r + 1)) // {grid} AS y1,
+               3 * ((w * c) // {grid}) AS b0,
+               3 * ((w * (c + 1)) // {grid}) AS b1
         FROM t),
     s AS (
         SELECT doc_id, r, c,
                list_sum(list_transform(generate_series(1, y1 - y0),
-                    yy -> {_png_mod_sum(_AH_A)} - {_png_mod_sum(_AH_B)}))
-                   AS ts,
+                    yy -> {_png_mod_sum(_TILE_A)}
+                          - {_png_mod_sum(_TILE_B)})) AS ts,
                (y1 - y0) * (b1 - b0) AS tb
-        FROM b)
+        FROM b)"""
+
+
+@query(
+    "multimodal_image_resize_thumb",
+    f"""
+    WITH {_png_tile_ctes(4)}
     SELECT doc_id,
            CAST(r AS BIGINT) AS tile_row,
            CAST(c AS BIGINT) AS tile_col,
@@ -931,25 +942,7 @@ def multimodal_image_resize_thumb(spark: SparkSession,
 @query(
     "multimodal_image_ahash_neardup",
     f"""
-    WITH g AS (
-        SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h,
-               doc_id % 256 AS seed
-        FROM documents),
-    t AS (
-        SELECT g.*, tr.r, tc.c
-        FROM g, generate_series(0, 3) tr(r), generate_series(0, 3) tc(c)),
-    b AS (
-        SELECT doc_id, w, h, seed, r, c,
-               (h * r) // 4 AS y0, (h * (r + 1)) // 4 AS y1,
-               3 * ((w * c) // 4) AS b0, 3 * ((w * (c + 1)) // 4) AS b1
-        FROM t),
-    s AS (
-        SELECT doc_id, r, c,
-               list_sum(list_transform(generate_series(1, y1 - y0),
-                    yy -> {_png_mod_sum(_AH_A)} - {_png_mod_sum(_AH_B)}))
-                   AS ts,
-               (y1 - y0) * (b1 - b0) AS tb
-        FROM b),
+    WITH {_png_tile_ctes(4)},
     tot AS (SELECT doc_id, sum(ts) AS tots, sum(tb) AS totb
             FROM s GROUP BY doc_id),
     bits AS (
@@ -5040,7 +5033,8 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (SELECT clip_id, p, a,
                  unnest(generate_series(0, {M.AUDIO_N_SAMPLES - 1})) AS i
           FROM par),
-    w AS (SELECT clip_id, i // 128 AS win,
+    w AS (SELECT clip_id,
+                 i // {M.AUDIO_N_SAMPLES // M.AUDIO_FP_WINDOWS} AS win,
                  ((i % p) * (2 * a)) // (p - 1) - a AS v
           FROM s),
     e AS (SELECT clip_id, win, sum(v * v) AS ew

@@ -155,10 +155,14 @@ class PipeRegistry:
     #: the index stamp is not yet proof of freshness (the git
     #: "racy-clean" hazard). While the tick is open, trusting the
     #: stamp additionally requires the listdir name-set to match the
-    #: entry map. 100 ms covers jiffy-granularity mtimes with margin;
-    #: the extra listdir is only paid by reads in the instant after a
-    #: publish.
-    INDEX_MTIME_GRACE_NS = 100_000_000
+    #: entry map. 2 s covers WHOLE-SECOND mtime granularity (FAT,
+    #: HFS+, some NFS mounts — git's racy-clean margin is a full
+    #: second for the same reason), not just ext4's jiffy ticks; the
+    #: extra listdir is only paid by reads in the couple of seconds
+    #: after a publish, and publishes are rare next to fetches.
+    #: Override the class attribute to trade freshness for listdir
+    #: cost on a filesystem whose granularity is known finer.
+    INDEX_MTIME_GRACE_NS = 2_000_000_000
 
     def _tick_suspect(self, mt: int) -> bool:
         return time.time_ns() - mt <= self.INDEX_MTIME_GRACE_NS
@@ -170,7 +174,7 @@ class PipeRegistry:
         Residual (documented): a same-tick foreign REWRITE of an
         existing doc changes no names — but that requires an unlocked
         writer mutating another writer's pipe inside the same
-        millisecond tick, and locked writers converge regardless."""
+        mtime tick, and locked writers converge regardless."""
         try:
             names = {n[:-5] for n in os.listdir(self.registry_dir)
                      if n.endswith(".json")}

@@ -1515,3 +1515,31 @@ def test_audio_energy_fingerprint_matches_replay(spark):
     with _pt.raises(Exception) as ei:
         M.audio_energy_fingerprint(bad).collect()
     assert "multiple of 16" in str(ei.value)
+
+
+def test_image_ahash_grid8_production_width(docs):
+    """The documented production configuration — grid=8, a 64-bit
+    aHash — must actually be producible: bit 63 is reachable (the
+    hash assembles via bit_or, since a SUM would trip ANSI overflow
+    on shiftleft(1, 63)), empty tiles on images smaller than the grid
+    contribute 0 bits, and the result equals the Python replay."""
+    tiles = M.decode_png_tiles(M.with_png_payload(docs), grid=8)
+    got = {r["doc_id"]: r["ahash"]
+           for r in M.image_ahash(tiles, grid=8).collect()}
+    for i in (1, 2, 3, 4, 5):
+        png = M.encode_png(i % 256, 4 + i % 13, 4 + i % 11)
+        ts = M.decode_png_tile_sums(png, 8)
+        tots = sum(t["tile_pixel_sum"] for t in ts)
+        totb = sum(3 * t["tile_w"] * t["tile_h"] for t in ts)
+        h = 0
+        for t in ts:
+            tb = 3 * t["tile_w"] * t["tile_h"]
+            if t["tile_pixel_sum"] * totb > tots * tb:
+                h |= 1 << (t["tile_row"] * 8 + t["tile_col"])
+        # compare as the same signed-64 value Spark returns
+        if h >= 1 << 63:
+            h -= 1 << 64
+        assert got[i] == h, (i, got[i], h)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="64"):
+        M.image_ahash(tiles, grid=9)

@@ -448,7 +448,7 @@ def test_video_container_adversarial_fuzz():
         encode_video,
     )
 
-    good = encode_video(11)  # 4+11%13=15 wide, 4 frames... derived
+    good = encode_video(11)  # 15 wide, 4 tall, 2 + 11 % 5 = 3 frames
     frames = decode_video_frames(good, stride=1)
     assert len(frames) == 2 + 11 % 5
     for fr in frames:

@@ -6786,18 +6786,19 @@ def pipe_ann_sq8_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r13: codec SEARCH gates (pipe_ann_sq8_search / pipe_ann_residual_search)
 # ===========================================================================
 
-def _ann_sq8_search_sql() -> str:
-    """Oracle for ``pipe.ann_search`` on the sq8 codec: rebuild the
-    post-update index (frozen per-dim stats from the ORIGINAL corpus —
-    the first sync is full-corpus here — frozen centroids = the 16
-    smallest-id original rows, final corpus cells by the IEEE-double
-    argmin, codes by the clamped affine), then replicate the search for
-    the five flipped queries: probe list = the 2 nearest centroids by
-    the EXACT-DECIMAL idiom (``assign_ivf_cells_multi``'s arithmetic),
-    query codes = the SAME clamped affine against the frozen stats
-    (symmetric scalar quantization), candidate distance = the exact
-    integer squared-L2 over the codes (BIGINT — CAST back from
-    DuckDB's HUGEINT list_sum), (code_dist, neighbor_id) top-5."""
+def _ann_sq8_search_ctes() -> str:
+    """The sq8-search CTE body shared by ``_ann_sq8_search_sql`` and
+    ``_ann_sq8_refine_search_sql``: rebuild the post-update index
+    (frozen per-dim stats from the ORIGINAL corpus — the first sync is
+    full-corpus here — frozen centroids = the 16 smallest-id original
+    rows, final corpus cells by the IEEE-double argmin, codes by the
+    clamped affine), then replicate the search for the five flipped
+    queries: probe list = the 2 nearest centroids by the EXACT-DECIMAL
+    idiom (``assign_ivf_cells_multi``'s arithmetic), query codes = the
+    SAME clamped affine against the frozen stats (symmetric scalar
+    quantization), candidate distance = the exact integer squared-L2
+    over the codes (BIGINT — CAST back from DuckDB's HUGEINT
+    list_sum), (code_dist, neighbor_id) ranking. Ends at ``ranked``."""
     dd = "(CAST(e.embedding[i] AS DOUBLE) - c._cv[i])"
     dsq = (f"list_reduce(list_transform(generate_series(1, 64), i -> "
            f"{dd} * {dd}), (a, b) -> a + b)")
@@ -6811,8 +6812,7 @@ def _ann_sq8_search_sql() -> str:
             "* 255.0 / s.ss[i] + 0.5))) AS BIGINT) END")
     fcode = code.replace("{v}", "f.embedding")
     qcode = code.replace("{v}", "q.qv")
-    return f"""
-    WITH dstats AS MATERIALIZED (
+    return f"""dstats AS MATERIALIZED (
       SELECT g.i AS pos,
              min(CAST(embedding[g.i] AS DOUBLE)) AS mn,
              max(CAST(embedding[g.i] AS DOUBLE)) AS mx
@@ -6867,9 +6867,47 @@ def _ann_sq8_search_sql() -> str:
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY code_dist ASC,
                                             neighbor_id) AS rnk
-      FROM pairs)
+      FROM pairs)"""
+
+
+def _ann_sq8_search_sql() -> str:
+    """Oracle for the no-refine sq8 search gate: the shared CTE body
+    plus the integer-distance top-5 projection."""
+    return f"""
+    WITH {_ann_sq8_search_ctes()}
     SELECT query_id, neighbor_id, code_dist, rnk
     FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """
+
+
+def _ann_sq8_refine_search_sql() -> str:
+    """Oracle for ``pipe.ann_search(refine=2)`` on the sq8 codec: the
+    shared body keeps the integer-distance top-10 shortlist, whose
+    TRUE post-update vectors are fetched back and re-ranked by
+    EXACT-DECIMAL squared L2 (the same ``_sqdist_dec`` ≡ ``_EL``
+    list_sum pairing the PQ refine gate rides), (d2, neighbor_id)
+    top-5; each survivor keeps the integer code_dist it rode in on."""
+    dq = ("(" + _EL.replace("{v}", "q.qv") + " - "
+          + _EL.replace("{v}", "e.embedding") + ")")
+    d2 = (f"list_sum(list_transform(generate_series(1, len(q.qv)), "
+          f"i -> {dq} * {dq}))")
+    return f"""
+    WITH {_ann_sq8_search_ctes()},
+    short AS (
+      SELECT query_id, neighbor_id, code_dist
+      FROM ranked WHERE rnk <= 10),
+    ex AS (
+      SELECT s.query_id, s.neighbor_id, s.code_dist, {d2} AS d2
+      FROM short s
+      JOIN qv q USING (query_id)
+      JOIN final e ON e.vec_id = s.neighbor_id),
+    rr AS (
+      SELECT query_id, neighbor_id, code_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2 ASC, neighbor_id) AS rnk
+      FROM ex)
+    SELECT query_id, neighbor_id, code_dist, rnk
+    FROM rr WHERE rnk <= 5 ORDER BY query_id, rnk
     """
 
 
@@ -6919,6 +6957,59 @@ def pipe_ann_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.transform("embedding", lambda x: -x))
                    .drop("ts"))
         res = pipe.ann_search(queries, k=5, nprobe=2)
+        rows = res.collect()
+        return spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, code_dist long, "
+                  "rnk int")
+    finally:
+        base.unpersist()
+        shutil.rmtree(instance, ignore_errors=True)
+
+
+@query("pipe_ann_sq8_refine_search", _ann_sq8_refine_search_sql())
+def pipe_ann_sq8_refine_search(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """``pipe.ann_search`` refine mode on the SQ8 codec END-TO-END
+    (r13 review block — completing the search-surface symmetry: PQ
+    refine is gated by pipe_ann_refine_search, this gates the sq8
+    twin): build + freeze on the full corpus, sign-flip update, then
+    the five flipped queries search nprobe=2, k=5, refine=2 — the
+    integer code-distance ranking keeps a k·refine=10 shortlist whose
+    TRUE post-update vectors are fetched back and exact-decimal
+    re-ranked. The output keeps each survivor's BIGINT code_dist (the
+    column the review-block symmetry fix exposed), so both stages
+    hash. Reference analogue: none (no vector surface)."""
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+
+    base = (load_table(spark, sf_dir, "embeddings")
+            .select(F.expr("timestamp'2024-01-01' + make_interval("
+                           "0, 0, 0, 0, cast(vec_id AS int))").alias("ts"),
+                    "vec_id", "embedding")
+            .persist())
+    instance = tempfile.mkdtemp(prefix="mrsm_q_annsq8r_")
+    try:
+        pipe = Pipe(
+            "catalog", "annsq8refine", instance=instance, spark=spark,
+            columns={"datetime": "ts", "id": "vec_id"},
+            parameters={"ann_index": {
+                "column": "embedding", "n_centroids": _ANNIDX_NCENT,
+                "codec": "sq8",
+            }})
+        r1 = pipe.sync(base)
+        assert r1.success, r1.message
+        upd = (base.filter(F.expr(_ANNIDX_UPDATED))
+               .withColumn("embedding",
+                           F.transform("embedding", lambda x: -x)))
+        r2 = pipe.sync(upd)
+        assert r2.success, r2.message
+        queries = (base.filter(F.col("vec_id") < 5)
+                   .withColumn("embedding",
+                               F.transform("embedding", lambda x: -x))
+                   .drop("ts"))
+        res = pipe.ann_search(queries, k=5, nprobe=2, refine=2)
         rows = res.collect()
         return spark.createDataFrame(
             rows, "query_id long, neighbor_id long, code_dist long, "

@@ -541,36 +541,93 @@ def hamming_near_pairs(sim_df: DataFrame, id_col: str = "doc_id",
     block matches exactly) — equi-join, not cross join. ``nbits`` is
     the signature width (60 for the text simhash; 16 for the image
     aHash): blocks sized off the wrong width would leave high blocks
-    permanently zero, funnelling every row into one hot bucket."""
+    permanently zero, funnelling every row into one hot bucket.
+
+    The block join runs over DISTINCT signature VALUES, not doc rows:
+    docs sharing a signature collapse into one value row carrying a
+    sorted id list, and doc pairs are expanded back in-task from the
+    surviving value pairs. In a narrow signature space (16-bit aHash:
+    thousands of docs, a few hundred values) the candidate volume then
+    scales with the value-pair structure instead of the (value
+    multiplicity)² doc-pair count — measured 12.4M candidate rows →
+    181k at sf0.1 for the image aHash — while a wide 60-bit space
+    (values ≈ docs) degenerates to exactly the old per-doc join. The
+    expansion itself is output-sized (explodes over two pinned tiny
+    frames), so downstream consumers re-evaluating the returned frame
+    re-pay only the expansion, never the join."""
     blocks = max_distance + 1
     width = nbits // blocks
-    # materialize the signatures: the block self-join and the final
-    # distance filter would otherwise recompute the simhash per branch
+    # contract to distinct values + sorted member-id lists (ascending:
+    # the same-value expansion below relies on ids[i] < ids[j] for i<j)
+    vals = (sim_df.select(id_col, "simhash")
+            .groupBy("simhash")
+            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")))
+    # materialize: the value table feeds the block self-join and both
+    # expansion branches; unpinned, the (possibly expensive) signature
+    # lineage would recompute per branch
     if checkpoint:
-        sim_df = sim_df.transform(_pin)
-    exploded = sim_df.select(
-        F.col(id_col), F.col("simhash"),
+        vals = vals.transform(_pin)
+    exploded = vals.select(
+        F.col("simhash"),
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("blk"),
                      F.shiftright(F.col("simhash"), i * width)
                      .bitwiseAND(F.lit((1 << width) - 1)).alias("bv"))
             for i in range(blocks)
         ])).alias("bb"),
-    ).select(id_col, "simhash", "bb.blk", "bb.bv")
+    ).select("simhash", "bb.blk", "bb.bv")
     a, b = exploded.alias("a"), exploded.alias("b")
-    pairs = (
+    # unordered value pairs (va <= vb keeps each once, va == vb keeps
+    # the same-signature group) sharing at least one block
+    vpairs = (
         a.join(b, (F.col("a.blk") == F.col("b.blk"))
                & (F.col("a.bv") == F.col("b.bv"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("doc_a"),
-                F.col(f"b.{id_col}").alias("doc_b"),
-                F.col("a.simhash").alias("sh_a"),
-                F.col("b.simhash").alias("sh_b"))
+               & (F.col("a.simhash") <= F.col("b.simhash")))
+        .select(F.col("a.simhash").alias("va"),
+                F.col("b.simhash").alias("vb"))
         .distinct()
+        .withColumn("hamming",
+                    F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))))
+        .filter(F.col("hamming") <= max_distance)
     )
-    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (pairs.select("doc_a", "doc_b", dist.alias("hamming"))
-            .filter(F.col("hamming") <= max_distance))
+    if checkpoint:
+        vpairs = vpairs.transform(_pin)
+    ids_a = vals.select(F.col("simhash").alias("va"),
+                        F.col("_ids").alias("_ia"))
+    ids_b = vals.select(F.col("simhash").alias("vb"),
+                        F.col("_ids").alias("_ib"))
+    # cross-value pairs: every (member of va) × (member of vb), oriented
+    # doc_a < doc_b (ids are unique per doc, so the two sides never
+    # collide)
+    cross = (vpairs.filter(F.col("va") != F.col("vb"))
+             .join(ids_a, "va").join(ids_b, "vb")
+             .select(F.explode("_ia").alias("_da"), "_ib", "hamming")
+             .select("_da", F.explode("_ib").alias("_db"), "hamming")
+             .select(F.least("_da", "_db").alias("doc_a"),
+                     F.greatest("_da", "_db").alias("doc_b"), "hamming"))
+    # same-value pairs (hamming 0): in-task i<j expansion over the
+    # sorted member list — the basket_pairs idiom
+    arr = F.col("_ia")
+    n = F.size(arr)
+    elem_type = [f.dataType.simpleString() for f in vals.schema.fields
+                 if f.name == "_ids"][0][len("array<"):-1]
+    same_pairs = F.when(
+        n >= 2,
+        F.flatten(F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(arr, i).alias("doc_a"),
+                    F.element_at(arr, j).alias("doc_b"))))),
+    ).otherwise(F.array().cast(
+        f"array<struct<doc_a:{elem_type},doc_b:{elem_type}>>"))
+    same = (vpairs.filter(F.col("va") == F.col("vb"))
+            .join(ids_a, "va")
+            .select(F.explode(same_pairs).alias("_pr"), "hamming")
+            .select(F.col("_pr.doc_a").alias("doc_a"),
+                    F.col("_pr.doc_b").alias("doc_b"), "hamming"))
+    return cross.unionByName(same)
 
 
 def sentence_dedup_stats(

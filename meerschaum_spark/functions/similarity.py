@@ -1054,6 +1054,112 @@ def ivfpq_topk(
             .orderBy("query_id", "rnk"))
 
 
+def ivfpq_topk_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    subspaces: int = 2,
+    subdim: int = 32,
+    nprobes: tuple = (1, 2, 4),
+    refine: int = 0,
+    corpus_codes: DataFrame | None = None,
+) -> list:
+    """Multi-nprobe IVF-PQ search sharing ONE candidate/ADC pass: the
+    query side assigns its ``max(nprobes)`` nearest cells once with the
+    probe RANK attached (``posexplode`` over the same sorted probe list
+    ``assign_ivf_cells_multi`` slices), the cell join + ADC lookup runs
+    once over that widest candidate set, and the (tiny, |Q|·nprobe·cell
+    rows) scored frame is pinned; each curve point then just filters
+    ``probe rank <= n`` and re-ranks. Because the nprobe=n candidate set
+    IS the rank-filtered max-nprobe set, every returned frame is
+    row-identical to ``ivfpq_topk(..., nprobe=n)`` — pinned by
+    ``test_ivfpq_topk_curve_matches_single``. Returns ``[(n, DataFrame)]``
+    in ``nprobes`` order; column layout matches ``ivfpq_topk``."""
+    if not nprobes:
+        raise ValueError("ivfpq_topk_curve: empty nprobes")
+    cb_rows = sorted(codebook.select(id_col, vec_col).collect(),
+                     key=lambda r: r[0])
+    if not cb_rows:
+        raise ValueError("ivfpq_topk_curve: empty codebook")
+    if corpus_codes is None:
+        corpus_codes = ivfpq_corpus_codes(corpus, centroids, cb_rows,
+                                          subspaces, subdim, id_col, vec_col)
+    c = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), "cell",
+        *[f"code{m}" for m in range(subspaces)])
+    # multi-probe assignment with the probe rank kept (same sorted
+    # (d, cid) struct order as assign_ivf_cells_multi)
+    cent_rows = sorted(centroids.select(id_col, vec_col).collect(),
+                       key=lambda r: r[0])
+    if not cent_rows:
+        raise ValueError("ivfpq_topk_curve: empty centroid set")
+    cents = F.array(*[
+        F.struct(
+            F.lit(r[0]).alias("cid"),
+            F.array(*[F.lit(float(x)) for x in r[1]])
+            .cast("array<float>").alias("cv"),
+        ) for r in cent_rows])
+    scored = F.transform(
+        cents, lambda cc: F.struct(
+            _sqdist_dec(F.col(vec_col), cc["cv"]).alias("d"),
+            cc["cid"].alias("cid")))
+    probes = F.slice(F.array_sort(scored), 1, max(nprobes))
+    q = queries.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(F.transform(probes, lambda s: s["cid"]))
+        .alias("_probe_pos", "cell"))
+    lut_cols = []
+    for m in range(subspaces):
+        half = F.slice(F.col(vec_col), m * subdim + 1, subdim)
+        lut = F.array(*[
+            _pq_subdist_dbl(half, r[vec_col][m * subdim:(m + 1) * subdim])
+            for r in cb_rows])
+        lut_cols.append(lut.alias(f"lut{m}"))
+    q = q.select(F.col(id_col).alias("query_id"), "_probe_pos", "cell",
+                 *lut_cols)
+    joined = c.join(F.broadcast(q), on="cell").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    adc = F.lit(0.0)
+    for m in range(subspaces):
+        adc = adc + F.element_at(F.col(f"lut{m}"),
+                                 (F.col(f"code{m}") + 1).cast("int"))
+    cand = _pin(joined.select(
+        "query_id", "neighbor_id", "_probe_pos",
+        *[f"code{m}" for m in range(subspaces)], adc.alias("adc")))
+    qv_side = queries.select(F.col(id_col).alias("query_id"),
+                             F.col(vec_col).alias("_qv"))
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("_nv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("_sq").asc(), F.col("neighbor_id"))
+    out = []
+    for n in nprobes:
+        ranked = (cand.filter(F.col("_probe_pos") < n).drop("_probe_pos")
+                  .withColumn("rnk", F.row_number().over(w)))
+        if not refine:
+            out.append((n, ranked.filter(F.col("rnk") <= k)
+                        .orderBy("query_id", "rnk")))
+            continue
+        shortlist = (ranked.filter(F.col("rnk") <= k * refine).drop("rnk")
+                     .join(F.broadcast(qv_side), on="query_id"))
+        out.append((n, F.broadcast(shortlist).join(nv, on="neighbor_id")
+                    .withColumn("_sq", _sqdist_dec(F.col("_qv"),
+                                                   F.col("_nv")))
+                    .withColumn("rnk", F.row_number().over(wr))
+                    .filter(F.col("rnk") <= k)
+                    .select("query_id", "neighbor_id",
+                            *[f"code{m}" for m in range(subspaces)],
+                            "adc", "rnk")
+                    .orderBy("query_id", "rnk")))
+    return out
+
+
 def ivfpq_residual_topk(
     corpus_codes: DataFrame,
     queries: DataFrame,

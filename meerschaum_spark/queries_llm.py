@@ -5890,12 +5890,16 @@ def emb_ivfpq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = _ivfpq_codes(spark, sf_dir)
     exact = _l2_truth5(spark, sf_dir)
     rows = []
-    for n in NPROBE_CURVE:
-        pq = (S.ivfpq_topk(emb, queries, centroids, codebook, k=5,
-                           subspaces=PQ_SUBSPACES, subdim=PQ_SUBDIM,
-                           nprobe=n, refine=IVFPQ_REFINE,
-                           corpus_codes=codes)
-              .select("query_id", "neighbor_id")
+    # one shared candidate/ADC pass for all three curve points
+    # (similarity.ivfpq_topk_curve — per-point rows identical to
+    # ivfpq_topk at that nprobe, pinned by test); previously each point
+    # re-collected the codebook and re-ran the whole cell join
+    curve = S.ivfpq_topk_curve(emb, queries, centroids, codebook, k=5,
+                               subspaces=PQ_SUBSPACES, subdim=PQ_SUBDIM,
+                               nprobes=NPROBE_CURVE, refine=IVFPQ_REFINE,
+                               corpus_codes=codes)
+    for n, point in curve:
+        pq = (point.select("query_id", "neighbor_id")
               .withColumn("_hit", F.lit(1)))
         rows.append(
             exact.join(pq, on=["query_id", "neighbor_id"], how="left")

@@ -1237,6 +1237,32 @@ def test_ivfpq_refine_fixes_adc_misorder(spark):
     assert [r["neighbor_id"] for r in ref2.collect()] == [2, 4]
 
 
+def test_ivfpq_topk_curve_matches_single(spark):
+    """The shared-candidate curve (r13 optimization: one cell join +
+    ADC pass for every nprobe point) must return, per point, exactly
+    the rows ``ivfpq_topk`` returns at that nprobe — the equivalence
+    that lets emb_ivfpq_nprobe_curve keep its oracle hash."""
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = df.filter(F.col("vec_id") < 4)
+    cb = df.filter(F.col("vec_id") < 8)
+    q = df.filter(F.col("vec_id") % 10 == 0)
+    for refine in (0, 2):
+        curve = S.ivfpq_topk_curve(df, q, cents, cb, k=3, subspaces=2,
+                                   subdim=2, nprobes=(1, 2, 3),
+                                   refine=refine)
+        for n, point in curve:
+            single = S.ivfpq_topk(df, q, cents, cb, k=3, subspaces=2,
+                                  subdim=2, nprobe=n, refine=refine)
+            got = [tuple(r) for r in
+                   point.orderBy("query_id", "rnk").collect()]
+            want = [tuple(r) for r in
+                    single.orderBy("query_id", "rnk").collect()]
+            assert got == want, f"nprobe={n} refine={refine}"
+
+
 def test_rrf_fuse_matches_python_reference(spark):
     import random
     rng = random.Random(42)

@@ -1326,6 +1326,35 @@ def _int_sqdist_lit(xq_col, lit_vals: list) -> F.Column:
         F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+def _int_arr_sql(vals: list) -> str:
+    """A literal BIGINT array as SQL text (the r11 py4j-literal lesson:
+    one parsed string instead of len(vals) F.lit round trips)."""
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+
+def _int_sqdist_sql(xq_sql: str, lit_vals: list) -> str:
+    """SQL-text twin of :func:`_int_sqdist_lit` — compiles to the exact
+    same ``aggregate(zip_with(...))`` expression tree, so values are
+    bit-identical; building it costs ONE py4j call instead of ~40."""
+    return (f"aggregate(zip_with({xq_sql}, {_int_arr_sql(lit_vals)}, "
+            f"(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), "
+            f"(acc, x) -> acc + x)")
+
+
+def _int_argmin_sql(xq_sql: str, entries: list, tags: list,
+                    tag_name: str) -> str:
+    """``array_min`` over ``named_struct('d', sqdist, tag_name, tag)``
+    as one SQL string — the struct-argmin idiom (single evaluation,
+    (d, tag) lexicographic tie-break) with literal codebook entries.
+    ``tags`` are int literals (rendered as 32-bit ints, matching
+    ``F.lit(small int)``'s IntegerType)."""
+    parts = ", ".join(
+        f"named_struct('d', {_int_sqdist_sql(xq_sql, c)}, "
+        f"'{tag_name}', {int(t)})"
+        for t, c in zip(tags, entries))
+    return f"array_min(array({parts}))"
+
+
 def residual_pq_gain(
     df: DataFrame,
     centroid_rows: list,
@@ -1360,13 +1389,13 @@ def residual_pq_gain(
     base = df.select(F.col(id_col).alias("_vid"), xq_full.alias("_xq"))
     # argmin by POSITION so the chosen centroid literal can be fetched
     # with element_at; the reported tie-break order is (dist, cid),
-    # which equals (dist, pos) since cents are id-sorted
-    pick = F.array_min(F.array(*[
-        F.struct(_int_sqdist_lit(F.col("_xq"), cv).alias("d"),
-                 F.lit(pi).alias("pos"))
-        for pi, cv in enumerate(cvs)]))
-    cent_lits = F.array(*[F.array(*[F.lit(int(v)) for v in cv])
-                          for cv in cvs])
+    # which equals (dist, pos) since cents are id-sorted. All literal
+    # expressions build as SQL text (one parse each) — the Column-API
+    # form cost ~3k F.lit py4j round trips ≈ 4.5 s of pure driver time
+    # per plan build at 8 cents × 16 codes × 64 dims (measured r13).
+    pick = F.expr(_int_argmin_sql("_xq", cvs, range(len(cvs)), "pos"))
+    cent_lits = F.expr(
+        "array(" + ",".join(_int_arr_sql(cv) for cv in cvs) + ")")
     chosen = F.element_at(cent_lits, (F.col("_p.pos") + 1).cast("int"))
     enc = (base.withColumn("_p", pick)
            .withColumn("_rq", F.zip_with(F.col("_xq"), chosen,
@@ -1390,12 +1419,12 @@ def residual_pq_gain(
             cv = cvs[_assign(xv)]
             raw_codes.append(xv[lo:hi])
             res_codes.append([a - b for a, b in zip(xv, cv)][lo:hi])
-        xs = F.slice(F.col("_xq"), lo + 1, subdim)
-        rs = F.slice(F.col("_rq"), lo + 1, subdim)
-        d_raw = F.array_min(F.array(*[
-            _int_sqdist_lit(xs, c) for c in raw_codes]))
-        d_res = F.array_min(F.array(*[
-            _int_sqdist_lit(rs, c) for c in res_codes]))
+        xs_sql = f"slice(_xq, {lo + 1}, {subdim})"
+        rs_sql = f"slice(_rq, {lo + 1}, {subdim})"
+        d_raw = F.expr("array_min(array(" + ", ".join(
+            _int_sqdist_sql(xs_sql, c) for c in raw_codes) + "))")
+        d_res = F.expr("array_min(array(" + ", ".join(
+            _int_sqdist_sql(rs_sql, c) for c in res_codes) + "))")
         outs.append(
             enc.select(d_raw.alias("_dw"), d_res.alias("_dr"))
             .agg(F.count(F.lit(1)).alias("n_vecs"),
@@ -1456,10 +1485,9 @@ def pq_train_gain(
                   [_q_micro(v)
                    for v in r[vec_col][m * subdim:(m + 1) * subdim]])
                  for r in rows]
-        seed_pick = F.array_min(F.array(*[
-            F.struct(_int_sqdist_lit(F.col("_xq"), c).alias("d"),
-                     F.lit(ci).alias("cid"))
-            for ci, c in codes]))
+        seed_pick = F.expr(_int_argmin_sql(
+            "_xq", [c for _ci, c in codes], [ci for ci, _c in codes],
+            "cid"))
         assigned = (base
                     .withColumn("_a", seed_pick)
                     .select("_vid", "_xq",
@@ -1479,10 +1507,7 @@ def pq_train_gain(
                 int(r["s"]) // int(r["nn"]))
         trained = [means[c] for c in sorted(means)]
         cids = sorted(means)
-        train_pick = F.array_min(F.array(*[
-            F.struct(_int_sqdist_lit(F.col("_xq"), mv).alias("d"),
-                     F.lit(ci).alias("cid"))
-            for ci, mv in zip(cids, trained)]))
+        train_pick = F.expr(_int_argmin_sql("_xq", trained, cids, "cid"))
         out = (assigned
                .withColumn("_t", train_pick)
                .agg(F.count(F.lit(1)).alias("n_vecs"),

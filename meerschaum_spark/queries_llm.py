@@ -4082,13 +4082,18 @@ def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     orig_sq = F.aggregate(
         F.transform("dv", lambda d: d * d),
         F.lit(0).cast(S.ACC), lambda acc, x: (acc + x).cast(S.ACC))
+    # sign arrays as SQL text — the Column-API form cost 16×64 F.lit
+    # py4j round trips (~2.5 s of pure plan-build time, measured r13);
+    # the parsed expression tree (and therefore every value) is
+    # identical
     projs = [
-        F.aggregate(
-            F.zip_with("dv", F.array(*[F.lit(s).cast("decimal(2,0)")
-                                       for s in _JL_SIGNS[r]]),
-                       lambda d, s: d * s),
-            F.lit(0).cast(S.ACC), lambda acc, x: (acc + x).cast(S.ACC))
-        .alias(f"p{r}")
+        F.expr(
+            "aggregate(zip_with(dv, array("
+            + ",".join(f"CAST({s} AS DECIMAL(2,0))"
+                       for s in _JL_SIGNS[r])
+            + f"), (d, s) -> d * s), CAST(0 AS {S.ACC}), "
+            f"(acc, x) -> CAST(acc + x AS {S.ACC}))"
+        ).alias(f"p{r}")
         for r in range(JL_K)
     ]
     proj = pairs.select("vec_a", "vec_b", orig_sq.alias("orig_sq_dec"),

@@ -246,22 +246,16 @@ def assign_ivf_cells(
                   key=lambda r: r[0])
     if not rows:
         raise ValueError("assign_ivf_cells: empty centroid set")
-    cents = F.array(*[
-        F.struct(
-            F.lit(r[0]).alias("cid"),
-            # cast the literal back to array<float> so the float→decimal
-            # cast sequence inside _sqdist_dec is byte-identical to
-            # computing against the original column
-            F.array(*[F.lit(float(x)) for x in r[1]])
-            .cast("array<float>").alias("cv"),
-        ) for r in rows])
-    scored = F.transform(
-        cents, lambda c: F.struct(
-            _sqdist_dec(F.col(vec_col), c["cv"]).alias("d"),
-            c["cid"].alias("cid")))
-    # array_min on structs orders lexicographically: (distance asc,
-    # centroid id asc) — exactly the argmin tie-break
-    return df.withColumn("cell", F.array_min(scored)["cid"])
+    # one parsed SQL string (measured: the Column-API literal form cost
+    # ~1 s of py4j round trips per plan build at 16×64); the literal
+    # arrays cast back to array<float> inside _cent_scored_sql so the
+    # float→decimal cast sequence is byte-identical to computing
+    # against the original column. array_min on structs orders
+    # lexicographically: (distance asc, centroid id asc) — exactly the
+    # argmin tie-break.
+    qcol = "`" + vec_col.replace("`", "``") + "`"
+    scored = _cent_scored_sql(qcol, rows, id_col, vec_col)
+    return df.withColumn("cell", F.expr(f"array_min({scored}).cid"))
 
 
 def ivf_topk(
@@ -891,6 +885,64 @@ def _pq_subdist_dbl(half_col, lit_vals):
         F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _flit(x) -> str:
+    """One double literal as SQL text. ``repr`` round-trips doubles
+    exactly, so the parsed literal is bit-identical to ``F.lit(float)``;
+    non-finite values are rejected up front (their repr is not a SQL
+    literal — the sq8_encode_expr discipline)."""
+    v = float(x)
+    if not math.isfinite(v):
+        raise ValueError(f"non-finite vector component {v!r} cannot be "
+                         "rendered as a SQL literal")
+    return repr(v) + "D"
+
+
+def _int_lit(x) -> str:
+    """An integer literal rendered with ``F.lit``'s type choice (INT
+    when it fits 32 bits, else BIGINT) so SQL-text and Column-API plans
+    stay type-identical."""
+    v = int(x)
+    return str(v) if -2**31 <= v < 2**31 else f"{v}L"
+
+
+def _flt_arr_sql(vals) -> str:
+    """A literal ``array<float>`` as SQL text — double literals cast
+    back to float exactly like ``F.array(*F.lit(...)).cast()``, so the
+    float→decimal cast sequence downstream stays byte-identical."""
+    return ("CAST(array(" + ",".join(_flit(v) for v in vals)
+            + ") AS ARRAY<FLOAT>)")
+
+
+def _pq_subdist_dbl_sql(half_sql: str, lit_vals) -> str:
+    """SQL-text twin of :func:`_pq_subdist_dbl` — same parsed tree, one
+    py4j call instead of ~40 (the r11 literal lesson)."""
+    arr = "array(" + ",".join(_flit(v) for v in lit_vals) + ")"
+    return (f"aggregate(zip_with({half_sql}, {arr}, "
+            f"(a, b) -> (CAST(a AS DOUBLE) - b) "
+            f"* (CAST(a AS DOUBLE) - b)), 0.0D, (acc, x) -> acc + x)")
+
+
+def _sqdist_dec_lit_sql(vec_sql: str, lit_vals) -> str:
+    """SQL-text twin of ``_sqdist_dec(col, literal float array)`` —
+    identical cast sequence (literal → float → decimal) and accumulator
+    type pinning."""
+    return (f"aggregate(zip_with({vec_sql}, {_flt_arr_sql(lit_vals)}, "
+            f"(x, y) -> (CAST(x AS {VDEC}) - CAST(y AS {VDEC})) "
+            f"* (CAST(x AS {VDEC}) - CAST(y AS {VDEC}))), "
+            f"CAST(0 AS {ACC}), (acc, x) -> CAST(acc + x AS {ACC}))")
+
+
+def _cent_scored_sql(vec_sql: str, rows, id_col: str, vec_col: str) -> str:
+    """The literal centroid scoring array as SQL text: one
+    ``named_struct('d', <decimal sqdist>, 'cid', <id>)`` per centroid —
+    the (d, cid) struct order every argmin/sort in this family relies
+    on. Rows are (id, vector) Rows from a ``collect``."""
+    return "array(" + ", ".join(
+        f"named_struct('d', {_sqdist_dec_lit_sql(vec_sql, r[vec_col])}, "
+        f"'cid', {_int_lit(r[id_col])})"
+        for r in rows) + ")"
+
+
 def pq_encode(df: DataFrame, codebook_rows: list, subspaces: int = 2,
               subdim: int = 32, id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:
@@ -899,11 +951,13 @@ def pq_encode(df: DataFrame, codebook_rows: list, subspaces: int = 2,
     match = smallest code, the same tie-break as a row_number argmin).
     Shuffle-free projection — the corpus never joins anything."""
     out_cols = [F.col(c) for c in df.columns]
+    qcol = "`" + vec_col.replace("`", "``") + "`"
     for m in range(subspaces):
-        half = F.slice(F.col(vec_col), m * subdim + 1, subdim)
-        dists = F.array(*[
-            _pq_subdist_dbl(half, r[vec_col][m * subdim:(m + 1) * subdim])
-            for r in codebook_rows])
+        half_sql = f"slice({qcol}, {m * subdim + 1}, {subdim})"
+        dists = F.expr("array(" + ",".join(
+            _pq_subdist_dbl_sql(half_sql,
+                                r[vec_col][m * subdim:(m + 1) * subdim])
+            for r in codebook_rows) + ")")
         code = (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
         out_cols.append(code.alias(f"code{m}"))
     return df.select(*out_cols)
@@ -926,19 +980,13 @@ def assign_ivf_cells_multi(
                   key=lambda r: r[0])
     if not rows:
         raise ValueError("assign_ivf_cells_multi: empty centroid set")
-    cents = F.array(*[
-        F.struct(
-            F.lit(r[0]).alias("cid"),
-            F.array(*[F.lit(float(x)) for x in r[1]])
-            .cast("array<float>").alias("cv"),
-        ) for r in rows])
-    scored = F.transform(
-        cents, lambda c: F.struct(
-            _sqdist_dec(F.col(vec_col), c["cv"]).alias("d"),
-            c["cid"].alias("cid")))
-    probes = F.slice(F.array_sort(scored), 1, nprobe)
+    # SQL-text literal scoring (see assign_ivf_cells)
+    qcol = "`" + vec_col.replace("`", "``") + "`"
+    scored = _cent_scored_sql(qcol, rows, id_col, vec_col)
     return df.withColumn(
-        "cell", F.explode(F.transform(probes, lambda s: s["cid"])))
+        "cell", F.explode(F.expr(
+            f"transform(slice(array_sort({scored}), 1, {int(nprobe)}), "
+            f"s -> s.cid)")))
 
 
 def ivfpq_corpus_codes(
@@ -1007,12 +1055,14 @@ def ivfpq_topk(
         F.col(id_col).alias("neighbor_id"), "cell",
         *[f"code{m}" for m in range(subspaces)])
     q = assign_ivf_cells_multi(queries, centroids, nprobe, id_col, vec_col)
+    qcol = "`" + vec_col.replace("`", "``") + "`"
     lut_cols = []
     for m in range(subspaces):
-        half = F.slice(F.col(vec_col), m * subdim + 1, subdim)
-        lut = F.array(*[
-            _pq_subdist_dbl(half, r[vec_col][m * subdim:(m + 1) * subdim])
-            for r in cb_rows])
+        half_sql = f"slice({qcol}, {m * subdim + 1}, {subdim})"
+        lut = F.expr("array(" + ",".join(
+            _pq_subdist_dbl_sql(half_sql,
+                                r[vec_col][m * subdim:(m + 1) * subdim])
+            for r in cb_rows) + ")")
         lut_cols.append(lut.alias(f"lut{m}"))
     # the rank window must NOT carry the query vector: per-candidate
     # rows × 256-byte vectors through the rank exchange is corpus-scale
@@ -1092,32 +1142,28 @@ def ivfpq_topk_curve(
         F.col(id_col).alias("neighbor_id"), "cell",
         *[f"code{m}" for m in range(subspaces)])
     # multi-probe assignment with the probe rank kept (same sorted
-    # (d, cid) struct order as assign_ivf_cells_multi)
+    # (d, cid) struct order as assign_ivf_cells_multi); literal
+    # centroid/codebook expressions as SQL text like the single-point
+    # search
     cent_rows = sorted(centroids.select(id_col, vec_col).collect(),
                        key=lambda r: r[0])
     if not cent_rows:
         raise ValueError("ivfpq_topk_curve: empty centroid set")
-    cents = F.array(*[
-        F.struct(
-            F.lit(r[0]).alias("cid"),
-            F.array(*[F.lit(float(x)) for x in r[1]])
-            .cast("array<float>").alias("cv"),
-        ) for r in cent_rows])
-    scored = F.transform(
-        cents, lambda cc: F.struct(
-            _sqdist_dec(F.col(vec_col), cc["cv"]).alias("d"),
-            cc["cid"].alias("cid")))
-    probes = F.slice(F.array_sort(scored), 1, max(nprobes))
+    qcol = "`" + vec_col.replace("`", "``") + "`"
+    scored = _cent_scored_sql(qcol, cent_rows, id_col, vec_col)
     q = queries.select(
         F.col(id_col), F.col(vec_col),
-        F.posexplode(F.transform(probes, lambda s: s["cid"]))
+        F.posexplode(F.expr(
+            f"transform(slice(array_sort({scored}), 1, "
+            f"{int(max(nprobes))}), s -> s.cid)"))
         .alias("_probe_pos", "cell"))
     lut_cols = []
     for m in range(subspaces):
-        half = F.slice(F.col(vec_col), m * subdim + 1, subdim)
-        lut = F.array(*[
-            _pq_subdist_dbl(half, r[vec_col][m * subdim:(m + 1) * subdim])
-            for r in cb_rows])
+        half_sql = f"slice({qcol}, {m * subdim + 1}, {subdim})"
+        lut = F.expr("array(" + ",".join(
+            _pq_subdist_dbl_sql(half_sql,
+                                r[vec_col][m * subdim:(m + 1) * subdim])
+            for r in cb_rows) + ")")
         lut_cols.append(lut.alias(f"lut{m}"))
     q = q.select(F.col(id_col).alias("query_id"), "_probe_pos", "cell",
                  *lut_cols)

@@ -7237,11 +7237,15 @@ def doc_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_token_sets_src``)."""
     docs = _docs(spark, sf_dir)
     sigs = _minhash_sigs(spark, sf_dir)
+    # pin the truth pair set: it joins into EVERY band arm, and the
+    # lossless prefix join behind it (~2.4 s at sf0.1) would otherwise
+    # re-evaluate once per arm
     truth = (D.prefix_filter_join(docs, 1, 2, n=1,
                                   sets=_token_sets_src(spark, sf_dir),
                                   scope_col="source")
              .select("doc_a", "doc_b")
-             .withColumn("_t", F.lit(1)))
+             .withColumn("_t", F.lit(1))
+             .transform(_pin))
     tp = F.count(F.when(F.col("_t").isNotNull()
                         & F.col("_c").isNotNull(), 1))
     out = None

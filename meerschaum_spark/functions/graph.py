@@ -97,6 +97,11 @@ def pagerank_int(edges: DataFrame, iterations: int,
     Pregel-on-DataFrames economics; nothing collects.
     """
     base = (d_den - d_num) * scale // d_den
+    # the edge list feeds degrees() AND both arms of the directed union
+    # below — pin it so the (possibly expensive) edge derivation — e.g.
+    # part_pagerank's basket expansion + support filter — materializes
+    # once instead of per consumer
+    edges = edges.transform(_pin)
     deg = degrees(edges, a, b)
     directed = (edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
                 .unionByName(

@@ -543,20 +543,25 @@ def hamming_near_pairs(sim_df: DataFrame, id_col: str = "doc_id",
     aHash): blocks sized off the wrong width would leave high blocks
     permanently zero, funnelling every row into one hot bucket.
 
-    The block join runs over DISTINCT signature VALUES, not doc rows:
-    docs sharing a signature collapse into one value row carrying a
-    sorted id list, and doc pairs are expanded back in-task from the
-    surviving value pairs. In a narrow signature space (16-bit aHash:
-    thousands of docs, a few hundred values) the candidate volume then
-    scales with the value-pair structure instead of the (value
-    multiplicity)² doc-pair count — measured 12.4M candidate rows →
-    181k at sf0.1 for the image aHash — while a wide 60-bit space
-    (values ≈ docs) degenerates to exactly the old per-doc join. The
-    expansion itself is output-sized (explodes over two pinned tiny
-    frames), so downstream consumers re-evaluating the returned frame
-    re-pay only the expansion, never the join."""
+    For a NARROW signature space (``nbits <= 32``) the block join runs
+    over DISTINCT signature VALUES, not doc rows: docs sharing a
+    signature collapse into one value row carrying a sorted id list,
+    and doc pairs are expanded back in-task from the surviving value
+    pairs. Candidate volume then scales with the value-pair structure
+    instead of the (value multiplicity)² doc-pair count — measured
+    12.4M candidate rows → 181k at sf0.1 for the 16-bit image aHash
+    (5000 docs, 603 values) — and the expansion is output-sized over
+    two pinned tiny frames, so downstream consumers re-evaluating the
+    returned frame re-pay only the expansion, never the join. WIDE
+    spaces (the 60-bit text simhash: values ≈ docs, nothing collapses)
+    keep the direct per-doc block join — an interleaved A/B measured
+    the value-level machinery (group + two pins + id-list joins) at
+    ~3× the direct join there, pure overhead."""
     blocks = max_distance + 1
     width = nbits // blocks
+    if nbits > 32:
+        return _hamming_near_pairs_wide(sim_df, id_col, max_distance,
+                                        checkpoint, blocks, width)
     # contract to distinct values + sorted member-id lists (ascending:
     # the same-value expansion below relies on ids[i] < ids[j] for i<j)
     vals = (sim_df.select(id_col, "simhash")
@@ -628,6 +633,41 @@ def hamming_near_pairs(sim_df: DataFrame, id_col: str = "doc_id",
             .select(F.col("_pr.doc_a").alias("doc_a"),
                     F.col("_pr.doc_b").alias("doc_b"), "hamming"))
     return cross.unionByName(same)
+
+
+def _hamming_near_pairs_wide(sim_df: DataFrame, id_col: str,
+                             max_distance: int, checkpoint: bool,
+                             blocks: int, width: int) -> DataFrame:
+    """The direct per-doc pigeonhole join — the right shape when
+    signature values are (near-)unique per doc and the value-level
+    contraction buys nothing (see :func:`hamming_near_pairs`)."""
+    # materialize the signatures: the block self-join and the final
+    # distance filter would otherwise recompute the simhash per branch
+    if checkpoint:
+        sim_df = sim_df.transform(_pin)
+    exploded = sim_df.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftright(F.col("simhash"), i * width)
+                     .bitwiseAND(F.lit((1 << width) - 1)).alias("bv"))
+            for i in range(blocks)
+        ])).alias("bb"),
+    ).select(id_col, "simhash", "bb.blk", "bb.bv")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.bv") == F.col("b.bv"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.select("doc_a", "doc_b", dist.alias("hamming"))
+            .filter(F.col("hamming") <= max_distance))
 
 
 def sentence_dedup_stats(

@@ -559,9 +559,15 @@ def kmeans_stats(
                     lambda x: x.cast("double").cast(VDEC)
                     * x.cast("double").cast(VDEC)),
         F.lit(0).cast(ACC), lambda acc, t: (acc + t).cast(ACC))
+    # compute _xx one projection BELOW the generator: a generator's
+    # sibling expressions re-evaluate per OUTPUT row, so co-locating
+    # the 64-element decimal fold with posexplode ran it ×dim per
+    # vector (the r13 _train_ann_centroids lesson; references are safe)
     per_cell = (assigned.select("cell", xx.alias("_xx"),
-                                F.posexplode(F.col(vec_col))
-                                .alias("_pos", "_x"))
+                                F.col(vec_col))
+                .select("cell", "_xx",
+                        F.posexplode(F.col(vec_col))
+                        .alias("_pos", "_x"))
                 .groupBy("cell", "_pos")
                 .agg(F.sum(F.col("_x").cast("double").cast(VDEC))
                      .cast("decimal(22,9)").alias("_s"),

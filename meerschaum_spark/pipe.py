@@ -1972,9 +1972,15 @@ class Pipe:
                 + "), (a, b) -> (a - b) * (a - b)), 0L, "
                 f"(acc, x) -> acc + x), 'i', {pi}L)"
                 for pi, cv in enumerate(cvs))
-            assigned = base.selectExpr(
-                f"array_min(array({scored})).i AS _cell",
-                "posexplode(_xq) AS (_pos, _x)")
+            # the argmin MUST live one projection BELOW the generator:
+            # a generator's sibling expressions are re-evaluated per
+            # OUTPUT row (GenerateExec plans the surrounding Project
+            # above itself), so co-locating the 16-centroid fold with
+            # posexplode re-ran it ×dim per vector — measured 3.3 s vs
+            # 0.38 s for this assignment job at sf0.1 (r13 §1/§4.4)
+            assigned = (base.selectExpr(
+                f"array_min(array({scored})).i AS _cell", "_xq")
+                .selectExpr("_cell", "posexplode(_xq) AS (_pos, _x)"))
             sums = (assigned.groupBy("_cell", "_pos")
                     .agg(F.sum("_x").alias("s"),
                          F.count(F.lit(1)).alias("nn"))

@@ -402,6 +402,23 @@ def _token_sets_src(spark: SparkSession, sf_dir: str):
                                        scope_col="source"))
 
 
+def _jaccard_truth_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached lossless within-source Jaccard ≥ 1/2 truth pair
+    set (scope-extended prefix filter, (doc_a, doc_b) only). Both LSH
+    quality instruments (``doc_lsh_quality``, ``doc_lsh_band_tuning``)
+    join the IDENTICAL truth against their candidate sets; the prefix
+    join behind it costs ~2.4 s at sf0.1, so it gets the
+    ``_cached_sigs`` economics — one materialization per session,
+    every invocation still computes it fresh from the parquet inputs
+    (r13 optimization; supersedes band_tuning's per-query pin)."""
+    return _cached_sigs(
+        "jaccard_truth_src", spark, sf_dir,
+        lambda: D.prefix_filter_join(_docs(spark, sf_dir), 1, 2, n=1,
+                                     sets=_token_sets_src(spark, sf_dir),
+                                     scope_col="source")
+        .select("doc_a", "doc_b"))
+
+
 _LSHQ_TOKSET = f"list_distinct(list_transform(list_distinct({_TOKS}), " \
                f"t -> {_H60.format(x='t')}))"
 
@@ -457,10 +474,7 @@ def doc_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   sigs=_minhash_sigs(spark, sf_dir))
             .select("doc_a", "doc_b")
             .withColumn("_c", F.lit(1)))
-    truth = (D.prefix_filter_join(_docs(spark, sf_dir), 1, 2, n=1,
-                                  sets=_token_sets_src(spark, sf_dir),
-                                  scope_col="source")
-             .select("doc_a", "doc_b")
+    truth = (_jaccard_truth_src(spark, sf_dir)
              .withColumn("_t", F.lit(1)))
     j = truth.join(cand, on=["doc_a", "doc_b"], how="full")
     tp = F.count(F.when(F.col("_t").isNotNull()
@@ -7237,15 +7251,11 @@ def doc_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_token_sets_src``)."""
     docs = _docs(spark, sf_dir)
     sigs = _minhash_sigs(spark, sf_dir)
-    # pin the truth pair set: it joins into EVERY band arm, and the
-    # lossless prefix join behind it (~2.4 s at sf0.1) would otherwise
-    # re-evaluate once per arm
-    truth = (D.prefix_filter_join(docs, 1, 2, n=1,
-                                  sets=_token_sets_src(spark, sf_dir),
-                                  scope_col="source")
-             .select("doc_a", "doc_b")
-             .withColumn("_t", F.lit(1))
-             .transform(_pin))
+    # the session-cached truth pair set: it joins into EVERY band arm
+    # here AND into doc_lsh_quality; the shared pin replaces the r13
+    # per-query pin (one prefix-join evaluation per session)
+    truth = (_jaccard_truth_src(spark, sf_dir)
+             .withColumn("_t", F.lit(1)))
     tp = F.count(F.when(F.col("_t").isNotNull()
                         & F.col("_c").isNotNull(), 1))
     out = None

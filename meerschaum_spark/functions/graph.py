@@ -69,7 +69,8 @@ def pagerank_int(edges: DataFrame, iterations: int,
                  scale: int = 1_000_000_000,
                  d_num: int = 85, d_den: int = 100,
                  a: str = "u", b: str = "v",
-                 checkpoint_every: int = 8) -> DataFrame:
+                 checkpoint_every: int = 8,
+                 pin_edges: bool = True) -> DataFrame:
     """PageRank over an UNDIRECTED edge list in exact scaled-integer
     arithmetic — every engine computes bit-identical ranks because the
     only operations are 64-bit integer multiply, floor-divide, and sum.
@@ -100,8 +101,11 @@ def pagerank_int(edges: DataFrame, iterations: int,
     # the edge list feeds degrees() AND both arms of the directed union
     # below — pin it so the (possibly expensive) edge derivation — e.g.
     # part_pagerank's basket expansion + support filter — materializes
-    # once instead of per consumer
-    edges = edges.transform(_pin)
+    # once instead of per consumer (pin_edges=False when the caller
+    # hands in an already-checkpointed frame — a second eager
+    # checkpoint would copy it for nothing)
+    if pin_edges:
+        edges = edges.transform(_pin)
     deg = degrees(edges, a, b)
     directed = (edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
                 .unionByName(

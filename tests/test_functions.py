@@ -1569,3 +1569,32 @@ def test_image_ahash_grid8_production_width(docs):
     import pytest as _pt
     with _pt.raises(ValueError, match="64"):
         M.image_ahash(tiles, grid=9)
+
+
+def test_bpe_round_cache_order_independent(spark):
+    """The r13 session-cached BPE loop must be a pure refactor: winners
+    and folded token tables are identical whichever consumer (trainer /
+    encoder) runs first, and identical to a cache-cleared recompute."""
+    import meerschaum_spark.queries_llm as QL
+
+    sf = "/root/testdata/sf0.001"
+
+    def snap(cur):
+        return sorted((r["doc_id"], tuple(r["toks"]))
+                      for r in cur.select("doc_id", "toks").collect())
+
+    QL._BPE_CACHE.clear()
+    cur_t1, rows_t1 = QL._bpe_apply_rounds(spark, sf, 4, merge_last=False)
+    cur_e1, rows_e1 = QL._bpe_apply_rounds(spark, sf, 4, merge_last=True)
+    t1, e1 = snap(cur_t1), snap(cur_e1)
+
+    QL._BPE_CACHE.clear()
+    cur_e2, rows_e2 = QL._bpe_apply_rounds(spark, sf, 4, merge_last=True)
+    cur_t2, rows_t2 = QL._bpe_apply_rounds(spark, sf, 4, merge_last=False)
+    assert rows_t1 == rows_e1 == rows_t2 == rows_e2
+    assert len(rows_t1) == 4
+    assert snap(cur_e2) == e1
+    assert snap(cur_t2) == t1
+    # the trainer's table has one fewer merge applied than the encoder's
+    assert t1 != e1
+    QL._BPE_CACHE.clear()

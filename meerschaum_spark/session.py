@@ -84,6 +84,29 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    # Preload-then-fork for python workers (guide §4.5, one level up):
+    # pyspark's daemon forks a fresh worker whenever the idle pool can't
+    # supply one, and each fresh worker imports numpy/pandas/pyarrow from
+    # scratch — measured here as ~50 s user CPU + ~230 s kernel CPU
+    # (~1.1M copy-on-write faults) for one 32-fork storm, turning 1 s
+    # Arrow-stage queries into 15-50 s ones mid-session (the multi-layer
+    # multimodal pipelines, which need runner-layers × cores workers at
+    # once, hit this hardest). meerschaum_spark.pydaemon preloads those
+    # imports in the daemon so forked workers inherit them via COW.
+    # The daemon process inherits the JVM's environment, which inherits
+    # ours — PYTHONPATH must reach the repo before the gateway launches.
+    # Same mechanism on cluster executors; disable with
+    # SPARK_GRAFT_DAEMON_MODULE="".
+    daemon_mod = os.environ.get(
+        "SPARK_GRAFT_DAEMON_MODULE", "meerschaum_spark.pydaemon")
+    if daemon_mod:
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))
+        py_path = os.environ.get("PYTHONPATH", "")
+        if repo_root not in py_path.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                repo_root + os.pathsep + py_path if py_path else repo_root)
+        builder = builder.config("spark.python.daemon.module", daemon_mod)
     for k, v in ENGINE_CONFS.items():
         builder = builder.config(k, v)
     for k, v in (extra_confs or {}).items():

@@ -174,6 +174,9 @@ def main() -> None:
     # 0.75× cleanly separates the two regimes.
     n_cpus = os.cpu_count() or 1
     load_threshold = 0.75 * n_cpus
+    # the core count the session will actually run with (get_spark's
+    # local[$SPARK_GRAFT_CPUS] contract) — names the per-run detail file
+    cpus_conf = os.environ.get("SPARK_GRAFT_CPUS") or str(n_cpus)
     try:
         load_start = round(os.getloadavg()[0], 2)
     except OSError:
@@ -188,6 +191,7 @@ def main() -> None:
             pass
 
     from meerschaum_spark.session import get_spark
+    from meerschaum_spark import cache_log
     import __spark_entry__ as entrymod
 
     spark = get_spark("meerschaum_spark_bench")
@@ -196,6 +200,16 @@ def main() -> None:
     t_warm0 = time.perf_counter()
     warm_breakdown = _warm(spark, sf_dir)
     warm_sec = round(time.perf_counter() - t_warm0, 2)
+
+    # Session-cache build attribution (r14, VERDICT r13 accounting fix):
+    # builds that happen inside a timed run are logged by the cache sites;
+    # diffing the log around each run attributes each build to its first
+    # consumer, and the rep loop below EVICTS those caches before
+    # re-timing that consumer so its min-of-3 re-pays the build instead
+    # of timing the memo hit. Builds during the warm stage stay charged
+    # to warm_sec (the frozen-warm contract).
+    warm_cache_builds = dict(cache_log.BUILDS)
+    cache_builds: dict[str, dict[str, float]] = {}
 
     timings: dict[str, float] = {}
     # deterministic order: alphabetical, with the streaming family pinned
@@ -207,6 +221,7 @@ def main() -> None:
     for name in ordered_names:
         fn = qs[name]
         _load_mark(name)
+        n_builds0 = len(cache_log.BUILDS)
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -216,6 +231,8 @@ def main() -> None:
             print(f"# {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
             continue
         timings[name] = round(time.perf_counter() - t0, 4)
+        if len(cache_log.BUILDS) > n_builds0:
+            cache_builds[name] = dict(cache_log.BUILDS[n_builds0:])
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
 
@@ -247,6 +264,12 @@ def main() -> None:
                     and time.perf_counter() - t_reps0 > rep_budget):
                 break
             _load_mark(name)
+            # honest min-of-3 for session-cache first consumers: evict
+            # exactly the caches this query built in its first pass so
+            # the rep re-pays the build (other consumers keep timing the
+            # memo hit, matching their first-pass reading)
+            for cache_name in cache_builds.get(name, {}):
+                cache_log.evict(cache_name)
             t0 = time.perf_counter()
             try:
                 qs[name](spark, sf_dir).count()
@@ -280,28 +303,41 @@ def main() -> None:
         name for name, ls in rep_loads.items()
         if any(v > load_threshold for v in ls))
 
-    detail_path = os.path.join(REPO_DIR, "BENCH_DETAIL.json")
-    try:
-        with open(detail_path, "w") as f:
-            json.dump({"metric": "headline_queries_total_sec",
-                       "value": total, "unit": "sec", "sf": sf,
-                       "warm_sec": warm_sec, "warm_rev": WARM_REV,
-                       "warm_breakdown": warm_breakdown,
-                       "order": "alphabetical",
-                       "queries": timings,
-                       "queries_min3": best,
-                       "n_reps": n_reps,
-                       "min3_total": min3_total,
-                       "reps_sec": reps_sec,
-                       "rep_budget_sec": rep_budget,
-                       "load_start_1min": load_start,
-                       "load_threshold": round(load_threshold, 1),
-                       "load_per_rep": rep_loads,
-                       "load_suspect": load_suspect},
-                      f, indent=1, sort_keys=True)
-            f.write("\n")
-    except OSError as e:
-        print(f"# could not write {detail_path}: {e}", file=sys.stderr)
+    detail_doc = {"metric": "headline_queries_total_sec",
+                  "value": total, "unit": "sec", "sf": sf,
+                  "cpus": cpus_conf,
+                  "warm_sec": warm_sec, "warm_rev": WARM_REV,
+                  "warm_breakdown": warm_breakdown,
+                  "warm_cache_builds": {
+                      k: round(v, 2)
+                      for k, v in sorted(warm_cache_builds.items())},
+                  "cache_builds": {
+                      q: {c: round(s, 2) for c, s in b.items()}
+                      for q, b in sorted(cache_builds.items())},
+                  "order": "alphabetical",
+                  "queries": timings,
+                  "queries_min3": best,
+                  "n_reps": n_reps,
+                  "min3_total": min3_total,
+                  "reps_sec": reps_sec,
+                  "rep_budget_sec": rep_budget,
+                  "load_start_1min": load_start,
+                  "load_threshold": round(load_threshold, 1),
+                  "load_per_rep": rep_loads,
+                  "load_suspect": load_suspect}
+    # BENCH_DETAIL.json stays the canonical latest-run detail; the
+    # per-core-count twin keeps multi-CPU driver runs from overwriting
+    # each other's ground truth (VERDICT r13 "what's wrong" #3: the
+    # 32-core detail was lost to the 8-core rerun).
+    for detail_path in (os.path.join(REPO_DIR, "BENCH_DETAIL.json"),
+                        os.path.join(REPO_DIR,
+                                     f"BENCH_DETAIL_c{cpus_conf}.json")):
+        try:
+            with open(detail_path, "w") as f:
+                json.dump(detail_doc, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError as e:
+            print(f"# could not write {detail_path}: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "headline_queries_total_sec",

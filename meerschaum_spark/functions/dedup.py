@@ -41,6 +41,20 @@ DEFAULT_BANDS = 4
 #: uncapped semantics coincide there bit-for-bit.
 LSH_MAX_BUCKET = 256
 
+#: same-signature group size above which hamming_near_pairs' in-task
+#: i<j pair expansion (ONE row holding n(n-1)/2 structs) switches to
+#: the salted distributed self-join — the §2.5 skew guard for a
+#: corpus-scale hot value (e.g. the all-zero aHash of blank images).
+#: 256 keeps the fast path's single-row array under ~32k structs and is
+#: far above every observed group on the driver testdata, so both
+#: semantics coincide there bit-for-bit.
+_SAME_EXPAND_CAP = 256
+
+#: salt-bucket count for the oversized-group expansion: the O(n²) pair
+#: output spreads across this many reduce partitions per hot value and
+#: the join's build side shrinks to n/S members per partition.
+_SAME_EXPAND_SALTS = 16
+
 #: universal-hash mixing constants: sig_i = (A[i]*(h mod 2^30) + B[i]) mod P.
 #: One md5 per token (hash60) + K cheap affine mixes replaces K md5 passes;
 #: products stay < 2^60 so the arithmetic is overflow-free and identical
@@ -611,7 +625,18 @@ def hamming_near_pairs(sim_df: DataFrame, id_col: str = "doc_id",
              .select(F.least("_da", "_db").alias("doc_a"),
                      F.greatest("_da", "_db").alias("doc_b"), "hamming"))
     # same-value pairs (hamming 0): in-task i<j expansion over the
-    # sorted member list — the basket_pairs idiom
+    # sorted member list — the basket_pairs idiom. SIZE-CAPPED (r14,
+    # VERDICT r13 skew guard): the flatten builds the whole n(n-1)/2
+    # pair array in ONE row, so a corpus-scale hot value (the all-zero
+    # aHash of blank images) would be a single-task OOM. Groups above
+    # ``_SAME_EXPAND_CAP`` members instead expand through a SALTED
+    # member self-join (guide §2.5): the left side replicates each
+    # member across the salt buckets, the right side keeps one
+    # deterministic bucket per member (pmod(xxhash64(id))), so the
+    # per-partition build side is n/S members and the O(n²) pair
+    # output spreads across S × values reduce partitions instead of
+    # one. Empty at bench scale (largest sf0.1 group ≈ tens of docs);
+    # both branches emit each unordered pair exactly once.
     arr = F.col("_ia")
     n = F.size(arr)
     elem_type = [f.dataType.simpleString() for f in vals.schema.fields
@@ -627,12 +652,25 @@ def hamming_near_pairs(sim_df: DataFrame, id_col: str = "doc_id",
                     F.element_at(arr, j).alias("doc_b"))))),
     ).otherwise(F.array().cast(
         f"array<struct<doc_a:{elem_type},doc_b:{elem_type}>>"))
-    same = (vpairs.filter(F.col("va") == F.col("vb"))
-            .join(ids_a, "va")
+    same_base = vpairs.filter(F.col("va") == F.col("vb")).join(ids_a, "va")
+    same = (same_base.filter(n <= _SAME_EXPAND_CAP)
             .select(F.explode(same_pairs).alias("_pr"), "hamming")
             .select(F.col("_pr.doc_a").alias("doc_a"),
                     F.col("_pr.doc_b").alias("doc_b"), "hamming"))
-    return cross.unionByName(same)
+    members = (same_base.filter(n > _SAME_EXPAND_CAP)
+               .select("va", "hamming", F.explode(arr).alias("_id")))
+    salt = F.pmod(F.xxhash64("_id"), F.lit(_SAME_EXPAND_SALTS))
+    rights = members.select("va", F.col("_id").alias("_idr"),
+                            salt.alias("_rb"))
+    lefts = members.select(
+        "va", "hamming", F.col("_id").alias("_idl"),
+        F.explode(F.sequence(
+            F.lit(0), F.lit(_SAME_EXPAND_SALTS - 1))).alias("_rb"))
+    same_big = (lefts.join(rights, ["va", "_rb"])
+                .filter(F.col("_idl") < F.col("_idr"))
+                .select(F.col("_idl").alias("doc_a"),
+                        F.col("_idr").alias("doc_b"), "hamming"))
+    return cross.unionByName(same).unionByName(same_big)
 
 
 def _hamming_near_pairs_wide(sim_df: DataFrame, id_col: str,

@@ -1385,9 +1385,14 @@ def _int_arr_sql(vals: list) -> str:
 
 
 def _int_sqdist_sql(xq_sql: str, lit_vals: list) -> str:
-    """SQL-text twin of :func:`_int_sqdist_lit` — compiles to the exact
-    same ``aggregate(zip_with(...))`` expression tree, so values are
-    bit-identical; building it costs ONE py4j call instead of ~40."""
+    """SQL-text twin of :func:`_int_sqdist_lit`: same
+    ``aggregate(zip_with(...))`` shape, built in ONE py4j call instead
+    of ~40. The literal array is rendered as BIGINT (``L`` suffix)
+    while ``F.lit(int)`` yields 32-bit ints for small values, so the
+    trees differ in literal width — VALUES are still identical because
+    the µ-quantized subtraction/products are exact in 64-bit for any
+    input either form accepts (widening int→bigint coercion is
+    value-preserving; ADVICE r13 wording fix)."""
     return (f"aggregate(zip_with({xq_sql}, {_int_arr_sql(lit_vals)}, "
             f"(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), "
             f"(acc, x) -> acc + x)")

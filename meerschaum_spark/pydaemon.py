@@ -42,8 +42,12 @@ try:  # best-effort: the daemon must start even if a preload fails
     # writes to each object's GC header, un-sharing (copy-on-write) the
     # preloaded pages one fault at a time. Standard companion of the
     # preload-then-fork pattern (CPython gc.freeze docs describe exactly
-    # this use case).
+    # this use case). Collect first so import-time garbage is reclaimed
+    # instead of being frozen into the permanent generation and leaked
+    # into every forked worker (the documented collect-then-freeze
+    # ordering; ADVICE r13).
     import gc
+    gc.collect()
     gc.freeze()
 except Exception:  # pragma: no cover - only hit on broken installs
     pass

@@ -4201,9 +4201,15 @@ def _part_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (app_id, sf_dir)
     df = _PART_EDGE_CACHE.get(key)
     if df is None:
+        import time as _time
+        from meerschaum_spark import cache_log
+        t0 = _time.perf_counter()
         li = load_table(spark, sf_dir, "lineitem")
         df = support_edges(
             basket_pairs(li, "l_orderkey", "l_partkey"), 2).transform(_pin)
+        cache_log.record("part_edges", _time.perf_counter() - t0)
+        cache_log.register_evictor(
+            "part_edges", lambda k=key: _PART_EDGE_CACHE.pop(k, None) and None)
         _PART_EDGE_CACHE[key] = df
     return df
 

@@ -9,9 +9,12 @@ programmatically right next to the Spark builder they mirror.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from meerschaum_spark import cache_log
 from meerschaum_spark.catalog import floordiv_sql, parallelize, query
 from meerschaum_spark.functions import dedup as D
 from meerschaum_spark.functions import multimodal as M
@@ -259,7 +262,12 @@ def _cached_sigs(kind: str, spark: SparkSession, sf_dir: str, builder):
     key = (kind, app_id, sf_dir)
     df = _SIG_CACHE.get(key)
     if df is None:
+        t0 = time.perf_counter()
         df = builder().transform(_pin)
+        cache_log.record(f"sig:{kind}", time.perf_counter() - t0)
+        cache_log.register_evictor(
+            f"sig:{kind}",
+            lambda k=key: _SIG_CACHE.pop(k, None) and None)
         _SIG_CACHE[key] = df
     return df
 
@@ -4686,6 +4694,12 @@ def doc_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: parquet inputs).
 _BPE_CACHE: dict = {}
 
+#: max pinned per-round token-table snapshots retained beyond the base
+#: table (ADVICE r13: unbounded retention leaked one localCheckpoint per
+#: round for the session lifetime). Covers the catalog's trainer/encoder
+#: pair (rounds-1 and rounds) with room to spare.
+_BPE_KEEP_SNAPSHOTS = 4
+
 
 def _bpe_apply_rounds(spark: SparkSession, sf_dir: str, rounds: int,
                       merge_last: bool) -> tuple[DataFrame, list]:
@@ -4700,14 +4714,23 @@ def _bpe_apply_rounds(spark: SparkSession, sf_dir: str, rounds: int,
     app_id = spark.sparkContext.applicationId
     for stale in [k for k in _BPE_CACHE if k[0] != app_id]:
         del _BPE_CACHE[stale]
+    # cache key contract (shared with _cached_sigs/_PART_EDGE_CACHE):
+    # sf_dir contents are assumed IMMUTABLE within a session — mutating
+    # or regenerating the corpus under a live session serves stale
+    # snapshots (fine for the read-only bench/oracle tables; a mutable
+    # deployment must evict via cache_log.evict or a fresh session)
     key = (app_id, sf_dir)
     st = _BPE_CACHE.get(key)
+    _t0 = time.perf_counter()
+    _cold = st is None or len(st["winners"]) < rounds
     if st is None:
         docs = _docs(spark, sf_dir)
         cur0 = (docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
                 .filter(F.size("toks") >= 1)
                 .transform(_pin))
         st = {"curs": [cur0], "winners": [], "exhausted": False}
+        cache_log.register_evictor(
+            "bpe_rounds", lambda k=key: _BPE_CACHE.pop(k, None) and None)
         _BPE_CACHE[key] = st
 
     def _apply(cur: DataFrame, s1: str, s2: str) -> DataFrame:
@@ -4726,11 +4749,25 @@ def _bpe_apply_rounds(spark: SparkSession, sf_dir: str, rounds: int,
 
     def _cur_at(k: int) -> DataFrame:
         # token table with the first k winners applied (snapshots build
-        # incrementally; each is pinned, so later calls are free)
+        # incrementally; each is pinned, so later calls are free).
+        # Retention is CAPPED (ADVICE r13): only the base table and the
+        # last _BPE_KEEP_SNAPSHOTS stay pinned — a many-round caller
+        # would otherwise accumulate one localCheckpoint per round for
+        # the session lifetime. An evicted intermediate rebuilds forward
+        # from the nearest retained ancestor (never happens for the
+        # catalog's two consumers, whose targets are within the cap).
         while len(st["curs"]) <= k:
             j = len(st["curs"])
             _rnd, s1, s2, _n = st["winners"][j - 1]
-            st["curs"].append(_apply(st["curs"][j - 1], s1, s2))
+            st["curs"].append(_apply(_cur_at(j - 1), s1, s2))
+            for i in range(1, len(st["curs"]) - _BPE_KEEP_SNAPSHOTS):
+                st["curs"][i] = None
+        if st["curs"][k] is None:
+            i = max(j for j in range(k + 1) if st["curs"][j] is not None)
+            while i < k:
+                _rnd, s1, s2, _n = st["winners"][i]
+                st["curs"][i + 1] = _apply(st["curs"][i], s1, s2)
+                i += 1
         return st["curs"][k]
 
     while len(st["winners"]) < rounds and not st["exhausted"]:
@@ -4757,7 +4794,10 @@ def _bpe_apply_rounds(spark: SparkSession, sf_dir: str, rounds: int,
     # immediately EXCEPT a final-round winner under merge_last=False;
     # on exhaustion (no winner found) everything discovered was applied
     applied = n_won if (merge_last or n_won < rounds) else n_won - 1
-    return _cur_at(applied), out_rows
+    cur = _cur_at(applied)
+    if _cold:
+        cache_log.record("bpe_rounds", time.perf_counter() - _t0)
+    return cur, out_rows
 
 
 @query("doc_bpe_encode_fertility", _bpe_encode_oracle_sql())

@@ -74,6 +74,16 @@ def get_spark(
     On a real cluster, pass ``master=None`` with a pre-set master URL and
     a ``shuffle_partitions`` sized to ~2-3× total cores; locally defaults
     to ``local[$SPARK_GRAFT_CPUS]`` with shuffle partitions = cores.
+
+    Side effect (ADVICE r13): when the preloading worker daemon is
+    enabled (the default), this prepends the repo root to
+    ``os.environ['PYTHONPATH']`` **process-globally** and leaves it
+    there — the python daemon is launched by the JVM (possibly long
+    after this call, and again on executor restarts), so restoring the
+    prior value after ``getOrCreate`` would break daemon respawns. Any
+    subprocess the host application spawns later inherits the extra
+    path entry. Set ``SPARK_GRAFT_DAEMON_MODULE=""`` to disable both
+    the daemon and the mutation.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     if master is None:

@@ -1514,6 +1514,33 @@ def test_hamming_near_pairs_nbits16_lossless(spark):
     assert not any(p[:2] == (200, 204) for p in brute)
 
 
+def test_hamming_near_pairs_hot_value_skew_guard(spark):
+    """A degenerate hot signature value (every blank image hashing to
+    one aHash) must route through the salted distributed expansion,
+    not the single-row O(n²) flatten (r14 skew guard): a group ABOVE
+    ``_SAME_EXPAND_CAP`` returns exactly the n(n-1)/2 same-value pairs
+    plus the unchanged cross-value pairs, identical to the capped fast
+    path's semantics."""
+    n_hot = D._SAME_EXPAND_CAP + 44  # 300 with the default cap of 256
+    rows = [(i, 0x0000) for i in range(n_hot)]
+    # a small second group (distance 16 from the hot value) and a near
+    # value one bit away from it
+    rows += [(1000, 0xFFFF), (1001, 0xFFFF), (1002, 0xFFFE)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(r["doc_a"], r["doc_b"], r["hamming"])
+           for r in D.hamming_near_pairs(df, max_distance=3,
+                                         nbits=16).collect()}
+    hot = {(a, b, 0) for a in range(n_hot) for b in range(a + 1, n_hot)}
+    small = {(1000, 1001, 0), (1000, 1002, 1), (1001, 1002, 1)}
+    assert got == hot | small
+    # every unordered pair appears exactly once (the salted join must
+    # not duplicate across salt buckets)
+    all_rows = [(r["doc_a"], r["doc_b"])
+                for r in D.hamming_near_pairs(df, max_distance=3,
+                                              nbits=16).collect()]
+    assert len(all_rows) == len(set(all_rows))
+
+
 def test_audio_energy_fingerprint_matches_replay(spark):
     """The distributed audio fingerprint equals a pure-Python replay
     over the same synthesized clips, and malformed payload lengths

@@ -149,6 +149,52 @@ def _guard_definition(definition: str) -> None:
                 "definitions must be read-only SELECT statements.")
 
 
+class _UnsupportedKeyType(Exception):
+    """A merge-key value Python cannot group with Spark's equality
+    semantics (map-typed columns) — callers fall back to the window."""
+
+
+def _norm_group_key(v: Any) -> Any:
+    """Normalize one value so Python dict grouping matches Spark's
+    null-safe grouping equality: NaN groups with NaN, -0.0 with +0.0,
+    nulls together; arrays/structs compare element-wise; decimals by
+    numeric value (Python Decimal hash/eq already are). Map values
+    raise — Spark cannot window-partition by a map either."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if v != v:                      # NaN: Spark groups NaNs together
+            return ("__mrsm_nan__",)
+        return v + 0.0                  # collapses -0.0 into +0.0
+    if isinstance(v, (bytearray, bytes)):
+        return bytes(v)
+    if isinstance(v, (list, tuple)):    # ArrayType / StructType (Row)
+        return tuple(_norm_group_key(x) for x in v)
+    if isinstance(v, dict):
+        raise _UnsupportedKeyType(type(v).__name__)
+    return v
+
+
+def _dedupe_rows_local(rows: list, keys: list,
+                       ord_col: str | None = None) -> list | None:
+    """Driver-side replica of ``Pipe._dedupe_patch`` for already-collected
+    rows: keep the greatest-``ORD_COL`` row per null-safe key group (the
+    reference's keep='last' batch semantics). Returns None when a key
+    value's grouping equality cannot be replicated in Python (map types)
+    — the caller then falls back to the window dedupe."""
+    ord_col = ord_col or ORD_COL
+    winners: dict = {}
+    try:
+        for r in rows:
+            k = tuple(_norm_group_key(r[c]) for c in keys)
+            prev = winners.get(k)
+            if prev is None or r[ord_col] > prev[ord_col]:
+                winners[k] = r
+    except (_UnsupportedKeyType, TypeError):
+        return None
+    return list(winners.values())
+
+
 class SyncResult:
     def __init__(self, success: bool, message: str = "",
                  inserted: int = 0, updated: int = 0):
@@ -868,8 +914,8 @@ class Pipe:
             new_files: list | None = ([] if (self._eager_rollup_confs
                                  or self._ann_conf) else None)
             if fused:
-                m, update = self._fused_local_diff(marked, ru_confs,
-                                                   new_files)
+                m, update, deduped = self._fused_local_diff(
+                    marked, ru_confs, new_files)
                 n_update = int(m["n_update"])
                 n_unseen = int(m["n_total"]) - n_update
                 if (deferred_bounds and m.get("_lo") is not None
@@ -878,7 +924,8 @@ class Pipe:
                     bounds["begin_us"] = self._bound_us(b_lo)
                     bounds["end_us"] = self._bound_us(b_hi)
                 return self._finish_diff_sync(m, update, bounds, ru_confs,
-                                              new_files)
+                                              new_files,
+                                              update_deduped=deduped)
             obs_aggs = [
                 F.count(F.lit(1)).alias("n_total"),
                 F.count(F.col(HIT_COL)).alias("n_update"),
@@ -964,12 +1011,17 @@ class Pipe:
 
     def _finish_diff_sync(self, m: dict, update: DataFrame, bounds: dict,
                           ru_confs: list, new_files: list | None,
+                          update_deduped: bool = False,
                           ) -> "SyncResult":
         """Shared diff-sync tail (fused-local and observed paths): bounded
         merge of the update patch, fingerprint commit, rollup
         maintenance, registration. ``update`` must still carry ORD_COL
         (patch dedupe orders by it) and ``m`` the diff metrics
-        (n_total/n_update plus the optional _ulo/_uhi/_ucells/_ru_ub*)."""
+        (n_total/n_update plus the optional _ulo/_uhi/_ucells/_ru_ub*).
+        ``update_deduped=True`` (fused-local path) means the patch is
+        already key-unique AND free of ORD_COL — the window dedupe is
+        skipped, so the merge plan never re-evaluates the patch through
+        a shuffle."""
         n_update = int(m["n_update"])
         n_unseen = int(m["n_total"]) - n_update
         merge_keys = ([c for c in self.index_cols
@@ -1021,7 +1073,8 @@ class Pipe:
                 # while the dedupe window and broadcast build ride
                 # inside the merge's existing action for less.)
                 self.store.merge(
-                    self._dedupe_patch(update), merge_keys,
+                    update if update_deduped else self._dedupe_patch(update),
+                    merge_keys,
                     dtypes=self.dtypes or None,
                     begin_us=(mb_lo if use_bounds and mparts is None
                               else None),
@@ -1090,12 +1143,13 @@ class Pipe:
 
     def _fused_local_diff(self, marked: DataFrame, ru_confs: list,
                           new_files: list | None,
-                          ) -> tuple[dict, DataFrame]:
+                          ) -> tuple[dict, DataFrame, bool]:
         """Evaluate a driver-local small batch's diff ONCE: collect the
         ``marked`` frame (bounded by ``_LOCAL_FUSED_ROWS`` — the diff
         output is at most the batch), split driver-side, append the
         unseen rows as a LocalRelation, and return the Observation-shaped
-        metrics plus the update patch as a LocalRelation.
+        metrics, the update patch as a single-slice LocalRelation, and
+        whether the patch is already key-deduped (ORD_COL-free).
 
         What this buys on the reference's dominant dict/list small-batch
         cadence: the default path evaluates the diff inside the append's
@@ -1149,16 +1203,39 @@ class Pipe:
             u_rows = [[r[c] for c in u_cols]
                       for r in rows if r[HIT_COL] is None]
             if u_rows:
+                # single-slice LocalRelation (mdf.local_df): a plain
+                # createDataFrame spreads even a 1-row append over
+                # defaultParallelism slices — a 32-task python-RDD scan
+                # stage inside the write job (measured: the dominant
+                # stages of a 1-row sync's write job)
                 self.store.append(
-                    self.spark.createDataFrame(u_rows, u_schema),
+                    mdf.local_df(self.spark, u_rows, u_schema),
                     new_files=new_files)
-        # patch keeps ORD_COL: _dedupe_patch orders by it (keep-last)
+        # Patch dedupe runs HERE, in Python (keep the max-ORD row per
+        # null-safe key group — exactly _dedupe_patch's window): the
+        # merge plan references its patch twice (anti-join + union), so
+        # a window-deduped LocalRelation re-evaluated per reference cost
+        # two shuffle stages and two 32-slice python scans per sync.
+        # A pre-deduped single-slice LocalRelation makes each reference
+        # a 1-task scan with no window anywhere in the merge job.
         p_cols = [c for c in marked.columns if c != HIT_COL]
         p_schema = StructType([f for f in marked.schema.fields
                                if f.name != HIT_COL])
-        update = self.spark.createDataFrame(
-            [[r[c] for c in p_cols] for r in upd], p_schema)
-        return m, update
+        keys = [c for c in self.index_cols if c in p_cols] \
+            or [c for c in p_cols if c != ORD_COL]
+        deduped = _dedupe_rows_local(upd, keys)
+        if deduped is not None:
+            out_cols = [c for c in p_cols if c != ORD_COL]
+            out_schema = StructType([f for f in p_schema.fields
+                                     if f.name != ORD_COL])
+            update = mdf.local_df(
+                self.spark,
+                [[r[c] for c in out_cols] for r in deduped], out_schema)
+            return m, update, True
+        # unsupported key type (map-typed column): keep the window path
+        update = mdf.local_df(
+            self.spark, [[r[c] for c in p_cols] for r in upd], p_schema)
+        return m, update, False
 
     def filter_existing(
         self, df: DataFrame, force_full_scan: bool = False,

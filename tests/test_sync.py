@@ -964,3 +964,46 @@ def test_fused_local_small_batch_path(spark, instance_dir):
         assert calls["n"] == 2 and r3.inserted == 1
     finally:
         _P._fused_local_diff = orig
+
+
+def test_dedupe_rows_local_matches_window_semantics():
+    """The fused path's driver-side patch dedupe must group exactly like
+    _dedupe_patch's null-safe window: None with None, NaN with NaN,
+    -0.0 with +0.0, bytes-like by content; max-ORD row wins; map-typed
+    keys fall back (None return)."""
+    from pyspark.sql import Row
+    from meerschaum_spark.pipe import ORD_COL, _dedupe_rows_local
+
+    nan = float("nan")
+    rows = [
+        Row(**{"k": None, "v": 1, ORD_COL: 1}),
+        Row(**{"k": None, "v": 2, ORD_COL: 5}),       # wins the null group
+        Row(**{"k": nan, "v": 3, ORD_COL: 2}),
+        Row(**{"k": float("nan"), "v": 4, ORD_COL: 3}),  # wins the NaN group
+        Row(**{"k": -0.0, "v": 5, ORD_COL: 7}),       # wins the zero group
+        Row(**{"k": 0.0, "v": 6, ORD_COL: 6}),
+    ]
+    out = _dedupe_rows_local(rows, ["k"])
+    got = sorted((r["v"], r[ORD_COL]) for r in out)
+    assert got == [(2, 5), (4, 3), (5, 7)]
+
+    # bytes-like keys group by content (collected binaries are bytearray)
+    brows = [
+        Row(**{"k": bytearray(b"ab"), "v": 1, ORD_COL: 1}),
+        Row(**{"k": b"ab", "v": 2, ORD_COL: 2}),
+    ]
+    bout = _dedupe_rows_local(brows, ["k"])
+    assert [(r["v"]) for r in bout] == [2]
+
+    # array keys: element-wise, NaN-safe
+    arows = [
+        Row(**{"k": [1.0, nan], "v": 1, ORD_COL: 1}),
+        Row(**{"k": [1.0, float("nan")], "v": 2, ORD_COL: 2}),
+        Row(**{"k": [2.0, nan], "v": 3, ORD_COL: 3}),
+    ]
+    aout = _dedupe_rows_local(arows, ["k"])
+    assert sorted(r["v"] for r in aout) == [2, 3]
+
+    # map-typed key -> unsupported -> None (caller keeps the window path)
+    mrows = [Row(**{"k": {"a": 1}, "v": 1, ORD_COL: 1})]
+    assert _dedupe_rows_local(mrows, ["k"]) is None

@@ -45,10 +45,13 @@ LSH_MAX_BUCKET = 256
 #: i<j pair expansion (ONE row holding n(n-1)/2 structs) switches to
 #: the salted distributed self-join — the §2.5 skew guard for a
 #: corpus-scale hot value (e.g. the all-zero aHash of blank images).
-#: 256 keeps the fast path's single-row array under ~32k structs and is
-#: far above every observed group on the driver testdata, so both
-#: semantics coincide there bit-for-bit.
-_SAME_EXPAND_CAP = 256
+#: 2048 caps the single-row pair array at ~2.1M structs (~35 MB — far
+#: from a task OOM, which needs ~100k-member groups), and keeps every
+#: observed driver-testdata group (sf0.1 ahash max = 943 members) on
+#: the fast in-task path: the first guard shipped at 256 and silently
+#: rerouted the 943/277/264/248-member ahash groups through the salted
+#: join, costing ~0.35 s/rep (interleaved A/B) for zero safety gain.
+_SAME_EXPAND_CAP = 2048
 
 #: salt-bucket count for the oversized-group expansion: the O(n²) pair
 #: output spreads across this many reduce partitions per hot value and
@@ -653,10 +656,24 @@ def hamming_near_pairs(sim_df: DataFrame, id_col: str = "doc_id",
     ).otherwise(F.array().cast(
         f"array<struct<doc_a:{elem_type},doc_b:{elem_type}>>"))
     same_base = vpairs.filter(F.col("va") == F.col("vb")).join(ids_a, "va")
+    # hot-value probe (r14): the salted branch below exists only for a
+    # corpus-scale hot signature, but keeping it in the plan statically
+    # costs every downstream re-evaluation of the returned frame two
+    # always-empty shuffle stages. ``vals`` is pinned here, so one tiny
+    # aggregate over it learns whether any group exceeds the cap; the
+    # common no-hot-value plan then stays branch-free. With
+    # checkpoint=False the probe would re-run the signature lineage —
+    # keep the static union there (both semantics identical).
+    has_hot = True
+    if checkpoint:
+        row = vals.agg(F.max(F.size("_ids"))).first()
+        has_hot = bool(row and (row[0] or 0) > _SAME_EXPAND_CAP)
     same = (same_base.filter(n <= _SAME_EXPAND_CAP)
             .select(F.explode(same_pairs).alias("_pr"), "hamming")
             .select(F.col("_pr.doc_a").alias("doc_a"),
                     F.col("_pr.doc_b").alias("doc_b"), "hamming"))
+    if not has_hot:
+        return cross.unionByName(same)
     members = (same_base.filter(n > _SAME_EXPAND_CAP)
                .select("va", "hamming", F.explode(arr).alias("_id")))
     salt = F.pmod(F.xxhash64("_id"), F.lit(_SAME_EXPAND_SALTS))

@@ -46,7 +46,7 @@ def main() -> None:
             q = (build(stream).writeStream.format("memory").queryName(sink)
                  .outputMode(output_mode).trigger(availableNow=True).start())
             q.awaitTermination(300)
-            progress = [json.loads(p) for p in q.recentProgress]
+            progress = [json.loads(str(p)) for p in q.recentProgress]
         wall = time.perf_counter() - t0
         print(f"== {name}: wall {wall:.2f}s, {len(progress)} microbatches")
         for p in progress:
@@ -59,8 +59,7 @@ def main() -> None:
     from meerschaum_spark.streaming.stateful import stateful_sessionize
     replay("sessionize",
            lambda s: stateful_sessionize(s, gap_seconds=30 * 60,
-                                         order_cols=["event_id"]),
-           output_mode="update")
+                                         order_cols=["event_id"]))
 
     # 2. watermarked hourly rollup (stateful agg)
     from meerschaum_spark.streaming.runner import windowed_rollup

@@ -1514,14 +1514,16 @@ def test_hamming_near_pairs_nbits16_lossless(spark):
     assert not any(p[:2] == (200, 204) for p in brute)
 
 
-def test_hamming_near_pairs_hot_value_skew_guard(spark):
+def test_hamming_near_pairs_hot_value_skew_guard(spark, monkeypatch):
     """A degenerate hot signature value (every blank image hashing to
     one aHash) must route through the salted distributed expansion,
     not the single-row O(n²) flatten (r14 skew guard): a group ABOVE
     ``_SAME_EXPAND_CAP`` returns exactly the n(n-1)/2 same-value pairs
     plus the unchanged cross-value pairs, identical to the capped fast
-    path's semantics."""
-    n_hot = D._SAME_EXPAND_CAP + 44  # 300 with the default cap of 256
+    path's semantics. The cap is lowered for the test so the brute-set
+    comparison stays small while still exceeding it."""
+    monkeypatch.setattr(D, "_SAME_EXPAND_CAP", 256)
+    n_hot = D._SAME_EXPAND_CAP + 44  # 300 with the test cap of 256
     rows = [(i, 0x0000) for i in range(n_hot)]
     # a small second group (distance 16 from the hot value) and a near
     # value one bit away from it

@@ -230,7 +230,7 @@ def _sqdist_dec(a, b):
 
 def assign_ivf_cells(
     df: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | list",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -242,8 +242,7 @@ def assign_ivf_cells(
     relational form (cross join + row_number window partitioned by the
     vector id) shuffled |centroids|× the corpus just to take an argmin,
     which at 100 TB is the whole job's cost."""
-    rows = sorted(centroids.select(id_col, vec_col).collect(),
-                  key=lambda r: r[0])
+    rows = _id_vec_rows(centroids, id_col, vec_col)
     if not rows:
         raise ValueError("assign_ivf_cells: empty centroid set")
     # one parsed SQL string (measured: the Column-API literal form cost
@@ -949,6 +948,22 @@ def _cent_scored_sql(vec_sql: str, rows, id_col: str, vec_col: str) -> str:
         for r in rows) + ")"
 
 
+def _id_vec_rows(obj, id_col: str, vec_col: str) -> list:
+    """Normalize a centroid/codebook argument to id-sorted driver-side
+    rows. A DataFrame is collected (one job); a driver-side list of
+    ``(id, vec)`` pairs wraps as dict-rows VERBATIM — callers that
+    already hold the frozen codebook on the driver (``pipe.ann_search``)
+    skip a createDataFrame → collect round trip, which costs two jobs
+    plus their driver gaps per search (measured ~2.5 s cold). Callers
+    passing lists own any dtype rounding the DataFrame path would have
+    applied (e.g. an ``array<float>`` cast)."""
+    if isinstance(obj, DataFrame):
+        rows = obj.select(id_col, vec_col).collect()
+    else:
+        rows = [{id_col: i, vec_col: v} for i, v in obj]
+    return sorted(rows, key=lambda r: r[id_col])
+
+
 def pq_encode(df: DataFrame, codebook_rows: list, subspaces: int = 2,
               subdim: int = 32, id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:
@@ -971,7 +986,7 @@ def pq_encode(df: DataFrame, codebook_rows: list, subspaces: int = 2,
 
 def assign_ivf_cells_multi(
     df: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | list",
     nprobe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -982,8 +997,7 @@ def assign_ivf_cells_multi(
     (d, cid) structs is the same lexicographic order as
     ``assign_ivf_cells``'s argmin). Still a shuffle-free literal-array
     projection; the row multiplication is nprobe× the QUERY side only."""
-    rows = sorted(centroids.select(id_col, vec_col).collect(),
-                  key=lambda r: r[0])
+    rows = _id_vec_rows(centroids, id_col, vec_col)
     if not rows:
         raise ValueError("assign_ivf_cells_multi: empty centroid set")
     # SQL-text literal scoring (see assign_ivf_cells)
@@ -1018,8 +1032,8 @@ def ivfpq_corpus_codes(
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    centroids: DataFrame,
-    codebook: DataFrame,
+    centroids: "DataFrame | list",
+    codebook: "DataFrame | list",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
@@ -1050,8 +1064,7 @@ def ivfpq_topk(
     only ids, cells, and codes. Recall is measured by
     ``emb_ivfpq_recall``, never asserted.
     """
-    cb_rows = sorted(codebook.select(id_col, vec_col).collect(),
-                     key=lambda r: r[0])
+    cb_rows = _id_vec_rows(codebook, id_col, vec_col)
     if not cb_rows:
         raise ValueError("ivfpq_topk: empty codebook")
     if corpus_codes is None:
@@ -1113,8 +1126,8 @@ def ivfpq_topk(
 def ivfpq_topk_curve(
     corpus: DataFrame,
     queries: DataFrame,
-    centroids: DataFrame,
-    codebook: DataFrame,
+    centroids: "DataFrame | list",
+    codebook: "DataFrame | list",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
@@ -1137,8 +1150,7 @@ def ivfpq_topk_curve(
     in ``nprobes`` order; column layout matches ``ivfpq_topk``."""
     if not nprobes:
         raise ValueError("ivfpq_topk_curve: empty nprobes")
-    cb_rows = sorted(codebook.select(id_col, vec_col).collect(),
-                     key=lambda r: r[0])
+    cb_rows = _id_vec_rows(codebook, id_col, vec_col)
     if not cb_rows:
         raise ValueError("ivfpq_topk_curve: empty codebook")
     if corpus_codes is None:
@@ -1151,8 +1163,7 @@ def ivfpq_topk_curve(
     # (d, cid) struct order as assign_ivf_cells_multi); literal
     # centroid/codebook expressions as SQL text like the single-point
     # search
-    cent_rows = sorted(centroids.select(id_col, vec_col).collect(),
-                       key=lambda r: r[0])
+    cent_rows = _id_vec_rows(centroids, id_col, vec_col)
     if not cent_rows:
         raise ValueError("ivfpq_topk_curve: empty centroid set")
     qcol = "`" + vec_col.replace("`", "``") + "`"
@@ -1648,7 +1659,7 @@ def sq8_codes(corpus: DataFrame, stats: list, id_col: str = "vec_id",
 def ivfsq8_topk(
     corpus_codes: DataFrame,
     queries: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | list",
     stats: list,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

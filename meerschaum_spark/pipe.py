@@ -2345,7 +2345,7 @@ class Pipe:
         ``similarity.ivfsq8_topk`` (codec ``'sq8'``); the frozen
         codebook provides the coarse centroids, the PQ codebook, and
         (sq8) the frozen per-dimension stats."""
-        from pyspark.sql import Row
+        import struct
 
         from meerschaum_spark.functions.similarity import ivfpq_topk
         conf = self._ann_conf
@@ -2365,15 +2365,31 @@ class Pipe:
                 "the pipe has no data yet — sync rows first (the first "
                 "sync builds the index and freezes the codebook)")
         corpus = self.store.read(dtypes=self.dtypes or None).select(idc, vc)
-        cb_df = self.spark.createDataFrame(
-            [Row(**{idc: i, vc: v}) for i, v in cb],
-            f"{idc} long, {vc} array<float>")
+
+        # The codebook is ALREADY a driver-side list; hand it to the
+        # search builders as one (they embed it as literal SQL text)
+        # instead of round-tripping it through createDataFrame+collect —
+        # two pure-overhead jobs plus their driver-planning gaps per
+        # search, measured ~2.5 s on the profiled pipe_ann_search_topk
+        # run. The previous DataFrame carried an array<float> schema, so
+        # reproduce that cast's float32 rounding driver-side exactly
+        # (IEEE round-to-nearest-even; overflow → ±inf like the cast):
+        # frozen UNTRAINED vectors came off an array<float> column and
+        # round-trip unchanged, trained ones round the same way the
+        # collect used to return them.
+        def _f32(x: float) -> float:
+            try:
+                return struct.unpack("<f", struct.pack("<f", float(x)))[0]
+            except OverflowError:
+                return float("inf") if float(x) > 0 else float("-inf")
+
+        cb32 = [(int(i), [_f32(x) for x in v]) for i, v in cb]
         if self._ann_codec(conf) == "sq8":
             from meerschaum_spark.functions.similarity import ivfsq8_topk
             doc = self._load_ann_doc() or {}
             stats = [(float(mn), float(mx))
                      for mn, mx in doc.get("sq8_stats", [])]
-            return ivfsq8_topk(codes, queries, cb_df, stats, id_col=idc,
+            return ivfsq8_topk(codes, queries, cb32, stats, id_col=idc,
                                vec_col=vc, k=k, nprobe=nprobe,
                                refine=refine, corpus=corpus)
         dim = len(cb[0][1])
@@ -2394,7 +2410,7 @@ class Pipe:
                 codes, queries, cb, res_cb, id_col=idc, vec_col=vc,
                 k=k, subspaces=subspaces, subdim=subdim, nprobe=nprobe,
                 refine=refine, corpus=corpus)
-        return ivfpq_topk(corpus, queries, cb_df, cb_df, id_col=idc,
+        return ivfpq_topk(corpus, queries, cb32, cb32, id_col=idc,
                           vec_col=vc, k=k, subspaces=subspaces,
                           subdim=subdim, nprobe=nprobe, refine=refine,
                           corpus_codes=codes)

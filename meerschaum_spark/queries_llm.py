@@ -9,6 +9,7 @@ programmatically right next to the Spark builder they mirror.
 
 from __future__ import annotations
 
+import atexit as _atexit
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -6367,6 +6368,114 @@ def streaming_ann_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r13: maintained-index SEARCH under the gate (pipe_ann_search_topk)
 # ===========================================================================
 
+#: (kind, applicationId, sf_dir) -> instance dir of a built-and-updated
+#: ANN pipe (see _ann_replay_pipe)
+_ANN_PIPE_CACHE: dict = {}
+
+#: the three identical-replay groups the gate queries share: ann_index
+#: params + replay shape ("full" = full-corpus sync then sign-flip
+#: update; "split" = the 3-sync replay: vec_id<300 build, >=300
+#: insert-only, sign-flip update)
+_ANN_REPLAY: dict = {
+    "pq_search": ({"column": "embedding", "n_centroids": _ANNIDX_NCENT,
+                   "subspaces": PQ_SUBSPACES, "subdim": PQ_SUBDIM},
+                  "full"),
+    "sq8_search": ({"column": "embedding", "n_centroids": _ANNIDX_NCENT,
+                    "codec": "sq8"},
+                   "full"),
+    "residual": ({"column": "embedding", "n_centroids": _ANNIDX_NCENT,
+                  "subspaces": PQ_SUBSPACES, "subdim": PQ_SUBDIM,
+                  "train_iters": 1, "residual": True},
+                 "split"),
+}
+
+
+def _ann_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The timestamped embeddings frame every ANN gate replays from."""
+    return (load_table(spark, sf_dir, "embeddings")
+            .select(F.expr("timestamp'2024-01-01' + make_interval("
+                           "0, 0, 0, 0, cast(vec_id AS int))").alias("ts"),
+                    "vec_id", "embedding"))
+
+
+def _ann_replay_pipe(kind: str, spark: SparkSession, sf_dir: str):
+    """Session-cached built-and-updated ANN pipe shared by the gate
+    queries whose build replays are IDENTICAL (r14): the pq search pair
+    (pipe_ann_search_topk / pipe_ann_refine_search), the sq8 search
+    pair, and the residual sync/search pair each ran the same sync
+    sequence against the same corpus into their own temp store — two
+    full pipe builds (syncs + index encode + codebook freeze, ~4 s each
+    at sf0.1) per pair for one artifact. Same `_cached_sigs`/_BPE_CACHE
+    economics: one materialization per (applicationId, sf_dir), rebuilt
+    fresh every process from the parquet inputs, build logged to
+    cache_log under ``ann_pipe:<kind>`` with an evictor that drops the
+    store dir (the bench's rep loop uses it so first-consumer min3
+    re-pays the build). Assumes sf_dir contents are immutable within a
+    session — the standing session-cache invariant (queries_llm:251).
+    Consumers only READ the returned pipe (ann_search/get_ann_index);
+    the replay's syncs all happen here."""
+    import shutil
+    import tempfile
+
+    from meerschaum_spark.pipe import Pipe
+
+    params, shape = _ANN_REPLAY[kind]
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _ANN_PIPE_CACHE if k[1] != app_id]:
+        shutil.rmtree(_ANN_PIPE_CACHE.pop(stale), ignore_errors=True)
+    key = (kind, app_id, sf_dir)
+    instance = _ANN_PIPE_CACHE.get(key)
+    if instance is None:
+        t0 = time.perf_counter()
+        instance = tempfile.mkdtemp(prefix=f"mrsm_q_annshared_{kind}_")
+        base = _ann_base(spark, sf_dir).persist()
+        try:
+            pipe = Pipe(
+                "catalog", f"annshared_{kind}", instance=instance,
+                spark=spark, columns={"datetime": "ts", "id": "vec_id"},
+                parameters={"ann_index": dict(params)})
+            if shape == "full":
+                r1 = pipe.sync(base)
+                assert r1.success, r1.message
+            else:
+                r1 = pipe.sync(base.filter(F.col("vec_id") < 300))
+                assert r1.success, r1.message
+                r2 = pipe.sync(base.filter(F.col("vec_id") >= 300),
+                               check_existing=False)
+                assert r2.success, r2.message
+            upd = (base.filter(F.expr(_ANNIDX_UPDATED))
+                   .withColumn("embedding",
+                               F.transform("embedding", lambda x: -x)))
+            rn = pipe.sync(upd)
+            assert rn.success, rn.message
+        except BaseException:
+            shutil.rmtree(instance, ignore_errors=True)
+            raise
+        finally:
+            base.unpersist()
+        cache_log.record(f"ann_pipe:{kind}", time.perf_counter() - t0)
+
+        def _evict(k=key):
+            inst = _ANN_PIPE_CACHE.pop(k, None)
+            if inst:
+                shutil.rmtree(inst, ignore_errors=True)
+
+        cache_log.register_evictor(f"ann_pipe:{kind}", _evict)
+        _ANN_PIPE_CACHE[key] = instance
+    from meerschaum_spark.pipe import Pipe as _Pipe
+    return _Pipe("catalog", f"annshared_{kind}", instance=instance,
+                 spark=spark, columns={"datetime": "ts", "id": "vec_id"},
+                 parameters={"ann_index": dict(params)})
+
+
+@_atexit.register
+def _ann_pipe_cache_cleanup() -> None:
+    import shutil
+    for inst in _ANN_PIPE_CACHE.values():
+        shutil.rmtree(inst, ignore_errors=True)
+    _ANN_PIPE_CACHE.clear()
+
+
 def _ann_search_ctes() -> str:
     """The PQ-search CTE body shared by ``_ann_search_sql`` and
     ``_ann_refine_search_sql``: rebuild the post-update index in SQL
@@ -6484,46 +6593,19 @@ def pipe_ann_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the entire read path over the maintained artifact: cells, codes,
     probe lists, and ADC arithmetic. The adc DOUBLE output column is
     hash-safe by the proven ``_pq_subdist_dbl`` ≡ ``_pq_subdist_sql``
-    cross-engine idiom. Reference analogue: none (no vector
-    surface)."""
-    import shutil
-    import tempfile
-
-    from meerschaum_spark.pipe import Pipe
-
-    base = (load_table(spark, sf_dir, "embeddings")
-            .select(F.expr("timestamp'2024-01-01' + make_interval("
-                           "0, 0, 0, 0, cast(vec_id AS int))").alias("ts"),
-                    "vec_id", "embedding")
-            .persist())
-    instance = tempfile.mkdtemp(prefix="mrsm_q_annsearch_")
-    try:
-        pipe = Pipe(
-            "catalog", "annsearch", instance=instance, spark=spark,
-            columns={"datetime": "ts", "id": "vec_id"},
-            parameters={"ann_index": {
-                "column": "embedding", "n_centroids": _ANNIDX_NCENT,
-                "subspaces": PQ_SUBSPACES, "subdim": PQ_SUBDIM,
-            }})
-        r1 = pipe.sync(base)
-        assert r1.success, r1.message
-        upd = (base.filter(F.expr(_ANNIDX_UPDATED))
+    cross-engine idiom. Shares the built-and-updated pipe with
+    ``pipe_ann_refine_search`` via ``_ann_replay_pipe`` (identical
+    replay, r14). Reference analogue: none (no vector surface)."""
+    pipe = _ann_replay_pipe("pq_search", spark, sf_dir)
+    queries = (_ann_base(spark, sf_dir).filter(F.col("vec_id") < 5)
                .withColumn("embedding",
-                           F.transform("embedding", lambda x: -x)))
-        r2 = pipe.sync(upd)
-        assert r2.success, r2.message
-        queries = (base.filter(F.col("vec_id") < 5)
-                   .withColumn("embedding",
-                               F.transform("embedding", lambda x: -x))
-                   .drop("ts"))
-        res = pipe.ann_search(queries, k=5, nprobe=2)
-        rows = res.collect()
-        return spark.createDataFrame(
-            rows, "query_id long, neighbor_id long, code0 long, "
-                  "code1 long, adc double, rnk int")
-    finally:
-        base.unpersist()
-        shutil.rmtree(instance, ignore_errors=True)
+                           F.transform("embedding", lambda x: -x))
+               .drop("ts"))
+    res = pipe.ann_search(queries, k=5, nprobe=2)
+    rows = res.collect()
+    return spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, code0 long, "
+              "code1 long, adc double, rnk int")
 
 
 @query("pipe_ann_refine_search", _ann_refine_search_sql())
@@ -6540,45 +6622,19 @@ def pipe_ann_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-ranks by pre-flip vectors and flips the hash) and that the
     decimal re-rank ordering is engine-exact. Output carries the ADC
     value and codes of each survivor, so the shortlist stage is pinned
-    too. Reference analogue: none (no vector surface)."""
-    import shutil
-    import tempfile
-
-    from meerschaum_spark.pipe import Pipe
-
-    base = (load_table(spark, sf_dir, "embeddings")
-            .select(F.expr("timestamp'2024-01-01' + make_interval("
-                           "0, 0, 0, 0, cast(vec_id AS int))").alias("ts"),
-                    "vec_id", "embedding")
-            .persist())
-    instance = tempfile.mkdtemp(prefix="mrsm_q_annrefine_")
-    try:
-        pipe = Pipe(
-            "catalog", "annrefine", instance=instance, spark=spark,
-            columns={"datetime": "ts", "id": "vec_id"},
-            parameters={"ann_index": {
-                "column": "embedding", "n_centroids": _ANNIDX_NCENT,
-                "subspaces": PQ_SUBSPACES, "subdim": PQ_SUBDIM,
-            }})
-        r1 = pipe.sync(base)
-        assert r1.success, r1.message
-        upd = (base.filter(F.expr(_ANNIDX_UPDATED))
+    too. Shares the built-and-updated pipe with ``pipe_ann_search_topk``
+    via ``_ann_replay_pipe`` (identical replay, r14). Reference
+    analogue: none (no vector surface)."""
+    pipe = _ann_replay_pipe("pq_search", spark, sf_dir)
+    queries = (_ann_base(spark, sf_dir).filter(F.col("vec_id") < 5)
                .withColumn("embedding",
-                           F.transform("embedding", lambda x: -x)))
-        r2 = pipe.sync(upd)
-        assert r2.success, r2.message
-        queries = (base.filter(F.col("vec_id") < 5)
-                   .withColumn("embedding",
-                               F.transform("embedding", lambda x: -x))
-                   .drop("ts"))
-        res = pipe.ann_search(queries, k=5, nprobe=2, refine=2)
-        rows = res.collect()
-        return spark.createDataFrame(
-            rows, "query_id long, neighbor_id long, code0 long, "
-                  "code1 long, adc double, rnk int")
-    finally:
-        base.unpersist()
-        shutil.rmtree(instance, ignore_errors=True)
+                           F.transform("embedding", lambda x: -x))
+               .drop("ts"))
+    res = pipe.ann_search(queries, k=5, nprobe=2, refine=2)
+    rows = res.collect()
+    return spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, code0 long, "
+              "code1 long, adc double, rnk int")
 
 
 # ===========================================================================
@@ -6721,47 +6777,17 @@ def pipe_ann_residual_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's independent train → residual-codebook → final-corpus
     residual encode proves the whole two-artifact freeze is
     load-bearing: the update flips the rows that fed the seeds, the
-    training pass, AND the residual codebook. Reference analogue: none
-    (no vector surface)."""
-    import shutil
-    import tempfile
-
-    from meerschaum_spark.pipe import Pipe
-
-    base = (load_table(spark, sf_dir, "embeddings")
-            .select(F.expr("timestamp'2024-01-01' + make_interval("
-                           "0, 0, 0, 0, cast(vec_id AS int))").alias("ts"),
-                    "vec_id", "embedding")
-            .persist())
-    instance = tempfile.mkdtemp(prefix="mrsm_q_annres_")
-    try:
-        pipe = Pipe(
-            "catalog", "annresidual", instance=instance, spark=spark,
-            columns={"datetime": "ts", "id": "vec_id"},
-            parameters={"ann_index": {
-                "column": "embedding", "n_centroids": _ANNIDX_NCENT,
-                "subspaces": PQ_SUBSPACES, "subdim": PQ_SUBDIM,
-                "train_iters": 1, "residual": True,
-            }})
-        r1 = pipe.sync(base.filter(F.col("vec_id") < 300))
-        assert r1.success, r1.message
-        r2 = pipe.sync(base.filter(F.col("vec_id") >= 300),
-                       check_existing=False)
-        assert r2.success, r2.message
-        upd = (base.filter(F.expr(_ANNIDX_UPDATED))
-               .withColumn("embedding",
-                           F.transform("embedding", lambda x: -x)))
-        r3 = pipe.sync(upd)
-        assert r3.success, r3.message
-        out = (pipe.get_ann_index()
-               .select("vec_id", "cell", "code0", "code1")
-               .orderBy("vec_id"))
-        rows = out.collect()
-        return spark.createDataFrame(
-            rows, "vec_id long, cell long, code0 long, code1 long")
-    finally:
-        base.unpersist()
-        shutil.rmtree(instance, ignore_errors=True)
+    training pass, AND the residual codebook. Shares the built pipe
+    with ``pipe_ann_residual_search`` via ``_ann_replay_pipe``
+    (identical replay, r14). Reference analogue: none (no vector
+    surface)."""
+    pipe = _ann_replay_pipe("residual", spark, sf_dir)
+    out = (pipe.get_ann_index()
+           .select("vec_id", "cell", "code0", "code1")
+           .orderBy("vec_id"))
+    rows = out.collect()
+    return spark.createDataFrame(
+        rows, "vec_id long, cell long, code0 long, code1 long")
 
 
 # ===========================================================================
@@ -7028,45 +7054,19 @@ def pipe_ann_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     output hashes with no double-render caveat at all (stronger than
     the PQ gate's adc column in that respect). Reference analogue:
     none (no vector surface); FAISS ``IVF,SQ8`` is the public
-    model."""
-    import shutil
-    import tempfile
-
-    from meerschaum_spark.pipe import Pipe
-
-    base = (load_table(spark, sf_dir, "embeddings")
-            .select(F.expr("timestamp'2024-01-01' + make_interval("
-                           "0, 0, 0, 0, cast(vec_id AS int))").alias("ts"),
-                    "vec_id", "embedding")
-            .persist())
-    instance = tempfile.mkdtemp(prefix="mrsm_q_annsq8s_")
-    try:
-        pipe = Pipe(
-            "catalog", "annsq8search", instance=instance, spark=spark,
-            columns={"datetime": "ts", "id": "vec_id"},
-            parameters={"ann_index": {
-                "column": "embedding", "n_centroids": _ANNIDX_NCENT,
-                "codec": "sq8",
-            }})
-        r1 = pipe.sync(base)
-        assert r1.success, r1.message
-        upd = (base.filter(F.expr(_ANNIDX_UPDATED))
+    model. Shares the built-and-updated pipe with
+    ``pipe_ann_sq8_refine_search`` via ``_ann_replay_pipe`` (identical
+    replay, r14)."""
+    pipe = _ann_replay_pipe("sq8_search", spark, sf_dir)
+    queries = (_ann_base(spark, sf_dir).filter(F.col("vec_id") < 5)
                .withColumn("embedding",
-                           F.transform("embedding", lambda x: -x)))
-        r2 = pipe.sync(upd)
-        assert r2.success, r2.message
-        queries = (base.filter(F.col("vec_id") < 5)
-                   .withColumn("embedding",
-                               F.transform("embedding", lambda x: -x))
-                   .drop("ts"))
-        res = pipe.ann_search(queries, k=5, nprobe=2)
-        rows = res.collect()
-        return spark.createDataFrame(
-            rows, "query_id long, neighbor_id long, code_dist long, "
-                  "rnk int")
-    finally:
-        base.unpersist()
-        shutil.rmtree(instance, ignore_errors=True)
+                           F.transform("embedding", lambda x: -x))
+               .drop("ts"))
+    res = pipe.ann_search(queries, k=5, nprobe=2)
+    rows = res.collect()
+    return spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, code_dist long, "
+              "rnk int")
 
 
 @query("pipe_ann_sq8_refine_search", _ann_sq8_refine_search_sql())
@@ -7081,45 +7081,19 @@ def pipe_ann_sq8_refine_search(spark: SparkSession,
     TRUE post-update vectors are fetched back and exact-decimal
     re-ranked. The output keeps each survivor's BIGINT code_dist (the
     column the review-block symmetry fix exposed), so both stages
-    hash. Reference analogue: none (no vector surface)."""
-    import shutil
-    import tempfile
-
-    from meerschaum_spark.pipe import Pipe
-
-    base = (load_table(spark, sf_dir, "embeddings")
-            .select(F.expr("timestamp'2024-01-01' + make_interval("
-                           "0, 0, 0, 0, cast(vec_id AS int))").alias("ts"),
-                    "vec_id", "embedding")
-            .persist())
-    instance = tempfile.mkdtemp(prefix="mrsm_q_annsq8r_")
-    try:
-        pipe = Pipe(
-            "catalog", "annsq8refine", instance=instance, spark=spark,
-            columns={"datetime": "ts", "id": "vec_id"},
-            parameters={"ann_index": {
-                "column": "embedding", "n_centroids": _ANNIDX_NCENT,
-                "codec": "sq8",
-            }})
-        r1 = pipe.sync(base)
-        assert r1.success, r1.message
-        upd = (base.filter(F.expr(_ANNIDX_UPDATED))
+    hash. Shares the built-and-updated pipe with ``pipe_ann_sq8_search``
+    via ``_ann_replay_pipe`` (identical replay, r14). Reference
+    analogue: none (no vector surface)."""
+    pipe = _ann_replay_pipe("sq8_search", spark, sf_dir)
+    queries = (_ann_base(spark, sf_dir).filter(F.col("vec_id") < 5)
                .withColumn("embedding",
-                           F.transform("embedding", lambda x: -x)))
-        r2 = pipe.sync(upd)
-        assert r2.success, r2.message
-        queries = (base.filter(F.col("vec_id") < 5)
-                   .withColumn("embedding",
-                               F.transform("embedding", lambda x: -x))
-                   .drop("ts"))
-        res = pipe.ann_search(queries, k=5, nprobe=2, refine=2)
-        rows = res.collect()
-        return spark.createDataFrame(
-            rows, "query_id long, neighbor_id long, code_dist long, "
-                  "rnk int")
-    finally:
-        base.unpersist()
-        shutil.rmtree(instance, ignore_errors=True)
+                           F.transform("embedding", lambda x: -x))
+               .drop("ts"))
+    res = pipe.ann_search(queries, k=5, nprobe=2, refine=2)
+    rows = res.collect()
+    return spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, code_dist long, "
+              "rnk int")
 
 
 def _ann_residual_search_sql() -> str:
@@ -7192,50 +7166,19 @@ def pipe_ann_residual_search(spark: SparkSession,
     codebook → encode → search replication proves the maintained
     two-artifact freeze serves reads correctly, not just that the
     stored codes match. The adc DOUBLE output is hash-safe by the
-    same IEEE-fold idiom as the PQ search gate. Reference analogue:
-    none (no vector surface)."""
-    import shutil
-    import tempfile
-
-    from meerschaum_spark.pipe import Pipe
-
-    base = (load_table(spark, sf_dir, "embeddings")
-            .select(F.expr("timestamp'2024-01-01' + make_interval("
-                           "0, 0, 0, 0, cast(vec_id AS int))").alias("ts"),
-                    "vec_id", "embedding")
-            .persist())
-    instance = tempfile.mkdtemp(prefix="mrsm_q_annress_")
-    try:
-        pipe = Pipe(
-            "catalog", "annressearch", instance=instance, spark=spark,
-            columns={"datetime": "ts", "id": "vec_id"},
-            parameters={"ann_index": {
-                "column": "embedding", "n_centroids": _ANNIDX_NCENT,
-                "subspaces": PQ_SUBSPACES, "subdim": PQ_SUBDIM,
-                "train_iters": 1, "residual": True,
-            }})
-        r1 = pipe.sync(base.filter(F.col("vec_id") < 300))
-        assert r1.success, r1.message
-        r2 = pipe.sync(base.filter(F.col("vec_id") >= 300),
-                       check_existing=False)
-        assert r2.success, r2.message
-        upd = (base.filter(F.expr(_ANNIDX_UPDATED))
+    same IEEE-fold idiom as the PQ search gate. Shares the built pipe
+    with ``pipe_ann_residual_sync`` via ``_ann_replay_pipe`` (identical
+    replay, r14). Reference analogue: none (no vector surface)."""
+    pipe = _ann_replay_pipe("residual", spark, sf_dir)
+    queries = (_ann_base(spark, sf_dir).filter(F.col("vec_id") < 5)
                .withColumn("embedding",
-                           F.transform("embedding", lambda x: -x)))
-        r3 = pipe.sync(upd)
-        assert r3.success, r3.message
-        queries = (base.filter(F.col("vec_id") < 5)
-                   .withColumn("embedding",
-                               F.transform("embedding", lambda x: -x))
-                   .drop("ts"))
-        res = pipe.ann_search(queries, k=5, nprobe=2)
-        rows = res.collect()
-        return spark.createDataFrame(
-            rows, "query_id long, neighbor_id long, adc double, "
-                  "rnk int")
-    finally:
-        base.unpersist()
-        shutil.rmtree(instance, ignore_errors=True)
+                           F.transform("embedding", lambda x: -x))
+               .drop("ts"))
+    res = pipe.ann_search(queries, k=5, nprobe=2)
+    rows = res.collect()
+    return spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, adc double, "
+              "rnk int")
 
 
 # ===========================================================================

@@ -53,6 +53,18 @@ def theil_sen_pairs(
     if on_overflow not in ("error", "sample"):
         raise ValueError(f"on_overflow must be error|sample, "
                          f"got {on_overflow!r}")
+    if series_cols:
+        # pin the per-series layout explicitly BEFORE the guard window:
+        # the window's own exchange is byte-tiny on pre-aggregated axes,
+        # so AQE coalesces it — and the pair join that reuses it — onto
+        # ONE task (measured 2.3 s single-task for 1.3M pairs on the
+        # hourly catalog query). A user repartition is exempt from AQE
+        # coalescing (the r7 applyInPandas lesson), the guard window and
+        # the join both reuse its hash layout (no extra exchange), and
+        # at scale hash-by-series is the layout the join needs anyway.
+        points = points.repartition(
+            points.sparkSession.sparkContext.defaultParallelism,
+            *series_cols)
     wn = Window.partitionBy(*series_cols)
     pts = points.withColumn("_n_pts", F.count(F.lit(1)).over(wn))
     if on_overflow == "error":

@@ -5622,15 +5622,27 @@ def events_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre-agg stays far under it, values bit-identical to the inline form
     slopes = theil_sen_pairs(hourly, ["event_type"], "h", "v",
                              slope_scale=TS_SLOPE_SCALE)
-    w = Window.partitionBy("event_type").orderBy("slope", "h1", "h2")
+    # median via per-slope COUNTS, not a per-series sort of every pair:
+    # the previous rank window sorted all n_pairs rows of a series in
+    # ONE task (T²/2 — 38M rows/series at a year of hours); the count
+    # aggregation partial-aggregates map-side inside the pair-join
+    # tasks and the cumulative window runs over DISTINCT slopes only.
+    # The picked value is identical: the median row's (h1, h2)
+    # tie-break never reached the output, only its slope — the k-th
+    # smallest element of the slope multiset (k = (n_pairs+1) div 2),
+    # which is the slope whose cumulative count first reaches k.
+    cnt = slopes.groupBy("event_type", "slope").agg(
+        F.count(F.lit(1)).alias("_c"))
+    wcum = Window.partitionBy("event_type").orderBy("slope")
     wn = Window.partitionBy("event_type")
-    ranked = (slopes
-              .withColumn("rn", F.row_number().over(w))
-              .withColumn("n_pairs", F.count(F.lit(1)).over(wn)))
+    k = F.expr("(n_pairs + 1) div 2")
+    ranked = (cnt.withColumn("_cum", F.sum("_c").over(wcum))
+              .withColumn("n_pairs", F.sum("_c").over(wn)))
     n_hours = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_hours"))
     return (ranked
-            .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+            .filter(((F.col("_cum") - F.col("_c")) < k)
+                    & (k <= F.col("_cum")))
             .join(F.broadcast(n_hours), on="event_type")
             .select("event_type", "n_hours", "n_pairs",
                     F.col("slope").alias("theil_sen_slope_scaled"))

@@ -3415,6 +3415,12 @@ def doc_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.band_hash_rows(sigs_src, "doc_id", _K, _BANDS,
                          keep_cols=["source"]),
         ["source", "band", "bh"])
+    # pin the pair join's parallelism (the lsh_candidate_pairs lesson:
+    # the bucket table is byte-tiny, the pair expansion is not — AQE
+    # coalesced this join onto ONE task, measured 2.3 s); both aliases
+    # reuse the single exchange
+    bands = bands.repartition(
+        spark.sparkContext.defaultParallelism, "source", "band", "bh")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
